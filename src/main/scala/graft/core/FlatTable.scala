@@ -1,0 +1,135 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.transforms.{Aggregation, Percentages, Shaping, Totals}
+
+/** The engine's central abstraction: a Spark DataFrame plus the [[TableMeta]]
+  * that records index levels, column hierarchy, and margin labels — the lazy,
+  * distributed re-expression of the reference's labeled pandas DataFrame with
+  * `attrs['flatbread']` side-channel (SURVEY.md §1.3). Every operation returns
+  * a new FlatTable whose `df` is an unexecuted Catalyst plan; nothing runs
+  * until an action.
+  *
+  * Row order: Spark's relational model has no insertion order, so the engine
+  * defines a *canonical order* — index levels sorted ascending with margin
+  * rows pinned after the data rows of their group, in margin-introduction
+  * order (the reference preserves physical append order, aggregation.py:205-208;
+  * canonical order is the deterministic, shuffle-safe equivalent).
+  */
+final case class FlatTable(df: DataFrame, meta: TableMeta) {
+
+  def spark: SparkSession = df.sparkSession
+
+  // ---- predicates -------------------------------------------------------
+
+  def isMargin(extraIgnore: Seq[String] = Nil): Column = MarginMask.isMargin(meta, extraIgnore)
+  def isData(extraIgnore: Seq[String] = Nil): Column = MarginMask.isData(meta, extraIgnore)
+
+  /** Data rows only (margins removed). */
+  def dataRows(extraIgnore: Seq[String] = Nil): DataFrame = df.filter(isData(extraIgnore))
+
+  // ---- canonical ordering ----------------------------------------------
+
+  /** Sort keys implementing canonical order: per level, (is-margin, margin
+    * introduction rank, value). A margin label at level k sorts after all data
+    * values of its parent group but inside that group — exactly where the
+    * reference physically places subtotal rows.
+    */
+  def canonicalSortKeys(marginsLast: Boolean = true): Seq[Column] =
+    if (meta.marginLabelSeq.isEmpty) meta.indexLevels.map(col)
+    else meta.indexLevels.flatMap { l =>
+      // NB: keys must never be bare integer literals (Spark would read them
+      // as ORDER BY ordinals); when/case expressions are safe.
+      val rank = MarginMask.marginRank(meta, l)
+      val flag = when(rank >= 0, lit(if (marginsLast) 1 else -1)).otherwise(lit(0))
+      Seq(flag, rank, col(l))
+    }
+
+  /** The table in canonical order with columns in metadata order. */
+  def ordered: DataFrame = {
+    val cols = (meta.indexLevels ++ meta.valueCols).map(col)
+    df.orderBy(canonicalSortKeys(): _*).select(cols: _*)
+  }
+
+  // ---- fluent operator surface (delegates to transforms) ----------------
+
+  def addAgg(aggfunc: String, axis: Axis = Axis.Rows, label: Option[String] = None,
+             ignoreKeys: Seq[String] = Nil, fill: String = ""): FlatTable =
+    Aggregation.addAgg(this, aggfunc, axis, label, ignoreKeys, fill)
+
+  def addSubagg(aggfunc: String, level: Int = 0, label: Option[String] = None,
+                includeLevelName: Boolean = false, ignoreKeys: Seq[String] = Nil,
+                skipSingleRows: Boolean = true, fill: String = ""): FlatTable =
+    Aggregation.addSubagg(this, aggfunc, level, label, includeLevelName, ignoreKeys,
+      skipSingleRows, fill)
+
+  def addTotals(axis: Axis = Axis.Both, label: String = Defaults.labelTotals,
+                ignoreKeys: Seq[String] = Nil, fill: String = ""): FlatTable =
+    Totals.addTotals(this, axis, label, ignoreKeys, fill)
+
+  def addSubtotals(axis: Axis = Axis.Rows, levels: Seq[Int] = Seq(0),
+                   label: String = Defaults.labelSubtotals, includeLevelName: Boolean = false,
+                   ignoreKeys: Seq[String] = Nil, skipSingleRows: Boolean = true,
+                   fill: String = ""): FlatTable =
+    Totals.addSubtotals(this, axis, levels, label, includeLevelName, ignoreKeys,
+      skipSingleRows, fill)
+
+  def dropTotals(ignoreKeys: Seq[String] = Nil): FlatTable =
+    Totals.dropTotals(this, ignoreKeys)
+
+  def asPercentages(axis: Axis = Axis.Both, labelTotals: Option[String] = None,
+                    ignoreKeys: Seq[String] = Nil, ndigits: Int = -1, base: Int = 100,
+                    apportioned: Option[Boolean] = None): FlatTable =
+    Percentages.asPercentages(this, axis, labelTotals, ignoreKeys, ndigits, base, apportioned)
+
+  def addPercentages(axis: Axis = Axis.Both, labelN: String = Defaults.labelN,
+                     labelPct: String = Defaults.labelPct, labelTotals: Option[String] = None,
+                     ignoreKeys: Seq[String] = Nil, ndigits: Int = -1, base: Int = 100,
+                     interleaf: Boolean = false,
+                     apportioned: Option[Boolean] = None): FlatTable =
+    Percentages.addPercentages(this, axis, labelN, labelPct, labelTotals, ignoreKeys,
+      ndigits, base, interleaf, apportioned)
+
+  def sortTotals(axis: Axis = Axis.Rows, aggregatesLast: Boolean = true): FlatTable =
+    Shaping.sortAggregates(this, axis, meta.labelsOf("totals", "subtotals"), aggregatesLast)
+
+  def sortAggregates(axis: Axis = Axis.Rows, labels: Seq[String] = Nil,
+                     aggregatesLast: Boolean = true): FlatTable =
+    Shaping.sortAggregates(this, axis,
+      if (labels.nonEmpty) labels else meta.marginLabelSeq, aggregatesLast)
+
+  def addLevel(value: String, level: Int = 0, levelName: Option[String] = None,
+               axis: Axis = Axis.Rows): FlatTable =
+    Shaping.addLevel(this, value, level, levelName, axis)
+}
+
+object FlatTable {
+
+  /** Wrap an arbitrary DataFrame: the first `nIndexLevels` columns become the
+    * row index; every remaining column is a flat value column. */
+  def apply(df: DataFrame, nIndexLevels: Int): FlatTable = {
+    val names = df.columns.toSeq
+    val (idx, vals) = names.splitAt(nIndexLevels)
+    FlatTable(df, TableMeta(idx, vals.map(c => ColKey(c, Seq(c)))))
+  }
+
+  /** Wrap with explicit index level names; remaining columns become values. */
+  def apply(df: DataFrame, indexLevels: Seq[String]): FlatTable = {
+    val vals = df.columns.toSeq.filterNot(indexLevels.contains)
+    FlatTable(df, TableMeta(indexLevels, vals.map(c => ColKey(c, Seq(c)))))
+  }
+}
+
+/** Engine defaults, mirroring config.defaults.json:2-26 of the reference;
+  * overridable via [[graft.config.FlatbreadConf]]. */
+object Defaults {
+  def conf = graft.config.FlatbreadConf.current
+  def labelTotals: String = conf.labelTotals
+  def labelSubtotals: String = conf.labelSubtotals
+  def labelN: String = conf.labelN
+  def labelPct: String = conf.labelPct
+  def labelDiff: String = conf.labelDiff
+  def naRep: String = conf.naRep
+}

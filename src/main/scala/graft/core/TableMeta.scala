@@ -1,0 +1,98 @@
+package graft.core
+
+/** Axis algebra mirroring the reference's `0|'index'`, `1|'columns'`, `2|'both'`
+  * (reference: types.py:3, axes.py:29-54).
+  */
+sealed abstract class Axis(val code: Int)
+object Axis {
+  case object Rows extends Axis(0)
+  case object Cols extends Axis(1)
+  case object Both extends Axis(2)
+  def of(i: Int): Axis = i match {
+    case 0 => Rows
+    case 1 => Cols
+    case 2 => Both
+    case _ => throw new IllegalArgumentException(s"axis must be 0, 1 or 2; got $i")
+  }
+  def of(s: String): Axis = s match {
+    case "index" | "rows" => Rows
+    case "columns"        => Cols
+    case "both"           => Both
+    case other            => throw new IllegalArgumentException(s"unknown axis '$other'")
+  }
+}
+
+/** One *value* column of a [[FlatTable]]: its flat physical name in the Spark
+  * schema plus its hierarchical key on the column axis (the pandas column
+  * MultiIndex has no Spark analogue, so the hierarchy lives here as metadata;
+  * see SURVEY.md §1.3 and reference tooling.py:31-43).
+  */
+final case class ColKey(physical: String, key: Seq[String]) {
+  def leaf: String = key.last
+  def widen(outer: String): ColKey = ColKey(physical, outer +: key)
+}
+
+/** A label introduced by a margin-producing transform, with the transform kind
+  * that introduced it (reference: attrs['flatbread']['labels'], chaining.py:73-82).
+  * Order of introduction is significant: it drives margin placement in the
+  * canonical row order (reference keeps physical append order; axes.py:118-125).
+  */
+final case class MarginLabel(kind: String, label: String)
+
+/** Side-channel metadata carried alongside the wrapped DataFrame — the Spark
+  * re-expression of `df.attrs['flatbread']` + the index/column structure that
+  * pandas keeps on its axes (SURVEY.md §1.3).
+  *
+  * @param indexLevels ordered names of the columns that form the row index
+  * @param columns     ordered value columns with their column-axis hierarchy
+  * @param colNames    names of the column-axis levels (pandas `columns.names`)
+  * @param marginLabels labels introduced by margin ops, in introduction order
+  */
+final case class TableMeta(
+    indexLevels: Seq[String],
+    columns: Seq[ColKey],
+    colNames: Seq[Option[String]] = Seq(None),
+    marginLabels: Seq[MarginLabel] = Nil
+) {
+  require(indexLevels.nonEmpty, "a FlatTable needs at least one index level")
+
+  def valueCols: Seq[String] = columns.map(_.physical)
+  def nLevels: Int = indexLevels.size
+  def nColLevels: Int = columns.map(_.key.size).foldLeft(1)(math.max)
+
+  /** Distinct margin labels in first-introduction order. */
+  def marginLabelSeq: Seq[String] = marginLabels.map(_.label).distinct
+
+  /** Labels introduced by the given transform kinds. */
+  def labelsOf(kinds: String*): Seq[String] =
+    marginLabels.filter(m => kinds.contains(m.kind)).map(_.label).distinct
+
+  def withMargin(kind: String, label: String): TableMeta =
+    copy(marginLabels = marginLabels :+ MarginLabel(kind, label))
+
+  /** Resolve a level given by position (negatives allowed, pandas-style) —
+    * reference axes.py:11-26. */
+  def resolveLevel(level: Int): Int = {
+    val n = nLevels
+    val i = if (level < 0) level + n else level
+    require(i >= 0 && i < n, s"level $level out of range for $n index levels")
+    i
+  }
+  def resolveLevel(name: String): Int = {
+    val i = indexLevels.indexOf(name)
+    require(i >= 0, s"no index level named '$name' (have ${indexLevels.mkString(", ")})")
+    i
+  }
+
+  /** Column-axis margin test: a value column is a margin/derived column if any
+    * part of its hierarchical key matches a tracked label by equality or string
+    * prefix (mirror of the row-side rule, chaining.py:32-47). */
+  def colIsMargin(ck: ColKey, extraIgnore: Seq[String] = Nil): Boolean = {
+    val labels = (marginLabelSeq ++ extraIgnore).distinct
+    ck.key.exists(part => labels.exists(l => part == l || part.startsWith(l)))
+  }
+
+  /** Value columns that are plain data (not margins/pct/derived). */
+  def dataColumns(extraIgnore: Seq[String] = Nil): Seq[ColKey] =
+    columns.filterNot(ck => colIsMargin(ck, extraIgnore))
+}
