@@ -7,9 +7,11 @@ object SparkEntry {
     * pipeline, readme.md:27). */
   def entry(spark: SparkSession): DataFrame =
     Queries.all("q10_pct_grand")(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (ExtQueries). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ExtQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] = Queries.oracle ++ ExtQueries.oracle
 }
