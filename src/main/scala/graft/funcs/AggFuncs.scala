@@ -57,7 +57,10 @@ object AggFuncs {
   def rowwise(name: String, cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "row-wise aggregate over zero columns")
     def nonNullCount = cols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
-    def sumExpr = cols.map(c => coalesce(c.cast("double"), lit(0.0))).reduce(_ + _)
+    // natural-type addition: preserves long/decimal exactness (pandas keeps
+    // integer dtype for integer row sums; casting here would also break the
+    // engine's exact-decimal aggregation discipline)
+    def sumExpr = cols.map(c => coalesce(c, lit(0))).reduce(_ + _)
     name match {
       case "sum"          => sumExpr
       case "mean" | "avg" => when(nonNullCount > 0, sumExpr / nonNullCount)

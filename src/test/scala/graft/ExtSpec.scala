@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext._
+
+/** Extension operators: dedup recall/precision, similarity search, text
+  * analysis, multimodal plumbing. Signature-based ops (MinHash, SimHash,
+  * hyperplane LSH) are validated against exact ground truth computed on the
+  * same data — the check the DuckDB oracle cannot express.
+  */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base + " extra"), // near-dup of 0
+    (2L, base.replace("quick", "slow")), // near-dup of 0
+    (3L, "completely different words describing a data processing engine built on spark"),
+    (4L, "yet another unrelated document about window functions and aggregation plans")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace variants and keeps the min id") {
+    val df = Seq(
+      (10L, "Hello  World"), (11L, "hello world"), (12L, "HELLO\tWORLD"),
+      (13L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(10L -> 3L, 13L -> 1L))
+  }
+
+  test("ngram Jaccard finds the planted near-dups and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("MinHash-LSH recalls exactly the pairs the exact Jaccard join finds") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(corpus, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("SimHash: identical docs at distance 0, near-dups within 3, unrelated far") {
+    val df = Seq((0L, base), (1L, base), (2L, base + " extra"),
+      (3L, "completely different words about benchmark suites and shuffle io"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 10)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) == 0)
+  }
+
+  test("language ID picks the language with the most stopword hits") {
+    val df = Seq(
+      (0L, "the cat is on the mat and the dog is in the house"),
+      (1L, "der hund ist ein tier und die katze ist nicht gross"),
+      (2L, "le chat est dans la maison et les enfants sont pour une promenade")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "en", 1L -> "de", 2L -> "fr"))
+  }
+
+  test("quality score components and token stats") {
+    val short = "tiny text"
+    val good = ("the data " * 20).trim // 40 tokens, has stopwords, no punct
+    val out = TextStats.analyze(Seq((0L, short), (1L, good)).toDF("doc_id", "text"), "text")
+      .select("doc_id", "token_count", "quality").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 == 2)
+    assert(out(1L)._1 == 40)
+    assert(out(1L)._2 == 1.0) // all three components
+    assert(out(0L)._2 == 0.2) // only punct-sanity (no stopword 'the'? 'tiny text' has none, too short)
+  }
+
+  test("rolling hash is deterministic and whitespace-normalizing") {
+    val df = Seq((0L, "a  b\tc"), (1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.rollingHash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(1L))
+    assert(out(1L) != out(2L))
+  }
+
+  test("brute-force ANN ranks an identical vector first") {
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(vs, vs.filter(col("vec_id") === 0), "vec_id",
+      "embedding", topK = 2).collect()
+    assert(out.head.getLong(1) == 1L && out.head.getInt(3) == 1)
+  }
+
+  test("hyperplane-LSH ANN achieves reasonable recall@5 vs brute force on real embeddings") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.annTopK(e, q, "vec_id", "embedding", 5))
+    val lsh = pairs(Similarity.annLshTopK(e, q, "vec_id", "embedding", 5))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@5 = $recall") // buckets prune hard; sanity floor
+    assert(lsh.nonEmpty)
+  }
+
+  test("multimodal: decodeMeta runs the stub through real partition batches") {
+    val media = Multimodal.withFakeMedia(
+      Seq((0L, "abcdef"), (1L, "x" * 100)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decodeMeta(media).collect().map(d => d.id -> d).toMap
+    assert(out(0L).width == 6 % 640 + 16 && out(0L).n_bytes == 6)
+    assert(out(1L).height == (100 * 7) % 480 + 16)
+  }
+
+  test("multimodal: frame sampling emits every stride-th block") {
+    val media = Multimodal.withFakeMedia(
+      Seq((0L, "0123456789abcdef" * 8)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, stride = 4, frameSize = 16).collect()
+    assert(frames.length == 2) // blocks 0 and 4 of 8
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.testing.MakeTestDf
+import graft.transforms.Shaping
+
+/** Index/column shaping + margin-mask laws (reference axes.py, chaining.py,
+  * tooling.py).
+  */
+class ShapingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sortTotals pins margins last within each group; first when aggregatesLast=false (axes.py:118-132)") {
+    val ft = MakeTestDf(spark, nRows = 7, nCols = 2, idxDupes = Seq(4, 1))
+      .addSubtotals(Axis.Rows, Seq(0)).addTotals(Axis.Rows)
+    val last = ft.sortTotals().df.collect()
+    assert(last.last.getString(0) == "Totals")
+    val g0 = last.filter(_.getString(0) == "R_L0_G0")
+    assert(g0.last.getString(1) == "Subtotals")
+    val first = ft.sortTotals(aggregatesLast = false).df.collect()
+    assert(first.head.getString(0) == "Totals")
+  }
+
+  test("margin mask matches by equality AND string prefix (chaining.py:32-47)") {
+    val meta = TableMeta(Seq("R0"), Seq(ColKey("c0", Seq("c0"))))
+      .withMargin("totals", "Totals")
+    val df = Seq("plain", "Totals", "Totals 2024", "Tot", "xTotals")
+      .toDF("R0").withColumn("c0", lit(1L))
+    val masked = df.filter(MarginMask.isMargin(meta)).collect().map(_.getString(0)).toSet
+    assert(masked == Set("Totals", "Totals 2024"))
+  }
+
+  test("addLevel inserts a constant row level at a position, negative supported (axes.py:210-336)") {
+    val ft = MakeTestDf(spark)
+    val lv = ft.addLevel("2024", 0, Some("year"))
+    assert(lv.meta.indexLevels == Seq("year", "R0"))
+    assert(lv.ordered.collect().forall(_.getString(0) == "2024"))
+    val lvNeg = ft.addLevel("z", -1, Some("tail"))
+    assert(lvNeg.meta.indexLevels == Seq("R0", "tail"))
+  }
+
+  test("addLevel on the column axis rewrites keys only (no shuffle)") {
+    val ft = MakeTestDf(spark)
+    val lv = ft.addLevel("vals", 0, Some("kind"), Axis.Cols)
+    assert(lv.meta.columns.forall(_.key.head == "vals"))
+    assert(lv.df eq ft.df) // metadata-only
+  }
+
+  test("sortIndexFromList: explicit order first, unlisted after by value (tooling.py:111-118)") {
+    val ft = MakeTestDf(spark) // r0..r4
+    val out = Shaping.sortIndexFromList(ft, Seq("r3", "r1")).df
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("r3", "r1", "r0", "r2", "r4"))
+  }
+
+  test("offsetDateField aligns every year group onto the max year (tooling.py:76-94)") {
+    val df = Seq(
+      ("2019-03-15", 2019), ("2020-03-15", 2020), ("2021-03-15", 2021)
+    ).toDF("d", "y").withColumn("d", to_date(col("d")))
+    val out = Shaping.offsetDateField(df, "d", "y")
+      .select(year(col("d"))).collect().map(_.getInt(0)).toSet
+    assert(out == Set(2021))
+  }
+
+  test("sortAggregates on columns is a stable metadata reorder") {
+    val ft = MakeTestDf(spark).addTotals(Axis.Cols)
+    // move Totals column first
+    val sorted = ft.sortAggregates(Axis.Cols, aggregatesLast = false)
+    assert(sorted.meta.valueCols.head == "Totals")
+    assert(sorted.meta.valueCols.tail == Seq("c0", "c1", "c2", "c3"))
+  }
+
+  test("canonical order is deterministic under repartition (shuffle-safety)") {
+    val ft = MakeTestDf(spark, nRows = 7, nCols = 2, idxDupes = Seq(4, 1))
+      .addSubtotals(Axis.Rows, Seq(0)).addTotals(Axis.Rows)
+    val a = ft.ordered.collect().map(_.toSeq).toSeq
+    val b = FlatTable(ft.df.repartition(7), ft.meta).ordered.collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
