@@ -97,6 +97,24 @@ object Queries {
         .withColumn("month_start", trunc(col("o_date"), "month"))
       Pivot.groupAgg(shifted, Seq("o_year", "month_start"), count(lit(1)).as("n")).ordered
     },
+    // margins-at-scan: totals/subtotals fused into the pivot's own
+    // scan+shuffle via ROLLUP — the 100 TB formulation (one pass, vs the
+    // layered union path that re-aggregates per margin)
+    "q16_margins_at_scan" -> ((s, dir) =>
+      castValuesToDouble(
+        Pivot.pivotWithMargins(read(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_linestatus", dec2("l_extendedprice"), Seq("F", "O"))).ordered),
+    "q25_fused_subtotals" -> { (s, dir) =>
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      val r = read(s, dir, "region")
+      val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      Pivot.groupAggWithMargins(j, Seq("r_name", "n_name"),
+        Seq(count(lit(1)).as("n_orders"))).ordered
+    },
     // classic relational coverage (Spark built-ins exposed through the engine)
     "q17_join_revenue" -> { (s, dir) =>
       val li = read(s, dir, "lineitem")
@@ -303,6 +321,28 @@ object Queries {
         |       + to_months(CAST(12*(maxy - year(o_orderdate)) AS INT))) AS DATE) AS month_start,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders, m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q16_margins_at_scan" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN GROUPING(l_returnflag)=1 THEN 'Totals' ELSE l_returnflag END AS l_returnflag,
+        |    SUM(CASE WHEN l_linestatus='F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS F,
+        |    SUM(CASE WHEN l_linestatus='O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS O
+        |  FROM lineitem GROUP BY ROLLUP(l_returnflag))
+        |SELECT l_returnflag, CAST(F AS DOUBLE) AS F, CAST(O AS DOUBLE) AS O,
+        |  CAST(COALESCE(F,0)+COALESCE(O,0) AS DOUBLE) AS Totals
+        |FROM g ORDER BY (l_returnflag='Totals'), l_returnflag""".stripMargin,
+    // identical result to q04 (layered path) — the oracle is shared
+    "q25_fused_subtotals" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN GROUPING(r_name)=1 THEN 'Totals' ELSE r_name END AS r_name,
+        |         CASE WHEN GROUPING(r_name)=1 THEN ''
+        |              WHEN GROUPING(n_name)=1 THEN 'Subtotals' ELSE n_name END AS n_name,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey=c_custkey
+        |       JOIN nation ON c_nationkey=n_nationkey
+        |       JOIN region ON n_regionkey=r_regionkey
+        |  GROUP BY GROUPING SETS ((r_name,n_name),(r_name),()))
+        |SELECT * FROM g
+        |ORDER BY (r_name='Totals'), r_name, (n_name='Subtotals'), n_name""".stripMargin,
     "q17_join_revenue" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
