@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.core.FlatTable
+
+/** Sources and sinks (SURVEY.md §2.6: the reference has none — input tables
+  * arrive via user code; Spark's readers/writers are exposed here as the
+  * engine's IO surface). Parquet is the primary format (columnar, predicate
+  * pushdown, column pruning); csv/json/orc round-trip for interchange.
+  */
+object IO {
+
+  val Formats: Set[String] = Set("parquet", "orc", "csv", "json")
+
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+           options: Map[String, String] = Map.empty): DataFrame = {
+    require(Formats(format), s"unsupported format '$format'")
+    val base = spark.read.options(options)
+    format match {
+      // csv/json re-infer types; header on by default for csv
+      case "csv"  => base.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json" => base.json(path)
+      case "orc"  => base.orc(path)
+      case _      => base.parquet(path)
+    }
+  }
+
+  def write(df: DataFrame, path: String, format: String = "parquet",
+            mode: SaveMode = SaveMode.Overwrite,
+            partitionBy: Seq[String] = Nil,
+            options: Map[String, String] = Map.empty): Unit = {
+    require(Formats(format), s"unsupported format '$format'")
+    val w0 = df.write.mode(mode).options(options)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    format match {
+      case "csv"  => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "orc"  => w.orc(path)
+      case _      => w.parquet(path)
+    }
+  }
+
+  /** Write a FlatTable's canonical view (margins in place, metadata order). */
+  def writeTable(ft: FlatTable, path: String, format: String = "parquet"): Unit =
+    write(ft.ordered, path, format)
+}
