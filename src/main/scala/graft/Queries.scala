@@ -115,6 +115,24 @@ object Queries {
       Pivot.groupAggWithMargins(j, Seq("r_name", "n_name"),
         Seq(count(lit(1)).as("n_orders"))).ordered
     },
+    // statistical aggregate breadth with cross-engine-exact formulations:
+    // mean/variance derived from exact decimal sums, so the doubles are
+    // bit-identical regardless of accumulation order
+    "q26_stats" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val xd = dec2("l_quantity")
+      val n = count(col("l_quantity"))
+      val s1 = sum(xd).cast("double")
+      val s2 = sum(xd * xd).cast("double")
+      Pivot.groupAgg(li, Seq("l_returnflag"),
+        s1.as("sum_qty"),
+        (s1 / n).as("mean_qty"),
+        ((s2 - s1 * s1 / n) / (n - 1)).as("var_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count_distinct(col("l_orderkey")).as("n_orders")
+      ).ordered
+    },
     // classic relational coverage (Spark built-ins exposed through the engine)
     "q17_join_revenue" -> { (s, dir) =>
       val li = read(s, dir, "lineitem")
@@ -343,6 +361,17 @@ object Queries {
         |  GROUP BY GROUPING SETS ((r_name,n_name),(r_name),()))
         |SELECT * FROM g
         |ORDER BY (r_name='Totals'), r_name, (n_name='Subtotals'), n_name""".stripMargin,
+    "q26_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS mean_qty,
+        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity))
+        |   /(COUNT(l_quantity)-1) AS var_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q17_join_revenue" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
