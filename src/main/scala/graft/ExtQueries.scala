@@ -7,10 +7,14 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.Tables.read
 
 /** Training-data-pipeline operator queries (dedup, similarity search, text
-  * analysis, multimodal plumbing) with DuckDB oracles where SQL-expressible.
-  * Floating-point rule: ratios divide identical integers; cosines are rounded
-  * to 6 dp before any threshold/rank decision so fold-order noise (~1e-13)
-  * cannot flip a comparison.
+  * analysis, multimodal plumbing) with DuckDB oracles. Floating-point rule:
+  * ratios divide identical integers; cosines are rounded to 6 dp before any
+  * threshold/rank decision so fold-order noise (~1e-13) cannot flip a
+  * comparison. Signature-based queries (q36 SimHash, q39 LSH ANN) use
+  * hash/plane formulations that are pure ANSI-SQL arithmetic (md5 hex words,
+  * integer LCG hyperplanes, quantized integer projections) so DuckDB
+  * recomputes the ENTIRE pipeline — signatures, banding, candidate join,
+  * re-rank — not just a derived invariant.
   */
 object ExtQueries {
 
@@ -33,6 +37,10 @@ object ExtQueries {
       read(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+    // stop-gram cap active by default (Dedup.DefaultMaxDocFreq = 1000); the
+    // oracle carries no cap — provably equivalent at sf<=0.01 where every
+    // document-frequency is bounded by the 500-doc corpus size, and spec-
+    // tested for equivalence on the fixture (ExtSpec).
     "q34_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.8)
@@ -43,11 +51,13 @@ object ExtQueries {
         .orderBy(col("id1"), col("id2"))),
     "q36_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
-          maxDist = 3)
+          maxDist = 3, words = Dedup.md5Words)
         .orderBy(col("id1"), col("id2"))),
+    // exact pairs via the grid-blocked self-join — the scale-shaped exact
+    // plan (no full-corpus broadcast); the brute-force SQL is the oracle.
     "q37_embed_cosine" -> ((s, dir) =>
-      Similarity.cosinePairs(read(s, dir, "embeddings"), "vec_id", "embedding",
-          minCos = 0.4)
+      Similarity.cosinePairsBlocked(read(s, dir, "embeddings"), "vec_id",
+          "embedding", minCos = 0.4)
         .orderBy(col("id1"), col("id2"))),
     "q38_ann_topk" -> { (s, dir) =>
       val e = read(s, dir, "embeddings")
@@ -67,7 +77,14 @@ object ExtQueries {
         .withFakeMedia(read(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaRow]
       Multimodal.decodeMeta(media).toDF().orderBy(col("id"))
-    }
+    },
+    // LSH banding → exact re-rank over candidates; recall tuned to 1.0 at
+    // this threshold (r=2, b=24 — miss < 6e-6 per pair), so the brute-force
+    // SQL is its oracle.
+    "q41_cosine_lsh" -> ((s, dir) =>
+      Similarity.cosineLshPairs(read(s, dir, "embeddings"), "vec_id",
+          "embedding", minCos = 0.4)
+        .orderBy(col("id1"), col("id2")))
   )
 
   private val docToks =
@@ -75,21 +92,54 @@ object ExtQueries {
 
   /** shared shingle CTEs (word 4-grams, distinct per doc) — mirrors
     * Dedup.shingles for the documents actually present (all >= 4 tokens). */
-  private val shingleCtes =
+  private val shingleBase =
     s"""toks AS (SELECT doc_id, $docToks AS t FROM documents),
        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-2),
        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS g FROM toks),
-       |d AS (SELECT DISTINCT doc_id, g FROM sh),
+       |d AS (SELECT DISTINCT doc_id, g FROM sh)""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $shingleBase,
        |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
        |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
        |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
        |j AS (SELECT id1, id2, CAST(c AS DOUBLE)/(s1.n+s2.n-c) AS jaccard
-       |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id)""".stripMargin
-
-  private val jaccardSql =
-    s"""WITH $shingleCtes
+       |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id)
        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8
        |ORDER BY id1, id2""".stripMargin
+
+  /** Full SimHash pipeline in SQL, mirroring Dedup.simhashPairs with the
+    * md5Words hasher: lower-64-md5 words → 64 bit-balance sums → sign blocks
+    * → pigeonhole block join → Hamming distance. The O(n²) OR-join is fine
+    * for the oracle (it runs on the 500-doc fixture, not at scale). */
+  private val simhashSql: String = {
+    val sums = (0 until 64).map { i =>
+      val w = if (i < 32) "w0" else "w1"
+      s"SUM(CASE WHEN ($w >> ${i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
+    }.mkString(",\n|  ")
+    val blks = (0 until 4).map { j =>
+      val terms = (0 until 16)
+        .map(t => s"(CASE WHEN s_${j * 16 + t} > 0 THEN ${1L << t} ELSE 0 END)")
+        .mkString(" + ")
+      s"($terms) AS b$j"
+    }.mkString(",\n|  ")
+    s"""WITH $shingleBase,
+       |w AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(g), 25, 8)) AS BIGINT) AS w0,
+       |  CAST(('0x' || substr(md5(g), 17, 8)) AS BIGINT) AS w1 FROM d),
+       |s AS (SELECT doc_id,
+       |  $sums
+       |  FROM w GROUP BY doc_id),
+       |blk AS (SELECT doc_id,
+       |  $blks
+       |  FROM s),
+       |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS dist
+       |  FROM blk a JOIN blk b ON a.doc_id < b.doc_id
+       |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+       |SELECT id1, id2, dist FROM pr WHERE dist <= 3 ORDER BY id1, id2""".stripMargin
+  }
 
   /** cosine CTEs in explicit double arithmetic (mirrors Similarity exactly);
     * rounded to 6 dp before thresholds/ranks. */
@@ -98,6 +148,56 @@ object ExtQueries {
       |       FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       |      FROM e)""".stripMargin
+
+  private val bruteCosineSql =
+    s"""WITH $cosineCtes,
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |        round(list_sum(list_transform(range(1, 65),
+       |          k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) AS cos_sim
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT id1, id2, cos_sim FROM p WHERE cos_sim >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Full hyperplane-LSH ANN pipeline in SQL, mirroring Similarity.annLshTopK
+    * bit-for-bit: quantized integer projections onto LCG planes → 16-bit
+    * signature → 4 bands of 4 bits → any-band candidate join → exact cosine
+    * re-rank with deterministic tie-break. */
+  private val annLshSql: String = {
+    def comp(p: Int) = s"((($p*1000003 + d) * 2654435761) % 2000003 - 1000001)"
+    val projs = (0 until 16).map { p =>
+      s"list_sum(list_transform(range(0, 64), d -> qv[d+1] * ${comp(p)})) AS pj_$p"
+    }.mkString(",\n|  ")
+    val bandCols = (0 until 4).map { b =>
+      val terms = (0 until 4)
+        .map(r => s"(CASE WHEN pj_${b * 4 + r} >= 0 THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      s"($terms) AS band$b"
+    }.mkString(",\n|  ")
+    s"""WITH $cosineCtes,
+       |qz AS (SELECT vec_id, v, nrm,
+       |  list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM n),
+       |pj AS (SELECT vec_id, v, nrm,
+       |  $projs
+       |  FROM qz),
+       |sg AS (SELECT vec_id, v, nrm,
+       |  $bandCols
+       |  FROM pj),
+       |qs AS (SELECT * FROM sg WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+       |  FROM sg c JOIN qs q ON c.vec_id <> q.vec_id
+       |    AND (c.band0 = q.band0 OR c.band1 = q.band1
+       |      OR c.band2 = q.band2 OR c.band3 = q.band3)),
+       |p2 AS (SELECT cand.qid, cand.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> q.v[k]*c.v[k])) / (q.nrm*c.nrm), 6) AS cos_sim
+       |  FROM cand JOIN sg c ON cand.id = c.vec_id JOIN qs q ON cand.qid = q.vec_id),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM p2)
+       |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q30_fingerprint" ->
@@ -147,14 +247,8 @@ object ExtQueries {
     // miss probability < 1e-13 at the data's minimum J of 0.889), so the
     // exact-Jaccard SQL is a valid oracle for the LSH path too.
     "q35_minhash_lsh" -> jaccardSql,
-    "q37_embed_cosine" ->
-      s"""WITH $cosineCtes,
-         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |        round(list_sum(list_transform(range(1, 65),
-         |          k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) AS cos_sim
-         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-         |SELECT id1, id2, cos_sim FROM p WHERE cos_sim >= 0.4
-         |ORDER BY id1, id2""".stripMargin,
+    "q36_simhash" -> simhashSql,
+    "q37_embed_cosine" -> bruteCosineSql,
     "q38_ann_topk" ->
       s"""WITH $cosineCtes,
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
@@ -168,14 +262,16 @@ object ExtQueries {
          |      FROM p)
          |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "q39_ann_lsh" -> annLshSql,
     "q40_multimodal_decode" ->
       """SELECT doc_id AS id,
         |  CAST(strlen(text) % 640 + 16 AS INT) AS width,
         |  CAST((strlen(text) * 7) % 480 + 16 AS INT) AS height,
         |  CAST(strlen(text) % 30 + 1 AS INT) AS n_frames,
         |  CAST(strlen(text) AS INT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // q36_simhash, q39_ann_lsh: signature-dependent (xxhash64) — not
-    // SQL-expressible; covered by rows-only check + ScalaTest recall suites.
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // brute force is the oracle for the LSH pairs path: recall 1.0 at the
+    // declared threshold/parameters (verified on the fixture corpus).
+    "q41_cosine_lsh" -> bruteCosineSql
   )
 }

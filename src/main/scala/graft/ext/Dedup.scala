@@ -3,14 +3,21 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.funcs.ArrayAggregates
+
 /** Deduplication operators for training-data pipelines: exact (fingerprint
   * hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH, and SimHash.
   * (Beyond the reference surface; required by the build brief.)
   *
   * Scale design: every method is a shuffle-on-key pipeline — fingerprints
   * group by hash; the Jaccard join is an inverted-index join on shingles
-  * (never a cross join); LSH banding turns all-pairs similarity into a
-  * band-bucket equi-join, the only formulation that survives 100 TB.
+  * (never a cross join) with a stop-gram document-frequency cap on by
+  * default; LSH banding turns all-pairs similarity into a band-bucket
+  * equi-join, the only formulation that survives 100 TB. Signature
+  * aggregation (MinHash mins, SimHash bit balances) runs through single
+  * array-buffer aggregates ([[graft.funcs.ArrayAggregates]]) — one narrow
+  * aggregate column instead of the 128/64 independent aggregate columns of
+  * the naive formulation.
   */
 object Dedup {
 
@@ -36,15 +43,29 @@ object Dedup {
   private def postings(df: DataFrame, idCol: String, textCol: String, k: Int) =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("g")).distinct()
 
+  /** Default stop-gram cap: shingles occurring in more documents than this
+    * carry no near-dup signal and would dominate the inverted-index join on a
+    * skewed corpus (a df-F shingle contributes F² join rows). The cap is a
+    * fixed absolute count, not a corpus fraction: genuine near-dup clusters
+    * are small, so any shingle shared by 1000+ documents is boilerplate. */
+  val DefaultMaxDocFreq = 1000
+
   /** Exact n-gram Jaccard similarity join: pairs with |A∩B|/|A∪B| >= minJaccard.
     * Inverted-index join on shingles: co-occurrence counts per pair, then
-    * J = c / (n1 + n2 - c). Skew note: at corpus scale, drop shingles with
-    * document frequency above `maxDocFreq` (stop-grams dominate the join and
-    * add no discriminative signal).
+    * J = c / (n1 + n2 - c).
+    *
+    * `maxDocFreq` (on by default) drops shingles with document frequency
+    * above the cap before the self-join — the skew guard that keeps the join
+    * near-linear on a real corpus where stop-grams ("in the of the") appear
+    * in millions of documents. Note the asymmetry is intentional: dropped
+    * stop-grams shrink BOTH the intersection and the per-doc set sizes, so
+    * J is computed over the filtered shingle space (standard practice;
+    * equivalent to Jaccard over discriminative shingles only). Pass `None`
+    * to disable.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double = 0.8, k: Int = 4,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
+                        maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val post0 = postings(df, idCol, textCol, k)
     val post = maxDocFreq match {
       case Some(m) =>
@@ -79,18 +100,19 @@ object Dedup {
 
   /** MinHash signatures: for each permutation i, min over shingles of
     * (a_i * h + b_i) mod p, with h = xxhash64(shingle) folded to 31 bits.
-    * Computed as one aggregation over the exploded posting list — a single
-    * shuffle on id.
+    * One aggregation over the exploded posting list — a single shuffle on id
+    * — with the whole 128-slot signature in one array buffer
+    * ([[ArrayAggregates.MinHashAgg]]); same math and same mins as the
+    * 128-column formulation it replaces. Output: (id, sig: array<long>).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numPerm: Int = 128, k: Int = 4,
                         seed: Long = 42L): DataFrame = {
     val post = postings(df, idCol, textCol, k)
       .withColumn("h", pmod(xxhash64(col("g")), lit(P31)))
-    val aggs = perms(numPerm, seed).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * lit(a) + lit(b)) % P31).as(s"mh_$i")
-    }
-    post.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val (as, bs) = perms(numPerm, seed).unzip
+    post.groupBy(col("id"))
+      .agg(ArrayAggregates.minhash(as.toArray, bs.toArray)(col("h")).as("sig"))
   }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
@@ -101,7 +123,7 @@ object Dedup {
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("sig"))
+        hash(slice(col("sig"), b * rows + 1, rows)).as("sig"))
     }
     val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
     buckets.as("a").join(buckets.as("b"),
@@ -136,17 +158,37 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash: per bit position, sum +1/-1 over shingle hashes; the
-    * sign vector packs into one long. Computed via explode + 64 conditional
-    * sums — single shuffle on id. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 4): DataFrame = {
-    val post = postings(df, idCol, textCol, k).withColumn("h", xxhash64(col("g")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"s_$i")
-    }
-    val sums = post.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+  /** 64-bit shingle hash as two non-negative 32-bit words (low, high) from
+    * xxhash64 — the fast default hasher. */
+  def xxWords(g: Column): (Column, Column) = {
+    val h = xxhash64(g)
+    (h.bitwiseAND(lit(0xFFFFFFFFL)), shiftrightunsigned(h, 32))
+  }
+
+  /** 64-bit shingle hash as two 32-bit words taken from the LOWER 64 bits of
+    * md5 (hex chars 25..32 = low word, 17..24 = high word). Slower than
+    * xxhash64 but recomputable in ANSI SQL (`md5` + hex substring + CAST) —
+    * the hasher the DuckDB correctness oracle can mirror exactly. */
+  def md5Words(g: Column): (Column, Column) = {
+    val m = md5(g)
+    (conv(substring(m, 25, 8), 16, 10).cast("long"),
+     conv(substring(m, 17, 8), 16, 10).cast("long"))
+  }
+
+  /** 64-bit SimHash: per bit position, sum +1/-1 over shingle hash bits; the
+    * sign vector packs into one long. Single shuffle on id with the 64 bit
+    * balances in one array buffer ([[ArrayAggregates.BitBalanceAgg]]).
+    * `words` picks the shingle hasher (default xxhash64; [[md5Words]] for
+    * SQL-oracle-able signatures). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 4,
+              words: Column => (Column, Column) = xxWords): DataFrame = {
+    val (w0, w1) = words(col("g"))
+    val post = postings(df, idCol, textCol, k)
+      .select(col("id"), w0.as("w0"), w1.as("w1"))
+    val sums = post.groupBy(col("id"))
+      .agg(ArrayAggregates.bitBalance(col("w0"), col("w1")).as("s"))
     val sig = (0 until 64).map(i =>
-      when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      when(element_at(col("s"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("id"), sig.as("simhash"))
   }
@@ -155,9 +197,10 @@ object Dedup {
     * 16-bit signature quarters (a pair within distance 3 must agree on at
     * least one of 4 blocks — pigeonhole), so no cross join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, k: Int = 4): DataFrame = {
+                   maxDist: Int = 3, k: Int = 4,
+                   words: Column => (Column, Column) = xxWords): DataFrame = {
     require(maxDist < 4, "blocking scheme assumes maxDist <= 3 (4 blocks)")
-    val sigs = simhash(df, idCol, textCol, k)
+    val sigs = simhash(df, idCol, textCol, k, words)
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v")))

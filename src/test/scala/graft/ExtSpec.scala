@@ -49,6 +49,49 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("ngram Jaccard: active default cap is a no-op when every df is below it") {
+    val none = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.3,
+        maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == none) // fixture dfs are all < DefaultMaxDocFreq
+  }
+
+  test("ngram Jaccard: a binding cap drops stop-grams from the similarity space") {
+    // repeat one shingle across every doc: with cap=1 those postings vanish
+    val noisy = corpus.withColumn("text",
+      concat(col("text"), lit(" common boiler plate text")))
+    val capped = Dedup.ngramJaccardPairs(noisy, "doc_id", "text", minJaccard = 0.95,
+      maxDocFreq = Some(1))
+    // shared boilerplate alone can no longer make unrelated docs similar
+    assert(!capped.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("MinHash signatures come back as one 128-slot array per doc") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text").collect()
+    assert(sigs.length == 5)
+    assert(sigs.forall(_.getSeq[Long](1).length == 128))
+    // deterministic: same input, same signature
+    val again = Dedup.minhashSignatures(corpus, "doc_id", "text").collect()
+    assert(sigs.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+  }
+
+  test("SimHash md5 hasher: identical docs collide, near-dups stay near") {
+    val df = Seq((0L, base), (1L, base), (2L, base + " extra"),
+      (3L, "completely different words about benchmark suites and shuffle io"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text", words = Dedup.md5Words).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 10)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3,
+        words = Dedup.md5Words)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) == 0)
+  }
+
   test("SimHash: identical docs at distance 0, near-dups within 3, unrelated far") {
     val df = Seq((0L, base), (1L, base), (2L, base + " extra"),
       (3L, "completely different words about benchmark suites and shuffle io"))
@@ -113,6 +156,25 @@ class ExtSpec extends AnyFunSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.2, s"recall@5 = $recall") // buckets prune hard; sanity floor
     assert(lsh.nonEmpty)
+  }
+
+  test("blocked exact cosine join equals the brute-force join on real embeddings") {
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = set(Similarity.cosinePairs(e, "vec_id", "embedding", 0.4))
+    val blocked = set(Similarity.cosinePairsBlocked(e, "vec_id", "embedding", 0.4))
+    assert(blocked == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("LSH cosine pairs recall 1.0 vs brute force at the declared parameters") {
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = set(Similarity.cosinePairs(e, "vec_id", "embedding", 0.4))
+    val lsh = set(Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.4))
+    assert(lsh == brute) // r=2, b=24: per-pair miss < 6e-6 at cos 0.4
   }
 
   test("multimodal: decodeMeta runs the stub through real partition batches") {
