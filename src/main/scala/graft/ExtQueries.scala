@@ -78,13 +78,18 @@ object ExtQueries {
         .as[Multimodal.MediaRow]
       Multimodal.decodeMeta(media).toDF().orderBy(col("id"))
     },
-    // LSH banding → exact re-rank over candidates; recall tuned to 1.0 at
-    // this threshold (r=2, b=24 — miss < 6e-6 per pair), so the brute-force
-    // SQL is its oracle.
-    "q41_cosine_lsh" -> ((s, dir) =>
-      Similarity.cosineLshPairs(read(s, dir, "embeddings"), "vec_id",
-          "embedding", minCos = 0.4)
-        .orderBy(col("id1"), col("id2")))
+    // Embedding near-dup dedup in the regime LSH is FOR: the corpus gets one
+    // deterministic planted near-dup per vector (cos ≈ 0.999, reproducible
+    // in SQL), and LSH banding (r=8, b=8) + exact re-rank recovers every
+    // planted pair while pruning ~97% of random pairs from the candidate
+    // set. Recall 1.0 here (miss ~2.5e-8/pair), so the brute-force SQL over
+    // the same constructed corpus is the oracle.
+    "q41_cosine_lsh" -> { (s, dir) =>
+      val corpus = Similarity.plantNearDups(read(s, dir, "embeddings"),
+        "vec_id", "embedding", offset = 1000000L, scale = 0.01)
+      Similarity.cosineLshPairs(corpus, "vec_id", "embedding", minCos = 0.95)
+        .orderBy(col("id1"), col("id2"))
+    }
   )
 
   private val docToks =
@@ -270,8 +275,32 @@ object ExtQueries {
         |  CAST(strlen(text) % 30 + 1 AS INT) AS n_frames,
         |  CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // brute force is the oracle for the LSH pairs path: recall 1.0 at the
-    // declared threshold/parameters (verified on the fixture corpus).
-    "q41_cosine_lsh" -> bruteCosineSql
+    // brute force over the same planted-near-dup corpus is the oracle for
+    // the LSH pairs path: recall 1.0 at the declared threshold/parameters.
+    "q41_cosine_lsh" -> lshPairsOracleSql
   )
+
+  /** Brute-force cosine pairs at 0.95 over the corpus with planted near-dups
+    * — mirrors Similarity.plantNearDups exactly: integer LCG in [-1e6, 1e6]
+    * scaled to [-1, 1], double arithmetic, one float round-trip. */
+  private def lshPairsOracleSql: String =
+    s"""WITH pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
+       |pv AS (SELECT oid + 1000000 AS vec_id,
+       |  list_transform(range(0, 64), d -> CAST(CAST(emb[d+1] AS DOUBLE) +
+       |    CAST(0.01 AS DOUBLE) * CAST((oid*131 + d*7919) % 1000003
+       |      * 2654435761 % 2000003 - 1000001 AS DOUBLE)
+       |    / CAST(1000001.0 AS DOUBLE) AS REAL)) AS embedding
+       |  FROM pb),
+       |corpus AS (SELECT vec_id, embedding FROM embeddings
+       |           UNION ALL SELECT vec_id, embedding FROM pv),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM corpus),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+       |      FROM e),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |        round(list_sum(list_transform(range(1, 65),
+       |          k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) AS cos_sim
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT id1, id2, cos_sim FROM p WHERE cos_sim >= 0.95
+       |ORDER BY id1, id2""".stripMargin
 }

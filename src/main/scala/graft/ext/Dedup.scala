@@ -21,14 +21,21 @@ import graft.funcs.ArrayAggregates
   */
 object Dedup {
 
-  /** Word k-shingles of a document (distinct, order-insensitive set). */
-  def shingles(text: Column, k: Int = 4): Column = {
-    val t = TextStats.tokens(text)
+  /** Word k-shingles from an ALREADY MATERIALIZED token-array column
+    * (distinct, order-insensitive set). Taking the array rather than the raw
+    * text matters for performance: higher-order-function lambdas are
+    * interpreted without common-subexpression elimination, so an inline
+    * `split(text)` here would be re-evaluated by every `element_at` call —
+    * O(tokens²) regex work per document. */
+  def shinglesOfTokens(t: Column, k: Int = 4): Column =
     when(size(t) >= k,
       array_distinct(transform(sequence(lit(0), size(t) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(t, (i + j + 1))): _*))))
       .otherwise(array(concat_ws(" ", t)))
-  }
+
+  /** Word k-shingles of a document (distinct, order-insensitive set). */
+  def shingles(text: Column, k: Int = 4): Column =
+    shinglesOfTokens(TextStats.tokens(text), k)
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the fingerprint; at scale this is the cheapest possible
@@ -39,9 +46,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"), col("fp"))
 
-  /** Exploded, distinct (id, shingle) posting list. */
+  /** Exploded, distinct (id, shingle) posting list. The token array is
+    * materialized in its own projection first; CollapseProject keeps it
+    * separate (non-cheap expression referenced many times), so the regex
+    * split runs once per document instead of once per element_at. */
   private def postings(df: DataFrame, idCol: String, textCol: String, k: Int) =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("g")).distinct()
+    df.select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(shinglesOfTokens(col("__t"), k)).as("g"))
+      .distinct()
 
   /** Default stop-gram cap: shingles occurring in more documents than this
     * carry no near-dup signal and would dominate the inverted-index join on a

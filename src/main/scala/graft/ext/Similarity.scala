@@ -130,8 +130,17 @@ object Similarity {
     transform(v, x => floor(x.cast("double") * 1000000.0))
 
   /** `bits`-bit random-hyperplane signature of a vector: bit p = sign of the
-    * integer projection onto pseudo-random plane p. */
-  def lshSignature(v: Column, bits: Int = 16): Column = {
+    * integer projection onto pseudo-random plane p. Delegates to the fused
+    * codegen'd [[graft.funcs.LshSignatureFloat]] expression (requires
+    * `VectorFunctions.register`, done by [[prepared]]); the declarative
+    * formulation below is its executable specification. */
+  def lshSignature(v: Column, bits: Int = 16): Column =
+    graft.funcs.VectorFunctions.lshSig(v, bits)
+
+  /** Declarative (higher-order-function) formulation of [[lshSignature]] —
+    * bit-identical by construction; kept as the cross-check spec for the
+    * codegen'd expression (ExtSpec asserts equality). */
+  def lshSignatureDeclarative(v: Column, bits: Int): Column = {
     val qv = quantized(v)
     val proj = (p: Int) =>
       aggregate(zip_with(qv, sequence(lit(0), size(v) - 1),
@@ -184,15 +193,16 @@ object Similarity {
     * embedding-dedup path at scale.
     *
     * Recall: a pair at angle θ survives with 1 − (1 − p^r)^b where
-    * p = 1 − θ/π and r = bits/bands. The defaults (r=2, b=24) are tuned for
-    * recall ≈ 1 down to cos 0.4 (miss < 6e-6 per pair) — verified equal to
-    * the exact join on the test corpus. In the true near-dup regime
-    * (cos ≥ 0.9) larger r (8–16) prunes aggressively at the same recall;
-    * at permissive thresholds on isotropic data the candidate set approaches
+    * p = 1 − θ/π and r = bits/bands. The defaults (r=8, b=8) target the
+    * near-dup regime: at cos ≥ 0.999 the per-pair miss probability is
+    * ~2.5e-8 while ~97% of isotropic random pairs never become candidates.
+    * For recall at permissive thresholds choose small r and many bands
+    * (e.g. bits=48, bands=24 gives miss < 6e-6 down to cos 0.4), but note
+    * that at such thresholds on isotropic data the candidate set approaches
     * all pairs and [[cosinePairsBlocked]] is the better plan (see object
     * doc). */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double, bits: Int = 48, bands: Int = 24): DataFrame = {
+                     minCos: Double, bits: Int = 64, bands: Int = 8): DataFrame = {
     val rows = bits / bands
     val p = prepared(df, idCol, vecCol)
     val banded = p.select(col("id"),
@@ -207,5 +217,29 @@ object Similarity {
         round(graft.funcs.VectorFunctions.dotF(col("v1"), col("v2")) /
           (col("n1") * col("n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Recall-calibration fixture: for every row, append a deterministic
+    * near-duplicate (id + offset) whose components are perturbed by
+    * `scale · c(id, d)` with c an integer-LCG pseudo-random in [-1, 1].
+    * Pure integer + IEEE double arithmetic, then one float round-trip — so
+    * an external SQL engine reproduces the exact same vectors, which lets
+    * the brute-force join serve as a correctness oracle for the LSH path.
+    * At scale = 0.01 on unit vectors the planted pair lands at cos ≈ 0.999.
+    */
+  def plantNearDups(df: DataFrame, idCol: String, vecCol: String,
+                    offset: Long, scale: Double = 0.01): DataFrame = {
+    val pert = zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+      (x, d) => (x.cast("double") +
+        lit(scale) * ((col(idCol) * 131L + d * 7919L) % 1000003L *
+          2654435761L % 2000003L - 1000001L).cast("double") / 1000001.0
+      ).cast("float"))
+    // perturb FIRST, offset the id in a separate outer select: aliasing the
+    // id and referencing it in the same select list would resolve the lambda's
+    // id reference to the new (offset) alias, not the seed id
+    df.select(col(idCol), col(vecCol))
+      .unionByName(
+        df.select(col(idCol), pert.as(vecCol))
+          .select((col(idCol) + offset).as(idCol), col(vecCol)))
   }
 }

@@ -51,19 +51,104 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd random-hyperplane LSH signature over an `array<float>` vector:
+  * `bits` integer projections onto deterministic LCG pseudo-random planes,
+  * packed into one long (bit p = sign of projection p). Components are
+  * quantized to `floor(x · 10^6)` and plane coefficients are
+  * `((p·1000003 + d) · 2654435761) mod 2000003 − 1000001`, so every
+  * projection is an exact 64-bit integer sum — order-independent,
+  * bit-identical to the declarative `aggregate(zip_with(...))` formulation
+  * AND to the ANSI-SQL mirror the DuckDB oracle runs. The fused loop
+  * replaces `bits` interpreted higher-order-function folds per row (the
+  * dominant cost of the LSH queries) with one codegen'd O(dims · bits) pass.
+  */
+case class LshSignatureFloat(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val acc = new Array[Long](bits)
+    var d = 0
+    while (d < n) {
+      val q = math.floor(v.getFloat(d).toDouble * 1000000.0).toLong
+      var p = 0
+      while (p < bits) {
+        val c = (p * 1000003L + d) * 2654435761L % 2000003L - 1000001L
+        acc(p) += q * c
+        p += 1
+      }
+      d += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) { if (acc(p) >= 0) sig |= (1L << p); p += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val c = ctx.freshName("c")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $acc = new long[$bits];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  long $q = (long) java.lang.Math.floor(((double) $v.getFloat($d)) * 1000000.0);
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    long $c = ($p * 1000003L + $d) * 2654435761L % 2000003L - 1000001L;
+         |    $acc[$p] += $q * $c;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  if ($acc[$p] >= 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignatureFloat =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   private val Name = "graft_dot_f"
+  private val SigName = "graft_lsh_sig"
 
-  /** Register the expression in the session's function registry (idempotent);
+  /** Register the expressions in the session's function registry (idempotent);
     * the registry + `call_function` is the public route from Column to a
     * custom Catalyst expression. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       Name, exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SigName, exprs => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _) =>
+          LshSignatureFloat(exprs.head, b)
+        case other =>
+          throw new IllegalArgumentException(s"bits must be an int literal, got $other")
+      }, "built-in")
+  }
 
   /** Column API for the codegen'd float-array dot product; requires
     * [[register]] on the active session (Similarity does this on entry). */
   def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(Name, a, b)
+
+  /** Column API for the codegen'd LSH signature; requires [[register]]. */
+  def lshSig(v: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.call_function(SigName, v,
+      org.apache.spark.sql.functions.lit(bits))
 }

@@ -168,13 +168,42 @@ class ExtSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
-  test("LSH cosine pairs recall 1.0 vs brute force at the declared parameters") {
+  test("LSH cosine pairs: recall-mode params match brute force at a permissive threshold") {
     val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
     def set(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val brute = set(Similarity.cosinePairs(e, "vec_id", "embedding", 0.4))
-    val lsh = set(Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.4))
+    val lsh = set(Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.4,
+      bits = 48, bands = 24))
     assert(lsh == brute) // r=2, b=24: per-pair miss < 6e-6 at cos 0.4
+  }
+
+  test("codegen'd LSH signature equals its declarative specification") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    graft.funcs.VectorFunctions.register(spark)
+    for (bits <- Seq(16, 48, 64)) {
+      val mismatches = e.select(
+          Similarity.lshSignature(col("embedding"), bits).as("fast"),
+          Similarity.lshSignatureDeclarative(col("embedding"), bits).as("spec"))
+        .filter(col("fast") =!= col("spec")).count()
+      assert(mismatches == 0, s"bits=$bits")
+    }
+  }
+
+  test("LSH cosine pairs: near-dup defaults recover every planted pair") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 1000000L, scale = 0.01)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = set(Similarity.cosinePairs(corpus, "vec_id", "embedding", 0.95))
+    val lsh = set(Similarity.cosineLshPairs(corpus, "vec_id", "embedding", 0.95))
+    assert(lsh == brute)
+    val n = e.count()
+    assert(brute.size == n) // exactly one planted pair per original vector
+    assert(brute.forall { case (id1, id2, cos) =>
+      id2 == id1 + 1000000L && cos > 0.99
+    })
   }
 
   test("multimodal: decodeMeta runs the stub through real partition batches") {
