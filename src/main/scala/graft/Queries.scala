@@ -62,6 +62,13 @@ object Queries {
       castValuesToDouble(
         pivotQty(s, dir).addAgg("dmean", Axis.Rows, Some("mean"))
           .addAgg("max", Axis.Rows, Some("max"))).ordered),
+    // parameterized aggfunc channel (reference *args passthrough,
+    // aggregation.py:105-118): quantile margins via exact interpolated
+    // percentile — same interpolation as DuckDB quantile_cont
+    "q27_quantile_margin" -> ((s, dir) =>
+      castValuesToDouble(
+        pivotQty(s, dir).addAgg("quantile:0.5", Axis.Rows, Some("p50"))
+          .addAgg("quantile:0.25", Axis.Rows, Some("p25"))).ordered),
     "q06_drop_totals" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both).dropTotals()).ordered),
     "q07_value_counts" -> ((s, dir) =>
@@ -265,6 +272,22 @@ object Queries {
         |        MAX(CAST(O AS DOUBLE)) AS O, 2 AS mr FROM p)
         |SELECT l_returnflag, F, O
         |FROM (SELECT * FROM base UNION ALL SELECT * FROM m UNION ALL SELECT * FROM x)
+        |ORDER BY mr, l_returnflag""".stripMargin,
+    "q27_quantile_margin" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS F,
+        |    SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS O
+        |  FROM lineitem GROUP BY l_returnflag),
+        |base AS (SELECT l_returnflag, CAST(F AS DOUBLE) AS F, CAST(O AS DOUBLE) AS O, 0 AS mr FROM p),
+        |m1 AS (SELECT 'p50' AS l_returnflag,
+        |         quantile_cont(CAST(F AS DOUBLE), 0.5) AS F,
+        |         quantile_cont(CAST(O AS DOUBLE), 0.5) AS O, 1 AS mr FROM p),
+        |m2 AS (SELECT 'p25' AS l_returnflag,
+        |         quantile_cont(CAST(F AS DOUBLE), 0.25) AS F,
+        |         quantile_cont(CAST(O AS DOUBLE), 0.25) AS O, 2 AS mr FROM p)
+        |SELECT l_returnflag, F, O
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2)
         |ORDER BY mr, l_returnflag""".stripMargin,
     "q06_drop_totals" ->
       s"""WITH g AS ($pivotG)

@@ -92,17 +92,37 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
     Percentages.addPercentages(this, axis, labelN, labelPct, labelTotals, ignoreKeys,
       ndigits, base, interleaf, apportioned)
 
-  def sortTotals(axis: Axis = Axis.Rows, aggregatesLast: Boolean = true): FlatTable =
-    Shaping.sortAggregates(this, axis, meta.labelsOf("totals", "subtotals"), aggregatesLast)
+  def sortTotals(axis: Axis = Axis.Rows, aggregatesLast: Boolean = true,
+                 level: Option[Int] = None, sortRemaining: Boolean = true): FlatTable =
+    Shaping.sortAggregates(this, axis, meta.labelsOf("totals", "subtotals"),
+      aggregatesLast, level, sortRemaining)
 
   def sortAggregates(axis: Axis = Axis.Rows, labels: Seq[String] = Nil,
-                     aggregatesLast: Boolean = true): FlatTable =
+                     aggregatesLast: Boolean = true, level: Option[Int] = None,
+                     sortRemaining: Boolean = true): FlatTable =
     Shaping.sortAggregates(this, axis,
-      if (labels.nonEmpty) labels else meta.marginLabelSeq, aggregatesLast)
+      if (labels.nonEmpty) labels else meta.marginLabelSeq, aggregatesLast,
+      level, sortRemaining)
 
-  def addLevel(value: String, level: Int = 0, levelName: Option[String] = None,
+  def addLevel(value: Any, level: Int = 0, levelName: Option[String] = None,
                axis: Axis = Axis.Rows): FlatTable =
     Shaping.addLevel(this, value, level, levelName, axis)
+
+  /** Positional per-row (resp. per-column) level values (reference
+    * `add_level(value=list)`). */
+  def addLevelValues(values: Seq[Any], level: Int = 0,
+                     levelName: Option[String] = None,
+                     axis: Axis = Axis.Rows): FlatTable =
+    Shaping.addLevelValues(this, values, level, levelName, axis)
+
+  /** Align this table's column order to another table's (reference
+    * `reindex_by_levels`, tooling.py:121-156). */
+  def reindexByLevels(reference: FlatTable, nLevels: Option[Int] = None): FlatTable =
+    Shaping.reindexByLevels(this, reference, nLevels)
+
+  /** Fluent display surface (reference `PitaDisplayMixin`,
+    * display.py:139-310): chainable setters + spec/HTML terminals. */
+  def display: graft.output.Display = graft.output.Display(this)
 }
 
 object FlatTable {

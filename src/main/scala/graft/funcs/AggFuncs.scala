@@ -41,13 +41,36 @@ object AggFuncs {
   /** Register a custom aggregate under a name (Callable equivalent). */
   def register(name: String, fn: AggFn): Unit = synchronized { custom += name -> fn }
 
-  def apply(name: String): AggFn =
-    custom.getOrElse(
-      name,
-      builtins.getOrElse(name, throw new IllegalArgumentException(s"unknown aggfunc '$name'"))
-    )
+  /** Parameterized aggfunc names — the argument channel of the reference's
+    * `DataFrame.agg(func, *args)` passthrough (aggregation.py:105-118), spelt
+    * `"name:arg1,arg2"`. `quantile:p` maps to Spark's EXACT linearly
+    * interpolated `percentile` (same interpolation as pandas `quantile` and
+    * DuckDB `quantile_cont`, so results are oracle-comparable bit-for-bit).
+    */
+  private def parameterized(name: String): Option[AggFn] =
+    name.split(":", 2) match {
+      case Array(base, argStr) =>
+        val args = argStr.split(",").map(_.trim)
+        base match {
+          case "quantile" | "percentile" =>
+            require(args.length == 1, s"$base takes one argument, got ${args.length}")
+            val p = args.head.toDouble
+            require(p >= 0 && p <= 1, s"quantile must be in [0, 1], got $p")
+            Some(c => percentile(c, lit(p)))
+          case _ => None
+        }
+      case _ => None
+    }
 
-  def isKnown(name: String): Boolean = custom.contains(name) || builtins.contains(name)
+  def apply(name: String): AggFn =
+    custom.get(name)
+      .orElse(builtins.get(name))
+      .orElse(parameterized(name))
+      .getOrElse(throw new IllegalArgumentException(s"unknown aggfunc '$name'"))
+
+  def isKnown(name: String): Boolean =
+    custom.contains(name) || builtins.contains(name) ||
+      scala.util.Try(parameterized(name)).toOption.flatten.isDefined
 
   /** Row-wise (column-axis) variant of an aggfunc across a set of value
     * columns — the structural replacement for the reference's transpose trick

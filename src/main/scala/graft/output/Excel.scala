@@ -1,8 +1,10 @@
 package graft.output
 
-import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.io.FileOutputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import scala.collection.mutable
 
 import org.apache.spark.sql.types._
 
@@ -10,10 +12,18 @@ import graft.core.FlatTable
 
 /** Excel export (reference `export_excel`, output/excel/excel.py:100-209 —
   * note the reference's own implementation is broken, SURVEY.md A22; this one
-  * re-expresses the intended semantics: auto number formats from smart labels
-  * and border accents at margin rows/columns). Zero-dependency XLSX writer:
-  * an .xlsx is a zip of OOXML parts, emitted here with inline strings via
+  * re-expresses the intended semantics). Zero-dependency XLSX writer: an
+  * .xlsx is a zip of OOXML parts, emitted with inline strings via
   * `java.util.zip` — no POI needed.
+  *
+  * Formatting follows the reference's auto + override model
+  * (excel.py:147-155): number formats auto-detected from the smart labels
+  * of [[Formats.outputFormats]], then merged with the user's
+  * `numberFormats` map (user wins); border accents are derived from the
+  * table's margin labels and merged with the user's `borderSpecs`
+  * (`"rows"` / `"columns"` → labels). Styles (number formats, bold, border
+  * combinations) are emitted dynamically — only the combinations actually
+  * used land in styles.xml.
   */
 object Excel {
 
@@ -49,24 +59,58 @@ object Excel {
       |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
       |</Relationships>""".stripMargin
 
-  /** Styles: 0 plain, 1 bold header, 2 bold margin, 3 percent number format,
-    * 4 two-decimal number format. */
-  private val styles =
-    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-      |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-      |<numFmts count="1"><numFmt numFmtId="164" formatCode="0.0&quot;%&quot;"/></numFmts>
-      |<fonts count="2"><font><sz val="11"/></font><font><b/><sz val="11"/></font></fonts>
-      |<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
-      |<borders count="2"><border/><border><top style="thin"/></border></borders>
-      |<cellStyleXfs count="1"><xf/></cellStyleXfs>
-      |<cellXfs count="5">
-      |<xf numFmtId="0" fontId="0" borderId="0"/>
-      |<xf numFmtId="0" fontId="1" borderId="0"/>
-      |<xf numFmtId="0" fontId="1" borderId="1" applyBorder="1"/>
-      |<xf numFmtId="164" fontId="0" borderId="0" applyNumberFormat="1"/>
-      |<xf numFmtId="2" fontId="0" borderId="0" applyNumberFormat="1"/>
-      |</cellXfs>
-      |</styleSheet>""".stripMargin
+  /** One cell-style combination; deduplicated into cellXfs on demand. */
+  private case class Sty(fmtCode: Option[String], bold: Boolean,
+                         top: Boolean, left: Boolean)
+
+  private final class StyleBook {
+    private val xfs = mutable.LinkedHashMap[Sty, Int]()
+    xfs += Sty(None, bold = false, top = false, left = false) -> 0 // plain
+    xfs += Sty(None, bold = true, top = false, left = false) -> 1  // header
+
+    def id(s: Sty): Int = xfs.getOrElseUpdate(s, xfs.size)
+
+    /** styles.xml with only the used combinations. */
+    def xml: String = {
+      val builtin = Map("General" -> 0, "0.00" -> 2)
+      val customs = xfs.keys.flatMap(_.fmtCode).filterNot(builtin.contains)
+        .toSeq.distinct
+      val fmtId: Map[String, Int] =
+        builtin ++ customs.zipWithIndex.map { case (c, i) => c -> (164 + i) }
+      val numFmts =
+        if (customs.isEmpty) ""
+        else customs.map(c =>
+          s"""<numFmt numFmtId="${fmtId(c)}" formatCode="${xmlEscape(c)}"/>""")
+          .mkString(s"""<numFmts count="${customs.size}">""", "", "</numFmts>")
+      // borders: index by (top, left)
+      val borderCombos = Seq((false, false), (true, false), (false, true), (true, true))
+      val borderId = borderCombos.zipWithIndex.toMap
+      val borders = borderCombos.map { case (t, l) =>
+        "<border>" +
+          (if (l) """<left style="thin"/>""" else "") +
+          (if (t) """<top style="thin"/>""" else "") +
+          "</border>"
+      }.mkString(s"""<borders count="${borderCombos.size}">""", "", "</borders>")
+      val cellXfs = xfs.keys.map { s =>
+        val nf = s.fmtCode.map(fmtId).getOrElse(0)
+        val b = borderId((s.top, s.left))
+        val f = if (s.bold) 1 else 0
+        val applies =
+          (if (nf != 0) """ applyNumberFormat="1"""" else "") +
+            (if (b != 0) """ applyBorder="1"""" else "")
+        s"""<xf numFmtId="$nf" fontId="$f" borderId="$b"$applies/>"""
+      }.mkString(s"""<cellXfs count="${xfs.size}">""", "", "</cellXfs>")
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |$numFmts
+         |<fonts count="2"><font><sz val="11"/></font><font><b/><sz val="11"/></font></fonts>
+         |<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
+         |$borders
+         |<cellStyleXfs count="1"><xf/></cellStyleXfs>
+         |$cellXfs
+         |</styleSheet>""".stripMargin
+    }
+  }
 
   private def colRef(c: Int): String = {
     var n = c + 1; val sb = new StringBuilder
@@ -87,26 +131,63 @@ object Excel {
     }
   }
 
-  /** Write the FlatTable as an .xlsx: header row from column keys, index
-    * levels as leading columns, percent format on pct-labeled columns, bold +
-    * top border on margin rows (reference's auto border/format rules). */
+  /** `_matches_label` (excel.py:90-98): any key level equals the label. */
+  private def matches(keyParts: Seq[String], label: String): Boolean =
+    keyParts.contains(label)
+
+  /** Write the FlatTable as an .xlsx.
+    *
+    * @param numberFormats user overrides: column label → Excel format code,
+    *                      merged OVER the auto-detected smart formats
+    *                      (excel.py:151-152)
+    * @param borderSpecs   user border specs: `"rows"`/`"columns"` → labels
+    *                      whose matching rows (top border) / columns (left
+    *                      border) get accents, merged with the auto margin
+    *                      borders (excel.py:153-155)
+    */
   def write(ft: FlatTable, path: String, sheetName: String = "flatbread",
-            maxRows: Int = 100000): Unit = {
+            maxRows: Int = 100000,
+            numberFormats: Map[String, String] = Map.empty,
+            borderSpecs: Map[String, Seq[String]] = Map.empty): Unit = {
     val meta = ft.meta
     val schema = ft.df.schema.fields.map(f => f.name -> f.dataType).toMap
     val rows = ft.ordered.limit(maxRows).collect()
     val marginLabels = meta.marginLabelSeq
 
-    def colStyle(physical: String): Int = {
-      val opts = FormatResolver.resolve(meta.columns.find(_.physical == physical)
-        .map(_.key).getOrElse(Seq(physical)), schema(physical), None)
-      if (opts.get("style").contains("percent")) 3
-      else schema(physical) match {
-        case DoubleType | FloatType | _: DecimalType => 4
-        case _ => 0
+    // auto number formats from smart labels (excel.py:11-45). The engine's
+    // percentage base is 100 (values like 33.3, not .333), so the Excel
+    // percent format becomes a literal-% code — "0.0%" would re-scale by 100.
+    def excelCode(d: FormatDef): Option[String] =
+      d.excelFormat.map { code =>
+        if (d.htmlOptions.get("style").contains("percent") &&
+            graft.config.FlatbreadConf.current.pctBase == 100)
+          code.replace("%", "\"%\"")
+        else code
       }
+    def autoFormat(ck: graft.core.ColKey): Option[String] =
+      Formats.smartFor(ck.key).flatMap(excelCode)
+    def userFormat(ck: graft.core.ColKey): Option[String] =
+      numberFormats.collectFirst {
+        case (label, code) if matches(ck.key, label) || ck.physical == label => code
+      }
+    def dtypeFormat(physical: String): Option[String] = schema(physical) match {
+      case DoubleType | FloatType | _: DecimalType => Some("0.00")
+      case _                                       => None
     }
+    val colFormat: Map[String, Option[String]] = meta.columns.map { ck =>
+      ck.physical ->
+        userFormat(ck).orElse(autoFormat(ck)).orElse(dtypeFormat(ck.physical))
+    }.toMap
 
+    // border labels: auto margins + user specs
+    val rowBorderLabels = marginLabels ++ borderSpecs.getOrElse("rows", Nil)
+    val colBorderLabels = marginLabels ++ borderSpecs.getOrElse("columns", Nil)
+    val leftBorderCols: Set[String] = meta.columns.collect {
+      case ck if colBorderLabels.exists(l => matches(ck.key, l) ||
+        ck.key.exists(_.startsWith(l))) => ck.physical
+    }.toSet
+
+    val styles = new StyleBook
     val sb = new StringBuilder
     sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
     sb ++= "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
@@ -118,14 +199,17 @@ object Excel {
     rows.zipWithIndex.foreach { case (row, i) =>
       val isMargin = meta.indexLevels.exists(l =>
         Option(row.get(row.fieldIndex(l))).exists(v =>
-          marginLabels.exists(m => v.toString.startsWith(m))))
+          rowBorderLabels.exists(m => v.toString.startsWith(m))))
       sb ++= s"""<row r="${i + 2}">"""
       meta.indexLevels.zipWithIndex.foreach { case (l, c) =>
-        sb ++= cell(i + 1, c, row.get(row.fieldIndex(l)), if (isMargin) 2 else 0)
+        val sty = Sty(None, bold = isMargin, top = isMargin, left = false)
+        sb ++= cell(i + 1, c, row.get(row.fieldIndex(l)), styles.id(sty))
       }
       meta.valueCols.zipWithIndex.foreach { case (vc, j) =>
-        val style = if (isMargin) 2 else colStyle(vc)
-        sb ++= cell(i + 1, meta.nLevels + j, row.get(row.fieldIndex(vc)), style)
+        val sty = Sty(colFormat(vc), bold = isMargin, top = isMargin,
+          left = leftBorderCols.contains(vc))
+        sb ++= cell(i + 1, meta.nLevels + j, row.get(row.fieldIndex(vc)),
+          styles.id(sty))
       }
       sb ++= "</row>"
     }
@@ -142,7 +226,7 @@ object Excel {
       put("_rels/.rels", rootRels)
       put("xl/workbook.xml", workbook(sheetName))
       put("xl/_rels/workbook.xml.rels", workbookRels)
-      put("xl/styles.xml", styles)
+      put("xl/styles.xml", styles.xml)
       put("xl/worksheets/sheet1.xml", sb.toString)
     } finally zos.close()
   }

@@ -1,59 +1,87 @@
 package graft.output
 
-import graft.core.{Defaults, FlatTable}
+import graft.core.FlatTable
 
-/** Notebook/HTML sink (reference output/html/display.py:96-310 +
-  * templates/template.jinja.html): embeds the table-spec JSON onto the same
-  * `flatbread-wc-table-display` web component the reference uses, with the
-  * display attributes (locale, na-rep, margin labels, section levels,
-  * max-rows, hover) carried as element attributes.
+/** Notebook/HTML sink — mirror of the reference's Jinja template
+  * (templates/template.jinja.html + display.py:96-110): a placeholder div
+  * replaced by a `FlatbreadTable` web-component instance whose `data`
+  * property carries the table-spec JSON and whose element attributes carry
+  * the [[DisplayConfig]]. Attribute names and emission rules (value attrs
+  * only when set, boolean attrs as empty strings, `margin-labels` joined
+  * with ';', `collapse-columns` lowercased) match the template macros.
   */
-final case class DisplayConfig(
-    locale: String = "en-US",
-    naRep: String = Defaults.naRep,
-    maxRows: Int = 200,
-    maxColumns: Int = 40,
-    sectionLevels: Int = 0,
-    collapseColumns: Boolean = false,
-    showHover: Boolean = true,
-    borders: Boolean = true
-)
-
 object Html {
 
-  // same public web component the reference renders through
-  // (output/html/constants.py:1-5)
-  private val componentUrl =
-    "https://unpkg.com/flatbread-wc-table-display/dist/index.js"
+  /** Same public viewer module the reference imports
+    * (output/html/constants.py:1-5). */
+  val componentUrl: String =
+    "https://cdn.jsdelivr.net/gh/flatbread-dataframes/" +
+      "flatbread-wc-table-display@v0.1.2/src/viewer.js"
 
-  def render(ft: FlatTable, cfg: DisplayConfig = DisplayConfig(),
-             formats: Map[String, Map[String, Any]] = Map.empty): String = {
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** HTML fragment (the reference `_repr_html_` output shape). */
+  def fragment(ft: FlatTable, cfg: DisplayConfig = DisplayConfig(),
+               formats: Map[String, Map[String, Any]] = Map.empty): String = {
     val spec = TableSpec.toJson(ft, cfg.maxRows, formats)
-    val marginLabels = ft.meta.marginLabelSeq.mkString(",")
-    s"""<!DOCTYPE html>
-       |<html>
-       |<head>
-       |  <meta charset="utf-8"/>
-       |  <script type="module" src="$componentUrl"></script>
-       |</head>
-       |<body>
-       |  <flatbread-table-display
-       |    locale="${cfg.locale}"
-       |    na-rep="${cfg.naRep}"
-       |    margin-labels="$marginLabels"
-       |    section-levels="${cfg.sectionLevels}"
-       |    max-rows="${cfg.maxRows}"
-       |    max-columns="${cfg.maxColumns}"
-       |    ${if (cfg.showHover) "hover-rows" else ""}
-       |    ${if (cfg.borders) "show-borders" else ""}>
-       |    <script type="application/json">
-       |$spec
-       |    </script>
-       |  </flatbread-table-display>
-       |</body>
-       |</html>""".stripMargin
+    val id = s"id-${java.util.UUID.randomUUID()}"
+    val margins = cfg.marginLabels.getOrElse(ft.meta.marginLabelSeq.toSet)
+
+    val attrs = Seq.newBuilder[String]
+    def valueAttr(name: String, v: Option[Any]): Unit =
+      v.foreach(x => attrs += s"""viewer.setAttribute("$name", "${esc(x.toString)}")""")
+    def boolAttr(name: String, on: Boolean): Unit =
+      if (on) attrs += s"""viewer.setAttribute("$name", "")"""
+
+    attrs += s"""viewer.setAttribute("hide-settings-menu", "")"""
+    valueAttr("locale", cfg.locale)
+    valueAttr("na-rep", Some(cfg.naRep))
+    if (margins.nonEmpty)
+      valueAttr("margin-labels", Some(margins.toSeq.sorted.mkString(";")))
+    valueAttr("section-levels", cfg.sectionLevels)
+    valueAttr("max-rows", Some(cfg.maxRows))
+    valueAttr("max-columns", Some(cfg.maxColumns))
+    valueAttr("trim-size", Some(cfg.trimSize))
+    valueAttr("separator", Some(cfg.separator))
+    valueAttr("collapse-columns", cfg.collapseColumns.map(_.toString))
+    boolAttr("hide-group-borders", cfg.hideGroupBorders)
+    boolAttr("hide-row-borders", cfg.hideRowBorders)
+    boolAttr("hide-thead-border", cfg.hideTheadBorder)
+    boolAttr("hide-index-border", cfg.hideIndexBorder)
+    valueAttr("column-border-levels", cfg.columnBorderLevels)
+    boolAttr("no-wrap", cfg.noWrap)
+    boolAttr("show-hover", cfg.showHover)
+
+    s"""<div id="$id"></div>
+       |<script type="module">
+       |  import { FlatbreadTable } from "$componentUrl"
+       |
+       |  customElements.whenDefined("flatbread-table").then(() => {
+       |    const data = $spec
+       |    const viewer = new FlatbreadTable()
+       |    viewer.data = data
+       |    ${attrs.result().mkString("\n    ")}
+       |
+       |    const placeholder = document.getElementById("$id")
+       |    placeholder.parentNode.replaceChild(viewer, placeholder)
+       |  })
+       |</script>""".stripMargin
   }
 
-  def write(ft: FlatTable, path: String, cfg: DisplayConfig = DisplayConfig()): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), render(ft, cfg))
+  /** Standalone page wrapping [[fragment]]. */
+  def render(ft: FlatTable, cfg: DisplayConfig = DisplayConfig(),
+             formats: Map[String, Map[String, Any]] = Map.empty): String =
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head><meta charset="utf-8"/></head>
+       |<body>
+       |${fragment(ft, cfg, formats)}
+       |</body>
+       |</html>""".stripMargin
+
+  def write(ft: FlatTable, path: String, cfg: DisplayConfig = DisplayConfig(),
+            formats: Map[String, Map[String, Any]] = Map.empty): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      render(ft, cfg, formats))
 }

@@ -88,8 +88,15 @@ object TableSpec {
     meta.colNames.foreach(n => if (n.isDefined) colNames.add(n.get) else colNames.addNull())
     val colDtypes = columns.putArray("dtypes")
     meta.valueCols.foreach(c => colDtypes.add(simpleDtype(schema(c))))
-    columns.set[ObjectNode]("formatOptions",
-      FormatResolver.forColumns(meta, schema, formats, mapper))
+    // one entry per column, aligned with `values` (reference
+    // tablespec.py:71-73 emits a list, not a keyed object)
+    val colFmts = columns.putArray("formatOptions")
+    meta.columns.foreach { ck =>
+      FormatResolver.resolve(ck.key, formats.get(ck.physical)) match {
+        case Some(opts) => putOptions(colFmts.addObject(), opts)
+        case None       => colFmts.addNull()
+      }
+    }
 
     val index = root.putObject("index")
     val idxVals = index.putArray("values")
@@ -105,62 +112,40 @@ object TableSpec {
     meta.indexLevels.foreach(idxNames.add)
     val idxDtypes = index.putArray("dtypes")
     meta.indexLevels.foreach(l => idxDtypes.add(simpleDtype(schema(l))))
+    // per-level format options (reference tablespec.py:81-83)
+    val idxFmts = index.putArray("formatOptions")
+    meta.indexLevels.foreach { l =>
+      FormatResolver.resolve(Seq(l), formats.get(l)) match {
+        case Some(opts) => putOptions(idxFmts.addObject(), opts)
+        case None       => idxFmts.addNull()
+      }
+    }
 
     root
   }
+
+  private[output] def putOptions(o: ObjectNode, opts: Map[String, Any]): Unit =
+    opts.foreach {
+      case (k, v: Int)     => o.put(k, v)
+      case (k, v: Double)  => o.put(k, v)
+      case (k, v: Boolean) => o.put(k, v)
+      case (k, v)          => o.put(k, v.toString)
+    }
 
   def toJson(ft: FlatTable, maxRows: Int = 1000,
              formats: Map[String, Map[String, Any]] = Map.empty): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(build(ft, maxRows, formats))
 }
 
-/** Per-column display-format resolution (reference output/formats.py:7-102 +
-  * tablespec.py:119-241): explicit format map first, then "smart" substring
-  * matching of the column key text against known labels (pct → percent style,
-  * diff → signed), dtype-gated defaults otherwise.
-  */
+/** Per-column display-format resolution (reference output/formats.py:59-84 +
+  * tablespec.py:85-90): explicit format first, then "smart" substring
+  * detection of an output-format label in the lowercased column text (`pct` →
+  * percent style, `diff` → signed). No dtype fallback — a column with no
+  * explicit or smart format renders with the component's locale defaults,
+  * exactly like the reference. */
 object FormatResolver {
 
-  /** smart label rules (config.defaults.json:28-53). */
-  val smartRules: Seq[(String, Map[String, Any])] = Seq(
-    "pct"  -> Map("style" -> "percent", "maximumFractionDigits" -> 1),
-    "diff" -> Map("signDisplay" -> "always", "maximumFractionDigits" -> 0),
-    "n"    -> Map("maximumFractionDigits" -> 0)
-  )
-
-  def resolve(keyParts: Seq[String], dtype: DataType,
-              explicit: Option[Map[String, Any]]): Map[String, Any] =
-    explicit.getOrElse {
-      smartRules.collectFirst {
-        case (label, opts) if keyParts.exists(p =>
-          p == label || p.startsWith(label + "_") ||
-            // substring match only for multi-char labels ("n" would otherwise
-            // swallow every column containing the letter)
-            (label.length > 1 && p.contains(label))) => opts
-      }.getOrElse(dtype match {
-        case DoubleType | FloatType | _: DecimalType =>
-          Map("maximumFractionDigits" -> 2)
-        case _ => Map.empty[String, Any]
-      })
-    }
-
-  private[output] def forColumns(meta: graft.core.TableMeta,
-                                 schema: Map[String, DataType],
-                                 explicit: Map[String, Map[String, Any]],
-                                 mapper: ObjectMapper): ObjectNode = {
-    val node = mapper.createObjectNode()
-    meta.columns.foreach { ck =>
-      val opts = resolve(ck.key, schema(ck.physical), explicit.get(ck.physical))
-      if (opts.nonEmpty) {
-        val o = node.putObject(ck.physical)
-        opts.foreach {
-          case (k, v: Int)     => o.put(k, v)
-          case (k, v: Double)  => o.put(k, v)
-          case (k, v: Boolean) => o.put(k, v)
-          case (k, v)          => o.put(k, v.toString)
-        }
-      }
-    }
-    node
-  }
+  def resolve(keyParts: Seq[String],
+              explicit: Option[Map[String, Any]]): Option[Map[String, Any]] =
+    explicit.orElse(Formats.smartFor(keyParts).map(_.htmlOptions))
 }

@@ -200,7 +200,11 @@ object Percentages {
                             apportioned: Boolean): FlatTable =
     if (ndigits < 0) ft
     else if (apportioned)
-      FlatTable(Rounding.apportioned(ft.df, cols, ndigits, ft.canonicalSortKeys()), ft.meta)
+      FlatTable(Rounding.apportioned(ft.df, cols, ndigits, ft.canonicalSortKeys(),
+        // scale guardrail: on a hierarchical index, apportion within each
+        // outer-level group (bounded partitions) instead of one global
+        // single-partition window — per-group sum preservation still holds
+        partitionCols = ft.meta.indexLevels.dropRight(1).map(col)), ft.meta)
     else {
       val rounded = cols.foldLeft(ft.df)((d, c) => d.withColumn(c, round(col(c), ndigits)))
       FlatTable(rounded, ft.meta)
@@ -216,13 +220,20 @@ object Percentages {
   */
 object Rounding {
 
+  /** @param partitionCols when non-empty, the cumulative sums run per
+    *   partition (each group's rounded values sum exactly to that group's
+    *   rounded sum) and the window shuffles by key instead of collapsing to
+    *   one partition — the formulation that stays parallel at scale. With no
+    *   partition columns the window is global: correct for the
+    *   presentation-sized single-level pivots it is meant for, and exactly
+    *   the reference's column-wise cumsum. */
   def apportioned(df: DataFrame, cols: Seq[String], ndigits: Int,
-                  orderKeys: Seq[Column]): DataFrame = {
+                  orderKeys: Seq[Column],
+                  partitionCols: Seq[Column] = Nil): DataFrame = {
     if (ndigits < 0 || cols.isEmpty) return df
-    // A single global window over the presentation-sized table: tabulation
-    // outputs are small pivots (SURVEY.md §1.3); the giant-input path rounds
-    // after aggregation, never over raw rows.
-    val w = Window.orderBy(orderKeys: _*)
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(orderKeys: _*)
+      else Window.partitionBy(partitionCols: _*).orderBy(orderKeys: _*)
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
     cols.foldLeft(df) { (d, c) =>

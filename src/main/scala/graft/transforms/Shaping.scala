@@ -17,21 +17,40 @@ object Shaping {
     * rows *within each group*; data rows sort by value (the deterministic
     * equivalent of the reference's first-appearance order, which has no
     * meaning in Spark's relational model — see FlatTable doc).
+    *
+    * @param level when set, only that level drives the sort (reference
+    *              `level=` param); `None` sorts all levels outer→inner
+    * @param sortRemaining with a `level` set, whether the other levels sort
+    *                      too (after the chosen level) or are left untouched
+    *                      (reference `sort_remaining=`, axes.py:127-132)
     */
   def sortAggregates(ft: FlatTable, axis: Axis = Axis.Rows,
-                     labels: Seq[String], aggregatesLast: Boolean = true): FlatTable =
+                     labels: Seq[String], aggregatesLast: Boolean = true,
+                     level: Option[Int] = None,
+                     sortRemaining: Boolean = true): FlatTable =
     axis match {
-      case Axis.Rows => FlatTable(sortRows(ft, labels, aggregatesLast), ft.meta)
+      case Axis.Rows =>
+        FlatTable(sortRows(ft, labels, aggregatesLast, level, sortRemaining), ft.meta)
       case Axis.Cols => FlatTable(ft.df, ft.meta.copy(columns =
-        sortColumns(ft.meta, labels, aggregatesLast)))
+        sortColumns(ft.meta, labels, aggregatesLast, level, sortRemaining)))
       case Axis.Both =>
-        val rowSorted = sortAggregates(ft, Axis.Rows, labels, aggregatesLast)
-        sortAggregates(rowSorted, Axis.Cols, labels, aggregatesLast)
+        val rowSorted = sortAggregates(ft, Axis.Rows, labels, aggregatesLast,
+          level, sortRemaining)
+        sortAggregates(rowSorted, Axis.Cols, labels, aggregatesLast, level,
+          sortRemaining)
     }
 
-  private def sortRows(ft: FlatTable, labels: Seq[String], last: Boolean): DataFrame = {
-    if (labels.isEmpty) return ft.df.orderBy(ft.meta.indexLevels.map(col): _*)
-    val keys = ft.meta.indexLevels.flatMap { l =>
+  private def sortRows(ft: FlatTable, labels: Seq[String], last: Boolean,
+                       level: Option[Int], sortRemaining: Boolean): DataFrame = {
+    val ordered: Seq[String] = level match {
+      case None    => ft.meta.indexLevels
+      case Some(k) =>
+        val chosen = ft.meta.indexLevels(ft.meta.resolveLevel(k))
+        if (sortRemaining) chosen +: ft.meta.indexLevels.filterNot(_ == chosen)
+        else Seq(chosen)
+    }
+    if (labels.isEmpty) return ft.df.orderBy(ordered.map(col): _*)
+    val keys = ordered.flatMap { l =>
       val rank = labels.zipWithIndex.foldRight(lit(-1): Column) { case ((lab, i), acc) =>
         when(col(l).cast("string").startsWith(lab), lit(i)).otherwise(acc)
       }
@@ -44,24 +63,68 @@ object Shaping {
   /** Column-axis variant: pure metadata reorder, no shuffle. Stable sort on
     * per-level margin flags only, so non-margin columns keep their appearance
     * order (faithful to axes.py:118-125). */
-  private def sortColumns(meta: TableMeta, labels: Seq[String],
-                          last: Boolean): Seq[ColKey] = {
+  private def sortColumns(meta: TableMeta, labels: Seq[String], last: Boolean,
+                          level: Option[Int] = None,
+                          sortRemaining: Boolean = true): Seq[ColKey] = {
     import scala.math.Ordering.Implicits._
     def flag(part: String): Int =
       if (labels.exists(l => part == l || part.startsWith(l))) (if (last) 1 else -1) else 0
-    meta.columns.sortBy(ck => ck.key.map(flag).toList)
+    level match {
+      case None    => meta.columns.sortBy(ck => ck.key.map(flag).toList)
+      case Some(k) =>
+        val levels =
+          if (sortRemaining) k +: meta.columns.head.key.indices.filterNot(_ == k)
+          else Seq(k)
+        meta.columns.sortBy(ck => levels.map(l => ck.key.lift(l).fold(0)(flag)).toList)
+    }
+  }
+
+  /** Reorder (and prune) one table's columns so each level's value order
+    * follows another table's column order (reference `reindex_by_levels`,
+    * tooling.py:121-156): for the first `nLevels` levels, target columns sort
+    * by the first-appearance rank of their level value in the reference;
+    * columns whose value is absent from the reference at a reindexed level
+    * are dropped (pandas `reindex` semantics). Extra target levels beyond
+    * `nLevels` are left as-is. Pure metadata — no shuffle, no compute. */
+  def reindexByLevels(target: FlatTable, reference: FlatTable,
+                      nLevels: Option[Int] = None): FlatTable = {
+    import scala.math.Ordering.Implicits._
+    val maxL = nLevels.getOrElse(reference.meta.nColLevels)
+    val orders: Seq[Map[String, Int]] = (0 until maxL).map { l =>
+      reference.meta.columns.flatMap(_.key.lift(l)).distinct.zipWithIndex.toMap
+    }
+    val kept = target.meta.columns.filter { ck =>
+      (0 until maxL).forall(l =>
+        ck.key.lift(l).forall(v => orders(l).contains(v)))
+    }
+    val sorted = kept.sortBy(ck =>
+      (0 until maxL).map(l => ck.key.lift(l).flatMap(orders(l).get).getOrElse(-1)).toList)
+    FlatTable(target.df, target.meta.copy(columns = sorted))
+  }
+
+  /** Resolve the reference's insertion-position rule (`add_value_to_key`,
+    * axes.py:318-336): non-negative inserts at `level`; -1 appends; other
+    * negatives insert at `level + size + 1`. */
+  private def insertPos(level: Int, size: Int): Int = {
+    val pos =
+      if (level >= 0) math.min(level, size)
+      else if (level == -1) size
+      else level + size + 1
+    require(pos >= 0 && pos <= size, s"level $level out of range")
+    pos
   }
 
   /** Insert a constant index/column level (reference `add_level`,
-    * axes.py:210-336). Row axis adds a literal column; column axis rewrites
-    * the column-key metadata only. */
-  def addLevel(ft: FlatTable, value: String, level: Int = 0,
+    * axes.py:210-336). Accepts any scalar value — strings, numbers, booleans,
+    * dates — typed faithfully on the row axis (the index level column gets
+    * the value's native Spark type); column-axis keys are strings, so
+    * non-string values are rendered with `toString` there. Row axis adds a
+    * literal column; column axis rewrites the column-key metadata only. */
+  def addLevel(ft: FlatTable, value: Any, level: Int = 0,
                levelName: Option[String] = None, axis: Axis = Axis.Rows): FlatTable =
     axis match {
       case Axis.Rows =>
-        val n = ft.meta.nLevels
-        val pos = if (level < 0) level + n + 1 else level
-        require(pos >= 0 && pos <= n, s"level $level out of range")
+        val pos = insertPos(level, ft.meta.nLevels)
         val name = levelName.getOrElse(s"level_$pos")
         require(!ft.df.columns.contains(name), s"column '$name' already exists")
         val (before, after) = ft.meta.indexLevels.splitAt(pos)
@@ -70,18 +133,75 @@ object Shaping {
           ft.meta.copy(indexLevels = (before :+ name) ++ after)
         )
       case Axis.Cols =>
-        val n = ft.meta.nColLevels
-        val pos = if (level < 0) level + n + 1 else level
-        require(pos >= 0 && pos <= n, s"column level $level out of range")
+        val pos = insertPos(level, ft.meta.nColLevels)
         val cols = ft.meta.columns.map { ck =>
           val (b, a) = ck.key.splitAt(pos)
-          ColKey(ck.physical, (b :+ value) ++ a)
+          ColKey(ck.physical, (b :+ String.valueOf(value)) ++ a)
         }
         val (nb, na) = ft.meta.colNames.splitAt(pos)
         FlatTable(ft.df, ft.meta.copy(columns = cols, colNames = (nb :+ levelName) ++ na))
       case Axis.Both =>
         addLevel(addLevel(ft, value, level, levelName, Axis.Rows), value, level,
           levelName, Axis.Cols)
+    }
+
+  /** `add_level` with POSITIONAL values (reference `value: list`,
+    * axes.py:252-258): one value per row in canonical order (resp. per
+    * column). Row axis ranks rows with a window over the canonical sort keys
+    * and joins the (rank → value) lookup — a broadcast join of a tiny
+    * driver-side list, only legal on presentation-sized tables (the length
+    * must equal the row count, which is validated eagerly like the
+    * reference's ValueError — this triggers a count job). */
+  def addLevelValues(ft: FlatTable, values: Seq[Any], level: Int = 0,
+                     levelName: Option[String] = None,
+                     axis: Axis = Axis.Rows): FlatTable =
+    axis match {
+      case Axis.Rows =>
+        val nRows = ft.df.count()
+        require(values.size == nRows,
+          s"Length of values list (${values.size}) must match length of index ($nRows)")
+        val pos = insertPos(level, ft.meta.nLevels)
+        val name = levelName.getOrElse(s"level_$pos")
+        require(!ft.df.columns.contains(name), s"column '$name' already exists")
+        val spark = ft.spark
+        val lookupRows = values.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i + 1, v)
+        }
+        val dt = values.headOption.map {
+          case _: String  => org.apache.spark.sql.types.StringType
+          case _: Int     => org.apache.spark.sql.types.IntegerType
+          case _: Long    => org.apache.spark.sql.types.LongType
+          case _: Double  => org.apache.spark.sql.types.DoubleType
+          case _: Boolean => org.apache.spark.sql.types.BooleanType
+          case other => throw new IllegalArgumentException(
+            s"unsupported level value type: ${other.getClass.getSimpleName}")
+        }.getOrElse(org.apache.spark.sql.types.StringType)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__fb_rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField(name, dt)))
+        val lookup = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(lookupRows).asJava), schema)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(ft.canonicalSortKeys(): _*)
+        val ranked = ft.df.withColumn("__fb_rank", row_number().over(w))
+        val joined = ranked.join(broadcast(lookup), Seq("__fb_rank")).drop("__fb_rank")
+        val (before, after) = ft.meta.indexLevels.splitAt(pos)
+        FlatTable(joined, ft.meta.copy(indexLevels = (before :+ name) ++ after))
+      case Axis.Cols =>
+        require(values.size == ft.meta.columns.size,
+          s"Length of values list (${values.size}) must match " +
+            s"length of columns (${ft.meta.columns.size})")
+        val pos = insertPos(level, ft.meta.nColLevels)
+        val cols = ft.meta.columns.zip(values).map { case (ck, v) =>
+          val (b, a) = ck.key.splitAt(pos)
+          ColKey(ck.physical, (b :+ String.valueOf(v)) ++ a)
+        }
+        val (nb, na) = ft.meta.colNames.splitAt(pos)
+        FlatTable(ft.df, ft.meta.copy(columns = cols, colNames = (nb :+ levelName) ++ na))
+      case Axis.Both =>
+        throw new IllegalArgumentException(
+          "positional values cannot apply to both axes at once")
     }
 
   /** Sort rows by an explicit label order on one level (reference

@@ -7,11 +7,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Axis
-import graft.output.{DisplayConfig, Excel, FormatResolver, Html, TableSpec}
+import graft.output.{DisplayConfig, Excel, FormatDef, FormatResolver, Formats, Html, TableSpec}
 import graft.testing.MakeTestDf
 
 /** Presentation sinks: table-spec JSON shape (golden structure), smart format
-  * resolution, HTML embedding, and the zero-dependency XLSX writer.
+  * resolution, the fluent display surface, HTML embedding, and the
+  * zero-dependency XLSX writer with user format/border overrides.
   */
 class OutputSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -20,7 +21,7 @@ class OutputSpec extends AnyFunSuite {
   private def table = MakeTestDf(spark).addTotals(Axis.Both)
     .addPercentages(Axis.Cols, ndigits = 1)
 
-  test("spec JSON has the reference shape: values/columns/index with names+dtypes (tablespec.py:22-37)") {
+  test("spec JSON has the reference shape: values/columns/index with names+dtypes+formatOptions (tablespec.py:22-37)") {
     val spec = mapper.readTree(TableSpec.toJson(table))
     assert(spec.has("values") && spec.has("columns") && spec.has("index"))
     assert(spec.get("values").size() == 6) // 5 data + totals row
@@ -31,6 +32,12 @@ class OutputSpec extends AnyFunSuite {
     val dtypes = (0 until spec.get("columns").get("dtypes").size())
       .map(spec.get("columns").get("dtypes").get(_).asText()).toSet
     assert(dtypes == Set("int", "float")) // n block int, pct block float
+    // formatOptions are LISTS aligned with columns / index levels
+    // (tablespec.py:71-73, 81-83)
+    val colFmts = spec.get("columns").get("formatOptions")
+    assert(colFmts.isArray && colFmts.size() == 10)
+    val idxFmts = spec.get("index").get("formatOptions")
+    assert(idxFmts.isArray && idxFmts.size() == 1 && idxFmts.get(0).isNull)
   }
 
   test("NaN and margin serialization: margin row present, nulls preserved") {
@@ -43,21 +50,98 @@ class OutputSpec extends AnyFunSuite {
     assert(spec.get("index").get("values").get(2).get(0).asText() == "Totals")
   }
 
-  test("smart format resolution: pct columns percent-styled, diff signed (formats.py:75-84)") {
-    import org.apache.spark.sql.types.DoubleType
-    assert(FormatResolver.resolve(Seq("pct", "c0"), DoubleType, None)("style") == "percent")
-    assert(FormatResolver.resolve(Seq("diff"), DoubleType, None)("signDisplay") == "always")
-    assert(FormatResolver.resolve(Seq("plain"), DoubleType, None)("maximumFractionDigits") == 2)
+  test("smart format resolution mirrors output_formats (config.defaults.json:38-66)") {
+    // pct smart label -> percentage output format
+    val pct = FormatResolver.resolve(Seq("pct", "c0"), None)
+    assert(pct.exists(_("style") == "percent"))
+    assert(pct.exists(_("maximumFractionDigits") == 21))
+    // diff smart label -> signed integer
+    assert(FormatResolver.resolve(Seq("diff"), None).exists(_("signDisplay") == "always"))
+    // no smart hit, no explicit -> None (component locale defaults apply)
+    assert(FormatResolver.resolve(Seq("plain"), None).isEmpty)
     // explicit beats smart
-    assert(FormatResolver.resolve(Seq("pct"), DoubleType,
-      Some(Map("style" -> "decimal")))("style") == "decimal")
+    assert(FormatResolver.resolve(Seq("pct"),
+      Some(Map("style" -> "decimal"))).exists(_("style") == "decimal"))
   }
 
-  test("HTML render embeds the web component and the spec JSON (display.py:96-110)") {
+  test("fluent display: chainable setters land as component attributes (display.py:139-230)") {
+    val html = table.display
+      .setLocale("nl-NL").setNaRep("–").setMaxRows(10).setMaxColumns(12)
+      .setTrimSize(3).setSeparator("···").setNoWrap().showHover()
+      .collapseColumns().setSectionLevels(1).setColumnBorderLevels(2)
+      .showRowBorders(false)
+      .html()
+    assert(html.contains("""viewer.setAttribute("locale", "nl-NL")"""))
+    assert(html.contains("""viewer.setAttribute("na-rep", "–")"""))
+    assert(html.contains("""viewer.setAttribute("max-rows", "10")"""))
+    assert(html.contains("""viewer.setAttribute("max-columns", "12")"""))
+    assert(html.contains("""viewer.setAttribute("trim-size", "3")"""))
+    assert(html.contains("""viewer.setAttribute("separator", "···")"""))
+    assert(html.contains("""viewer.setAttribute("no-wrap", "")"""))
+    assert(html.contains("""viewer.setAttribute("show-hover", "")"""))
+    assert(html.contains("""viewer.setAttribute("collapse-columns", "true")"""))
+    assert(html.contains("""viewer.setAttribute("section-levels", "1")"""))
+    assert(html.contains("""viewer.setAttribute("column-border-levels", "2")"""))
+    assert(html.contains("""viewer.setAttribute("hide-row-borders", "")"""))
+    assert(html.contains("""viewer.setAttribute("hide-settings-menu", "")"""))
+    // margins derived from the table's tracked labels, ';'-joined
+    assert(html.contains("""viewer.setAttribute("margin-labels", "Totals;pct")"""))
+    // template shape mirrors the reference jinja template
+    assert(html.contains("import { FlatbreadTable }"))
+    assert(html.contains("customElements.whenDefined(\"flatbread-table\")"))
+  }
+
+  test("display defaults emit no unset optional attributes (template macros)") {
+    val html = table.display.html()
+    assert(!html.contains("\"locale\""))
+    assert(!html.contains("collapse-columns"))
+    assert(!html.contains("section-levels"))
+    assert(!html.contains("column-border-levels"))
+    assert(!html.contains("hide-group-borders"))
+  }
+
+  test("format(): preset by name with dtype gating; formatColumns patterns (tablespec.py:119-205)") {
+    Formats.clearPresets()
+    Formats.registerPreset(FormatDef("currency_eur", Nil,
+      Map("style" -> "currency", "currency" -> "EUR"), Some("€#,##0.00"),
+      dtypes = Seq("float")))
+    try {
+      // built-in output format applies regardless of dtype
+      val pctCol = table.meta.columns.find(_.key.contains("pct")).get.physical
+      val d1 = table.display.format(pctCol, "percentage")
+      val spec1 = mapper.readTree(d1.getJson())
+      val fmts = spec1.get("columns").get("formatOptions")
+      assert((0 until fmts.size()).exists(i => !fmts.get(i).isNull &&
+        fmts.get(i).get("style").asText() == "percent"))
+      // dtype-gated preset: n columns are int -> rejected for float-only preset
+      val nCol = table.meta.columns.head.physical
+      val err = intercept[IllegalArgumentException] {
+        table.display.format(nCol, "currency_eur")
+      }
+      assert(err.getMessage.contains("not compatible"))
+      // unknown preset lists available names
+      val unknown = intercept[IllegalArgumentException] {
+        table.display.format(nCol, "nope")
+      }
+      assert(unknown.getMessage.contains("percentage"))
+      // pattern form: substring/level match applies one spec to many columns
+      val d2 = table.display.formatColumns(Map("pct" -> "percentage"))
+      val spec2 = mapper.readTree(d2.getJson())
+      val f2 = spec2.get("columns").get("formatOptions")
+      val applied = (0 until f2.size()).count(i => !f2.get(i).isNull &&
+        f2.get(i).has("style") && f2.get(i).get("style").asText() == "percent")
+      assert(applied == 5) // the 5 pct columns
+      // preset catalog, dtype-filtered (display.py get_format_presets)
+      assert(table.display.getFormatPresets(Some("float")).contains("currency_eur"))
+      assert(table.display.getFormatPresets(Some("str")).get("currency_eur").isEmpty)
+    } finally Formats.clearPresets()
+  }
+
+  test("HTML render embeds the spec JSON in a module script (display.py:96-110)") {
     val html = Html.render(table, DisplayConfig(maxRows = 10))
-    assert(html.contains("<flatbread-table-display"))
-    assert(html.contains("margin-labels=\"Totals,pct\""))
     assert(html.contains("\"values\""))
+    assert(html.contains("<div id=\"id-"))
+    assert(html.contains(Html.componentUrl))
   }
 
   test("xlsx writer produces a valid OOXML zip with header, data, and margin styling") {
@@ -76,7 +160,24 @@ class OutputSpec extends AnyFunSuite {
         zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
       assert(sheet.contains("Totals"))  // margin row written
       assert(sheet.contains("r0"))      // data row written
-      assert(sheet.contains("s=\"2\"")) // margin style applied
+      val styles = new String(zip.getInputStream(
+        zip.getEntry("xl/styles.xml")).readAllBytes())
+      assert(styles.contains("applyBorder"))       // margin borders styled
+      assert(styles.contains("0.0&quot;%&quot;")) // literal-% pct format (base=100)
+    } finally zip.close()
+  }
+
+  test("xlsx user numberFormats and borderSpecs land in the workbook (excel.py:100-209)") {
+    val path = Files.createTempFile("flatbread", ".xlsx").toString
+    Excel.write(table, path,
+      numberFormats = Map("c0" -> "#,##0.000"),
+      borderSpecs = Map("columns" -> Seq("pct")))
+    val zip = new ZipFile(path)
+    try {
+      val styles = new String(zip.getInputStream(
+        zip.getEntry("xl/styles.xml")).readAllBytes())
+      assert(styles.contains("#,##0.000")) // user format override present
+      assert(styles.contains("<left style=\"thin\"/>")) // column border accent
     } finally zip.close()
   }
 }

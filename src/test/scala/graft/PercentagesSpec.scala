@@ -105,6 +105,40 @@ class PercentagesSpec extends AnyFunSuite {
     assert(m == Map("a" -> 1L, "b" -> 1L, "Totals" -> 2L))
   }
 
+  test("grouped apportionment: per-group sums preserved with a partitioned window (scale guardrail)") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (g <- 0 until 4; i <- 0 until 5)
+      yield (f"g$g", f"r$i", rnd.nextDouble() * 40)
+    val df = rows.toDF("G", "R", "c0")
+    val ft = FlatTable(df, 2)
+    val rounded = graft.transforms.Rounding
+      .apportioned(ft.df, Seq("c0"), 1, ft.canonicalSortKeys(),
+        partitionCols = Seq(col("G")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = rows.groupBy(_._1).view.mapValues(g =>
+      BigDecimal(g.map(_._3).sum).setScale(1, BigDecimal.RoundingMode.HALF_UP)).toMap
+    rounded.foreach { case (g, s) =>
+      assert(BigDecimal(s).setScale(1, BigDecimal.RoundingMode.HALF_UP) == expect(g),
+        s"group $g")
+    }
+  }
+
+  test("parameterized aggfunc: quantile margin equals the exact interpolated percentile") {
+    val df = Seq(("a", 10.0), ("b", 20.0), ("c", 40.0), ("d", 80.0))
+      .toDF("R0", "c0")
+    val ft = FlatTable(df, 1).addAgg("quantile:0.5", Axis.Rows, Some("p50"))
+    val p50 = ft.ordered.collect().last
+    assert(p50.getString(0) == "p50")
+    assert(p50.getDouble(1) == 30.0) // (20+40)/2, linear interpolation
+    // malformed quantile rejected
+    intercept[IllegalArgumentException] {
+      graft.funcs.AggFuncs("quantile:1.5")
+    }
+    assert(graft.funcs.AggFuncs.isKnown("quantile:0.25"))
+    assert(!graft.funcs.AggFuncs.isKnown("nope:1"))
+  }
+
   test("apportioned rounding is sum-preserving for random vectors (property)") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { _ =>

@@ -74,6 +74,65 @@ class ShapingSpec extends AnyFunSuite {
     assert(sorted.meta.valueCols.tail == Seq("c0", "c1", "c2", "c3"))
   }
 
+  test("addLevel accepts non-string scalars with native types (axes.py value: Any)") {
+    val ft = MakeTestDf(spark)
+    val lv = ft.addLevel(2024, 0, Some("year"))
+    assert(lv.meta.indexLevels == Seq("year", "R0"))
+    assert(lv.df.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(lv.ordered.collect().forall(_.getInt(0) == 2024))
+    // column axis renders non-strings into the (string) column keys
+    val cv = ft.addLevel(7L, 0, Some("k"), Axis.Cols)
+    assert(cv.meta.columns.forall(_.key.head == "7"))
+  }
+
+  test("addLevelValues assigns positional values by canonical row order (axes.py:252-258)") {
+    val ft = MakeTestDf(spark) // rows r0..r4 in canonical order
+    val lv = ft.addLevelValues(Seq("a", "b", "c", "d", "e"), 0, Some("tag"))
+    assert(lv.meta.indexLevels == Seq("tag", "R0"))
+    val got = lv.ordered.select("R0", "tag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("r0" -> "a", "r1" -> "b", "r2" -> "c", "r3" -> "d", "r4" -> "e"))
+    // length mismatch raises like the reference ValueError
+    val err = intercept[IllegalArgumentException] {
+      ft.addLevelValues(Seq("a", "b"), 0, Some("tag"))
+    }
+    assert(err.getMessage.contains("must match"))
+    // column axis: positional per column, metadata only
+    val cv = ft.addLevelValues(Seq("p", "q", "r", "s"), 0, Some("k"), Axis.Cols)
+    assert(cv.meta.columns.map(_.key.head) == Seq("p", "q", "r", "s"))
+    assert(cv.df eq ft.df)
+  }
+
+  test("sortAggregates(level=, sortRemaining=) sorts only the chosen level (axes.py:58-132)") {
+    val ft = MakeTestDf(spark, nRows = 8, nCols = 2, idxDupes = Seq(4, 1))
+      .addSubtotals(Axis.Rows, Seq(0))
+    // level 1 with sortRemaining=false: Subtotals pinned last within the
+    // level-1 ordering; level-0 left to its own values is not re-keyed
+    val sorted = ft.sortAggregates(Axis.Rows, level = Some(1), sortRemaining = false)
+      .df.collect()
+    // all Subtotals rows sort after all data rows of the level-1 ordering
+    val l1 = sorted.map(_.getString(1)).toSeq
+    assert(l1.last == "Subtotals")
+    // with sortRemaining=true the outer level groups stay contiguous
+    val grouped = ft.sortAggregates(Axis.Rows, level = Some(0), sortRemaining = true)
+      .df.collect().map(_.getString(0)).toSeq
+    assert(grouped == grouped.sorted)
+  }
+
+  test("reindexByLevels aligns column order to a reference table (tooling.py:121-156)") {
+    val ft = MakeTestDf(spark) // columns c0..c3
+    val shuffledCols = ft.meta.copy(columns =
+      Seq("c3", "c0", "c2", "c1").map(c => ColKey(c, Seq(c))))
+    val target = FlatTable(ft.df, shuffledCols)
+    val realigned = target.reindexByLevels(ft)
+    assert(realigned.meta.valueCols == Seq("c0", "c1", "c2", "c3"))
+    // columns absent from the reference are dropped (pandas reindex)
+    val ref2 = FlatTable(ft.df, ft.meta.copy(columns =
+      Seq("c1", "c0").map(c => ColKey(c, Seq(c)))))
+    assert(target.reindexByLevels(ref2).meta.valueCols == Seq("c1", "c0"))
+  }
+
   test("canonical order is deterministic under repartition (shuffle-safety)") {
     val ft = MakeTestDf(spark, nRows = 7, nCols = 2, idxDupes = Seq(4, 1))
       .addSubtotals(Axis.Rows, Seq(0)).addTotals(Axis.Rows)
