@@ -16,9 +16,17 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
+    // absorb one-time session/codegen warmup outside any query's timing
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val results = selected.map { case (name, fn) =>
+      // drain the previous query's garbage so its collection pauses don't
+      // bleed into this query's wall-clock
+      System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink materializes every output column — `.count()` would let
+      // Spark prune unreferenced projections for some plans
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
