@@ -14,9 +14,14 @@ import graft.core._
   * column-totals ROW (each column sums to base), axis=1 divides by the
   * row-totals COLUMN, axis=2 divides by the grand-total corner cell.
   *
-  * Scale design: the totals row / grand-total cell is a 1-row aggregate
-  * broadcast into a cross join — never a driver collect; the row-totals
-  * column is a plain projection.
+  * Scale design: the totals row / grand-total cell denominator is an
+  * unpartitioned window over the pivoted table — never a driver collect, and
+  * never a second execution of the producing scan+pivot subplan (a filtered
+  * cross-join branch would re-run it; Spark does not reuse the exchange
+  * across those branches). Percentage views apply to pivot OUTPUTS, which
+  * are presentation-sized by the engine's two-layer contract (SURVEY.md
+  * §1.3), so the single-partition window is bounded; the row-totals column
+  * is a plain projection.
   */
 object Percentages {
 
@@ -147,39 +152,39 @@ object Percentages {
         PctPlan(ft.df, exprs, eligible)
 
       case Axis.Rows =>
-        // divide by the column-totals row, broadcast as a 1-row cross join.
-        // The decision is structural (tracked labels), never a runtime action.
-        val totRow: DataFrame = totalsRowPredicate match {
-          case Some(p) =>
-            ft.df.filter(p).limit(1)
-              .select(eligible.map(ck => col(ck.physical).as(TOT + ck.physical)): _*)
-          case _ =>
-            ft.df.filter(MarginMask.isData(meta, ignoreKeys))
-              .agg(eligible.map(ck => sum(col(ck.physical)).as(TOT + ck.physical)).head,
-                eligible.map(ck => sum(col(ck.physical)).as(TOT + ck.physical)).tail: _*)
+        // divide by the column-totals row, located via an unpartitioned
+        // window over the (presentation-sized, by contract) pivot output.
+        // A filtered-branch cross join would re-execute the entire producing
+        // scan+pivot subplan for the denominator (Spark does not reuse the
+        // exchange across the differently-shaped branches); the window reads
+        // the produced table once — the plan that stays single-pass when the
+        // producer is a 100 TB scan.
+        val w = Window.partitionBy()
+        def denom(c: String): Column = totalsRowPredicate match {
+          case Some(p) => max(when(p, col(c))).over(w)
+          case None    =>
+            sum(when(MarginMask.isData(meta, ignoreKeys), col(c))).over(w)
         }
-        val joined = ft.df.crossJoin(broadcast(totRow))
         val exprs = eligible.map(ck =>
           ck.physical ->
-            (col(ck.physical).cast("double") / col(TOT + ck.physical) * base)).toMap
-        PctPlan(joined, exprs, eligible)
+            (col(ck.physical).cast("double") / denom(ck.physical) * base)).toMap
+        PctPlan(ft.df, exprs, eligible)
 
       case Axis.Both =>
-        // divide by the grand-total corner cell
-        val grand: DataFrame = (totalsRowPredicate, totalsColumn) match {
-          case (Some(p), Some(tc)) =>
-            ft.df.filter(p).limit(1).select(col(tc.physical).as(TOT + "grand"))
+        // divide by the grand-total corner cell (same single-pass window)
+        val w = Window.partitionBy()
+        val grand: Column = (totalsRowPredicate, totalsColumn) match {
+          case (Some(p), Some(tc)) => max(when(p, col(tc.physical))).over(w)
           case _ =>
             val dataCols = meta.dataColumns(ignoreKeys)
-            ft.df.filter(MarginMask.isData(meta, ignoreKeys))
-              .agg(sum(dataCols.map(ck => coalesce(col(ck.physical).cast("double"),
-                lit(0.0))).reduce(_ + _)).as(TOT + "grand"))
+            sum(when(MarginMask.isData(meta, ignoreKeys),
+              dataCols.map(ck => coalesce(col(ck.physical).cast("double"),
+                lit(0.0))).reduce(_ + _))).over(w)
         }
-        val joined = ft.df.crossJoin(broadcast(grand))
         val exprs = eligible.map(ck =>
           ck.physical ->
-            (col(ck.physical).cast("double") / col(TOT + "grand") * base)).toMap
-        PctPlan(joined, exprs, eligible)
+            (col(ck.physical).cast("double") / grand * base)).toMap
+        PctPlan(ft.df, exprs, eligible)
     }
   }
 
