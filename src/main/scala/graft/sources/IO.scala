@@ -44,4 +44,23 @@ object IO {
   /** Write a FlatTable's canonical view (margins in place, metadata order). */
   def writeTable(ft: FlatTable, path: String, format: String = "parquet"): Unit =
     write(ft.ordered, path, format)
+
+  /** Bucketed (and optionally sort-ordered) table write: pre-shuffles rows
+    * into a fixed number of buckets on the join/aggregation key so that
+    * later equi-joins and groupBys on that key are EXCHANGE-FREE — both
+    * sides read already co-partitioned (and co-sorted) buckets. This is the
+    * 100 TB answer to a repeatedly-joined fact table: pay the shuffle once
+    * at write time, never again at read time. Bucket metadata lives in the
+    * session catalog, hence `saveAsTable` rather than a path write. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil,
+                    format: String = "parquet",
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    val w = df.write.mode(mode).format(format)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.core.FlatTable
@@ -53,4 +54,68 @@ object Streaming {
   def toMemorySink(df: DataFrame, name: String, outputMode: String = "complete"
                   ): StreamingQuery =
     df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+
+  // ---- custom state: gap-based sessionization ---------------------------
+
+  case class SessionEvent(key: String, ts: java.sql.Timestamp)
+
+  /** Per-key open-session state kept by the state store between batches. */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** One closed session, emitted when the inactivity gap elapses (within a
+    * batch, or via event-time timeout once the watermark passes). */
+  case class Session(key: String, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization with CUSTOM state via `flatMapGroupsWithState`
+    * (the brief's mapGroupsWithState surface): events group by key, each
+    * group folds its (batch-sorted) events into an open-session state, a
+    * session closes when the gap between consecutive events exceeds
+    * `gapMs` or when the event-time timeout fires after the watermark moves
+    * past `last + gap`. State is per-key and bounded (one open session), so
+    * the state store scales with distinct active keys, not event volume —
+    * the streaming analogue of the batch lag-based q24 sessionization.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapMs: Long, watermark: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    events
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, batch, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, ts(s.start), ts(s.last), s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(key, ts(s.start), ts(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }

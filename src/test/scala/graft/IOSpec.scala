@@ -32,6 +32,59 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with NO shuffle exchange (co-located join)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val li = Tables.read(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.read(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    IO.writeBucketed(li, "li_bkt", Seq("l_orderkey"), buckets = 4,
+      sortCols = Seq("l_orderkey"))
+    IO.writeBucketed(o, "o_bkt", Seq("o_orderkey"), buckets = 4,
+      sortCols = Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, "bucketed join must not re-shuffle either side")
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
+  test("salted join and salted aggregation match their unsalted equivalents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.Skew
+    // skew: key 0 holds 80% of the probe rows
+    val probe = (1 to 1000).map(i => (if (i <= 800) 0L else i.toLong % 7, i.toDouble))
+      .toDF("k", "v")
+    val build = (0L to 6L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), salt = 8)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).head.getDouble(0) ==
+      plain.agg(sum("v")).head.getDouble(0))
+    val sAgg = Skew.saltedAgg(probe, Seq("k"),
+      Seq(("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")), salt = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val pAgg = probe.groupBy("k")
+      .agg(sum("v"), count("v"), min("v"), max("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(sAgg == pAgg)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val df = Tables.read(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_returnflag", "l_quantity")

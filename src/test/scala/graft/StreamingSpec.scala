@@ -48,6 +48,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) closes sessions on gap and watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // keep clear of epoch 0: the initial watermark is 0 and rows at or below
+    // it are dropped as late
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    val stream = MemoryStream[(String, Timestamp)]
+    // user a: two sessions (0-10s, then 100-105s); user b: one session
+    stream.addData(Seq(
+      ("a", t(0)), ("a", t(10)), ("a", t(100)), ("a", t(105)),
+      ("b", t(50))))
+    val sessions = Streaming.sessionize(
+      stream.toDF().toDF("user", "ts"), "user", "ts",
+      gapMs = 30000L, watermark = "10 seconds")
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every open session's timeout
+      stream.addData(Seq(("z", t(100000))))
+      q.processAllAvailable()
+      stream.addData(Seq(("z", t(200000)))) // second advance flushes timeouts
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000 - 86400,
+          r.getTimestamp(2).getTime / 1000 - 86400, r.getLong(3))).toSet
+      assert(out.contains(("a", 0L, 10L, 2L)))   // closed by in-batch gap
+      assert(out.contains(("a", 100L, 105L, 2L))) // closed by event-time timeout
+      assert(out.contains(("b", 50L, 50L, 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch re-tabulates each micro-batch with margins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
