@@ -78,6 +78,15 @@ object ExtQueries {
         .as[Multimodal.MediaRow]
       Multimodal.decodeMeta(media).toDF().orderBy(col("id"))
     },
+    // IVF-ANN: deterministic coarse pivots -> nearest-cell assignment ->
+    // nProbe probed cells -> exact re-rank; the whole pipeline is mirrored
+    // in the DuckDB oracle.
+    "q42_ann_ivf" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      Similarity.annIvfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", topK = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
     // Embedding near-dup dedup in the regime LSH is FOR: the corpus gets one
     // deterministic planted near-dup per vector (cos ≈ 0.999, reproducible
     // in SQL), and LSH banding (r=8, b=8) + exact re-rank recovers every
@@ -204,7 +213,38 @@ object ExtQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Full IVF-ANN pipeline in SQL, mirroring Similarity.annIvfTopK: pivot
+    * cells = first 16 ids, nearest-pivot assignment and probe ranking on
+    * 6-dp-rounded cosines with pivot-id tie-breaks, exact re-rank of the 4
+    * probed cells' members. */
+  private val annIvfSql: String =
+    s"""WITH $cosineCtes,
+       |pv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 16),
+       |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
+       |  FROM n c CROSS JOIN pv),
+       |cells AS (SELECT id, v, nrm, pid AS cell FROM asg WHERE rn = 1),
+       |qp AS (SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm, pid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        k -> q.v[k]*pv[k])) / (q.nrm*pnrm), 6) DESC, pid) AS rn
+       |  FROM n q CROSS JOIN pv WHERE q.vec_id < 10),
+       |probes AS (SELECT qid, qv, qnrm, pid AS cell FROM qp WHERE rn <= 4),
+       |cand AS (SELECT p.qid, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> p.qv[k]*c.v[k])) / (p.qnrm*c.nrm), 6) AS cos_sim
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND c.id <> p.qid),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM cand)
+       |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q42_ann_ivf" -> annIvfSql,
     "q30_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -186,6 +186,54 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector
+    * to its nearest of `nCells` pivot vectors (one linear pass, K fixed →
+    * O(n·K) scale-safe); each query probes its `nProbe` nearest cells and
+    * exact cosine re-ranks only those cells' members. The candidate fraction
+    * is ~nProbe/nCells of the corpus — the classic recall/cost dial.
+    *
+    * Pivots are the first `nCells` corpus ids — deterministic and
+    * reproducible in plain SQL (which is what lets the DuckDB oracle mirror
+    * the whole pipeline); swap in k-means centroids for better cell balance
+    * when reproducibility across engines is not required. All ranking
+    * decisions use 6-dp-rounded cosines with id tie-breaks, so assignment is
+    * bit-stable. */
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, topK: Int, nCells: Int = 16,
+                 nProbe: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val pv = c.filter(col("id") < nCells)
+      .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val pcos = round(graft.funcs.VectorFunctions.dotF(col("v"), col("pv")) /
+      (col("nrm") * col("pnrm")), 6)
+    val byCell = Window.partitionBy(col("id"))
+      .orderBy(col("pcos").desc, col("pid"))
+    val assigned = c.crossJoin(broadcast(pv))
+      .select(col("id"), col("v"), col("nrm"), col("pid"), pcos.as("pcos"))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("pid").as("cell"))
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qpcos = round(graft.funcs.VectorFunctions.dotF(col("qv"), col("pv")) /
+      (col("qnrm") * col("pnrm")), 6)
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("qpcos").desc, col("pid"))
+    val probes = q.crossJoin(broadcast(pv))
+      .select(col("qid"), col("qv"), col("qnrm"), col("pid"), qpcos.as("qpcos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qnrm"), col("pid").as("cell"))
+    val cos = round(graft.funcs.VectorFunctions.dotF(col("qv"), col("v")) /
+      (col("qnrm") * col("nrm")), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"), cos.as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** LSH-bucketed cosine near-dup PAIRS: band the corpus signatures, take
     * docs sharing any band value as candidates (skinny id-only equi-join),
     * then re-rank candidates with the exact codegen'd cosine and keep pairs

@@ -206,6 +206,23 @@ class ExtSpec extends AnyFunSuite {
     })
   }
 
+  test("IVF ANN: probing all cells equals brute force; fewer cells trade recall") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.annTopK(e, q, "vec_id", "embedding", 5))
+    // nProbe == nCells probes every cell -> exhaustive -> identical to brute
+    val full = pairs(Similarity.annIvfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 8))
+    assert(full == brute)
+    val probed = pairs(Similarity.annIvfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4))
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@5 = $recall")
+    assert(probed.nonEmpty)
+  }
+
   test("multimodal: decodeMeta runs the stub through real partition batches") {
     val media = Multimodal.withFakeMedia(
       Seq((0L, "abcdef"), (1L, "x" * 100)).toDF("doc_id", "text"), "doc_id", "text")
