@@ -145,25 +145,27 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard on the candidate
     * set only (the candidates are a tiny fraction of all pairs — this is the
-    * 100 TB formulation; the exact join above is the small-data oracle). */
+    * 100 TB formulation; the exact join above is the small-data oracle).
+    * Verification is a per-pair shingle-SET intersection: the corpus is
+    * scanned once to build shingle sets for candidate documents only, and
+    * J = |A∩B| / (|A| + |B| − |A∩B|) evaluates as array ops on the joined
+    * pair — no posting-list self-join, no co-occurrence aggregation. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double = 0.8, numPerm: Int = 128,
                         bands: Int = 32, k: Int = 4): DataFrame = {
     val cands = lshCandidates(minhashSignatures(df, idCol, textCol, numPerm, k), numPerm, bands)
-    // exact verification restricted to docs that appear in any candidate pair
-    // — the corpus-scale win: the shingle join runs over candidates only
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
-    val post = postings(df, idCol, textCol, k).join(broadcast(candIds), Seq("id"))
-    val sizes = post.groupBy("id").agg(count(lit(1)).as("n"))
-    val co = post.as("a").join(post.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(cands), Seq("id1", "id2")) // keep candidate pairs only
-    co.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), "id2")
-      .withColumn("jaccard", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+    val sets = df
+      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("__t"))
+      .select(col("id"), shinglesOfTokens(col("__t"), k).as("g"))
+      .join(broadcast(candIds), Seq("id"))
+    val s1 = sets.select(col("id").as("id1"), col("g").as("g1"))
+    val s2 = sets.select(col("id").as("id2"), col("g").as("g2"))
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("c", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
