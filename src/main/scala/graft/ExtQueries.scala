@@ -87,6 +87,13 @@ object ExtQueries {
           "embedding", topK = 5)
         .orderBy(col("qid"), col("rank"))
     },
+    // token accounting at both granularities: whitespace + BPE pre-tokenizer
+    "q43_bpe_tokens" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.bpeTokenCount(col("text")).as("bpe_tokens"),
+          TextStats.tokenCount(col("text")).as("ws_tokens"))
+        .orderBy(col("doc_id"))),
     // Embedding near-dup dedup in the regime LSH is FOR: the corpus gets one
     // deterministic planted near-dup per vector (cos ≈ 0.999, reproducible
     // in SQL), and LSH banding (r=8, b=8) + exact re-rank recovers every
@@ -243,8 +250,18 @@ object ExtQueries {
        |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** BPE pre-tokenizer pattern with SQL quote escaping; DuckDB's RE2 and
+    * Java regex agree on this lookahead-free pattern. */
+  private val bpeSqlPattern = graft.ext.TextStats.BpePattern.replace("'", "''")
+
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
+    "q43_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$bpeSqlPattern'),
+         |    t -> NOT regexp_matches(t, '^\\s+$$'))) AS INT) AS bpe_tokens,
+         |  CAST(len($docToks) AS INT) AS ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -16,6 +16,24 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 family's splitter, minus
+    * lookahead so the same pattern runs on RE2-based engines too): English
+    * contractions, optionally-space-prefixed letter runs, digit runs,
+    * punctuation runs, and residual whitespace. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish subword-boundary tokens (pre-tokenizer granularity — the unit a
+    * byte-pair encoder would merge within). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Token count at BPE pre-tokenizer granularity, excluding pure-whitespace
+    * matches — the cheap corpus-scale proxy for "how many tokens will this
+    * document cost" ahead of real BPE merging. */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(bpeTokens(text), t => !t.rlike("^\\s+$")))
+
   /** Count of tokens that appear in `words`. */
   def wordHits(text: Column, words: Seq[String]): Column = {
     val dict = array(words.map(lit): _*)

@@ -55,6 +55,19 @@ object Streaming {
                   ): StreamingQuery =
     df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
 
+  /** Streaming exact dedup: keep the FIRST event per content fingerprint,
+    * with dedup state bounded by the watermark horizon (an unbounded
+    * `dropDuplicates` would grow state forever on an endless stream —
+    * `dropDuplicatesWithinWatermark` is the formulation that survives a
+    * perpetual 100 TB/day feed). */
+  def dedupExact(events: DataFrame, textCol: String, tsCol: String,
+                 watermark: String): DataFrame =
+    events
+      .withColumn("__fb_fp", graft.ext.TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fb_fp")
+      .drop("__fb_fp")
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class SessionEvent(key: String, ts: java.sql.Timestamp)

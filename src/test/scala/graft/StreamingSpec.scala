@@ -81,6 +81,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first event per fingerprint (watermark-bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, "Hello  World", t(0)),   // same fingerprint as 2 (whitespace-normalized)
+      (2L, "hello world", t(5)),
+      (3L, "different text", t(6))))
+    val deduped = Streaming.dedupExact(
+      stream.toDF().toDF("id", "text", "ts"), "text", "ts", watermark = "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L)) // 2 dropped as an in-horizon duplicate
+    } finally q.stop()
+  }
+
   test("foreachBatch re-tabulates each micro-batch with margins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
