@@ -97,6 +97,40 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by iterative
+    * min-label propagation (each node repeatedly adopts the smallest label
+    * among itself and its neighbors until fixpoint — the hash-join
+    * formulation of connected components; O(log diameter) rounds, and
+    * near-dup cluster diameters are tiny). Returns (id, cluster) where
+    * cluster = the smallest doc id in the component, i.e. the KEPT
+    * representative of the dedup group. Each round is one shuffle join +
+    * aggregate; lineage is truncated per round so plans stay flat.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = labels.join(edges, labels("id") === edges("id1"))
+        .groupBy(edges("id2").as("id"))
+        .agg(min(col("cluster")).as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
+      labels = next
+      iters += 1
+    }
+    labels
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   // 31-bit Mersenne prime: keeps a*h + b within 63 bits (ANSI-safe, no

@@ -68,6 +68,17 @@ class ExtSpec extends AnyFunSuite {
     assert(!capped.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("nearDupClusters: chains collapse to one component labeled by the min id") {
+    import spark.implicits._
+    // two components: a chain 1-2-3-4 (tests label propagation over >1 hop)
+    // and an isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("MinHash signatures come back as one 128-slot array per doc") {
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text").collect()
     assert(sigs.length == 5)
