@@ -107,9 +107,13 @@ object Dedup {
     * aggregate; lineage is truncated per round so plans stay flat.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = pairs
+    // materialize the (possibly expensive) pair pipeline ONCE: edges and the
+    // initial labels both derive from it, and every propagation round joins
+    // against edges — without this the upstream similarity join would
+    // re-execute each round
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p.unionByName(p.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = p
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
