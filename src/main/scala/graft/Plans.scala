@@ -13,7 +13,8 @@ object Plans {
     val names =
       if (args.length > 1) args.tail.toSeq
       else Seq("q03_totals_both", "q04_subtotals", "q17_join_revenue",
-        "q34_ngram_jaccard", "q37_embed_cosine", "q23_tumbling_window")
+        "q34_ngram_jaccard", "q37_embed_cosine", "q41_cosine_lsh",
+        "q42_ann_ivf", "q23_tumbling_window")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
