@@ -63,4 +63,30 @@ object Multimodal {
     * image resize that bounds per-row cost downstream). */
   def resizeTo(df: DataFrame, budget: Int): DataFrame =
     df.withColumn("media", substring(col("media"), 1, budget))
+
+  /** STUB feature extractor: a deterministic unit-norm embedding from hashed
+    * byte features (feature-hashing of byte bigrams into `dims` buckets with
+    * ±1 signs). The interface a real vision/audio encoder would fill — the
+    * output column is the same `array<float>` the Similarity operators
+    * (annTopK / annIvfTopK / cosineLshPairs) consume, so the
+    * media → embedding → dedup/search pipeline composes end-to-end. */
+  def embedStub(bytes: Array[Byte], dims: Int = 64): Array[Float] = {
+    val v = new Array[Float](dims)
+    var i = 0
+    while (i < bytes.length - 1) {
+      val h = bytes(i) * 31 + bytes(i + 1) // byte-bigram feature hash
+      v(math.floorMod(h, dims)) += (if (((h >> 7) & 1) == 1) 1f else -1f)
+      i += 1
+    }
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0.0) { v(0) = 1f; v } else v.map(x => (x / n).toFloat)
+  }
+
+  case class EmbeddedRow(id: Long, embedding: Array[Float])
+
+  /** Per-partition feature extraction: (id, media) → (id, embedding). */
+  def embed(media: Dataset[MediaRow], dims: Int = 64): Dataset[EmbeddedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => EmbeddedRow(r.id, embedStub(r.media, dims))))
+  }
 }

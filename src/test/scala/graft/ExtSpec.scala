@@ -243,6 +243,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L).height == (100 * 7) % 480 + 16)
   }
 
+  test("multimodal embeddings compose into the similarity search operators") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup payload
+      (2L, "completely different byte content for the third media object"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.embed(media).toDF()
+    // unit-norm output
+    val norms = emb.select(Similarity.l2Norm(Similarity.toDouble(col("embedding"))))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // near-dup media rank each other first under brute-force ANN
+    val top = Similarity.annTopK(emb, emb.filter(col("id") === 0), "id",
+      "embedding", topK = 1).collect().head
+    assert(top.getLong(1) == 1L)
+    assert(top.getDouble(2) > 0.9)
+  }
+
   test("multimodal: frame sampling emits every stride-th block") {
     val media = Multimodal.withFakeMedia(
       Seq((0L, "0123456789abcdef" * 8)).toDF("doc_id", "text"), "doc_id", "text")
