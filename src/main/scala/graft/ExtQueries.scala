@@ -94,6 +94,22 @@ object ExtQueries {
           Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
             minJaccard = 0.8))
         .orderBy(col("id"))),
+    // collection/json scalar-function breadth (SURVEY §2.6): array ops, a
+    // map lookup, and json build+extract, all codegen'd built-ins; the
+    // oracle checks the VALUES (duckdb computes the same results through its
+    // own list/json functions)
+    "q45_collection_funcs" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextStats.tokens(col("text"))))
+            .getItem(0).as("first_tok"),
+          array_contains(TextStats.tokens(col("text")), "the")
+            .cast("int").as("has_the"),
+          element_at(map(lit("len"), length(col("text"))), "len").as("len_via_map"),
+          get_json_object(
+            concat(lit("{\"n\":"), length(col("text")).cast("string"), lit("}")),
+            "$.n").cast("int").as("n_from_json"))
+        .orderBy(col("doc_id"))),
     // token accounting at both granularities: whitespace + BPE pre-tokenizer
     "q43_bpe_tokens" -> ((s, dir) =>
       read(s, dir, "documents")
@@ -283,6 +299,14 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
     "q44_dedup_clusters" -> dedupClustersSql,
+    "q45_collection_funcs" ->
+      s"""SELECT doc_id,
+         |  list_sort(list_distinct($docToks))[1] AS first_tok,
+         |  CAST(list_contains($docToks, 'the') AS INT) AS has_the,
+         |  CAST(length(text) AS INT) AS len_via_map,
+         |  CAST(json_extract_string('{"n":' || length(text) || '}', '$$.n') AS INT)
+         |    AS n_from_json
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q43_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(regexp_extract_all(text, '$bpeSqlPattern'),
