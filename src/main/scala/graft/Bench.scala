@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,8 +17,17 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
-    // absorb one-time session/codegen warmup outside any query's timing
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // absorb one-time session warmup outside any query's timing — touch the
+    // machinery the queries actually use (parquet reader, shuffle, window,
+    // codegen) rather than a bare range scan
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count()
+        .withColumn("rn", row_number().over(Window.orderBy("r_name")))
+        .collect()
+    }
     val results = selected.map { case (name, fn) =>
       // drain the previous query's garbage so its collection pauses don't
       // bleed into this query's wall-clock
