@@ -123,13 +123,14 @@ object Dedup {
       val nbrMin = labels.join(edges, labels("id") === edges("id1"))
         .groupBy(edges("id2").as("id"))
         .agg(min(col("cluster")).as("__nbr"))
+      // carry the previous label through the checkpoint so convergence
+      // detection is a local filter over materialized rows, not another join
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       iters += 1
     }
     labels
