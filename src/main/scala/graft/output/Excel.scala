@@ -179,6 +179,17 @@ object Excel {
         userFormat(ck).orElse(autoFormat(ck)).orElse(dtypeFormat(ck.physical))
     }.toMap
 
+    // row-level formats: the reference also matches number-format labels
+    // against INDEX values (excel.py:23-28) — a row labeled e.g. "pct" gets
+    // the percent format across its value cells, overriding column formats
+    def rowFormat(indexValues: Seq[String]): Option[String] =
+      indexValues.flatMap { v =>
+        numberFormats.get(v).orElse(
+          Formats.outputFormats
+            .find(_.smartLabels.exists(l => v == l || v.startsWith(l)))
+            .flatMap(excelCode))
+      }.headOption
+
     // border labels: auto margins + user specs
     val rowBorderLabels = marginLabels ++ borderSpecs.getOrElse("rows", Nil)
     val colBorderLabels = marginLabels ++ borderSpecs.getOrElse("columns", Nil)
@@ -197,17 +208,18 @@ object Excel {
       .zipWithIndex.foreach { case (h, c) => sb ++= cell(0, c, h, 1) }
     sb ++= "</row>"
     rows.zipWithIndex.foreach { case (row, i) =>
-      val isMargin = meta.indexLevels.exists(l =>
-        Option(row.get(row.fieldIndex(l))).exists(v =>
-          rowBorderLabels.exists(m => v.toString.startsWith(m))))
+      val idxVals = meta.indexLevels.flatMap(l =>
+        Option(row.get(row.fieldIndex(l))).map(_.toString))
+      val isMargin = idxVals.exists(v => rowBorderLabels.exists(v.startsWith))
+      val rowFmt = rowFormat(idxVals)
       sb ++= s"""<row r="${i + 2}">"""
       meta.indexLevels.zipWithIndex.foreach { case (l, c) =>
         val sty = Sty(None, bold = isMargin, top = isMargin, left = false)
         sb ++= cell(i + 1, c, row.get(row.fieldIndex(l)), styles.id(sty))
       }
       meta.valueCols.zipWithIndex.foreach { case (vc, j) =>
-        val sty = Sty(colFormat(vc), bold = isMargin, top = isMargin,
-          left = leftBorderCols.contains(vc))
+        val sty = Sty(rowFmt.orElse(colFormat(vc)), bold = isMargin,
+          top = isMargin, left = leftBorderCols.contains(vc))
         sb ++= cell(i + 1, meta.nLevels + j, row.get(row.fieldIndex(vc)),
           styles.id(sty))
       }

@@ -180,4 +180,19 @@ class OutputSpec extends AnyFunSuite {
       assert(styles.contains("<left style=\"thin\"/>")) // column border accent
     } finally zip.close()
   }
+
+  test("xlsx row-level formats: an index value matching a format label styles the row (excel.py:23-28)") {
+    import spark.implicits._
+    val ft = graft.core.FlatTable(
+      Seq(("n", 10.0), ("pct", 33.3)).toDF("kind", "c0"), 1)
+    val path = Files.createTempFile("flatbread", ".xlsx").toString
+    Excel.write(ft, path, numberFormats = Map("n" -> "#,##0"))
+    val zip = new ZipFile(path)
+    try {
+      val styles = new String(zip.getInputStream(
+        zip.getEntry("xl/styles.xml")).readAllBytes())
+      assert(styles.contains("#,##0"))            // user row format (kind = n)
+      assert(styles.contains("0.0&quot;%&quot;")) // smart row format (kind = pct)
+    } finally zip.close()
+  }
 }
