@@ -59,7 +59,7 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
              ignoreKeys: Seq[String] = Nil, fill: String = ""): FlatTable =
     Aggregation.addAgg(this, aggfunc, axis, label, ignoreKeys, fill)
 
-  def addSubagg(aggfunc: String, level: Int = 0, label: Option[String] = None,
+  def addSubagg(aggfunc: String, level: Level = 0, label: Option[String] = None,
                 includeLevelName: Boolean = false, ignoreKeys: Seq[String] = Nil,
                 skipSingleRows: Boolean = true, fill: String = ""): FlatTable =
     Aggregation.addSubagg(this, aggfunc, level, label, includeLevelName, ignoreKeys,
@@ -69,7 +69,7 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
                 ignoreKeys: Seq[String] = Nil, fill: String = ""): FlatTable =
     Totals.addTotals(this, axis, label, ignoreKeys, fill)
 
-  def addSubtotals(axis: Axis = Axis.Rows, levels: Seq[Int] = Seq(0),
+  def addSubtotals(axis: Axis = Axis.Rows, levels: Seq[Level] = Seq(0),
                    label: String = Defaults.labelSubtotals, includeLevelName: Boolean = false,
                    ignoreKeys: Seq[String] = Nil, skipSingleRows: Boolean = true,
                    fill: String = ""): FlatTable =
@@ -93,12 +93,12 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
       ndigits, base, interleaf, apportioned)
 
   def sortTotals(axis: Axis = Axis.Rows, aggregatesLast: Boolean = true,
-                 level: Option[Int] = None, sortRemaining: Boolean = true): FlatTable =
+                 level: Option[Level] = None, sortRemaining: Boolean = true): FlatTable =
     Shaping.sortAggregates(this, axis, meta.labelsOf("totals", "subtotals"),
       aggregatesLast, level, sortRemaining)
 
   def sortAggregates(axis: Axis = Axis.Rows, labels: Seq[String] = Nil,
-                     aggregatesLast: Boolean = true, level: Option[Int] = None,
+                     aggregatesLast: Boolean = true, level: Option[Level] = None,
                      sortRemaining: Boolean = true): FlatTable =
     Shaping.sortAggregates(this, axis,
       if (labels.nonEmpty) labels else meta.marginLabelSeq, aggregatesLast,

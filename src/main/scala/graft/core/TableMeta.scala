@@ -22,6 +22,20 @@ object Axis {
   }
 }
 
+/** Level addressing mirroring the reference's `Level = int | str`
+  * (types.py:4, axes.py:11-26): by position (negatives count from the end)
+  * or by level name. Implicit conversions keep call sites literal:
+  * `addSubagg("sum", level = 0)` and `addSubagg("sum", level = "region")`
+  * both work. */
+sealed trait Level
+object Level {
+  final case class Pos(i: Int) extends Level
+  final case class Named(name: String) extends Level
+  import scala.language.implicitConversions
+  implicit def fromInt(i: Int): Level = Pos(i)
+  implicit def fromName(s: String): Level = Named(s)
+}
+
 /** One *value* column of a [[FlatTable]]: its flat physical name in the Spark
   * schema plus its hierarchical key on the column axis (the pandas column
   * MultiIndex has no Spark analogue, so the hierarchy lives here as metadata;
@@ -82,6 +96,10 @@ final case class TableMeta(
     val i = indexLevels.indexOf(name)
     require(i >= 0, s"no index level named '$name' (have ${indexLevels.mkString(", ")})")
     i
+  }
+  def resolveLevel(l: Level): Int = l match {
+    case Level.Pos(i)      => resolveLevel(i)
+    case Level.Named(name) => resolveLevel(name)
   }
 
   /** Column-axis margin test: a value column is a margin/derived column if any

@@ -65,7 +65,7 @@ object Aggregation {
     )
   }
 
-  def addSubagg(ft: FlatTable, aggfunc: String, level: Int = 0,
+  def addSubagg(ft: FlatTable, aggfunc: String, level: Level = 0,
                 label: Option[String] = None, includeLevelName: Boolean = false,
                 ignoreKeys: Seq[String] = Nil, skipSingleRows: Boolean = true,
                 fill: String = "", kind: String = "subaggs"): FlatTable = {

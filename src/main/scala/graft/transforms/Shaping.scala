@@ -26,7 +26,7 @@ object Shaping {
     */
   def sortAggregates(ft: FlatTable, axis: Axis = Axis.Rows,
                      labels: Seq[String], aggregatesLast: Boolean = true,
-                     level: Option[Int] = None,
+                     level: Option[Level] = None,
                      sortRemaining: Boolean = true): FlatTable =
     axis match {
       case Axis.Rows =>
@@ -41,11 +41,11 @@ object Shaping {
     }
 
   private def sortRows(ft: FlatTable, labels: Seq[String], last: Boolean,
-                       level: Option[Int], sortRemaining: Boolean): DataFrame = {
+                       level: Option[Level], sortRemaining: Boolean): DataFrame = {
     val ordered: Seq[String] = level match {
       case None    => ft.meta.indexLevels
       case Some(k) =>
-        val chosen = ft.meta.indexLevels(ft.meta.resolveLevel(k))
+        val chosen = ft.meta.indexLevels(ft.meta.resolveLevel(k))  // Level overload
         if (sortRemaining) chosen +: ft.meta.indexLevels.filterNot(_ == chosen)
         else Seq(chosen)
     }
@@ -64,12 +64,14 @@ object Shaping {
     * per-level margin flags only, so non-margin columns keep their appearance
     * order (faithful to axes.py:118-125). */
   private def sortColumns(meta: TableMeta, labels: Seq[String], last: Boolean,
-                          level: Option[Int] = None,
+                          levelOpt: Option[Level] = None,
                           sortRemaining: Boolean = true): Seq[ColKey] = {
     import scala.math.Ordering.Implicits._
     def flag(part: String): Int =
       if (labels.exists(l => part == l || part.startsWith(l))) (if (last) 1 else -1) else 0
-    level match {
+    levelOpt.map { case Level.Pos(i) => i
+      case Level.Named(n) => throw new IllegalArgumentException(
+        s"column levels are addressed by position, got name '$n'") } match {
       case None    => meta.columns.sortBy(ck => ck.key.map(flag).toList)
       case Some(k) =>
         val levels =
@@ -207,7 +209,7 @@ object Shaping {
   /** Sort rows by an explicit label order on one level (reference
     * `sort_index_from_list`, tooling.py:111-118); labels not in the list sort
     * after, by value. */
-  def sortIndexFromList(ft: FlatTable, order: Seq[String], level: Int = 0): FlatTable = {
+  def sortIndexFromList(ft: FlatTable, order: Seq[String], level: Level = 0): FlatTable = {
     val k = ft.meta.resolveLevel(level)
     val lvl = ft.meta.indexLevels(k)
     val pos = array_position(array(order.map(lit): _*), col(lvl).cast("string"))

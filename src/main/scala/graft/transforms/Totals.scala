@@ -16,7 +16,7 @@ object Totals {
                 ignoreKeys: Seq[String] = Nil, fill: String = ""): FlatTable =
     Aggregation.addAgg(ft, "sum", axis, Some(label), ignoreKeys, fill, kind = "totals")
 
-  def addSubtotals(ft: FlatTable, axis: Axis = Axis.Rows, levels: Seq[Int] = Seq(0),
+  def addSubtotals(ft: FlatTable, axis: Axis = Axis.Rows, levels: Seq[Level] = Seq(0),
                    label: String = Defaults.labelSubtotals,
                    includeLevelName: Boolean = false, ignoreKeys: Seq[String] = Nil,
                    skipSingleRows: Boolean = true, fill: String = ""): FlatTable = {
@@ -27,12 +27,13 @@ object Totals {
         // Labels must stay distinct across passes (margin-key collision rule),
         // so subsequent levels get a level-qualified label.
         levels.zipWithIndex.foldLeft(ft) { case (acc, (lvl, i)) =>
-          val lab = if (i == 0) label else s"$label (${acc.meta.indexLevels(lvl)})"
+          val k = acc.meta.resolveLevel(lvl)
+          val lab = if (i == 0) label else s"$label (${acc.meta.indexLevels(k)})"
           Aggregation.addSubagg(acc, "sum", lvl, Some(lab), includeLevelName,
             ignoreKeys, skipSingleRows, fill, kind = "subtotals")
         }
       case Axis.Cols =>
-        Shaping.addColSubtotals(ft, levels, label, ignoreKeys, fill)
+        Shaping.addColSubtotals(ft, levels.map(ft.meta.resolveLevel), label, ignoreKeys, fill)
       case Axis.Both =>
         addSubtotals(addSubtotals(ft, Axis.Rows, levels, label, includeLevelName,
             ignoreKeys, skipSingleRows, fill),

@@ -133,6 +133,20 @@ class ShapingSpec extends AnyFunSuite {
     assert(target.reindexByLevels(ref2).meta.valueCols == Seq("c1", "c0"))
   }
 
+  test("levels address by name or position (types.py Level = int|str)") {
+    val ft = MakeTestDf(spark, nRows = 8, nCols = 2, idxDupes = Seq(4, 1))
+    val byName = ft.addSubtotals(Axis.Rows, Seq("R0"))
+    val byPos = ft.addSubtotals(Axis.Rows, Seq(0))
+    assert(byName.ordered.collect().map(_.toSeq).toSeq ==
+      byPos.ordered.collect().map(_.toSeq).toSeq)
+    val sorted = byName.sortAggregates(Axis.Rows, level = Some("R1"),
+      sortRemaining = false)
+    assert(sorted.df.collect().last.getString(1) == "Subtotals")
+    intercept[IllegalArgumentException] {
+      ft.addSubtotals(Axis.Rows, Seq("nope"))
+    }
+  }
+
   test("canonical order is deterministic under repartition (shuffle-safety)") {
     val ft = MakeTestDf(spark, nRows = 7, nCols = 2, idxDupes = Seq(4, 1))
       .addSubtotals(Axis.Rows, Seq(0)).addTotals(Axis.Rows)
