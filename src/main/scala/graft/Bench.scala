@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,6 +28,10 @@ object Bench {
         .withColumn("rn", row_number().over(Window.orderBy("r_name")))
         .collect()
     }
+    // a broken query must fail the bench loudly, not silently record ~0s
+    // (which would *improve* the total); record the error per-query and
+    // exit nonzero after the survivors have still been timed
+    var errors = Map.empty[String, String]
     val results = selected.map { case (name, fn) =>
       // drain the previous query's garbage so its collection pauses don't
       // bleed into this query's wall-clock
@@ -36,13 +40,23 @@ object Bench {
       // noop sink materializes every output column — `.count()` would let
       // Spark prune unreferenced projections for some plans
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors += name -> (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n\r]", " "))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} errored: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -83,6 +83,17 @@ object Queries {
     "q10_pct_grand" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both))
         .asPercentages(Axis.Both).ordered),
+    // q10 THROUGH a writeTable→readTable round-trip (VERDICT r2 #3): the
+    // margin table is persisted to parquet with its TableMeta in field
+    // metadata and rebuilt before the percentage view. The oracle is q10's —
+    // identical output is only possible if margin tracking (the grand-total
+    // lookup) and the column set survive the round-trip.
+    "q47_meta_roundtrip" -> { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_q47").toString + "/t"
+      graft.sources.IO.writeTable(
+        castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both)), path)
+      graft.sources.IO.readTable(s, path).asPercentages(Axis.Both).ordered
+    },
     "q11_add_pct" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Rows))
         .addPercentages(Axis.Rows).ordered),
@@ -301,7 +312,8 @@ object Queries {
         |t AS (SELECT CAST(SUM(count) AS BIGINT) AS tot FROM c)
         |SELECT u.event_type, u.count,
         |       (CAST(u.count AS DOUBLE)/CAST(t.tot AS DOUBLE))*100 AS pct__count
-        |FROM u, t ORDER BY (u.event_type='Totals'), u.event_type""".stripMargin,
+        |FROM u, t
+        |ORDER BY (u.event_type='Totals'), u.count DESC, u.event_type""".stripMargin,
     "q08_pct_rowwise" ->
       s"""WITH g AS ($q03G)
          |SELECT l_returnflag,
@@ -318,6 +330,16 @@ object Queries {
          |  (CAST(g.Totals AS DOUBLE)/CAST(tr.tT AS DOUBLE))*100 AS Totals
          |FROM g, tr ORDER BY (g.l_returnflag='Totals'), g.l_returnflag""".stripMargin,
     "q10_pct_grand" ->
+      s"""WITH g AS ($q03G),
+         |tr AS (SELECT Totals AS grand FROM g WHERE l_returnflag='Totals')
+         |SELECT g.l_returnflag,
+         |  (CAST(g.F AS DOUBLE)/CAST(tr.grand AS DOUBLE))*100 AS F,
+         |  (CAST(g.O AS DOUBLE)/CAST(tr.grand AS DOUBLE))*100 AS O,
+         |  (CAST(g.Totals AS DOUBLE)/CAST(tr.grand AS DOUBLE))*100 AS Totals
+         |FROM g, tr ORDER BY (g.l_returnflag='Totals'), g.l_returnflag""".stripMargin,
+    // round-trip is an identity on the data: q10's oracle binds iff the
+    // persisted metadata reconstructs the same margin-aware percentage view
+    "q47_meta_roundtrip" ->
       s"""WITH g AS ($q03G),
          |tr AS (SELECT Totals AS grand FROM g WHERE l_returnflag='Totals')
          |SELECT g.l_returnflag,

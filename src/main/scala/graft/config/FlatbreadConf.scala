@@ -17,7 +17,15 @@ final case class FlatbreadConf(
     labelDiff: String = "diff",
     naRep: String = "<NA>",
     pctNdigits: Int = -1,
-    pctBase: Int = 100
+    pctBase: Int = 100,
+    /** When true, apportioned rounding on a hierarchical index partitions its
+      * cumsum window by the outer index levels (parallel, spill-safe at
+      * scale; each group's rounded values sum to that GROUP's rounded sum).
+      * Default false = the reference's single global column-wise cumsum
+      * (percentages.py:390-419), whose column total equals the rounded grand
+      * total — the two differ when per-group rounded sums don't add up to
+      * the rounded global sum, so the parallel variant is opt-in. */
+    apportionPartitioned: Boolean = false
 )
 
 object FlatbreadConf {
@@ -57,7 +65,9 @@ object FlatbreadConf {
       labelDiff = s("label_diff", c.labelDiff),
       naRep = s("na_rep", c.naRep),
       pctNdigits = i("ndigits", c.pctNdigits),
-      pctBase = i("base", c.pctBase)
+      pctBase = i("base", c.pctBase),
+      apportionPartitioned = m.get("apportion_partitioned")
+        .map(_.equalsIgnoreCase("true")).getOrElse(c.apportionPartitioned)
     )
   }
 

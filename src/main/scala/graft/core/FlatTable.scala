@@ -47,10 +47,21 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
       Seq(flag, rank, col(l))
     }
 
-  /** The table in canonical order with columns in metadata order. */
+  /** The table in canonical order with columns in metadata order. A
+    * [[TableMeta.rowOrder]] (e.g. value_counts' count-descending contract)
+    * overrides the index sort for data rows; margin rows stay pinned last in
+    * introduction order either way. */
   def ordered: DataFrame = {
     val cols = (meta.indexLevels ++ meta.valueCols).map(col)
-    df.orderBy(canonicalSortKeys(): _*).select(cols: _*)
+    val keys =
+      if (meta.rowOrder.isEmpty) canonicalSortKeys()
+      else {
+        val marginFlag = when(isMargin(), lit(1)).otherwise(lit(0))
+        val explicit = meta.rowOrder.map(k =>
+          if (k.ascending) col(k.column).asc else col(k.column).desc)
+        (marginFlag +: explicit) ++ meta.indexLevels.map(col)
+      }
+    df.orderBy(keys: _*).select(cols: _*)
   }
 
   // ---- fluent operator surface (delegates to transforms) ----------------

@@ -53,6 +53,9 @@ final case class ColKey(physical: String, key: Seq[String]) {
   */
 final case class MarginLabel(kind: String, label: String)
 
+/** One key of an explicit row order carried in [[TableMeta.rowOrder]]. */
+final case class SortKey(column: String, ascending: Boolean = true)
+
 /** Side-channel metadata carried alongside the wrapped DataFrame — the Spark
   * re-expression of `df.attrs['flatbread']` + the index/column structure that
   * pandas keeps on its axes (SURVEY.md §1.3).
@@ -61,12 +64,17 @@ final case class MarginLabel(kind: String, label: String)
   * @param columns     ordered value columns with their column-axis hierarchy
   * @param colNames    names of the column-axis levels (pandas `columns.names`)
   * @param marginLabels labels introduced by margin ops, in introduction order
+  * @param rowOrder    optional explicit row order (e.g. value_counts' pandas
+  *                    count-descending contract) that overrides the canonical
+  *                    index sort in [[FlatTable.ordered]]; margin rows stay
+  *                    pinned last regardless
   */
 final case class TableMeta(
     indexLevels: Seq[String],
     columns: Seq[ColKey],
     colNames: Seq[Option[String]] = Seq(None),
-    marginLabels: Seq[MarginLabel] = Nil
+    marginLabels: Seq[MarginLabel] = Nil,
+    rowOrder: Seq[SortKey] = Nil
 ) {
   require(indexLevels.nonEmpty, "a FlatTable needs at least one index level")
 
@@ -113,4 +121,64 @@ final case class TableMeta(
   /** Value columns that are plain data (not margins/pct/derived). */
   def dataColumns(extraIgnore: Seq[String] = Nil): Seq[ColKey] =
     columns.filterNot(ck => colIsMargin(ck, extraIgnore))
+}
+
+/** JSON (de)serialization of [[TableMeta]] for persistence in
+  * `StructField.metadata` (SURVEY §1.3): a written-then-reread table keeps
+  * its margin tracking, column hierarchy, and explicit row order instead of
+  * degrading to a plain DataFrame. Uses the Jackson shipped with Spark. */
+object TableMetaCodec {
+
+  /** StructField.metadata key carrying the serialized TableMeta. */
+  val Key = "graft.flatbread"
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def toJson(meta: TableMeta): String = {
+    val m = mapper
+    val root = m.createObjectNode()
+    val il = root.putArray("indexLevels")
+    meta.indexLevels.foreach(il.add)
+    val cols = root.putArray("columns")
+    meta.columns.foreach { ck =>
+      val c = cols.addObject()
+      c.put("physical", ck.physical)
+      val k = c.putArray("key")
+      ck.key.foreach(k.add)
+    }
+    val cn = root.putArray("colNames")
+    meta.colNames.foreach {
+      case Some(n) => cn.add(n)
+      case None    => cn.addNull()
+    }
+    val ml = root.putArray("marginLabels")
+    meta.marginLabels.foreach { l =>
+      val o = ml.addObject()
+      o.put("kind", l.kind)
+      o.put("label", l.label)
+    }
+    val ro = root.putArray("rowOrder")
+    meta.rowOrder.foreach { k =>
+      val o = ro.addObject()
+      o.put("column", k.column)
+      o.put("ascending", k.ascending)
+    }
+    m.writeValueAsString(root)
+  }
+
+  def fromJson(json: String): TableMeta = {
+    import scala.jdk.CollectionConverters._
+    val root = mapper.readTree(json)
+    def arr(name: String) = root.get(name).elements().asScala.toSeq
+    TableMeta(
+      indexLevels = arr("indexLevels").map(_.asText()),
+      columns = arr("columns").map(c => ColKey(c.get("physical").asText(),
+        c.get("key").elements().asScala.map(_.asText()).toSeq)),
+      colNames = arr("colNames").map(n => if (n.isNull) None else Some(n.asText())),
+      marginLabels = arr("marginLabels").map(l =>
+        MarginLabel(l.get("kind").asText(), l.get("label").asText())),
+      rowOrder = arr("rowOrder").map(k =>
+        SortKey(k.get("column").asText(), k.get("ascending").asBoolean()))
+    )
+  }
 }

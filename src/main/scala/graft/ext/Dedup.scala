@@ -3,7 +3,17 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.funcs.ArrayAggregates
+/** Lineage-truncation strategy for iterative algorithms
+  * ([[Dedup.nearDupClusters]]). `Local` materializes executor-local blocks —
+  * fast and the right default in local mode, but the blocks are LOST on
+  * executor failure, killing the job mid-iteration. `Reliable(dir)` writes
+  * checkpoints under a (distributed) filesystem path and survives executor
+  * loss — use it on a real cluster. */
+sealed trait CheckpointStrategy
+object CheckpointStrategy {
+  case object Local extends CheckpointStrategy
+  final case class Reliable(dir: String) extends CheckpointStrategy
+}
 
 /** Deduplication operators for training-data pipelines: exact (fingerprint
   * hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH, and SimHash.
@@ -13,11 +23,11 @@ import graft.funcs.ArrayAggregates
   * group by hash; the Jaccard join is an inverted-index join on shingles
   * (never a cross join) with a stop-gram document-frequency cap on by
   * default; LSH banding turns all-pairs similarity into a band-bucket
-  * equi-join, the only formulation that survives 100 TB. Signature
-  * aggregation (MinHash mins, SimHash bit balances) runs through single
-  * array-buffer aggregates ([[graft.funcs.ArrayAggregates]]) — one narrow
-  * aggregate column instead of the 128/64 independent aggregate columns of
-  * the naive formulation.
+  * equi-join, the only formulation that survives 100 TB. Signatures
+  * (MinHash mins, SimHash bit balances) are per-document quantities computed
+  * by codegen'd scalar expressions ([[graft.funcs.MinHashSignature]],
+  * [[graft.funcs.SimHashSignature]]) over per-doc shingle-hash arrays —
+  * zero shuffles until the band/block equi-join.
   */
 object Dedup {
 
@@ -105,18 +115,31 @@ object Dedup {
     * cluster = the smallest doc id in the component, i.e. the KEPT
     * representative of the dedup group. Each round is one shuffle join +
     * aggregate; lineage is truncated per round so plans stay flat.
+    *
+    * @param checkpoint lineage-truncation strategy: [[CheckpointStrategy.Local]]
+    *   (default, local-mode) or [[CheckpointStrategy.Reliable]] with a
+    *   checkpoint dir for fault tolerance on a real cluster
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val cp: DataFrame => DataFrame = checkpoint match {
+      case CheckpointStrategy.Local => _.localCheckpoint()
+      case CheckpointStrategy.Reliable(dir) =>
+        df => {
+          val sc = df.sparkSession.sparkContext
+          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          df.checkpoint()
+        }
+    }
     // materialize the (possibly expensive) pair pipeline ONCE: edges and the
     // initial labels both derive from it, and every propagation round joins
     // against edges — without this the upstream similarity join would
     // re-execute each round
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val p = cp(pairs.select(col("id1"), col("id2")))
     val edges = p.unionByName(p.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = p
+    var labels = cp(p
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+      .withColumn("cluster", col("id")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -125,10 +148,9 @@ object Dedup {
         .agg(min(col("cluster")).as("__nbr"))
       // carry the previous label through the checkpoint so convergence
       // detection is a local filter over materialized rows, not another join
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = cp(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("cluster").as("__old"),
-          least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+          least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster")))
       converged = next.filter(col("cluster") =!= col("__old")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iters += 1
@@ -151,19 +173,32 @@ object Dedup {
 
   /** MinHash signatures: for each permutation i, min over shingles of
     * (a_i * h + b_i) mod p, with h = xxhash64(shingle) folded to 31 bits.
-    * One aggregation over the exploded posting list — a single shuffle on id
-    * — with the whole 128-slot signature in one array buffer
-    * ([[ArrayAggregates.MinHashAgg]]); same math and same mins as the
-    * 128-column formulation it replaces. Output: (id, sig: array<long>).
+    * A signature is a per-document quantity, so it is computed as ONE
+    * codegen'd scalar expression ([[graft.funcs.MinHashSignature]]) over the
+    * per-doc distinct shingle-hash array — zero shuffles, embarrassingly
+    * parallel, no aggregation buffers (the r2 UDAF formulation paid a
+    * groupBy(id) shuffle plus encoder round-trips for the same mins).
+    * Assumes `idCol` identifies a document uniquely (one signature per row).
+    * Output: (id, sig: array<long>).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numPerm: Int = 128, k: Int = 4,
                         seed: Long = 42L): DataFrame = {
-    val post = postings(df, idCol, textCol, k)
-      .withColumn("h", pmod(xxhash64(col("g")), lit(P31)))
+    graft.funcs.VectorFunctions.register(df.sparkSession)
     val (as, bs) = perms(numPerm, seed).unzip
-    post.groupBy(col("id"))
-      .agg(ArrayAggregates.minhash(as.toArray, bs.toArray)(col("h")).as("sig"))
+    // Each projection materializes the non-cheap array the next one folds
+    // over, so CollapseProject cannot duplicate the regex/shingle work;
+    // shingle hashing happens inside the codegen'd signature expression.
+    // coalesce makes the whole chain NON-NULLABLE (null text = empty doc):
+    // otherwise the downstream band join infers isnotnull(sig) and pushes a
+    // filter below these projections, re-inlining the full signature tree
+    // into an interpreted per-row Filter with no CSE — measured 5-10× the
+    // entire query's cost.
+    df.select(col(idCol).as("id"),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col("id"), shinglesOfTokens(col("__t"), k).as("__g"))
+      .select(col("id"),
+        graft.funcs.VectorFunctions.minhashSig(col("__g"), as.toArray, bs.toArray).as("sig"))
   }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
@@ -211,39 +246,33 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit shingle hash as two non-negative 32-bit words (low, high) from
-    * xxhash64 — the fast default hasher. */
-  def xxWords(g: Column): (Column, Column) = {
-    val h = xxhash64(g)
-    (h.bitwiseAND(lit(0xFFFFFFFFL)), shiftrightunsigned(h, 32))
-  }
-
-  /** 64-bit shingle hash as two 32-bit words taken from the LOWER 64 bits of
-    * md5 (hex chars 25..32 = low word, 17..24 = high word). Slower than
-    * xxhash64 but recomputable in ANSI SQL (`md5` + hex substring + CAST) —
-    * the hasher the DuckDB correctness oracle can mirror exactly. */
-  def md5Words(g: Column): (Column, Column) = {
-    val m = md5(g)
-    (conv(substring(m, 25, 8), 16, 10).cast("long"),
-     conv(substring(m, 17, 8), 16, 10).cast("long"))
+  /** Shingle hasher for SimHash: [[Hasher.Xx]] (xxhash64 seed 42, fast
+    * default) or [[Hasher.Md5]] (lower 64 md5 bits as two hex-substring
+    * words — slower but recomputable in ANSI SQL, the hasher the DuckDB
+    * correctness oracle mirrors; see [[graft.funcs.SimHashSignature]]). */
+  sealed trait Hasher
+  object Hasher {
+    case object Xx extends Hasher
+    case object Md5 extends Hasher
   }
 
   /** 64-bit SimHash: per bit position, sum +1/-1 over shingle hash bits; the
-    * sign vector packs into one long. Single shuffle on id with the 64 bit
-    * balances in one array buffer ([[ArrayAggregates.BitBalanceAgg]]).
-    * `words` picks the shingle hasher (default xxhash64; [[md5Words]] for
-    * SQL-oracle-able signatures). */
+    * sign vector packs into one long. Per-document quantity → one codegen'd
+    * scalar expression ([[graft.funcs.SimHashSignature]], hashing inside the
+    * compiled loop) over the per-doc shingle array — zero shuffles (the r2
+    * formulation paid a groupBy(id) shuffle for the bit-balance
+    * aggregation). Assumes `idCol` identifies a document uniquely. */
   def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 4,
-              words: Column => (Column, Column) = xxWords): DataFrame = {
-    val (w0, w1) = words(col("g"))
-    val post = postings(df, idCol, textCol, k)
-      .select(col("id"), w0.as("w0"), w1.as("w1"))
-    val sums = post.groupBy(col("id"))
-      .agg(ArrayAggregates.bitBalance(col("w0"), col("w1")).as("s"))
-    val sig = (0 until 64).map(i =>
-      when(element_at(col("s"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("id"), sig.as("simhash"))
+              hasher: Hasher = Hasher.Xx): DataFrame = {
+    graft.funcs.VectorFunctions.register(df.sparkSession)
+    // coalesce keeps the chain non-nullable — see minhashSignatures for why
+    // (inferred isnotnull(sig) would re-inline the tree below the block join)
+    df.select(col(idCol).as("id"),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col("id"), shinglesOfTokens(col("__t"), k).as("__g"))
+      .select(col("id"),
+        graft.funcs.VectorFunctions.simhashSig(col("__g"),
+          useMd5 = hasher == Hasher.Md5).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
@@ -251,9 +280,9 @@ object Dedup {
     * least one of 4 blocks — pigeonhole), so no cross join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, k: Int = 4,
-                   words: Column => (Column, Column) = xxWords): DataFrame = {
+                   hasher: Hasher = Hasher.Xx): DataFrame = {
     require(maxDist < 4, "blocking scheme assumes maxDist <= 3 (4 blocks)")
-    val sigs = simhash(df, idCol, textCol, k, words)
+    val sigs = simhash(df, idCol, textCol, k, hasher)
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v")))

@@ -78,15 +78,14 @@ object TextStats {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Rolling polynomial hash (Rabin-Karp style) over the normalized text —
-    * an alternative cheap fingerprint with incremental-update structure. */
+    * an alternative cheap fingerprint with incremental-update structure.
+    * One codegen'd character loop per row ([[graft.funcs.RollingHash]]:
+    * `h = (h·131 + c) mod 2^31−1`), no per-character array materialization,
+    * and the identical fold runs in ANSI SQL for the DuckDB oracle (q30). */
   def rollingHash(text: Column): Column = {
+    graft.funcs.VectorFunctions.register(org.apache.spark.sql.SparkSession.active)
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    // fold over code points: h = h*31 + c  (mod 2^64 via long overflow)
-    aggregate(
-      transform(split(norm, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (h, c) => h * lit(31L) + c
-    )
+    graft.funcs.VectorFunctions.rollingHash(norm)
   }
 
   /** All per-document stats in one projection. */

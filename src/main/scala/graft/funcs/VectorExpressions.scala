@@ -1,9 +1,9 @@
 package graft.funcs
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Codegen'd dot product over `array<float>` embedding columns, accumulated
@@ -121,10 +121,236 @@ case class LshSignatureFloat(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd MinHash signature over a document's (already distinct) shingle
+  * STRING array: per shingle `h = pmod(xxhash64(s, seed=42), 2^31−1)` —
+  * bit-identical to Spark's `pmod(xxhash64(col), p)` — then slot i is
+  * `min over h of (a(i)·h + b(i)) mod 2^31−1`.
+  *
+  * Two design points, both load-bearing for scale:
+  *  - signatures are PER-DOCUMENT quantities, so a scalar expression replaces
+  *    the r2 `groupBy(id)` + array-buffer-UDAF shuffle — the signature stage
+  *    is a zero-shuffle map, embarrassingly parallel;
+  *  - the shingle HASHING happens inside this compiled loop. Computing it as
+  *    a `transform(...)` higher-order function instead runs one interpreted
+  *    expression-tree walk per element (HOF lambdas are never codegen'd),
+  *    which measured ~10× slower than this loop on the sf0.1 corpus.
+  */
+case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression {
+
+  require(a.nonEmpty && a.length == b.length, "coefficient arrays must match")
+  private val P31 = 2147483647L
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val gs = input.asInstanceOf[ArrayData]
+    val m = gs.numElements()
+    val n = aArr.length
+    val sig = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(gs.getUTF8String(j), 42L)
+      val h = ((h0 % P31) + P31) % P31
+      var i = 0
+      while (i < n) {
+        val v = (aArr(i) * h + bArr(i)) % P31
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, gs => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val n = aArr.length
+      val m = ctx.freshName("m")
+      val sig = ctx.freshName("sig")
+      val h0 = ctx.freshName("h0")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $m = $gs.numElements();
+         |long[] $sig = new long[$n];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $h0 = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($gs.getUTF8String($j), 42L);
+         |  long $h = (($h0 % ${P31}L) + ${P31}L) % ${P31}L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $v = ($aRef[$i] * $h + $bRef[$i]) % ${P31}L;
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Codegen'd 64-bit SimHash over a document's shingle STRING array. Each
+  * shingle hashes to two non-negative 32-bit words (low, high); bit i of the
+  * result is set iff `sum over shingles of (±1 at word bit i) > 0`, with
+  * word-0 bits landing at 0..31 and word-1 bits at 32..63.
+  *
+  * `useMd5 = true` takes the words from the LOWER 64 bits of the md5 digest
+  * (hex chars 25..32 = low word, 17..24 = high word — recomputable in ANSI
+  * SQL as `conv(substring(md5(s), …), 16, 10)`, which is what the DuckDB
+  * correctness oracle runs); `false` uses xxhash64(seed 42) split into its
+  * two halves (the fast non-oracle default). Hashing lives INSIDE this
+  * compiled loop: the interpreted-`transform` formulation of the same words
+  * measured ~15× slower (one expression-tree walk per shingle).
+  */
+case class SimHashSignature(child: Expression, useMd5: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val gs = input.asInstanceOf[ArrayData]
+    val m = gs.numElements()
+    val bal = new Array[Long](64)
+    var j = 0
+    while (j < m) {
+      val s = gs.getUTF8String(j)
+      var w0 = 0L
+      var w1 = 0L
+      if (useMd5) {
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+        w1 = ((d(8) & 0xffL) << 24) | ((d(9) & 0xffL) << 16) |
+          ((d(10) & 0xffL) << 8) | (d(11) & 0xffL)
+        w0 = ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+          ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+      } else {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+        w0 = h & 0xFFFFFFFFL
+        w1 = h >>> 32
+      }
+      var i = 0
+      while (i < 32) {
+        bal(i) += ((w0 >>> i) & 1L) * 2L - 1L
+        bal(i + 32) += ((w1 >>> i) & 1L) * 2L - 1L
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (bal(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, gs => {
+      val m = ctx.freshName("m")
+      val bal = ctx.freshName("bal")
+      val s = ctx.freshName("s")
+      val w0 = ctx.freshName("w0")
+      val w1 = ctx.freshName("w1")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig")
+      // NB: no generated line may START with '|' (a continuation of a
+      // bitwise-or) — the enclosing stripMargin would eat it
+      val words =
+        if (useMd5)
+          s"""byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5($s.getBytes());
+             |  long $w1 = (($d[8] & 0xffL) << 24) | (($d[9] & 0xffL) << 16) | (($d[10] & 0xffL) << 8) | ($d[11] & 0xffL);
+             |  long $w0 = (($d[12] & 0xffL) << 24) | (($d[13] & 0xffL) << 16) | (($d[14] & 0xffL) << 8) | ($d[15] & 0xffL);""".stripMargin
+        else
+          s"""long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($s, 42L);
+             |  long $w0 = $h & 0xFFFFFFFFL;
+             |  long $w1 = $h >>> 32;""".stripMargin
+      s"""
+         |int $m = $gs.numElements();
+         |long[] $bal = new long[64];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $gs.getUTF8String($j);
+         |  $words
+         |  for (int $i = 0; $i < 32; $i++) {
+         |    $bal[$i] += (($w0 >>> $i) & 1L) * 2L - 1L;
+         |    $bal[$i + 32] += (($w1 >>> $i) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($bal[$i] > 0) $sig |= (1L << $i);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
+/** Codegen'd Rabin-Karp rolling polynomial hash over a string's characters:
+  * `h = (h·131 + c) mod 2^31−1`, folding left to right. Arithmetic stays
+  * within modular 31-bit values (products < 2^39), so the identical fold is
+  * expressible in ANSI SQL / DuckDB `list_reduce` for the correctness
+  * oracle — unlike the 2^64-wraparound variant it replaces (BIGINT overflow
+  * errors in standard SQL engines), and unlike the `split(s,"")` +
+  * per-element `ascii()` formulation it replaces, which materialized a
+  * one-char-string array per row. Characters are UTF-16 code units (= code
+  * points for BMP text).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  private val P31 = 2147483647L
+  private val Base = 131L
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * Base + s.charAt(i)) % P31
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |String $s = $v.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * ${Base}L + $s.charAt($i)) % ${P31}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   private val Name = "graft_dot_f"
   private val SigName = "graft_lsh_sig"
+  private val MinHashName = "graft_minhash_sig"
+  private val SimHashName = "graft_simhash_sig"
+  private val RollName = "graft_rolling_hash"
 
   /** Register the expressions in the session's function registry (idempotent);
     * the registry + `call_function` is the public route from Column to a
@@ -140,6 +366,25 @@ object VectorFunctions {
         case other =>
           throw new IllegalArgumentException(s"bits must be an int literal, got $other")
       }, "built-in")
+    def longArrayLit(e: Expression): Seq[Long] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData, ArrayType(LongType, _)) =>
+        d.toLongArray().toSeq
+      case other =>
+        throw new IllegalArgumentException(s"expected an array<long> literal, got $other")
+    }
+    reg.createOrReplaceTempFunction(
+      MinHashName, exprs =>
+        MinHashSignature(exprs.head, longArrayLit(exprs(1)), longArrayLit(exprs(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      SimHashName, exprs => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) =>
+          SimHashSignature(exprs.head, b)
+        case other =>
+          throw new IllegalArgumentException(s"useMd5 must be a boolean literal, got $other")
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      RollName, exprs => RollingHash(exprs.head), "built-in")
   }
 
   /** Column API for the codegen'd float-array dot product; requires
@@ -151,4 +396,21 @@ object VectorFunctions {
   def lshSig(v: Column, bits: Int): Column =
     org.apache.spark.sql.functions.call_function(SigName, v,
       org.apache.spark.sql.functions.lit(bits))
+
+  /** Column API for the codegen'd per-document MinHash signature over an
+    * `array<string>` of distinct shingles; requires [[register]]. */
+  def minhashSig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
+    org.apache.spark.sql.functions.call_function(MinHashName, shingles,
+      org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))
+
+  /** Column API for the codegen'd per-document SimHash signature over an
+    * `array<string>` of distinct shingles; requires [[register]]. */
+  def simhashSig(shingles: Column, useMd5: Boolean): Column =
+    org.apache.spark.sql.functions.call_function(SimHashName, shingles,
+      org.apache.spark.sql.functions.lit(useMd5))
+
+  /** Column API for the codegen'd rolling polynomial hash; requires
+    * [[register]]. */
+  def rollingHash(s: Column): Column =
+    org.apache.spark.sql.functions.call_function(RollName, s)
 }

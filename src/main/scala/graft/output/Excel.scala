@@ -137,6 +137,9 @@ object Excel {
 
   /** Write the FlatTable as an .xlsx.
     *
+    * @param title         optional title written bold in row 1, merged across
+    *                      the table width, with header + data shifted down one
+    *                      row (reference excel.py:104,130)
     * @param numberFormats user overrides: column label → Excel format code,
     *                      merged OVER the auto-detected smart formats
     *                      (excel.py:151-152)
@@ -146,6 +149,7 @@ object Excel {
     *                      borders (excel.py:153-155)
     */
   def write(ft: FlatTable, path: String, sheetName: String = "flatbread",
+            title: Option[String] = None,
             maxRows: Int = 100000,
             numberFormats: Map[String, String] = Map.empty,
             borderSpecs: Map[String, Seq[String]] = Map.empty): Unit = {
@@ -199,33 +203,45 @@ object Excel {
     }.toSet
 
     val styles = new StyleBook
+    val nCols = meta.nLevels + meta.valueCols.size
+    // title row shifts header + data down one row (excel.py:104,130)
+    val off = if (title.isDefined) 1 else 0
     val sb = new StringBuilder
     sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
     sb ++= "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
+    title.foreach { t =>
+      sb ++= "<row r=\"1\">"
+      sb ++= cell(0, 0, t, 1) // style 1 = bold header font
+      sb ++= "</row>"
+    }
     // header
-    sb ++= "<row r=\"1\">"
+    sb ++= s"""<row r="${off + 1}">"""
     (meta.indexLevels ++ meta.columns.map(_.key.mkString(" / ")))
-      .zipWithIndex.foreach { case (h, c) => sb ++= cell(0, c, h, 1) }
+      .zipWithIndex.foreach { case (h, c) => sb ++= cell(off, c, h, 1) }
     sb ++= "</row>"
     rows.zipWithIndex.foreach { case (row, i) =>
       val idxVals = meta.indexLevels.flatMap(l =>
         Option(row.get(row.fieldIndex(l))).map(_.toString))
       val isMargin = idxVals.exists(v => rowBorderLabels.exists(v.startsWith))
       val rowFmt = rowFormat(idxVals)
-      sb ++= s"""<row r="${i + 2}">"""
+      sb ++= s"""<row r="${off + i + 2}">"""
       meta.indexLevels.zipWithIndex.foreach { case (l, c) =>
         val sty = Sty(None, bold = isMargin, top = isMargin, left = false)
-        sb ++= cell(i + 1, c, row.get(row.fieldIndex(l)), styles.id(sty))
+        sb ++= cell(off + i + 1, c, row.get(row.fieldIndex(l)), styles.id(sty))
       }
       meta.valueCols.zipWithIndex.foreach { case (vc, j) =>
         val sty = Sty(rowFmt.orElse(colFormat(vc)), bold = isMargin,
           top = isMargin, left = leftBorderCols.contains(vc))
-        sb ++= cell(i + 1, meta.nLevels + j, row.get(row.fieldIndex(vc)),
+        sb ++= cell(off + i + 1, meta.nLevels + j, row.get(row.fieldIndex(vc)),
           styles.id(sty))
       }
       sb ++= "</row>"
     }
-    sb ++= "</sheetData></worksheet>"
+    sb ++= "</sheetData>"
+    // the title spans the full table width
+    if (title.isDefined)
+      sb ++= s"""<mergeCells count="1"><mergeCell ref="A1:${colRef(nCols - 1)}1"/></mergeCells>"""
+    sb ++= "</worksheet>"
 
     val zos = new ZipOutputStream(new FileOutputStream(path))
     def put(name: String, content: String): Unit = {

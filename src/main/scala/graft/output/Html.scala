@@ -24,7 +24,10 @@ object Html {
   /** HTML fragment (the reference `_repr_html_` output shape). */
   def fragment(ft: FlatTable, cfg: DisplayConfig = DisplayConfig(),
                formats: Map[String, Map[String, Any]] = Map.empty): String = {
-    val spec = TableSpec.toJson(ft, cfg.maxRows, formats)
+    // Jackson does not escape '/', so a cell value containing "</script>"
+    // would terminate the script element (HTML injection via data); "<\/"
+    // is the standard script-embedding escape and a JSON no-op
+    val spec = TableSpec.toJson(ft, cfg.maxRows, formats).replace("</", "<\\/")
     val id = s"id-${java.util.UUID.randomUUID()}"
     val margins = cfg.marginLabels.getOrElse(ft.meta.marginLabelSeq.toSet)
 

@@ -143,21 +143,26 @@ object Pivot {
   /** Frequency table of one column (reference Series `value_counts`,
     * accessors/series.py:109-151): nulls are counted under `fillna` unless
     * disabled, a Totals row is appended, and optionally a percentage column.
-    * Output order: count descending, value ascending for ties, Totals last
-    * (canonical order).
+    * Output order follows pandas `value_counts(sort=True)` — count
+    * descending, value ascending for ties, Totals pinned last (carried as
+    * [[TableMeta.rowOrder]] so `.ordered` emits it); `sort = false` falls
+    * back to canonical value order.
     */
   def valueCounts(df: DataFrame, column: String,
                   fillna: Option[String] = Some(Defaults.naRep),
                   labelN: String = "count", addPct: Boolean = false,
                   labelPct: String = Defaults.labelPct, ndigits: Int = -1,
                   base: Int = 100,
-                  labelTotals: String = Defaults.labelTotals): FlatTable = {
+                  labelTotals: String = Defaults.labelTotals,
+                  sort: Boolean = true): FlatTable = {
     val keyed = fillna match {
       case Some(rep) => df.select(coalesce(col(column).cast("string"), lit(rep)).as(column))
       case None      => df.select(col(column).cast("string").as(column)).na.drop(Seq(column))
     }
     val counts = keyed.groupBy(col(column)).agg(count(lit(1)).as(labelN))
-    val ft = FlatTable(counts, TableMeta(Seq(column), Seq(ColKey(labelN, Seq(labelN)))))
+    val order = if (sort) Seq(SortKey(labelN, ascending = false)) else Nil
+    val ft = FlatTable(counts,
+      TableMeta(Seq(column), Seq(ColKey(labelN, Seq(labelN))), rowOrder = order))
     val withTotals = Totals.addTotals(ft, Axis.Rows, labelTotals)
     if (addPct)
       Percentages.addPercentages(withTotals, Axis.Rows, labelN, labelPct,

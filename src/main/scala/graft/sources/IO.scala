@@ -1,8 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.MetadataBuilder
 
-import graft.core.FlatTable
+import graft.core.{FlatTable, TableMetaCodec}
 
 /** Sources and sinks (SURVEY.md §2.6: the reference has none — input tables
   * arrive via user code; Spark's readers/writers are exposed here as the
@@ -41,9 +43,36 @@ object IO {
     }
   }
 
-  /** Write a FlatTable's canonical view (margins in place, metadata order). */
-  def writeTable(ft: FlatTable, path: String, format: String = "parquet"): Unit =
-    write(ft.ordered, path, format)
+  /** Write a FlatTable's canonical view (margins in place, metadata order),
+    * with the full [[graft.core.TableMeta]] serialized into the first
+    * column's `StructField.metadata` so [[readTable]] can rebuild the
+    * FlatTable — margin tracking, column hierarchy, row order and all
+    * (SURVEY §1.3). Parquet and ORC persist field metadata; csv/json do not
+    * (a csv/json write degrades to the plain canonical view). */
+  def writeTable(ft: FlatTable, path: String, format: String = "parquet"): Unit = {
+    val ordered = ft.ordered
+    val md = new MetadataBuilder()
+      .putString(TableMetaCodec.Key, TableMetaCodec.toJson(ft.meta)).build()
+    val first = ordered.columns.head
+    write(ordered.withColumn(first, col(first).as(first, md)), path, format)
+  }
+
+  /** Rebuild a FlatTable written by [[writeTable]]: reads the table and
+    * deserializes the TableMeta from the schema's field metadata, so the
+    * round-tripped table ISN'T a plain DataFrame — `addTotals` still skips
+    * the persisted margin rows, the column hierarchy survives, and
+    * `.ordered` still honors the explicit row order. */
+  def readTable(spark: SparkSession, path: String,
+                format: String = "parquet"): FlatTable = {
+    val df = read(spark, path, format)
+    val json = df.schema.fields.collectFirst {
+      case f if f.metadata.contains(TableMetaCodec.Key) =>
+        f.metadata.getString(TableMetaCodec.Key)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no '${TableMetaCodec.Key}' metadata at $path — not written by IO.writeTable " +
+        "(or a format that drops field metadata, e.g. csv/json)"))
+    FlatTable(df, TableMetaCodec.fromJson(json))
+  }
 
   /** Bucketed (and optionally sort-ordered) table write: pre-shuffles rows
     * into a fixed number of buckets on the join/aggregation key so that

@@ -125,7 +125,11 @@ object Streaming {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // a batch containing only events older than the watermark would
+              // otherwise set a timeout before the watermark, which Spark
+              // rejects (IllegalArgumentException fails the whole query)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverse.iterator
           }

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope evidence for the ext operator block (VERDICT r2 #8): runs the
+  * dedup/similarity queries on sf0.1 and on a generated corpus `factor`×
+  * larger, and reports the per-query slope
+  * `t(big) / (t(small) · factor)` — ≈1 means linear scaling.
+  *
+  * The big corpus is `factor` copies of the sf0.1 tables, each copy
+  * DECORRELATED from the others so the near-dup structure grows linearly
+  * (the honest "more data of the same kind" shape — naive duplication would
+  * make every copy a near-dup of every other and grow pairs quadratically):
+  *  - documents: a copy-specific marker token is spliced in every 6 tokens,
+  *    pushing cross-copy Jaccard far below the 0.8 threshold while keeping
+  *    within-copy structure;
+  *  - embeddings: components perturbed by a large (scale 0.5) deterministic
+  *    LCG noise — cross-copy cosines land well under the near-dup regime.
+  *
+  * Env-gated: run via `runMain graft.tools.ScaleSlope [factor]`; writes the
+  * generated corpus under /tmp/graft_scale<factor>/ and reuses it if present.
+  */
+object ScaleSlope {
+
+  def scaledDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) docs
+      else {
+        val marked = zip_with(
+          split(col("text"), " "),
+          sequence(lit(0), size(split(col("text"), " ")) - 1),
+          (t, i) => when(i % 6 === 0, concat(t, lit(s" zq${c}x"))).otherwise(t))
+        docs.select((col("doc_id") + c * 10000000L).as("doc_id"),
+          concat_ws(" ", marked).as("text"))
+      }
+    }.reduce(_ unionByName _)
+
+  def scaledEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) emb
+      else {
+        val pert = zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => (x.cast("double") +
+            lit(0.5) * ((col("vec_id") * 131L + d * 7919L + c * 104729L) % 1000003L *
+              2654435761L % 2000003L - 1000001L).cast("double") / 1000001.0
+          ).cast("float"))
+        emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          pert.as("embedding"))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = s"/tmp/graft_scale$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
+      println(s"generating $bigDir (factor $factor) ...")
+      scaledDocuments(spark.read.parquet(s"$small/documents.parquet"), factor)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      scaledEmbeddings(spark.read.parquet(s"$small/embeddings.parquet"), factor)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    }
+
+    val names = Seq("q31_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
+      "q36_simhash", "q41_cosine_lsh", "q44_dedup_clusters")
+    def run(dir: String, name: String): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (dt, df.count())
+    }
+    // warmup on the small corpus
+    names.foreach(n => run(small, n))
+    println(f"${"query"}%-20s ${"t_small"}%8s ${"t_big"}%8s ${"rows_s"}%8s ${"rows_b"}%8s ${"slope"}%6s")
+    val slopes = names.map { n =>
+      val (ts, rs) = run(small, n)
+      val (tb, rb) = run(bigDir, n)
+      val slope = tb / (ts * factor)
+      println(f"$n%-20s $ts%8.2f $tb%8.2f $rs%8d $rb%8d $slope%6.2f")
+      n -> (ts, tb, rs, rb, slope)
+    }
+    val qs = slopes.map { case (n, (ts, tb, rs, rb, sl)) =>
+      s""""$n":{"t_small":$ts,"t_big":$tb,"rows_small":$rs,"rows_big":$rb,"slope":$sl}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_slope","factor":$factor,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -206,10 +206,18 @@ object Percentages {
     if (ndigits < 0) ft
     else if (apportioned)
       FlatTable(Rounding.apportioned(ft.df, cols, ndigits, ft.canonicalSortKeys(),
-        // scale guardrail: on a hierarchical index, apportion within each
-        // outer-level group (bounded partitions) instead of one global
-        // single-partition window — per-group sum preservation still holds
-        partitionCols = ft.meta.indexLevels.dropRight(1).map(col)), ft.meta)
+        // scale option (opt-in via `apportion_partitioned`): on a
+        // hierarchical index, apportion within each outer-level group
+        // (bounded partitions) instead of one global single-partition
+        // window. Each group's rounded values then sum to that group's
+        // rounded sum — which can differ from the reference's global
+        // column-wise cumsum when per-group rounded sums don't add up to
+        // the rounded grand total, so reference parity (global) is the
+        // default.
+        partitionCols =
+          if (Defaults.conf.apportionPartitioned)
+            ft.meta.indexLevels.dropRight(1).map(col)
+          else Nil), ft.meta)
     else {
       val rounded = cols.foldLeft(ft.df)((d, c) => d.withColumn(c, round(col(c), ndigits)))
       FlatTable(rounded, ft.meta)

@@ -69,7 +69,14 @@ object Shaping {
     import scala.math.Ordering.Implicits._
     def flag(part: String): Int =
       if (labels.exists(l => part == l || part.startsWith(l))) (if (last) 1 else -1) else 0
-    levelOpt.map { case Level.Pos(i) => i
+    levelOpt.map {
+      case Level.Pos(i) =>
+        // negatives count from the end of the COLUMN hierarchy, mirroring
+        // TableMeta.resolveLevel on the row axis (axes.py:11-26)
+        val n = meta.nColLevels
+        val k = if (i < 0) i + n else i
+        require(k >= 0 && k < n, s"column level $i out of range for $n levels")
+        k
       case Level.Named(n) => throw new IllegalArgumentException(
         s"column levels are addressed by position, got name '$n'") } match {
       case None    => meta.columns.sortBy(ck => ck.key.map(flag).toList)

@@ -68,6 +68,23 @@ class ExtSpec extends AnyFunSuite {
     assert(!capped.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("binding cap: J is computed over the FILTERED shingle space (documented asymmetric-J semantics)") {
+    import spark.implicits._
+    // "alpha beta gamma delta" occurs in all 3 docs (df=3); with cap=2 it is
+    // dropped from intersection AND set sizes, so J(0,1) = 1/2 over the
+    // filtered space, vs 2/3 unfiltered — the value itself must bind.
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other words entirely")
+    ).toDF("doc_id", "text")
+    def j(maxDf: Option[Int]): Map[(Long, Long), Double] =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.4, maxDocFreq = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(j(None)((0L, 1L)) - 2.0 / 3.0) < 1e-12)
+    assert(j(Some(2))((0L, 1L)) == 0.5)
+  }
+
   test("nearDupClusters: chains collapse to one component labeled by the min id") {
     import spark.implicits._
     // two components: a chain 1-2-3-4 (tests label propagation over >1 hop)
@@ -77,6 +94,13 @@ class ExtSpec extends AnyFunSuite {
     val got = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the reliable (fault-tolerant) checkpoint strategy yields identical
+    // clusters — only the lineage-truncation mechanism differs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Dedup.nearDupClusters(pairs,
+        checkpoint = CheckpointStrategy.Reliable(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == got)
   }
 
   test("MinHash signatures come back as one 128-slot array per doc") {
@@ -93,12 +117,12 @@ class ExtSpec extends AnyFunSuite {
     val df = Seq((0L, base), (1L, base), (2L, base + " extra"),
       (3L, "completely different words about benchmark suites and shuffle io"))
       .toDF("doc_id", "text")
-    val sigs = Dedup.simhash(df, "doc_id", "text", words = Dedup.md5Words).collect()
+    val sigs = Dedup.simhash(df, "doc_id", "text", hasher = Dedup.Hasher.Md5).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(0L) == sigs(1L))
     assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 10)
     val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3,
-        words = Dedup.md5Words)
+        hasher = Dedup.Hasher.Md5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((0L, 1L)) == 0)
   }
@@ -145,6 +169,11 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(0L) == out(1L))
     assert(out(1L) != out(2L))
+    // pin the exact fold so the DuckDB oracle mirror (q30) stays bindable:
+    // left fold of (h*131 + codepoint) mod 2^31-1 over "hello world"
+    val hw = Seq((0L, "hello world")).toDF("doc_id", "text")
+      .select(TextStats.rollingHash(col("text"))).head().getLong(0)
+    assert(hw == 1031902938L)
   }
 
   test("brute-force ANN ranks an identical vector first") {

@@ -181,6 +181,24 @@ class OutputSpec extends AnyFunSuite {
     } finally zip.close()
   }
 
+  test("xlsx title lands bold in row 1, merged across the width, data shifted down (excel.py:104,130)") {
+    val path = Files.createTempFile("flatbread", ".xlsx").toString
+    Excel.write(table, path, title = Some("Revenue by region"))
+    val zip = new ZipFile(path)
+    try {
+      val sheet = new String(zip.getInputStream(
+        zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+      // title cell is A1 with the bold header style (s="1")
+      assert(sheet.contains("<c r=\"A1\" s=\"1\" t=\"inlineStr\"><is><t xml:space=\"preserve\">Revenue by region</t></is>"))
+      // merged across the full table width
+      assert(sheet.contains("<mergeCell ref=\"A1:"))
+      // header now on row 2, first data row on row 3
+      assert(sheet.contains("<row r=\"2\">"))
+      val firstHeaderCell = sheet.indexOf("r=\"A2\"")
+      assert(firstHeaderCell >= 0)
+    } finally zip.close()
+  }
+
   test("xlsx row-level formats: an index value matching a format label styles the row (excel.py:23-28)") {
     import spark.implicits._
     val ft = graft.core.FlatTable(

@@ -124,6 +124,24 @@ class PercentagesSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical apportionment defaults to the reference's global cumsum; partitioned window is opt-in") {
+    // 1 row in group a, 7 in group b, all equal → every pct is 12.5.
+    // Global cumsum (reference percentages.py:390-419): column total is the
+    // rounded grand total, 100. Partitioned-by-outer-level: group a rounds
+    // 12.5→13 and group b 87.5→88, totalling 101 — the documented divergence
+    // that keeps the parallel variant opt-in.
+    val rows = (("a", "r0", 1.0) +: (0 until 7).map(i => ("b", s"r$i", 1.0))).toSeq
+    val ft = FlatTable(rows.toDF("G", "R", "c0"), 2)
+    def total(): Double =
+      ft.asPercentages(Axis.Rows, ndigits = 0, apportioned = Some(true))
+        .ordered.collect().map(_.getDouble(2)).sum
+    try {
+      assert(total() == 100.0) // default: reference parity
+      graft.config.FlatbreadConf.updateRuntime("apportion_partitioned" -> "true")
+      assert(total() == 101.0) // opt-in: per-group sum preservation
+    } finally graft.config.FlatbreadConf.reset()
+  }
+
   test("parameterized aggfunc: quantile margin equals the exact interpolated percentile") {
     val df = Seq(("a", 10.0), ("b", 20.0), ("c", 40.0), ("d", 80.0))
       .toDF("R0", "c0")
