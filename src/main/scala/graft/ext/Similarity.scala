@@ -244,17 +244,37 @@ object Similarity {
     * p = 1 − θ/π and r = bits/bands. The defaults (r=8, b=8) target the
     * near-dup regime: at cos ≥ 0.999 the per-pair miss probability is
     * ~2.5e-8 while ~97% of isotropic random pairs never become candidates.
-    * For recall at permissive thresholds choose small r and many bands
-    * (e.g. bits=48, bands=24 gives miss < 6e-6 down to cos 0.4), but note
-    * that at such thresholds on isotropic data the candidate set approaches
-    * all pairs and [[cosinePairsBlocked]] is the better plan (see object
-    * doc). */
+    *
+    * Scaling the corpus: random-pair band collisions happen at rate
+    * b·2^−r, so the candidate set still grows with n²·b·2^−r — on a larger
+    * corpus raise r (more bits per band) to keep the candidate mass linear
+    * in the true-pair count. `bits` may exceed 64: the signature then spans
+    * ⌈bits/64⌉ words (plane indexes keep counting across words, so the
+    * 64-bit prefix is unchanged). E.g. bits=256, bands=16 (r=16) cuts the
+    * random collision rate 128× vs the default while keeping per-pair miss
+    * < 1e-10 at cos ≥ 0.999. For recall at permissive thresholds choose
+    * small r and many bands (e.g. bits=48, bands=24 gives miss < 6e-6 down
+    * to cos 0.4), but note that at such thresholds on isotropic data the
+    * candidate set approaches all pairs and [[cosinePairsBlocked]] is the
+    * better plan (see object doc). */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double, bits: Int = 64, bands: Int = 8): DataFrame = {
     val rows = bits / bands
+    require(bits % bands == 0 && rows >= 1 && rows <= 64 && 64 % rows == 0,
+      s"bits/bands must give 1..64 rows per band dividing 64; got bits=$bits bands=$bands")
     val p = prepared(df, idCol, vecCol)
-    val banded = p.select(col("id"),
-      explode(bandKeys(lshSignature(col("v"), bits), bands, rows)).as("bk"))
+    // one signature word per 64 bits; band b reads `rows` bits starting at
+    // absolute bit b·rows (aligned inside one word because rows divides 64)
+    val words = (0 until (bits + 63) / 64).map(w =>
+      graft.funcs.VectorFunctions.lshSig(col("v"), math.min(64, bits - 64 * w), 64 * w))
+    val mask = if (rows == 64) lit(-1L) else lit((1L << rows) - 1)
+    val keys = array((0 until bands).map { b =>
+      val word = words((b * rows) / 64)
+      val shift = (b * rows) % 64
+      struct(lit(b).as("band"),
+        shiftrightunsigned(word, shift).bitwiseAND(mask).as("v"))
+    }: _*)
+    val banded = p.select(col("id"), explode(keys).as("bk"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()

@@ -62,10 +62,11 @@ case class DotProductFloat(left: Expression, right: Expression)
   * replaces `bits` interpreted higher-order-function folds per row (the
   * dominant cost of the LSH queries) with one codegen'd O(dims · bits) pass.
   */
-case class LshSignatureFloat(child: Expression, bits: Int)
+case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+  require(offset >= 0, s"offset must be >= 0, got $offset")
 
   override def dataType: DataType = LongType
 
@@ -78,7 +79,7 @@ case class LshSignatureFloat(child: Expression, bits: Int)
       val q = math.floor(v.getFloat(d).toDouble * 1000000.0).toLong
       var p = 0
       while (p < bits) {
-        val c = (p * 1000003L + d) * 2654435761L % 2000003L - 1000001L
+        val c = ((p + offset) * 1000003L + d) * 2654435761L % 2000003L - 1000001L
         acc(p) += q * c
         p += 1
       }
@@ -105,7 +106,7 @@ case class LshSignatureFloat(child: Expression, bits: Int)
          |for (int $d = 0; $d < $n; $d++) {
          |  long $q = (long) java.lang.Math.floor(((double) $v.getFloat($d)) * 1000000.0);
          |  for (int $p = 0; $p < $bits; $p++) {
-         |    long $c = ($p * 1000003L + $d) * 2654435761L % 2000003L - 1000001L;
+         |    long $c = (($p + $offset) * 1000003L + $d) * 2654435761L % 2000003L - 1000001L;
          |    $acc[$p] += $q * $c;
          |  }
          |}
@@ -360,11 +361,14 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       Name, exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      SigName, exprs => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _) =>
-          LshSignatureFloat(exprs.head, b)
-        case other =>
-          throw new IllegalArgumentException(s"bits must be an int literal, got $other")
+      SigName, exprs => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+          case other =>
+            throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+        }
+        val off = if (exprs.size > 2) intLit(exprs(2), "offset") else 0
+        LshSignatureFloat(exprs.head, intLit(exprs(1), "bits"), off)
       }, "built-in")
     def longArrayLit(e: Expression): Seq[Long] = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData, ArrayType(LongType, _)) =>
@@ -392,10 +396,13 @@ object VectorFunctions {
   def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(Name, a, b)
 
-  /** Column API for the codegen'd LSH signature; requires [[register]]. */
-  def lshSig(v: Column, bits: Int): Column =
+  /** Column API for the codegen'd LSH signature; `offset` shifts the plane
+    * index range to [offset, offset+bits) so signatures wider than 64 bits
+    * compose from multiple words. Requires [[register]]. */
+  def lshSig(v: Column, bits: Int, offset: Int = 0): Column =
     org.apache.spark.sql.functions.call_function(SigName, v,
-      org.apache.spark.sql.functions.lit(bits))
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(offset))
 
   /** Column API for the codegen'd per-document MinHash signature over an
     * `array<string>` of distinct shingles; requires [[register]]. */

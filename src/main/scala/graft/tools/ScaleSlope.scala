@@ -31,8 +31,11 @@ object ScaleSlope {
           split(col("text"), " "),
           sequence(lit(0), size(split(col("text"), " ")) - 1),
           (t, i) => when(i % 6 === 0, concat(t, lit(s" zq${c}x"))).otherwise(t))
-        docs.select((col("doc_id") + c * 10000000L).as("doc_id"),
-          concat_ws(" ", marked).as("text"))
+        docs.select(docs.columns.toSeq.map {
+          case "doc_id" => (col("doc_id") + c * 10000000L).as("doc_id")
+          case "text"   => concat_ws(" ", marked).as("text")
+          case other    => col(other)
+        }: _*)
       }
     }.reduce(_ unionByName _)
 
@@ -46,8 +49,11 @@ object ScaleSlope {
             lit(0.5) * ((col("vec_id") * 131L + d * 7919L + c * 104729L) % 1000003L *
               2654435761L % 2000003L - 1000001L).cast("double") / 1000001.0
           ).cast("float"))
-        emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
-          pert.as("embedding"))
+        emb.select(emb.columns.toSeq.map {
+          case "vec_id"    => (col("vec_id") + c * 10000000L).as("vec_id")
+          case "embedding" => pert.as("embedding")
+          case other       => col(other)
+        }: _*)
       }
     }.reduce(_ unionByName _)
 

@@ -228,6 +228,15 @@ class ExtSpec extends AnyFunSuite {
         .filter(col("fast") =!= col("spec")).count()
       assert(mismatches == 0, s"bits=$bits")
     }
+    // multi-word composition: word w of a wide signature uses plane indexes
+    // [64w, 64w+64), so word 0 IS the 64-bit signature and word 1 equals a
+    // fresh signature offset by 64 planes (distinct from word 0)
+    val words = e.select(
+      graft.funcs.VectorFunctions.lshSig(col("embedding"), 64).as("w0"),
+      graft.funcs.VectorFunctions.lshSig(col("embedding"), 64, 0).as("w0b"),
+      graft.funcs.VectorFunctions.lshSig(col("embedding"), 64, 64).as("w1"))
+    assert(words.filter(col("w0") =!= col("w0b")).count() == 0)
+    assert(words.filter(col("w0") === col("w1")).count() < words.count())
   }
 
   test("LSH cosine pairs: near-dup defaults recover every planted pair") {
