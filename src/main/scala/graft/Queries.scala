@@ -72,17 +72,18 @@ object Queries {
     "q06_drop_totals" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both).dropTotals()).ordered),
     "q07_value_counts" -> ((s, dir) =>
-      Pivot.valueCounts(Tables.events(s, dir), "event_type", addPct = true).ordered),
+      Pivot.valueCounts(Tables.events(s, dir), "event_type", addPct = true,
+          base = 100).ordered),
     // percentages
     "q08_pct_rowwise" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both))
-        .asPercentages(Axis.Cols).ordered),
+        .asPercentages(Axis.Cols, base = 100).ordered),
     "q09_pct_colwise" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both))
-        .asPercentages(Axis.Rows).ordered),
+        .asPercentages(Axis.Rows, base = 100).ordered),
     "q10_pct_grand" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both))
-        .asPercentages(Axis.Both).ordered),
+        .asPercentages(Axis.Both, base = 100).ordered),
     // q10 THROUGH a writeTable→readTable round-trip (VERDICT r2 #3): the
     // margin table is persisted to parquet with its TableMeta in field
     // metadata and rebuilt before the percentage view. The oracle is q10's —
@@ -92,14 +93,24 @@ object Queries {
       val path = java.nio.file.Files.createTempDirectory("graft_q47").toString + "/t"
       graft.sources.IO.writeTable(
         castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both)), path)
-      graft.sources.IO.readTable(s, path).asPercentages(Axis.Both).ordered
+      graft.sources.IO.readTable(s, path).asPercentages(Axis.Both, base = 100).ordered
     },
     "q11_add_pct" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Rows))
-        .addPercentages(Axis.Rows).ordered),
+        .addPercentages(Axis.Rows, base = 100).ordered),
     "q12_apportioned" -> ((s, dir) =>
       castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both))
-        .asPercentages(Axis.Cols, ndigits = 1, apportioned = Some(true)).ordered),
+        .asPercentages(Axis.Cols, ndigits = 1, base = 100,
+          apportioned = Some(true)).ordered),
+    // DEFAULT base (reference parity: base = 1 → fractions,
+    // config.defaults.json:18) on a HIERARCHICAL index with apportioned
+    // rounding — pins both the config default and the reference's GLOBAL
+    // column-wise cumsum down canonical order on a multi-level table (the
+    // partitioned per-group variant is opt-in precisely because it diverges
+    // here)
+    "q48_pct_base_default" -> ((s, dir) =>
+      regionNationOrders(s, dir).addTotals(Axis.Rows)
+        .asPercentages(Axis.Rows, ndigits = 3, apportioned = Some(true)).ordered),
     // shaping
     "q13_sort_from_list" -> ((s, dir) =>
       Shaping.sortIndexFromList(
@@ -370,6 +381,27 @@ object Queries {
          |       wp AS (ORDER BY is_tot, l_returnflag
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |ORDER BY is_tot, l_returnflag""".stripMargin,
+    // fractions (base=1) apportioned at 3 dp via the global cumsum over
+    // canonical order (data rows by (r_name, n_name), Totals row last); the
+    // denominator is the column-totals row = the grand count
+    "q48_pct_base_default" ->
+      """WITH g AS (
+        |  SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey=c_custkey
+        |       JOIN nation ON c_nationkey=n_nationkey
+        |       JOIN region ON n_regionkey=r_regionkey
+        |  GROUP BY r_name, n_name),
+        |u AS (SELECT r_name, n_name, n, 0 AS mr FROM g
+        |      UNION ALL SELECT 'Totals', '', SUM(n), 1 FROM g),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM g),
+        |p AS (SELECT r_name, n_name, CAST(n AS DOUBLE)/t.tot AS v, mr FROM u, t)
+        |SELECT r_name, n_name,
+        |  ROUND(SUM(v) OVER w,3) - COALESCE(ROUND(SUM(v) OVER wp,3),0) AS n_orders
+        |FROM p
+        |WINDOW w AS (ORDER BY mr, r_name, n_name ROWS UNBOUNDED PRECEDING),
+        |       wp AS (ORDER BY mr, r_name, n_name
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY mr, r_name, n_name""".stripMargin,
     "q13_sort_from_list" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
         |ORDER BY CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2

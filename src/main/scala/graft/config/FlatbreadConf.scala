@@ -17,7 +17,12 @@ final case class FlatbreadConf(
     labelDiff: String = "diff",
     naRep: String = "<NA>",
     pctNdigits: Int = -1,
-    pctBase: Int = 100,
+    /** Reference parity: flatbread defaults `base = 1` everywhere
+      * (config.defaults.json:18, accessors/series.py:116,160) — percentage
+      * views produce FRACTIONS, scaled to percent at display time by the
+      * percent format preset. Pass `base = 100` per call (or set `"base":
+      * 100` in `.flatbread.json`) for 0–100-scaled values. */
+    pctBase: Int = 1,
     /** When true, apportioned rounding on a hierarchical index partitions its
       * cumsum window by the outer index levels (parallel, spill-safe at
       * scale; each group's rounded values sum to that GROUP's rounded sum).

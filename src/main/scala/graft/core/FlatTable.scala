@@ -91,13 +91,13 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
     Totals.dropTotals(this, ignoreKeys)
 
   def asPercentages(axis: Axis = Axis.Both, labelTotals: Option[String] = None,
-                    ignoreKeys: Seq[String] = Nil, ndigits: Int = -1, base: Int = 100,
+                    ignoreKeys: Seq[String] = Nil, ndigits: Int = -1, base: Int = Defaults.base,
                     apportioned: Option[Boolean] = None): FlatTable =
     Percentages.asPercentages(this, axis, labelTotals, ignoreKeys, ndigits, base, apportioned)
 
   def addPercentages(axis: Axis = Axis.Both, labelN: String = Defaults.labelN,
                      labelPct: String = Defaults.labelPct, labelTotals: Option[String] = None,
-                     ignoreKeys: Seq[String] = Nil, ndigits: Int = -1, base: Int = 100,
+                     ignoreKeys: Seq[String] = Nil, ndigits: Int = -1, base: Int = Defaults.base,
                      interleaf: Boolean = false,
                      apportioned: Option[Boolean] = None): FlatTable =
     Percentages.addPercentages(this, axis, labelN, labelPct, labelTotals, ignoreKeys,
@@ -163,4 +163,7 @@ object Defaults {
   def labelPct: String = conf.labelPct
   def labelDiff: String = conf.labelDiff
   def naRep: String = conf.naRep
+  /** Percentage base — 1 (fractions) for reference parity; see
+    * [[graft.config.FlatbreadConf.pctBase]]. */
+  def base: Int = conf.pctBase
 }

@@ -51,24 +51,71 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic hyperplane component families for [[LshSignatureFloat]],
+  * shared between the expression and driver-side centering-threshold
+  * computation ([[graft.ext.Similarity]]).
+  *
+  * `lcg` is `((p·1000003 + d) · 2654435761) mod 2000003 − 1000001` — pure
+  * ANSI-SQL arithmetic, which is what lets the DuckDB correctness oracle
+  * recompute 16-bit signatures bit-for-bit (q39). It is, however, an
+  * ARITHMETIC PROGRESSION across planes for fixed d (`c(p,d) = (p·A + B_d)
+  * mod M`): consecutive planes form a 1-D lattice walk, so wide signatures
+  * built from it have systematically correlated bits. Measured consequence:
+  * at 2048 bits on the byte-bigram embedding corpus, banding missed 23/225
+  * true near-dup pairs that independent-plane theory puts at miss < 1e-7 —
+  * bit flips anti-cluster across bands exactly when banding needs them to
+  * cluster. Keep `lcg` for narrow, oracle-mirrored signatures only.
+  *
+  * `mix` is a splitmix64-style finalizer over the plane/dim index — full
+  * avalanche, no cross-plane structure — mapped onto the same
+  * [−1000001, 1000001] range. Not expressible in portable SQL (unsigned
+  * 64-bit wrap-around), so signature pipelines built on it are oracle-checked
+  * against brute-force results rather than mirrored. */
+object LshPlanes {
+  def lcg(p: Int, d: Int): Long =
+    (p * 1000003L + d) * 2654435761L % 2000003L - 1000001L
+
+  def mix(p: Int, d: Int, dims: Int): Long = {
+    var z = (p.toLong * dims + d) * 0x9E3779B97F4A7C15L
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    java.lang.Long.remainderUnsigned(z, 2000003L) - 1000001L
+  }
+}
+
 /** Codegen'd random-hyperplane LSH signature over an `array<float>` vector:
-  * `bits` integer projections onto deterministic LCG pseudo-random planes,
-  * packed into one long (bit p = sign of projection p). Components are
-  * quantized to `floor(x · 10^6)` and plane coefficients are
-  * `((p·1000003 + d) · 2654435761) mod 2000003 − 1000001`, so every
-  * projection is an exact 64-bit integer sum — order-independent,
-  * bit-identical to the declarative `aggregate(zip_with(...))` formulation
-  * AND to the ANSI-SQL mirror the DuckDB oracle runs. The fused loop
-  * replaces `bits` interpreted higher-order-function folds per row (the
-  * dominant cost of the LSH queries) with one codegen'd O(dims · bits) pass.
-  */
-case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0)
+  * `bits` integer projections onto deterministic pseudo-random planes,
+  * packed into one long (bit p = projection p ≥ its threshold). Components
+  * are quantized to `floor(x · 10^6)` and plane coefficients come from
+  * [[LshPlanes]] (`lcg` by default — ANSI-SQL-mirrorable, used by the
+  * oracle-pinned 16-bit paths; `mix = true` for the well-mixed splitmix64
+  * family wide signatures require), so every projection is an exact 64-bit
+  * integer sum — order-independent and bit-identical to a driver-side
+  * recomputation. The fused loop replaces `bits` interpreted
+  * higher-order-function folds per row (the dominant cost of the LSH
+  * queries) with one codegen'd O(dims · bits) pass.
+  *
+  * `thresholds` (empty = all-zero) compare each projection against a
+  * per-plane constant instead of 0: the zero-extra-cost formulation of
+  * MEAN-CENTERED hyperplane LSH. Centering vector x by the corpus mean μ
+  * flips bit p exactly where `proj(x) ≥ proj(μ)` does (projections are
+  * linear), so passing `t_p = Σ_d plane(p,d)·mean_d` as thresholds centers
+  * the geometry without touching any per-row vector — see
+  * [[graft.ext.Similarity.cosineLshPairs]]. */
+case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0,
+                             mix: Boolean = false, thresholds: Seq[Long] = Nil)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
   require(offset >= 0, s"offset must be >= 0, got $offset")
+  require(thresholds.isEmpty || thresholds.length == bits,
+    s"thresholds must be empty or have length $bits, got ${thresholds.length}")
 
   override def dataType: DataType = LongType
+
+  @transient private lazy val thrArr: Array[Long] =
+    if (thresholds.isEmpty) new Array[Long](bits) else thresholds.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -79,7 +126,9 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0)
       val q = math.floor(v.getFloat(d).toDouble * 1000000.0).toLong
       var p = 0
       while (p < bits) {
-        val c = ((p + offset) * 1000003L + d) * 2654435761L % 2000003L - 1000001L
+        val c =
+          if (mix) LshPlanes.mix(p + offset, d, n)
+          else LshPlanes.lcg(p + offset, d)
         acc(p) += q * c
         p += 1
       }
@@ -87,7 +136,7 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0)
     }
     var sig = 0L
     var p = 0
-    while (p < bits) { if (acc(p) >= 0) sig |= (1L << p); p += 1 }
+    while (p < bits) { if (acc(p) >= thrArr(p)) sig |= (1L << p); p += 1 }
     sig
   }
 
@@ -99,20 +148,31 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0)
       val p = ctx.freshName("p")
       val q = ctx.freshName("q")
       val c = ctx.freshName("c")
+      val z = ctx.freshName("z")
       val sig = ctx.freshName("sig")
+      val thrRef = ctx.addReferenceObj("lshThresholds", thrArr, "long[]")
+      val planeCode =
+        if (mix)
+          s"""long $z = (((long) ($p + $offset)) * $n + $d) * 0x9E3779B97F4A7C15L;
+             |    $z ^= ($z >>> 30); $z *= 0xBF58476D1CE4E5B9L;
+             |    $z ^= ($z >>> 27); $z *= 0x94D049BB133111EBL;
+             |    $z ^= ($z >>> 31);
+             |    long $c = java.lang.Long.remainderUnsigned($z, 2000003L) - 1000001L;""".stripMargin
+        else
+          s"long $c = (($p + $offset) * 1000003L + $d) * 2654435761L % 2000003L - 1000001L;"
       s"""
          |int $n = $v.numElements();
          |long[] $acc = new long[$bits];
          |for (int $d = 0; $d < $n; $d++) {
          |  long $q = (long) java.lang.Math.floor(((double) $v.getFloat($d)) * 1000000.0);
          |  for (int $p = 0; $p < $bits; $p++) {
-         |    long $c = (($p + $offset) * 1000003L + $d) * 2654435761L % 2000003L - 1000001L;
+         |    $planeCode
          |    $acc[$p] += $q * $c;
          |  }
          |}
          |long $sig = 0L;
          |for (int $p = 0; $p < $bits; $p++) {
-         |  if ($acc[$p] >= 0) $sig |= (1L << $p);
+         |  if ($acc[$p] >= $thrRef[$p]) $sig |= (1L << $p);
          |}
          |${ev.value} = $sig;
        """.stripMargin
@@ -360,6 +420,12 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       Name, exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+    def longArrayLit(e: Expression): Seq[Long] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData, ArrayType(LongType, _)) =>
+        d.toLongArray().toSeq
+      case other =>
+        throw new IllegalArgumentException(s"expected an array<long> literal, got $other")
+    }
     reg.createOrReplaceTempFunction(
       SigName, exprs => {
         def intLit(e: Expression, what: String): Int = e match {
@@ -367,15 +433,16 @@ object VectorFunctions {
           case other =>
             throw new IllegalArgumentException(s"$what must be an int literal, got $other")
         }
+        def boolLit(e: Expression, what: String): Boolean = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+          case other =>
+            throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+        }
         val off = if (exprs.size > 2) intLit(exprs(2), "offset") else 0
-        LshSignatureFloat(exprs.head, intLit(exprs(1), "bits"), off)
+        val mix = if (exprs.size > 3) boolLit(exprs(3), "mix") else false
+        val thr = if (exprs.size > 4) longArrayLit(exprs(4)) else Nil
+        LshSignatureFloat(exprs.head, intLit(exprs(1), "bits"), off, mix, thr)
       }, "built-in")
-    def longArrayLit(e: Expression): Seq[Long] = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData, ArrayType(LongType, _)) =>
-        d.toLongArray().toSeq
-      case other =>
-        throw new IllegalArgumentException(s"expected an array<long> literal, got $other")
-    }
     reg.createOrReplaceTempFunction(
       MinHashName, exprs =>
         MinHashSignature(exprs.head, longArrayLit(exprs(1)), longArrayLit(exprs(2))),
@@ -398,11 +465,18 @@ object VectorFunctions {
 
   /** Column API for the codegen'd LSH signature; `offset` shifts the plane
     * index range to [offset, offset+bits) so signatures wider than 64 bits
-    * compose from multiple words. Requires [[register]]. */
-  def lshSig(v: Column, bits: Int, offset: Int = 0): Column =
+    * compose from multiple words. `mix` selects the splitmix64 plane family
+    * (required for wide signatures — see [[LshPlanes]]); `thresholds`
+    * (length = bits) replaces the ≥0 sign test with per-plane constants,
+    * implementing mean-centering. Requires [[register]]. */
+  def lshSig(v: Column, bits: Int, offset: Int = 0, mix: Boolean = false,
+             thresholds: Seq[Long] = Nil): Column =
     org.apache.spark.sql.functions.call_function(SigName, v,
       org.apache.spark.sql.functions.lit(bits),
-      org.apache.spark.sql.functions.lit(offset))
+      org.apache.spark.sql.functions.lit(offset),
+      org.apache.spark.sql.functions.lit(mix),
+      org.apache.spark.sql.functions.lit(
+        if (thresholds.isEmpty) Array.empty[Long] else thresholds.toArray))
 
   /** Column API for the codegen'd per-document MinHash signature over an
     * `array<string>` of distinct shingles; requires [[register]]. */

@@ -152,7 +152,7 @@ object Pivot {
                   fillna: Option[String] = Some(Defaults.naRep),
                   labelN: String = "count", addPct: Boolean = false,
                   labelPct: String = Defaults.labelPct, ndigits: Int = -1,
-                  base: Int = 100,
+                  base: Int = Defaults.base,
                   labelTotals: String = Defaults.labelTotals,
                   sort: Boolean = true): FlatTable = {
     val keyed = fillna match {

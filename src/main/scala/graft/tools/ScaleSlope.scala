@@ -81,14 +81,20 @@ object ScaleSlope {
     }
 
     val names = Seq("q31_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
-      "q36_simhash", "q41_cosine_lsh", "q44_dedup_clusters")
+      "q36_simhash", "q37_embed_cosine", "q41_cosine_lsh", "q44_dedup_clusters",
+      "q46_media_embed_dedup")
     def run(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
+      // row count via an observed metric on the SAME noop write — a second
+      // action (df.count()) would re-execute the whole pipeline outside the
+      // timed region and double the harness's wall-clock
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      (dt, df.count())
+      (dt, obs.get("rows").asInstanceOf[Long])
     }
     // warmup on the small corpus
     names.foreach(n => run(small, n))

@@ -29,7 +29,7 @@ object Percentages {
 
   def asPercentages(ft: FlatTable, axis: Axis = Axis.Both,
                     labelTotals: Option[String] = None, ignoreKeys: Seq[String] = Nil,
-                    ndigits: Int = -1, base: Int = 100,
+                    ndigits: Int = -1, base: Int = Defaults.base,
                     apportioned: Option[Boolean] = None): FlatTable = {
     val plan = planPcts(ft, axis, labelTotals, ignoreKeys, base)
     val replaced = plan.df.select(
@@ -45,7 +45,7 @@ object Percentages {
   def addPercentages(ft: FlatTable, axis: Axis = Axis.Both,
                      labelN: String = Defaults.labelN, labelPct: String = Defaults.labelPct,
                      labelTotals: Option[String] = None, ignoreKeys: Seq[String] = Nil,
-                     ndigits: Int = -1, base: Int = 100, interleaf: Boolean = false,
+                     ndigits: Int = -1, base: Int = Defaults.base, interleaf: Boolean = false,
                      apportioned: Option[Boolean] = None): FlatTable = {
     val meta = ft.meta
     val plan = planPcts(ft, axis, labelTotals, ignoreKeys, base)

@@ -255,6 +255,42 @@ class ExtSpec extends AnyFunSuite {
     })
   }
 
+  test("centered LSH pairs on correlated embeddings match brute force end-to-end") {
+    // byte-bigram embeddings of same-corpus text are heavily correlated
+    // (median background cosine ≈ 0.78) — the regime center=true exists for;
+    // same pipeline and parameters as q46
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.embed(media).toDF()
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = set(Similarity.cosinePairs(emb, "id", "embedding", 0.99))
+    val lsh = set(Similarity.cosineLshPairs(emb, "id", "embedding", 0.99,
+      bits = 512, bands = 32, center = true))
+    assert(brute.nonEmpty)
+    assert(lsh == brute) // recall 1.0 AND identical cosines (raw-vector re-rank)
+  }
+
+  test("LSH bucket cap binds: degenerate buckets are dropped, small buckets survive") {
+    // 60 identical vectors (every band bucket holds all 60 — degenerate) plus
+    // one near-dup pair on an unrelated direction (buckets of size 2)
+    val dims = 8
+    val clone = Array.tabulate(dims)(d => if (d == 0) 1f else 0f)
+    val a = Array.tabulate(dims)(d => if (d == dims - 1) 1f else 0.01f * d)
+    val b = a.clone(); b(1) = a(1) + 0.001f
+    val rows = (100L until 160L).map(i => (i, clone)) ++ Seq((0L, a), (1L, b))
+    val df = rows.toDF("id", "v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = ids(Similarity.cosineLshPairs(df, "id", "v", 0.99,
+      maxBucketSize = None))
+    val capped = ids(Similarity.cosineLshPairs(df, "id", "v", 0.99,
+      maxBucketSize = Some(30)))
+    assert(uncapped.contains((0L, 1L)) && uncapped.exists(_._1 >= 100L))
+    assert(capped == Set((0L, 1L))) // clone pairs pruned, true pair survives
+  }
+
   test("IVF ANN: probing all cells equals brute force; fewer cells trade recall") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 5)

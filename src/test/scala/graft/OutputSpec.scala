@@ -163,8 +163,22 @@ class OutputSpec extends AnyFunSuite {
       val styles = new String(zip.getInputStream(
         zip.getEntry("xl/styles.xml")).readAllBytes())
       assert(styles.contains("applyBorder"))       // margin borders styled
-      assert(styles.contains("0.0&quot;%&quot;")) // literal-% pct format (base=100)
+      // default base=1 -> fractions -> Excel's true percent format (which
+      // scales by 100 at display); base=100 values get a literal-% code
+      assert(styles.contains("0.0%") && !styles.contains("0.0&quot;%&quot;"))
     } finally zip.close()
+    // base=100 via config restores the literal-% code (values already scaled)
+    try {
+      graft.config.FlatbreadConf.updateRuntime("base" -> "100")
+      val path2 = Files.createTempFile("flatbread", ".xlsx").toString
+      Excel.write(table, path2)
+      val zip2 = new ZipFile(path2)
+      try {
+        val styles2 = new String(zip2.getInputStream(
+          zip2.getEntry("xl/styles.xml")).readAllBytes())
+        assert(styles2.contains("0.0&quot;%&quot;"))
+      } finally zip2.close()
+    } finally graft.config.FlatbreadConf.reset()
   }
 
   test("xlsx user numberFormats and borderSpecs land in the workbook (excel.py:100-209)") {
@@ -209,8 +223,8 @@ class OutputSpec extends AnyFunSuite {
     try {
       val styles = new String(zip.getInputStream(
         zip.getEntry("xl/styles.xml")).readAllBytes())
-      assert(styles.contains("#,##0"))            // user row format (kind = n)
-      assert(styles.contains("0.0&quot;%&quot;")) // smart row format (kind = pct)
+      assert(styles.contains("#,##0"))  // user row format (kind = n)
+      assert(styles.contains("0.0%"))   // smart row format (kind = pct), base=1
     } finally zip.close()
   }
 }

@@ -17,8 +17,24 @@ class PercentagesSpec extends AnyFunSuite {
 
   private def withTotals = MakeTestDf(spark).addTotals(Axis.Both)
 
+  test("default base is 1 — fractions, reference parity (config.defaults.json:18)") {
+    assert(Defaults.base == 1)
+    val pct = withTotals.asPercentages(Axis.Rows) // no base argument
+    val data = pct.dataRows().collect()
+    (1 to 5).foreach { c =>
+      val colSum = data.map(_.getDouble(c)).sum
+      assert(math.abs(colSum - 1.0) < 1e-9, s"col $c sums to $colSum")
+    }
+    // the config layer can restore 0-100 scaling globally
+    try {
+      graft.config.FlatbreadConf.updateRuntime("base" -> "100")
+      val scaled = withTotals.asPercentages(Axis.Rows).dataRows().collect()
+      assert(math.abs(scaled.map(_.getDouble(1)).sum - 100.0) < 1e-9)
+    } finally graft.config.FlatbreadConf.reset()
+  }
+
   test("axis=0 (Rows): each column sums to base over data rows (test_percentages.py:154-188)") {
-    val pct = withTotals.asPercentages(Axis.Rows)
+    val pct = withTotals.asPercentages(Axis.Rows, base = 100)
     val data = pct.dataRows().collect()
     (1 to 5).foreach { c =>
       val colSum = data.map(_.getDouble(c)).sum
@@ -30,7 +46,7 @@ class PercentagesSpec extends AnyFunSuite {
   }
 
   test("axis=1 (Cols): each row sums to base across data columns") {
-    val pct = withTotals.asPercentages(Axis.Cols)
+    val pct = withTotals.asPercentages(Axis.Cols, base = 100)
     pct.ordered.collect().foreach { r =>
       val rowSum = (1 to 4).map(r.getDouble).sum
       assert(math.abs(rowSum - 100.0) < 1e-9)
@@ -39,7 +55,7 @@ class PercentagesSpec extends AnyFunSuite {
   }
 
   test("axis=2 (Both): grand corner becomes base, all cells sum to base") {
-    val pct = withTotals.asPercentages(Axis.Both)
+    val pct = withTotals.asPercentages(Axis.Both, base = 100)
     val out = pct.ordered.collect()
     assert(math.abs(out.last.getDouble(5) - 100.0) < 1e-9)
     val dataCells = out.dropRight(1).flatMap(r => (1 to 4).map(r.getDouble))
@@ -51,10 +67,12 @@ class PercentagesSpec extends AnyFunSuite {
     val df = Seq(("r0", 100.0 / 3), ("r1", 100.0 / 3), ("r2", 100.0 / 3))
       .toDF("R0", "c0")
     val ft = FlatTable(df, 1).addTotals(Axis.Rows)
-    val app = ft.asPercentages(Axis.Rows, ndigits = 0, apportioned = Some(true))
+    val app = ft.asPercentages(Axis.Rows, ndigits = 0, base = 100,
+      apportioned = Some(true))
     val appSum = app.dataRows().collect().map(_.getDouble(1)).sum
     assert(appSum == 100.0) // exactly
-    val naive = ft.asPercentages(Axis.Rows, ndigits = 0, apportioned = Some(false))
+    val naive = ft.asPercentages(Axis.Rows, ndigits = 0, base = 100,
+      apportioned = Some(false))
     val naiveSum = naive.dataRows().collect().map(_.getDouble(1)).sum
     assert(naiveSum == 99.0) // 33+33+33
   }
@@ -63,14 +81,15 @@ class PercentagesSpec extends AnyFunSuite {
     val df = Seq(("r0", Some(30.0)), ("r1", None), ("r2", Some(70.0)))
       .toDF("R0", "c0")
     val ft = FlatTable(df, 1).addTotals(Axis.Rows)
-    val pct = ft.asPercentages(Axis.Rows, ndigits = 1, apportioned = Some(true))
+    val pct = ft.asPercentages(Axis.Rows, ndigits = 1, base = 100,
+      apportioned = Some(true))
     val rows = pct.ordered.collect()
     assert(rows(1).isNullAt(1)) // r1 stays null
     assert(rows(0).getDouble(1) == 30.0 && rows(2).getDouble(1) == 70.0)
   }
 
   test("add_percentages keeps values and adds a pct block with an outer {n,pct} level (percentages.py:369-371)") {
-    val ft = withTotals.addPercentages(Axis.Cols)
+    val ft = withTotals.addPercentages(Axis.Cols, base = 100)
     val meta = ft.meta
     assert(meta.valueCols.size == 10) // 5 n + 5 pct
     assert(meta.columns.take(5).forall(_.key.head == "n"))
@@ -90,7 +109,7 @@ class PercentagesSpec extends AnyFunSuite {
   test("value_counts: null bucket, Totals row, pct column (accessors/series.py:109-151)") {
     val df = Seq(Some("a"), Some("a"), Some("b"), None, Some("a"))
       .toDF("x")
-    val vc = Pivot.valueCounts(df, "x", addPct = true)
+    val vc = Pivot.valueCounts(df, "x", addPct = true, base = 100)
     val rows = vc.ordered.collect()
     val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("<NA>" -> 1L, "a" -> 3L, "b" -> 1L, "Totals" -> 5L))
@@ -133,7 +152,7 @@ class PercentagesSpec extends AnyFunSuite {
     val rows = (("a", "r0", 1.0) +: (0 until 7).map(i => ("b", s"r$i", 1.0))).toSeq
     val ft = FlatTable(rows.toDF("G", "R", "c0"), 2)
     def total(): Double =
-      ft.asPercentages(Axis.Rows, ndigits = 0, apportioned = Some(true))
+      ft.asPercentages(Axis.Rows, ndigits = 0, base = 100, apportioned = Some(true))
         .ordered.collect().map(_.getDouble(2)).sum
     try {
       assert(total() == 100.0) // default: reference parity
