@@ -148,8 +148,15 @@ object ExtQueries {
     // pipeline. Re-ranking uses raw vectors, so output rows are identical.
     "q46_media_embed_dedup" -> { (s, dir) =>
       import s.implicits._
-      val media = Multimodal
-        .withFakeMedia(read(s, dir, "documents"), "doc_id", "text")
+      // spread the CPU-bound per-row feature extraction (and the downstream
+      // signature projections) across the cluster: the documents table is a
+      // single small file, so without an explicit repartition the whole
+      // mapPartitions→signature chain would run on ONE task (a real media
+      // pipeline repartitions before expensive per-row decode for the same
+      // reason)
+      val docs = read(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
         .as[Multimodal.MediaRow]
       val emb = Multimodal.embed(media).toDF()
       Similarity.cosineLshPairs(emb, "id", "embedding", minCos = 0.99,

@@ -311,23 +311,40 @@ object Similarity {
     val rows = bits / bands
     require(bits % bands == 0 && rows >= 1 && rows <= 64 && 64 % rows == 0,
       s"bits/bands must give 1..64 rows per band dividing 64; got bits=$bits bands=$bands")
+    // NB: the prepared (id, vector, norm) projection is read by four
+    // downstream subplans (both candidate-join sides and both re-rank sides),
+    // plus the centering statistics pass — Spark re-executes the upstream for
+    // each. When the upstream is an expensive decode/embed pipeline, persist
+    // or checkpoint `df` BEFORE calling this operator (a caller-owned
+    // decision: the right storage level / checkpoint dir depends on the
+    // pipeline; measured here, an operator-internal persist costs more than
+    // it saves once the upstream is parallel).
     val p = prepared(df, idCol, vecCol)
     val thresholds: Seq[Long] = if (center) centerThresholds(p, bits) else Nil
     // one signature word per 64 bits; band b reads `rows` bits starting at
-    // absolute bit b·rows (aligned inside one word because rows divides 64)
-    val words = (0 until (bits + 63) / 64).map { w =>
+    // absolute bit b·rows (aligned inside one word because rows divides 64).
+    // The words are MATERIALIZED in their own projection before banding:
+    // referencing the signature expression inside each band struct would
+    // re-evaluate the full O(dims·64) projection loop once per band (the
+    // generator's array is built per row with no common-subexpression
+    // elimination — measured 4× redundant compute at rows=16), whereas the
+    // projected columns make each band key two bit ops.
+    val nWords = (bits + 63) / 64
+    val words = (0 until nWords).map { w =>
       val wBits = math.min(64, bits - 64 * w)
       graft.funcs.VectorFunctions.lshSig(col("v"), wBits, 64 * w,
         mix = center, thresholds = thresholds.slice(64 * w, 64 * w + wBits))
+        .as(s"__w$w")
     }
+    val sigged = p.select(col("id") +: words: _*)
     val mask = if (rows == 64) lit(-1L) else lit((1L << rows) - 1)
     val keys = array((0 until bands).map { b =>
-      val word = words((b * rows) / 64)
+      val word = col(s"__w${(b * rows) / 64}")
       val shift = (b * rows) % 64
       struct(lit(b).as("band"),
         shiftrightunsigned(word, shift).bitwiseAND(mask).as("v"))
     }: _*)
-    val banded = p.select(col("id"), explode(keys).as("bk"))
+    val banded = sigged.select(col("id"), explode(keys).as("bk"))
     // bucket-size guard: one windowed count over the same bk partitioning the
     // candidate join shuffles on (no extra shuffle shape)
     val guarded = maxBucketSize match {

@@ -117,19 +117,43 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0,
   @transient private lazy val thrArr: Array[Long] =
     if (thresholds.isEmpty) new Array[Long](bits) else thresholds.toArray
 
+  // Plane-coefficient table, built once per (expression, dims) and reused for
+  // every row: the coefficient is a CONSTANT of (plane, dim), and computing
+  // it inline cost ~12 integer ops (including an unsigned remainder) per
+  // multiply-add — an order of magnitude more than the projection work
+  // itself. Benign-race cache: concurrent tasks build identical tables.
+  @transient private var tblDims = -1
+  @transient private var tbl: Array[Long] = _
+  private def planeTable(n: Int): Array[Long] = {
+    if (tbl == null || tblDims != n) {
+      val t = new Array[Long](bits * n)
+      var p = 0
+      while (p < bits) {
+        var d = 0
+        while (d < n) {
+          t(p * n + d) =
+            if (mix) LshPlanes.mix(p + offset, d, n) else LshPlanes.lcg(p + offset, d)
+          d += 1
+        }
+        p += 1
+      }
+      tbl = t
+      tblDims = n
+    }
+    tbl
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val t = planeTable(n)
     val acc = new Array[Long](bits)
     var d = 0
     while (d < n) {
       val q = math.floor(v.getFloat(d).toDouble * 1000000.0).toLong
       var p = 0
       while (p < bits) {
-        val c =
-          if (mix) LshPlanes.mix(p + offset, d, n)
-          else LshPlanes.lcg(p + offset, d)
-        acc(p) += q * c
+        acc(p) += q * t(p * n + d)
         p += 1
       }
       d += 1
@@ -151,23 +175,36 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0,
       val z = ctx.freshName("z")
       val sig = ctx.freshName("sig")
       val thrRef = ctx.addReferenceObj("lshThresholds", thrArr, "long[]")
+      // per-stage plane-table cache (see planeTable above); -1 sentinel forces
+      // the first row to build it
+      val tblVar = ctx.addMutableState("long[]", "lshPlaneTbl")
+      val tblNVar = ctx.addMutableState("int", "lshPlaneTblN", v => s"$v = -1;")
       val planeCode =
         if (mix)
           s"""long $z = (((long) ($p + $offset)) * $n + $d) * 0x9E3779B97F4A7C15L;
-             |    $z ^= ($z >>> 30); $z *= 0xBF58476D1CE4E5B9L;
-             |    $z ^= ($z >>> 27); $z *= 0x94D049BB133111EBL;
-             |    $z ^= ($z >>> 31);
-             |    long $c = java.lang.Long.remainderUnsigned($z, 2000003L) - 1000001L;""".stripMargin
+             |      $z ^= ($z >>> 30); $z *= 0xBF58476D1CE4E5B9L;
+             |      $z ^= ($z >>> 27); $z *= 0x94D049BB133111EBL;
+             |      $z ^= ($z >>> 31);
+             |      long $c = java.lang.Long.remainderUnsigned($z, 2000003L) - 1000001L;""".stripMargin
         else
           s"long $c = (($p + $offset) * 1000003L + $d) * 2654435761L % 2000003L - 1000001L;"
       s"""
          |int $n = $v.numElements();
+         |if ($tblNVar != $n) {
+         |  $tblVar = new long[$bits * $n];
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $planeCode
+         |      $tblVar[$p * $n + $d] = $c;
+         |    }
+         |  }
+         |  $tblNVar = $n;
+         |}
          |long[] $acc = new long[$bits];
          |for (int $d = 0; $d < $n; $d++) {
          |  long $q = (long) java.lang.Math.floor(((double) $v.getFloat($d)) * 1000000.0);
          |  for (int $p = 0; $p < $bits; $p++) {
-         |    $planeCode
-         |    $acc[$p] += $q * $c;
+         |    $acc[$p] += $q * $tblVar[$p * $n + $d];
          |  }
          |}
          |long $sig = 0L;

@@ -30,6 +30,9 @@ object TableSpec {
     case DoubleType | FloatType           => "float"
     case ByteType | ShortType | IntegerType | LongType => "int"
     case TimestampType | DateType         => "datetime"
+    // intervals render as strings (reference tablespec.py:261-262 maps
+    // pd.Interval -> str(interval))
+    case _: DayTimeIntervalType | _: YearMonthIntervalType | CalendarIntervalType => "str"
     case _                                => "str"
   }
 
@@ -50,6 +53,11 @@ object TableSpec {
     case b: Boolean            => arr.add(b)
     case d: java.math.BigDecimal => arr.add(d.doubleValue())
     case d: Date               => arr.add(d.toString)
+    // interval scalars -> ISO-8601 strings (Duration "PT26H3M", Period "P1Y2M");
+    // CalendarInterval uses its SQL-ish "1 days 2 hours" rendering
+    case d: java.time.Duration => arr.add(d.toString)
+    case p: java.time.Period   => arr.add(p.toString)
+    case i: org.apache.spark.unsafe.types.CalendarInterval => arr.add(i.toString)
     case t: Timestamp          =>
       val ldt = t.toLocalDateTime
       if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)

@@ -144,6 +144,30 @@ class OutputSpec extends AnyFunSuite {
     assert(html.contains(Html.componentUrl))
   }
 
+  test("HTML embedding escapes '</' in cell data (script-element injection guard)") {
+    import spark.implicits._
+    val ft = graft.core.FlatTable(
+      Seq(("r0", "x</script><script>alert(1)</script>y")).toDF("R0", "c0"), 1)
+    val frag = Html.fragment(ft)
+    assert(!frag.contains("x</script>"))        // raw value never lands verbatim
+    assert(frag.contains("x<\\/script>"))       // script-safe JSON escape
+    // the page's own closing tag is still intact
+    assert(frag.trim.endsWith("</script>"))
+  }
+
+  test("interval columns serialize as strings in the spec (tablespec.py:261-262)") {
+    val df = spark.sql(
+      """SELECT 'r0' AS R0, INTERVAL '1 02:03:04' DAY TO SECOND AS dur,
+        |  INTERVAL '1-2' YEAR TO MONTH AS ym""".stripMargin)
+    val ft = graft.core.FlatTable(df, 1)
+    val spec = mapper.readTree(TableSpec.toJson(ft))
+    val dtypes = spec.get("columns").get("dtypes")
+    assert(dtypes.get(0).asText() == "str" && dtypes.get(1).asText() == "str")
+    val row = spec.get("values").get(0)
+    assert(row.get(0).asText() == "PT26H3M4S") // java.time.Duration ISO-8601
+    assert(row.get(1).asText() == "P1Y2M")     // java.time.Period ISO-8601
+  }
+
   test("xlsx writer produces a valid OOXML zip with header, data, and margin styling") {
     val path = Files.createTempFile("flatbread", ".xlsx").toString
     Excel.write(table, path)
