@@ -33,8 +33,16 @@ object Bench {
     // exit nonzero after the survivors have still been timed
     var errors = Map.empty[String, String]
     val results = selected.map { case (name, fn) =>
-      // drain the previous query's garbage so its collection pauses don't
-      // bleed into this query's wall-clock
+      // per-query warmup: run the query once untimed so the timed run
+      // measures steady state. Without this, a query's number depends on its
+      // POSITION in the suite (JIT/codegen warmth accumulated from earlier
+      // queries) — and since Map iteration order shifts whenever a query is
+      // added, round-over-round comparisons saw phantom 2-3× "regressions"
+      // on unchanged queries (r3's q42/q43). Costs ~2× bench wall-clock.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // reported from the timed run below
+      // drain the warmup's garbage so its collection pauses don't bleed
+      // into the timed run
       System.gc()
       val t0 = System.nanoTime()
       // noop sink materializes every output column — `.count()` would let
