@@ -201,17 +201,40 @@ object Dedup {
         graft.funcs.VectorFunctions.minhashSig(col("__g"), as.toArray, bs.toArray).as("sig"))
   }
 
+  /** Default band-bucket size cap for [[lshCandidates]] — the MinHash
+    * analogue of [[graft.ext.Similarity.DefaultMaxBucketSize]]: a band value
+    * shared by F docs contributes F² candidate rows, so one degenerate bucket
+    * (e.g. millions of empty/boilerplate documents collapsing to one
+    * signature) turns the candidate join quadratic. Genuine near-dup groups
+    * are small; a 10k+ bucket carries no per-pair signal worth F² work. */
+  val DefaultMaxBandBucket = 10000
+
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * numPerm/bands rows; docs sharing any band hash are candidates.
-    * Returns distinct (id1, id2) with id1 < id2. */
+    * Returns distinct (id1, id2) with id1 < id2.
+    *
+    * `maxBucketSize` (on by default) drops band buckets above the cap before
+    * the self-join — the F² skew guard; a true pair loses recall only if
+    * EVERY band it collides in is oversized. Pass `None` to disable. */
   def lshCandidates(sigs: DataFrame, numPerm: Int = 128,
-                    bands: Int = 32): DataFrame = {
+                    bands: Int = 32,
+                    maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rows + 1, rows)).as("sig"))
     }
-    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val buckets0 = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val buckets = maxBucketSize match {
+      case Some(cap) =>
+        // windowed count over the same bk partitioning the join shuffles on
+        buckets0
+          .withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+          .filter(col("__bsz") <= cap)
+          .drop("__bsz")
+      case None => buckets0
+    }
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()

@@ -85,6 +85,24 @@ class ExtSpec extends AnyFunSuite {
     assert(j(Some(2))((0L, 1L)) == 0.5)
   }
 
+  test("MinHash band-bucket cap binds: degenerate buckets dropped, small buckets survive") {
+    // 60 identical docs collapse to one signature (every band bucket holds
+    // all 60 — the F² degenerate case); one near-dup pair on unrelated text
+    // keeps buckets of size 2
+    val clones = (100L until 160L).map(i => (i, "all these documents carry the very same boilerplate text"))
+    val pair = Seq(
+      (0L, base + " trailing marker one two three"),
+      (1L, base + " trailing marker one two four"))
+    val df = (clones ++ pair).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = ids(Dedup.lshCandidates(sigs, maxBucketSize = None))
+    val capped = ids(Dedup.lshCandidates(sigs, maxBucketSize = Some(30)))
+    assert(uncapped.contains((0L, 1L)) && uncapped.exists(_._1 >= 100L))
+    assert(capped.contains((0L, 1L)) && !capped.exists(_._1 >= 100L))
+  }
+
   test("nearDupClusters: chains collapse to one component labeled by the min id") {
     import spark.implicits._
     // two components: a chain 1-2-3-4 (tests label propagation over >1 hop)
