@@ -20,6 +20,14 @@ object ExtQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** documents with the scan spread across the cluster: the table is a single
+    * small file, so the CPU-heavy per-row stages that precede any shuffle
+    * (tokenize → shingle → signature) would otherwise run in ONE task. At
+    * real scale the scan has thousands of splits and this is a no-op-shaped
+    * cost (one skinny shuffle of the raw text). */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   val all: Map[String, Q] = Map(
     "q30_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents")
@@ -43,15 +51,15 @@ object ExtQueries {
     // document-frequency is bounded by the 500-doc corpus size, and spec-
     // tested for equivalence on the fixture (ExtSpec).
     "q34_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(docsPar(s, dir), "doc_id", "text",
           minJaccard = 0.8)
         .orderBy(col("id1"), col("id2"))),
     "q35_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashDedupPairs(read(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashDedupPairs(docsPar(s, dir), "doc_id", "text",
           minJaccard = 0.8)
         .orderBy(col("id1"), col("id2"))),
     "q36_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairs(docsPar(s, dir), "doc_id", "text",
           maxDist = 3, hasher = Dedup.Hasher.Md5)
         .orderBy(col("id1"), col("id2"))),
     // exact pairs via the grid-blocked self-join — the scale-shaped exact
@@ -92,7 +100,7 @@ object ExtQueries {
     // cluster (min id); oracled by a recursive transitive closure in DuckDB
     "q44_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
-          Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
+          Dedup.ngramJaccardPairs(docsPar(s, dir), "doc_id", "text",
             minJaccard = 0.8))
         .orderBy(col("id"))),
     // collection/json scalar-function breadth (SURVEY §2.6): array ops, a
