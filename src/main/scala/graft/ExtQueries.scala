@@ -170,6 +170,22 @@ object ExtQueries {
       Similarity.cosineLshPairs(emb, "id", "embedding", minCos = 0.99,
           bits = 512, bands = 32, center = true)
         .orderBy(col("id1"), col("id2"))
+    },
+    // The embedding-dedup ENDGAME: q46's media → embed → centered-LSH pair
+    // pipeline composed into connected components (min-label propagation) —
+    // one representative per near-dup media cluster. Oracled end-to-end: the
+    // DuckDB SQL recomputes the embeddings, the exact pair graph at 0.99,
+    // and a recursive transitive closure (q44's pattern over q46's graph).
+    "q49_embed_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val docs = read(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      val emb = Multimodal.embed(media).toDF()
+      val pairs = Similarity.cosineLshPairs(emb, "id", "embedding",
+        minCos = 0.99, bits = 512, bands = 32, center = true)
+      Dedup.nearDupClusters(pairs).orderBy(col("id"))
     }
   )
 
@@ -466,7 +482,46 @@ object ExtQueries {
         |JOIN nrm n1 ON id1 = n1.doc_id
         |JOIN nrm n2 ON id2 = n2.doc_id
         |WHERE ROUND(d / (n1.n * n2.n), 6) >= 0.99
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+    // q46's embedding pair graph -> recursive transitive closure (q44's
+    // pattern): cluster = min reachable id over the >= 0.99 cosine graph.
+    // NB the pair graph uses a DENSE 64-dim list per doc (map -> list with
+    // zero fill) and a brute-force list-dot join, NOT q46's bucket-join
+    // `dots` CTE: under WITH RECURSIVE DuckDB materializes every CTE in the
+    // list, and the bucket self-join's ~n²·64-row intermediate spilled tens
+    // of GB of temp at sf0.1. The dense form is pair-value-identical
+    // (verified: same 6-dp cosines) and runs in ~30 s at sf0.1.
+    "q49_embed_dedup_clusters" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT doc_id, (ascii(substr(text, CAST(i AS INT), 1))*31
+        |                  + ascii(substr(text, CAST(i+1 AS INT), 1))) AS hv
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text))) AS i FROM documents)),
+        |acc AS (
+        |  SELECT doc_id, hv % 64 AS bucket,
+        |    CAST(SUM(CASE WHEN (hv // 128) % 2 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS val
+        |  FROM h GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAP(list(bucket ORDER BY bucket),
+        |                         list(val ORDER BY bucket)) AS mp
+        |      FROM acc GROUP BY doc_id),
+        |dense AS (SELECT doc_id,
+        |    list_transform(range(0, 64), b -> coalesce(map_extract(mp, b)[1], 0.0)) AS v0
+        |  FROM m),
+        |fv AS (SELECT doc_id,
+        |    list_transform(v0, x -> CAST(CAST(x / sqrt(list_sum(
+        |      list_transform(v0, y -> y*y))) AS FLOAT) AS DOUBLE)) AS f
+        |  FROM dense),
+        |n2 AS (SELECT doc_id, f, sqrt(list_sum(list_transform(f, x -> x*x))) AS n FROM fv),
+        |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM n2 a JOIN n2 b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(list_sum(list_transform(range(1, 65), k -> a.f[k]*b.f[k]))
+        |                  / (a.n*b.n), 6) >= 0.99),
+        |e AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
+        |nodes AS (SELECT DISTINCT id1 AS id FROM e),
+        |reach(id, x) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1)
+        |SELECT id, min(x) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
   )
 
   /** Brute-force cosine pairs at 0.95 over the corpus with planted near-dups
