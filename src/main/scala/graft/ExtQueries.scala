@@ -28,6 +28,18 @@ object ExtQueries {
   private def docsPar(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** Shared q46/q49 pipeline: media → byte-bigram embedStub → mean-centered
+    * LSH near-dup pairs at cos ≥ 0.99 (bits=512/bands=32; recall 1.0 vs the
+    * exact join at every tested SF — see the q46 comment). */
+  private def mediaEmbedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withFakeMedia(docsPar(s, dir), "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.embed(media).toDF()
+    Similarity.cosineLshPairs(emb, "id", "embedding", minCos = 0.99,
+      bits = 512, bands = 32, center = true)
+  }
+
   val all: Map[String, Q] = Map(
     "q30_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents")
@@ -154,39 +166,15 @@ object ExtQueries {
     // uncentered — the r3 scale-killer fix), so the brute-force SQL over the
     // SQL-recomputed embeddings remains a valid oracle for the whole
     // pipeline. Re-ranking uses raw vectors, so output rows are identical.
-    "q46_media_embed_dedup" -> { (s, dir) =>
-      import s.implicits._
-      // spread the CPU-bound per-row feature extraction (and the downstream
-      // signature projections) across the cluster: the documents table is a
-      // single small file, so without an explicit repartition the whole
-      // mapPartitions→signature chain would run on ONE task (a real media
-      // pipeline repartitions before expensive per-row decode for the same
-      // reason)
-      val docs = read(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
-        .as[Multimodal.MediaRow]
-      val emb = Multimodal.embed(media).toDF()
-      Similarity.cosineLshPairs(emb, "id", "embedding", minCos = 0.99,
-          bits = 512, bands = 32, center = true)
-        .orderBy(col("id1"), col("id2"))
-    },
+    "q46_media_embed_dedup" -> ((s, dir) =>
+      mediaEmbedPairs(s, dir).orderBy(col("id1"), col("id2"))),
     // The embedding-dedup ENDGAME: q46's media → embed → centered-LSH pair
     // pipeline composed into connected components (min-label propagation) —
     // one representative per near-dup media cluster. Oracled end-to-end: the
     // DuckDB SQL recomputes the embeddings, the exact pair graph at 0.99,
     // and a recursive transitive closure (q44's pattern over q46's graph).
-    "q49_embed_dedup_clusters" -> { (s, dir) =>
-      import s.implicits._
-      val docs = read(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
-        .as[Multimodal.MediaRow]
-      val emb = Multimodal.embed(media).toDF()
-      val pairs = Similarity.cosineLshPairs(emb, "id", "embedding",
-        minCos = 0.99, bits = 512, bands = 32, center = true)
-      Dedup.nearDupClusters(pairs).orderBy(col("id"))
-    }
+    "q49_embed_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(mediaEmbedPairs(s, dir)).orderBy(col("id")))
   )
 
   private val docToks =

@@ -68,13 +68,20 @@ final case class SortKey(column: String, ascending: Boolean = true)
   *                    count-descending contract) that overrides the canonical
   *                    index sort in [[FlatTable.ordered]]; margin rows stay
   *                    pinned last regardless
+  * @param pctBase     the `base` the table's percentage values were computed
+  *                    with (1 = fractions, the reference default; 100 =
+  *                    0–100-scaled), recorded by the percentage transforms so
+  *                    presentation sinks can pick a format matching the DATA
+  *                    (Excel's true-percent code re-scales by 100 and is only
+  *                    correct for fractions); None = no percentage op ran
   */
 final case class TableMeta(
     indexLevels: Seq[String],
     columns: Seq[ColKey],
     colNames: Seq[Option[String]] = Seq(None),
     marginLabels: Seq[MarginLabel] = Nil,
-    rowOrder: Seq[SortKey] = Nil
+    rowOrder: Seq[SortKey] = Nil,
+    pctBase: Option[Int] = None
 ) {
   require(indexLevels.nonEmpty, "a FlatTable needs at least one index level")
 
@@ -163,6 +170,7 @@ object TableMetaCodec {
       o.put("column", k.column)
       o.put("ascending", k.ascending)
     }
+    meta.pctBase.foreach(b => root.put("pctBase", b))
     m.writeValueAsString(root)
   }
 
@@ -178,7 +186,9 @@ object TableMetaCodec {
       marginLabels = arr("marginLabels").map(l =>
         MarginLabel(l.get("kind").asText(), l.get("label").asText())),
       rowOrder = arr("rowOrder").map(k =>
-        SortKey(k.get("column").asText(), k.get("ascending").asBoolean()))
+        SortKey(k.get("column").asText(), k.get("ascending").asBoolean())),
+      // absent in metadata written before the field existed -> None
+      pctBase = Option(root.get("pctBase")).map(_.asInt())
     )
   }
 }

@@ -246,11 +246,20 @@ object Dedup {
     * Verification is a per-pair shingle-SET intersection: the corpus is
     * scanned once to build shingle sets for candidate documents only, and
     * J = |A∩B| / (|A| + |B| − |A∩B|) evaluates as array ops on the joined
-    * pair — no posting-list self-join, no co-occurrence aggregation. */
+    * pair — no posting-list self-join, no co-occurrence aggregation.
+    *
+    * `maxBucketSize` forwards to [[lshCandidates]] (default-on F² guard).
+    * NB a duplicate GROUP larger than the cap shares one signature, so every
+    * band bucket it fills is oversized and the whole group emits no pairs —
+    * by design: enumerating its F² pairs is never what you want. Handle mass
+    * exact duplicates with [[exact]] (one group row regardless of F) before
+    * the near-dup pass, or pass `None` to disable the cap. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double = 0.8, numPerm: Int = 128,
-                        bands: Int = 32, k: Int = 4): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(df, idCol, textCol, numPerm, k), numPerm, bands)
+                        bands: Int = 32, k: Int = 4,
+                        maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(df, idCol, textCol, numPerm, k),
+      numPerm, bands, maxBucketSize)
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
     val sets = df

@@ -242,7 +242,11 @@ object Similarity {
     * genuine near-dup groups are small, so any band bucket holding 10k+ docs
     * carries no pairing signal worth F² work. Oversized buckets are dropped
     * BEFORE the self-join; a true pair loses recall only if EVERY band it
-    * collides in is oversized. */
+    * collides in is oversized — which is exactly what happens to an
+    * identical-vector GROUP larger than the cap (one signature fills every
+    * band). By design: enumerating that group's F² pairs is never the goal;
+    * collapse exact duplicates first (group by fingerprint/vector hash) or
+    * pass `None`. */
   val DefaultMaxBucketSize = 10000
 
   /** Per-plane centering thresholds for [[cosineLshPairs]]: because
@@ -291,11 +295,12 @@ object Similarity {
     * Centering subtracts the corpus mean from the LSH geometry only (exact
     * re-ranking still uses raw vectors, so output semantics are unchanged);
     * implemented as per-plane integer thresholds ([[centerThresholds]]) — one
-    * extra O(n) statistics pass, zero per-row cost. Centered signatures use
-    * the splitmix64 plane family ([[graft.funcs.LshPlanes.mix]]): the
-    * SQL-mirrorable LCG family is an arithmetic progression across planes
-    * and provably unusable beyond ~16 bits (measured 23/225 recall loss at
-    * 2048 bits where independent planes give miss < 1e-7). Measured on the
+    * extra O(n) statistics pass, zero per-row cost. Centered AND wide
+    * (> 64-bit) signatures use the splitmix64 plane family
+    * ([[graft.funcs.LshPlanes.mix]]): the SQL-mirrorable LCG family is an
+    * arithmetic progression across planes and loses recall as signatures
+    * widen (measured 23/225 pairs missed at 2048 bits where independent
+    * planes give miss < 1e-7); only the ≤64-bit paths keep it. Measured on the
     * sf0.1 byte-bigram corpus (5000 docs, 225 true pairs ≥ 0.99):
     * center + bits=512/bands=32 → recall 1.0, 0.37% of pairs candidates —
     * 135× fewer than the uncentered default.
@@ -321,6 +326,13 @@ object Similarity {
     // it saves once the upstream is parallel).
     val p = prepared(df, idCol, vecCol)
     val thresholds: Seq[Long] = if (center) centerThresholds(p, bits) else Nil
+    // plane family: the ANSI-SQL-mirrorable LCG family is an arithmetic
+    // progression across planes (see LshPlanes) — fine for narrow signatures
+    // (the ≤64-bit recall-mode paths and their oracles), but its correlated
+    // bits lose recall on WIDE signatures regardless of centering (measured
+    // 23/225 pairs missed at 2048 bits where independent planes give miss
+    // < 1e-7). Any multi-word signature therefore uses the splitmix64 family.
+    val mix = center || bits > 64
     // one signature word per 64 bits; band b reads `rows` bits starting at
     // absolute bit b·rows (aligned inside one word because rows divides 64).
     // The words are MATERIALIZED in their own projection before banding:
@@ -333,7 +345,7 @@ object Similarity {
     val words = (0 until nWords).map { w =>
       val wBits = math.min(64, bits - 64 * w)
       graft.funcs.VectorFunctions.lshSig(col("v"), wBits, 64 * w,
-        mix = center, thresholds = thresholds.slice(64 * w, 64 * w + wBits))
+        mix = mix, thresholds = thresholds.slice(64 * w, 64 * w + wBits))
         .as(s"__w$w")
     }
     val sigged = p.select(col("id") +: words: _*)

@@ -121,11 +121,17 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0,
   // every row: the coefficient is a CONSTANT of (plane, dim), and computing
   // it inline cost ~12 integer ops (including an unsigned remainder) per
   // multiply-add — an order of magnitude more than the projection work
-  // itself. Benign-race cache: concurrent tasks build identical tables.
-  @transient private var tblDims = -1
-  @transient private var tbl: Array[Long] = _
+  // itself. The cache is a single reference to an immutable (dims, table)
+  // pair: Tuple2's final fields give safe publication under the JMM even
+  // through the data race, so a concurrent reader either sees a fully-built
+  // matching table or rebuilds an identical one — never a table of the
+  // wrong size (two mutable fields written separately could pair a new dims
+  // with a stale table under ragged-dims concurrent evaluation).
+  @transient private var planeCache: (Int, Array[Long]) = _
   private def planeTable(n: Int): Array[Long] = {
-    if (tbl == null || tblDims != n) {
+    val c = planeCache
+    if (c != null && c._1 == n) c._2
+    else {
       val t = new Array[Long](bits * n)
       var p = 0
       while (p < bits) {
@@ -137,10 +143,9 @@ case class LshSignatureFloat(child: Expression, bits: Int, offset: Int = 0,
         }
         p += 1
       }
-      tbl = t
-      tblDims = n
+      planeCache = (n, t)
+      t
     }
-    tbl
   }
 
   override def nullSafeEval(input: Any): Any = {

@@ -158,13 +158,17 @@ object Excel {
     val rows = ft.ordered.limit(maxRows).collect()
     val marginLabels = meta.marginLabelSeq
 
-    // auto number formats from smart labels (excel.py:11-45). The engine's
-    // percentage base is 100 (values like 33.3, not .333), so the Excel
-    // percent format becomes a literal-% code — "0.0%" would re-scale by 100.
+    // auto number formats from smart labels (excel.py:11-45). Excel's true
+    // percent code ("0.0%") RE-SCALES by 100 at display — correct only for
+    // fraction data (base = 1, the reference default). For 0-100-scaled data
+    // the code becomes a literal-%. The scale is read from the TABLE's
+    // recorded pctBase (set by the percentage transforms per call), falling
+    // back to config for tables whose pct columns were produced elsewhere.
+    val effectiveBase = meta.pctBase
+      .getOrElse(graft.config.FlatbreadConf.current.pctBase)
     def excelCode(d: FormatDef): Option[String] =
       d.excelFormat.map { code =>
-        if (d.htmlOptions.get("style").contains("percent") &&
-            graft.config.FlatbreadConf.current.pctBase == 100)
+        if (d.htmlOptions.get("style").contains("percent") && effectiveBase == 100)
           code.replace("%", "\"%\"")
         else code
       }

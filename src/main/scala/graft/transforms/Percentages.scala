@@ -37,7 +37,10 @@ object Percentages {
         plan.exprFor.getOrElse(ck.physical, col(ck.physical)).as(ck.physical)
       }): _*
     )
-    val rounded = applyRounding(FlatTable(replaced, ft.meta), plan.eligible.map(_.physical),
+    // record the base the values were computed with so presentation sinks
+    // format to the DATA's scale, not a global config guess (TableMeta doc)
+    val rounded = applyRounding(FlatTable(replaced, ft.meta.copy(pctBase = Some(base))),
+      plan.eligible.map(_.physical),
       ndigits, useApportioned(ft, labelTotals, apportioned))
     rounded
   }
@@ -99,7 +102,8 @@ object Percentages {
       if (hadPct) meta.colNames
       else if (interleaf) meta.colNames :+ None
       else None +: meta.colNames
-    val newMeta = meta.copy(columns = newCols, colNames = newColNames)
+    val newMeta = meta.copy(columns = newCols, colNames = newColNames,
+        pctBase = Some(base))
       .withMargin("percentages", labelPct)
     applyRounding(FlatTable(projected, newMeta),
       plan.eligible.map(ck => pctPhys(ck.physical)), ndigits,

@@ -203,6 +203,20 @@ class OutputSpec extends AnyFunSuite {
         assert(styles2.contains("0.0&quot;%&quot;"))
       } finally zip2.close()
     } finally graft.config.FlatbreadConf.reset()
+    // PER-CALL base=100 under the default (base=1) config: the table's
+    // recorded pctBase — not the config — must drive the code, or 33.3
+    // would render as 3330%
+    val perCall = MakeTestDf(spark).addTotals(Axis.Both)
+      .addPercentages(Axis.Cols, ndigits = 1, base = 100)
+    assert(perCall.meta.pctBase.contains(100))
+    val path3 = Files.createTempFile("flatbread", ".xlsx").toString
+    Excel.write(perCall, path3)
+    val zip3 = new ZipFile(path3)
+    try {
+      val styles3 = new String(zip3.getInputStream(
+        zip3.getEntry("xl/styles.xml")).readAllBytes())
+      assert(styles3.contains("0.0&quot;%&quot;"))
+    } finally zip3.close()
   }
 
   test("xlsx user numberFormats and borderSpecs land in the workbook (excel.py:100-209)") {
