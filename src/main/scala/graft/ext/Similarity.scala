@@ -150,30 +150,58 @@ object Similarity {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** (band, value) keys of a signature under `bands` bands of `rows` bits. */
-  private def bandKeys(sig: Column, bands: Int, rows: Int): Column = {
-    val mask = (1L << rows) - 1
-    array((0 until bands).map(b =>
+  /** (idOut, bk) band-key rows of `df` under `bands` bands of bits/bands
+    * bits, with the signature words materialized in their own projection
+    * (each word computes ONCE per row; referencing the signature expression
+    * inside the exploded array would re-evaluate it per band — generators
+    * have no common-subexpression elimination). Shared by the pairs and
+    * top-k LSH paths. */
+  private def bandedIds(df: DataFrame, idOut: String, vecName: String,
+                        bits: Int, bands: Int, mix: Boolean,
+                        thresholds: Seq[Long]): DataFrame = {
+    val rows = bits / bands
+    require(bits % bands == 0 && rows >= 1 && rows <= 64 && 64 % rows == 0,
+      s"bits/bands must give 1..64 rows per band dividing 64; got bits=$bits bands=$bands")
+    val nWords = (bits + 63) / 64
+    val words = (0 until nWords).map { w =>
+      val wBits = math.min(64, bits - 64 * w)
+      graft.funcs.VectorFunctions.lshSig(col(vecName), wBits, 64 * w,
+        mix = mix, thresholds = thresholds.slice(64 * w, 64 * w + wBits))
+        .as(s"__w$w")
+    }
+    val sigged = df.select(col(idOut) +: words: _*)
+    val mask = if (rows == 64) lit(-1L) else lit((1L << rows) - 1)
+    val keys = array((0 until bands).map { b =>
+      val word = col(s"__w${(b * rows) / 64}")
+      val shift = (b * rows) % 64
       struct(lit(b).as("band"),
-        shiftrightunsigned(sig, b * rows).bitwiseAND(lit(mask)).as("v"))): _*)
+        shiftrightunsigned(word, shift).bitwiseAND(mask).as("v"))
+    }: _*)
+    sigged.select(col(idOut), explode(keys).as("bk"))
   }
 
-  /** LSH-bucketed ANN: candidates share a signature band (4 bands of 4 bits);
-    * exact cosine re-ranks candidates. Recall < 1 by construction — the
-    * scale path when the corpus no longer fits a broadcast/cross join. Only
-    * skinny (id, band-key) rows go through the candidate join; vectors are
-    * joined back for the exact re-rank of candidates only. */
+  /** LSH-bucketed ANN: candidates share a signature band (default 4 bands of
+    * 4 bits); exact cosine re-ranks candidates. Recall < 1 by construction —
+    * the scale path when the corpus no longer fits a broadcast/cross join.
+    * Only skinny (id, band-key) rows go through the candidate join; vectors
+    * are joined back for the exact re-rank of candidates only.
+    *
+    * `center = true` mean-centers the signature geometry by CORPUS statistics
+    * (queries use the same thresholds, so both sides band consistently) — the
+    * dial for correlated corpora, same rationale and machinery as
+    * [[cosineLshPairs]]; wide (> 64-bit) or centered signatures use the
+    * splitmix64 plane family. The 16-bit LCG default is pinned bit-for-bit by
+    * the DuckDB oracle (q39). */
   def annLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, topK: Int, bits: Int = 16): DataFrame = {
-    val bands = 4
-    val rows = bits / bands
+                 vecCol: String, topK: Int, bits: Int = 16, bands: Int = 4,
+                 center: Boolean = false): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
     val q = prepared(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val cBand = c.select(col("id"),
-      explode(bandKeys(lshSignature(col("v"), bits), bands, rows)).as("bk"))
-    val qBand = q.select(col("qid"),
-      explode(bandKeys(lshSignature(col("qv"), bits), bands, rows)).as("bk"))
+    val mix = center || bits > 64
+    val thresholds: Seq[Long] = if (center) centerThresholds(c, bits) else Nil
+    val cBand = bandedIds(c, "id", "v", bits, bands, mix, thresholds)
+    val qBand = bandedIds(q, "qid", "qv", bits, bands, mix, thresholds)
     val cands = cBand.join(broadcast(qBand), Seq("bk"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id")).distinct()
@@ -313,9 +341,6 @@ object Similarity {
                      minCos: Double, bits: Int = 64, bands: Int = 8,
                      center: Boolean = false,
                      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
-    val rows = bits / bands
-    require(bits % bands == 0 && rows >= 1 && rows <= 64 && 64 % rows == 0,
-      s"bits/bands must give 1..64 rows per band dividing 64; got bits=$bits bands=$bands")
     // NB: the prepared (id, vector, norm) projection is read by four
     // downstream subplans (both candidate-join sides and both re-rank sides),
     // plus the centering statistics pass — Spark re-executes the upstream for
@@ -333,30 +358,7 @@ object Similarity {
     // 23/225 pairs missed at 2048 bits where independent planes give miss
     // < 1e-7). Any multi-word signature therefore uses the splitmix64 family.
     val mix = center || bits > 64
-    // one signature word per 64 bits; band b reads `rows` bits starting at
-    // absolute bit b·rows (aligned inside one word because rows divides 64).
-    // The words are MATERIALIZED in their own projection before banding:
-    // referencing the signature expression inside each band struct would
-    // re-evaluate the full O(dims·64) projection loop once per band (the
-    // generator's array is built per row with no common-subexpression
-    // elimination — measured 4× redundant compute at rows=16), whereas the
-    // projected columns make each band key two bit ops.
-    val nWords = (bits + 63) / 64
-    val words = (0 until nWords).map { w =>
-      val wBits = math.min(64, bits - 64 * w)
-      graft.funcs.VectorFunctions.lshSig(col("v"), wBits, 64 * w,
-        mix = mix, thresholds = thresholds.slice(64 * w, 64 * w + wBits))
-        .as(s"__w$w")
-    }
-    val sigged = p.select(col("id") +: words: _*)
-    val mask = if (rows == 64) lit(-1L) else lit((1L << rows) - 1)
-    val keys = array((0 until bands).map { b =>
-      val word = col(s"__w${(b * rows) / 64}")
-      val shift = (b * rows) % 64
-      struct(lit(b).as("band"),
-        shiftrightunsigned(word, shift).bitwiseAND(mask).as("v"))
-    }: _*)
-    val banded = sigged.select(col("id"), explode(keys).as("bk"))
+    val banded = bandedIds(p, "id", "v", bits, bands, mix, thresholds)
     // bucket-size guard: one windowed count over the same bk partitioning the
     // candidate join shuffles on (no extra shuffle shape)
     val guarded = maxBucketSize match {

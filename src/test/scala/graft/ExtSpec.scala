@@ -290,6 +290,27 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == brute) // recall 1.0 AND identical cosines (raw-vector re-rank)
   }
 
+  test("centered LSH ANN finds the same near-dup top-1 as brute force on correlated embeddings") {
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.embed(media).toDF()
+    val queries = emb.filter(col("id") < 100)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val brute = top1(Similarity.annTopK(emb, queries, "id", "embedding", topK = 1))
+    val lsh = top1(Similarity.annLshTopK(emb, queries, "id", "embedding",
+      topK = 1, bits = 512, bands = 32, center = true))
+    // queries with a genuine near-dup (cos >= 0.99): the centered banding
+    // must surface it — identical (neighbor, cosine) to brute force
+    val nearDupQueries = brute.filter { case (_, (_, cos)) => cos >= 0.99 }
+    assert(nearDupQueries.nonEmpty)
+    nearDupQueries.foreach { case (qid, expected) =>
+      assert(lsh.get(qid).contains(expected), s"query $qid")
+    }
+  }
+
   test("LSH bucket cap binds: degenerate buckets are dropped, small buckets survive") {
     // 60 identical vectors (every band bucket holds all 60 — degenerate) plus
     // one near-dup pair on an unrelated direction (buckets of size 2)
