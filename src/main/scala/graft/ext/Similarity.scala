@@ -232,6 +232,14 @@ object Similarity {
     val c = prepared(corpus, idCol, vecCol)
     val pv = c.filter(col("id") < nCells)
       .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    ivfCore(c, prepared(queries, idCol, vecCol), pv, topK, nProbe)
+  }
+
+  /** IVF assignment/probe/re-rank over an arbitrary pivot set (pid, pv,
+    * pnrm): nearest-pivot cell per corpus vector, nProbe nearest cells per
+    * query, exact cosine re-rank of probed cells' members only. */
+  private def ivfCore(c: DataFrame, qPrep: DataFrame, pv: DataFrame,
+                      topK: Int, nProbe: Int): DataFrame = {
     val pcos = round(graft.funcs.VectorFunctions.dotF(col("v"), col("pv")) /
       (col("nrm") * col("pnrm")), 6)
     val byCell = Window.partitionBy(col("id"))
@@ -241,7 +249,7 @@ object Similarity {
       .withColumn("rn", row_number().over(byCell))
       .filter(col("rn") === 1)
       .select(col("id"), col("v"), col("nrm"), col("pid").as("cell"))
-    val q = prepared(queries, idCol, vecCol)
+    val q = qPrep
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val qpcos = round(graft.funcs.VectorFunctions.dotF(col("qv"), col("pv")) /
       (col("qnrm") * col("pnrm")), 6)
@@ -260,6 +268,75 @@ object Similarity {
       .select(col("qid"), col("id").as("neighbor_id"), cos.as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** K-means (spherical Lloyd) centroids for IVF cells: deterministic init
+    * from the `k` smallest-id corpus vectors, then `iters` rounds of
+    * assign-to-nearest-by-cosine (one distributed pass each — O(n·k), the
+    * same shape as IVF assignment itself) and per-dimension mean +
+    * re-normalization. Each round collects K×dims doubles (broadcast-sized
+    * driver statistics, like [[centerThresholds]]); empty cells keep their
+    * previous centroid. Returns (pid, centroid) rows.
+    *
+    * Centroid means are floating-point over unordered partitions, so the
+    * result is NOT bit-reproducible across engines — k-means IVF is
+    * spec-validated (full-probe == brute force holds for ANY pivot set;
+    * partial-probe recall on planted near-dups), while the oracle-checked
+    * q42 pins the deterministic first-K-pivot variant. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): Seq[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p = prepared(corpus, idCol, vecCol)
+    var cent: Seq[(Long, Array[Float])] = p.orderBy(col("id")).limit(k)
+      .select(col("id"), col("v")).as[(Long, Array[Float])].collect().toSeq
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val pv = cent.toDF("pid", "pv")
+        .withColumn("pnrm", sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+      val pcos = round(graft.funcs.VectorFunctions.dotF(col("v"), col("pv")) /
+        (col("nrm") * col("pnrm")), 6)
+      val byCell = Window.partitionBy(col("id"))
+        .orderBy(col("pcos").desc, col("pid"))
+      val sums = p.crossJoin(broadcast(pv))
+        .select(col("id"), col("v"), col("pid"), pcos.as("pcos"))
+        .withColumn("rn", row_number().over(byCell))
+        .filter(col("rn") === 1)
+        .select(col("pid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("pid"), col("d"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byPid = sums.groupBy(_.getLong(0))
+      cent = cent.map { case (pid, old) =>
+        byPid.get(pid) match {
+          case Some(rows) =>
+            val dims = old.length
+            val mean = new Array[Double](dims)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0.0) (pid, old)
+            else (pid, mean.map(x => (x / nrm).toFloat))
+          case None => (pid, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    cent
+  }
+
+  /** IVF ANN over k-means cells: [[kmeansCentroids]] pivots +
+    * [[annIvfTopK]]'s assignment/probe/re-rank core — better cell balance
+    * than raw first-K pivots on clustered corpora, same O(n·K) scale shape
+    * plus `iters` extra assignment passes. */
+  def annIvfKMeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, topK: Int, nCells: Int = 16,
+                       nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val pv = cent.toDF("pid", "pv")
+      .withColumn("pnrm", sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+    ivfCore(prepared(corpus, idCol, vecCol), prepared(queries, idCol, vecCol),
+      pv, topK, nProbe)
   }
 
   /** Default band-bucket size cap for [[cosineLshPairs]]: a band value shared

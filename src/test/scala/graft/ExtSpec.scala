@@ -311,6 +311,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: signature words are projected once per side, never re-evaluated per band") {
+    // regression guard for the r4 q46 fix: with 32 bands referencing 8
+    // signature words, inlining the expression into the generator's array
+    // evaluates it 32x per row (generators have no CSE). The optimized plan
+    // must contain exactly nWords occurrences per plan branch that computes
+    // signatures — NOT bands-many.
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.99,
+      bits = 512, bands = 32, center = true)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val sigCount = "lshsignaturefloat".r.findAllIn(plan.toLowerCase).length
+    // 8 words x 2 self-join sides = 16; the pre-fix inlined form shows 64
+    assert(sigCount == 16, s"expected 16 signature evaluations in plan, found $sigCount")
+  }
+
   test("LSH bucket cap binds: degenerate buckets are dropped, small buckets survive") {
     // 60 identical vectors (every band bucket holds all 60 — degenerate) plus
     // one near-dup pair on an unrelated direction (buckets of size 2)
@@ -345,6 +360,31 @@ class ExtSpec extends AnyFunSuite {
     val recall = (brute & probed).size.toDouble / brute.size
     assert(recall >= 0.2, s"recall@5 = $recall")
     assert(probed.nonEmpty)
+  }
+
+  test("k-means IVF: full probe equals brute force; planted near-dups found at partial probe") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // probing every cell covers the whole corpus for ANY centroid set
+    val brute = rows(Similarity.annTopK(e, q, "vec_id", "embedding", topK = 3))
+    val full = rows(Similarity.annIvfKMeansTopK(e, q, "vec_id", "embedding",
+      topK = 3, nCells = 8, nProbe = 8, iters = 3))
+    assert(full == brute)
+    // a planted near-dup (cos ~0.999) lands in its seed's cell, so partial
+    // probing of the query's nearest cells must surface it as top-1
+    val corpus = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 1000000L, scale = 0.01)
+    val top1 = Similarity.annIvfKMeansTopK(corpus,
+        corpus.filter(col("vec_id") < 20), "vec_id", "embedding",
+        topK = 1, nCells = 8, nProbe = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 1000000L), s"query $qid")
+    }
+    val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+    assert(cent.size == 8 && cent.forall(_._2.length == 64))
   }
 
   test("multimodal: decodeMeta runs the stub through real partition batches") {
