@@ -158,6 +158,25 @@ object Dedup {
     labels
   }
 
+  /** The corpus with near-duplicates REMOVED: every document that belongs to
+    * a near-dup cluster and is not its representative (the cluster's
+    * smallest id) is dropped; documents in no cluster pass through. The
+    * "give me the deduped corpus" terminal a training-data pipeline actually
+    * consumes — `pairs` comes from any of the pair operators
+    * ([[ngramJaccardPairs]], [[minhashDedupPairs]], [[simhashPairs]],
+    * [[graft.ext.Similarity.cosineLshPairs]]), so the policy (exact, Jaccard,
+    * SimHash, embedding cosine) is the caller's choice. One LEFT ANTI join
+    * against the drop set — an id-only skinny side that AQE broadcasts when
+    * it fits and shuffles on the key otherwise (at real dup rates the drop
+    * set is a large fraction of the corpus, so no broadcast is forced). */
+  def removeNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
+                     maxIters: Int = 20,
+                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val clusters = nearDupClusters(pairs, maxIters, checkpoint)
+    val drop = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   // 31-bit Mersenne prime: keeps a*h + b within 63 bits (ANSI-safe, no

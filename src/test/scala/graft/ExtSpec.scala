@@ -121,6 +121,15 @@ class ExtSpec extends AnyFunSuite {
     assert(reliable == got)
   }
 
+  test("removeNearDups keeps one representative per cluster and all singletons") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.3)
+    val kept = Dedup.removeNearDups(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 0/1/2 are a near-dup cluster -> only min id 0 survives; 3 and 4
+    // are singletons and pass through
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("MinHash signatures come back as one 128-slot array per doc") {
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text").collect()
     assert(sigs.length == 5)
