@@ -101,6 +101,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pipeline composes: quality filter -> exact dedup -> windowed counts") {
+    // the streaming shape of the training-data pipeline: every stage is
+    // either stateless (TextStats scoring/filtering) or watermark-bounded
+    // (dedup state, window state), so the composition runs on an endless feed
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    val good = ("the quick brown fox jumps over a lazy dog and runs far " +
+      "away to the old stone house where the cat is sleeping on a warm mat " +
+      "by the door tonight")
+    val junk = "!!! ??? *** !!!" // punct-heavy, no stopwords -> quality 0
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, good, t(0)),
+      (2L, good + " ", t(3)),      // same fingerprint as 1 (trailing ws)
+      (3L, junk, t(4)),            // filtered by quality
+      (4L, good + " extra words", t(6))))
+    val src = stream.toDF().toDF("id", "text", "ts")
+    val scored = graft.ext.TextStats.analyze(src, "text") // stateless stage
+    val filtered = scored.filter(col("quality") >= 0.5)
+    val deduped = Streaming.dedupExact(filtered, "text", "ts", watermark = "10 seconds")
+    // watermark = "" inherits dedupExact's watermark (Spark disallows
+    // redefining it downstream of a stateful operator)
+    val counts = Streaming.windowedAgg(deduped, "ts", watermark = "",
+      win = "10 seconds")
+    val q = Streaming.toMemorySink(counts, "pipe_counts")
+    try {
+      q.processAllAvailable()
+      val byWindow = spark.table("pipe_counts")
+        .select(col("window.start").as("w"), col("n"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      // junk filtered, duplicate dropped: 2 survivors in the first window
+      assert(byWindow == Map(t(0) -> 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch re-tabulates each micro-batch with margins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
