@@ -187,7 +187,11 @@ object TableMetaCodec {
         MarginLabel(l.get("kind").asText(), l.get("label").asText())),
       rowOrder = arr("rowOrder").map(k =>
         SortKey(k.get("column").asText(), k.get("ascending").asBoolean())),
-      // absent in metadata written before the field existed -> None
+      // absent in metadata written before the field existed -> None, and
+      // sinks fall back to the config base. For tables persisted in the
+      // pre-field era (when the engine default was 100) set `"base": 100`
+      // in .flatbread.json so their values format correctly — the recorded
+      // base of a legacy file is not recoverable from the data.
       pctBase = Option(root.get("pctBase")).map(_.asInt())
     )
   }

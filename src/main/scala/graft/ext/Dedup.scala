@@ -220,13 +220,27 @@ object Dedup {
         graft.funcs.VectorFunctions.minhashSig(col("__g"), as.toArray, bs.toArray).as("sig"))
   }
 
-  /** Default band-bucket size cap for [[lshCandidates]] — the MinHash
-    * analogue of [[graft.ext.Similarity.DefaultMaxBucketSize]]: a band value
-    * shared by F docs contributes F² candidate rows, so one degenerate bucket
-    * (e.g. millions of empty/boilerplate documents collapsing to one
-    * signature) turns the candidate join quadratic. Genuine near-dup groups
-    * are small; a 10k+ bucket carries no per-pair signal worth F² work. */
+  /** Default band-bucket size cap for the LSH candidate joins (MinHash here,
+    * cosine banding in [[graft.ext.Similarity]]): a band value shared by F
+    * docs contributes F² candidate rows, so one degenerate bucket (e.g.
+    * millions of empty/boilerplate documents collapsing to one signature)
+    * turns the candidate join quadratic. Genuine near-dup groups are small;
+    * a 10k+ bucket carries no per-pair signal worth F² work. */
   val DefaultMaxBandBucket = 10000
+
+  /** The shared bucket-size guard: drop (id, bk) rows of band buckets larger
+    * than `cap` via one windowed count over the same bk partitioning the
+    * candidate self-join shuffles on (no extra shuffle shape). */
+  private[ext] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        banded
+          .withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+          .filter(col("__bsz") <= c)
+          .drop("__bsz")
+      case None => banded
+    }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * numPerm/bands rows; docs sharing any band hash are candidates.
@@ -243,17 +257,9 @@ object Dedup {
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rows + 1, rows)).as("sig"))
     }
-    val buckets0 = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-    val buckets = maxBucketSize match {
-      case Some(cap) =>
-        // windowed count over the same bk partitioning the join shuffles on
-        buckets0
-          .withColumn("__bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-          .filter(col("__bsz") <= cap)
-          .drop("__bsz")
-      case None => buckets0
-    }
+    val buckets =
+      capBuckets(sigs.select(col("id"), explode(array(bandCols: _*)).as("bk")),
+        maxBucketSize)
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()

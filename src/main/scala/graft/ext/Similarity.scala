@@ -160,8 +160,12 @@ object Similarity {
                         bits: Int, bands: Int, mix: Boolean,
                         thresholds: Seq[Long]): DataFrame = {
     val rows = bits / bands
-    require(bits % bands == 0 && rows >= 1 && rows <= 64 && 64 % rows == 0,
-      s"bits/bands must give 1..64 rows per band dividing 64; got bits=$bits bands=$bands")
+    // the 64|rows alignment constraint exists only so multi-word bands never
+    // straddle a word boundary; single-word signatures shift freely
+    require(bits % bands == 0 && rows >= 1 && rows <= 64 &&
+        (bits <= 64 || 64 % rows == 0),
+      s"bits/bands must give 1..64 rows per band (dividing 64 when bits > 64); " +
+        s"got bits=$bits bands=$bands")
     val nWords = (bits + 63) / 64
     val words = (0 until nWords).map { w =>
       val wBits = math.min(64, bits - 64 * w)
@@ -339,20 +343,16 @@ object Similarity {
       pv, topK, nProbe)
   }
 
-  /** Default band-bucket size cap for [[cosineLshPairs]]: a band value shared
-    * by F docs contributes F² candidate rows, so one degenerate bucket (all
-    * docs hashing equal under one band — e.g. a constant-embedding failure
-    * upstream) turns the candidate join quadratic with no warning. The cap is
-    * the analogue of the Jaccard stop-gram DF cap ([[Dedup.DefaultMaxDocFreq]]):
-    * genuine near-dup groups are small, so any band bucket holding 10k+ docs
-    * carries no pairing signal worth F² work. Oversized buckets are dropped
-    * BEFORE the self-join; a true pair loses recall only if EVERY band it
-    * collides in is oversized — which is exactly what happens to an
-    * identical-vector GROUP larger than the cap (one signature fills every
-    * band). By design: enumerating that group's F² pairs is never the goal;
-    * collapse exact duplicates first (group by fingerprint/vector hash) or
-    * pass `None`. */
-  val DefaultMaxBucketSize = 10000
+  /** Default band-bucket size cap for [[cosineLshPairs]] — the shared
+    * [[Dedup.DefaultMaxBandBucket]] constant (one guard, one default; see
+    * also the Jaccard stop-gram cap [[Dedup.DefaultMaxDocFreq]]). Oversized
+    * buckets are dropped BEFORE the self-join; a true pair loses recall only
+    * if EVERY band it collides in is oversized — which is exactly what
+    * happens to an identical-vector GROUP larger than the cap (one signature
+    * fills every band). By design: enumerating that group's F² pairs is
+    * never the goal; collapse exact duplicates first (group by
+    * fingerprint/vector hash) or pass `None`. */
+  val DefaultMaxBucketSize: Int = Dedup.DefaultMaxBandBucket
 
   /** Per-plane centering thresholds for [[cosineLshPairs]]: because
     * projections are linear, hyperplane-LSH over mean-centered vectors
@@ -436,16 +436,7 @@ object Similarity {
     // < 1e-7). Any multi-word signature therefore uses the splitmix64 family.
     val mix = center || bits > 64
     val banded = bandedIds(p, "id", "v", bits, bands, mix, thresholds)
-    // bucket-size guard: one windowed count over the same bk partitioning the
-    // candidate join shuffles on (no extra shuffle shape)
-    val guarded = maxBucketSize match {
-      case Some(cap) =>
-        banded
-          .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
-          .filter(col("__bsz") <= cap)
-          .drop("__bsz")
-      case None => banded
-    }
+    val guarded = Dedup.capBuckets(banded, maxBucketSize)
     val cands = guarded.as("a").join(guarded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()

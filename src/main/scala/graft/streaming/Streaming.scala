@@ -16,11 +16,11 @@ import graft.core.FlatTable
 object Streaming {
 
   /** Tumbling/sliding windowed aggregation with a watermark for state
-    * cleanup and late-data handling. Pass `watermark = ""` to INHERIT an
+    * cleanup and late-data handling. Pass `watermark = None` to INHERIT an
     * upstream watermark instead of defining one — required when composing
     * after another stateful stage (e.g. [[dedupExact]]): Spark disallows
     * redefining the watermark downstream of the one already set. */
-  def windowedAgg(events: DataFrame, tsCol: String, watermark: String,
+  def windowedAgg(events: DataFrame, tsCol: String, watermark: Option[String],
                   win: String, slide: Option[String] = None,
                   keys: Seq[String] = Nil, aggs: Seq[Column] = Seq(count(lit(1)).as("n"))
                  ): DataFrame = {
@@ -28,8 +28,7 @@ object Streaming {
       case Some(s) => window(col(tsCol), win, s)
       case None    => window(col(tsCol), win)
     }
-    val marked =
-      if (watermark.isEmpty) events else events.withWatermark(tsCol, watermark)
+    val marked = watermark.fold(events)(events.withWatermark(tsCol, _))
     marked
       .groupBy((w.as("window") +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)

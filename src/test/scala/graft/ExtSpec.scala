@@ -335,6 +335,20 @@ class ExtSpec extends AnyFunSuite {
     assert(sigCount == 16, s"expected 16 signature evaluations in plan, found $sigCount")
   }
 
+  test("single-word band layouts need no 64-alignment (bits=48, bands=4 -> rows=12)") {
+    // regression guard: the multi-word alignment constraint (64 % rows == 0)
+    // must not reject single-word layouts the original top-k path accepted
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val out = Similarity.annLshTopK(e, q, "vec_id", "embedding", topK = 3,
+      bits = 48, bands = 4)
+    assert(out.collect().nonEmpty)
+    intercept[IllegalArgumentException] { // multi-word still enforces alignment
+      Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.9,
+        bits = 96, bands = 8) // rows=12 straddles the 64-bit word boundary
+    }
+  }
+
   test("LSH bucket cap binds: degenerate buckets are dropped, small buckets survive") {
     // 60 identical vectors (every band bucket holds all 60 — degenerate) plus
     // one near-dup pair on an unrelated direction (buckets of size 2)

@@ -30,7 +30,7 @@ class StreamingSpec extends AnyFunSuite {
     val rows = eventRows(500)
     val stream = MemoryStream[Ev]
     stream.addData(rows)
-    val agg = Streaming.windowedAgg(stream.toDF(), "ts", watermark = "1 hour",
+    val agg = Streaming.windowedAgg(stream.toDF(), "ts", watermark = Some("1 hour"),
       win = "1 hour", keys = Seq("event_type"))
     val q = Streaming.toMemorySink(agg, "stream_counts")
     try {
@@ -122,9 +122,9 @@ class StreamingSpec extends AnyFunSuite {
     val scored = graft.ext.TextStats.analyze(src, "text") // stateless stage
     val filtered = scored.filter(col("quality") >= 0.5)
     val deduped = Streaming.dedupExact(filtered, "text", "ts", watermark = "10 seconds")
-    // watermark = "" inherits dedupExact's watermark (Spark disallows
+    // watermark = None inherits dedupExact's watermark (Spark disallows
     // redefining it downstream of a stateful operator)
-    val counts = Streaming.windowedAgg(deduped, "ts", watermark = "",
+    val counts = Streaming.windowedAgg(deduped, "ts", watermark = None,
       win = "10 seconds")
     val q = Streaming.toMemorySink(counts, "pipe_counts")
     try {
@@ -142,7 +142,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
     stream.addData(eventRows(300))
-    val agg = Streaming.windowedAgg(stream.toDF(), "ts", watermark = "1 hour",
+    val agg = Streaming.windowedAgg(stream.toDF(), "ts", watermark = Some("1 hour"),
       win = "6 hours", keys = Seq("event_type"))
     @volatile var captured: Option[Array[org.apache.spark.sql.Row]] = None
     val writer = Streaming.tabulateForeachBatch(
