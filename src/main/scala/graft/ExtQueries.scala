@@ -115,6 +115,16 @@ object ExtQueries {
           Dedup.ngramJaccardPairs(docsPar(s, dir), "doc_id", "text",
             minJaccard = 0.8))
         .orderBy(col("id"))),
+    // the deduped-CORPUS terminal: documents minus non-representative
+    // near-dup cluster members (LEFT ANTI against the closure clusters);
+    // oracle = q44's recursive closure feeding an anti-join
+    "q50_dedup_corpus" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Dedup.removeNearDups(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     // collection/json scalar-function breadth (SURVEY §2.6): array ops, a
     // map lookup, and json build+extract, all codegen'd built-ins; the
     // oracle checks the VALUES (duckdb computes the same results through its
@@ -345,6 +355,25 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
     "q44_dedup_clusters" -> dedupClustersSql,
+    "q50_dedup_corpus" ->
+      s"""WITH RECURSIVE $shingleBase,
+         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+         |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
+         |j AS (SELECT id1, id2 FROM (SELECT id1, id2,
+         |        CAST(c AS DOUBLE)/(s1.n+s2.n-c) AS jaccard
+         |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id)
+         |      WHERE jaccard >= 0.8),
+         |e AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
+         |nodes AS (SELECT DISTINCT id1 AS id FROM e),
+         |reach(id, x) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1),
+         |clusters AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+         |ORDER BY doc_id""".stripMargin,
     "q45_collection_funcs" ->
       s"""SELECT doc_id,
          |  list_sort(list_distinct($docToks))[1] AS first_tok,
