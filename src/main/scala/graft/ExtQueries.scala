@@ -333,10 +333,12 @@ object ExtQueries {
     * Java regex agree on this lookahead-free pattern. */
   private val bpeSqlPattern = graft.ext.TextStats.BpePattern.replace("'", "''")
 
-  /** Connected components over the >=0.8-Jaccard pair graph via recursive
-    * transitive closure: cluster = min reachable id. */
-  private val dedupClustersSql: String =
-    s"""WITH RECURSIVE $shingleBase,
+  /** Shared CTE chain: >=0.8-Jaccard pair graph → recursive transitive
+    * closure (`reach`); cluster = min reachable id. Used by BOTH the q44
+    * cluster listing and the q50 deduped-corpus anti-join, so the two
+    * oracles cannot silently diverge. */
+  private val jaccardClosureCtes: String =
+    s"""$shingleBase,
        |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
        |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
        |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
@@ -349,27 +351,17 @@ object ExtQueries {
        |reach(id, x) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1)
+       |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1)""".stripMargin
+
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $jaccardClosureCtes
        |SELECT id, min(x) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
     "q44_dedup_clusters" -> dedupClustersSql,
     "q50_dedup_corpus" ->
-      s"""WITH RECURSIVE $shingleBase,
-         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
-         |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-         |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
-         |j AS (SELECT id1, id2 FROM (SELECT id1, id2,
-         |        CAST(c AS DOUBLE)/(s1.n+s2.n-c) AS jaccard
-         |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id)
-         |      WHERE jaccard >= 0.8),
-         |e AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
-         |nodes AS (SELECT DISTINCT id1 AS id FROM e),
-         |reach(id, x) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1),
+      s"""WITH RECURSIVE $jaccardClosureCtes,
          |clusters AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)

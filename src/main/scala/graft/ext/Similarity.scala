@@ -275,12 +275,19 @@ object Similarity {
   }
 
   /** K-means (spherical Lloyd) centroids for IVF cells: deterministic init
-    * from the `k` smallest-id corpus vectors, then `iters` rounds of
-    * assign-to-nearest-by-cosine (one distributed pass each — O(n·k), the
-    * same shape as IVF assignment itself) and per-dimension mean +
-    * re-normalization. Each round collects K×dims doubles (broadcast-sized
-    * driver statistics, like [[centerThresholds]]); empty cells keep their
-    * previous centroid. Returns (pid, centroid) rows.
+    * from the `k` DISTINCT corpus vectors with smallest ids (duplicate
+    * vectors would seed identical centroids whose twin cells stay empty
+    * forever), then `iters` rounds of assign-to-nearest-by-cosine (one
+    * distributed pass each — O(n·k), the same shape as IVF assignment
+    * itself) and per-dimension mean of the UNIT-NORMALIZED members +
+    * re-normalization (direction-weighted, the spherical update — a raw
+    * mean would let one large-magnitude member drag the centroid). Each
+    * round collects K×dims doubles (broadcast-sized driver statistics, like
+    * [[centerThresholds]]); a cell left empty keeps its previous centroid.
+    * The prepared corpus projection is localCheckpoint'ed once so the
+    * upstream (possibly an expensive decode/embed pipeline) runs once, not
+    * once per iteration — same rationale as [[Dedup.nearDupClusters]]'s
+    * per-round checkpoint. Returns (pid, centroid) rows.
     *
     * Centroid means are floating-point over unordered partitions, so the
     * result is NOT bit-reproducible across engines — k-means IVF is
@@ -288,11 +295,16 @@ object Similarity {
     * partial-probe recall on planted near-dups), while the oracle-checked
     * q42 pins the deterministic first-K-pivot variant. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 5): Seq[(Long, Array[Float])] = {
-    val spark = corpus.sparkSession
+                      k: Int, iters: Int = 5): Seq[(Long, Array[Float])] =
+    kmeansLloyd(prepared(corpus, idCol, vecCol).localCheckpoint(), k, iters)
+
+  private def kmeansLloyd(p: DataFrame, k: Int,
+                          iters: Int): Seq[(Long, Array[Float])] = {
+    val spark = p.sparkSession
     import spark.implicits._
-    val p = prepared(corpus, idCol, vecCol)
-    var cent: Seq[(Long, Array[Float])] = p.orderBy(col("id")).limit(k)
+    var cent: Seq[(Long, Array[Float])] = p
+      .groupBy(col("v")).agg(min(col("id")).as("id"))
+      .orderBy(col("id")).limit(k)
       .select(col("id"), col("v")).as[(Long, Array[Float])].collect().toSeq
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
@@ -303,12 +315,15 @@ object Similarity {
       val byCell = Window.partitionBy(col("id"))
         .orderBy(col("pcos").desc, col("pid"))
       val sums = p.crossJoin(broadcast(pv))
-        .select(col("id"), col("v"), col("pid"), pcos.as("pcos"))
+        .select(col("id"), col("v"), col("nrm"), col("pid"), pcos.as("pcos"))
         .withColumn("rn", row_number().over(byCell))
         .filter(col("rn") === 1)
-        .select(col("pid"), posexplode(col("v")).as(Seq("d", "x")))
+        // spherical update: members contribute their DIRECTION only
+        .select(col("pid"),
+          posexplode(transform(col("v"), x => x.cast("double") / col("nrm")))
+            .as(Seq("d", "x")))
         .groupBy(col("pid"), col("d"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
       val byPid = sums.groupBy(_.getLong(0))
       cent = cent.map { case (pid, old) =>
@@ -330,17 +345,18 @@ object Similarity {
   /** IVF ANN over k-means cells: [[kmeansCentroids]] pivots +
     * [[annIvfTopK]]'s assignment/probe/re-rank core — better cell balance
     * than raw first-K pivots on clustered corpora, same O(n·K) scale shape
-    * plus `iters` extra assignment passes. */
+    * plus `iters` extra assignment passes over the ONCE-materialized
+    * prepared projection. */
   def annIvfKMeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, topK: Int, nCells: Int = 16,
                        nProbe: Int = 4, iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cent = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val c = prepared(corpus, idCol, vecCol).localCheckpoint()
+    val cent = kmeansLloyd(c, nCells, iters)
     val pv = cent.toDF("pid", "pv")
       .withColumn("pnrm", sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
-    ivfCore(prepared(corpus, idCol, vecCol), prepared(queries, idCol, vecCol),
-      pv, topK, nProbe)
+    ivfCore(c, prepared(queries, idCol, vecCol), pv, topK, nProbe)
   }
 
   /** Default band-bucket size cap for [[cosineLshPairs]] — the shared

@@ -28,7 +28,18 @@ object Streaming {
       case Some(s) => window(col(tsCol), win, s)
       case None    => window(col(tsCol), win)
     }
-    val marked = watermark.fold(events)(events.withWatermark(tsCol, _))
+    val marked = watermark match {
+      case Some(w) => events.withWatermark(tsCol, w)
+      case None =>
+        // None means INHERIT — fail fast if there is nothing to inherit
+        // (an unwatermarked stateful aggregation would start fine and then
+        // grow window state without bound on an endless feed)
+        require(events.queryExecution.analyzed.collectFirst {
+          case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+        }.isDefined,
+          "watermark = None inherits an upstream watermark, but none is set on the input")
+        events
+    }
     marked
       .groupBy((w.as("window") +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
