@@ -39,8 +39,10 @@ object Bench {
       // queries) — and since Map iteration order shifts whenever a query is
       // added, round-over-round comparisons saw phantom 2-3× "regressions"
       // on unchanged queries (r3's q42/q43). Costs ~2× bench wall-clock.
+      // NonFatal only: swallowing an OutOfMemoryError here would let the
+      // timed run execute in a corrupted JVM (and eat the interrupt flag)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // reported from the timed run below
+      catch { case scala.util.control.NonFatal(_) => () } // reported from the timed run below
       // drain the warmup's garbage so its collection pauses don't bleed
       // into the timed run
       System.gc()
@@ -49,7 +51,7 @@ object Bench {
       // Spark prune unreferenced projections for some plans
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           errors += name -> (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n\r]", " "))
       }

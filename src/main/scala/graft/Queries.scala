@@ -24,6 +24,22 @@ object Queries {
   AggFuncs.register("dmean",
     c => sum(c.cast(DecimalType(18, 2))).cast("double") / count(c))
 
+  /** Per-JVM scratch root for queries that round-trip through storage (q47):
+    * one temp dir per run, recursively deleted on exit, so repeated
+    * bench/verify invocations leave nothing behind under /tmp. */
+  private lazy val scratchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+      ()
+    }))
+    dir.toString
+  }
+
   // ---- building blocks --------------------------------------------------
 
   /** lineitem pivoted: returnflag × linestatus, exact decimal revenue sums. */
@@ -90,7 +106,7 @@ object Queries {
     // identical output is only possible if margin tracking (the grand-total
     // lookup) and the column set survive the round-trip.
     "q47_meta_roundtrip" -> { (s, dir) =>
-      val path = java.nio.file.Files.createTempDirectory("graft_q47").toString + "/t"
+      val path = scratchDir + "/q47"
       graft.sources.IO.writeTable(
         castValuesToDouble(pivotRevenue(s, dir).addTotals(Axis.Both)), path)
       graft.sources.IO.readTable(s, path).asPercentages(Axis.Both, base = 100).ordered

@@ -13,6 +13,19 @@ sealed trait CheckpointStrategy
 object CheckpointStrategy {
   case object Local extends CheckpointStrategy
   final case class Reliable(dir: String) extends CheckpointStrategy
+
+  /** The materialization function a strategy denotes — shared by every
+    * iterative/multi-consumer operator that truncates lineage. */
+  private[ext] def materializer(s: CheckpointStrategy): DataFrame => DataFrame =
+    s match {
+      case Local => _.localCheckpoint()
+      case Reliable(dir) =>
+        df => {
+          val sc = df.sparkSession.sparkContext
+          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          df.checkpoint()
+        }
+    }
 }
 
 /** Deduplication operators for training-data pipelines: exact (fingerprint
@@ -122,15 +135,7 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    val cp: DataFrame => DataFrame = checkpoint match {
-      case CheckpointStrategy.Local => _.localCheckpoint()
-      case CheckpointStrategy.Reliable(dir) =>
-        df => {
-          val sc = df.sparkSession.sparkContext
-          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
-          df.checkpoint()
-        }
-    }
+    val cp: DataFrame => DataFrame = CheckpointStrategy.materializer(checkpoint)
     // materialize the (possibly expensive) pair pipeline ONCE: edges and the
     // initial labels both derive from it, and every propagation round joins
     // against edges — without this the upstream similarity join would
@@ -228,19 +233,60 @@ object Dedup {
     * a 10k+ bucket carries no per-pair signal worth F² work. */
   val DefaultMaxBandBucket = 10000
 
+  /** Observed-metric name prefix emitted by [[capBuckets]] (suffixed with a
+    * per-call counter for uniqueness — match on the prefix). When a bucket
+    * cap is active, the guard reports on the SAME action (`Dataset.observe`
+    * / CollectMetrics, readable from a QueryExecutionListener or
+    * StreamingQueryListener) how much banded mass it dropped:
+    * `dropped_rows` ((id, band) rows in oversized buckets) and `max_bucket`
+    * (the largest bucket seen). A nonzero `dropped_rows` means some group
+    * exceeded the cap and emitted no pairs.
+    *
+    * BEST-EFFORT under AQE: Spark does not surface CollectMetrics
+    * accumulators from inside adaptive query stages when the observed
+    * branch feeds the candidate self-join (verified on 4.1.2; works with
+    * AQE disabled or on single-consumer plans such as
+    * [[bandedSignatures]] → [[capBuckets]] driven directly). Because the
+    * signal can be silent exactly where it matters most, the cap's
+    * semantic risk is ALSO closed structurally: [[dedupCorpus]] collapses
+    * exact duplicates before the near-dup pass, so an identical-content
+    * group larger than the cap can never slip through unfiltered. */
+  val BucketCapMetric = "graft.lsh.bucket_cap"
+  private val bucketCapIds = new java.util.concurrent.atomic.AtomicLong()
+
   /** The shared bucket-size guard: drop (id, bk) rows of band buckets larger
     * than `cap` via one windowed count over the same bk partitioning the
-    * candidate self-join shuffles on (no extra shuffle shape). */
-  private[ext] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+    * candidate self-join shuffles on (no extra shuffle shape). Dropped mass
+    * is observable per action — see [[BucketCapMetric]] (and its AQE
+    * caveat). */
+  private[graft] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
         banded
           .withColumn("__bsz", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+          .observe(s"$BucketCapMetric.${bucketCapIds.incrementAndGet()}",
+            coalesce(sum(when(col("__bsz") > c, 1L).otherwise(0L)), lit(0L))
+              .as("dropped_rows"),
+            coalesce(max(col("__bsz")), lit(0L)).as("max_bucket"))
           .filter(col("__bsz") <= c)
           .drop("__bsz")
       case None => banded
     }
+
+  /** (id, bk) banded rows of a MinHash signature table — the candidate
+    * join's input, exposed separately so diagnostics can drive it on a
+    * single-consumer plan (where the [[BucketCapMetric]] observation
+    * reliably surfaces). */
+  def bandedSignatures(sigs: DataFrame, numPerm: Int = 128,
+                       bands: Int = 32): DataFrame = {
+    val rows = numPerm / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rows + 1, rows)).as("sig"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+  }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * numPerm/bands rows; docs sharing any band hash are candidates.
@@ -252,14 +298,7 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, numPerm: Int = 128,
                     bands: Int = 32,
                     maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
-    val rows = numPerm / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * rows + 1, rows)).as("sig"))
-    }
-    val buckets =
-      capBuckets(sigs.select(col("id"), explode(array(bandCols: _*)).as("bk")),
-        maxBucketSize)
+    val buckets = capBuckets(bandedSignatures(sigs, numPerm, bands), maxBucketSize)
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
@@ -287,10 +326,14 @@ object Dedup {
       numPerm, bands, maxBucketSize)
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    // the candidate-id semi-join is left to AQE: at real dup rates candidate
+    // ids are an O(corpus) fraction, so a forced broadcast would build the
+    // whole set on the driver and OOM at scale — AQE broadcasts only when the
+    // side actually fits (same posture as removeNearDups' anti-join)
     val sets = df
       .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("__t"))
       .select(col("id"), shinglesOfTokens(col("__t"), k).as("g"))
-      .join(broadcast(candIds), Seq("id"))
+      .join(candIds, Seq("id"))
     val s1 = sets.select(col("id").as("id1"), col("g").as("g1"))
     val s2 = sets.select(col("id").as("id2"), col("g").as("g2"))
     cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
@@ -299,6 +342,35 @@ object Dedup {
         (size(col("g1")) + size(col("g2")) - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** The full text-dedup TERMINAL: exact-duplicate collapse, then MinHash-LSH
+    * near-dup pairs over the exact REPRESENTATIVES only, then connected
+    * components and one anti-join keeping one document per cluster.
+    *
+    * Running [[exact]] first is load-bearing at scale, not just cheaper: an
+    * identical-content group larger than the band-bucket cap shares one
+    * signature, fills every one of its band buckets past the cap, and emits
+    * ZERO pairs from [[minhashDedupPairs]] — i.e. the MOST-duplicated
+    * content (empty docs, boilerplate) would pass through a bare
+    * cap-guarded near-dup pass unfiltered. Collapsed to one representative
+    * per fingerprint before banding, mass duplicates are removed by
+    * construction and every band bucket holds distinct content only, so the
+    * cap guards genuine skew instead of silently changing semantics.
+    * Three shuffle pipelines end to end: fingerprint groupBy, the banded
+    * candidate join, and the label-propagation rounds — no broadcast is
+    * forced anywhere. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double = 0.8, numPerm: Int = 128,
+                  bands: Int = 32, k: Int = 4,
+                  maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
+                  maxIters: Int = 20,
+                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val reps = exact(df, idCol, textCol).select(col(idCol))
+    val repDocs = df.join(reps, Seq(idCol), "left_semi")
+    val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
+      numPerm, bands, k, maxBucketSize)
+    removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint)
   }
 
   // ---- SimHash ----------------------------------------------------------

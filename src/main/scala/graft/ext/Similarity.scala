@@ -298,10 +298,17 @@ object Similarity {
                       k: Int, iters: Int = 5): Seq[(Long, Array[Float])] =
     kmeansLloyd(prepared(corpus, idCol, vecCol).localCheckpoint(), k, iters)
 
-  private def kmeansLloyd(p: DataFrame, k: Int,
+  private def kmeansLloyd(p0: DataFrame, k: Int,
                           iters: Int): Seq[(Long, Array[Float])] = {
-    val spark = p.sparkSession
+    val spark = p0.sparkSession
     import spark.implicits._
+    // a zero-norm vector has no direction: x/nrm divides by zero (NULL per
+    // element), sum() would skip the NULLs while count() still counted the
+    // row — inflating the divisor and biasing the centroid toward zero — and
+    // its NULL cosine would assign it to an arbitrary cell. Drop such rows
+    // from the CENTROID computation (assignment of them at query time is the
+    // caller's tie-break, same as any other engine).
+    val p = p0.filter(col("nrm") > 0)
     var cent: Seq[(Long, Array[Float])] = p
       .groupBy(col("v")).agg(min(col("id")).as("id"))
       .orderBy(col("id")).limit(k)
@@ -429,20 +436,25 @@ object Similarity {
     * `maxBucketSize` (on by default) drops band buckets larger than the cap
     * before the self-join — the skew guard bounding the F² blow-up of
     * degenerate buckets; see [[DefaultMaxBucketSize]]. Pass `None` to
-    * disable. */
+    * disable.
+    *
+    * `checkpoint`: the prepared (id, vector, norm) projection is read by four
+    * downstream subplans (both candidate-join sides and both re-rank sides),
+    * plus the centering statistics pass — Spark re-executes the upstream for
+    * each. When the upstream is an expensive decode/embed pipeline, pass
+    * `Some(strategy)` to materialize the projection ONCE before fan-out
+    * ([[CheckpointStrategy.Local]] in local/interactive runs,
+    * [[CheckpointStrategy.Reliable]] on a real cluster — same dial as
+    * [[Dedup.nearDupClusters]]). Default `None` keeps today's recompute
+    * behavior, which measured cheaper when the upstream is a plain parquet
+    * scan. */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double, bits: Int = 64, bands: Int = 8,
                      center: Boolean = false,
-                     maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize)): DataFrame = {
-    // NB: the prepared (id, vector, norm) projection is read by four
-    // downstream subplans (both candidate-join sides and both re-rank sides),
-    // plus the centering statistics pass — Spark re-executes the upstream for
-    // each. When the upstream is an expensive decode/embed pipeline, persist
-    // or checkpoint `df` BEFORE calling this operator (a caller-owned
-    // decision: the right storage level / checkpoint dir depends on the
-    // pipeline; measured here, an operator-internal persist costs more than
-    // it saves once the upstream is parallel).
-    val p = prepared(df, idCol, vecCol)
+                     maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize),
+                     checkpoint: Option[CheckpointStrategy] = None): DataFrame = {
+    val p = checkpoint.map(CheckpointStrategy.materializer)
+      .foldLeft(prepared(df, idCol, vecCol))((d, cp) => cp(d))
     val thresholds: Seq[Long] = if (center) centerThresholds(p, bits) else Nil
     // plane family: the ANSI-SQL-mirrorable LCG family is an arithmetic
     // progression across planes (see LshPlanes) — fine for narrow signatures

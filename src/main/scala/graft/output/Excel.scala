@@ -168,7 +168,11 @@ object Excel {
       .getOrElse(graft.config.FlatbreadConf.current.pctBase)
     def excelCode(d: FormatDef): Option[String] =
       d.excelFormat.map { code =>
-        if (d.htmlOptions.get("style").contains("percent") && effectiveBase == 100)
+        // Excel's true-percent code is only correct for base = 1 (fractions):
+        // it re-scales by 100 at display. ANY other recorded base (100, or a
+        // custom per-call base like 1000) means the data is already scaled,
+        // so the % becomes a literal suffix
+        if (d.htmlOptions.get("style").contains("percent") && effectiveBase != 1)
           code.replace("%", "\"%\"")
         else code
       }

@@ -83,6 +83,45 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fb_fp")
       .drop("__fb_fp")
 
+  /** Streaming NEAR-dup suppression: keep the first event per content
+    * SIGNATURE within the watermark horizon. The batch layer's signature
+    * operators are per-document zero-shuffle codegen'd scalars
+    * ([[graft.funcs.SimHashSignature]] / [[graft.funcs.MinHashSignature]]) —
+    * already streaming-compatible — so online near-dup dedup is their
+    * composition with `dropDuplicatesWithinWatermark` on the signature.
+    * State is bounded by the watermark, like [[dedupExact]].
+    *
+    * Semantics: the streaming state store keys on EQUALITY, so this collapses
+    * signature-IDENTICAL documents — for the default 64-bit SimHash that is
+    * Hamming distance 0, where the near-identical mass of a crawl lands
+    * (boilerplate, templated pages, small-whitespace edits; token-level
+    * rewrites usually flip a few bits and pass). The full Hamming ≤ 3 /
+    * banded-Jaccard pair graphs stay batch operators
+    * ([[graft.ext.Dedup.simhashPairs]],
+    * [[graft.ext.Dedup.minhashDedupPairs]]): they need a candidate self-join,
+    * which has no bounded-state streaming formulation. Use this as the online
+    * first-pass filter feeding the periodic batch dedup terminal
+    * ([[graft.ext.Dedup.removeNearDups]]).
+    *
+    * The token/shingle arrays are materialized in their own projections (not
+    * inlined) for the same CSE reason as the batch signature operators —
+    * see [[graft.ext.Dedup.minhashSignatures]]. */
+  def dedupNear(events: DataFrame, textCol: String, tsCol: String,
+                watermark: String, k: Int = 4,
+                hasher: graft.ext.Dedup.Hasher = graft.ext.Dedup.Hasher.Xx): DataFrame = {
+    graft.funcs.VectorFunctions.register(events.sparkSession)
+    events
+      .withColumn("__fb_t",
+        graft.ext.TextStats.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("__fb_g", graft.ext.Dedup.shinglesOfTokens(col("__fb_t"), k))
+      .withColumn("__fb_sig", graft.funcs.VectorFunctions.simhashSig(
+        col("__fb_g"), useMd5 = hasher == graft.ext.Dedup.Hasher.Md5))
+      .drop("__fb_t", "__fb_g")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fb_sig")
+      .drop("__fb_sig")
+  }
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class SessionEvent(key: String, ts: java.sql.Timestamp)

@@ -77,8 +77,16 @@ object Shaping {
         val k = if (i < 0) i + n else i
         require(k >= 0 && k < n, s"column level $i out of range for $n levels")
         k
-      case Level.Named(n) => throw new IllegalArgumentException(
-        s"column levels are addressed by position, got name '$n'") } match {
+      case Level.Named(n) =>
+        // name resolution against the recorded column-level names — the
+        // column-axis mirror of TableMeta.resolveLevel(name), matching the
+        // reference's int-or-name Level contract on either axis (axes.py:11-26
+        // applied to the transposed frame; Pivot records the pivot column's
+        // name in TableMeta.colNames)
+        val i = meta.colNames.indexWhere(_.contains(n))
+        require(i >= 0, s"no column level named '$n' (have " +
+          s"${meta.colNames.map(_.getOrElse("<unnamed>")).mkString(", ")})")
+        i } match {
       case None    => meta.columns.sortBy(ck => ck.key.map(flag).toList)
       case Some(k) =>
         val levels =

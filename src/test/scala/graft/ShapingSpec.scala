@@ -74,6 +74,27 @@ class ShapingSpec extends AnyFunSuite {
     assert(sorted.meta.valueCols.tail == Seq("c0", "c1", "c2", "c3"))
   }
 
+  test("column-axis levels resolve by NAME against recorded colNames (axes.py:11-26 under transpose)") {
+    // a pivot records the pivot column's name in TableMeta.colNames; the
+    // reference's Level = int | str contract applies on EITHER axis, so
+    // sort_totals(axis=1, level='status') must resolve the name, same as a
+    // row level would
+    val df = Seq(("r1", "F", 1.0), ("r1", "O", 2.0), ("r2", "F", 3.0))
+      .toDF("flag", "status", "v")
+    val ft = graft.pivot.Pivot.pivot(df, Seq("flag"), "status",
+      sum(col("v")), Seq("F", "O")).addTotals(Axis.Cols)
+    val byName = ft.sortTotals(Axis.Cols, aggregatesLast = false,
+      level = Some(Level.Named("status")))
+    val byPos = ft.sortTotals(Axis.Cols, aggregatesLast = false,
+      level = Some(Level.Pos(0)))
+    assert(byName.meta.valueCols == byPos.meta.valueCols)
+    assert(byName.meta.valueCols.head == "Totals")
+    val err = intercept[IllegalArgumentException] {
+      ft.sortTotals(Axis.Cols, level = Some(Level.Named("nonexistent")))
+    }
+    assert(err.getMessage.contains("no column level named"))
+  }
+
   test("addLevel accepts non-string scalars with native types (axes.py value: Any)") {
     val ft = MakeTestDf(spark)
     val lv = ft.addLevel(2024, 0, Some("year"))

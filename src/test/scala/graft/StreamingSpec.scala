@@ -101,6 +101,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup collapses signature-equal docs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    // doc 2 is a word-level REORDER + REPEAT of doc 1: a different exact
+    // fingerprint (dedupExact would keep both) but the same distinct token
+    // set, hence the same k=1 SimHash — the near-dup regime this operator
+    // suppresses online
+    val a1 = "the quick brown fox jumps over the lazy dog"
+    val a2 = "quick the brown fox dog jumps over the lazy fox quick"
+    val b = "an entirely different document about spark streaming state"
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq((1L, a1, t(0)), (2L, a2, t(2)), (3L, b, t(4))))
+    val deduped = Streaming.dedupNear(stream.toDF().toDF("id", "text", "ts"),
+      "text", "ts", watermark = "10 seconds", k = 1)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L)) // 2 suppressed as an in-horizon NEAR-dup
+      // agreement with the batch signature operator: the streamed survivors
+      // are exactly one representative per batch simhash group
+      val sigs = graft.ext.Dedup.simhash(
+        Seq((1L, a1), (2L, a2), (3L, b)).toDF("id", "text"), "id", "text", k = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(3L))
+      // and the exact fingerprints differ — this is not exact dedup
+      val fps = Seq((1L, a1), (2L, a2)).toDF("id", "text")
+        .select(graft.ext.TextStats.fingerprint(col("text"))).collect()
+        .map(_.getString(0)).toSet
+      assert(fps.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming pipeline composes: quality filter -> exact dedup -> windowed counts") {
     // the streaming shape of the training-data pipeline: every stage is
     // either stateless (TextStats scoring/filtering) or watermark-bounded
