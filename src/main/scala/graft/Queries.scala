@@ -32,9 +32,15 @@ object Queries {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val walk = Files.walk(dir)
+        // close the walk stream BEFORE deleting: open directory handles can
+        // make directory deletes fail on some filesystems
+        val paths =
+          try walk.sorted(Comparator.reverseOrder[Path]()).toArray(new Array[Path](_))
+          finally walk.close()
+        paths.foreach(p => Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
       ()
     }))
     dir.toString

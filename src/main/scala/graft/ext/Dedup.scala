@@ -357,9 +357,12 @@ object Dedup {
     * per fingerprint before banding, mass duplicates are removed by
     * construction and every band bucket holds distinct content only, so the
     * cap guards genuine skew instead of silently changing semantics.
-    * Three shuffle pipelines end to end: fingerprint groupBy, the banded
-    * candidate join, and the label-propagation rounds — no broadcast is
-    * forced anywhere. */
+    * The representative sub-corpus is a multi-consumer input (the signature
+    * branch, both sides of the candidate verification, and the final
+    * anti-join all read it), so it is materialized ONCE via `checkpoint` —
+    * the same posture as [[nearDupClusters]]'s pair input; without it the
+    * fingerprint groupBy and corpus scan would re-execute per consumer.
+    * No broadcast is forced anywhere. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   minJaccard: Double = 0.8, numPerm: Int = 128,
                   bands: Int = 32, k: Int = 4,
@@ -367,7 +370,8 @@ object Dedup {
                   maxIters: Int = 20,
                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val reps = exact(df, idCol, textCol).select(col(idCol))
-    val repDocs = df.join(reps, Seq(idCol), "left_semi")
+    val repDocs = CheckpointStrategy.materializer(checkpoint)(
+      df.join(reps, Seq(idCol), "left_semi"))
     val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
       numPerm, bands, k, maxBucketSize)
     removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint)

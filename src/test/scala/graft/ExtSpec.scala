@@ -534,7 +534,11 @@ class ExtSpec extends AnyFunSuite {
     val b = Similarity.kmeansCentroids(without, "id", "v", k = 3, iters = 3)
     assert(a.map(_._1) == b.map(_._1))
     a.zip(b).foreach { case ((_, ca), (_, cb)) =>
-      assert(ca.sameElements(cb), "zero-norm row changed a centroid")
+      // epsilon compare, not bit-exact: centroid means fold doubles over
+      // partitions whose slicing differs between the 20- and 21-row inputs
+      // (Similarity scaladoc documents the nondeterminism)
+      assert(ca.zip(cb).forall { case (x, y) => math.abs(x - y) < 1e-5f },
+        "zero-norm row changed a centroid")
       val nrm = math.sqrt(ca.map(x => x.toDouble * x).sum)
       assert(math.abs(nrm - 1.0) < 1e-4)
     }
