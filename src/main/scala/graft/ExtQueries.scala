@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Similarity, TextStats}
 import graft.Tables.read
 
 /** Training-data-pipeline operator queries (dedup, similarity search, text
@@ -200,7 +200,60 @@ object ExtQueries {
       Dedup.dedupCorpus(docsPar(s, dir), "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
-    }
+    },
+    // Benchmark decontamination: per-document distinct-4-gram overlap against
+    // an eval set (here: every 20th doc). One gram-key semi-join — the
+    // benchmark side is tiny relative to the corpus and AQE broadcasts it
+    // when it fits (not forced).
+    "q52_contamination" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Corpus.benchmarkContamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // Deterministic train/val/test assignment from the md5 of the doc id —
+    // zero shuffle, stable as the corpus grows (no re-split leakage). The
+    // oracle recomputes the identical bucket arithmetic from md5 hex.
+    "q53_hash_split" -> ((s, dir) =>
+      Corpus.hashSplit(read(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+    // Gopher-style repetition metrics: duplicate-word / top-bigram /
+    // duplicate-trigram fractions, all per-row integer-ratio arithmetic.
+    "q54_repetition" -> ((s, dir) =>
+      TextStats.repetitionStats(read(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"),
+          col("dup_trigram_frac"))
+        .orderBy(col("doc_id"))),
+    // Source-level quality gate: keep docs whose source's mean integer
+    // quality points clear the bar (7.8 keeps 11/20 fixture sources). The
+    // mean is sum(int)/count — fold-order-exact, so the threshold compare is
+    // reproducible across engines.
+    "q55_source_gate" -> ((s, dir) =>
+      Corpus.sourceQualityGate(read(s, dir, "documents"), "source", "text",
+          minAvgPoints = 7.8)
+        .select(col("doc_id"), col("source"), col("src_docs"), col("avg_points"))
+        .orderBy(col("doc_id"))),
+    // ANN over int8-quantized embeddings: ranking by quantized cosine, whose
+    // dots/norms are exact integer arithmetic — the 4×-narrower scan path for
+    // candidate generation at corpus scale. The oracle mirrors the whole
+    // pipeline (scale → round → integer dot → rank) value-for-value.
+    "q56_ann_quantized" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      Quantize.annTopKQuantized(e, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", topK = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // Deterministic stratified sampling by language: hash-threshold per
+    // stratum (en 50%, zh 100%, default 10%) — reproducible across runs and
+    // engines, unlike RNG-stream sampleBy.
+    "q57_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(read(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), default = 0.1, salt = "sample1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")))
   )
 
   private val docToks =
@@ -528,6 +581,102 @@ object ExtQueries {
         |JOIN nrm n2 ON id2 = n2.doc_id
         |WHERE ROUND(d / (n1.n * n2.n), 6) >= 0.99
         |ORDER BY id1, id2""".stripMargin,
+    // distinct-gram overlap vs the every-20th-doc benchmark set; counts are
+    // integers, overlap divides them
+    "q52_contamination" ->
+      s"""WITH $shingleBase,
+         |bench AS (SELECT DISTINCT g FROM d WHERE doc_id % 20 = 0),
+         |corpus AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+         |hits AS (SELECT doc_id, count(*) AS n_hit
+         |         FROM corpus JOIN bench USING (g) GROUP BY 1)
+         |SELECT s.doc_id, s.n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE)/s.n_grams AS overlap
+         |FROM sizes s LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // identical md5-bucket arithmetic: first 8 md5 hex chars of "<id>:graft"
+    // as a 32-bit int, mod 10000; split thresholds 8000/9000
+    "q53_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT)
+        |      % 10000 AS INT) AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q54_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $docToks AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1])) AS bg,
+         |    list_transform(range(1, len(toks)-1),
+         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)/len(toks)
+         |    AS dup_word_frac,
+         |  CAST(list_max(list_transform(list_distinct(bg),
+         |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)/len(bg)
+         |    AS top_bigram_frac,
+         |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg)
+         |    AS dup_trigram_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // per-source integer quality points (q32's quality components ×10);
+    // mean = sum(int)/count, the fold-order-exact form
+    "q55_source_gate" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $docToks AS toks FROM documents),
+         |p AS (SELECT doc_id, source,
+         |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+         |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / length(text) <= 0.1 THEN 2 ELSE 0 END) AS pts
+         |  FROM t),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+         |        CAST(sum(pts) AS BIGINT) AS sum_pts FROM p GROUP BY 1),
+         |k AS (SELECT source, src_docs,
+         |        CAST(sum_pts AS DOUBLE)/src_docs AS avg_points FROM s
+         |      WHERE CAST(sum_pts AS DOUBLE)/src_docs >= 7.8)
+         |SELECT d.doc_id, d.source, k.src_docs, k.avg_points
+         |FROM documents d JOIN k USING (source)
+         |ORDER BY doc_id""".stripMargin,
+    // the full quantized-ANN pipeline in exact integer arithmetic:
+    // scale = max|v|/127, q = round(v/scale), rank by integer-dot cosine
+    "q56_ann_quantized" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x)))/127.0 AS scale FROM e),
+         |q AS (SELECT vec_id,
+         |    list_transform(v, x -> CAST(round(x/scale) AS BIGINT)) AS qv FROM s),
+         |n AS (SELECT vec_id, qv,
+         |    sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)) AS qn
+         |  FROM q),
+         |qs AS (SELECT vec_id AS qid, qv AS qqv, qn AS qqn FROM n WHERE vec_id < 10),
+         |p AS (SELECT qid, n.vec_id AS neighbor_id,
+         |    round(CAST(list_sum(list_transform(range(1, 65),
+         |      k -> qqv[k]*n.qv[k])) AS DOUBLE)/(qqn*n.qn), 6) AS qcos_sim
+         |  FROM n, qs WHERE n.vec_id <> qid),
+         |r AS (SELECT qid, neighbor_id, qcos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY qcos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM p)
+         |SELECT qid, neighbor_id, qcos_sim, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    // per-stratum hash-threshold sample: en 50%, zh 100%, default 10%
+    "q57_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(doc_id || ':sample1'), 1, 8)) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents)
+        |WHERE b < (CASE WHEN lang = 'en' THEN 5000
+        |                WHEN lang = 'zh' THEN 10000 ELSE 1000 END)
+        |ORDER BY doc_id""".stripMargin,
     // q46's embedding pair graph -> recursive transitive closure (q44's
     // pattern): cluster = min reachable id over the >= 0.99 cosine graph.
     // NB the pair graph uses a DENSE 64-dim list per doc (map -> list with

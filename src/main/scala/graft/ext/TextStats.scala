@@ -59,6 +59,61 @@ object TextStats {
       + when(pr <= 0.1, 0.2).otherwise(0.0))
   }
 
+  /** [[qualityScore]] ×10 as an INTEGER (0..10) — the form to aggregate at
+    * corpus scale: integer sums are associative, so per-source means
+    * (`sum(points)/count`) are bit-identical regardless of partition fold
+    * order, where a double `avg(quality)` would drift in the last bit and
+    * make cross-engine threshold comparisons flaky. */
+  def qualityPoints(text: Column): Column = {
+    val tc = tokenCount(text)
+    val sw = wordHits(text, enStop).cast("double") / tc
+    val pr = punctCount(text).cast("double") / length(text)
+    (when(tc.between(30, 500), 5).otherwise(0)
+      + when(sw >= 0.05, 3).otherwise(0)
+      + when(pr <= 0.1, 2).otherwise(0)).cast("int")
+  }
+
+  /** Word n-grams of a token array — NON-distinct and order-preserving
+    * (contrast [[Dedup.shinglesOfTokens]], which is the distinct SET form):
+    * repetition metrics need the multiset. Empty array when the document is
+    * shorter than n. */
+  def ngramsOfTokens(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(slice(t, 1, 0))
+
+  /** Gopher-style repetition metrics, per document:
+    *   - `dup_word_frac`     — fraction of tokens that are repeats of an
+    *     earlier token: (n − n_distinct) / n
+    *   - `top_bigram_frac`   — fraction of word bigrams covered by the single
+    *     most frequent bigram (boilerplate/chant detector)
+    *   - `dup_trigram_frac`  — fraction of word trigrams that are repeats
+    *
+    * All ratios divide integers derived from the same arrays, so values are
+    * bit-identical across engines. Pure per-row column expressions — no
+    * shuffle, no UDF; the nested count inside `top_bigram_frac` is
+    * O(distinct·n) per document, bounded by document length (rows are
+    * independent, so a 100 TB scan stays embarrassingly parallel).
+    * Documents shorter than the n-gram order yield null for that metric. */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val topFrac = (g: Column) => when(size(g) > 0,
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))).cast("double") / size(g))
+    val dupFrac = (g: Column) => when(size(g) > 0,
+      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+    // each projection materializes the array the next one consumes, so the
+    // regex split / n-gram build run once per row (CollapseProject keeps
+    // non-cheap expressions referenced many times in their own projection)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__bg", ngramsOfTokens(col("__toks"), 2))
+      .withColumn("__tg", ngramsOfTokens(col("__toks"), 3))
+      .withColumn("dup_word_frac", dupFrac(col("__toks")))
+      .withColumn("top_bigram_frac", topFrac(col("__bg")))
+      .withColumn("dup_trigram_frac", dupFrac(col("__tg")))
+      .drop("__toks", "__bg", "__tg")
+  }
+
   /** N-gram-heuristic language ID: stopword hit counts per language, argmax
     * with deterministic tie-break (en > de > fr > es). */
   def langId(text: Column): Column = {

@@ -543,4 +543,117 @@ class ExtSpec extends AnyFunSuite {
       assert(math.abs(nrm - 1.0) < 1e-4)
     }
   }
+
+  // ---- corpus curation (contamination / splits / gating) -----------------
+
+  test("benchmarkContamination: full, partial, and zero overlap") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, base),                       // identical to the benchmark doc
+      (1L, base + " extra trailing words here"), // shares most 4-grams
+      (2L, "entirely disjoint content about catalyst expression codegen plans")
+    ).toDF("doc_id", "text")
+    val out = Corpus.benchmarkContamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._3 == 1.0, s"identical doc must be fully contaminated: ${out(0L)}")
+    assert(out(1L)._3 > 0.5 && out(1L)._3 < 1.0, s"extended doc partial: ${out(1L)}")
+    assert(out(2L) == ((out(2L)._1, 0L, 0.0)), s"disjoint doc clean: ${out(2L)}")
+  }
+
+  test("hashSplit: deterministic, exhaustive, proportions near weights") {
+    val ids = spark.range(1000).select(col("id").as("doc_id"))
+    val a = Corpus.hashSplit(ids, "doc_id")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 760 && counts("train") < 840, s"train: $counts")
+    assert(counts("val") > 60 && counts("val") < 140, s"val: $counts")
+    assert(counts("test") > 60 && counts("test") < 140, s"test: $counts")
+    // same key -> same split, independent of invocation or row order
+    val b = Corpus.hashSplit(ids.orderBy(col("doc_id").desc), "doc_id")
+    assert(a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).isEmpty)
+  }
+
+  test("stratifiedSample: per-stratum fractions, 1.0 keeps all, deterministic") {
+    val df = spark.range(999)
+      .select(col("id").as("doc_id"),
+        element_at(array(lit("en"), lit("zh"), lit("de")),
+          (col("id") % 3 + 1).cast("int")).as("lang"))
+    val fr = Map("en" -> 0.5, "zh" -> 1.0)
+    val s1 = Corpus.stratifiedSample(df, "doc_id", "lang", fr, default = 0.1)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("zh") == 333L, s"fraction 1.0 must keep the whole stratum: $counts")
+    assert(counts("en") > 130 && counts("en") < 200, s"en ~50%: $counts")
+    assert(counts.getOrElse("de", 0L) > 10 && counts("de") < 60, s"de ~10%: $counts")
+    val s2 = Corpus.stratifiedSample(df, "doc_id", "lang", fr, default = 0.1)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("repetitionStats: handcrafted fractions and short-doc nulls") {
+    val df = Seq((0L, "a a a b"), (1L, "x y")).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(df, "text")
+      .select("doc_id", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // tokens [a,a,a,b]: 2 distinct -> dup 2/4; bigrams [aa,aa,ab]: top 2/3;
+    // trigrams [aaa,aab]: both distinct -> dup 0
+    assert(r(0L).getDouble(1) == 0.5)
+    assert(math.abs(r(0L).getDouble(2) - 2.0 / 3) < 1e-15)
+    assert(r(0L).getDouble(3) == 0.0)
+    // 2 tokens: one bigram, no trigram -> null for the trigram metric
+    assert(r(1L).getDouble(2) == 1.0 && r(1L).isNullAt(3))
+  }
+
+  test("sourceQualityGate keeps only sources whose integer-point mean clears the bar") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "home tonight with many more plain words of normal prose " * 2
+    val bad = "!!! ??? ;;; ,,, spam"
+    val df = (
+      (0 until 4).map(i => (i.toLong, "srcA", good)) ++
+      (4 until 8).map(i => (i.toLong, "srcB", bad))
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceQualityGate(df, "source", "text", minAvgPoints = 5.0)
+    val rows = out.select("doc_id", "source", "avg_points").collect()
+    assert(rows.forall(_.getString(1) == "srcA"), "low-quality source must be gated out")
+    assert(rows.length == 4 && rows.forall(_.getDouble(2) >= 5.0))
+  }
+
+  // ---- int8 quantization --------------------------------------------------
+
+  test("quantize: exact scale and components, zero-vector guard") {
+    // max = 127 makes scale exactly 1.0, so every quotient is exact: the
+    // -63.5 component pins round-half-away-from-zero (the rule the DuckDB
+    // oracle shares)
+    val df = Seq(
+      (0L, Array(127f, -63.5f, 31.25f, 0f)),
+      (1L, Array(0f, 0f, 0f, 0f))
+    ).toDF("id", "v")
+    val out = Quantize.quantize(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Byte](1), r.getDouble(2))).toMap
+    assert(out(0L)._2 == 1.0)
+    assert(out(0L)._1 == Seq[Byte](127, -64, 31, 0))
+    assert(out(1L)._2 == 0.0 && out(1L)._1 == Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("quantization reconstruction error is small on the fixture corpus") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val errs = Quantize.reconstructionError(e, "vec_id", "embedding")
+      .select(max(col("rel_err"))).collect()(0).getDouble(0)
+    assert(errs < 0.05, s"max relative L2 reconstruction error $errs")
+  }
+
+  test("quantized ANN ranks an exact duplicate vector first") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // plant an exact copy of vector 0 under a high id: quantization preserves
+    // identity, so the quantized cosine of (0, copy) is exactly 1.0
+    val copy = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    val out = Quantize.annTopKQuantized(e.unionByName(copy),
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", topK = 1)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 500000L &&
+      out(0).getDouble(2) == 1.0, out.mkString(","))
+  }
 }
