@@ -222,8 +222,10 @@ object ExtQueries {
         .orderBy(col("doc_id"))),
     // Gopher-style repetition metrics: duplicate-word / top-bigram /
     // duplicate-trigram fractions, all per-row integer-ratio arithmetic.
+    // docsPar: the CPU-heavy per-row n-gram work must not run in the single
+    // task the one-file scan would otherwise produce.
     "q54_repetition" -> ((s, dir) =>
-      TextStats.repetitionStats(read(s, dir, "documents"), "text")
+      TextStats.repetitionStats(docsPar(s, dir), "text")
         .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"),
           col("dup_trigram_frac"))
         .orderBy(col("doc_id"))),
@@ -253,7 +255,18 @@ object ExtQueries {
       Corpus.stratifiedSample(read(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 0.5, "zh" -> 1.0), default = 0.1, salt = "sample1")
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // The decontamination TERMINAL: q52's overlap feeding an anti-join —
+    // the corpus with eval-set leaks removed.
+    "q58_decontaminated" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Corpus.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          maxOverlap = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }
   )
 
   private val docToks =
@@ -667,6 +680,19 @@ object ExtQueries {
          |  FROM p)
          |SELECT qid, neighbor_id, qcos_sim, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // q52's overlap chain, kept side: corpus docs under the 0.5 overlap bar
+    // (every corpus doc has >= 1 distinct gram, so sizes covers them all)
+    "q58_decontaminated" ->
+      s"""WITH $shingleBase,
+         |bench AS (SELECT DISTINCT g FROM d WHERE doc_id % 20 = 0),
+         |corpus AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+         |hits AS (SELECT doc_id, count(*) AS n_hit
+         |         FROM corpus JOIN bench USING (g) GROUP BY 1)
+         |SELECT s.doc_id
+         |FROM sizes s LEFT JOIN hits h USING (doc_id)
+         |WHERE CAST(coalesce(h.n_hit, 0) AS DOUBLE)/s.n_grams < 0.5
+         |ORDER BY doc_id""".stripMargin,
     // per-stratum hash-threshold sample: en 50%, zh 100%, default 10%
     "q57_stratified_sample" ->
       """SELECT doc_id, lang FROM (

@@ -87,14 +87,30 @@ object Corpus {
       df.select(id :+ TextStats.tokens(col(textCol)).as("__t"): _*)
         .select(idOut :+ explode(Dedup.shinglesOfTokens(col("__t"), k)).as("g"): _*)
     }
+    // ONE pass over the corpus postings: a left join against the marked
+    // benchmark grams yields total and hit counts in the same aggregate
+    // (a separate sizes/hits pair would re-run the tokenize→shingle→explode
+    // pipeline — the dominant per-row cost — once per consumer)
     val docGrams = grams(corpus, withId = true)
     val benchGrams = grams(bench, withId = false).distinct()
-    val sizes = docGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val hits = docGrams.join(benchGrams, Seq("g"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_hit"))
-    sizes.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_grams"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("__hit", lit(1))
+    docGrams.join(benchGrams, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
       .withColumn("overlap", col("n_hit").cast("double") / col("n_grams"))
+  }
+
+  /** The decontaminated corpus — [[benchmarkContamination]]'s terminal:
+    * documents whose benchmark n-gram overlap reaches `maxOverlap` are
+    * dropped, the rest pass through unchanged. One LEFT ANTI join against the
+    * id-only drop set (skinny side, left to AQE — same posture as
+    * [[Dedup.removeNearDups]]). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, maxOverlap: Double = 0.5,
+                    k: Int = 4): DataFrame = {
+    val bad = benchmarkContamination(corpus, bench, idCol, textCol, k)
+      .filter(col("overlap") >= maxOverlap).select(col("id"))
+    corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
   }
 
   /** Source-level quality gate ("drop spammy domains"): aggregate integer

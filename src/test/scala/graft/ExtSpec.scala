@@ -561,6 +561,18 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == ((out(2L)._1, 0L, 0.0)), s"disjoint doc clean: ${out(2L)}")
   }
 
+  test("decontaminate drops only the docs at/above the overlap bar") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, base), // fully contaminated
+      (1L, "entirely disjoint content about catalyst expression codegen plans"),
+      (2L, "another unrelated body of text concerning shuffle partitions")
+    ).toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(corpus, bench, "doc_id", "text", maxOverlap = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("hashSplit: deterministic, exhaustive, proportions near weights") {
     val ids = spark.range(1000).select(col("id").as("doc_id"))
     val a = Corpus.hashSplit(ids, "doc_id")
