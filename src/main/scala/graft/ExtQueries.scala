@@ -266,6 +266,17 @@ object ExtQueries {
           maxOverlap = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+    // Sequence packing: distributed prefix sum of token counts in doc order,
+    // chunk = the 1024-token training sequence the doc's first token lands
+    // in. The two-phase range-partition formulation — NOT a global-order
+    // window (which would collapse to one partition).
+    "q59_pack_sequences" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("tokens"))
+      Corpus.packSequences(docs, "doc_id", "tokens", capacity = 1024)
+        .select(col("doc_id"), col("tokens"), col("cum_tokens"), col("chunk"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -680,6 +691,19 @@ object ExtQueries {
          |  FROM p)
          |SELECT qid, neighbor_id, qcos_sim, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // the window-cumsum mirror of the distributed prefix sum; 1024 is a
+    // power of two so the floor division is exact in double
+    "q59_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($docToks) AS INT) AS tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, tokens,
+         |    CAST(SUM(tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, tokens, cum_tokens,
+         |  CAST(floor((cum_tokens - tokens) / 1024.0) AS BIGINT) AS chunk
+         |FROM c ORDER BY doc_id""".stripMargin,
     // q52's overlap chain, kept side: corpus docs under the 0.5 overlap bar
     // (every corpus doc has >= 1 distinct gram, so sizes covers them all)
     "q58_decontaminated" ->

@@ -113,6 +113,59 @@ object Corpus {
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
   }
 
+  /** Distributed prefix sum: `outCol` = running total of `valueCol` in
+    * `orderCol` order (rows BEFORE and including this one). The scale-shaped
+    * form of `sum().over(Window.orderBy(...))` — a global-order window
+    * collapses to ONE partition, the classic scale killer this operator
+    * exists to avoid. Classic two-phase formulation instead:
+    * range-repartition on the order key, cumsum WITHIN each partition
+    * (window partitioned by the range id — parallel), and add per-partition
+    * offsets computed from the partition totals (collected to the driver:
+    * one row per partition, bounded state like the k-means statistics).
+    *
+    * `orderCol` must be unique (ties spanning two range partitions would
+    * make the split arbitrary). Values are order-independent integer/double
+    * sums per prefix, so the output does not depend on where the sampled
+    * range boundaries land. The ranged input feeds two consumers (totals +
+    * cumsum), so it is materialized once via `checkpoint`. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String = "cumsum",
+                checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = CheckpointStrategy.materializer(checkpoint)(
+      df.repartitionByRange(n, col(orderCol))
+        .withColumn("__pid", spark_partition_id()))
+    // one row per partition: (pid, total) -> cumulative offset of everything
+    // in EARLIER partitions; driver state is O(parallelism), never O(rows)
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+      .zip(totals).map { case (off, (pid, _)) => (pid, off) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Sequence packing for training: concatenate documents in `orderCol`
+    * order and cut every `capacity` tokens — each document is assigned the
+    * chunk its FIRST token lands in: `chunk = floor((cumsum − tokens) /
+    * capacity)`. Pure arithmetic over [[prefixSum]], so it inherits the
+    * distributed two-phase shape. Adds `cum_tokens` and `chunk`. */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    capacity: Long,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    prefixSum(df, orderCol, tokenCol, "cum_tokens", checkpoint)
+      .withColumn("chunk",
+        floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+  }
+
   /** Source-level quality gate ("drop spammy domains"): aggregate integer
     * quality points per source, keep documents whose source's mean is at or
     * above the bar. Returns the gated corpus with `avg_points` and

@@ -631,6 +631,32 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.length == 4 && rows.forall(_.getDouble(2) >= 5.0))
   }
 
+  test("prefixSum matches the single-partition window on shuffled input") {
+    val n = 500
+    val df = spark.range(n).select(col("id").as("k"),
+        (pmod(col("id") * 37 + 11, lit(97)) + 1).as("v"))
+      .repartition(13) // deliberately scrambled input partitioning
+    val out = Corpus.prefixSum(df, "k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // expected: plain running total in k order, computed on the driver
+    val vals = (0L until n).map(k => k -> ((k * 37 + 11) % 97 + 1))
+    var acc = 0L
+    vals.foreach { case (k, v) =>
+      acc += v
+      assert(out(k) == acc, s"cumsum at k=$k: ${out(k)} != $acc")
+    }
+  }
+
+  test("packSequences assigns each doc the chunk its first token lands in") {
+    val df = Seq((0L, 4), (1L, 4), (2L, 4), (3L, 4)).toDF("k", "tokens")
+    val out = Corpus.packSequences(df, "k", "tokens", capacity = 10)
+      .select("k", "cum_tokens", "chunk").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cums 4,8,12,16; first-token offsets 0,4,8,12 -> chunks 0,0,0,1
+    assert(out == Map(0L -> (4L, 0L), 1L -> (8L, 0L),
+      2L -> (12L, 0L), 3L -> (16L, 1L)))
+  }
+
   // ---- int8 quantization --------------------------------------------------
 
   test("quantize: exact scale and components, zero-vector guard") {
