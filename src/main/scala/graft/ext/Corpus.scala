@@ -58,6 +58,8 @@ object Corpus {
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
                        fractions: Map[String, Double], default: Double = 0.0,
                        buckets: Int = 10000, salt: String = "graft"): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      s"sampling fractions must be in [0,1]: $fractions, default $default")
     val b = hashBucket(col(keyCol), buckets, salt)
     val cut = fractions.foldRight(lit(math.round(default * buckets)): Column) {
       case ((stratum, f), rest) =>
@@ -131,14 +133,23 @@ object Corpus {
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String = "cumsum",
                 checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"prefixSum needs an integral value column (exact, fold-order-free " +
+      s"sums); got ${df.schema(valueCol).dataType} for '$valueCol'")
     val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // nulls count as 0 in BOTH the totals and the running sum, so the two
+    // phases agree and an all-null partition cannot NPE the driver collect
+    val v = coalesce(col(valueCol).cast("long"), lit(0L))
     val ranged = CheckpointStrategy.materializer(checkpoint)(
       df.repartitionByRange(n, col(orderCol))
         .withColumn("__pid", spark_partition_id()))
     // one row per partition: (pid, total) -> cumulative offset of everything
     // in EARLIER partitions; driver state is O(parallelism), never O(rows)
     val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__tot"))
+      .agg(sum(v).as("__tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft(0L)(_ + _._2).init
       .zip(totals).map { case (off, (pid, _)) => (pid, off) }
@@ -148,7 +159,7 @@ object Corpus {
       .partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     ranged.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
+      .withColumn(outCol, sum(v).over(w) + col("__off"))
       .drop("__pid", "__off")
   }
 

@@ -172,6 +172,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hash split and quality gate compose into a stream unchanged (stateless ops)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-row hash assignment and quality scoring are pure projections, so
+    // the SAME operators run on a stream with no state and no watermark —
+    // and must assign exactly what the batch path assigns
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val streamed = graft.ext.Corpus.hashSplit(
+        stream.toDF().toDF("doc_id", "text"), "doc_id")
+      .filter(graft.ext.TextStats.qualityPoints(col("text")) >= 5)
+      .select(col("doc_id"), col("split"))
+    val q = Streaming.toMemorySink(streamed, "stream_split", outputMode = "append")
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = graft.ext.Corpus.hashSplit(
+          docs.toDF("doc_id", "text"), "doc_id")
+        .filter(graft.ext.TextStats.qualityPoints(col("text")) >= 5)
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch re-tabulates each micro-batch with margins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
