@@ -277,6 +277,24 @@ object ExtQueries {
       Corpus.packSequences(docs, "doc_id", "tokens", capacity = 1024)
         .select(col("doc_id"), col("tokens"), col("cum_tokens"), col("chunk"))
         .orderBy(col("doc_id"))
+    },
+    // Incremental ingestion dedup: a constructed arrival batch — the first
+    // 100 docs UPPERCASED under new ids (exact dups modulo the fingerprint's
+    // case/whitespace normalization) plus 50 genuinely fresh docs — deduped
+    // against the full corpus via the Bloom-prefiltered fingerprint probe.
+    // The Bloom filter is a performance device only; the confirming
+    // semi-join makes the result exact, so the plain NOT IN SQL is the
+    // oracle at any fpp.
+    "q60_incremental_dedup" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val arrivals = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000).as("doc_id"), upper(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id").between(100, 149))
+          .select((col("doc_id") + 1000).as("doc_id"),
+            concat(col("text"), lit(" zqfreshx")).as("text")))
+      Dedup.incrementalExact(arrivals, docs, "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -691,6 +709,23 @@ object ExtQueries {
          |  FROM p)
          |SELECT qid, neighbor_id, qcos_sim, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // the arrival batch reconstructed in SQL; kept = fingerprints absent
+    // from the seen corpus (the Bloom prefilter never changes the result)
+    "q60_incremental_dedup" ->
+      """WITH seen AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |nb AS (
+        |  SELECT doc_id + 1000 AS doc_id, upper(text) AS text
+        |  FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' zqfreshx'
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 149),
+        |f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM nb)
+        |SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a
     // power of two so the floor division is exact in double
     "q59_pack_sequences" ->

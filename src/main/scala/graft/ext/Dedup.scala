@@ -69,6 +69,48 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"), col("fp"))
 
+  /** Incremental exact dedup — the CONTINUOUS-INGESTION form of [[exact]]:
+    * drop from `newDf` every document whose content fingerprint already
+    * exists in `seenDf`, without joining the full history. A Bloom filter
+    * over the seen fingerprints (built once with the public
+    * `stat.bloomFilter` — one tree-aggregated scan; ~1.2 MB per million
+    * docs at 1% fpp, bounded driver/broadcast state) prefilters the new
+    * batch inside whole-stage codegen
+    * ([[graft.funcs.BloomMightContain]]); only the tiny might-be-seen
+    * fraction pays the exact confirmation semi-join, so false positives
+    * cost join rows, never correctness. At 100 TB the history scan
+    * amortizes: persist the filter once per ingestion epoch and probe every
+    * arriving batch against it.
+    *
+    * Dedup WITHIN the new batch is [[exact]]'s job — this operator is
+    * deliberately orthogonal (new-vs-seen only). */
+  def incrementalExact(newDf: DataFrame, seenDf: DataFrame, idCol: String,
+                       textCol: String, expectedSeen: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
+    val seenFp = seenDf
+      .select(TextStats.fingerprint(col(textCol)).as("__fp"))
+    // the sentinel row keeps `stat.bloomFilter` off its empty-input NPE
+    // (bloom_filter_agg returns null for zero rows); its only effect is a
+    // possible false positive on hash 0, which the confirm join resolves
+    val bloom = seenFp.select(xxhash64(col("__fp")).as("__h"))
+      .unionByName(newDf.sparkSession.range(1).select(lit(0L).as("__h")))
+      .stat.bloomFilter("__h", expectedSeen, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val candidates = newDf
+      .withColumn("__fp", TextStats.fingerprint(col(textCol)))
+      .filter(graft.funcs.VectorFunctions.bloomMightContain(
+        xxhash64(col("__fp")), bytes))
+    val confirmed = candidates
+      .join(seenFp.distinct(), Seq("__fp"), "left_semi")
+      .select(col(idCol))
+    newDf.join(confirmed, Seq(idCol), "left_anti")
+  }
+
   /** Exploded, distinct (id, shingle) posting list. The token array is
     * materialized in its own projection first; CollapseProject keeps it
     * separate (non-cheap expression referenced many times), so the regex

@@ -447,6 +447,40 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Bloom-filter membership probe over xxhash64 values. The filter
+  * (built once with the public `DataFrameStatFunctions.bloomFilter`, i.e.
+  * `org.apache.spark.util.sketch.BloomFilter`) ships serialized inside the
+  * expression and is deserialized lazily once per executor; the generated
+  * code calls a plain method on the expression reference, so the probe stays
+  * inside whole-stage codegen. Spark registers its own internal equivalent
+  * (`BloomFilterMightContain`) only for runtime-filter injection — it is not
+  * callable from the public Column API, hence this expression. A positive is
+  * only PROBABLY seen: callers must confirm with an exact join (false
+  * positives cost join rows, never correctness).
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  def test(h: Long): Boolean = filter.mightContainLong(h)
+
+  override def nullSafeEval(input: Any): Any = test(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.test($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   private val Name = "graft_dot_f"
@@ -454,6 +488,7 @@ object VectorFunctions {
   private val MinHashName = "graft_minhash_sig"
   private val SimHashName = "graft_simhash_sig"
   private val RollName = "graft_rolling_hash"
+  private val BloomName = "graft_bloom_might_contain"
 
   /** Register the expressions in the session's function registry (idempotent);
     * the registry + `call_function` is the public route from Column to a
@@ -498,6 +533,14 @@ object VectorFunctions {
       }, "built-in")
     reg.createOrReplaceTempFunction(
       RollName, exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      BloomName, exprs => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Array[Byte], BinaryType) =>
+          BloomMightContain(exprs.head, b)
+        case other =>
+          throw new IllegalArgumentException(
+            s"filter must be a binary literal, got $other")
+      }, "built-in")
   }
 
   /** Column API for the codegen'd float-array dot product; requires
@@ -536,4 +579,11 @@ object VectorFunctions {
     * [[register]]. */
   def rollingHash(s: Column): Column =
     org.apache.spark.sql.functions.call_function(RollName, s)
+
+  /** Column API for the codegen'd Bloom-filter probe over an xxhash64
+    * column; `filter` is a serialized `util.sketch.BloomFilter`. Requires
+    * [[register]]. */
+  def bloomMightContain(h: Column, filter: Array[Byte]): Column =
+    org.apache.spark.sql.functions.call_function(BloomName, h,
+      org.apache.spark.sql.functions.lit(filter))
 }

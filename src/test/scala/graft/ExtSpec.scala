@@ -34,6 +34,30 @@ class ExtSpec extends AnyFunSuite {
     assert(m == Map(10L -> 3L, 13L -> 1L))
   }
 
+  test("incrementalExact equals the plain anti-join at any fpp (bloom is perf-only)") {
+    val seen = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "ALPHA  BETA gamma delta"), // seen modulo normalization
+      (11L, "iota kappa lambda mu"),    // seen verbatim
+      (12L, "nu xi omicron pi")         // fresh
+    ).toDF("doc_id", "text")
+    // a deliberately terrible fpp floods the confirm join with false
+    // positives; the result must not change
+    for (fpp <- Seq(0.01, 0.5)) {
+      val kept = Dedup.incrementalExact(arrivals, seen, "doc_id", "text",
+          expectedSeen = 100L, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(12L), s"fpp=$fpp kept $kept")
+    }
+    // empty history: everything is fresh
+    val all = Dedup.incrementalExact(arrivals, seen.limit(0), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(10L, 11L, 12L))
+  }
+
   test("ngram Jaccard finds the planted near-dups and nothing else") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
