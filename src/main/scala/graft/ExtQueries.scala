@@ -637,14 +637,15 @@ object ExtQueries {
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE)/s.n_grams AS overlap
          |FROM sizes s LEFT JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    // identical md5-bucket arithmetic: first 8 md5 hex chars of "<id>:graft"
-    // as a 32-bit int, mod 10000; split thresholds 8000/9000
+    // identical md5-bucket arithmetic: first 8 md5 hex chars of
+    // "<id>:graft:split" (the split op's own default salt) as a 32-bit int,
+    // mod 10000; split thresholds 8000/9000
     "q53_hash_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 8000 THEN 'train'
         |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT)
+        |    CAST(CAST(('0x' || substr(md5(doc_id || ':graft:split'), 1, 8)) AS BIGINT)
         |      % 10000 AS INT) AS bucket
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,

@@ -22,7 +22,11 @@ object Corpus {
 
   /** Deterministic bucket in [0, buckets) from the md5 of the row key — the
     * primitive under [[hashSplit]] and [[stratifiedSample]]. Salted so
-    * independent uses (e.g. a split and a downstream sample) decorrelate.
+    * independent uses (e.g. a split and a downstream sample) decorrelate —
+    * which is why the two operators carry DISTINCT default salts
+    * ("graft:split" / "graft:sample"): under a shared salt a default sample
+    * of a default split would select a bucket prefix of it, not an
+    * independent draw.
     * First 8 md5 hex chars → 32-bit integer → mod. Pure column expression
     * (no RNG state), so assignment is reproducible across runs, engines, and
     * cluster layouts — the property that makes train/test splits auditable. */
@@ -38,9 +42,11 @@ object Corpus {
     * from re-splitting. */
   def hashSplit(df: DataFrame, keyCol: String,
                 weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-                buckets: Int = 10000, salt: String = "graft"): DataFrame = {
+                buckets: Int = 10000, salt: String = "graft:split"): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $weights")
+    require(weights.forall { case (_, w) => w >= 0.0 && w <= 1.0 },
+      s"each split weight must be in [0,1], got $weights")
     val b = hashBucket(col(keyCol), buckets, salt)
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * buckets))
     val assign = weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
@@ -57,7 +63,7 @@ object Corpus {
     * a 50% sample under different salts behaves like independent draws. */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
                        fractions: Map[String, Double], default: Double = 0.0,
-                       buckets: Int = 10000, salt: String = "graft"): DataFrame = {
+                       buckets: Int = 10000, salt: String = "graft:sample"): DataFrame = {
     require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
       s"sampling fractions must be in [0,1]: $fractions, default $default")
     val b = hashBucket(col(keyCol), buckets, salt)
@@ -193,7 +199,10 @@ object Corpus {
       .agg(count(lit(1)).as("src_docs"), sum(col("__pts")).as("__sum"))
       .withColumn("avg_points", col("__sum").cast("double") / col("src_docs"))
       .filter(col("avg_points") >= minAvgPoints)
-      .select(col(srcCol), col("src_docs"), col("avg_points"))
-    df.join(stats, Seq(srcCol))
+      .select(col(srcCol).as("__src"), col("src_docs"), col("avg_points"))
+    // null-safe join: sourceless documents form their own group and are
+    // gated on that group's mean like any other — a null-unsafe key would
+    // silently drop them all regardless of quality
+    df.join(stats, col(srcCol) <=> col("__src")).drop("__src")
   }
 }

@@ -86,10 +86,15 @@ object Dedup {
     * deliberately orthogonal (new-vs-seen only). */
   def incrementalExact(newDf: DataFrame, seenDf: DataFrame, idCol: String,
                        textCol: String, expectedSeen: Long = 1000000L,
-                       fpp: Double = 0.01): DataFrame = {
+                       fpp: Double = 0.01,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     graft.funcs.VectorFunctions.register(newDf.sparkSession)
-    val seenFp = seenDf
-      .select(TextStats.fingerprint(col(textCol)).as("__fp"))
+    // the distinct fingerprint set feeds TWO consumers (the Bloom build's
+    // eager job and the confirm semi-join), so it is materialized once —
+    // otherwise every ingested batch would scan and re-fingerprint the full
+    // history twice
+    val seenFp = CheckpointStrategy.materializer(checkpoint)(
+      seenDf.select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
     // the sentinel row keeps `stat.bloomFilter` off its empty-input NPE
     // (bloom_filter_agg returns null for zero rows); its only effect is a
     // possible false positive on hash 0, which the confirm join resolves
@@ -106,7 +111,7 @@ object Dedup {
       .filter(graft.funcs.VectorFunctions.bloomMightContain(
         xxhash64(col("__fp")), bytes))
     val confirmed = candidates
-      .join(seenFp.distinct(), Seq("__fp"), "left_semi")
+      .join(seenFp, Seq("__fp"), "left_semi")
       .select(col(idCol))
     newDf.join(confirmed, Seq(idCol), "left_anti")
   }

@@ -653,6 +653,22 @@ class ExtSpec extends AnyFunSuite {
     val rows = out.select("doc_id", "source", "avg_points").collect()
     assert(rows.forall(_.getString(1) == "srcA"), "low-quality source must be gated out")
     assert(rows.length == 4 && rows.forall(_.getDouble(2) >= 5.0))
+    // sourceless docs form their own group and gate on ITS mean — they must
+    // not silently vanish through a null-unsafe join key
+    val withNull = df.unionByName(
+      Seq((8L, null.asInstanceOf[String], good), (9L, null.asInstanceOf[String], good))
+        .toDF("doc_id", "source", "text"))
+    val kept = Corpus.sourceQualityGate(withNull, "source", "text", minAvgPoints = 5.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 8L, 9L), s"null-source group dropped: $kept")
+  }
+
+  test("hashSplit rejects out-of-range weights even when they sum to 1") {
+    val ids = spark.range(10).select(col("id").as("doc_id"))
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(ids, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.2, "test" -> -0.1))
+    }
   }
 
   test("prefixSum matches the single-partition window on shuffled input") {
