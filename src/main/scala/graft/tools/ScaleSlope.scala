@@ -83,7 +83,8 @@ object ScaleSlope {
     val names = Seq("q31_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
       "q36_simhash", "q37_embed_cosine", "q41_cosine_lsh", "q44_dedup_clusters",
       "q46_media_embed_dedup", "q49_embed_dedup_clusters", "q50_dedup_corpus",
-      "q51_dedup_corpus_terminal", "q52_contamination", "q56_ann_quantized")
+      "q51_dedup_corpus_terminal", "q52_contamination", "q56_ann_quantized",
+      "q58_decontaminated", "q59_pack_sequences")
     def run(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()

@@ -714,6 +714,43 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L)._2 == 0.0 && out(1L)._1 == Seq[Byte](0, 0, 0, 0))
   }
 
+  test("quantize property: components bounded by 127, error under the analytic bound") {
+    // 60 seeded random vectors of varying dimension/magnitude; per-component
+    // error <= scale/2, so rel L2 error <= 0.5·scale·sqrt(d)/‖v‖ — with
+    // ‖v‖ >= max|v| that is sqrt(d)/254, < 0.032 at d = 64
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val d = 4 + rnd.nextInt(61)
+      val mag = math.pow(10, rnd.nextInt(5) - 2).toFloat
+      (i.toLong, Array.fill(d)((rnd.nextFloat() * 2 - 1) * mag))
+    }
+    val df = rows.toDF("id", "v")
+    val q = Quantize.quantize(df, "id", "v").collect()
+    q.foreach { r =>
+      val comps = r.getSeq[Byte](1)
+      assert(comps.forall(c => c >= -127 && c <= 127), s"id ${r.getLong(0)}: $comps")
+    }
+    val errs = Quantize.reconstructionError(df, "id", "v").collect()
+    errs.foreach { r =>
+      val d = rows(r.getLong(0).toInt)._2.length
+      val bound = 0.5 * math.sqrt(d) / 127.0 + 1e-9
+      assert(r.getDouble(1) <= bound,
+        s"id ${r.getLong(0)}: rel_err ${r.getDouble(1)} > bound $bound (d=$d)")
+    }
+  }
+
+  test("prefixSum treats null values as 0 consistently") {
+    val df = Seq[(Long, java.lang.Integer)]((0L, 5), (1L, null), (2L, 3), (3L, null))
+      .toDF("k", "v").repartition(3)
+    val out = Corpus.prefixSum(df, "k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 5L, 1L -> 5L, 2L -> 8L, 3L -> 8L))
+    // non-integral value columns are rejected loudly (exactness contract)
+    intercept[IllegalArgumentException] {
+      Corpus.prefixSum(Seq((0L, 1.5)).toDF("k", "v"), "k", "v")
+    }
+  }
+
   test("quantization reconstruction error is small on the fixture corpus") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val errs = Quantize.reconstructionError(e, "vec_id", "embedding")
