@@ -189,9 +189,14 @@ object Dedup {
     // re-execute each round
     val p = cp(pairs.select(col("id1"), col("id2")))
     val edges = p.unionByName(p.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = cp(p
-      .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
-      .withColumn("cluster", col("id")))
+    // fused first round: every node's initial label is min(self, min
+    // neighbor) — identical to propagating once from self-labels, for the
+    // price of the node-distinct aggregate the init pays anyway. Most
+    // near-dup components are pairs/triples (diameter 1), so they converge
+    // one full join+checkpoint round earlier.
+    var labels = cp(edges
+      .groupBy(col("id1").as("id")).agg(min(col("id2")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("cluster")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
