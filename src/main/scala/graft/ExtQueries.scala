@@ -201,10 +201,11 @@ object ExtQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
-    // Benchmark decontamination: per-document distinct-4-gram overlap against
-    // an eval set (here: every 20th doc). One gram-key semi-join — the
-    // benchmark side is tiny relative to the corpus and AQE broadcasts it
-    // when it fits (not forced).
+    // Benchmark decontamination: per-document distinct-8-gram overlap against
+    // an eval set (here: every 20th doc) — 8 is the operator default (the
+    // production 8-13-gram window; 4-grams collide on common phrases). One
+    // gram-key semi-join — the benchmark side is tiny relative to the corpus
+    // and AQE broadcasts it when it fits (not forced).
     "q52_contamination" -> { (s, dir) =>
       val docs = docsPar(s, dir)
       Corpus.benchmarkContamination(
@@ -301,13 +302,13 @@ object ExtQueries {
   private val docToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
 
-  /** shared shingle CTEs (word 4-grams, distinct per doc) over any source
+  /** shared shingle CTEs (word k-grams, distinct per doc) over any source
     * relation — mirrors Dedup.shingles for the documents actually present
-    * (all >= 4 tokens). */
-  private def shingleBaseOver(src: String) =
+    * (all >= k tokens at every SF, so the short-doc fallback never fires). */
+  private def shingleBaseOver(src: String, k: Int = 4) =
     s"""toks AS (SELECT doc_id, $docToks AS t FROM $src),
-       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-2),
-       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS g FROM toks),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-${k - 2}),
+       |         i -> concat_ws(' ', ${(0 until k).map(j => s"t[i+$j]").mkString(", ")}))) AS g FROM toks),
        |d AS (SELECT DISTINCT doc_id, g FROM sh)""".stripMargin
 
   private val shingleBase = shingleBaseOver("documents")
@@ -623,10 +624,10 @@ object ExtQueries {
         |JOIN nrm n2 ON id2 = n2.doc_id
         |WHERE ROUND(d / (n1.n * n2.n), 6) >= 0.99
         |ORDER BY id1, id2""".stripMargin,
-    // distinct-gram overlap vs the every-20th-doc benchmark set; counts are
-    // integers, overlap divides them
+    // distinct-8-gram overlap vs the every-20th-doc benchmark set (8 = the
+    // operator's default window); counts are integers, overlap divides them
     "q52_contamination" ->
-      s"""WITH $shingleBase,
+      s"""WITH ${shingleBaseOver("documents", 8)},
          |bench AS (SELECT DISTINCT g FROM d WHERE doc_id % 20 = 0),
          |corpus AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
          |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
@@ -740,10 +741,11 @@ object ExtQueries {
          |SELECT doc_id, tokens, cum_tokens,
          |  CAST(floor((cum_tokens - tokens) / 1024.0) AS BIGINT) AS chunk
          |FROM c ORDER BY doc_id""".stripMargin,
-    // q52's overlap chain, kept side: corpus docs under the 0.5 overlap bar
-    // (every corpus doc has >= 1 distinct gram, so sizes covers them all)
+    // q52's overlap chain (8-gram default), kept side: corpus docs under the
+    // 0.5 overlap bar (every corpus doc has >= 1 distinct gram, so sizes
+    // covers them all)
     "q58_decontaminated" ->
-      s"""WITH $shingleBase,
+      s"""WITH ${shingleBaseOver("documents", 8)},
          |bench AS (SELECT DISTINCT g FROM d WHERE doc_id % 20 = 0),
          |corpus AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
          |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),

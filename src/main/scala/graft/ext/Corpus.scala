@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Operators below ADD columns (`bucket`/`split`, the prefix-sum output,
+    * `cum_tokens`/`chunk`) and use `__pid`/`__off` internally; a pre-existing
+    * column with one of those names would be silently overwritten (or, for
+    * `__pid`, silently dropped) by `withColumn`. Fail loudly instead — the
+    * caller renames, we never guess. */
+  private def requireFresh(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op reserves column name(s) ${clash.mkString(", ")} (would overwrite " +
+        s"or drop the existing column); rename the input column(s) first")
+  }
+
   /** Deterministic bucket in [0, buckets) from the md5 of the row key — the
     * primitive under [[hashSplit]] and [[stratifiedSample]]. Salted so
     * independent uses (e.g. a split and a downstream sample) decorrelate —
@@ -47,6 +59,7 @@ object Corpus {
       s"split weights must sum to 1, got $weights")
     require(weights.forall { case (_, w) => w >= 0.0 && w <= 1.0 },
       s"each split weight must be in [0,1], got $weights")
+    requireFresh(df, "hashSplit", "bucket", "split")
     val b = hashBucket(col(keyCol), buckets, salt)
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * buckets))
     val assign = weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
@@ -85,10 +98,23 @@ object Corpus {
     * the corpus posting list semi-joins it on the gram key (shuffle on gram —
     * or a broadcast when the benchmark fits, AQE's call) and the per-doc
     * counts are map-side-combinable aggregates. Nothing is O(corpus²) and no
-    * broadcast is forced. */
+    * broadcast is forced.
+    *
+    * `k` defaults to 8: common English 4-grams ("on the other hand") collide
+    * so heavily that a 4-gram check flags clean documents at corpus scale —
+    * production decontamination pipelines run 8–13-gram windows (GPT-3 used
+    * 13; lower k = stricter). Pass k explicitly to tighten or loosen.
+    *
+    * Degenerate inputs (inherited from [[Dedup.shinglesOfTokens]]): a
+    * document SHORTER than k tokens collapses to a single whole-document
+    * shingle — it scores overlap 1.0 only against an exact whole-text match
+    * in the benchmark (0 otherwise); an empty/whitespace document reduces to
+    * the "" gram, so empty docs on BOTH sides mutually flag as fully
+    * contaminated. Filter empty rows upstream if the corpus can contain
+    * them. */
   def benchmarkContamination(corpus: DataFrame, bench: DataFrame,
                              idCol: String, textCol: String,
-                             k: Int = 4): DataFrame = {
+                             k: Int = 8): DataFrame = {
     def grams(df: DataFrame, withId: Boolean) = {
       val id = if (withId) Seq(col(idCol).as("id")) else Seq.empty
       val idOut = if (withId) Seq(col("id")) else Seq.empty
@@ -112,10 +138,11 @@ object Corpus {
     * documents whose benchmark n-gram overlap reaches `maxOverlap` are
     * dropped, the rest pass through unchanged. One LEFT ANTI join against the
     * id-only drop set (skinny side, left to AQE — same posture as
-    * [[Dedup.removeNearDups]]). */
+    * [[Dedup.removeNearDups]]). `k` defaults to 8 — see
+    * [[benchmarkContamination]] for why (and for short/empty-doc behavior). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, maxOverlap: Double = 0.5,
-                    k: Int = 4): DataFrame = {
+                    k: Int = 8): DataFrame = {
     val bad = benchmarkContamination(corpus, bench, idCol, textCol, k)
       .filter(col("overlap") >= maxOverlap).select(col("id"))
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
@@ -145,6 +172,7 @@ object Corpus {
       case _ => false
     }, s"prefixSum needs an integral value column (exact, fold-order-free " +
       s"sums); got ${df.schema(valueCol).dataType} for '$valueCol'")
+    requireFresh(df, "prefixSum", outCol, "__pid", "__off")
     val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     // nulls count as 0 in BOTH the totals and the running sum, so the two
     // phases agree and an all-null partition cannot NPE the driver collect
@@ -178,6 +206,7 @@ object Corpus {
                     capacity: Long,
                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    requireFresh(df, "packSequences", "cum_tokens", "chunk")
     prefixSum(df, orderCol, tokenCol, "cum_tokens", checkpoint)
       .withColumn("chunk",
         floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))

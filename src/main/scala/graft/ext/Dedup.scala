@@ -82,10 +82,19 @@ object Dedup {
     * amortizes: persist the filter once per ingestion epoch and probe every
     * arriving batch against it.
     *
+    * `expectedSeen` (the filter's capacity) defaults to the MEASURED
+    * distinct-fingerprint count of the history — the fingerprint set is
+    * already materialized for the confirm join, so the count is one cheap
+    * job. A blind constant here would be a scale trap: a capacity of 1M
+    * against a 10B-doc history saturates the filter (fpp → 1) and the
+    * "tiny might-be-seen fraction" silently becomes the whole batch — the
+    * full-history join this operator exists to avoid. Pass it explicitly
+    * only to pre-size for growth within an epoch.
+    *
     * Dedup WITHIN the new batch is [[exact]]'s job — this operator is
     * deliberately orthogonal (new-vs-seen only). */
   def incrementalExact(newDf: DataFrame, seenDf: DataFrame, idCol: String,
-                       textCol: String, expectedSeen: Long = 1000000L,
+                       textCol: String, expectedSeen: Option[Long] = None,
                        fpp: Double = 0.01,
                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     graft.funcs.VectorFunctions.register(newDf.sparkSession)
@@ -95,17 +104,7 @@ object Dedup {
     // history twice
     val seenFp = CheckpointStrategy.materializer(checkpoint)(
       seenDf.select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
-    // the sentinel row keeps `stat.bloomFilter` off its empty-input NPE
-    // (bloom_filter_agg returns null for zero rows); its only effect is a
-    // possible false positive on hash 0, which the confirm join resolves
-    val bloom = seenFp.select(xxhash64(col("__fp")).as("__h"))
-      .unionByName(newDf.sparkSession.range(1).select(lit(0L).as("__h")))
-      .stat.bloomFilter("__h", expectedSeen, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = serializedBloom(buildSeenBloom(seenFp, expectedSeen, fpp))
     val candidates = newDf
       .withColumn("__fp", TextStats.fingerprint(col(textCol)))
       .filter(graft.funcs.VectorFunctions.bloomMightContain(
@@ -114,6 +113,29 @@ object Dedup {
       .join(seenFp, Seq("__fp"), "left_semi")
       .select(col(idCol))
     newDf.join(confirmed, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom filter over the xxhash64 of a materialized `__fp` fingerprint
+    * column; capacity = `expectedSeen` or (default) the measured distinct
+    * count. Package-visible so the sizing behavior is testable directly —
+    * the filter's achieved fpp, not just the (always-correct) join result. */
+  private[graft] def buildSeenBloom(seenFp: DataFrame,
+                                    expectedSeen: Option[Long],
+                                    fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val capacity = math.max(1L, expectedSeen.getOrElse(seenFp.count()))
+    // the sentinel row keeps `stat.bloomFilter` off its empty-input NPE
+    // (bloom_filter_agg returns null for zero rows); its only effect is a
+    // possible false positive on hash 0, which the confirm join resolves
+    seenFp.select(xxhash64(col("__fp")).as("__h"))
+      .unionByName(seenFp.sparkSession.range(1).select(lit(0L).as("__h")))
+      .stat.bloomFilter("__h", capacity, fpp)
+  }
+
+  private[graft] def serializedBloom(
+      bloom: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Exploded, distinct (id, shingle) posting list. The token array is
@@ -310,21 +332,51 @@ object Dedup {
     * than `cap` via one windowed count over the same bk partitioning the
     * candidate self-join shuffles on (no extra shuffle shape). Dropped mass
     * is observable per action — see [[BucketCapMetric]] (and its AQE
-    * caveat). */
-  private[graft] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+    * caveat); pass an [[org.apache.spark.sql.Observation]] to read the
+    * metrics programmatically on a single-consumer plan
+    * ([[bucketCapReport]] does exactly that). */
+  private[graft] def capBuckets(banded: DataFrame, cap: Option[Int],
+      observation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
     cap match {
       case Some(c) =>
-        banded
-          .withColumn("__bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-          .observe(s"$BucketCapMetric.${bucketCapIds.incrementAndGet()}",
-            coalesce(sum(when(col("__bsz") > c, 1L).otherwise(0L)), lit(0L))
-              .as("dropped_rows"),
-            coalesce(max(col("__bsz")), lit(0L)).as("max_bucket"))
-          .filter(col("__bsz") <= c)
-          .drop("__bsz")
+        val sized = banded.withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+        val dropped = coalesce(
+          sum(when(col("__bsz") > c, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_rows")
+        val biggest = coalesce(max(col("__bsz")), lit(0L)).as("max_bucket")
+        val observed = observation match {
+          case Some(o) => sized.observe(o, dropped, biggest)
+          case None => sized.observe(
+            s"$BucketCapMetric.${bucketCapIds.incrementAndGet()}", dropped, biggest)
+        }
+        observed.filter(col("__bsz") <= c).drop("__bsz")
       case None => banded
     }
+
+  /** Dropped-mass report from [[bucketCapReport]] / [[dedupCorpusDiagnostic]]:
+    * `droppedRows` = (id, band) rows in over-cap buckets (rows that emit no
+    * candidate pairs), `maxBucket` = the largest band bucket seen (cap
+    * headroom: how close the corpus is to losing recall). */
+  case class BucketCapReport(droppedRows: Long, maxBucket: Long, cap: Int)
+
+  /** Measure what the band-bucket cap drops on a signature table — the
+    * programmatic answer to "did the cap change my corpus?", which the
+    * in-pipeline [[BucketCapMetric]] observation cannot reliably give (AQE
+    * swallows CollectMetrics inside the candidate self-join's query stages).
+    * Drives [[bandedSignatures]] → [[capBuckets]] SINGLE-CONSUMER, where the
+    * observation provably surfaces, and pays one extra pass over the
+    * signatures — a diagnostic you run when tuning the cap or auditing a
+    * corpus, not on every pipeline invocation. */
+  def bucketCapReport(sigs: DataFrame, cap: Int = DefaultMaxBandBucket,
+                      numPerm: Int = 128, bands: Int = 32): BucketCapReport = {
+    val obs = org.apache.spark.sql.Observation()
+    capBuckets(bandedSignatures(sigs, numPerm, bands), Some(cap), Some(obs))
+      .write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    BucketCapReport(row("dropped_rows").asInstanceOf[Long],
+      row("max_bucket").asInstanceOf[Long], cap)
+  }
 
   /** (id, bk) banded rows of a MinHash signature table — the candidate
     * join's input, exposed separately so diagnostics can drive it on a
@@ -427,6 +479,32 @@ object Dedup {
     val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
       numPerm, bands, k, maxBucketSize)
     removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint)
+  }
+
+  /** [[dedupCorpus]] plus the cap's [[BucketCapReport]] — for pipelines that
+    * must assert "the cap dropped nothing" (or log how close it came) as a
+    * first-class output rather than scrape listener metrics. The report is
+    * measured over the SAME representative sub-corpus the terminal bands
+    * (checkpointed once, shared by both), driven single-consumer so the
+    * observation reliably surfaces; the extra cost is one
+    * signature+banding pass. When `maxBucketSize` is None the report is
+    * trivially (0, maxBucket) — nothing can be dropped, but the headroom
+    * number is still worth logging. */
+  def dedupCorpusDiagnostic(df: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double = 0.8, numPerm: Int = 128,
+                            bands: Int = 32, k: Int = 4,
+                            maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
+                            maxIters: Int = 20,
+                            checkpoint: CheckpointStrategy = CheckpointStrategy.Local): (DataFrame, BucketCapReport) = {
+    val reps = exact(df, idCol, textCol).select(col(idCol))
+    val repDocs = CheckpointStrategy.materializer(checkpoint)(
+      df.join(reps, Seq(idCol), "left_semi"))
+    val sigs = minhashSignatures(repDocs, idCol, textCol, numPerm, k)
+    val report = bucketCapReport(sigs,
+      maxBucketSize.getOrElse(Int.MaxValue), numPerm, bands)
+    val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
+      numPerm, bands, k, maxBucketSize)
+    (removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint), report)
   }
 
   // ---- SimHash ----------------------------------------------------------

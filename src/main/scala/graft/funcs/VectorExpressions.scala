@@ -463,6 +463,34 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   override def dataType: DataType = BooleanType
 
+  // the probe hashes with mightContainLong — any non-long child would be a
+  // caller bug that used to surface as an executor-side ClassCastException;
+  // fail at analysis time instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_might_contain requires a BIGINT probe column " +
+          s"(xxhash64 output), got ${child.dataType.catalogString}")
+
+  // Array[Byte] as a case-class field compares by reference, which breaks
+  // expression canonicalization (two probes of the same filter would never
+  // be recognized as equal, defeating plan/subexpression reuse). Compare by
+  // content digest instead of the full bytes — filters can be megabytes.
+  @transient private lazy val filterDigest: Int =
+    java.util.Arrays.hashCode(
+      java.security.MessageDigest.getInstance("MD5").digest(filterBytes))
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && filterBytes.length == b.filterBytes.length &&
+        java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int = 31 * child.hashCode() + filterDigest
+
   @transient private lazy val filter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(filterBytes))
@@ -534,12 +562,18 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       RollName, exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      BloomName, exprs => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(b: Array[Byte], BinaryType) =>
-          BloomMightContain(exprs.head, b)
-        case other =>
+      BloomName, exprs => {
+        if (exprs.size != 2)
           throw new IllegalArgumentException(
-            s"filter must be a binary literal, got $other")
+            s"$BloomName takes (probe: bigint, filter: binary literal), " +
+              s"got ${exprs.size} arguments")
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Array[Byte], BinaryType) =>
+            BloomMightContain(exprs.head, b)
+          case other =>
+            throw new IllegalArgumentException(
+              s"filter must be a binary literal, got $other")
+        }
       }, "built-in")
   }
 

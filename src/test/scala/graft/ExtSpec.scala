@@ -48,7 +48,7 @@ class ExtSpec extends AnyFunSuite {
     // positives; the result must not change
     for (fpp <- Seq(0.01, 0.5)) {
       val kept = Dedup.incrementalExact(arrivals, seen, "doc_id", "text",
-          expectedSeen = 100L, fpp = fpp)
+          expectedSeen = Some(100L), fpp = fpp)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == Set(12L), s"fpp=$fpp kept $kept")
     }
@@ -56,6 +56,22 @@ class ExtSpec extends AnyFunSuite {
     val all = Dedup.incrementalExact(arrivals, seen.limit(0), "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(all == Set(10L, 11L, 12L))
+  }
+
+  test("incrementalExact bloom capacity auto-sizes from the history count") {
+    // a history 50× larger than an undersized explicit capacity: the
+    // auto-sized filter must stay near the requested fpp, while the
+    // undersized one saturates (its achieved fpp is the prefilter benefit
+    // silently disappearing — the confirm join degenerating to a full
+    // history join at scale)
+    val seenFp = spark.range(50000)
+      .select(concat(lit("fp_"), col("id")).as("__fp"))
+    val auto = Dedup.buildSeenBloom(seenFp, None, fpp = 0.01)
+    assert(auto.expectedFpp() < 0.02,
+      s"auto-sized filter saturated: achieved fpp ${auto.expectedFpp()}")
+    val undersized = Dedup.buildSeenBloom(seenFp, Some(1000L), fpp = 0.01)
+    assert(undersized.expectedFpp() > 0.5,
+      s"expected the 50×-overfull filter to saturate, got ${undersized.expectedFpp()}")
   }
 
   test("ngram Jaccard finds the planted near-dups and nothing else") {
@@ -532,6 +548,39 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Set(0L, 100L))
   }
 
+  test("bucketCapReport returns dropped mass programmatically (Observation, no listener)") {
+    // 12 identical docs share one signature: every one of the 32 band
+    // buckets they fill holds 12 rows, all over a cap of 5
+    val df = (0 until 12).map(i => (i.toLong,
+      "identical degenerate boilerplate text repeated across the corpus body"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+    val r = Dedup.bucketCapReport(sigs, cap = 5)
+    assert(r.droppedRows == 12L * 32, s"expected 384 dropped (id,band) rows, got $r")
+    assert(r.maxBucket == 12L, s"expected max bucket 12, got $r")
+    // a corpus of distinct docs under the same cap drops nothing
+    val clean = Dedup.bucketCapReport(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"), cap = 5)
+    assert(clean.droppedRows == 0L, s"clean corpus must drop nothing, got $clean")
+    assert(clean.maxBucket >= 1L && clean.maxBucket <= 5L, s"got $clean")
+  }
+
+  test("dedupCorpusDiagnostic: same corpus as dedupCorpus, plus the cap report") {
+    val boiler = (0 until 50).map(i => (i.toLong,
+      "exact same boilerplate body repeated verbatim in every copy of this document"))
+    val df = (boiler ++ Seq((100L, base), (101L, base + " extra")))
+      .toDF("doc_id", "text")
+    val (deduped, report) = Dedup.dedupCorpusDiagnostic(df, "doc_id", "text",
+      minJaccard = 0.3, maxBucketSize = Some(10))
+    val out = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 100L)) // identical to dedupCorpus (tested above)
+    // the exact collapse runs BEFORE banding, so the 50-copy group is one
+    // representative and nothing exceeds the cap — the report proves the
+    // terminal's structural fix rather than merely asserting it
+    assert(report.droppedRows == 0L, s"post-collapse banding must be under cap: $report")
+    assert(report.maxBucket <= 10L && report.cap == 10, s"got $report")
+  }
+
   test("cosineLshPairs(checkpoint = Local) executes the upstream exactly once") {
     // the prepared projection fans out to ~5 subplans; with an expensive
     // decode/embed upstream the checkpoint dial must make it run once
@@ -574,7 +623,7 @@ class ExtSpec extends AnyFunSuite {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val corpus = Seq(
       (0L, base),                       // identical to the benchmark doc
-      (1L, base + " extra trailing words here"), // shares most 4-grams
+      (1L, base + " extra trailing words here"), // shares most k-grams (8/12 at the default k=8)
       (2L, "entirely disjoint content about catalyst expression codegen plans")
     ).toDF("doc_id", "text")
     val out = Corpus.benchmarkContamination(corpus, bench, "doc_id", "text")
