@@ -105,10 +105,26 @@ object Dedup {
     val seenFp = CheckpointStrategy.materializer(checkpoint)(
       seenDf.select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
     val bytes = serializedBloom(buildSeenBloom(seenFp, expectedSeen, fpp))
+    probeAndConfirm(newDf, seenFp, bytes, idCol, textCol)
+  }
+
+  /** The probe+confirm core of [[incrementalExact]], with the (possibly
+    * frozen) filter supplied by the caller: Bloom-prefilter the batch inside
+    * codegen, confirm the might-be-seen fraction with an exact semi-join
+    * against the live fingerprint set, drop the confirmed. Exposed for the
+    * epoch-loop composition ([[graft.streaming.Streaming.dedupIncremental]]),
+    * where one filter serves many batches. NB the filter must cover every
+    * fingerprint in `seenFp` — a fingerprint present in the history but NOT
+    * in the filter takes the definitely-fresh shortcut past the confirm
+    * join and its duplicate is emitted. */
+  private[graft] def probeAndConfirm(newDf: DataFrame, seenFp: DataFrame,
+                                     filterBytes: Array[Byte], idCol: String,
+                                     textCol: String): DataFrame = {
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
     val candidates = newDf
       .withColumn("__fp", TextStats.fingerprint(col(textCol)))
       .filter(graft.funcs.VectorFunctions.bloomMightContain(
-        xxhash64(col("__fp")), bytes))
+        xxhash64(col("__fp")), filterBytes))
     val confirmed = candidates
       .join(seenFp, Seq("__fp"), "left_semi")
       .select(col(idCol))

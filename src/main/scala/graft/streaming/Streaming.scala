@@ -122,6 +122,84 @@ object Streaming {
       .drop("__fb_sig")
   }
 
+  /** Continuous-ingestion dedup — the epoch-loop composition of
+    * [[graft.ext.Dedup.incrementalExact]]: every micro-batch is probed
+    * against a driver-held Bloom filter over the seen-document fingerprints
+    * (codegen'd prefilter; only the might-be-seen fraction pays the exact
+    * confirm join against the live history), surviving rows go to `onFresh`
+    * (typically: append to the history store). The filter is REBUILT from
+    * the full history every `refreshEveryBatches` batches — one
+    * tree-aggregated history scan per epoch, amortized over the epoch's
+    * batches — and auto-sized from the measured history count plus
+    * `headroom` (size headroom to the docs you expect to ingest per epoch;
+    * the achieved fpp degrades gradually past capacity and resets at the
+    * next refresh — a perf dial, never correctness).
+    *
+    * BETWEEN refreshes the filter would go stale as `onFresh` grows the
+    * history — a stale filter is not conservative (a fingerprint missing
+    * from it takes the definitely-fresh shortcut past the confirm join), so
+    * after each batch the accepted fingerprints are merged into the frozen
+    * filter via a SAME-SHAPE distributed Bloom build over the batch
+    * (`mergeInPlace`; driver receives filter bits, never rows). Cross-batch
+    * duplicates therefore drop even mid-epoch. Duplicates WITHIN one
+    * micro-batch are [[graft.ext.Dedup.exact]]'s job, same contract as the
+    * batch operator; `history()` must read current state (re-evaluated per
+    * batch).
+    *
+    * State is bounded everywhere: the driver holds one Bloom filter
+    * (~1.2 MB per million docs at 1% fpp), executors hold nothing between
+    * batches. */
+  def dedupIncremental(events: DataFrame, history: () => DataFrame,
+                       idCol: String, textCol: String,
+                       onFresh: (DataFrame, Long) => Unit,
+                       refreshEveryBatches: Int = 10,
+                       headroom: Long = 100000L,
+                       fpp: Double = 0.01,
+                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(refreshEveryBatches > 0,
+      s"refreshEveryBatches must be positive, got $refreshEveryBatches")
+    import graft.ext.{Dedup, TextStats}
+    // driver-held epoch state, touched only inside foreachBatch (micro-batch
+    // execution is serial per query, so no synchronization is needed)
+    var filter: org.apache.spark.util.sketch.BloomFilter = null
+    var capacity = 0L
+    var batchesSinceRefresh = 0
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val seenFpRaw = history()
+          .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
+        val seenFp = if (filter == null ||
+            batchesSinceRefresh >= refreshEveryBatches) {
+          // epoch boundary: one history scan builds the filter AND feeds the
+          // confirm join below — materialize the fingerprint set once
+          val fp = seenFpRaw.localCheckpoint(true)
+          capacity = math.max(1L, fp.count()) + math.max(0L, headroom)
+          filter = Dedup.buildSeenBloom(fp, Some(capacity), fpp)
+          batchesSinceRefresh = 0
+          fp
+        } else seenFpRaw
+        val fresh = Dedup.probeAndConfirm(batch, seenFp,
+          Dedup.serializedBloom(filter), idCol, textCol)
+          // onFresh AND the filter merge both consume it; without this the
+          // probe pipeline (and the history scan under it) would run twice
+          .localCheckpoint(true)
+        onFresh(fresh, id)
+        // fold the batch's accepted fingerprints into the frozen filter so
+        // later batches this epoch can't shortcut past them (same (capacity,
+        // fpp) shape makes the filters mergeable); the sentinel row keeps
+        // the aggregate off its empty-input NPE, same as buildSeenBloom
+        val accepted = fresh
+          .select(xxhash64(graft.ext.TextStats.fingerprint(col(textCol))).as("__h"))
+          .unionByName(batch.sparkSession.range(1).select(lit(0L).as("__h")))
+          .stat.bloomFilter("__h", capacity, fpp)
+        filter.mergeInPlace(accepted)
+        batchesSinceRefresh += 1
+        ()
+      }
+  }
+
   // ---- custom state: gap-based sessionization ---------------------------
 
   case class SessionEvent(key: String, ts: java.sql.Timestamp)

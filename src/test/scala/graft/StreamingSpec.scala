@@ -201,6 +201,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupIncremental: epoch bloom loop matches batch-by-batch incrementalExact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_stream")
+      .resolve("hist").toString
+    val initial = Seq((0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta"))
+    initial.toDF("doc_id", "text").write.parquet(dir)
+    def history() = spark.read.parquet(dir)
+    // three micro-batches across a 2-batch epoch: batch 0 refreshes the
+    // filter, batch 1 exercises the STALE-filter path (doc 12 duplicates a
+    // doc accepted in batch 0 — only the post-batch merge keeps it out of
+    // the definitely-fresh shortcut), batch 2 refreshes again
+    val batches = Seq(
+      Seq((10L, "ALPHA  beta gamma delta"),   // dup of history 0 (normalized)
+          (11L, "a genuinely new arrival")),
+      Seq((12L, "a genuinely new arrival"),   // dup of 11, same epoch
+          (13L, "another novel document")),
+      Seq((14L, "epsilon zeta eta theta"),    // dup of history 1
+          (15L, "a genuinely new arrival"),   // dup of 11, after refresh
+          (16L, "a third distinct body")))
+    val stream = MemoryStream[(Long, String)]
+    @volatile var got = Vector.empty[Set[Long]]
+    val q = Streaming.dedupIncremental(
+      stream.toDF().toDF("doc_id", "text"), () => history(), "doc_id", "text",
+      onFresh = (fresh, _) => {
+        got :+= fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+        fresh.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(dir)
+      },
+      refreshEveryBatches = 2, headroom = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    ).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // parity oracle: the batch operator applied batch-by-batch with the
+    // history grown by each batch's survivors
+    var hist = initial
+    val want = batches.map { b =>
+      val fresh = graft.ext.Dedup.incrementalExact(
+          b.toDF("doc_id", "text"), hist.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      hist ++= fresh
+      fresh.map(_._1).toSet
+    }
+    assert(got.toSeq == want,
+      s"streamed fresh sets $got != batch-replay $want")
+    assert(got == Vector(Set(11L), Set(13L), Set(16L)))
+  }
+
   test("foreachBatch re-tabulates each micro-batch with margins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
