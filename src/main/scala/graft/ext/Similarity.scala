@@ -243,16 +243,33 @@ object Similarity {
     * pnrm): nearest-pivot cell per corpus vector, nProbe nearest cells per
     * query, exact cosine re-rank of probed cells' members only. */
   private def ivfCore(c: DataFrame, qPrep: DataFrame, pv: DataFrame,
-                      topK: Int, nProbe: Int): DataFrame = {
+                      topK: Int, nProbe: Int): DataFrame =
+    probeAndRank(assignCells(c, pv), qPrep, pv, topK, nProbe)
+
+  /** Nearest-pivot cell per corpus vector — the IVF index's data half:
+    * (id, v, nrm, cell). One broadcast of the K pivots + one linear pass;
+    * the row_number tie-break (rounded cosine desc, pid) makes assignment
+    * bit-stable, which is what lets a PERSISTED index serve forever. */
+  private[graft] def assignCells(c: DataFrame, pv: DataFrame): DataFrame = {
     val pcos = round(graft.funcs.VectorFunctions.dotF(col("v"), col("pv")) /
       (col("nrm") * col("pnrm")), 6)
     val byCell = Window.partitionBy(col("id"))
       .orderBy(col("pcos").desc, col("pid"))
-    val assigned = c.crossJoin(broadcast(pv))
+    c.crossJoin(broadcast(pv))
       .select(col("id"), col("v"), col("nrm"), col("pid"), pcos.as("pcos"))
       .withColumn("rn", row_number().over(byCell))
       .filter(col("rn") === 1)
       .select(col("id"), col("v"), col("nrm"), col("pid").as("cell"))
+  }
+
+  /** The query half of IVF: nProbe nearest cells per query, then exact
+    * cosine re-rank of the probed cells' members. The probes side is NOT
+    * force-broadcast: a handful of online queries broadcasts under AQE
+    * anyway, while a large offline query batch shuffles on the cell key —
+    * where a cell-bucketed `assigned` table joins exchange-free (see
+    * [[buildIvfIndex]]). */
+  private def probeAndRank(assigned: DataFrame, qPrep: DataFrame,
+                           pv: DataFrame, topK: Int, nProbe: Int): DataFrame = {
     val q = qPrep
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val qpcos = round(graft.funcs.VectorFunctions.dotF(col("qv"), col("pv")) /
@@ -267,11 +284,62 @@ object Similarity {
     val cos = round(graft.funcs.VectorFunctions.dotF(col("qv"), col("v")) /
       (col("qnrm") * col("nrm")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(probes, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor_id"), cos.as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** Build and PERSIST an IVF index — the index-once / query-many shape a
+    * 100 TB serving pipeline actually runs (the in-memory [[annIvfTopK]]
+    * recomputes cell assignment on every invocation; amortized over many
+    * query batches that is pure waste). Writes two catalog tables:
+    * `<name>_centroids` (K pivot rows) and `<name>_vectors` — the assigned
+    * corpus (id, v, nrm, cell), BUCKETED and sorted by cell via
+    * [[graft.sources.IO.writeBucketed]], so a later probe join on the cell
+    * key reads co-partitioned buckets with NO exchange and no re-sort on
+    * the corpus side: the shuffle is paid once here, at build time.
+    * Pivots: deterministic first-`nCells` ids (matching [[annIvfTopK]],
+    * reproducible in SQL) or k-means centroids when `kmeansIters` is set
+    * (better cell balance, [[annIvfKMeansTopK]]'s trade-off). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    name: String, nCells: Int = 16, buckets: Int = 32,
+                    kmeansIters: Option[Int] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = prepared(corpus, idCol, vecCol)
+    // k-means iterates over the prepared projection; materialize once.
+    // The first-K path reads it twice (pivot filter + assignment scan) —
+    // cheap enough to leave to the planner at build time.
+    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
+    val pv = kmeansIters match {
+      case Some(iters) =>
+        kmeansLloyd(c, nCells, iters).toDF("pid", "pv")
+          .withColumn("pnrm",
+            sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+      case None =>
+        c.filter(col("id") < nCells)
+          .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    }
+    pv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_centroids")
+    graft.sources.IO.writeBucketed(assignCells(c, pv), s"${name}_vectors",
+      bucketCols = Seq("cell"), buckets = buckets, sortCols = Seq("cell"))
+  }
+
+  /** Serve ANN top-k from a PERSISTED [[buildIvfIndex]] index: no cell
+    * reassignment, no pivot recomputation — the corpus side is a bucketed
+    * scan joined on its own bucket key. Results are identical to the
+    * in-memory [[annIvfTopK]] built with the same pivots (assignment is
+    * bit-stable, see [[assignCells]]). */
+  def annIvfTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        topK: Int, nProbe: Int = 4): DataFrame = {
+    graft.funcs.VectorFunctions.register(spark)
+    val assigned = spark.table(s"${name}_vectors")
+    val pv = spark.table(s"${name}_centroids")
+    probeAndRank(assigned, prepared(queries, idCol, vecCol), pv, topK, nProbe)
   }
 
   /** K-means (spherical Lloyd) centroids for IVF cells: deterministic init

@@ -429,6 +429,48 @@ class ExtSpec extends AnyFunSuite {
     assert(probed.nonEmpty)
   }
 
+  test("persisted IVF index: served results equal in-memory; no exchange above the bucketed scan") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", "ivf_idx_spec",
+      nCells = 16, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = Similarity.annIvfTopKIndexed(spark, "ivf_idx_spec", q,
+      "vec_id", "embedding", topK = 5, nProbe = 4)
+    val inMem = Similarity.annIvfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4)
+    assert(rows(served) == rows(inMem) && rows(served).nonEmpty)
+    // the index-once/query-many payoff: with broadcast disabled (forcing the
+    // large-query-batch sort-merge path) the cell-bucketed corpus scan must
+    // reach the probe join with NO ShuffleExchange above it — the shuffle
+    // was paid once at build time
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.annIvfTopKIndexed(spark, "ivf_idx_spec", q,
+        "vec_id", "embedding", topK = 5, nProbe = 4).queryExecution.sparkPlan
+      val shuffledScans = plan.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if ex.collectLeaves().exists {
+              case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+                s.tableIdentifier.exists(_.table == "ivf_idx_spec_vectors")
+              case _ => false
+            } => ex
+      }
+      assert(shuffledScans.isEmpty,
+        s"bucketed index scan was re-shuffled:\n$plan")
+      // and the scan itself reports its buckets
+      val bucketed = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == "ivf_idx_spec_vectors") => s
+      }
+      assert(bucketed.nonEmpty && bucketed.head.bucketedScan,
+        "expected a bucketed scan of the persisted index")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("k-means IVF: full probe equals brute force; planted near-dups found at partial probe") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 5)

@@ -5,6 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // the warehouse dir outlives the JVM but the in-memory catalog does not:
+    // a stale managed-table location from a previous test run fails any
+    // saveAsTable with LOCATION_ALREADY_EXISTS — start from a clean slate
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File("/tmp/graft-test-warehouse"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("flatbreadspark-tests")
