@@ -296,6 +296,21 @@ object ExtQueries {
       Dedup.incrementalExact(arrivals, docs, "doc_id", "text")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+    // REAL image decode under the oracle: deterministic synthetic PNGs
+    // (pixel channels are affine-mod functions of (doc_id, x, y); dims
+    // 16+id%8 × 16+3·id%8) are ENCODED per partition, decoded back through
+    // the JDK's ImageIO — a real container format, not a stub — and reduced
+    // to per-channel means over exact integer sums. The oracle recomputes
+    // the statistics ANALYTICALLY from the pixel formula: PNG is lossless,
+    // so any decoder deviation (color model, row order, truncation) breaks
+    // the hash. docsPar: encode+decode is the CPU-heavy per-row chain.
+    "q61_image_decode" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.imageStats(
+          Multimodal.syntheticImages(docsPar(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -728,6 +743,29 @@ object ExtQueries {
         |  FROM nb)
         |SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    // q61: the per-channel means recomputed ANALYTICALLY from the synthetic
+    // pixel formula (r = (id+3x+5y)%256, g = (2id+7x+y)%256, b = (id+xy)%256
+    // over dims 16+id%8 × 16+3id%8) — no image decoder on the oracle side;
+    // PNG losslessness is what makes this a decode test, not an encode one
+    "q61_image_decode" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 8 AS INT) AS width,
+        |    CAST(16 + (doc_id * 3) % 8 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT doc_id, width, height,
+        |         unnest(range(0, width)) AS x FROM dims),
+        |xy AS (SELECT doc_id, width, height, x,
+        |         unnest(range(0, height)) AS y FROM xs),
+        |agg AS (SELECT doc_id, width, height,
+        |    SUM((doc_id + 3*x + 5*y) % 256) AS sr,
+        |    SUM((2*doc_id + 7*x + y) % 256) AS sg,
+        |    SUM((doc_id + x*y) % 256) AS sb
+        |  FROM xy GROUP BY 1, 2, 3)
+        |SELECT doc_id, width, height,
+        |  CAST(sr AS DOUBLE)/(width*height) AS avg_r,
+        |  CAST(sg AS DOUBLE)/(width*height) AS avg_g,
+        |  CAST(sb AS DOUBLE)/(width*height) AS avg_b
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a
     // power of two so the floor division is exact in double
     "q59_pack_sequences" ->

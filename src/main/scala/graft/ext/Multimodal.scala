@@ -4,11 +4,17 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, processed per-partition in batches. The Spark side —
-  * schema, partitioning, batch iteration, typed output — is real; the codec
-  * itself is a clearly-marked deterministic STUB (media libraries are not
-  * available in this environment; swap `decodeStub` for a real decoder and
-  * nothing else changes). (Beyond the reference surface; required by the
+  * with typed metadata, processed per-partition in batches. IMAGES have a
+  * REAL codec — [[decodeImage]]/[[imageStats]]/[[embedImage]] decode actual
+  * PNG/JPEG containers through the JDK's `javax.imageio` (zero new
+  * dependencies) and are oracle-checked end-to-end (q61: the DuckDB side
+  * recomputes channel statistics analytically from the synthetic pixel
+  * formula, so a decoder deviation breaks the hash). The byte-level
+  * [[decodeStub]]/[[embedStub]] path remains for media kinds with no JDK
+  * decoder (audio/video): its Spark-side plumbing — schema, partitioning,
+  * batch iteration — is identical, and swapping the stub for a real codec
+  * changes nothing else (that is the point of the interface, and the image
+  * path is the proof). (Beyond the reference surface; required by the
   * build brief.)
   */
 object Multimodal {
@@ -88,5 +94,177 @@ object Multimodal {
   def embed(media: Dataset[MediaRow], dims: Int = 64): Dataset[EmbeddedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => EmbeddedRow(r.id, embedStub(r.media, dims))))
+  }
+
+  // ---- real image codec (javax.imageio — ships with the JDK) -------------
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers are
+    * built in — zero new dependencies): container bytes → (width, height,
+    * packed 0xRRGGBB pixels, row-major). None for undecodable payloads —
+    * at corpus scale some fraction of crawled media is always corrupt, and
+    * a poison byte string must drop the ROW, not the executor. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic synthetic RGB image: pixel (x, y) of image `id` carries
+    * channels r = (id + 3x + 5y) % 256, g = (2·id + 7x + y) % 256,
+    * b = (id + x·y) % 256, PNG-encoded. PNG is LOSSLESS, so decoding
+    * returns exactly these values — which is what lets the DuckDB oracle
+    * recompute any pixel-derived feature analytically, with no decoder on
+    * its side: if ImageIO did not reproduce the pixels bit-for-bit, the
+    * hashes would diverge. Fixture generator for q61 and the codec specs. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 3L * x + 5L * y) % 256).toInt
+        val g = ((2L * id + 7L * x + y) % 256).toInt
+        val b = ((id + x.toLong * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic block-pattern image: each cell of a `grid`×`grid`
+    * partition is one flat color drawn from a splitmix64 hash of
+    * (id, cell). Unlike [[syntheticPng]]'s smooth gradient — whose grid
+    * means wash out to ~127.5 on every image, leaving nothing for a
+    * similarity metric to separate — hash-colored blocks give genuinely
+    * diverse grid features across ids. `tweakCells` repaints that many
+    * leading cells with a slightly shifted color: a NEAR-duplicate of the
+    * untweaked image (high but sub-1 cosine), the planted-pair fixture for
+    * the real-pixel dedup pipeline. */
+  def patternPng(id: Long, w: Int = 32, h: Int = 32, grid: Int = 4,
+                 tweakCells: Int = 0): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * grid / h) * grid + (x * grid / w)
+        val hsh = mix(id * 1024L + cell)
+        val r0 = ((hsh >>> 0) & 0xFF).toInt
+        // bounded shift, never a mod-256 wrap: a wrap would turn the "small
+        // perturbation" into a ~244-value jump on bright cells and the
+        // tweaked image would stop being a near-duplicate
+        val r = if (cell >= tweakCells) r0
+                else if (r0 >= 128) r0 - 12 else r0 + 12
+        val g = ((hsh >>> 8) & 0xFF).toInt
+        val b = ((hsh >>> 16) & 0xFF).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed fixture: one [[syntheticPng]] per id, encoded per
+    * partition on the executors (the encode+decode round-trip never
+    * touches the driver). Width/height are small deterministic functions
+    * of the id so the decoder sees varying dimensions. */
+  def syntheticImages(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, syntheticPng(id,
+        (16 + id % 8).toInt, (16 + (id * 3) % 8).toInt))
+    })
+  }
+
+  case class ImageStats(id: Long, width: Int, height: Int,
+                        avg_r: Double, avg_g: Double, avg_b: Double)
+
+  /** Per-partition REAL decode + per-channel statistics: (id, media) →
+    * (id, width, height, avg_r, avg_g, avg_b). Channel sums accumulate in
+    * exact integers; the single double division at the end is reproducible
+    * across engines (the q61 oracle recomputes it from the analytic pixel
+    * values). Undecodable rows are dropped, per [[decodeImage]]. */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.media).map { case (w, h, px) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xFF
+          sg += (p >> 8) & 0xFF
+          sb += p & 0xFF
+          i += 1
+        }
+        val n = (w.toLong * h).toDouble
+        ImageStats(r.id, w, h, sr / n, sg / n, sb / n)
+      }
+    })
+  }
+
+  /** REAL-pixel feature embedding: mean r/g/b per cell of a `grid`×`grid`
+    * block partition → 3·grid² dims, unit-normalized — the same
+    * `array<float>` the Similarity operators consume, so decode → embed →
+    * LSH-dedup/ANN composes with real pixels exactly as it does with
+    * [[embedStub]]'s byte features. Undecodable rows are dropped. */
+  def embedImage(bytes: Array[Byte], grid: Int = 4): Option[Array[Float]] =
+    decodeImage(bytes).map { case (w, h, px) =>
+      val cells = grid * grid
+      val sums = new Array[Double](3 * cells)
+      val cnts = new Array[Long](cells)
+      var y = 0
+      while (y < h) {
+        val gy = y * grid / h
+        var x = 0
+        while (x < w) {
+          val cell = gy * grid + x * grid / w
+          val p = px(y * w + x)
+          sums(3 * cell) += (p >> 16) & 0xFF
+          sums(3 * cell + 1) += (p >> 8) & 0xFF
+          sums(3 * cell + 2) += p & 0xFF
+          cnts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val v = new Array[Float](3 * cells)
+      var c = 0
+      while (c < cells) {
+        if (cnts(c) > 0) {
+          v(3 * c) = (sums(3 * c) / cnts(c)).toFloat
+          v(3 * c + 1) = (sums(3 * c + 1) / cnts(c)).toFloat
+          v(3 * c + 2) = (sums(3 * c + 2) / cnts(c)).toFloat
+        }
+        c += 1
+      }
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (nrm == 0.0) { v(0) = 1f; v } else v.map(x => (x / nrm).toFloat)
+    }
+
+  /** Per-partition real-pixel embedding: (id, media) → (id, embedding). */
+  def embedImages(media: Dataset[MediaRow], grid: Int = 4): Dataset[EmbeddedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      embedImage(r.media, grid).map(EmbeddedRow(r.id, _))))
   }
 }

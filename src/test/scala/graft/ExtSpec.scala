@@ -525,6 +525,73 @@ class ExtSpec extends AnyFunSuite {
     assert(top.getDouble(2) > 0.9)
   }
 
+  test("real PNG decode: ImageIO returns the exact synthetic pixels") {
+    val (id, w, h) = (7L, 20, 18)
+    val bytes = Multimodal.syntheticPng(id, w, h)
+    // a real PNG container, not a stub payload
+    assert(bytes.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val Some((dw, dh, px)) = Multimodal.decodeImage(bytes)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(y * w + x)
+      assert(((p >> 16) & 0xFF) == ((id + 3 * x + 5 * y) % 256).toInt, s"r($x,$y)")
+      assert(((p >> 8) & 0xFF) == ((2 * id + 7 * x + y) % 256).toInt, s"g($x,$y)")
+      assert((p & 0xFF) == ((id + x.toLong * y) % 256).toInt, s"b($x,$y)")
+    }
+    // JPEG decodes through the same path (lossy, so dims only)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jos)
+    val Some((jw, jh, _)) = Multimodal.decodeImage(jos.toByteArray)
+    assert((jw, jh) == (w, h))
+    // corrupt payloads drop the row, never the executor
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(bytes.take(10)).isEmpty)
+  }
+
+  test("imageStats over a distributed fixture matches the analytic means") {
+    val ids = spark.range(50).toDF("doc_id")
+    val out = Multimodal.imageStats(Multimodal.syntheticImages(ids, "doc_id"))
+      .collect().map(s => s.id -> s).toMap
+    assert(out.size == 50)
+    (0L until 50L).foreach { id =>
+      val (w, h) = ((16 + id % 8).toInt, (16 + id * 3 % 8).toInt)
+      val s = out(id)
+      assert((s.width, s.height) == (w, h), s"dims of $id")
+      val sr = (for (y <- 0 until h; x <- 0 until w)
+        yield (id + 3 * x + 5 * y) % 256).sum
+      assert(s.avg_r == sr.toDouble / (w * h), s"avg_r of $id")
+    }
+  }
+
+  test("real-pixel pipeline: decode -> grid embed -> LSH pairs -> clusters") {
+    import spark.implicits._
+    // 40 diverse block-pattern images + a tweaked NEAR-duplicate of each
+    // (2 of 16 cells repainted with a shifted color): the planted pair is
+    // close but not identical, random pattern pairs are far — the regime
+    // the embedding dedup pipeline exists for, now over REAL decoded pixels
+    val media = spark.range(40).as[Long].mapPartitions(_.flatMap { id =>
+      Iterator(
+        Multimodal.MediaRow(id, Multimodal.patternPng(id)),
+        Multimodal.MediaRow(id + 1000L,
+          Multimodal.patternPng(id, tweakCells = 2)))
+    })
+    val emb = Multimodal.embedImages(media).toDF()
+    val pairs = Similarity.cosineLshPairs(emb, "id", "embedding",
+        minCos = 0.99, bits = 256, bands = 16, center = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 40L).map(i => (i, i + 1000L)).toSet
+    assert(pairs == planted,
+      s"missed ${planted -- pairs}, spurious ${pairs -- planted}")
+    // and the terminal composes: one representative per planted pair
+    val deduped = Dedup.removeNearDups(emb, "id",
+        Similarity.cosineLshPairs(emb, "id", "embedding", minCos = 0.99,
+          bits = 256, bands = 16, center = true))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(deduped == (0L until 40L).toSet)
+  }
+
   test("multimodal: frame sampling emits every stride-th block") {
     val media = Multimodal.withFakeMedia(
       Seq((0L, "0123456789abcdef" * 8)).toDF("doc_id", "text"), "doc_id", "text")
