@@ -311,6 +311,19 @@ object ExtQueries {
           Multimodal.syntheticImages(docsPar(s, dir), "doc_id"))
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+    // REAL audio decode under the oracle — q61's pattern for sound:
+    // deterministic 16-bit PCM WAVs (sample i of clip id is
+    // ((id·7 + i·31) % 65536) − 32768, length 1000 + id%500) encoded and
+    // decoded through the JDK's sampled-sound stack, reduced to exact
+    // integer loudness sums; the oracle recomputes avg|s| and RMS from the
+    // sample formula — WAV PCM is lossless, so the hash pins the decoder.
+    "q62_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioStats(
+          Multimodal.syntheticAudio(docsPar(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -765,6 +778,21 @@ object ExtQueries {
         |  CAST(sr AS DOUBLE)/(width*height) AS avg_r,
         |  CAST(sg AS DOUBLE)/(width*height) AS avg_g,
         |  CAST(sb AS DOUBLE)/(width*height) AS avg_b
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // q62: loudness statistics recomputed analytically from the synthetic
+    // PCM sample formula — integer |s| and s² sums are exact, the divide
+    // and IEEE sqrt are engine-reproducible; no audio decoder on this side
+    "q62_audio_decode" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(1000 + doc_id % 500 AS INT) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+        |v AS (SELECT doc_id, n,
+        |        ((doc_id*7 + i*31) % 65536) - 32768 AS s FROM sm),
+        |agg AS (SELECT doc_id, n, SUM(ABS(s)) AS sa, SUM(s*s) AS sq
+        |        FROM v GROUP BY 1, 2)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        |  CAST(sa AS DOUBLE)/n AS avg_abs,
+        |  sqrt(CAST(sq AS DOUBLE)/n) AS rms
         |FROM agg ORDER BY doc_id""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a
     // power of two so the floor division is exact in double

@@ -267,4 +267,100 @@ object Multimodal {
     media.mapPartitions(_.flatMap(r =>
       embedImage(r.media, grid).map(EmbeddedRow(r.id, _))))
   }
+
+  // ---- real audio codec (javax.sound.sampled — ships with the JDK) -------
+
+  /** REAL audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU
+    * readers are built in): container bytes → (sampleRate, channels,
+    * interleaved integer samples). Supports the 16-bit and 8-bit signed PCM
+    * encodings the JDK writes; None for undecodable or non-PCM payloads —
+    * the same drop-the-row contract as [[decodeImage]]. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val pcmSigned =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val bits = fmt.getSampleSizeInBits
+      if (!pcmSigned || (bits != 16 && bits != 8)) None
+      else {
+        val raw = ais.readAllBytes()
+        val samples =
+          if (bits == 8) raw.map(_.toInt)
+          else {
+            val out = new Array[Int](raw.length / 2)
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i < out.length) {
+              val (lo, hi) = if (le) (raw(2 * i), raw(2 * i + 1))
+                             else (raw(2 * i + 1), raw(2 * i))
+              out(i) = ((hi.toInt << 8) | (lo.toInt & 0xFF))
+              i += 1
+            }
+            out
+          }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic synthetic mono 16-bit PCM WAV: sample i of clip `id` is
+    * ((id·7 + i·31) % 65536) − 32768 — full-range, analytic, and LOSSLESS
+    * through the WAV container, so the q62 oracle recomputes any
+    * sample-derived statistic with no decoder on its side (the audio
+    * counterpart of [[syntheticPng]]). */
+  def syntheticWav(id: Long, n: Int, rate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 7 + i.toLong * 31) % 65536) - 32768).toInt
+      data(2 * i) = (s & 0xFF).toByte // little-endian per the format below
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Distributed audio fixture: one [[syntheticWav]] per id with an
+    * id-dependent length, encoded on the executors. */
+  def syntheticAudio(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, syntheticWav(id, (1000 + id % 500).toInt))
+    })
+  }
+
+  case class AudioStats(id: Long, sample_rate: Int, n_samples: Int,
+                        avg_abs: Double, rms: Double)
+
+  /** Per-partition REAL audio decode + loudness statistics: (id, media) →
+    * (id, sample_rate, n_samples, avg_abs, rms). Sums of |s| and s² are
+    * exact integers (s² ≤ 2³⁰, so corpora of hour-long clips stay far
+    * inside 64 bits); the final divide and the IEEE-correctly-rounded sqrt
+    * are reproducible across engines — the q62 oracle recomputes both from
+    * the analytic sample formula. Undecodable rows are dropped. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeAudio(r.media).map { case (rate, _, samples) =>
+        var (sa, sq) = (0L, 0L)
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          sa += math.abs(s)
+          sq += s * s
+          i += 1
+        }
+        val n = samples.length.toDouble
+        AudioStats(r.id, rate, samples.length, sa / n, math.sqrt(sq / n))
+      }
+    })
+  }
 }

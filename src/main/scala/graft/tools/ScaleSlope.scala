@@ -84,8 +84,15 @@ object ScaleSlope {
       "q36_simhash", "q37_embed_cosine", "q41_cosine_lsh", "q44_dedup_clusters",
       "q46_media_embed_dedup", "q49_embed_dedup_clusters", "q50_dedup_corpus",
       "q51_dedup_corpus_terminal", "q52_contamination", "q56_ann_quantized",
-      "q58_decontaminated", "q59_pack_sequences")
-    def run(dir: String, name: String): (Double, Long) = {
+      "q58_decontaminated", "q59_pack_sequences", "q61_image_decode")
+    // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
+    // loose to catch a real 2x asymptote drift on the heavy terminals —
+    // those are sampled 3x and summarized by the MEDIAN (min also reported);
+    // the cheap per-row queries stay single-sample, their slopes are only
+    // sanity rails
+    val multiSample = Set("q41_cosine_lsh", "q50_dedup_corpus",
+      "q51_dedup_corpus_terminal")
+    def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -98,18 +105,24 @@ object ScaleSlope {
       val dt = (System.nanoTime() - t0) / 1e9
       (dt, obs.get("rows").asInstanceOf[Long])
     }
+    def run(dir: String, name: String): (Seq[Double], Long) = {
+      val n = if (multiSample(name)) 3 else 1
+      val rs = (1 to n).map(_ => run1(dir, name))
+      (rs.map(_._1).sorted, rs.head._2)
+    }
+    def med(s: Seq[Double]): Double = s(s.size / 2)
     // warmup on the small corpus
-    names.foreach(n => run(small, n))
-    println(f"${"query"}%-20s ${"t_small"}%8s ${"t_big"}%8s ${"rows_s"}%8s ${"rows_b"}%8s ${"slope"}%6s")
+    names.foreach(n => run1(small, n))
+    println(f"${"query"}%-20s ${"t_s_med"}%8s ${"t_s_min"}%8s ${"t_b_med"}%8s ${"t_b_min"}%8s ${"rows_s"}%8s ${"rows_b"}%8s ${"slope"}%6s")
     val slopes = names.map { n =>
       val (ts, rs) = run(small, n)
       val (tb, rb) = run(bigDir, n)
-      val slope = tb / (ts * factor)
-      println(f"$n%-20s $ts%8.2f $tb%8.2f $rs%8d $rb%8d $slope%6.2f")
+      val slope = med(tb) / (med(ts) * factor)
+      println(f"$n%-20s ${med(ts)}%8.2f ${ts.head}%8.2f ${med(tb)}%8.2f ${tb.head}%8.2f $rs%8d $rb%8d $slope%6.2f")
       n -> (ts, tb, rs, rb, slope)
     }
     val qs = slopes.map { case (n, (ts, tb, rs, rb, sl)) =>
-      s""""$n":{"t_small":$ts,"t_big":$tb,"rows_small":$rs,"rows_big":$rb,"slope":$sl}"""
+      s""""$n":{"t_small":${med(ts)},"t_small_min":${ts.head},"t_big":${med(tb)},"t_big_min":${tb.head},"samples":${ts.size},"rows_small":$rs,"rows_big":$rb,"slope":$sl}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_slope","factor":$factor,"queries":$qs}""")
     spark.stop()

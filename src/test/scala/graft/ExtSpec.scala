@@ -565,6 +565,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV decode: sampled-sound stack returns the exact synthetic PCM") {
+    val (id, n) = (11L, 1234)
+    val bytes = Multimodal.syntheticWav(id, n)
+    assert(new String(bytes.take(4)) == "RIFF") // a real WAV container
+    val Some((rate, channels, samples)) = Multimodal.decodeAudio(bytes)
+    assert(rate == 8000 && channels == 1 && samples.length == n)
+    (0 until n).foreach { i =>
+      val want = (((id * 7 + i.toLong * 31) % 65536) - 32768).toInt
+      assert(samples(i) == want, s"sample $i")
+    }
+    // corrupt payloads drop the row, never the executor
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(bytes.take(12)).isEmpty)
+    // distributed stats fixture matches the analytic loudness
+    val out = Multimodal.audioStats(
+        Multimodal.syntheticAudio(spark.range(20).toDF("doc_id"), "doc_id"))
+      .collect().map(s => s.id -> s).toMap
+    assert(out.size == 20)
+    (0L until 20L).foreach { id =>
+      val len = (1000 + id % 500).toInt
+      val ss = (0 until len).map(i => ((id * 7 + i.toLong * 31) % 65536) - 32768)
+      val s = out(id)
+      assert(s.n_samples == len && s.sample_rate == 8000)
+      assert(s.avg_abs == ss.map(math.abs).sum.toDouble / len, s"avg_abs of $id")
+      assert(s.rms == math.sqrt(ss.map(x => x * x).sum.toDouble / len), s"rms of $id")
+    }
+  }
+
   test("real-pixel pipeline: decode -> grid embed -> LSH pairs -> clusters") {
     import spark.implicits._
     // 40 diverse block-pattern images + a tweaked NEAR-duplicate of each
