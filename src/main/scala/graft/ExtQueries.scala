@@ -331,12 +331,18 @@ object ExtQueries {
     """string_split_regex(lower(trim(text)), '\s+')"""
 
   /** shared shingle CTEs (word k-grams, distinct per doc) over any source
-    * relation — mirrors Dedup.shingles for the documents actually present
-    * (all >= k tokens at every SF, so the short-doc fallback never fires). */
+    * relation — mirrors Dedup.shinglesOfTokens INCLUDING the short-doc
+    * fallback (a doc under k tokens collapses to one whole-document
+    * shingle). Current fixtures have no sub-k docs at any SF, but the
+    * fallback must live in the oracle, not in a comment: without it, a
+    * future fixture with a 4-7-token doc would silently drop that doc from
+    * the oracle's rows while the Spark side still emits it. */
   private def shingleBaseOver(src: String, k: Int = 4) =
     s"""toks AS (SELECT doc_id, $docToks AS t FROM $src),
-       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-${k - 2}),
-       |         i -> concat_ws(' ', ${(0 until k).map(j => s"t[i+$j]").mkString(", ")}))) AS g FROM toks),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $k
+       |         THEN list_transform(range(1, len(t)-${k - 2}),
+       |           i -> concat_ws(' ', ${(0 until k).map(j => s"t[i+$j]").mkString(", ")}))
+       |         ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
        |d AS (SELECT DISTINCT doc_id, g FROM sh)""".stripMargin
 
   private val shingleBase = shingleBaseOver("documents")

@@ -373,8 +373,12 @@ object Dedup {
   /** Dropped-mass report from [[bucketCapReport]] / [[dedupCorpusDiagnostic]]:
     * `droppedRows` = (id, band) rows in over-cap buckets (rows that emit no
     * candidate pairs), `maxBucket` = the largest band bucket seen (cap
-    * headroom: how close the corpus is to losing recall). */
-  case class BucketCapReport(droppedRows: Long, maxBucket: Long, cap: Int)
+    * headroom: how close the corpus is to losing recall), `cap` = the
+    * configured cap, or None when the pipeline ran UNCAPPED (droppedRows is
+    * then 0 by construction; a fabricated sentinel cap here would feed
+    * downstream headroom checks a lie). */
+  case class BucketCapReport(droppedRows: Long, maxBucket: Long,
+                             cap: Option[Int])
 
   /** Measure what the band-bucket cap drops on a signature table — the
     * programmatic answer to "did the cap change my corpus?", which the
@@ -383,11 +387,16 @@ object Dedup {
     * Drives [[bandedSignatures]] → [[capBuckets]] SINGLE-CONSUMER, where the
     * observation provably surfaces, and pays one extra pass over the
     * signatures — a diagnostic you run when tuning the cap or auditing a
-    * corpus, not on every pipeline invocation. */
-  def bucketCapReport(sigs: DataFrame, cap: Int = DefaultMaxBandBucket,
+    * corpus, not on every pipeline invocation. `cap = None` measures
+    * droppedRows/maxBucket for an uncapped pipeline (always 0 dropped). */
+  def bucketCapReport(sigs: DataFrame,
+                      cap: Option[Int] = Some(DefaultMaxBandBucket),
                       numPerm: Int = 128, bands: Int = 32): BucketCapReport = {
     val obs = org.apache.spark.sql.Observation()
-    capBuckets(bandedSignatures(sigs, numPerm, bands), Some(cap), Some(obs))
+    // an uncapped run still observes max_bucket (the headroom number) by
+    // driving the guard with a cap nothing can exceed
+    capBuckets(bandedSignatures(sigs, numPerm, bands),
+        Some(cap.getOrElse(Int.MaxValue)), Some(obs))
       .write.format("noop").mode("overwrite").save()
     val row = obs.get
     BucketCapReport(row("dropped_rows").asInstanceOf[Long],
@@ -488,14 +497,9 @@ object Dedup {
                   bands: Int = 32, k: Int = 4,
                   maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
                   maxIters: Int = 20,
-                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    val reps = exact(df, idCol, textCol).select(col(idCol))
-    val repDocs = CheckpointStrategy.materializer(checkpoint)(
-      df.join(reps, Seq(idCol), "left_semi"))
-    val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
-      numPerm, bands, k, maxBucketSize)
-    removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint)
-  }
+                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
+    dedupCorpusCore(df, idCol, textCol, minJaccard, numPerm, bands, k,
+      maxBucketSize, maxIters, checkpoint, diagnose = false)._1
 
   /** [[dedupCorpus]] plus the cap's [[BucketCapReport]] — for pipelines that
     * must assert "the cap dropped nothing" (or log how close it came) as a
@@ -504,7 +508,7 @@ object Dedup {
     * (checkpointed once, shared by both), driven single-consumer so the
     * observation reliably surfaces; the extra cost is one
     * signature+banding pass. When `maxBucketSize` is None the report is
-    * trivially (0, maxBucket) — nothing can be dropped, but the headroom
+    * (0, maxBucket, None) — nothing can be dropped, but the headroom
     * number is still worth logging. */
   def dedupCorpusDiagnostic(df: DataFrame, idCol: String, textCol: String,
                             minJaccard: Double = 0.8, numPerm: Int = 128,
@@ -512,12 +516,27 @@ object Dedup {
                             maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
                             maxIters: Int = 20,
                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local): (DataFrame, BucketCapReport) = {
+    val (out, report) = dedupCorpusCore(df, idCol, textCol, minJaccard,
+      numPerm, bands, k, maxBucketSize, maxIters, checkpoint, diagnose = true)
+    (out, report.get)
+  }
+
+  /** One body for both terminals — the diagnostic variant must describe
+    * exactly the pipeline [[dedupCorpus]] runs, so they cannot be two
+    * hand-synced copies. */
+  private def dedupCorpusCore(df: DataFrame, idCol: String, textCol: String,
+                              minJaccard: Double, numPerm: Int, bands: Int,
+                              k: Int, maxBucketSize: Option[Int],
+                              maxIters: Int, checkpoint: CheckpointStrategy,
+                              diagnose: Boolean): (DataFrame, Option[BucketCapReport]) = {
     val reps = exact(df, idCol, textCol).select(col(idCol))
     val repDocs = CheckpointStrategy.materializer(checkpoint)(
       df.join(reps, Seq(idCol), "left_semi"))
-    val sigs = minhashSignatures(repDocs, idCol, textCol, numPerm, k)
-    val report = bucketCapReport(sigs,
-      maxBucketSize.getOrElse(Int.MaxValue), numPerm, bands)
+    val report =
+      if (diagnose) Some(bucketCapReport(
+        minhashSignatures(repDocs, idCol, textCol, numPerm, k),
+        maxBucketSize, numPerm, bands))
+      else None
     val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
       numPerm, bands, k, maxBucketSize)
     (removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint), report)

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG containers through the JDK's `javax.imageio` (zero new
   * dependencies) and are oracle-checked end-to-end (q61: the DuckDB side
   * recomputes channel statistics analytically from the synthetic pixel
-  * formula, so a decoder deviation breaks the hash). The byte-level
-  * [[decodeStub]]/[[embedStub]] path remains for media kinds with no JDK
-  * decoder (audio/video): its Spark-side plumbing — schema, partitioning,
-  * batch iteration — is identical, and swapping the stub for a real codec
-  * changes nothing else (that is the point of the interface, and the image
-  * path is the proof). (Beyond the reference surface; required by the
-  * build brief.)
+  * formula, so a decoder deviation breaks the hash). AUDIO likewise has a
+  * real codec — [[decodeAudio]]/[[audioStats]] read WAV/AIFF/AU PCM
+  * through `javax.sound.sampled`, oracle-checked the same way (q62). The
+  * byte-level [[decodeStub]]/[[embedStub]] path remains for media kinds
+  * with no JDK decoder (video, compressed audio): its Spark-side
+  * plumbing — schema, partitioning, batch iteration — is identical, and
+  * swapping the stub for a real codec changes nothing else (the image and
+  * audio paths are the proof). (Beyond the reference surface; required by
+  * the build brief.)
   */
 object Multimodal {
 
@@ -349,7 +351,10 @@ object Multimodal {
   def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      decodeAudio(r.media).map { case (rate, _, samples) =>
+      // a header-only clip (valid container, zero PCM frames) must drop the
+      // row like any other bad payload — 0/0 would emit NaN statistics that
+      // poison downstream loudness filters
+      decodeAudio(r.media).filter(_._3.nonEmpty).map { case (rate, _, samples) =>
         var (sa, sq) = (0L, 0L)
         var i = 0
         while (i < samples.length) {

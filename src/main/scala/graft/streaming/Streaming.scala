@@ -135,20 +135,26 @@ object Streaming {
     * the achieved fpp degrades gradually past capacity and resets at the
     * next refresh — a perf dial, never correctness).
     *
-    * BETWEEN refreshes the filter would go stale as `onFresh` grows the
-    * history — a stale filter is not conservative (a fingerprint missing
-    * from it takes the definitely-fresh shortcut past the confirm join), so
-    * after each batch the accepted fingerprints are merged into the frozen
-    * filter via a SAME-SHAPE distributed Bloom build over the batch
-    * (`mergeInPlace`; driver receives filter bits, never rows). Cross-batch
-    * duplicates therefore drop even mid-epoch. Duplicates WITHIN one
-    * micro-batch are [[graft.ext.Dedup.exact]]'s job, same contract as the
-    * batch operator; `history()` must read current state (re-evaluated per
-    * batch).
+    * BETWEEN refreshes the epoch state would go stale as `onFresh` grows
+    * the history — a stale Bloom filter is not conservative (a fingerprint
+    * missing from it takes the definitely-fresh shortcut past the confirm
+    * join) — so after each batch the accepted fingerprints are folded into
+    * BOTH halves of the state: into the frozen filter via a SAME-SHAPE
+    * distributed Bloom build (`mergeInPlace`; the driver receives filter
+    * bits, never rows), and into the confirm join's fingerprint set as a
+    * materialized delta block. Cross-batch duplicates therefore drop even
+    * mid-epoch, and — critically for the amortization claim — non-refresh
+    * batches touch NO history at all: the confirm join reads the
+    * epoch-start checkpointed fingerprint set plus the small accepted
+    * deltas, so the full history is scanned exactly once per epoch.
+    * `history()` only needs to reflect `onFresh`'s writes by the next
+    * refresh, not per batch. Duplicates WITHIN one micro-batch are
+    * [[graft.ext.Dedup.exact]]'s job, same contract as the batch operator.
     *
-    * State is bounded everywhere: the driver holds one Bloom filter
-    * (~1.2 MB per million docs at 1% fpp), executors hold nothing between
-    * batches. */
+    * State is bounded: the driver holds one Bloom filter (~1.2 MB per
+    * million docs at 1% fpp); the executor-side fingerprint blocks are the
+    * epoch-start set (materialized once) plus one small block per batch,
+    * all dropped at the next refresh. */
   def dedupIncremental(events: DataFrame, history: () => DataFrame,
                        idCol: String, textCol: String,
                        onFresh: (DataFrame, Long) => Unit,
@@ -164,37 +170,41 @@ object Streaming {
     var filter: org.apache.spark.util.sketch.BloomFilter = null
     var capacity = 0L
     var batchesSinceRefresh = 0
+    var seenFp: DataFrame = null // epoch-start fp set + per-batch deltas, all materialized
     events.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val seenFpRaw = history()
-          .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
-        val seenFp = if (filter == null ||
-            batchesSinceRefresh >= refreshEveryBatches) {
-          // epoch boundary: one history scan builds the filter AND feeds the
-          // confirm join below — materialize the fingerprint set once
-          val fp = seenFpRaw.localCheckpoint(true)
-          capacity = math.max(1L, fp.count()) + math.max(0L, headroom)
-          filter = Dedup.buildSeenBloom(fp, Some(capacity), fpp)
+        if (filter == null || batchesSinceRefresh >= refreshEveryBatches) {
+          // epoch boundary: the ONE history scan of the epoch builds both
+          // the filter and the confirm join's materialized fingerprint set
+          seenFp = history()
+            .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
+            .localCheckpoint(true)
+          capacity = math.max(1L, seenFp.count()) + math.max(0L, headroom)
+          filter = Dedup.buildSeenBloom(seenFp, Some(capacity), fpp)
           batchesSinceRefresh = 0
-          fp
-        } else seenFpRaw
+        }
         val fresh = Dedup.probeAndConfirm(batch, seenFp,
           Dedup.serializedBloom(filter), idCol, textCol)
-          // onFresh AND the filter merge both consume it; without this the
-          // probe pipeline (and the history scan under it) would run twice
+          // onFresh AND the state folds below all consume it; without this
+          // the probe pipeline would re-execute per consumer
           .localCheckpoint(true)
         onFresh(fresh, id)
-        // fold the batch's accepted fingerprints into the frozen filter so
-        // later batches this epoch can't shortcut past them (same (capacity,
-        // fpp) shape makes the filters mergeable); the sentinel row keeps
-        // the aggregate off its empty-input NPE, same as buildSeenBloom
-        val accepted = fresh
-          .select(xxhash64(graft.ext.TextStats.fingerprint(col(textCol))).as("__h"))
+        // fold the batch's accepted fingerprints into BOTH halves of the
+        // epoch state so later batches this epoch can't duplicate them:
+        // a small materialized delta block for the confirm join, and a
+        // same-(capacity, fpp)-shape Bloom merged into the frozen filter
+        // (the sentinel row keeps the aggregate off its empty-input NPE,
+        // same as buildSeenBloom)
+        val acceptedFp = fresh
+          .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
+          .localCheckpoint(true)
+        filter.mergeInPlace(acceptedFp
+          .select(xxhash64(col("__fp")).as("__h"))
           .unionByName(batch.sparkSession.range(1).select(lit(0L).as("__h")))
-          .stat.bloomFilter("__h", capacity, fpp)
-        filter.mergeInPlace(accepted)
+          .stat.bloomFilter("__h", capacity, fpp))
+        seenFp = seenFp.unionByName(acceptedFp)
         batchesSinceRefresh += 1
         ()
       }

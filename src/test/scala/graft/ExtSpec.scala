@@ -692,14 +692,18 @@ class ExtSpec extends AnyFunSuite {
       "identical degenerate boilerplate text repeated across the corpus body"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
-    val r = Dedup.bucketCapReport(sigs, cap = 5)
+    val r = Dedup.bucketCapReport(sigs, cap = Some(5))
     assert(r.droppedRows == 12L * 32, s"expected 384 dropped (id,band) rows, got $r")
     assert(r.maxBucket == 12L, s"expected max bucket 12, got $r")
     // a corpus of distinct docs under the same cap drops nothing
     val clean = Dedup.bucketCapReport(
-      Dedup.minhashSignatures(corpus, "doc_id", "text"), cap = 5)
+      Dedup.minhashSignatures(corpus, "doc_id", "text"), cap = Some(5))
     assert(clean.droppedRows == 0L, s"clean corpus must drop nothing, got $clean")
     assert(clean.maxBucket >= 1L && clean.maxBucket <= 5L, s"got $clean")
+    // uncapped: nothing dropped by construction, cap honestly reported None
+    val uncapped = Dedup.bucketCapReport(sigs, cap = None)
+    assert(uncapped.droppedRows == 0L && uncapped.maxBucket == 12L &&
+      uncapped.cap.isEmpty, s"got $uncapped")
   }
 
   test("dedupCorpusDiagnostic: same corpus as dedupCorpus, plus the cap report") {
@@ -715,7 +719,7 @@ class ExtSpec extends AnyFunSuite {
     // representative and nothing exceeds the cap — the report proves the
     // terminal's structural fix rather than merely asserting it
     assert(report.droppedRows == 0L, s"post-collapse banding must be under cap: $report")
-    assert(report.maxBucket <= 10L && report.cap == 10, s"got $report")
+    assert(report.maxBucket <= 10L && report.cap.contains(10), s"got $report")
   }
 
   test("cosineLshPairs(checkpoint = Local) executes the upstream exactly once") {

@@ -9,7 +9,10 @@ object TestSpark {
     // a stale managed-table location from a previous test run fails any
     // saveAsTable with LOCATION_ALREADY_EXISTS — start from a clean slate
     def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
+      // listFiles() returns null (not empty) on I/O error or if the dir
+      // vanishes under us (two forked test JVMs racing on the shared /tmp)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
       f.delete(); ()
     }
     wipe(new java.io.File("/tmp/graft-test-warehouse"))
