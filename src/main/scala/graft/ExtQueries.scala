@@ -324,6 +324,20 @@ object ExtQueries {
           Multimodal.syntheticAudio(docsPar(s, dir), "doc_id"))
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+    // The persisted-index serving path under the oracle: build the IVF
+    // index ONCE (centroids + cell-bucketed vectors as catalog tables —
+    // the index-once/query-many shape), then serve top-k FROM THE TABLES
+    // with no reassignment. Cell assignment is bit-stable, so serving
+    // equals q42's in-memory operator — the oracle SQL is q42's, verbatim,
+    // now also pinning the bucketed round-trip.
+    "q63_ann_ivf_indexed" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", "graft_q63_ivf",
+        nCells = 16, buckets = 8)
+      Similarity.annIvfTopKIndexed(s, "graft_q63_ivf",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 
@@ -511,6 +525,10 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
+    // served-from-index results are bit-identical to the in-memory IVF
+    // operator (deterministic pivots + bit-stable assignment), so the
+    // same SQL is the oracle for both
+    "q63_ann_ivf_indexed" -> annIvfSql,
     "q44_dedup_clusters" -> dedupClustersSql,
     "q50_dedup_corpus" ->
       s"""WITH RECURSIVE $jaccardClosureCtes,

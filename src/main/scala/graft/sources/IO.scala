@@ -86,10 +86,28 @@ object IO {
                     format: String = "parquet",
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    if (mode == SaveMode.Overwrite) dropTableAndLocation(df.sparkSession, table)
     val w = df.write.mode(mode).format(format)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val ws =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     ws.saveAsTable(table)
+  }
+
+  /** Drop `table` AND its default warehouse location. `DROP TABLE IF
+    * EXISTS` alone is not enough when the metastore is in-memory (the
+    * default outside a configured Hive catalog): the catalog dies with the
+    * session but the managed table's directory survives, and the next
+    * overwrite into the same name fails with LOCATION_ALREADY_EXISTS.
+    * Overwrite-mode managed-table writers here call this first, so index
+    * and table builds are idempotent across sessions and reruns. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ()
   }
 }
