@@ -326,11 +326,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
     // The persisted-index serving path under the oracle: build the IVF
-    // index ONCE (centroids + cell-bucketed vectors as catalog tables —
-    // the index-once/query-many shape), then serve top-k FROM THE TABLES
-    // with no reassignment. Cell assignment is bit-stable, so serving
-    // equals q42's in-memory operator — the oracle SQL is q42's, verbatim,
-    // now also pinning the bucketed round-trip.
+    // index (centroids + cell-bucketed vectors as catalog tables — the
+    // index-once/query-many shape), then serve top-k FROM THE TABLES with
+    // no reassignment. Cell assignment is bit-stable, so serving equals
+    // q42's in-memory operator — the oracle SQL is q42's, verbatim, now
+    // also pinning the bucketed round-trip. The query deliberately
+    // rebuilds per invocation so it is self-contained and can never serve
+    // a stale index across SF changes; its BENCH number therefore prices
+    // build+serve (q42 minus this is the per-query amortization the
+    // persisted index buys — the serving-only plan is pinned by ExtSpec's
+    // zero-exchange assertion).
     "q63_ann_ivf_indexed" -> { (s, dir) =>
       val e = read(s, dir, "embeddings")
       Similarity.buildIvfIndex(e, "vec_id", "embedding", "graft_q63_ivf",

@@ -322,10 +322,15 @@ object Similarity {
         c.filter(col("id") < nCells)
           .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
     }
-    // drop-with-location first: a rebuild into the same name must succeed
-    // even when the in-memory catalog lost the table but its warehouse
-    // directory survived (writeBucketed does the same for the vectors)
-    graft.sources.IO.dropTableAndLocation(spark, s"${name}_centroids")
+    // orphaned-location cleanup first: a rebuild into the same name must
+    // succeed even when the in-memory catalog lost the table but its
+    // warehouse directory survived (writeBucketed does the same for the
+    // vectors). NB a rebuild is NOT atomic for concurrent readers — the
+    // centroids and vectors tables are replaced one after the other, and a
+    // query served between the two writes would join new centroids against
+    // old assignments. Rebuild under a NEW name and repoint consumers, or
+    // pause serving across the rebuild.
+    graft.sources.IO.dropOrphanedLocation(spark, s"${name}_centroids")
     pv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_centroids")
     graft.sources.IO.writeBucketed(assignCells(c, pv), s"${name}_vectors",

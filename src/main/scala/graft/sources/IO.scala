@@ -86,7 +86,7 @@ object IO {
                     format: String = "parquet",
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
-    if (mode == SaveMode.Overwrite) dropTableAndLocation(df.sparkSession, table)
+    if (mode == SaveMode.Overwrite) dropOrphanedLocation(df.sparkSession, table)
     val w = df.write.mode(mode).format(format)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val ws =
@@ -94,20 +94,25 @@ object IO {
     ws.saveAsTable(table)
   }
 
-  /** Drop `table` AND its default warehouse location. `DROP TABLE IF
-    * EXISTS` alone is not enough when the metastore is in-memory (the
-    * default outside a configured Hive catalog): the catalog dies with the
-    * session but the managed table's directory survives, and the next
-    * overwrite into the same name fails with LOCATION_ALREADY_EXISTS.
-    * Overwrite-mode managed-table writers here call this first, so index
-    * and table builds are idempotent across sessions and reruns. */
-  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(loc)) fs.delete(loc, true)
-    ()
+  /** Delete `table`'s default warehouse location — ONLY when the catalog
+    * does not know the table. With an in-memory metastore (the default
+    * outside a configured Hive catalog) the catalog dies with the session
+    * while the managed table's directory survives, and the next overwrite
+    * into the same name fails with LOCATION_ALREADY_EXISTS. When the
+    * catalog DOES know the table this is deliberately a no-op: a plain
+    * `saveAsTable(Overwrite)` already replaces it correctly, and — unlike
+    * an unconditional pre-drop — Spark's "cannot overwrite a table that is
+    * also being read from" guard stays in force (a pre-drop would destroy
+    * the data BEFORE the write job discovers it reads from the target).
+    * Handles database-qualified names via the session parser. */
+  def dropOrphanedLocation(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (!spark.sessionState.catalog.tableExists(ident)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      ()
+    }
   }
 }

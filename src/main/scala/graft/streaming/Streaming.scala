@@ -170,7 +170,8 @@ object Streaming {
     var filter: org.apache.spark.util.sketch.BloomFilter = null
     var capacity = 0L
     var batchesSinceRefresh = 0
-    var seenFp: DataFrame = null // epoch-start fp set + per-batch deltas, all materialized
+    var epochFp: DataFrame = null // epoch-start fp set, ONE materialized block
+    var deltaFp: DataFrame = null // accepted since refresh, compacted periodically
     events.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -178,13 +179,16 @@ object Streaming {
         if (filter == null || batchesSinceRefresh >= refreshEveryBatches) {
           // epoch boundary: the ONE history scan of the epoch builds both
           // the filter and the confirm join's materialized fingerprint set
-          seenFp = history()
+          epochFp = history()
             .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
             .localCheckpoint(true)
-          capacity = math.max(1L, seenFp.count()) + math.max(0L, headroom)
-          filter = Dedup.buildSeenBloom(seenFp, Some(capacity), fpp)
+          deltaFp = null
+          capacity = math.max(1L, epochFp.count()) + math.max(0L, headroom)
+          filter = Dedup.buildSeenBloom(epochFp, Some(capacity), fpp)
           batchesSinceRefresh = 0
         }
+        val seenFp =
+          if (deltaFp == null) epochFp else epochFp.unionByName(deltaFp)
         val fresh = Dedup.probeAndConfirm(batch, seenFp,
           Dedup.serializedBloom(filter), idCol, textCol)
           // onFresh AND the state folds below all consume it; without this
@@ -204,7 +208,14 @@ object Streaming {
           .select(xxhash64(col("__fp")).as("__h"))
           .unionByName(batch.sparkSession.range(1).select(lit(0L).as("__h")))
           .stat.bloomFilter("__h", capacity, fpp))
-        seenFp = seenFp.unionByName(acceptedFp)
+        deltaFp =
+          if (deltaFp == null) acceptedFp else deltaFp.unionByName(acceptedFp)
+        // compact the DELTA union periodically so neither the plan's leaf
+        // count nor the pinned block count grows with refreshEveryBatches —
+        // only the small accepted rows are rewritten, never the epoch set
+        // (a long epoch is the whole point of the amortization)
+        if (batchesSinceRefresh % 16 == 15)
+          deltaFp = deltaFp.localCheckpoint(true)
         batchesSinceRefresh += 1
         ()
       }

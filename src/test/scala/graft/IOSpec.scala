@@ -86,6 +86,33 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed overwrite: rerun-safe after catalog loss, self-overwrite rejected with data intact") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(100).toDF("k")
+    try {
+      // catalog knows nothing but the location exists (the cross-session
+      // scenario: in-memory catalog died, warehouse dir survived) — the
+      // overwrite must clean the orphan and succeed
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier("ow_bkt")))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(loc)
+      fs.create(new org.apache.hadoop.fs.Path(loc, "stale.bin")).close()
+      IO.writeBucketed(df, "ow_bkt", Seq("k"), buckets = 2)
+      assert(spark.table("ow_bkt").count() == 100)
+      // read-transform-overwrite of the SAME table: Spark's guard must
+      // still fire (an unconditional pre-drop would have destroyed the
+      // data before the write job discovered the self-read)
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        IO.writeBucketed(spark.table("ow_bkt").filter(col("k") < 10),
+          "ow_bkt", Seq("k"), buckets = 2)
+      }
+      assert(ex.getMessage.toLowerCase.contains("overwrit"), ex.getMessage)
+      assert(spark.table("ow_bkt").count() == 100, "data must be intact")
+    } finally spark.sql("DROP TABLE IF EXISTS ow_bkt")
+  }
+
   test("salted join and salted aggregation match their unsalted equivalents") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
