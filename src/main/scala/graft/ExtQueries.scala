@@ -343,6 +343,28 @@ object ExtQueries {
       Similarity.annIvfTopKIndexed(s, "graft_q63_ivf",
           e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+    // Incremental NEAR-dup ingestion dedup (q60's signature-space sibling):
+    // arrivals are the first 100 docs with their own FIRST TOKEN appended —
+    // the distinct token set is unchanged, so the k=1 SimHash is EQUAL while
+    // the exact fingerprint differs (q60's operator would keep them all) —
+    // plus 50 genuinely fresh docs (a novel token changes the set). The
+    // Bloom prefilter probes the 64-bit signatures directly; the confirming
+    // semi-join makes the result exact, so the NOT-EXISTS SQL over
+    // recomputed signatures is the oracle at any fpp.
+    "q64_incremental_neardup" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val arrivals = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" "),
+            TextStats.tokens(col("text")).getItem(0)).as("text"))
+        .unionByName(docs.filter(col("doc_id").between(100, 149))
+          .select((col("doc_id") + 2000).as("doc_id"),
+            concat(col("text"), lit(" zqfreshnear")).as("text")))
+      Dedup.incrementalNear(arrivals, docs, "doc_id", "text",
+          k = 1, hasher = Dedup.Hasher.Md5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -356,13 +378,16 @@ object ExtQueries {
     * fallback must live in the oracle, not in a comment: without it, a
     * future fixture with a 4-7-token doc would silently drop that doc from
     * the oracle's rows while the Spark side still emits it. */
-  private def shingleBaseOver(src: String, k: Int = 4) =
-    s"""toks AS (SELECT doc_id, $docToks AS t FROM $src),
-       |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $k
-       |         THEN list_transform(range(1, len(t)-${k - 2}),
+  private def shingleCtesOver(src: String, k: Int, p: String) =
+    s"""${p}toks AS (SELECT doc_id, $docToks AS t FROM $src),
+       |${p}sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $k
+       |         THEN list_transform(range(1, len(t)-(${k - 2})),
        |           i -> concat_ws(' ', ${(0 until k).map(j => s"t[i+$j]").mkString(", ")}))
-       |         ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
-       |d AS (SELECT DISTINCT doc_id, g FROM sh)""".stripMargin
+       |         ELSE [array_to_string(t, ' ')] END) AS g FROM ${p}toks),
+       |${p}d AS (SELECT DISTINCT doc_id, g FROM ${p}sh)""".stripMargin
+
+  private def shingleBaseOver(src: String, k: Int = 4) =
+    shingleCtesOver(src, k, "")
 
   private val shingleBase = shingleBaseOver("documents")
 
@@ -376,11 +401,13 @@ object ExtQueries {
        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8
        |ORDER BY id1, id2""".stripMargin
 
-  /** Full SimHash pipeline in SQL, mirroring Dedup.simhashPairs with the
-    * Md5 hasher: lower-64-md5 words → 64 bit-balance sums → sign blocks
-    * → pigeonhole block join → Hamming distance. The O(n²) OR-join is fine
-    * for the oracle (it runs on the 500-doc fixture, not at scale). */
-  private val simhashSql: String = {
+  /** SimHash signature CTEs in SQL (Md5 hasher), parametric over source,
+    * shingle width, and CTE-name prefix so one WITH list can carry TWO
+    * signature pipelines (q64 compares arrivals against the seen corpus):
+    * lower-64-md5 words → 64 bit-balance sums → four 16-bit sign blocks
+    * `${p}blk(doc_id, b0..b3)` (the 64-bit signature, split the way the
+    * pigeonhole join needs it). */
+  private def simhashBlockCtes(src: String, k: Int, p: String): String = {
     val sums = (0 until 64).map { i =>
       val w = if (i < 32) "w0" else "w1"
       s"SUM(CASE WHEN ($w >> ${i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
@@ -391,23 +418,30 @@ object ExtQueries {
         .mkString(" + ")
       s"($terms) AS b$j"
     }.mkString(",\n|  ")
-    s"""WITH $shingleBase,
-       |w AS (SELECT doc_id,
+    s"""${shingleCtesOver(src, k, p)},
+       |${p}w AS (SELECT doc_id,
        |  CAST(('0x' || substr(md5(g), 25, 8)) AS BIGINT) AS w0,
-       |  CAST(('0x' || substr(md5(g), 17, 8)) AS BIGINT) AS w1 FROM d),
-       |s AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(g), 17, 8)) AS BIGINT) AS w1 FROM ${p}d),
+       |${p}s AS (SELECT doc_id,
        |  $sums
-       |  FROM w GROUP BY doc_id),
-       |blk AS (SELECT doc_id,
+       |  FROM ${p}w GROUP BY doc_id),
+       |${p}blk AS (SELECT doc_id,
        |  $blks
-       |  FROM s),
+       |  FROM ${p}s)""".stripMargin
+  }
+
+  /** Full SimHash pipeline in SQL, mirroring Dedup.simhashPairs with the
+    * Md5 hasher: signature blocks → pigeonhole block join → Hamming
+    * distance. The O(n²) OR-join is fine for the oracle (it runs on the
+    * 500-doc fixture, not at scale). */
+  private val simhashSql: String =
+    s"""WITH ${simhashBlockCtes("documents", 4, "")},
        |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
        |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS dist
        |  FROM blk a JOIN blk b ON a.doc_id < b.doc_id
        |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
        |SELECT id1, id2, dist FROM pr WHERE dist <= 3 ORDER BY id1, id2""".stripMargin
-  }
 
   /** cosine CTEs in explicit double arithmetic (mirrors Similarity exactly);
     * rounded to 6 dp before thresholds/ranks. */
@@ -534,6 +568,23 @@ object ExtQueries {
     // operator (deterministic pivots + bit-stable assignment), so the
     // same SQL is the oracle for both
     "q63_ann_ivf_indexed" -> annIvfSql,
+    // both signature pipelines recomputed in SQL (k=1, md5 words): keep the
+    // arrivals whose four 16-bit sign blocks match NO seen document's —
+    // signature equality is exactly 4-block equality
+    "q64_incremental_neardup" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id + 2000 AS doc_id,
+         |    text || ' ' || ($docToks)[1] AS text
+         |  FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 2000, text || ' zqfreshnear'
+         |  FROM documents WHERE doc_id BETWEEN 100 AND 149),
+         |${simhashBlockCtes("documents", 1, "sn")},
+         |${simhashBlockCtes("arr", 1, "nb")}
+         |SELECT n.doc_id FROM nbblk n
+         |WHERE NOT EXISTS (SELECT 1 FROM snblk s
+         |  WHERE n.b0 = s.b0 AND n.b1 = s.b1 AND n.b2 = s.b2 AND n.b3 = s.b3)
+         |ORDER BY doc_id""".stripMargin,
     "q44_dedup_clusters" -> dedupClustersSql,
     "q50_dedup_corpus" ->
       s"""WITH RECURSIVE $jaccardClosureCtes,

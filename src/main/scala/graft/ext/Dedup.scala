@@ -131,6 +131,44 @@ object Dedup {
     newDf.join(confirmed, Seq(idCol), "left_anti")
   }
 
+  /** Incremental NEAR-dup ingestion dedup — [[incrementalExact]]'s
+    * signature-space sibling: drop from `newDf` every document whose
+    * 64-bit SimHash signature equals that of a seen document. The same
+    * Bloom-prefilter + exact-confirm shape, with the filter built over the
+    * signatures themselves (already longs — no extra hashing); false
+    * positives cost confirm-join rows, never correctness. Signature
+    * EQUALITY is the online near-dup scope (Hamming 0: boilerplate,
+    * whitespace variants, token repeats/reorders at k=1), matching
+    * [[graft.streaming.Streaming.dedupNear]]; the full Hamming ≤ 3 pair
+    * graph stays the batch operator ([[simhashPairs]]) — it needs a
+    * candidate self-join, which a prefilter probe cannot express.
+    * Capacity auto-sizes from the measured distinct-signature count, like
+    * [[incrementalExact]]. */
+  def incrementalNear(newDf: DataFrame, seenDf: DataFrame, idCol: String,
+                      textCol: String, k: Int = 4,
+                      hasher: Hasher = Hasher.Xx,
+                      expectedSeen: Option[Long] = None, fpp: Double = 0.01,
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
+    // materialized once: feeds the Bloom build (+ its sizing count) and the
+    // confirm semi-join — same posture as incrementalExact's seenFp
+    val seenSig = CheckpointStrategy.materializer(checkpoint)(
+      simhash(seenDf, idCol, textCol, k, hasher)
+        .select(col("simhash").as("__sig")).distinct())
+    val capacity = math.max(1L, expectedSeen.getOrElse(seenSig.count()))
+    val bloom = seenSig.select(col("__sig").as("__h"))
+      .unionByName(newDf.sparkSession.range(1).select(lit(0L).as("__h")))
+      .stat.bloomFilter("__h", capacity, fpp)
+    val bytes = serializedBloom(bloom)
+    val candidates = simhash(newDf, idCol, textCol, k, hasher)
+      .filter(graft.funcs.VectorFunctions.bloomMightContain(
+        col("simhash"), bytes))
+    val confirmed = candidates
+      .join(seenSig, candidates("simhash") === col("__sig"), "left_semi")
+      .select(col("id"))
+    newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
+  }
+
   /** Bloom filter over the xxhash64 of a materialized `__fp` fingerprint
     * column; capacity = `expectedSeen` or (default) the measured distinct
     * count. Package-visible so the sizing behavior is testable directly —

@@ -58,6 +58,29 @@ class ExtSpec extends AnyFunSuite {
     assert(all == Set(10L, 11L, 12L))
   }
 
+  test("incrementalNear drops signature-equal arrivals that exact dedup keeps") {
+    val seen = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "alpha beta gamma delta alpha"), // token repeat: same k=1 set
+      (11L, "beta alpha delta gamma"),       // reorder: same k=1 set
+      (12L, "nu xi omicron pi")              // fresh token set
+    ).toDF("doc_id", "text")
+    // bloom is perf-only here too: a terrible fpp must not change the result
+    for (fpp <- Seq(0.01, 0.5)) {
+      val kept = Dedup.incrementalNear(arrivals, seen, "doc_id", "text",
+          k = 1, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(12L), s"fpp=$fpp kept $kept")
+    }
+    // the same arrivals pass EXACT ingestion dedup untouched — their
+    // fingerprints all differ; this operator exists for exactly that gap
+    val exactKept = Dedup.incrementalExact(arrivals, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept == Set(10L, 11L, 12L))
+  }
+
   test("incrementalExact bloom capacity auto-sizes from the history count") {
     // a history 50× larger than an undersized explicit capacity: the
     // auto-sized filter must stay near the requested fpp, while the
