@@ -570,16 +570,20 @@ object ExtQueries {
     "q63_ann_ivf_indexed" -> annIvfSql,
     // both signature pipelines recomputed in SQL (k=1, md5 words): keep the
     // arrivals whose four 16-bit sign blocks match NO seen document's —
-    // signature equality is exactly 4-block equality
+    // signature equality is exactly 4-block equality. Both sources coalesce
+    // NULL text to '' because Dedup.simhash does (null text = empty doc);
+    // without the mirror, a null-text fixture doc would sign differently
+    // here (md5(NULL) nulls every balance) than on the Spark side
     "q64_incremental_neardup" ->
-      s"""WITH arr AS (
+      s"""WITH sndoc AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |arr AS (
          |  SELECT doc_id + 2000 AS doc_id,
-         |    text || ' ' || ($docToks)[1] AS text
+         |    coalesce(text || ' ' || ($docToks)[1], '') AS text
          |  FROM documents WHERE doc_id < 100
          |  UNION ALL
-         |  SELECT doc_id + 2000, text || ' zqfreshnear'
+         |  SELECT doc_id + 2000, coalesce(text || ' zqfreshnear', '')
          |  FROM documents WHERE doc_id BETWEEN 100 AND 149),
-         |${simhashBlockCtes("documents", 1, "sn")},
+         |${simhashBlockCtes("sndoc", 1, "sn")},
          |${simhashBlockCtes("arr", 1, "nb")}
          |SELECT n.doc_id FROM nbblk n
          |WHERE NOT EXISTS (SELECT 1 FROM snblk s

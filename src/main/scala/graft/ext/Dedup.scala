@@ -149,17 +149,13 @@ object Dedup {
                       hasher: Hasher = Hasher.Xx,
                       expectedSeen: Option[Long] = None, fpp: Double = 0.01,
                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    graft.funcs.VectorFunctions.register(newDf.sparkSession)
     // materialized once: feeds the Bloom build (+ its sizing count) and the
     // confirm semi-join — same posture as incrementalExact's seenFp
     val seenSig = CheckpointStrategy.materializer(checkpoint)(
       simhash(seenDf, idCol, textCol, k, hasher)
         .select(col("simhash").as("__sig")).distinct())
-    val capacity = math.max(1L, expectedSeen.getOrElse(seenSig.count()))
-    val bloom = seenSig.select(col("__sig").as("__h"))
-      .unionByName(newDf.sparkSession.range(1).select(lit(0L).as("__h")))
-      .stat.bloomFilter("__h", capacity, fpp)
-    val bytes = serializedBloom(bloom)
+    val bytes = serializedBloom(
+      buildLongBloom(seenSig, "__sig", expectedSeen, fpp))
     val candidates = simhash(newDf, idCol, textCol, k, hasher)
       .filter(graft.funcs.VectorFunctions.bloomMightContain(
         col("simhash"), bytes))
@@ -175,13 +171,22 @@ object Dedup {
     * the filter's achieved fpp, not just the (always-correct) join result. */
   private[graft] def buildSeenBloom(seenFp: DataFrame,
                                     expectedSeen: Option[Long],
+                                    fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    buildLongBloom(seenFp.select(xxhash64(col("__fp")).as("__h")), "__h",
+      expectedSeen, fpp)
+
+  /** Bloom filter over a long column (both ingestion-dedup variants build
+    * through here, so the sizing/sentinel logic has ONE home); capacity =
+    * `expected` or (default) the measured row count. */
+  private[graft] def buildLongBloom(values: DataFrame, valueCol: String,
+                                    expected: Option[Long],
                                     fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
-    val capacity = math.max(1L, expectedSeen.getOrElse(seenFp.count()))
+    val capacity = math.max(1L, expected.getOrElse(values.count()))
     // the sentinel row keeps `stat.bloomFilter` off its empty-input NPE
     // (bloom_filter_agg returns null for zero rows); its only effect is a
-    // possible false positive on hash 0, which the confirm join resolves
-    seenFp.select(xxhash64(col("__fp")).as("__h"))
-      .unionByName(seenFp.sparkSession.range(1).select(lit(0L).as("__h")))
+    // possible false positive on value 0, which the confirm join resolves
+    values.select(col(valueCol).as("__h"))
+      .unionByName(values.sparkSession.range(1).select(lit(0L).as("__h")))
       .stat.bloomFilter("__h", capacity, fpp)
   }
 

@@ -79,6 +79,12 @@ class ExtSpec extends AnyFunSuite {
     val exactKept = Dedup.incrementalExact(arrivals, seen, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(exactKept == Set(10L, 11L, 12L))
+    // empty history: everything is fresh (exercises the sentinel-only
+    // filter and the max(1, count) capacity clamp)
+    val all = Dedup.incrementalNear(arrivals, seen.limit(0), "doc_id", "text",
+        k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(10L, 11L, 12L))
   }
 
   test("incrementalExact bloom capacity auto-sizes from the history count") {
