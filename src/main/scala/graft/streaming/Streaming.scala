@@ -154,7 +154,15 @@ object Streaming {
     * State is bounded: the driver holds one Bloom filter (~1.2 MB per
     * million docs at 1% fpp); the executor-side fingerprint blocks are the
     * epoch-start set (materialized once) plus one small block per batch,
-    * all dropped at the next refresh. */
+    * all dropped at the next refresh.
+    *
+    * This loop dedups on EXACT content fingerprints. For near-dup
+    * ingestion (drop arrivals whose SimHash signature matches history),
+    * call [[graft.ext.Dedup.incrementalNear]] from your own `foreachBatch`
+    * — signature equality is already the online near-dup scope
+    * ([[dedupNear]]), and the batch operator carries the same
+    * Bloom-prefiltered shape (its filter is over the 64-bit signatures
+    * themselves, q64's oracle pins it). */
   def dedupIncremental(events: DataFrame, history: () => DataFrame,
                        idCol: String, textCol: String,
                        onFresh: (DataFrame, Long) => Unit,
