@@ -365,6 +365,29 @@ object ExtQueries {
           k = 1, hasher = Dedup.Hasher.Md5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+    // Hamming ≤ 3 incremental near-dup (the pigeonhole extension of q64):
+    // arrivals are small REAL EDITS — the first 100 docs with one novel
+    // token appended, which shifts every k=1 bit balance by ±1 and flips
+    // the handful of bits sitting at balance 0/1 (typically Hamming 1-3
+    // against the original; occasionally 0 or >3 — the oracle recomputes
+    // the full pipeline either way, so the fixture needs no planted
+    // signatures) — plus 50 fresh docs of wholly novel tokens (Hamming
+    // ~32). Block-keyed Bloom probes prefilter; the popcount-Hamming
+    // confirm join makes the result exact at any fpp.
+    "q65_incremental_neardup_h3" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val freshText = concat_ws(" ", Seq("zqa", "zqb", "zqc", "zqd", "zqe")
+        .map(t => concat(lit(t), (col("doc_id") + 3000).cast("string"))): _*)
+      val arrivals = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 3000).as("doc_id"),
+          concat(col("text"), lit(" zqeditnear")).as("text"))
+        .unionByName(docs.filter(col("doc_id").between(100, 149))
+          .select((col("doc_id") + 3000).as("doc_id"), freshText.as("text")))
+      Dedup.incrementalNear(arrivals, docs, "doc_id", "text",
+          k = 1, hasher = Dedup.Hasher.Md5, maxDist = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -588,6 +611,34 @@ object ExtQueries {
          |SELECT n.doc_id FROM nbblk n
          |WHERE NOT EXISTS (SELECT 1 FROM snblk s
          |  WHERE n.b0 = s.b0 AND n.b1 = s.b1 AND n.b2 = s.b2 AND n.b3 = s.b3)
+         |ORDER BY doc_id""".stripMargin,
+    // q65: same two recomputed pipelines, Hamming ≤ 3 scope — keep arrivals
+    // with NO seen signature within distance 3. The 4-block pigeonhole
+    // clause mirrors the Spark-side block join (redundant given the
+    // popcount bound — distance ≤ 3 implies an equal block — but it keeps
+    // the oracle structurally the same candidate join + confirm). Both
+    // sides coalesce NULL text to '' as in q64; the fresh-arrival tokens
+    // interpolate (doc_id + 3000) EXPLICITLY so the expression cannot bind
+    // to the select alias of the same name.
+    "q65_incremental_neardup_h3" ->
+      s"""WITH sndoc AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |arr AS (
+         |  SELECT doc_id + 3000 AS doc_id,
+         |    coalesce(text || ' zqeditnear', '') AS text
+         |  FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 3000,
+         |    'zqa' || (doc_id + 3000) || ' zqb' || (doc_id + 3000)
+         |      || ' zqc' || (doc_id + 3000) || ' zqd' || (doc_id + 3000)
+         |      || ' zqe' || (doc_id + 3000)
+         |  FROM documents WHERE doc_id BETWEEN 100 AND 149),
+         |${simhashBlockCtes("sndoc", 1, "sn")},
+         |${simhashBlockCtes("arr", 1, "nb")}
+         |SELECT n.doc_id FROM nbblk n
+         |WHERE NOT EXISTS (SELECT 1 FROM snblk s
+         |  WHERE (n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3)
+         |    AND bit_count(xor(n.b0, s.b0)) + bit_count(xor(n.b1, s.b1))
+         |      + bit_count(xor(n.b2, s.b2)) + bit_count(xor(n.b3, s.b3)) <= 3)
          |ORDER BY doc_id""".stripMargin,
     "q44_dedup_clusters" -> dedupClustersSql,
     "q50_dedup_corpus" ->

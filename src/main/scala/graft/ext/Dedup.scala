@@ -133,36 +133,92 @@ object Dedup {
 
   /** Incremental NEAR-dup ingestion dedup — [[incrementalExact]]'s
     * signature-space sibling: drop from `newDf` every document whose
-    * 64-bit SimHash signature equals that of a seen document. The same
-    * Bloom-prefilter + exact-confirm shape, with the filter built over the
-    * signatures themselves (already longs — no extra hashing); false
-    * positives cost confirm-join rows, never correctness. Signature
-    * EQUALITY is the online near-dup scope (Hamming 0: boilerplate,
-    * whitespace variants, token repeats/reorders at k=1), matching
-    * [[graft.streaming.Streaming.dedupNear]]; the full Hamming ≤ 3 pair
-    * graph stays the batch operator ([[simhashPairs]]) — it needs a
-    * candidate self-join, which a prefilter probe cannot express.
-    * Capacity auto-sizes from the measured distinct-signature count, like
-    * [[incrementalExact]]. */
+    * 64-bit SimHash signature is within Hamming distance `maxDist` of a
+    * seen document's. The same Bloom-prefilter + exact-confirm shape.
+    *
+    * `maxDist = 0` (default): the filter is built over the signatures
+    * themselves (already longs — no extra hashing) and the confirm is a
+    * signature-equality semi-join. This is the cheapest online scope
+    * (boilerplate, whitespace variants, token repeats/reorders at k=1),
+    * matching [[graft.streaming.Streaming.dedupNear]].
+    *
+    * `maxDist` 1–3: the pigeonhole extension of the same shape — a pair
+    * within Hamming 3 must agree on at least one of the four 16-bit
+    * signature blocks (the [[simhashPairs]] blocking scheme), so the filter
+    * is built over the seen side's BLOCK KEYS (block index ⊕ 16-bit value,
+    * 4 per signature) and an arrival is a candidate iff ANY of its four
+    * block probes hits — four codegen'd probes, no explode on the fast
+    * path. Candidates then pay the exact confirmation: a block-keyed
+    * equi-join against the seen signatures (never a cross join) filtered
+    * by popcount Hamming ≤ `maxDist`. False positives and block
+    * collisions cost confirm-join rows, never correctness. This closes
+    * the online/batch scope gap: small real edits (1–3 flipped signature
+    * bits) are dropped at ingestion, not just by the next [[simhashPairs]]
+    * terminal run. The full PAIR GRAPH (who matches whom, both sides new)
+    * remains the batch operator's job — this drops arrivals against
+    * history. Skew note: a degenerate block value shared by many seen
+    * signatures multiplies confirm-join rows exactly as in
+    * [[simhashPairs]]; the prefilter keeps that join candidate-only.
+    *
+    * Capacity auto-sizes from the measured seen-side count (signatures,
+    * or 4× blocks), like [[incrementalExact]]. */
   def incrementalNear(newDf: DataFrame, seenDf: DataFrame, idCol: String,
                       textCol: String, k: Int = 4,
-                      hasher: Hasher = Hasher.Xx,
+                      hasher: Hasher = Hasher.Xx, maxDist: Int = 0,
                       expectedSeen: Option[Long] = None, fpp: Double = 0.01,
                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"pigeonhole blocking assumes maxDist <= 3 (4 blocks), got $maxDist")
     // materialized once: feeds the Bloom build (+ its sizing count) and the
-    // confirm semi-join — same posture as incrementalExact's seenFp
+    // confirm join — same posture as incrementalExact's seenFp
     val seenSig = CheckpointStrategy.materializer(checkpoint)(
       simhash(seenDf, idCol, textCol, k, hasher)
         .select(col("simhash").as("__sig")).distinct())
-    val bytes = serializedBloom(
-      buildLongBloom(seenSig, "__sig", expectedSeen, fpp))
-    val candidates = simhash(newDf, idCol, textCol, k, hasher)
-      .filter(graft.funcs.VectorFunctions.bloomMightContain(
-        col("simhash"), bytes))
-    val confirmed = candidates
-      .join(seenSig, candidates("simhash") === col("__sig"), "left_semi")
-      .select(col("id"))
+    val newSig = simhash(newDf, idCol, textCol, k, hasher)
+    val confirmed =
+      if (maxDist == 0) {
+        val bytes = serializedBloom(
+          buildLongBloom(seenSig, "__sig", expectedSeen, fpp))
+        newSig
+          .filter(graft.funcs.VectorFunctions.bloomMightContain(
+            col("simhash"), bytes))
+          .join(seenSig, col("simhash") === col("__sig"), "left_semi")
+          .select(col("id"))
+      } else nearSeenIds(newSig, seenSig, maxDist, expectedSeen, fpp)
     newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
+  }
+
+  /** Block key of 16-bit signature block `b`: block value ⊕ block index in
+    * the high bits — distinct key spaces per block, one long. */
+  private def blockKey(sig: Column, b: Int): Column =
+    shiftrightunsigned(sig, b * 16).bitwiseAND(lit(0xFFFFL)) +
+      lit(b.toLong << 16)
+
+  /** The Hamming ≤ `maxDist` core of [[incrementalNear]] over already-built
+    * signature tables: `newSig` = (id, simhash), `seenSig` = (__sig).
+    * Returns the distinct ids of new signatures within `maxDist` of any
+    * seen signature. Package-visible so specs can plant exact bit flips. */
+  private[graft] def nearSeenIds(newSig: DataFrame, seenSig: DataFrame,
+                                 maxDist: Int, expectedSeen: Option[Long],
+                                 fpp: Double): DataFrame = {
+    graft.funcs.VectorFunctions.register(newSig.sparkSession)
+    def blocks(sig: Column) = array((0 until 4).map(blockKey(sig, _)): _*)
+    // capacity: caller's expected seen count × 4 blocks, or the measured
+    // block-row count (4 × |seen|, an upper bound on distinct keys — no
+    // distinct shuffle; duplicate Bloom inserts are harmless)
+    val seenBlocks = seenSig.select(explode(blocks(col("__sig"))).as("__bk"))
+    val bytes = serializedBloom(
+      buildLongBloom(seenBlocks, "__bk", expectedSeen.map(_ * 4), fpp))
+    val candidates = newSig.filter((0 until 4).map(b =>
+      graft.funcs.VectorFunctions.bloomMightContain(
+        blockKey(col("simhash"), b), bytes)).reduce(_ || _))
+    val candBlocks = candidates.select(col("id"), col("simhash"),
+      explode(blocks(col("simhash"))).as("__bk"))
+    val seenKeyed = seenSig.select(col("__sig"),
+      explode(blocks(col("__sig"))).as("__bk"))
+    candBlocks.join(seenKeyed, Seq("__bk"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("__sig"))) <= maxDist)
+      .select(col("id")).distinct()
   }
 
   /** Bloom filter over the xxhash64 of a materialized `__fp` fingerprint

@@ -87,6 +87,64 @@ class ExtSpec extends AnyFunSuite {
     assert(all == Set(10L, 11L, 12L))
   }
 
+  test("incrementalNear maxDist=3 drops planted 1-3-bit-flip signatures at any fpp") {
+    // plant EXACT bit flips by driving the signature-space core directly:
+    // seen signatures are fixed longs; arrivals flip 1, 2, 3 bits (must
+    // drop at maxDist=3), 4 bits spread across all four 16-bit blocks
+    // (must survive — also defeats the pigeonhole candidate join), and one
+    // is wholly unrelated
+    val sig0 = 0x123456789ABCDEF0L
+    val sig1 = 0x0F0F0F0F0F0F0F0FL
+    val seenSig = Seq(sig0, sig1).toDF("__sig")
+    def flip(s: Long, bits: Int*) = bits.foldLeft(s)((a, b) => a ^ (1L << b))
+    val arrivals = Seq(
+      (1L, flip(sig0, 5)),              // Hamming 1
+      (2L, flip(sig0, 3, 40)),          // Hamming 2
+      (3L, flip(sig1, 0, 17, 63)),      // Hamming 3, one flip per block but one
+      (4L, flip(sig0, 2, 18, 34, 50)),  // Hamming 4, every block differs
+      (5L, 0x7777777777777777L ^ sig1)  // far away
+    ).toDF("id", "simhash")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val dropped = Dedup.nearSeenIds(arrivals, seenSig, maxDist = 3,
+          expectedSeen = None, fpp = fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(dropped == Set(1L, 2L, 3L), s"fpp=$fpp dropped $dropped")
+    }
+    // at maxDist=2 the 3-flip arrival survives too
+    val d2 = Dedup.nearSeenIds(arrivals, seenSig, maxDist = 2, None, 0.01)
+      .collect().map(_.getLong(0)).toSet
+    assert(d2 == Set(1L, 2L))
+  }
+
+  test("incrementalNear maxDist=3 end-to-end matches the brute Hamming join") {
+    // small real edits: one appended novel token flips the k=1 bit balances
+    // sitting at 0/1 — the scope q64's equality path misses
+    val seen = (0L until 40L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i common words here")
+    ).toDF("doc_id", "text")
+    val arrivals = (0L until 40L).map(i =>
+      (100L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i common words here zedit")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNear(arrivals, seen, "doc_id", "text",
+        k = 1, maxDist = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth: brute-force min Hamming distance over all (arrival,
+    // seen) signature pairs — the cross join the operator must never run
+    val aSig = Dedup.simhash(arrivals, "doc_id", "text", k = 1)
+    val sSig = Dedup.simhash(seen, "doc_id", "text", k = 1)
+    val expectKept = aSig.as("a").crossJoin(sSig.as("b"))
+      .groupBy(col("a.id"))
+      .agg(min(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))).as("d"))
+      .filter(col("d") > 3).collect().map(_.getLong(0)).toSet
+    assert(kept == expectKept)
+    // the fixture must actually exercise the 1-3 band (not all 0 / all >3),
+    // or this test would pass vacuously
+    assert(kept.size < 40, "no arrival landed within Hamming 3")
+    val h0 = aSig.as("a").crossJoin(sSig.as("b"))
+      .filter(col("a.simhash") === col("b.simhash")).count()
+    assert(h0 == 0, "edits collapsed to Hamming 0 — fixture too weak")
+  }
+
   test("incrementalExact bloom capacity auto-sizes from the history count") {
     // a history 50× larger than an undersized explicit capacity: the
     // auto-sized filter must stay near the requested fpp, while the
