@@ -70,7 +70,15 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "metric"/"value" lead the line and "total_sec" repeats the headline at
+    // its END, so a log capture that keeps only the head OR only the tail of
+    // a long line still carries the total (r6's round artifact lost it to
+    // tail truncation); the FULL line is additionally written to
+    // bench_last.json, which never depends on log-tail length
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} errored: ${errors.keys.mkString(", ")}")

@@ -119,12 +119,30 @@ object Dedup {
     * join and its duplicate is emitted. */
   private[graft] def probeAndConfirm(newDf: DataFrame, seenFp: DataFrame,
                                      filterBytes: Array[Byte], idCol: String,
-                                     textCol: String): DataFrame = {
+                                     textCol: String): DataFrame =
+    probeAndConfirmMulti(newDf, seenFp, Seq(filterBytes), idCol, textCol)
+
+  /** [[probeAndConfirm]] over a LIST of filters: a row is a candidate iff
+    * ANY filter might contain its fingerprint. This is how the epoch loop
+    * keeps its per-batch state small — one large FROZEN epoch filter plus
+    * one batch-sized filter per accepted batch, probed together, instead of
+    * rebuilding (and shipping) an epoch-capacity filter every batch. Each
+    * probe is the same codegen'd expression; k extra ORed probes against
+    * small byte arrays are cheap relative to one epoch-sized build. The
+    * UNION of the filters must cover every fingerprint in `seenFp` (see
+    * [[probeAndConfirm]]'s covering note); the effective false-positive
+    * rate is at most the SUM of the filters' rates — a perf dial, never
+    * correctness. */
+  private[graft] def probeAndConfirmMulti(newDf: DataFrame, seenFp: DataFrame,
+                                          filters: Seq[Array[Byte]],
+                                          idCol: String,
+                                          textCol: String): DataFrame = {
+    require(filters.nonEmpty, "at least one filter required")
     graft.funcs.VectorFunctions.register(newDf.sparkSession)
     val candidates = newDf
       .withColumn("__fp", TextStats.fingerprint(col(textCol)))
-      .filter(graft.funcs.VectorFunctions.bloomMightContain(
-        xxhash64(col("__fp")), filterBytes))
+      .filter(filters.map(b => graft.funcs.VectorFunctions.bloomMightContain(
+        xxhash64(col("__fp")), b)).reduce(_ || _))
     val confirmed = candidates
       .join(seenFp, Seq("__fp"), "left_semi")
       .select(col(idCol))

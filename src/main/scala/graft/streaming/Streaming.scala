@@ -139,94 +139,309 @@ object Streaming {
     * the history — a stale Bloom filter is not conservative (a fingerprint
     * missing from it takes the definitely-fresh shortcut past the confirm
     * join) — so after each batch the accepted fingerprints are folded into
-    * BOTH halves of the state: into the frozen filter via a SAME-SHAPE
-    * distributed Bloom build (`mergeInPlace`; the driver receives filter
-    * bits, never rows), and into the confirm join's fingerprint set as a
-    * materialized delta block. Cross-batch duplicates therefore drop even
-    * mid-epoch, and — critically for the amortization claim — non-refresh
-    * batches touch NO history at all: the confirm join reads the
-    * epoch-start checkpointed fingerprint set plus the small accepted
-    * deltas, so the full history is scanned exactly once per epoch.
-    * `history()` only needs to reflect `onFresh`'s writes by the next
-    * refresh, not per batch. Duplicates WITHIN one micro-batch are
+    * BOTH halves of the state: a small BATCH-SIZED Bloom filter appended to
+    * the probe list (the epoch filter itself stays frozen; probing the
+    * epoch filter plus k small filters is one ORed codegen expression —
+    * see [[graft.ext.Dedup.probeAndConfirmMulti]]), and a materialized
+    * delta block for the confirm join. Cross-batch duplicates therefore
+    * drop even mid-epoch, and — critically for the amortization claim —
+    * non-refresh batches touch NO history and build NO epoch-sized state:
+    * the per-batch filter build is sized to that batch's accepted rows
+    * (bytes proportional to the batch), never to the epoch capacity — at a
+    * 1B-doc epoch the frozen filter is built once (~1.2 GB of bits for the
+    * epoch) while each batch adds only its own few KB. The confirm join
+    * reads the epoch-start checkpointed fingerprint set plus the small
+    * accepted deltas, so the full history is scanned exactly once per
+    * epoch. `history()` only needs to reflect `onFresh`'s writes by the
+    * next refresh, not per batch. Duplicates WITHIN one micro-batch are
     * [[graft.ext.Dedup.exact]]'s job, same contract as the batch operator.
     *
-    * State is bounded: the driver holds one Bloom filter (~1.2 MB per
-    * million docs at 1% fpp); the executor-side fingerprint blocks are the
-    * epoch-start set (materialized once) plus one small block per batch,
-    * all dropped at the next refresh.
+    * State is bounded AND reclaimed: the driver holds the frozen epoch
+    * filter (~1.2 MB per million docs at 1% fpp) plus at most ~16
+    * batch-sized filters (the periodic delta compaction collapses the list
+    * back to one delta-sized filter); executor-side fingerprint blocks —
+    * the epoch-start set, the per-batch accepted deltas, and each batch's
+    * probe result — are explicitly unpersisted the moment their last
+    * consumer is done (batch blocks at batch end, delta blocks at
+    * compaction, epoch blocks at the next refresh), rather than waiting on
+    * the ContextCleaner to GC them out of executor storage.
+    *
+    * DELIVERY SEMANTICS: `onFresh` is at-most-once across query restarts
+    * and must be idempotent with respect to the history store. A batch
+    * replayed after a failure that already appended to history re-probes
+    * against that history (the restart forces a refresh), so its rows are
+    * dropped and NOT re-delivered to `onFresh` — correct for the history
+    * store itself (the rows are already there), but any OTHER downstream
+    * sink wired into `onFresh` silently misses them. Wire secondary sinks
+    * to read the history store (or key their writes on the delivered rows'
+    * fingerprints) rather than relying on exactly-once delivery here.
+    *
+    * RESTARTS: by default a restarted query pays one full history scan to
+    * rebuild the epoch state (correct, just not cheap). Pass `stateDir` (a
+    * distributed-FS path next to the history table) to persist the epoch
+    * state — frozen filter bytes, skinny epoch/delta fingerprint parquet,
+    * per-batch filters, and a covered-row-count metadata file — and reload
+    * it on start instead, when (and only when) the live history's row
+    * count still matches the metadata; any divergence (interrupted persist,
+    * un-folded append, external writer) falls back to the cold refresh.
+    * See [[IngestEpochState]] for the crash-ordering argument.
     *
     * This loop dedups on EXACT content fingerprints. For near-dup
-    * ingestion (drop arrivals whose SimHash signature matches history),
-    * call [[graft.ext.Dedup.incrementalNear]] from your own `foreachBatch`
-    * — signature equality is already the online near-dup scope
-    * ([[dedupNear]]), and the batch operator carries the same
-    * Bloom-prefiltered shape (its filter is over the 64-bit signatures
-    * themselves, q64's oracle pins it). */
+    * ingestion (drop arrivals whose SimHash signature is within Hamming
+    * distance ≤ 3 of history), call [[graft.ext.Dedup.incrementalNear]]
+    * from your own `foreachBatch` — it carries the same Bloom-prefiltered
+    * shape (block-keyed probes at maxDist > 0; q64/q65's oracles pin it). */
   def dedupIncremental(events: DataFrame, history: () => DataFrame,
                        idCol: String, textCol: String,
                        onFresh: (DataFrame, Long) => Unit,
                        refreshEveryBatches: Int = 10,
                        headroom: Long = 100000L,
                        fpp: Double = 0.01,
+                       stateDir: Option[String] = None,
                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
     require(refreshEveryBatches > 0,
       s"refreshEveryBatches must be positive, got $refreshEveryBatches")
-    import graft.ext.{Dedup, TextStats}
     // driver-held epoch state, touched only inside foreachBatch (micro-batch
     // execution is serial per query, so no synchronization is needed)
-    var filter: org.apache.spark.util.sketch.BloomFilter = null
-    var capacity = 0L
-    var batchesSinceRefresh = 0
-    var epochFp: DataFrame = null // epoch-start fp set, ONE materialized block
-    var deltaFp: DataFrame = null // accepted since refresh, compacted periodically
+    val state = new IngestEpochState(fpp, headroom, stateDir)
     events.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (filter == null || batchesSinceRefresh >= refreshEveryBatches) {
-          // epoch boundary: the ONE history scan of the epoch builds both
-          // the filter and the confirm join's materialized fingerprint set
-          epochFp = history()
-            .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
-            .localCheckpoint(true)
-          deltaFp = null
-          capacity = math.max(1L, epochFp.count()) + math.max(0L, headroom)
-          filter = Dedup.buildSeenBloom(epochFp, Some(capacity), fpp)
-          batchesSinceRefresh = 0
-        }
-        val seenFp =
-          if (deltaFp == null) epochFp else epochFp.unionByName(deltaFp)
-        val fresh = Dedup.probeAndConfirm(batch, seenFp,
-          Dedup.serializedBloom(filter), idCol, textCol)
-          // onFresh AND the state folds below all consume it; without this
-          // the probe pipeline would re-execute per consumer
-          .localCheckpoint(true)
+        val reloaded = state.epochBytes == null && state.tryReload(history())
+        if (!reloaded && state.needsRefresh(refreshEveryBatches))
+          state.refresh(history(), textCol)
+        val fresh = state.probe(batch, idCol, textCol)
         onFresh(fresh, id)
-        // fold the batch's accepted fingerprints into BOTH halves of the
-        // epoch state so later batches this epoch can't duplicate them:
-        // a small materialized delta block for the confirm join, and a
-        // same-(capacity, fpp)-shape Bloom merged into the frozen filter
-        // (the sentinel row keeps the aggregate off its empty-input NPE,
-        // same as buildSeenBloom)
-        val acceptedFp = fresh
-          .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
-          .localCheckpoint(true)
-        filter.mergeInPlace(acceptedFp
-          .select(xxhash64(col("__fp")).as("__h"))
-          .unionByName(batch.sparkSession.range(1).select(lit(0L).as("__h")))
-          .stat.bloomFilter("__h", capacity, fpp))
-        deltaFp =
-          if (deltaFp == null) acceptedFp else deltaFp.unionByName(acceptedFp)
-        // compact the DELTA union periodically so neither the plan's leaf
-        // count nor the pinned block count grows with refreshEveryBatches —
-        // only the small accepted rows are rewritten, never the epoch set
-        // (a long epoch is the whole point of the amortization)
-        if (batchesSinceRefresh % 16 == 15)
-          deltaFp = deltaFp.localCheckpoint(true)
-        batchesSinceRefresh += 1
+        state.fold(fresh, textCol)
         ()
       }
+  }
+
+  /** Localcheckpoint `df` eagerly and return the materialized frame plus a
+    * release handle that unpersists exactly the checkpoint's pinned RDD
+    * blocks (collected from the resulting LogicalRDD leaves — never a
+    * keyset diff, so concurrent foreign persists cannot be misattributed).
+    * Releasing is for storage hygiene on long-running queries; a released
+    * localCheckpoint must simply never be read again (the epoch state
+    * machine guarantees that by construction). */
+  private[graft] def checkpointReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val out = df.localCheckpoint(eager = true)
+    val rdds = out.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (out, () => rdds.foreach(_.unpersist(blocking = false)))
+  }
+
+  private val noopRelease: () => Unit = () => ()
+
+  /** Driver-held epoch state for [[dedupIncremental]]: the FROZEN epoch
+    * Bloom filter + epoch-start fingerprint set (one history scan per
+    * epoch), small batch-sized filters + delta blocks for fingerprints
+    * accepted since the epoch started, and the release handles that return
+    * executor storage as each piece retires. Package-visible so specs can
+    * assert the sizing contract directly — per-batch filters sized to
+    * their batch, never to the epoch — and drive restart scenarios without
+    * a streaming harness.
+    *
+    * With `stateDir` set, the state is additionally made DURABLE so a
+    * driver restart mid-epoch does not repay the full history scan: each
+    * refresh writes the epoch fingerprint set (skinny parquet), the frozen
+    * filter bytes, and a metadata file; each fold appends the batch's
+    * accepted fingerprints + its batch-sized filter and then (LAST —
+    * ordering is the crash-safety argument) rewrites the metadata. The
+    * metadata records the history row count the persisted state covers:
+    * [[tryReload]] accepts the state only when the live history's row
+    * count equals it (for a parquet history this count is
+    * footer-metadata-cheap — no data scan), so ANY interrupted persist
+    * sequence, un-folded `onFresh` append, or external history write
+    * makes the count diverge and falls back to the plain cold refresh.
+    * The check therefore assumes `onFresh` appends exactly the delivered
+    * rows to the history and nothing else rewrites it in place
+    * count-neutrally — if your history can change without changing its
+    * row count, don't pass `stateDir`. */
+  private[graft] final class IngestEpochState(fpp: Double, headroom: Long,
+                                              stateDir: Option[String] = None) {
+    import graft.ext.{Dedup, TextStats}
+    private[graft] var epochBytes: Array[Byte] = null // frozen for the epoch
+    private[graft] var batchBytes: List[Array[Byte]] = Nil // batch-sized
+    private var epochFp: DataFrame = null
+    private var deltaFp: DataFrame = null
+    private var batchesSinceRefresh = 0
+    private var expectedRaw = 0L // history rows the persisted state covers
+    private var releaseEpoch: () => Unit = noopRelease
+    private var releaseDelta: () => Unit = noopRelease
+    private var releaseFresh: () => Unit = noopRelease
+
+    def needsRefresh(every: Int): Boolean =
+      epochBytes == null || batchesSinceRefresh >= every
+
+    /** Epoch boundary: the ONE history scan of the epoch builds both the
+      * frozen filter (capacity = measured count + headroom) and the confirm
+      * join's materialized fingerprint set; the PREVIOUS epoch's pinned
+      * blocks are explicitly released. */
+    def refresh(history: DataFrame, textCol: String): Unit = {
+      releaseEpoch(); releaseDelta()
+      val (fp, rel) = checkpointReleasable(history
+        .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
+      epochFp = fp; releaseEpoch = rel
+      deltaFp = null; releaseDelta = noopRelease
+      val capacity = math.max(1L, epochFp.count()) + math.max(0L, headroom)
+      epochBytes = Dedup.serializedBloom(
+        Dedup.buildSeenBloom(epochFp, Some(capacity), fpp))
+      batchBytes = Nil
+      batchesSinceRefresh = 0
+      stateDir.foreach { dir =>
+        expectedRaw = history.count()
+        epochFp.write.mode("overwrite").parquet(s"$dir/epoch_fp")
+        val fs = fsOf(history)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/delta_fp"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_filters"), true)
+        writeBytes(fs, s"$dir/epoch.bloom", epochBytes)
+        writeMeta(fs)
+      }
+    }
+
+    /** Load persisted epoch state instead of rescanning history — taken
+      * only when the metadata's covered-row-count matches the LIVE
+      * history's row count exactly (see the class doc for why that check
+      * is sufficient). Returns false (caller cold-refreshes) on any
+      * mismatch, missing file, or read error. */
+    def tryReload(history: DataFrame): Boolean = stateDir.exists { dir =>
+      try {
+        val fs = fsOf(history)
+        val meta = readMeta(fs)
+        meta.exists { covered =>
+          history.count() == covered && {
+            val spark = history.sparkSession
+            val (fp, rel) = checkpointReleasable(
+              spark.read.parquet(s"$dir/epoch_fp"))
+            epochFp = fp; releaseEpoch = rel
+            epochBytes = readBytes(fs, s"$dir/epoch.bloom")
+            val deltaPath = new org.apache.hadoop.fs.Path(s"$dir/delta_fp")
+            if (fs.exists(deltaPath)) {
+              val (d, dr) = checkpointReleasable(
+                spark.read.parquet(s"$dir/delta_fp"))
+              deltaFp = d; releaseDelta = dr
+            } else { deltaFp = null; releaseDelta = noopRelease }
+            val bfPath = new org.apache.hadoop.fs.Path(s"$dir/batch_filters")
+            batchBytes =
+              if (fs.exists(bfPath))
+                fs.listStatus(bfPath).toList
+                  .map(st => readBytes(fs, st.getPath.toString))
+              else Nil
+            // a long pre-crash epoch can leave many small filter files;
+            // collapse the probe list to one delta-sized filter (the
+            // persisted covering set stays untouched)
+            if (batchBytes.size > 16 && deltaFp != null)
+              batchBytes = List(Dedup.serializedBloom(
+                Dedup.buildSeenBloom(deltaFp, None, fpp)))
+            expectedRaw = covered
+            batchesSinceRefresh = 0
+            true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+    private def fsOf(df: DataFrame) =
+      org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(stateDir.get),
+        df.sparkSession.sparkContext.hadoopConfiguration)
+
+    private def writeBytes(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           bytes: Array[Byte]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+      try out.write(bytes) finally out.close()
+    }
+
+    private def readBytes(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    }
+
+    /** Metadata = the covered history row count. Written LAST in every
+      * persist sequence (write tmp, delete, rename), so a crash anywhere
+      * mid-sequence leaves the OLD count in place → the next start's count
+      * check fails → cold refresh. Never partially-trusted state. */
+    private def writeMeta(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      val dir = stateDir.get
+      writeBytes(fs, s"$dir/meta.tmp",
+        expectedRaw.toString.getBytes("UTF-8"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), false)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta.tmp"),
+        new org.apache.hadoop.fs.Path(s"$dir/meta"))
+    }
+
+    private def readMeta(fs: org.apache.hadoop.fs.FileSystem): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"${stateDir.get}/meta")
+      if (!fs.exists(p)) None
+      else scala.util.Try(
+        new String(readBytes(fs, p.toString), "UTF-8").trim.toLong).toOption
+    }
+
+    /** Probe a batch against the frozen epoch filter + the per-batch
+      * accepted filters, confirm against epoch set + deltas. The result is
+      * materialized (it has multiple consumers: `onFresh` and [[fold]]) and
+      * is valid only until [[fold]] releases it at the end of the batch. */
+    def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val seenFp =
+        if (deltaFp == null) epochFp else epochFp.unionByName(deltaFp)
+      val (fresh, rel) = checkpointReleasable(Dedup.probeAndConfirmMulti(
+        batch, seenFp, epochBytes :: batchBytes, idCol, textCol))
+      releaseFresh = rel
+      fresh
+    }
+
+    /** Fold the batch's accepted fingerprints into the epoch state so later
+      * batches this epoch can't duplicate them: one BATCH-sized Bloom
+      * filter appended to the probe list (auto-sized from the accepted
+      * count — never the epoch capacity) and one materialized delta block
+      * for the confirm join. The delta union is compacted every 16 batches
+      * so neither the plan's leaf count, the pinned block count, nor the
+      * probe-filter list grows with refreshEveryBatches — compaction
+      * rewrites only the small accepted rows (and collapses the filter
+      * list to one delta-sized filter), never the epoch set. */
+    def fold(fresh: DataFrame, textCol: String): Unit = {
+      val (acceptedFp, relAccepted) = checkpointReleasable(fresh
+        .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
+      releaseDelta = { val r = releaseDelta; () => { r(); relAccepted() } }
+      batchBytes ::= Dedup.serializedBloom(
+        Dedup.buildSeenBloom(acceptedFp, None, fpp))
+      deltaFp =
+        if (deltaFp == null) acceptedFp else deltaFp.unionByName(acceptedFp)
+      // durable path: accepted rows + this batch's filter land BEFORE the
+      // metadata rewrite (see writeMeta's crash argument). The per-batch
+      // filter files simply accumulate until the next refresh clears the
+      // directory — a redundant-but-covering set is always safe to reload,
+      // unlike an in-place rewrite that could crash half-done.
+      stateDir.foreach { dir =>
+        val fs = fsOf(fresh)
+        acceptedFp.write.mode("append").parquet(s"$dir/delta_fp")
+        writeBytes(fs, s"$dir/batch_filters/f$batchesSinceRefresh.bloom",
+          batchBytes.head)
+        expectedRaw += fresh.count()
+        writeMeta(fs)
+      }
+      if (batchesSinceRefresh % 16 == 15) {
+        val (compacted, relCompacted) = checkpointReleasable(deltaFp)
+        releaseDelta()
+        deltaFp = compacted; releaseDelta = relCompacted
+        batchBytes = List(Dedup.serializedBloom(
+          Dedup.buildSeenBloom(deltaFp, None, fpp)))
+      }
+      // the batch's probe result has now had its last read (onFresh ran
+      // before fold; acceptedFp is materialized) — return its blocks
+      releaseFresh(); releaseFresh = noopRelease
+      batchesSinceRefresh += 1
+    }
   }
 
   // ---- custom state: gap-based sessionization ---------------------------

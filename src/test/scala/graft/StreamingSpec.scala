@@ -201,6 +201,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("epoch state: per-batch filters are batch-sized and the epoch filter stays frozen") {
+    import spark.implicits._
+    val state = new Streaming.IngestEpochState(fpp = 0.01, headroom = 100000L)
+    val history = (0L until 200L).map(i => (i, s"history doc body number $i"))
+      .toDF("doc_id", "text")
+    state.refresh(history, "text")
+    val epochLen = state.epochBytes.length
+    val epochCopy = state.epochBytes.clone()
+    // the epoch filter carries capacity = count + headroom (~100k → ~120 KB)
+    assert(epochLen > 50000, s"epoch filter unexpectedly small: $epochLen B")
+    val batch = (1000L until 1020L).map(i => (i, s"fresh arrival $i"))
+      .toDF("doc_id", "text")
+    val fresh = state.probe(batch, "doc_id", "text")
+    assert(fresh.count() == 20)
+    state.fold(fresh, "text")
+    // the fold appended ONE filter sized to the batch's 20 accepted rows —
+    // not a rebuild at epoch capacity (r6 shipped epoch-sized bits to the
+    // driver on every batch; at a 1B-doc epoch that is ~1.2 GB per batch)
+    assert(state.batchBytes.size == 1)
+    assert(state.batchBytes.head.length < epochLen / 100,
+      s"per-batch filter ${state.batchBytes.head.length} B is epoch-scale ($epochLen B)")
+    // and the frozen epoch filter was not touched
+    assert(java.util.Arrays.equals(state.epochBytes, epochCopy))
+    // mid-epoch cross-batch dedup still holds through the small filter: a
+    // second batch duplicating an accepted row drops it with NO refresh
+    val batch2 = Seq((2000L, "fresh arrival 1005"), (2001L, "wholly new body"))
+      .toDF("doc_id", "text")
+    val fresh2 = state.probe(batch2, "doc_id", "text")
+    val kept = fresh2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2001L), s"kept $kept")
+    state.fold(fresh2, "text")
+    assert(state.batchBytes.size == 2 &&
+      state.batchBytes.forall(_.length < epochLen / 100))
+  }
+
+  test("checkpointReleasable pins blocks on build and returns them on release") {
+    import spark.implicits._
+    val (df, release) = Streaming.checkpointReleasable(
+      (0L until 50L).map(i => (i, s"row $i")).toDF("id", "s"))
+    assert(df.count() == 50)
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    // the release handle must actually have found the pinned RDDs — an
+    // empty collect here would make every release in the epoch loop a
+    // silent no-op (exactly the storage leak the handle exists to close)
+    assert(rdds.nonEmpty)
+    assert(rdds.forall(_.getStorageLevel.useMemory))
+    release()
+    assert(rdds.forall(_.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("dedupIncremental: epoch bloom loop matches batch-by-batch incrementalExact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -252,6 +305,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want,
       s"streamed fresh sets $got != batch-replay $want")
     assert(got == Vector(Set(11L), Set(13L), Set(16L)))
+  }
+
+  test("dedupIncremental: persisted state survives a restart with no rescan and no dup emissions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_durable")
+    val histDir = root.resolve("hist").toString
+    val stateDir = root.resolve("state").toString
+    Seq((0L, "alpha beta gamma delta"), (1L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.parquet(histDir)
+    def history() = spark.read.parquet(histDir)
+    def run(batch: Seq[(Long, String)]): Set[Long] = {
+      val stream = MemoryStream[(Long, String)]
+      @volatile var got = Set.empty[Long]
+      val q = Streaming.dedupIncremental(
+        stream.toDF().toDF("doc_id", "text"), () => history(),
+        "doc_id", "text",
+        onFresh = (fresh, _) => {
+          got = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+          fresh.select(col("doc_id"), col("text"))
+            .write.mode("append").parquet(histDir)
+        },
+        refreshEveryBatches = 10, headroom = 100L,
+        stateDir = Some(stateDir),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+      ).start()
+      try { stream.addData(batch); q.processAllAvailable() } finally q.stop()
+      got
+    }
+    // first writer: accepts 11, persists epoch + delta state, dies
+    // "mid-epoch" (1 of 10 batches into the epoch)
+    assert(run(Seq((10L, "ALPHA  beta gamma delta"),
+      (11L, "a brand new arrival"))) == Set(11L))
+    // PROOF the restart must not rescan: garble every history text (same
+    // row count — the freshness check still passes). A cold refresh would
+    // fingerprint the garbage and treat the duplicates below as fresh;
+    // only the PERSISTED state still knows the real fingerprints.
+    val garbled = spark.read.parquet(histDir)
+      .select(col("doc_id"), concat(lit("garbled "), col("doc_id")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    garbled.toDF("doc_id", "text").write.mode("overwrite").parquet(histDir)
+    // restarted writer: dup of original history (12), dup of the mid-epoch
+    // accept (13), genuinely new (14) — no duplicate emissions, no rescan
+    assert(run(Seq((12L, "alpha beta gamma delta"),
+      (13L, "a brand new arrival"),
+      (14L, "wholly novel content"))) == Set(14L))
+    // and a history whose count diverged (external append) forces the
+    // safe cold refresh: the reload path must refuse the stale state
+    Seq((99L, "external write")).toDF("doc_id", "text")
+      .write.mode("append").parquet(histDir)
+    val st = new Streaming.IngestEpochState(0.01, 100L, Some(stateDir))
+    assert(!st.tryReload(history()))
   }
 
   test("foreachBatch re-tabulates each micro-batch with margins") {
