@@ -28,6 +28,11 @@ object ExtQueries {
   private def docsPar(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** SF dir the q66 serve-only index was built for — rebuilt on change so
+    * a run over a different SF can never serve a stale index. */
+  private val serveIndexFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   /** Shared q46/q49 pipeline: media → byte-bigram embedStub → mean-centered
     * LSH near-dup pairs at cos ≥ 0.99 (bits=512/bands=32; recall 1.0 vs the
     * exact join at every tested SF — see the q46 comment). The decode+embed
@@ -344,6 +349,35 @@ object ExtQueries {
           e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
         .orderBy(col("qid"), col("rank"))
     },
+    // q63's SERVE-ONLY companion: the index is built once per SF dir (the
+    // guard below) and every later invocation only serves from the
+    // persisted tables. Under Bench's warmup-then-time discipline the
+    // build lands in the untimed warmup, so this row prices what the
+    // index-once/query-many deployment actually pays per query — the
+    // amortization q63's honest build+serve number hides. Same oracle SQL
+    // as q42/q63 (served results are bit-identical).
+    "q66_ann_serve_only" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      if (serveIndexFor.get != dir) {
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", "graft_q66_ivf",
+          nCells = 16, buckets = 8)
+        serveIndexFor.set(dir)
+      }
+      Similarity.annIvfTopKIndexed(s, "graft_q66_ivf",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // k-means IVF under the hash oracle: centroid updates are fixed-point
+    // (unit directions quantized to the 1e-6 grid before the per-dimension
+    // integer sum — associative, so partition order cannot move a bit),
+    // which makes two full Lloyd iterations bit-reproducible in DuckDB SQL.
+    // The previously float-sum update kept this variant spec-only.
+    "q67_ann_ivf_kmeans" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      Similarity.annIvfKMeansTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", topK = 5, nCells = 8, nProbe = 2, iters = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
     // Incremental NEAR-dup ingestion dedup (q60's signature-space sibling):
     // arrivals are the first 100 docs with their own FIRST TOKEN appended —
     // the distinct token set is unchanged, so the k=1 SimHash is EQUAL while
@@ -554,6 +588,71 @@ object ExtQueries {
        |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Two fixed-point spherical-Lloyd iterations + the IVF probe/re-rank in
+    * SQL, mirroring `annIvfKMeansTopK(nCells=8, nProbe=2, iters=2)`
+    * bit-for-bit. Determinism chain: seeds are the 8 distinct vectors with
+    * smallest ids (relabeled 0..7); each member's unit-direction components
+    * quantize to `floor((v_d/nrm)·10⁶)` BIGINTs whose per-(cell, dim) SUM
+    * is exact-integer; the mean is the literal `(s / 1e6) / n` double
+    * chain; the norm sums squared means in dimension order (list_sum ==
+    * the Scala array fold); the new centroid round-trips through FLOAT
+    * exactly as the Scala side stores Array[Float]. Assignments order by
+    * `round(cos, 6) DESC, pid` on both sides. Zero-norm vectors are
+    * excluded from centroid computation (np) but assigned at serve time
+    * (n), matching kmeansLloyd's filter. */
+  private val annIvfKmeansSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), k -> $a[k]*$b[k]))"
+    def iterCtes(i: Int): String =
+      s"""asg$i AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |      round(${dot("c.v", "pv")} / (c.nrm*pnrm), 6) DESC, pid) AS rn
+         |  FROM np c CROSS JOIN cent$i),
+         |qs$i AS (SELECT pid, r.d AS d,
+         |    SUM(CAST(floor((v[r.d+1] / nrm) * 1000000.0) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT pid, v, nrm FROM asg$i WHERE rn = 1), range(64) r(d)
+         |  GROUP BY pid, r.d),
+         |ml$i AS (SELECT pid, list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY d) AS ml
+         |  FROM qs$i GROUP BY pid),
+         |mn$i AS (SELECT pid, ml,
+         |    sqrt(list_sum(list_transform(ml, x -> x*x))) AS mn FROM ml$i),
+         |cent${i + 1}p AS (SELECT c.pid,
+         |    CASE WHEN m.pid IS NULL OR m.mn = 0 THEN c.pv
+         |         ELSE list_transform(m.ml, x -> CAST(CAST(x / m.mn AS FLOAT) AS DOUBLE))
+         |    END AS pv
+         |  FROM cent$i c LEFT JOIN mn$i m ON c.pid = m.pid),
+         |cent${i + 1} AS (SELECT pid, pv,
+         |    sqrt(list_sum(list_transform(pv, x -> x*x))) AS pnrm
+         |  FROM cent${i + 1}p)""".stripMargin
+    s"""WITH $cosineCtes,
+       |np AS (SELECT vec_id, v, nrm FROM n WHERE nrm > 0),
+       |seed AS (SELECT v, min(vec_id) AS mid FROM np GROUP BY v ORDER BY mid LIMIT 8),
+       |cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY mid) - 1 AS BIGINT) AS pid,
+       |    v AS pv, sqrt(list_sum(list_transform(v, x -> x*x))) AS pnrm FROM seed),
+       |${iterCtes(0)},
+       |${iterCtes(1)},
+       |fasg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |      round(${dot("c.v", "pv")} / (c.nrm*pnrm), 6) DESC, pid) AS rn
+       |  FROM n c CROSS JOIN cent2),
+       |cells AS (SELECT id, v, nrm, pid AS cell FROM fasg WHERE rn = 1),
+       |qp AS (SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm, pid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(${dot("q.v", "pv")} / (q.nrm*pnrm), 6) DESC, pid) AS rn
+       |  FROM n q CROSS JOIN cent2 WHERE q.vec_id < 10),
+       |probes AS (SELECT qid, qv, qnrm, pid AS cell FROM qp WHERE rn <= 2),
+       |cand AS (SELECT p.qid, c.id AS neighbor_id,
+       |    round(${dot("p.qv", "c.v")} / (p.qnrm*c.nrm), 6) AS cos_sim
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND c.id <> p.qid),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM cand)
+       |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** BPE pre-tokenizer pattern with SQL quote escaping; DuckDB's RE2 and
     * Java regex agree on this lookahead-free pattern. */
   private val bpeSqlPattern = graft.ext.TextStats.BpePattern.replace("'", "''")
@@ -591,6 +690,8 @@ object ExtQueries {
     // operator (deterministic pivots + bit-stable assignment), so the
     // same SQL is the oracle for both
     "q63_ann_ivf_indexed" -> annIvfSql,
+    "q66_ann_serve_only" -> annIvfSql,
+    "q67_ann_ivf_kmeans" -> annIvfKmeansSql,
     // both signature pipelines recomputed in SQL (k=1, md5 words): keep the
     // arrivals whose four 16-bit sign blocks match NO seen document's —
     // signature equality is exactly 4-block equality. Both sources coalesce

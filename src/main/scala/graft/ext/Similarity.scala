@@ -366,11 +366,16 @@ object Similarity {
     * once per iteration — same rationale as [[Dedup.nearDupClusters]]'s
     * per-round checkpoint. Returns (pid, centroid) rows.
     *
-    * Centroid means are floating-point over unordered partitions, so the
-    * result is NOT bit-reproducible across engines — k-means IVF is
-    * spec-validated (full-probe == brute force holds for ANY pivot set;
-    * partial-probe recall on planted near-dups), while the oracle-checked
-    * q42 pins the deterministic first-K-pivot variant. */
+    * Centroid updates are FIXED-POINT: each member's unit-direction
+    * components quantize to the 1e-6 grid before the per-dimension sum, so
+    * the sums are exact integers (associative — partition order cannot
+    * change them) and every derived double (mean, norm, new centroid) is a
+    * deterministic function of those integers. The whole Lloyd iteration
+    * is therefore bit-reproducible across engines: q67 recomputes two
+    * iterations in DuckDB SQL and hash-matches the served top-k, on top of
+    * the spec validation (full-probe == brute force for ANY pivot set;
+    * partial-probe recall on planted near-dups). q42 pins the
+    * deterministic first-K-pivot variant. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): Seq[(Long, Array[Float])] =
     kmeansLloyd(prepared(corpus, idCol, vecCol).localCheckpoint(), k, iters)
@@ -402,12 +407,21 @@ object Similarity {
         .select(col("id"), col("v"), col("nrm"), col("pid"), pcos.as("pcos"))
         .withColumn("rn", row_number().over(byCell))
         .filter(col("rn") === 1)
-        // spherical update: members contribute their DIRECTION only
+        // spherical update: members contribute their DIRECTION only, and
+        // each contribution is QUANTIZED to the fixed 1e-6 grid before the
+        // sum — integer sums are associative, so the per-dimension totals
+        // (and hence every later centroid) are bit-identical regardless of
+        // partition order or engine. This is what makes k-means IVF
+        // hash-oracle-able (q67 mirrors these two iterations in SQL);
+        // the 1e-6 grid loses nothing that matters (unit-direction
+        // components, float inputs)
         .select(col("pid"),
-          posexplode(transform(col("v"), x => x.cast("double") / col("nrm")))
-            .as(Seq("d", "x")))
+          posexplode(transform(col("v"),
+            x => floor(x.cast("double") / col("nrm") * lit(1000000.0))
+              .cast("long")))
+            .as(Seq("d", "q")))
         .groupBy(col("pid"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
         .collect()
       val byPid = sums.groupBy(_.getLong(0))
       cent = cent.map { case (pid, old) =>
@@ -415,7 +429,10 @@ object Similarity {
           case Some(rows) =>
             val dims = old.length
             val mean = new Array[Double](dims)
-            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            // exact-integer sum → one deterministic double divide chain,
+            // mirrored verbatim in the oracle: (s / 1e6) / n
+            rows.foreach(r =>
+              mean(r.getInt(1)) = r.getLong(2).toDouble / 1000000.0 / r.getLong(3))
             val nrm = math.sqrt(mean.map(x => x * x).sum)
             if (nrm == 0.0) (pid, old)
             else (pid, mean.map(x => (x / nrm).toFloat))
@@ -479,6 +496,30 @@ object Similarity {
       (0 until dims).map(d => graft.funcs.LshPlanes.mix(pl, d, dims) * mu(d)).sum)
   }
 
+  /** Auto-sized LSH signature width for [[cosineLshPairs]]: the smallest
+    * bits-per-band r with n²·bands·2⁻ʳ ≤ `collisionBudget` — the expected
+    * random-collision candidate mass under the isotropic p=1/2 bit model —
+    * so the candidate join stays linear in the corpus BY CONSTRUCTION as n
+    * grows, instead of by the operator knowing to widen a manual dial.
+    * Budget defaults to n itself (collisions bounded by one per document).
+    * r snaps up to {8, 16, 32}: the multi-word band layout needs r | 64
+    * (bands must not straddle signature words), below 8 narrower buys
+    * nothing, and past 32 the right response is more bands, not a longer
+    * band — every extra r bit also lowers true-pair recall (p^r), so the
+    * cap keeps the planted near-dup regime (cos ≥ 0.999, p ≈ 0.986) at
+    * per-pair miss < 1e-3 even at the widest step. Returns total
+    * bits = r·bands. */
+  def autoSignatureBits(n: Long, bands: Int = 8,
+                        collisionBudget: Option[Long] = None): Int = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val nn = math.max(1L, n).toDouble
+    val budget = math.max(1L, collisionBudget.getOrElse(math.max(1L, n))).toDouble
+    val target = nn * nn * bands / budget
+    val rExact = math.ceil(math.log(target) / math.log(2)).toInt
+    val r = if (rExact <= 8) 8 else if (rExact <= 16) 16 else 32
+    r * bands
+  }
+
   /** LSH-bucketed cosine near-dup PAIRS: band the corpus signatures, take
     * docs sharing any band value as candidates (skinny id-only equi-join),
     * then re-rank candidates with the exact codegen'd cosine and keep pairs
@@ -486,10 +527,14 @@ object Similarity {
     * embedding-dedup path at scale.
     *
     * Recall: a pair at angle θ survives with 1 − (1 − p^r)^b where
-    * p = 1 − θ/π and r = bits/bands. The defaults (r=8, b=8) target the
-    * near-dup regime on ISOTROPIC data: at cos ≥ 0.999 the per-pair miss
-    * probability is ~2.5e-8 while ~97% of isotropic random pairs never
-    * become candidates. `bits` may exceed 64: the signature then spans
+    * p = 1 − θ/π and r = bits/bands. `bits` ≤ 0 (the default) AUTO-SIZES
+    * the width from the measured corpus count via [[autoSignatureBits]] —
+    * r grows as log₂(n·bands), keeping the n²·b·2⁻ʳ random-collision term
+    * at ~n candidates at any corpus size. Explicit widths remain the
+    * reproducibility dial (the oracle queries pin theirs). At cos ≥ 0.999
+    * the auto width keeps per-pair miss below ~1e-3 across the clamp
+    * range while pruning all but ~one random collision per document.
+    * `bits` may exceed 64: the signature then spans
     * ⌈bits/64⌉ words (plane indexes keep counting across words, so the
     * 64-bit prefix is unchanged).
     *
@@ -526,21 +571,26 @@ object Similarity {
     * behavior, which measured cheaper when the upstream is a plain parquet
     * scan. */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double, bits: Int = 64, bands: Int = 8,
+                     minCos: Double, bits: Int = 0, bands: Int = 8,
                      center: Boolean = false,
                      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize),
                      checkpoint: Option[CheckpointStrategy] = None): DataFrame = {
     val p = checkpoint.map(CheckpointStrategy.materializer)
       .foldLeft(prepared(df, idCol, vecCol))((d, cp) => cp(d))
-    val thresholds: Seq[Long] = if (center) centerThresholds(p, bits) else Nil
+    // bits <= 0 → AUTO: size the signature from the measured corpus count
+    // so the n²·b·2⁻ʳ random-collision term is bounded by the engine, not
+    // by operator knowledge (costs one count job over the prepared
+    // projection — pass `checkpoint` if the upstream is expensive)
+    val useBits = if (bits > 0) bits else autoSignatureBits(p.count(), bands)
+    val thresholds: Seq[Long] = if (center) centerThresholds(p, useBits) else Nil
     // plane family: the ANSI-SQL-mirrorable LCG family is an arithmetic
     // progression across planes (see LshPlanes) — fine for narrow signatures
     // (the ≤64-bit recall-mode paths and their oracles), but its correlated
     // bits lose recall on WIDE signatures regardless of centering (measured
     // 23/225 pairs missed at 2048 bits where independent planes give miss
     // < 1e-7). Any multi-word signature therefore uses the splitmix64 family.
-    val mix = center || bits > 64
-    val banded = bandedIds(p, "id", "v", bits, bands, mix, thresholds)
+    val mix = center || useBits > 64
+    val banded = bandedIds(p, "id", "v", useBits, bands, mix, thresholds)
     val guarded = Dedup.capBuckets(banded, maxBucketSize)
     val cands = guarded.as("a").join(guarded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

@@ -393,20 +393,41 @@ class ExtSpec extends AnyFunSuite {
     assert(words.filter(col("w0") === col("w1")).count() < words.count())
   }
 
-  test("LSH cosine pairs: near-dup defaults recover every planted pair") {
-    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
-    val corpus = Similarity.plantNearDups(e, "vec_id", "embedding",
-      offset = 1000000L, scale = 0.01)
-    def set(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val brute = set(Similarity.cosinePairs(corpus, "vec_id", "embedding", 0.95))
-    val lsh = set(Similarity.cosineLshPairs(corpus, "vec_id", "embedding", 0.95))
-    assert(lsh == brute)
-    val n = e.count()
-    assert(brute.size == n) // exactly one planted pair per original vector
-    assert(brute.forall { case (id1, id2, cos) =>
-      id2 == id1 + 1000000L && cos > 0.99
-    })
+  test("LSH cosine pairs: auto-sized default recovers every planted pair at two corpus sizes") {
+    // the bare-default call now AUTO-sizes the signature from the corpus
+    // count; recall vs brute force must hold at both tested sizes
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = Tables.read(spark, s"/root/testdata/$sf", "embeddings")
+      val corpus = Similarity.plantNearDups(e, "vec_id", "embedding",
+        offset = 1000000L, scale = 0.01)
+      def set(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = set(Similarity.cosinePairs(corpus, "vec_id", "embedding", 0.95))
+      val lsh = set(Similarity.cosineLshPairs(corpus, "vec_id", "embedding", 0.95))
+      assert(lsh == brute, s"$sf")
+      val n = e.count()
+      assert(brute.size == n) // exactly one planted pair per original vector
+      assert(brute.forall { case (id1, id2, cos) =>
+        id2 == id1 + 1000000L && cos > 0.99
+      })
+    }
+  }
+
+  test("auto signature width grows with corpus size and bounds the collision term") {
+    val w10 = Similarity.autoSignatureBits(10)
+    val w1k = Similarity.autoSignatureBits(1000)
+    val w1m = Similarity.autoSignatureBits(1000000)
+    assert(w10 < w1k && w1k < w1m, s"widths $w10/$w1k/$w1m must grow with n")
+    // floor step: tiny corpora keep the narrow default
+    assert(w10 == 8 * 8)
+    // ceiling step: r never exceeds 32 (recall has to survive too; r must
+    // also divide 64 so bands never straddle signature words)
+    assert(Similarity.autoSignatureBits(Long.MaxValue / 4) == 32 * 8)
+    // the chosen r satisfies the budget: n²·b·2⁻ʳ ≤ n (within the steps)
+    for (n <- Seq(10000L, 1000000L)) {
+      val r = Similarity.autoSignatureBits(n) / 8
+      assert(n.toDouble * n * 8 * math.pow(2, -r) <= n.toDouble)
+    }
   }
 
   test("centered LSH pairs on correlated embeddings match brute force end-to-end") {
