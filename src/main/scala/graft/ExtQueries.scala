@@ -422,6 +422,23 @@ object ExtQueries {
           k = 1, hasher = Dedup.Hasher.Md5, maxDist = 3)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+    // REAL multi-frame decode under the oracle (q61's pattern for video):
+    // deterministic animated GIFs (frame f of clip id: gray
+    // (id + 11f + 3x + 5y) % 256 over dims 16+id%5 × 12+3id%5, 2 + id%3
+    // frames, drawn through an explicit 256-gray palette) are encoded per
+    // partition and decoded back through ImageIO's SEQUENCE reader
+    // (getNumImages/read(i)); every second frame is sampled — real frame
+    // sampling over real frames — and reduced to exact gray sums. The
+    // oracle recomputes the per-frame means analytically: the explicit
+    // palette makes the GIF round-trip lossless, so any deviation in the
+    // frame decoder, the frame COUNT, or the sampling breaks the hash.
+    "q68_video_frames" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.frameStats(
+          Multimodal.syntheticVideos(docsPar(s, dir), "doc_id"), stride = 2)
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 
@@ -1030,6 +1047,31 @@ object ExtQueries {
         |  CAST(sa AS DOUBLE)/n AS avg_abs,
         |  sqrt(CAST(sq AS DOUBLE)/n) AS rms
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q68: per-sampled-frame gray means recomputed ANALYTICALLY from the
+    // synthetic frame formula (v = (id + 11f + 3x + 5y) % 256 over dims
+    // 16+id%5 × 12+3id%5, frames 0..2+id%3, sampled every 2nd) — no video
+    // decoder on the oracle side; the explicit gray palette makes the GIF
+    // round-trip lossless, so the hash pins the sequence decoder AND the
+    // frame count/sampling
+    "q68_video_frames" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 5 AS INT) AS width,
+        |    CAST(12 + (doc_id * 3) % 5 AS INT) AS height,
+        |    2 + doc_id % 3 AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, width, height,
+        |         unnest(range(0, n_frames)) AS f FROM dims),
+        |sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |xs AS (SELECT doc_id, width, height, f,
+        |         unnest(range(0, width)) AS x FROM sampled),
+        |xy AS (SELECT doc_id, width, height, f, x,
+        |         unnest(range(0, height)) AS y FROM xs),
+        |agg AS (SELECT doc_id, f, width, height,
+        |    SUM((doc_id + 11*f + 3*x + 5*y) % 256) AS sv
+        |  FROM xy GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, width, height,
+        |  CAST(sv AS DOUBLE)/(width*height) AS avg_v
+        |FROM agg ORDER BY doc_id, frame_idx""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a
     // power of two so the floor division is exact in double
     "q59_pack_sequences" ->

@@ -470,6 +470,15 @@ object Dedup {
     * ([[bucketCapReport]] does exactly that). */
   private[graft] def capBuckets(banded: DataFrame, cap: Option[Int],
       observation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    capBucketsLong(banded, cap.map(_.toLong), observation)
+
+  /** Long-cap core of [[capBuckets]]: the windowed count is a Long, so the
+    * guard compares in Long space — [[bucketCapReport]]'s uncapped probe
+    * passes Long.MaxValue, which no count can exceed, making its
+    * "drops 0 by construction" contract literal rather than
+    * 2³¹-bounded. */
+  private def capBucketsLong(banded: DataFrame, cap: Option[Long],
+      observation: Option[org.apache.spark.sql.Observation]): DataFrame =
     cap match {
       case Some(c) =>
         val sized = banded.withColumn("__bsz", count(lit(1)).over(
@@ -511,9 +520,10 @@ object Dedup {
                       numPerm: Int = 128, bands: Int = 32): BucketCapReport = {
     val obs = org.apache.spark.sql.Observation()
     // an uncapped run still observes max_bucket (the headroom number) by
-    // driving the guard with a cap nothing can exceed
-    capBuckets(bandedSignatures(sigs, numPerm, bands),
-        Some(cap.getOrElse(Int.MaxValue)), Some(obs))
+    // driving the guard with Long.MaxValue — a cap no windowed count can
+    // exceed, so the filter provably drops nothing
+    capBucketsLong(bandedSignatures(sigs, numPerm, bands),
+        Some(cap.map(_.toLong).getOrElse(Long.MaxValue)), Some(obs))
       .write.format("noop").mode("overwrite").save()
     val row = obs.get
     BucketCapReport(row("dropped_rows").asInstanceOf[Long],

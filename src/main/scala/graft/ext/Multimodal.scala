@@ -270,6 +270,251 @@ object Multimodal {
       embedImage(r.media, grid).map(EmbeddedRow(r.id, _))))
   }
 
+  // ---- real multi-frame codec (animated GIF via javax.imageio) -----------
+
+  /** 256-entry grayscale palette (index i → r=g=b=i). GIF is a PALETTE
+    * format: a frame drawn through this explicit IndexColorModel round-trips
+    * LOSSLESSLY (the encoder writes the palette verbatim, the decoder maps
+    * indices back through it), which is what lets the q68 oracle recompute
+    * per-frame statistics analytically with no decoder on its side — the
+    * multi-frame analogue of [[syntheticPng]]'s PNG-losslessness argument. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** REAL multi-frame decode via ImageIO's sequence API
+    * (`ImageReader.getNumImages`/`read(i)` — the JDK's GIF reader returns
+    * every image in an animated GIF): container bytes → per-frame
+    * (width, height, packed 0xRRGGBB pixels). None for undecodable
+    * payloads — the same drop-the-row contract as [[decodeImage]]. Frames
+    * are returned as independently decoded images (our writer emits
+    * full-size frames, so no disposal compositing is needed). */
+  def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis) // seekable input: getNumImages(true) may search
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map { i =>
+            val img = reader.read(i)
+            val (w, h) = (img.getWidth, img.getHeight)
+            (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+          })
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic synthetic animated GIF: pixel (x, y) of frame f of clip
+    * `id` carries gray value (id + 11f + 3x + 5y) % 256, drawn through the
+    * explicit [[grayPalette]] so the round-trip is lossless (decoded RGB has
+    * r = g = b = value). Fixture generator for q68 and the frame-codec
+    * specs. */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((id + 11L * f + 3L * x + 5L * y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Block-pattern animated GIF ([[patternPng]]'s multi-frame sibling):
+    * each cell of each frame's `grid`×`grid` partition is one flat gray
+    * level from a splitmix64 hash of (id, frame, cell); `tweakCells`
+    * repaints that many leading cells per frame with a bounded ±12 shift —
+    * a NEAR-duplicate video of the untweaked clip, the planted-pair
+    * fixture for the frame-set dedup pipeline. */
+  def patternGif(id: Long, nFrames: Int = 3, w: Int = 32, h: Int = 32,
+                 grid: Int = 4, tweakCells: Int = 0): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = (y * grid / h) * grid + (x * grid / w)
+          val v0 = (mix(id * 8192L + f * 1024L + cell) & 0xFF).toInt
+          // bounded shift, never a mod-256 wrap (see patternPng)
+          val v = if (cell >= tweakCells) v0
+                  else if (v0 >= 128) v0 - 12 else v0 + 12
+          raster.setSample(x, y, 0, v)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Distributed video fixture: one [[syntheticGif]] per id with
+    * id-dependent dims and frame count (2–4 frames), encoded on the
+    * executors like [[syntheticImages]]. */
+  def syntheticVideos(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, syntheticGif(id,
+        (16 + id % 5).toInt, (12 + (id * 3) % 5).toInt, (2 + id % 3).toInt))
+    })
+  }
+
+  case class FrameStats(id: Long, frame_idx: Int, width: Int, height: Int,
+                        avg_v: Double)
+
+  /** Per-partition REAL frame decode + sampling + per-frame statistics:
+    * (id, media) → one row per SAMPLED frame (every `stride`-th, starting
+    * at 0 — real frame sampling over real decoded frames, the contract
+    * [[sampleFrames]] stubs for codec-less media). Gray value sums are
+    * exact integers (frames are grayscale: r = g = b, the red channel is
+    * the value); the q68 oracle recomputes the means analytically from the
+    * synthetic formula. Undecodable rows are dropped. */
+  def frameStats(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeFrames(r.media).toSeq.flatMap { frames =>
+        frames.indices.collect { case f if f % stride == 0 =>
+          val (w, h, px) = frames(f)
+          var sv = 0L
+          var i = 0
+          while (i < px.length) { sv += (px(i) >> 16) & 0xFF; i += 1 }
+          FrameStats(r.id, f, w, h, sv / (w.toLong * h).toDouble)
+        }
+      }
+    })
+  }
+
+  case class FrameEmbedding(id: Long, frame_idx: Int, embedding: Array[Float])
+
+  /** Mean gray level per cell of a `grid`×`grid` block partition of one
+    * decoded frame, unit-normalized — grid² dims (the gray counterpart of
+    * [[embedImage]]'s 3·grid² RGB features). */
+  private def grayGridEmbed(w: Int, h: Int, px: Array[Int],
+                            grid: Int): Array[Float] = {
+    val cells = grid * grid
+    val sums = new Array[Double](cells)
+    val cnts = new Array[Long](cells)
+    var y = 0
+    while (y < h) {
+      val gy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cell = gy * grid + x * grid / w
+        sums(cell) += (px(y * w + x) >> 16) & 0xFF
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = new Array[Float](cells)
+    var c = 0
+    while (c < cells) {
+      if (cnts(c) > 0) v(c) = (sums(c) / cnts(c)).toFloat
+      c += 1
+    }
+    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (nrm == 0.0) { v(0) = 1f; v } else v.map(x => (x / nrm).toFloat)
+  }
+
+  /** Per-partition real-frame embedding: (id, media) → one (id, frame_idx,
+    * embedding) row per sampled frame — the frame-level granularity for
+    * scene search / per-frame near-dup. */
+  def embedFrames(media: Dataset[MediaRow], grid: Int = 4,
+                  stride: Int = 1): Dataset[FrameEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeFrames(r.media).toSeq.flatMap { frames =>
+        frames.indices.collect { case f if f % stride == 0 =>
+          val (w, h, px) = frames(f)
+          FrameEmbedding(r.id, f, grayGridEmbed(w, h, px, grid))
+        }
+      }
+    })
+  }
+
+  /** Video-level embedding: the mean of the sampled frames' unit
+    * embeddings, re-unit-normalized — a frame-SET summary that is robust
+    * to per-frame perturbations and independent of frame count, computed
+    * in the same single mapPartitions pass as the decode (no shuffle; the
+    * frame set of one video never leaves its partition). Feeds the same
+    * `array<float>` Similarity operators as every other embedding. */
+  def videoEmbeddings(media: Dataset[MediaRow], grid: Int = 4,
+                      stride: Int = 1): Dataset[EmbeddedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeFrames(r.media).map { frames =>
+        val sampled = frames.indices.filter(_ % stride == 0)
+        val dims = grid * grid
+        val acc = new Array[Double](dims)
+        sampled.foreach { f =>
+          val (w, h, px) = frames(f)
+          val e = grayGridEmbed(w, h, px, grid)
+          var i = 0
+          while (i < dims) { acc(i) += e(i); i += 1 }
+        }
+        val v = acc.map(x => (x / sampled.size).toFloat)
+        val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        EmbeddedRow(r.id, if (nrm == 0.0) { v(0) = 1f; v }
+                          else v.map(x => (x / nrm).toFloat))
+      }
+    })
+  }
+
+  /** Near-dup VIDEO pairs by frame-set similarity: real decode → per-frame
+    * grid embeddings → video-level mean embedding → cosine pairs at
+    * `minCos`. The honest exact-join form; at corpus scale swap the final
+    * step for [[Similarity.cosineLshPairs]] on the same embeddings (the
+    * video embedding is an ordinary `array<float>` column). */
+  def videoNearDupPairs(media: Dataset[MediaRow], minCos: Double = 0.95,
+                        grid: Int = 4, stride: Int = 1): DataFrame =
+    Similarity.cosinePairs(videoEmbeddings(media, grid, stride).toDF(),
+      "id", "embedding", minCos)
+
   // ---- real audio codec (javax.sound.sampled — ships with the JDK) -------
 
   /** REAL audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU

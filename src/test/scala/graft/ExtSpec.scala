@@ -736,6 +736,77 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
   }
 
+  test("real GIF decode: sequence reader returns every exact synthetic frame") {
+    val (id, w, h, nf) = (9L, 17, 13, 4)
+    val bytes = Multimodal.syntheticGif(id, w, h, nf)
+    assert(new String(bytes.take(3)) == "GIF") // a real GIF container
+    val Some(frames) = Multimodal.decodeFrames(bytes)
+    assert(frames.length == nf, "frame count")
+    for (f <- 0 until nf) {
+      val (dw, dh, px) = frames(f)
+      assert((dw, dh) == (w, h), s"dims of frame $f")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y * w + x)
+        val want = ((id + 11L * f + 3 * x + 5 * y) % 256).toInt
+        // the explicit gray palette round-trips losslessly: r == g == b == v
+        assert(((p >> 16) & 0xFF) == want, s"v($x,$y) frame $f")
+        assert(((p >> 8) & 0xFF) == want && (p & 0xFF) == want,
+          s"gray($x,$y) frame $f")
+      }
+    }
+    // a single-image PNG decodes through the same path as one frame
+    assert(Multimodal.decodeFrames(
+      Multimodal.syntheticPng(3L, 8, 8)).get.length == 1)
+    // corrupt payloads drop the row, never the executor
+    assert(Multimodal.decodeFrames("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(bytes.take(10)).isEmpty)
+  }
+
+  test("frameStats samples every 2nd real frame with analytic means") {
+    val ids = spark.range(30).toDF("doc_id")
+    val out = Multimodal.frameStats(
+        Multimodal.syntheticVideos(ids, "doc_id"), stride = 2)
+      .collect().map(s => (s.id, s.frame_idx) -> s).toMap
+    (0L until 30L).foreach { id =>
+      val (w, h, nf) = ((16 + id % 5).toInt, (12 + id * 3 % 5).toInt,
+        (2 + id % 3).toInt)
+      val want = (0 until nf).filter(_ % 2 == 0)
+      assert(out.keys.filter(_._1 == id).map(_._2).toSet == want.toSet,
+        s"sampled frames of $id")
+      want.foreach { f =>
+        val s = out((id, f))
+        assert((s.width, s.height) == (w, h), s"dims of $id/$f")
+        val sv = (for (y <- 0 until h; x <- 0 until w)
+          yield (id + 11 * f + 3 * x + 5 * y) % 256).sum
+        assert(s.avg_v == sv.toDouble / (w * h), s"avg_v of $id/$f")
+      }
+    }
+  }
+
+  test("video near-dup by frame-set similarity finds planted tweaked clips") {
+    import spark.implicits._
+    // 25 diverse block-pattern clips + a tweaked NEAR-duplicate of each
+    // (2 of 16 cells repainted per frame): the q61-pipeline regime over
+    // real multi-frame decode
+    val media = spark.range(25).as[Long].mapPartitions(_.flatMap { id =>
+      Iterator(
+        Multimodal.MediaRow(id, Multimodal.patternGif(id)),
+        Multimodal.MediaRow(id + 1000L,
+          Multimodal.patternGif(id, tweakCells = 2)))
+    })
+    val pairs = Multimodal.videoNearDupPairs(media, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 25L).map(i => (i, i + 1000L)).toSet
+    assert(pairs == planted,
+      s"missed ${planted -- pairs}, spurious ${pairs -- planted}")
+    // per-frame embeddings carry the frame index and stay unit-norm
+    val fe = Multimodal.embedFrames(media).toDF()
+    val norms = fe.select(Similarity.l2Norm(Similarity.toDouble(col("embedding"))))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    assert(fe.filter(col("id") === 0).count() == 3) // patternGif default frames
+  }
+
   test("bucket-cap drops surface as an observed metric (single-consumer plan)") {
     // 60 identical docs collapse to one signature, so every band bucket they
     // fill exceeds the cap and is dropped. The guard reports dropped mass via
