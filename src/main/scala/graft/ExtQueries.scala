@@ -439,6 +439,69 @@ object ExtQueries {
           Multimodal.syntheticVideos(docsPar(s, dir), "doc_id"), stride = 2)
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    // Incremental index maintenance under the oracle: the index is built on
+    // a 400-vector PREFIX of the corpus (which contains the 16 pivot ids,
+    // so the pivot set equals the full build's) and the remaining 100
+    // vectors are APPENDED against the frozen centroids. Bit-stable
+    // assignment makes build-on-prefix + append IDENTICAL to
+    // build-on-everything — the oracle is q42's SQL verbatim, now pinning
+    // the append path's bucketed write too.
+    "q71_ann_ivf_append" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < 400), "vec_id",
+        "embedding", "graft_q71_ivf", nCells = 16, buckets = 8)
+      Similarity.appendToIvfIndex(s, "graft_q71_ivf",
+        e.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      Similarity.annIvfTopKIndexed(s, "graft_q71_ivf",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // PII redaction over a deterministic PII-bearing fixture (the corpus
+    // text carries no PII, so the query plants an email — two for every
+    // third doc — a dashed phone and an IPv4 per doc, all derived from
+    // doc_id). The patterns are RE2-compatible by construction
+    // (Corpus.PiiPatterns), so the oracle replays the same replacement
+    // chain and per-pattern counts verbatim in DuckDB — dialect drift in
+    // any pattern breaks the hash, which is the point: a scrub that
+    // matches differently across engines is a compliance bug.
+    "q69_pii_redaction" -> { (s, dir) =>
+      val pii = docsPar(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0, lit(" admin@test.org"))
+            .otherwise(lit("")),
+          lit(" or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")).as("text"))
+      Corpus.redactPii(pii, "text")
+        .select(col("doc_id"), col("text_redacted"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+    // C4-style boilerplate line removal: documents are reshaped into lines
+    // (header line carrying the source, body = 10-token lines, shared
+    // footer), and any line occurring in >= 10 DISTINCT docs is dropped
+    // corpus-wide — per-source headers (25+ docs each) and the global
+    // footer go, content lines stay. The oracle rebuilds the same line
+    // fixture and replays the frequency threshold + in-order reassembly in
+    // SQL; kept/dropped counts ride along as the audit columns.
+    "q70_boilerplate_lines" -> { (s, dir) =>
+      val withLines = docsPar(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.ext.TextStats.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), col("source"),
+          expr("transform(sequence(0, greatest(cast(ceil(size(__t)/10.0) as int)-1, 0)), i -> array_join(slice(__t, i*10+1, 10), ' '))")
+            .as("__lines"))
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("begin header "), col("source")),
+            array_join(col("__lines"), "\n"),
+            lit("copyright footer all rights reserved")).as("text"))
+      Corpus.removeBoilerplateLines(withLines, "doc_id", "text", minDocs = 10)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -708,6 +771,9 @@ object ExtQueries {
     // same SQL is the oracle for both
     "q63_ann_ivf_indexed" -> annIvfSql,
     "q66_ann_serve_only" -> annIvfSql,
+    // build-on-prefix + append == build-on-everything (pivot set unchanged,
+    // assignment bit-stable), so the full-corpus SQL is the oracle verbatim
+    "q71_ann_ivf_append" -> annIvfSql,
     "q67_ann_ivf_kmeans" -> annIvfKmeansSql,
     // both signature pipelines recomputed in SQL (k=1, md5 words): keep the
     // arrivals whose four 16-bit sign blocks match NO seen document's —
@@ -1072,6 +1138,60 @@ object ExtQueries {
         |SELECT doc_id, CAST(f AS INT) AS frame_idx, width, height,
         |  CAST(sv AS DOUBLE)/(width*height) AS avg_v
         |FROM agg ORDER BY doc_id, frame_idx""".stripMargin,
+    // q69: the same deterministic PII fixture rebuilt in SQL, then the SAME
+    // RE2-compatible patterns replayed in the SAME order ('g' = replace-all,
+    // matching Spark's regexp_replace); counts measured on the original
+    // text per pattern, mirroring Corpus.redactPii
+    "q69_pii_redaction" ->
+      """WITH pii AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' admin@test.org' ELSE '' END ||
+        |    ' or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phones
+        |FROM pii ORDER BY doc_id""".stripMargin,
+    // q70: the line fixture rebuilt in SQL (header carrying the source,
+    // 10-token body lines via list slicing, shared footer), then the
+    // frequency threshold over DISTINCT docs per trimmed line and the
+    // in-order reassembly — note range() is exclusive where Spark's
+    // sequence() is inclusive, hence greatest(n, 1) vs greatest(n-1, 0)
+    "q70_boilerplate_lines" ->
+      """WITH fix AS (SELECT doc_id, 'begin header ' || source AS hdr,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |nl AS (SELECT doc_id, hdr, t,
+        |    greatest(CAST(ceil(len(t)/10.0) AS INT), 1) AS n FROM fix),
+        |li AS (SELECT doc_id, hdr, t, unnest(range(0, n)) AS i FROM nl),
+        |bl AS (SELECT doc_id, hdr, i,
+        |    array_to_string(t[i*10+1 : i*10+10], ' ') AS line FROM li),
+        |body AS (SELECT doc_id, hdr,
+        |    string_agg(line, chr(10) ORDER BY i) AS b FROM bl GROUP BY 1, 2),
+        |doc AS (SELECT doc_id, hdr || chr(10) || b || chr(10) ||
+        |    'copyright footer all rights reserved' AS text FROM body),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc),
+        |ln AS (SELECT doc_id, l, unnest(range(1, len(l)+1)) AS i FROM ls),
+        |line AS (SELECT doc_id, i, l[i] AS line FROM ln),
+        |df AS (SELECT trim(line) AS v, count(DISTINCT doc_id) AS docs
+        |       FROM line GROUP BY 1),
+        |flag AS (SELECT doc_id, i, line,
+        |    trim(line) IN (SELECT v FROM df WHERE docs >= 10) AS dropped
+        |  FROM line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, chr(10) ORDER BY i)
+        |    FILTER (WHERE NOT dropped), '') AS text_clean,
+        |  count(*) FILTER (WHERE NOT dropped) AS n_lines_kept,
+        |  count(*) FILTER (WHERE dropped) AS n_lines_dropped
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a
     // power of two so the floor division is exact in double
     "q59_pack_sequences" ->

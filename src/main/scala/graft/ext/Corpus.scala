@@ -234,4 +234,82 @@ object Corpus {
     // silently drop them all regardless of quality
     df.join(stats, col(srcCol) <=> col("__src")).drop("__src")
   }
+
+  /** PII patterns for [[redactPii]]. Deliberately RE2-compatible (no
+    * lookarounds, no backreferences): they compile identically under
+    * Spark's java.util.regex and RE2-family engines, and on these
+    * character-class shapes leftmost-greedy matching agrees across both —
+    * which is what lets the q69 oracle replay the redaction verbatim in
+    * another engine. Patterns are applied in declaration order; counts are
+    * measured on the ORIGINAL text per pattern, so a string matched by two
+    * patterns counts once in each. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("n_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("n_phones", "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"))
+
+  /** PII redaction — the scrub every shipped training corpus runs: emails,
+    * IPv4 addresses and dashed phone numbers are replaced with typed
+    * placeholder tokens, and a per-pattern match count is attached (the
+    * count is the audit signal: "how much PII did this source carry" feeds
+    * source gating and compliance reporting). Pure per-row projection —
+    * codegen'd `regexp_replace`/`regexp_extract_all`, no shuffle, no UDF —
+    * so it rides any scan at 100 TB. IPv4 is replaced before phones so the
+    * dashed-phone pattern can never bridge a replaced token; email first so
+    * its local part (which may contain dots and digits) is consumed before
+    * the IP pattern looks at the text. */
+  def redactPii(df: DataFrame, textCol: String,
+                outCol: String = "text_redacted"): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    PiiPatterns.foldLeft(df.withColumn(outCol, redacted)) {
+      case (d, (cnt, re, _)) =>
+        d.withColumn(cnt, size(regexp_extract_all(col(textCol), lit(re), lit(0))))
+    }
+  }
+
+  /** C4-style boilerplate LINE removal: a line whose normalized form occurs
+    * in at least `minDocs` DISTINCT documents is boilerplate (headers,
+    * footers, cookie banners, nav chrome) and is dropped from every
+    * document; the survivors are reassembled in original line order.
+    * Returns (id, `outCol` cleaned text, n_lines_kept, n_lines_dropped) —
+    * a doc that was ALL boilerplate survives with an empty string (the
+    * caller decides whether zero-line docs live; silently deleting rows
+    * would make this operator change corpus membership, which belongs to
+    * the dedup/gating terminals).
+    *
+    * Scale shape: explode to (doc, idx, line) → ONE aggregate on the line
+    * hash (map-side combine; count DISTINCT docs approximated exactly by
+    * first collapsing (line, doc) — two skinny shuffles of hashes, never
+    * text) → broadcast-or-shuffle semi-join of the small boilerplate set
+    * back onto the exploded lines → one groupBy(doc) to reassemble.
+    * Line identity is the xxhash64 of the trimmed line, so the wide text
+    * column never shuffles — only at reassembly do kept lines move, and
+    * they move exactly once. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int, outCol: String = "text_clean",
+                             delim: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__line")
+      .withColumn("__lh", xxhash64(trim(col("__line"))))
+    // distinct docs per line value: collapse (line, doc) first — both
+    // aggregates get map-side combine and carry only (hash, id) pairs
+    val boiler = lines.select(col("__lh"), col(idCol)).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__lh").as("__boiler_lh"))
+    val flagged = lines.join(boiler, col("__lh") === col("__boiler_lh"),
+        "left").withColumn("__drop", col("__boiler_lh").isNotNull)
+    flagged.groupBy(col(idCol))
+      .agg(
+        // sort by line index, keep survivors in order; array_sort on the
+        // (idx, line) struct orders by idx first — deterministic reassembly
+        concat_ws(delim,
+          expr("transform(array_sort(collect_list(CASE WHEN NOT __drop THEN struct(__idx, __line) END)), s -> s.__line)"))
+          .as(outCol),
+        sum(when(!col("__drop"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_lines_dropped"))
+  }
 }

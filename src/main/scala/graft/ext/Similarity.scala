@@ -337,6 +337,48 @@ object Similarity {
       bucketCols = Seq("cell"), buckets = buckets, sortCols = Seq("cell"))
   }
 
+  /** Append new vectors to a persisted [[buildIvfIndex]] index WITHOUT a
+    * rebuild — the index-maintenance path a growing corpus hits daily.
+    * Arrivals are assigned to the EXISTING (frozen) centroids and written
+    * into the bucketed vectors table in Append mode with the table's own
+    * bucket spec (read from the catalog, so a drifted caller parameter
+    * cannot corrupt the layout); the bucketed serve path keeps working
+    * because every new file still lands in its cell's bucket. Because
+    * assignment is bit-stable, build-on-prefix + append equals
+    * build-on-everything whenever the pivot set is unchanged — q71 pins
+    * exactly that against q42's oracle. Centroids are deliberately NOT
+    * updated: an IVF index absorbs inserts against frozen centroids and is
+    * rebuilt when the cell-size distribution drifts — watch
+    * [[ivfCellStats]] and rebuild under a new name when the largest cell
+    * dominates. Appends are file-level-visible like any parquet append:
+    * concurrent serves see the old or the new file set, never a torn
+    * row. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                       newVectors: DataFrame, idCol: String,
+                       vecCol: String): Unit = {
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(s"${name}_vectors")
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"${name}_vectors is not bucketed — not built by buildIvfIndex"))
+    val pv = spark.table(s"${name}_centroids")
+    graft.sources.IO.writeBucketed(
+      assignCells(prepared(newVectors, idCol, vecCol), pv),
+      s"${name}_vectors", bucketCols = spec.bucketColumnNames,
+      buckets = spec.numBuckets, sortCols = spec.sortColumnNames,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Cell-occupancy report for a persisted IVF index: one row per cell
+    * with its vector count — the rebuild-trigger signal for
+    * [[appendToIvfIndex]] (a dominant cell means probes re-rank a large
+    * fraction of the corpus and the centroids no longer partition the
+    * data). One map-side-combined aggregate over the bucketed table. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+                   name: String): DataFrame =
+    spark.table(s"${name}_vectors")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+
   /** Serve ANN top-k from a PERSISTED [[buildIvfIndex]] index: no cell
     * reassignment, no pivot recomputation — the corpus side is a bucketed
     * scan joined on its own bucket key. Results are identical to the

@@ -85,7 +85,8 @@ object ScaleSlope {
       "q46_media_embed_dedup", "q49_embed_dedup_clusters", "q50_dedup_corpus",
       "q51_dedup_corpus_terminal", "q52_contamination", "q56_ann_quantized",
       "q58_decontaminated", "q59_pack_sequences", "q61_image_decode",
-      "q62_audio_decode", "q63_ann_ivf_indexed")
+      "q62_audio_decode", "q63_ann_ivf_indexed", "q64_incremental_neardup",
+      "q65_incremental_neardup_h3", "q67_ann_ivf_kmeans", "q68_video_frames")
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
     // those are sampled 3x and summarized by the MEDIAN (min also reported);

@@ -579,6 +579,39 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("IVF append: build-on-prefix + append serves the full-build results") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count()
+    val cut = n / 2 // prefix holds ids 0..15, so the pivot set is the full build's
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < cut), "vec_id",
+      "embedding", "ivf_append_spec", nCells = 16, buckets = 8)
+    // two appends: growth happens in batches, not one shot
+    Similarity.appendToIvfIndex(spark, "ivf_append_spec",
+      e.filter(col("vec_id") >= cut && col("vec_id") < cut + 10),
+      "vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, "ivf_append_spec",
+      e.filter(col("vec_id") >= cut + 10), "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = Similarity.annIvfTopKIndexed(spark, "ivf_append_spec", q,
+      "vec_id", "embedding", topK = 5, nProbe = 4)
+    val full = Similarity.annIvfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4)
+    assert(rows(served) == rows(full) && rows(served).nonEmpty)
+    // every vector is in the index exactly once; cell stats see them all
+    val stats = Similarity.ivfCellStats(spark, "ivf_append_spec")
+    assert(stats.agg(sum("n_vectors")).collect().head.getLong(0) == n)
+    // appending to a non-bucketed table is refused, not silently unbucketed
+    spark.range(3).toDF("x").write.mode("overwrite")
+      .saveAsTable("ivf_append_flat_vectors")
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, "ivf_append_flat",
+        e.limit(1), "vec_id", "embedding")
+    }
+  }
+
   test("k-means IVF: full probe equals brute force; planted near-dups found at partial probe") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 5)
@@ -1038,6 +1071,65 @@ class ExtSpec extends AnyFunSuite {
       Corpus.hashSplit(ids, "doc_id",
         Seq("train" -> 0.9, "val" -> 0.2, "test" -> -0.1))
     }
+  }
+
+  test("redactPii replaces emails, IPs and phones and counts per pattern") {
+    val df = Seq(
+      (0L, "mail a.b-c%d@sub.example.co.uk and x@y.io end"),
+      (1L, "server at 192.168.0.1 dials +1-555-1234 and 555-867-5309"),
+      (2L, "no pii here at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.redactPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[String]("text_redacted")
+      == "mail <EMAIL> and <EMAIL> end")
+    assert(out(0L).getAs[Int]("n_emails") == 2)
+    // the dashed-phone pattern requires a 3-digit prefix, so "+1-555-1234"
+    // is NOT matched (international forms are a different pattern family)
+    // while "555-867-5309" is
+    assert(out(1L).getAs[String]("text_redacted")
+      == "server at <IP> dials +1-555-1234 and <PHONE>")
+    assert(out(1L).getAs[Int]("n_ips") == 1)
+    assert(out(1L).getAs[Int]("n_phones") == 1)
+    assert(out(2L).getAs[String]("text_redacted") == "no pii here at all")
+    assert((out(2L).getAs[Int]("n_emails"), out(2L).getAs[Int]("n_ips"),
+      out(2L).getAs[Int]("n_phones")) == ((0, 0, 0)))
+    assert(out(3L).getAs[String]("text_redacted") == "")
+  }
+
+  test("removeBoilerplateLines drops corpus-frequent lines, keeps order") {
+    // 12 docs share header/footer; each has 2 unique content lines; one
+    // content line ("shared snippet") appears in exactly 3 docs
+    val docs = (0 until 12).map { i =>
+      val shared = if (i < 3) "shared snippet\n" else ""
+      (i.toLong, s"HEADER\nunique a $i\n${shared}unique b $i\nFOOTER")
+    }.toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocs = 4).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 12)
+    (0 until 12).foreach { i =>
+      val r = out(i.toLong)
+      val shared = if (i < 3) "shared snippet\n" else ""
+      // header/footer (12 docs >= 4) dropped; shared snippet (3 < 4) kept
+      assert(r.getAs[String]("text_clean")
+        == s"unique a $i\n${shared}unique b $i", s"doc $i")
+      assert(r.getAs[Long]("n_lines_dropped") == 2L, s"doc $i dropped")
+    }
+    // at minDocs = 3 the shared snippet crosses the bar too
+    val strict = Corpus.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocs = 3).collect().map(r => r.getLong(0) -> r).toMap
+    (0 until 3).foreach { i =>
+      assert(strict(i.toLong).getAs[String]("text_clean")
+        == s"unique a $i\nunique b $i", s"strict doc $i")
+      assert(strict(i.toLong).getAs[Long]("n_lines_dropped") == 3L)
+    }
+    // an all-boilerplate doc survives as an empty string, not a lost row
+    val allBoiler = docs.unionByName(
+      Seq((100L, "HEADER\nFOOTER")).toDF("doc_id", "text"))
+    val e = Corpus.removeBoilerplateLines(allBoiler, "doc_id", "text",
+        minDocs = 4).filter(col("doc_id") === 100L).collect().head
+    assert(e.getAs[String]("text_clean") == "")
+    assert(e.getAs[Long]("n_lines_kept") == 0L)
   }
 
   test("prefixSum matches the single-partition window on shuffled input") {
