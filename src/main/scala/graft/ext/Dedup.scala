@@ -206,6 +206,71 @@ object Dedup {
     newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
   }
 
+  /** [[incrementalNear]]'s probe + confirm over PRE-BUILT seen-side state —
+    * the near-dup epoch loop's per-batch core, mirroring
+    * [[probeAndConfirmMulti]]: `seenSig` is a one-column (`__fp`) signature
+    * set and `filters` is a frozen epoch filter plus batch-sized delta
+    * filters whose UNION covers it (signatures themselves at `maxDist` 0,
+    * the 4-per-signature block keys otherwise). A batch row is a candidate
+    * iff ANY filter hits (any of its four block probes, at maxDist > 0 —
+    * 4·k ORed codegen probes, no explode on the fast path); candidates pay
+    * the exact confirm (equality semi-join, or the block-keyed equi-join
+    * filtered by popcount Hamming). Returns the fresh rows of `newDf`. */
+  private[graft] def nearProbeConfirmMulti(newDf: DataFrame,
+      seenSig: DataFrame, filters: Seq[Array[Byte]], idCol: String,
+      textCol: String, k: Int, hasher: Hasher, maxDist: Int): DataFrame = {
+    require(filters.nonEmpty, "at least one filter required")
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
+    val newSig = simhash(newDf, idCol, textCol, k, hasher)
+    val confirmed =
+      if (maxDist == 0)
+        newSig
+          .filter(filters.map(b => graft.funcs.VectorFunctions
+            .bloomMightContain(col("simhash"), b)).reduce(_ || _))
+          .join(seenSig, col("simhash") === col("__fp"), "left_semi")
+          .select(col("id"))
+      else {
+        def blocks(sig: Column) = array((0 until 4).map(blockKey(sig, _)): _*)
+        val candidates = newSig.filter((for {
+          b <- 0 until 4; f <- filters
+        } yield graft.funcs.VectorFunctions.bloomMightContain(
+          blockKey(col("simhash"), b), f)).reduce(_ || _))
+        val candBlocks = candidates.select(col("id"), col("simhash"),
+          explode(blocks(col("simhash"))).as("__bk"))
+        val seenKeyed = seenSig.select(col("__fp"),
+          explode(blocks(col("__fp"))).as("__bk"))
+        candBlocks.join(seenKeyed, Seq("__bk"))
+          .filter(bit_count(col("simhash").bitwiseXOR(col("__fp"))) <= maxDist)
+          .select(col("id")).distinct()
+      }
+    newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
+  }
+
+  /** Distinct one-column (`__fp`) SimHash signature set of a frame — the
+    * near-dup epoch loop's covering-key extraction (the signature chain of
+    * [[simhash]] without an id column). */
+  private[graft] def signatureKeys(df: DataFrame, textCol: String, k: Int,
+                                   hasher: Hasher): DataFrame = {
+    graft.funcs.VectorFunctions.register(df.sparkSession)
+    df.select(TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(shinglesOfTokens(col("__t"), k).as("__g"))
+      .select(graft.funcs.VectorFunctions.simhashSig(col("__g"),
+        useMd5 = hasher == Hasher.Md5).as("__fp"))
+      .distinct()
+  }
+
+  /** Serialized Bloom filter covering a `__fp` SIGNATURE key set for the
+    * given Hamming scope: the signatures themselves at `maxDist` 0, their
+    * 4-per-signature block keys (capacity ×4) otherwise. */
+  private[graft] def signatureBloom(keys: DataFrame, expected: Option[Long],
+                                    fpp: Double, maxDist: Int): Array[Byte] =
+    serializedBloom(
+      if (maxDist == 0) buildLongBloom(keys, "__fp", expected, fpp)
+      else buildLongBloom(
+        keys.select(explode(array((0 until 4).map(b =>
+          blockKey(col("__fp"), b)): _*)).as("__bk")),
+        "__bk", expected.map(_ * 4), fpp))
+
   /** Block key of 16-bit signature block `b`: block value ⊕ block index in
     * the high bits — distinct key spaces per block, one long. */
   private def blockKey(sig: Column, b: Int): Column =

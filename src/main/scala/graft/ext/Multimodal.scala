@@ -100,6 +100,33 @@ object Multimodal {
 
   // ---- real image codec (javax.imageio — ships with the JDK) -------------
 
+  /** Memory-cached ImageIO input over in-memory bytes. ImageIO's default
+    * (`useCache = true`) spools every stream through a TEMP FILE on
+    * executor-local disk — for KB-sized payloads already in memory that is
+    * pure overhead, and at 32 decode threads the create/delete metadata
+    * churn on a shared disk dominates the decode itself (observed 6× on
+    * q61 under disk pressure). Explicit memory-cache streams keep the hot
+    * path off local disk entirely without mutating the JVM-global
+    * `ImageIO.setUseCache` setting. */
+  private def memIn(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Memory-cached ImageIO output into `bos` — [[memIn]]'s write-side
+    * sibling (close() flushes the cache into the underlying stream). */
+  private def memOut(bos: java.io.OutputStream): javax.imageio.stream.ImageOutputStream =
+    new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+
+  /** PNG-encode through a memory-cached stream (the file-cache default
+    * would pay a temp-file round-trip per image — see [[memIn]]). */
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = memOut(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
+    bos.toByteArray
+  }
+
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers are
     * built in — zero new dependencies): container bytes → (width, height,
     * packed 0xRRGGBB pixels, row-major). None for undecodable payloads —
@@ -107,8 +134,7 @@ object Multimodal {
     * a poison byte string must drop the ROW, not the executor. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
-      Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes)))
+      Option(javax.imageio.ImageIO.read(memIn(bytes)))
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           (w, h, img.getRGB(0, 0, w, h, null, 0, w))
@@ -137,9 +163,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    pngBytes(img)
   }
 
   /** Deterministic block-pattern image: each cell of a `grid`×`grid`
@@ -180,9 +204,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    pngBytes(img)
   }
 
   /** Distributed fixture: one [[syntheticPng]] per id, encoded per
@@ -292,8 +314,7 @@ object Multimodal {
     * full-size frames, so no disposal compositing is needed). */
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val iis = memIn(bytes)
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) { iis.close(); None }
       else {
@@ -319,7 +340,7 @@ object Multimodal {
   def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = memOut(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -362,7 +383,7 @@ object Multimodal {
     }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = memOut(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0

@@ -188,9 +188,9 @@ object Streaming {
     *
     * This loop dedups on EXACT content fingerprints. For near-dup
     * ingestion (drop arrivals whose SimHash signature is within Hamming
-    * distance ≤ 3 of history), call [[graft.ext.Dedup.incrementalNear]]
-    * from your own `foreachBatch` — it carries the same Bloom-prefiltered
-    * shape (block-keyed probes at maxDist > 0; q64/q65's oracles pin it). */
+    * distance ≤ 3 of history), use [[dedupIncrementalNear]] — the same
+    * epoch state machine over signature keys (q64/q65's oracles pin the
+    * batch semantics it replays). */
   def dedupIncremental(events: DataFrame, history: () => DataFrame,
                        idCol: String, textCol: String,
                        onFresh: (DataFrame, Long) => Unit,
@@ -201,9 +201,55 @@ object Streaming {
                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
     require(refreshEveryBatches > 0,
       s"refreshEveryBatches must be positive, got $refreshEveryBatches")
-    // driver-held epoch state, touched only inside foreachBatch (micro-batch
-    // execution is serial per query, so no synchronization is needed)
-    val state = new IngestEpochState(fpp, headroom, stateDir)
+    epochLoop(events, history, idCol, textCol, onFresh, refreshEveryBatches,
+      trigger, new IngestEpochState(fpp, headroom, stateDir))
+  }
+
+  /** [[dedupIncremental]]'s NEAR-dup sibling — the streaming epoch-loop
+    * composition of [[graft.ext.Dedup.incrementalNear]]: drop from each
+    * micro-batch every document whose 64-bit SimHash signature is within
+    * Hamming distance `maxDist` (0–3) of the full history OR of anything
+    * accepted earlier this epoch, WITHOUT rescanning history per batch.
+    * Identical state machine and guarantees to the exact loop (one history
+    * scan per epoch, frozen epoch filter + batch-sized delta filters,
+    * explicit block release, optional durable `stateDir`, at-most-once
+    * `onFresh`); only the key domain changes — covering keys are the
+    * distinct signatures, the filters cover signatures (maxDist 0) or
+    * their pigeonhole block keys (maxDist 1–3), and the confirm is the
+    * popcount-Hamming join. The filter-list false-positive SUM and block
+    * collisions cost confirm-join rows, never correctness — q64/q65 pin
+    * the underlying batch semantics against the DuckDB oracle, and the
+    * spec drives two epochs against a batch-by-batch `incrementalNear`
+    * replay with planted 1–3-bit-flip arrivals. Near-dups WITHIN one
+    * micro-batch are [[dedupNear]]'s / the batch terminal's job, matching
+    * `incrementalNear`'s arrivals-vs-history contract. */
+  def dedupIncrementalNear(events: DataFrame, history: () => DataFrame,
+                           idCol: String, textCol: String,
+                           onFresh: (DataFrame, Long) => Unit,
+                           k: Int = 4,
+                           hasher: graft.ext.Dedup.Hasher = graft.ext.Dedup.Hasher.Xx,
+                           maxDist: Int = 0,
+                           refreshEveryBatches: Int = 10,
+                           headroom: Long = 100000L,
+                           fpp: Double = 0.01,
+                           stateDir: Option[String] = None,
+                           trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(refreshEveryBatches > 0,
+      s"refreshEveryBatches must be positive, got $refreshEveryBatches")
+    epochLoop(events, history, idCol, textCol, onFresh, refreshEveryBatches,
+      trigger, new IngestEpochState(fpp, headroom, stateDir,
+        NearKeying(k, hasher, maxDist)))
+  }
+
+  /** The shared epoch-loop driver: reload-or-refresh, probe, deliver,
+    * fold — identical for every key domain. Driver-held state is touched
+    * only inside foreachBatch (micro-batch execution is serial per query,
+    * so no synchronization is needed). */
+  private def epochLoop(events: DataFrame, history: () => DataFrame,
+                        idCol: String, textCol: String,
+                        onFresh: (DataFrame, Long) => Unit,
+                        refreshEveryBatches: Int, trigger: Trigger,
+                        state: IngestEpochState): DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -216,7 +262,6 @@ object Streaming {
         state.fold(fresh, textCol)
         ()
       }
-  }
 
   /** Localcheckpoint `df` eagerly and return the materialized frame plus a
     * release handle that unpersists exactly the checkpoint's pinned RDD
@@ -234,6 +279,58 @@ object Streaming {
   }
 
   private val noopRelease: () => Unit = () => ()
+
+  /** The epoch loop's pluggable KEY DOMAIN — what "seen" means. The state
+    * machine ([[IngestEpochState]]) is domain-agnostic: it scans history
+    * once per epoch into a covering key set, freezes one Bloom filter over
+    * it, folds per-batch accepted keys into batch-sized filters + delta
+    * blocks, compacts, persists, reloads. The keying decides what the keys
+    * ARE and how a batch probes them. */
+  private[graft] sealed trait EpochKeying {
+    /** Distinct one-column (`__fp`) covering-key set of a frame. */
+    def keys(df: DataFrame, textCol: String): DataFrame
+    /** Serialized Bloom filter covering a key set (capacity = `expected`
+      * or the measured key count). */
+    def bloom(keys: DataFrame, expected: Option[Long], fpp: Double): Array[Byte]
+    /** Fresh rows of `batch`: not covered by the key set (prefiltered by
+      * the filter list, whose union covers it). */
+    def probeConfirm(batch: DataFrame, seenKeys: DataFrame,
+                     filters: Seq[Array[Byte]], idCol: String,
+                     textCol: String): DataFrame
+  }
+
+  /** Exact content fingerprints — [[dedupIncremental]]'s domain. */
+  private[graft] case object ExactKeying extends EpochKeying {
+    import graft.ext.{Dedup, TextStats}
+    def keys(df: DataFrame, textCol: String): DataFrame =
+      df.select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct()
+    def bloom(keys: DataFrame, expected: Option[Long], fpp: Double): Array[Byte] =
+      Dedup.serializedBloom(Dedup.buildSeenBloom(keys, expected, fpp))
+    def probeConfirm(batch: DataFrame, seenKeys: DataFrame,
+                     filters: Seq[Array[Byte]], idCol: String,
+                     textCol: String): DataFrame =
+      Dedup.probeAndConfirmMulti(batch, seenKeys, filters, idCol, textCol)
+  }
+
+  /** 64-bit SimHash signatures at Hamming ≤ `maxDist` —
+    * [[dedupIncrementalNear]]'s domain ([[graft.ext.Dedup.incrementalNear]]
+    * batch-for-batch: signature equality at 0, pigeonhole block keys +
+    * popcount-Hamming confirm at 1–3). */
+  private[graft] final case class NearKeying(k: Int,
+      hasher: graft.ext.Dedup.Hasher, maxDist: Int) extends EpochKeying {
+    import graft.ext.Dedup
+    require(maxDist >= 0 && maxDist <= 3,
+      s"pigeonhole blocking assumes maxDist <= 3 (4 blocks), got $maxDist")
+    def keys(df: DataFrame, textCol: String): DataFrame =
+      Dedup.signatureKeys(df, textCol, k, hasher)
+    def bloom(keys: DataFrame, expected: Option[Long], fpp: Double): Array[Byte] =
+      Dedup.signatureBloom(keys, expected, fpp, maxDist)
+    def probeConfirm(batch: DataFrame, seenKeys: DataFrame,
+                     filters: Seq[Array[Byte]], idCol: String,
+                     textCol: String): DataFrame =
+      Dedup.nearProbeConfirmMulti(batch, seenKeys, filters, idCol, textCol,
+        k, hasher, maxDist)
+  }
 
   /** Driver-held epoch state for [[dedupIncremental]]: the FROZEN epoch
     * Bloom filter + epoch-start fingerprint set (one history scan per
@@ -261,8 +358,9 @@ object Streaming {
     * count-neutrally — if your history can change without changing its
     * row count, don't pass `stateDir`. */
   private[graft] final class IngestEpochState(fpp: Double, headroom: Long,
-                                              stateDir: Option[String] = None) {
-    import graft.ext.{Dedup, TextStats}
+                                              stateDir: Option[String] = None,
+                                              keying: EpochKeying = ExactKeying) {
+    import graft.ext.Dedup
     private[graft] var epochBytes: Array[Byte] = null // frozen for the epoch
     private[graft] var batchBytes: List[Array[Byte]] = Nil // batch-sized
     private var epochFp: DataFrame = null
@@ -282,13 +380,11 @@ object Streaming {
       * blocks are explicitly released. */
     def refresh(history: DataFrame, textCol: String): Unit = {
       releaseEpoch(); releaseDelta()
-      val (fp, rel) = checkpointReleasable(history
-        .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
+      val (fp, rel) = checkpointReleasable(keying.keys(history, textCol))
       epochFp = fp; releaseEpoch = rel
       deltaFp = null; releaseDelta = noopRelease
       val capacity = math.max(1L, epochFp.count()) + math.max(0L, headroom)
-      epochBytes = Dedup.serializedBloom(
-        Dedup.buildSeenBloom(epochFp, Some(capacity), fpp))
+      epochBytes = keying.bloom(epochFp, Some(capacity), fpp)
       batchBytes = Nil
       batchesSinceRefresh = 0
       stateDir.foreach { dir =>
@@ -334,8 +430,7 @@ object Streaming {
             // collapse the probe list to one delta-sized filter (the
             // persisted covering set stays untouched)
             if (batchBytes.size > 16 && deltaFp != null)
-              batchBytes = List(Dedup.serializedBloom(
-                Dedup.buildSeenBloom(deltaFp, None, fpp)))
+              batchBytes = List(keying.bloom(deltaFp, None, fpp))
             expectedRaw = covered
             batchesSinceRefresh = 0
             true
@@ -394,7 +489,7 @@ object Streaming {
     def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
       val seenFp =
         if (deltaFp == null) epochFp else epochFp.unionByName(deltaFp)
-      val (fresh, rel) = checkpointReleasable(Dedup.probeAndConfirmMulti(
+      val (fresh, rel) = checkpointReleasable(keying.probeConfirm(
         batch, seenFp, epochBytes :: batchBytes, idCol, textCol))
       releaseFresh = rel
       fresh
@@ -410,11 +505,10 @@ object Streaming {
       * rewrites only the small accepted rows (and collapses the filter
       * list to one delta-sized filter), never the epoch set. */
     def fold(fresh: DataFrame, textCol: String): Unit = {
-      val (acceptedFp, relAccepted) = checkpointReleasable(fresh
-        .select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
+      val (acceptedFp, relAccepted) = checkpointReleasable(
+        keying.keys(fresh, textCol))
       releaseDelta = { val r = releaseDelta; () => { r(); relAccepted() } }
-      batchBytes ::= Dedup.serializedBloom(
-        Dedup.buildSeenBloom(acceptedFp, None, fpp))
+      batchBytes ::= keying.bloom(acceptedFp, None, fpp)
       deltaFp =
         if (deltaFp == null) acceptedFp else deltaFp.unionByName(acceptedFp)
       // durable path: accepted rows + this batch's filter land BEFORE the
@@ -434,8 +528,7 @@ object Streaming {
         val (compacted, relCompacted) = checkpointReleasable(deltaFp)
         releaseDelta()
         deltaFp = compacted; releaseDelta = relCompacted
-        batchBytes = List(Dedup.serializedBloom(
-          Dedup.buildSeenBloom(deltaFp, None, fpp)))
+        batchBytes = List(keying.bloom(deltaFp, None, fpp))
       }
       // the batch's probe result has now had its last read (onFresh ran
       // before fold; acceptedFp is materialized) — return its blocks

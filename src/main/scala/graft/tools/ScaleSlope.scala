@@ -80,13 +80,17 @@ object ScaleSlope {
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     }
 
-    val names = Seq("q31_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
+    // optional comma-separated substring filter (local iteration / targeted
+    // re-measurement of a query whose sweep run was polluted)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val allNames = Seq("q31_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
       "q36_simhash", "q37_embed_cosine", "q41_cosine_lsh", "q44_dedup_clusters",
       "q46_media_embed_dedup", "q49_embed_dedup_clusters", "q50_dedup_corpus",
       "q51_dedup_corpus_terminal", "q52_contamination", "q56_ann_quantized",
       "q58_decontaminated", "q59_pack_sequences", "q61_image_decode",
       "q62_audio_decode", "q63_ann_ivf_indexed", "q64_incremental_neardup",
       "q65_incremental_neardup_h3", "q67_ann_ivf_kmeans", "q68_video_frames")
+    val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
     // those are sampled 3x and summarized by the MEDIAN (min also reported);

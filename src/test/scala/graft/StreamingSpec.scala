@@ -307,6 +307,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Vector(Set(11L), Set(13L), Set(16L)))
   }
 
+  test("dedupIncrementalNear: epoch loop matches batch-by-batch incrementalNear at Hamming <= 2") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incnear_stream")
+      .resolve("hist").toString
+    // ~30 tokens per doc: a one-token append flips only the zero-balance
+    // signature bits, and the count of those shrinks with doc length — at
+    // 10 tokens a random append lands at Hamming ~8 (outside any maxDist
+    // we support); at 30, Hamming 1-2 shows up every ~11 candidates
+    val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lima mike november oscar papa quebec romeo sierra tango uniform " +
+      "victor whiskey xray yankee zulu apex bravo castle dome ember"
+    val base1 = "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "anchor basin cedar delta2 errand fjord grove harbor inlet juniper " +
+      "kestrel lagoon meadow nectar orchard prairie quarry ridge summit thicket"
+    val initial = Seq((0L, base0), (1L, base1))
+    initial.toDF("doc_id", "text").write.parquet(dir)
+    def history() = spark.read.parquet(dir)
+    // plant REAL EDITS inside the 1-2 window by SEARCH, not by guessing:
+    // one Spark job signs both bases plus 300 candidate one-token appends
+    // each, and we take the first candidate per doc whose signature lands
+    // at Hamming 1-2 (a hard-coded token broke the moment the hash basis
+    // produced Hamming 7 — the search is robust to any basis)
+    val candTexts = Seq((9000L, base0), (9001L, base1)) ++
+      (for (d <- 0 to 1; i <- 0 until 300)
+        yield (d * 1000L + i, (if (d == 0) base0 else base1) + s" zq$i"))
+    val sigs = graft.ext.Dedup.simhash(
+        candTexts.toDF("doc_id", "text"), "doc_id", "text",
+        k = 1, hasher = graft.ext.Dedup.Hasher.Md5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def plantEdit(d: Int): String = {
+      val b = sigs(9000L + d)
+      val i = (0 until 300).find { i =>
+        val dist = java.lang.Long.bitCount(b ^ sigs(d * 1000L + i))
+        dist >= 1 && dist <= 2
+      }.getOrElse(fail(s"no candidate append within Hamming 1-2 of base$d"))
+      (if (d == 0) base0 else base1) + s" zq$i"
+    }
+    val edited0 = plantEdit(0)
+    val edited1 = plantEdit(1)
+    // arrivals: a token REORDER of history 0 (k=1 signature equal — the
+    // Hamming-0 scope), the planted 1-2-bit edits of both history docs
+    // (the scope the block probes exist for), and genuinely fresh docs
+    val reorder0 = base0.split(' ').reverse.mkString(" ")
+    val batches = Seq(
+      Seq((10L, reorder0),
+          (11L, edited0),
+          (12L, "one wholly novel arrival body here today friend indeed")),
+      Seq((13L, edited1),
+          (14L, "one wholly novel arrival body here today friend indeed zq3"),
+          (15L, "second entirely different novel document text body words")))
+    val stream = MemoryStream[(Long, String)]
+    @volatile var got = Vector.empty[Set[Long]]
+    val q = Streaming.dedupIncrementalNear(
+      stream.toDF().toDF("doc_id", "text"), () => history(), "doc_id", "text",
+      onFresh = (fresh, _) => {
+        got :+= fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+        fresh.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(dir)
+      },
+      k = 1, hasher = graft.ext.Dedup.Hasher.Md5, maxDist = 2,
+      refreshEveryBatches = 2, headroom = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    ).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // parity oracle: the batch operator applied batch-by-batch with the
+    // history grown by each batch's survivors
+    var hist = initial
+    val want = batches.map { b =>
+      val fresh = graft.ext.Dedup.incrementalNear(
+          b.toDF("doc_id", "text"), hist.toDF("doc_id", "text"),
+          "doc_id", "text", k = 1, hasher = graft.ext.Dedup.Hasher.Md5,
+          maxDist = 2)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      hist ++= fresh
+      fresh.map(_._1).toSet
+    }
+    assert(got.toSeq == want,
+      s"streamed fresh sets $got != batch-replay $want")
+    // the near scope must be doing real work: both planted edits sit inside
+    // the window by construction (plantEdit searched for Hamming 1-2), so
+    // they are dropped here but would be KEPT by the exact epoch loop
+    assert(got.flatten.toSet.intersect(Set(11L, 13L)).isEmpty,
+      s"edits 11/13 inside the Hamming window should have been dropped: $got")
+    // and the reorder (signature-equal) arrival never survives
+    assert(!got.flatten.toSet.contains(10L))
+  }
+
   test("dedupIncremental: persisted state survives a restart with no rescan and no dup emissions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
