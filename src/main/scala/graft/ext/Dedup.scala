@@ -105,7 +105,8 @@ object Dedup {
     val seenFp = CheckpointStrategy.materializer(checkpoint)(
       seenDf.select(TextStats.fingerprint(col(textCol)).as("__fp")).distinct())
     val bytes = serializedBloom(buildSeenBloom(seenFp, expectedSeen, fpp))
-    probeAndConfirm(newDf, seenFp, bytes, idCol, textCol)
+    probeAndConfirm(newDf, seenFp, bytes, idCol, textCol,
+      CheckpointStrategy.materializer(checkpoint))
   }
 
   /** The probe+confirm core of [[incrementalExact]], with the (possibly
@@ -119,8 +120,10 @@ object Dedup {
     * join and its duplicate is emitted. */
   private[graft] def probeAndConfirm(newDf: DataFrame, seenFp: DataFrame,
                                      filterBytes: Array[Byte], idCol: String,
-                                     textCol: String): DataFrame =
-    probeAndConfirmMulti(newDf, seenFp, Seq(filterBytes), idCol, textCol)
+                                     textCol: String,
+                                     materialize: DataFrame => DataFrame = identity): DataFrame =
+    probeAndConfirmMulti(newDf, seenFp, Seq(filterBytes), idCol, textCol,
+      materialize)
 
   /** [[probeAndConfirm]] over a LIST of filters: a row is a candidate iff
     * ANY filter might contain its fingerprint. This is how the epoch loop
@@ -132,20 +135,33 @@ object Dedup {
     * UNION of the filters must cover every fingerprint in `seenFp` (see
     * [[probeAndConfirm]]'s covering note); the effective false-positive
     * rate is at most the SUM of the filters' rates — a perf dial, never
-    * correctness. */
+    * correctness.
+    *
+    * `materialize` cuts the batch's lineage at the two points where Catalyst
+    * would otherwise re-execute it: (1) the skinny (id, fingerprint)
+    * projection — the ORed probe arms are short-circuit branches, which
+    * whole-stage codegen EXCLUDES from common-subexpression elimination, so
+    * probing a lazy projection re-evaluates the fingerprint (and everything
+    * under it, including the caller's scans) once per arm — and (2) the
+    * confirmed id set, which the final anti-join would otherwise duplicate
+    * per branch of a union-shaped `newDf`. Batch operators pass their
+    * checkpoint strategy; the streaming epoch loop passes identity (its
+    * per-batch lineage is the micro-batch source — already materialized —
+    * and per-batch checkpoint blocks would linger until RDD GC). */
   private[graft] def probeAndConfirmMulti(newDf: DataFrame, seenFp: DataFrame,
                                           filters: Seq[Array[Byte]],
                                           idCol: String,
-                                          textCol: String): DataFrame = {
+                                          textCol: String,
+                                          materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(filters.nonEmpty, "at least one filter required")
     graft.funcs.VectorFunctions.register(newDf.sparkSession)
-    val candidates = newDf
-      .withColumn("__fp", TextStats.fingerprint(col(textCol)))
+    val newKeys = materialize(newDf.select(
+      col(idCol), TextStats.fingerprint(col(textCol)).as("__fp")))
+    val confirmed = materialize(newKeys
       .filter(filters.map(b => graft.funcs.VectorFunctions.bloomMightContain(
         xxhash64(col("__fp")), b)).reduce(_ || _))
-    val confirmed = candidates
       .join(seenFp, Seq("__fp"), "left_semi")
-      .select(col(idCol))
+      .select(col(idCol)))
     newDf.join(confirmed, Seq(idCol), "left_anti")
   }
 
@@ -192,7 +208,14 @@ object Dedup {
     val seenSig = CheckpointStrategy.materializer(checkpoint)(
       simhash(seenDf, idCol, textCol, k, hasher)
         .select(col("simhash").as("__sig")).distinct())
-    val newSig = simhash(newDf, idCol, textCol, k, hasher)
+    // the batch's (id, signature) projection is materialized BEFORE the
+    // probe filter: the ORed probe arms are short-circuit branches that
+    // codegen excludes from common-subexpression elimination, so probing a
+    // lazy projection re-evaluates the full simhash lineage (tokenize,
+    // shingle, per-shingle hash, plus the caller's scans under it) once per
+    // arm — measured 4 × the whole-batch signature cost at maxDist 3
+    val newSig = CheckpointStrategy.materializer(checkpoint)(
+      simhash(newDf, idCol, textCol, k, hasher))
     val confirmed =
       if (maxDist == 0) {
         val bytes = serializedBloom(
@@ -203,7 +226,14 @@ object Dedup {
           .join(seenSig, col("simhash") === col("__sig"), "left_semi")
           .select(col("id"))
       } else nearSeenIds(newSig, seenSig, maxDist, expectedSeen, fpp)
-    newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
+    // materialized too: `confirmed` is bounded by the BATCH (ids only), but
+    // its plan embeds the whole probe+confirm pipeline INCLUDING newDf's
+    // lineage — left unmaterialized, Catalyst pushes the anti-join through
+    // a union-shaped newDf and executes that pipeline once per branch
+    // (q65's fixture paid 2× the probe, the confirm join, and every
+    // documents scan under it)
+    val confirmedIds = CheckpointStrategy.materializer(checkpoint)(confirmed)
+    newDf.join(confirmedIds, newDf(idCol) === confirmedIds("id"), "left_anti")
   }
 
   /** [[incrementalNear]]'s probe + confirm over PRE-BUILT seen-side state —
@@ -218,10 +248,13 @@ object Dedup {
     * filtered by popcount Hamming). Returns the fresh rows of `newDf`. */
   private[graft] def nearProbeConfirmMulti(newDf: DataFrame,
       seenSig: DataFrame, filters: Seq[Array[Byte]], idCol: String,
-      textCol: String, k: Int, hasher: Hasher, maxDist: Int): DataFrame = {
+      textCol: String, k: Int, hasher: Hasher, maxDist: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(filters.nonEmpty, "at least one filter required")
     graft.funcs.VectorFunctions.register(newDf.sparkSession)
-    val newSig = simhash(newDf, idCol, textCol, k, hasher)
+    // materialize: same lineage-cut dial as [[probeAndConfirmMulti]] — the
+    // 4·k ORed probe arms each re-evaluate a lazy signature projection
+    val newSig = materialize(simhash(newDf, idCol, textCol, k, hasher))
     val confirmed =
       if (maxDist == 0)
         newSig
@@ -243,7 +276,8 @@ object Dedup {
           .filter(bit_count(col("simhash").bitwiseXOR(col("__fp"))) <= maxDist)
           .select(col("id")).distinct()
       }
-    newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
+    val confirmedIds = materialize(confirmed)
+    newDf.join(confirmedIds, newDf(idCol) === confirmedIds("id"), "left_anti")
   }
 
   /** Distinct one-column (`__fp`) SimHash signature set of a frame — the

@@ -538,12 +538,67 @@ object Multimodal {
 
   // ---- real audio codec (javax.sound.sampled — ships with the JDK) -------
 
-  /** REAL audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU
-    * readers are built in): container bytes → (sampleRate, channels,
-    * interleaved integer samples). Supports the 16-bit and 8-bit signed PCM
-    * encodings the JDK writes; None for undecodable or non-PCM payloads —
-    * the same drop-the-row contract as [[decodeImage]]. */
+  /** Direct RIFF/WAVE parser for the dominant case — 16-bit PCM WAV. The
+    * general [[decodeAudio]] path goes through `AudioSystem`, whose
+    * per-call provider lookup takes a GLOBAL class lock
+    * (`JDK13Services.getProviders` is a synchronized static): at 32 decode
+    * threads that serializes the whole executor — measured 10.3s for 60k
+    * clips that cost 0.15s of actual CPU. Plain PCM WAV is a fixed chunk
+    * grammar (RIFF header, `fmt ` chunk, `data` chunk), so the hot path
+    * parses the container bytes directly with zero shared state; anything
+    * that isn't 16-bit PCM WAV (AIFF, AU, other encodings) falls through
+    * to the AudioSystem path. Returns None when `bytes` is not parseable
+    * 16-bit PCM WAV. */
+  private def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int) = (bytes(o) & 0xFF).toLong | ((bytes(o + 1) & 0xFF).toLong << 8) |
+      ((bytes(o + 2) & 0xFF).toLong << 16) | ((bytes(o + 3) & 0xFF).toLong << 24)
+    def tag(o: Int, t: String) = bytes.length >= o + 4 &&
+      bytes(o) == t(0).toByte && bytes(o + 1) == t(1).toByte &&
+      bytes(o + 2) == t(2).toByte && bytes(o + 3) == t(3).toByte
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, bits)
+      var rate = 0
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val size = u32(off + 4).toInt
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (tag(off, "fmt ") && size >= 16) {
+          fmt = Some((u16(off + 8), u16(off + 10), u16(off + 22)))
+          rate = u32(off + 12).toInt
+        } else if (tag(off, "data")) data = Some((off + 8, size))
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((1, channels, 16)), Some((dOff, dLen))) if channels > 0 =>
+          val out = new Array[Int](dLen / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (bytes(dOff + 2 * i + 1).toInt << 8) |
+              (bytes(dOff + 2 * i) & 0xFF)
+            i += 1
+          }
+          Some((rate, channels, out))
+        case _ => None
+      }
+    }
+  }
+
+  /** REAL audio decode: container bytes → (sampleRate, channels,
+    * interleaved integer samples). 16-bit PCM WAV takes the lock-free
+    * direct parser ([[parseWavPcm16]]); everything else goes through the
+    * JDK's sampled-sound stack (AIFF/AU readers are built in) and supports
+    * the 16-bit and 8-bit signed PCM encodings the JDK writes. None for
+    * undecodable or non-PCM payloads — the same drop-the-row contract as
+    * [[decodeImage]]. */
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parseWavPcm16(bytes).orElse(decodeAudioJdk(bytes))
+
+  /** The `AudioSystem` fallback path of [[decodeAudio]] (package-visible so
+    * the spec can assert direct-parser/JDK parity on the same bytes). */
+  private[graft] def decodeAudioJdk(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -586,14 +641,20 @@ object Multimodal {
       data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      rate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // canonical 44-byte RIFF/WAVE header written directly:
+    // `AudioSystem.write` pays the same global provider lock as the decode
+    // side (see parseWavPcm16), and mono 16-bit PCM WAV is a fixed layout
+    val out = new Array[Byte](44 + data.length)
+    def put4(o: Int, s: String): Unit = { var j = 0; while (j < 4) { out(o + j) = s(j).toByte; j += 1 } }
+    def le32(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    put4(0, "RIFF"); le32(4, 36 + data.length); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    put4(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
   }
 
   /** Distributed audio fixture: one [[syntheticWav]] per id with an

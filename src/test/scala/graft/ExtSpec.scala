@@ -719,6 +719,24 @@ class ExtSpec extends AnyFunSuite {
     // corrupt payloads drop the row, never the executor
     assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
     assert(Multimodal.decodeAudio(bytes.take(12)).isEmpty)
+    // the direct RIFF parser and the AudioSystem fallback agree bit-for-bit
+    // on the same container bytes (the fast path must be a pure
+    // optimization, never a different decoder) — including the JDK reading
+    // our hand-written header
+    for (probe <- Seq(1L, 7L, 42L)) {
+      val b = Multimodal.syntheticWav(probe, 777 + probe.toInt)
+      val direct = Multimodal.decodeAudio(b)
+      val jdk = Multimodal.decodeAudioJdk(b)
+      assert(jdk.isDefined, s"JDK reader rejected the hand-written WAV of $probe")
+      assert(direct.map { case (r, c, s) => (r, c, s.toSeq) } ==
+        jdk.map { case (r, c, s) => (r, c, s.toSeq) }, s"parity on clip $probe")
+    }
+    // truncated data chunk (header claims more bytes than present): the
+    // direct parser rejects it, so whatever comes out is exactly the JDK
+    // fallback's reading of the same bytes — never a third behavior
+    val trunc = bytes.dropRight(100)
+    assert(Multimodal.decodeAudio(trunc).map { case (r, c, s) => (r, c, s.toSeq) } ==
+      Multimodal.decodeAudioJdk(trunc).map { case (r, c, s) => (r, c, s.toSeq) })
     // distributed stats fixture matches the analytic loudness
     val out = Multimodal.audioStats(
         Multimodal.syntheticAudio(spark.range(20).toDF("doc_id"), "doc_id"))
