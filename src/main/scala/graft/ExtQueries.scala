@@ -502,7 +502,36 @@ object ExtQueries {
             lit("copyright footer all rights reserved")).as("text"))
       Corpus.removeBoilerplateLines(withLines, "doc_id", "text", minDocs = 10)
         .orderBy(col("doc_id"))
-    }
+    },
+    // Exact substring (8-token-window) duplication report — the
+    // span-granular dedup of Lee et al. 2022 as posting lists. docsPar:
+    // the window explode is the CPU stage before the first shuffle.
+    "q72_duplicate_spans" -> ((s, dir) =>
+      graft.ext.Spans.duplicateSpans(docsPar(s, dir), "doc_id", "text", w = 8)
+        .orderBy(col("span"))),
+    // The removal terminal: same spans, rewritten documents. Output text is
+    // whitespace-normalized lowercase by the operator's contract.
+    "q73_drop_duplicate_spans" -> ((s, dir) =>
+      graft.ext.Spans.dropDuplicateSpans(docsPar(s, dir), "doc_id", "text", w = 8)
+        .orderBy(col("doc_id"))),
+    // Frequency capping: at most 20 docs per source, ranked by salted md5
+    // of the id — deterministic, so the oracle replays the exact ranking.
+    "q74_cap_per_source" -> ((s, dir) =>
+      Corpus.capPerKey(read(s, dir, "documents"), "source", "doc_id", cap = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    // Mixture targeting: sample down to a 50/30/20 mix of three sources
+    // (everything else dropped). At the uniform fixture counts the LARGEST
+    // weight is the limiting source, so src0 is kept whole and the other
+    // two thin to 0.6/0.4 — the oracle recomputes the same
+    // count → rate → hash-threshold chain in SQL (doubles end to end; the
+    // rates here land on exactly representable values, and the CAST AS
+    // DOUBLE keeps DuckDB's decimal literals out of the arithmetic).
+    "q75_target_mixture" -> ((s, dir) =>
+      Corpus.targetMixture(read(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")))
   )
 
   private val docToks =
@@ -1192,6 +1221,80 @@ object ExtQueries {
         |  count(*) FILTER (WHERE NOT dropped) AS n_lines_kept,
         |  count(*) FILTER (WHERE dropped) AS n_lines_dropped
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q72: 8-token windows via 1-based list slicing (range is end-exclusive
+    // where Spark's sequence is inclusive: i in [1, len-7] mirrors starts
+    // [0, len-8]), then the distinct-doc threshold
+    "q72_duplicate_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS tk
+        |  FROM documents),
+        |wi AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        |  FROM t WHERE len(tk) >= 8),
+        |w AS (SELECT doc_id, array_to_string(tk[i : i+7], ' ') AS span FROM wi)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences
+        |FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY span""".stripMargin,
+    // q73: same windows + threshold, then covered 1-based positions
+    // (range(i, i+8) = the 8 tokens under a window at i) anti-joined onto
+    // the per-position token list for the in-order rebuild; a fully
+    // covered doc yields '' via the FILTER + coalesce, matching the
+    // operator's empty-string (never dropped-row) contract
+    "q73_drop_duplicate_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS tk
+        |  FROM documents),
+        |wi AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        |  FROM t WHERE len(tk) >= 8),
+        |w AS (SELECT doc_id, i, array_to_string(tk[i : i+7], ' ') AS span
+        |  FROM wi),
+        |dup AS (SELECT span FROM w
+        |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |cov0 AS (SELECT doc_id, unnest(range(i, i + 8)) AS j FROM w
+        |  WHERE span IN (SELECT span FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, j FROM cov0),
+        |tok AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM t),
+        |tv AS (SELECT doc_id, p, tk[p] AS tok FROM tok)
+        |SELECT tv.doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY p)
+        |    FILTER (WHERE cov.j IS NULL), '') AS text_clean,
+        |  CAST(count(*) FILTER (WHERE cov.j IS NOT NULL) AS INT)
+        |    AS n_tokens_removed
+        |FROM tv LEFT JOIN cov ON cov.doc_id = tv.doc_id AND cov.j = tv.p
+        |GROUP BY tv.doc_id ORDER BY tv.doc_id""".stripMargin,
+    // q74: the same salted-md5 ranking (hex strings order identically in
+    // both engines; id as tiebreak)
+    "q74_cap_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id || ':graft:cap'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    // q75: the count -> rate -> hash-threshold chain replayed with DOUBLE
+    // arithmetic end to end (DuckDB numeric literals are DECIMAL, hence the
+    // casts; the weight normalization mirrors the operator's left-to-right
+    // sum), threshold = floor(f*10000 + 0.5) = Scala's math.round
+    "q75_target_mixture" ->
+      """WITH z AS (SELECT CAST(0.5 AS DOUBLE) + CAST(0.3 AS DOUBLE)
+        |    + CAST(0.2 AS DOUBLE) AS z),
+        |tgt AS (
+        |  SELECT 'src0' AS source, CAST(0.5 AS DOUBLE)/(SELECT z FROM z) AS wt
+        |  UNION ALL
+        |  SELECT 'src1', CAST(0.3 AS DOUBLE)/(SELECT z FROM z)
+        |  UNION ALL
+        |  SELECT 'src2', CAST(0.2 AS DOUBLE)/(SELECT z FROM z)),
+        |c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |j AS (SELECT t.source, t.wt, c.n FROM tgt t JOIN c USING (source)),
+        |tm AS (SELECT min(n / wt) AS t FROM j),
+        |cut AS (SELECT source,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE), (SELECT t FROM tm) * wt / n)
+        |      * 10000.0 + 0.5) AS BIGINT) AS cut
+        |  FROM j)
+        |SELECT d.doc_id, d.source FROM documents d JOIN cut USING (source)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:mix'), 1, 8))
+        |    AS BIGINT) % 10000 < cut
+        |ORDER BY doc_id""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a
     // power of two so the floor division is exact in double
     "q59_pack_sequences" ->

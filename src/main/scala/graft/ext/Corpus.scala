@@ -87,6 +87,70 @@ object Corpus {
     df.filter(b < cut)
   }
 
+  /** Frequency capping: keep at most `cap` documents per key (URL, domain,
+    * template hash, …) — the standard guard against a single hot source
+    * drowning the mixture. Selection is deterministic: within a key, rows
+    * are ranked by the salted md5 of their id (id as tiebreak), so the same
+    * `cap` over the same corpus keeps the same rows on any cluster layout,
+    * and raising `cap` only ever ADDS rows (the ranking is stable) — the
+    * property that makes a re-run auditable.
+    *
+    * Scale shape: one shuffle on the key (window `row_number`). Every row
+    * of a key lands in one task — fine for the URL/domain keys this is
+    * meant for (≤ millions of rows per key); a degenerate key holding a
+    * substantial fraction of the corpus serializes that task, in which
+    * case pre-thin it with [[stratifiedSample]] at a fraction that leaves
+    * ~cap·10 survivors before ranking exactly. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+                salt: String = "graft:cap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    requireFresh(df, "capPerKey", "__rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + salt))),
+        col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= cap).drop("__rank")
+  }
+
+  /** Mixture targeting: sample the corpus DOWN to a target source mixture
+    * (`target` = source → weight, normalized internally), keeping as much
+    * data as possible — the data-mixing step that turns "whatever the crawl
+    * yielded" into the proportions the training run wants. The limiting
+    * source (smallest count/weight ratio) is kept whole; every other
+    * target source is thinned to match; sources absent from `target` are
+    * dropped. Sampling is [[stratifiedSample]]'s deterministic hash
+    * threshold, so membership is reproducible and composable.
+    *
+    * Scale shape: one count aggregate (one row per source — bounded driver
+    * state, the k-means-centroid posture) to derive the per-source rates,
+    * then a zero-shuffle filter. The realized mixture converges to
+    * `target` with the usual hash-binomial noise (O(1/√n) per source);
+    * exact-count mixtures would need a per-source rank — that is
+    * [[capPerKey]] with per-source caps of `round(t · weight)`. */
+  def targetMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                    target: Map[String, Double], buckets: Int = 10000,
+                    salt: String = "graft:mix"): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0.0),
+      s"target weights must be positive, got $target")
+    val z = target.values.sum
+    val tgt = target.map { case (s, wt) => s -> wt / z }
+    val counts = df.filter(col(sourceCol).isin(tgt.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = tgt.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"target source(s) with no rows: ${missing.mkString(", ")} — a zero " +
+        "count forces every other source to an empty sample; drop them " +
+        "from the target instead")
+    // the achievable total: the limiting source fills its share exactly
+    val t = tgt.map { case (s, wt) => counts(s) / wt }.min
+    val fractions = tgt.map { case (s, wt) =>
+      s -> math.min(1.0, t * wt / counts(s)) }
+    stratifiedSample(df.filter(col(sourceCol).isin(tgt.keys.toSeq: _*)),
+      keyCol, sourceCol, fractions, default = 0.0, buckets, salt)
+  }
+
   /** Per-document n-gram overlap against a benchmark/eval corpus — the
     * decontamination check a training pipeline runs before anything ships:
     * a document sharing a large fraction of its n-grams with an evaluation

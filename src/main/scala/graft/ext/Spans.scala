@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Substring-level (token-window) exact dedup — the span-granular sibling of
+  * [[Dedup.exact]] (whole documents) and
+  * [[Corpus.removeBoilerplateLines]] (whole lines): find every w-token
+  * window that recurs across documents, and optionally rewrite documents
+  * with the recurring spans cut out. This is the "exact substring
+  * deduplication" of Lee et al., *Deduplicating Training Data Makes
+  * Language Models Better* (2022) — the suffix-array formulation there is a
+  * single-machine algorithm; the Spark-native shape is posting lists:
+  * explode windows, aggregate on the window key, join the small duplicate
+  * set back. Reference scope: flatbread has no text operators at all —
+  * this belongs to the training-data-pipeline surface the port adds on top.
+  *
+  * Tokenization is [[TextStats.tokens]] (lowercase, trim, split on
+  * whitespace), so spans — and the rebuilt text of
+  * [[dropDuplicateSpans]] — are whitespace-normalized lowercase. Documents
+  * shorter than `w` tokens contribute no windows (nothing to report, never
+  * rewritten); a null text is an empty document.
+  */
+object Spans {
+
+  /** Per-document w-token windows with their 0-based start position:
+    * (id, pos, span). The token array is materialized into its own
+    * projection first — higher-order-function lambdas are interpreted with
+    * no common-subexpression elimination, so an inline `split` would re-run
+    * once per window element. */
+  private[ext] def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                               w: Int): DataFrame = {
+    require(w >= 2, s"a span is a multi-token window, got w=$w")
+    df.select(col(idCol),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - w),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(w))))).as(Seq("pos", "span")))
+  }
+
+  /** Every w-token span that occurs in at least `minDocs` DISTINCT
+    * documents: (span, n_docs, n_occurrences). `minDocs = 2` (default) is
+    * cross-document duplication — repetition WITHIN one document is
+    * [[TextStats.repetitionStats]]'s job and deliberately not counted here.
+    *
+    * Scale shape: one shuffle, keyed by the span itself (the report has to
+    * carry the span text anyway; map-side partial aggregation collapses
+    * within-partition repeats before anything moves). The distinct-doc
+    * count rides the same aggregate via Expand — 2× skinny pre-aggregated
+    * rows, not a second pass. Output size is the duplicate-span vocabulary,
+    * a corpus-dependent report — at 100 TB feed it straight into
+    * [[dropDuplicateSpans]]'s hash-keyed form rather than collecting it. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would report every window, got $minDocs")
+    spanWindows(df, idCol, textCol, w)
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** The removal TERMINAL: rewrite each document with every token that is
+    * covered by a cross-document duplicate span (per [[duplicateSpans]]'s
+    * definition) removed. Returns (id, `outCol`, n_tokens_removed); the
+    * rebuilt text is whitespace-normalized lowercase (see the class note),
+    * and a document whose every token is covered comes back as the empty
+    * string, not a dropped row.
+    *
+    * Scale shape, mirroring [[Corpus.removeBoilerplateLines]]'s hash
+    * discipline: windows carry only (id, pos, xxhash64(span)) — the span
+    * text itself never shuffles. Duplicate detection is (hash, id) distinct
+    * → count ≥ minDocs (two skinny map-side-combined aggregates); covered
+    * positions come from a semi-join of the windows against that small
+    * hash set, exploded to positions and collapsed per document; the one
+    * wide shuffle is the final reassembly join of the per-doc covered set
+    * onto the token arrays, paid exactly once. A hash collision could
+    * over-delete a span (never corrupt one) — the 64-bit space makes that
+    * a non-event at any plausible vocabulary. */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 8, minDocs: Int = 2,
+                         outCol: String = "text_clean"): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would delete every window, got $minDocs")
+    val toks = df.select(col(idCol),
+      TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val wins = toks
+      .filter(size(col("__t")) >= w)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - w),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(w))))))
+          .as(Seq("pos", "__sh")))
+    val dup = wins.select(col("__sh"), col(idCol)).distinct()
+      .groupBy(col("__sh")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__sh"))
+    val covered = wins.join(dup, Seq("__sh"), "left_semi")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (w - 1))).as("__p"))
+      .groupBy(col(idCol)).agg(collect_set(col("__p")).as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__t"),
+          (_, i) => !coalesce(array_contains(col("__cov"), i), lit(false))))
+          .as(outCol),
+        coalesce(size(col("__cov")), lit(0)).as("n_tokens_removed"))
+  }
+}

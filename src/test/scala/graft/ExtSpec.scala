@@ -1250,4 +1250,76 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(1) == 500000L &&
       out(0).getDouble(2) == 1.0, out.mkString(","))
   }
+
+  test("duplicateSpans finds cross-doc windows only; short docs contribute none") {
+    val df = Seq(
+      (0L, "a b c d e f"),           // shares "a b c d" with 1
+      (1L, "x a b c d y"),
+      (2L, "a b c d"),               // exactly one window, same span
+      (3L, "p q r"),                 // shorter than w: no windows
+      (4L, "m m m m m m m")          // self-repeats only (one doc)
+    ).toDF("doc_id", "text")
+    val out = Spans.duplicateSpans(df, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // "a b c d" occurs once in each of docs 0, 1, 2; "m m m m" is one doc
+    // (self-repetition is repetitionStats' job, not counted here)
+    assert(out == Set(("a b c d", 3L, 3L)))
+    // raising minDocs above the multiplicity empties the report
+    assert(Spans.duplicateSpans(df, "doc_id", "text", w = 4, minDocs = 4).isEmpty)
+  }
+
+  test("dropDuplicateSpans removes covered tokens, keeps docs, unions overlaps") {
+    val df = Seq(
+      (0L, "one two three four tail0"),     // window at 0 duplicated
+      (1L, "head1 one two three four"),
+      (2L, "one two three four five"),      // overlapping windows both dup'd
+      (3L, "zz one two three four five yy"),
+      (4L, "short doc"),                    // < w tokens: untouched
+      (5L, null.asInstanceOf[String])       // null text: empty doc
+    ).toDF("doc_id", "text")
+    val out = Spans.dropDuplicateSpans(df, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // docs 2/3 share BOTH "one two three four" and "two three four five":
+    // covered positions union, no double count
+    assert(out(0L) == ("tail0", 4))
+    assert(out(1L) == ("head1", 4))
+    assert(out(2L) == ("", 5))              // fully covered -> empty, kept
+    assert(out(3L) == ("zz yy", 5))
+    assert(out(4L) == ("short doc", 0))
+    assert(out(5L) == ("", 0))
+  }
+
+  test("capPerKey is deterministic, monotone in cap, and a no-op above the group size") {
+    val df = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val cap5 = Corpus.capPerKey(df, "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val cap5b = Corpus.capPerKey(df.repartition(7), "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cap5 == cap5b, "selection must not depend on partitioning")
+    val cap10 = Corpus.capPerKey(df, "source", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cap5.subsetOf(cap10), "raising cap only adds rows")
+    val counts = Corpus.capPerKey(df, "source", "doc_id", 5)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(counts.forall(_._2 == 5))
+    assert(Corpus.capPerKey(df, "source", "doc_id", 100000).count() == df.count())
+  }
+
+  test("targetMixture keeps the limiting source whole and hits the target ratios") {
+    val df = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    val out = Corpus.targetMixture(df, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    val got = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("src0", "src1", "src2"), "non-target sources dropped")
+    // uniform 250/source: src0 (largest weight) is limiting -> kept whole;
+    // others are hash-binomial around rate * 250
+    assert(got("src0") == 250L)
+    assert(math.abs(got("src1") - 150L) <= 30, got.toString) // rate 0.6
+    assert(math.abs(got("src2") - 100L) <= 30, got.toString) // rate 0.4
+    // a target source with zero rows is a loud error, not an empty sample
+    val e = intercept[IllegalArgumentException] {
+      Corpus.targetMixture(df, "doc_id", "source", Map("nope" -> 1.0))
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
 }
