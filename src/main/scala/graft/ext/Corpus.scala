@@ -95,12 +95,12 @@ object Corpus {
     * and raising `cap` only ever ADDS rows (the ranking is stable) — the
     * property that makes a re-run auditable.
     *
-    * Scale shape: one shuffle on the key (window `row_number`). Every row
-    * of a key lands in one task — fine for the URL/domain keys this is
-    * meant for (≤ millions of rows per key); a degenerate key holding a
-    * substantial fraction of the corpus serializes that task, in which
-    * case pre-thin it with [[stratifiedSample]] at a fraction that leaves
-    * ~cap·10 survivors before ranking exactly. */
+    * Scale shape: one shuffle on the key, and Spark plans the rank filter
+    * as a `WindowGroupLimit` pushed BELOW the exchange — each upstream
+    * partition ships at most `cap` rows per key, so a degenerate hot key
+    * moves O(cap · partitions) rows, never its full population, and the
+    * final per-key task is bounded by the same. (Verified in the q74
+    * physical plan: Partial WindowGroupLimit → Exchange → Final.) */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int,
                 salt: String = "graft:cap"): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

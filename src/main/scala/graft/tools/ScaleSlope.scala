@@ -89,7 +89,11 @@ object ScaleSlope {
       "q51_dedup_corpus_terminal", "q52_contamination", "q56_ann_quantized",
       "q58_decontaminated", "q59_pack_sequences", "q61_image_decode",
       "q62_audio_decode", "q63_ann_ivf_indexed", "q64_incremental_neardup",
-      "q65_incremental_neardup_h3", "q67_ann_ivf_kmeans", "q68_video_frames")
+      "q65_incremental_neardup_h3", "q67_ann_ivf_kmeans", "q68_video_frames",
+      // the span windows of the 10x copies each contain >= 1 spliced marker
+      // token (markers every 6 tokens < w = 8), so copies never collide
+      // with their originals and duplicate-span structure grows linearly
+      "q72_duplicate_spans", "q73_drop_duplicate_spans")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
