@@ -354,13 +354,20 @@ object Corpus {
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Int, outCol: String = "text_clean",
                              delim: String = "\n"): DataFrame = {
+    // posexplode_outer: a null-text doc (split → null array) still emits one
+    // (null idx, null line) row, so the doc SURVIVES the final groupBy as
+    // ("", 0 kept, 0 dropped) instead of silently vanishing — membership
+    // changes belong to the dedup/gating terminals, not here. The null line
+    // gets a null hash (not xxhash64's seed constant, which would alias all
+    // null-text docs onto one countable "line") so it can never be flagged.
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .select(col(idCol), posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(delim))))
       .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__line")
-      .withColumn("__lh", xxhash64(trim(col("__line"))))
+      .withColumn("__lh", when(col("__line").isNotNull, xxhash64(trim(col("__line")))))
     // distinct docs per line value: collapse (line, doc) first — both
     // aggregates get map-side combine and carry only (hash, id) pairs
-    val boiler = lines.select(col("__lh"), col(idCol)).distinct()
+    val boiler = lines.select(col("__lh"), col(idCol))
+      .filter(col("__lh").isNotNull).distinct()
       .groupBy(col("__lh")).agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= minDocs)
       .select(col("__lh").as("__boiler_lh"))
@@ -371,9 +378,9 @@ object Corpus {
         // sort by line index, keep survivors in order; array_sort on the
         // (idx, line) struct orders by idx first — deterministic reassembly
         concat_ws(delim,
-          expr("transform(array_sort(collect_list(CASE WHEN NOT __drop THEN struct(__idx, __line) END)), s -> s.__line)"))
+          expr("transform(array_sort(collect_list(CASE WHEN __line IS NOT NULL AND NOT __drop THEN struct(__idx, __line) END)), s -> s.__line)"))
           .as(outCol),
-        sum(when(!col("__drop"), 1L).otherwise(0L)).as("n_lines_kept"),
-        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_lines_dropped"))
+        sum(when(col("__line").isNotNull && !col("__drop"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__line").isNotNull && col("__drop"), 1L).otherwise(0L)).as("n_lines_dropped"))
   }
 }

@@ -309,9 +309,18 @@ object Multimodal {
     * (`ImageReader.getNumImages`/`read(i)` — the JDK's GIF reader returns
     * every image in an animated GIF): container bytes → per-frame
     * (width, height, packed 0xRRGGBB pixels). None for undecodable
-    * payloads — the same drop-the-row contract as [[decodeImage]]. Frames
-    * are returned as independently decoded images (our writer emits
-    * full-size frames, so no disposal compositing is needed). */
+    * payloads — the same drop-the-row contract as [[decodeImage]].
+    *
+    * LIMITATION — full-frame GIFs only: frames are returned as
+    * INDEPENDENTLY decoded images; GIF disposal methods and per-frame
+    * canvas offsets from the stream's `IIOMetadata` are NOT composited.
+    * An animated GIF whose later frames are partial deltas drawn at an
+    * offset onto the logical screen (common in the wild as a size
+    * optimization) decodes to that frame's own sub-image, not the
+    * composited screen state. Every frame of a full-frame GIF (what
+    * [[syntheticGif]] writes, and what re-encoders typically emit)
+    * decodes exactly. Callers needing wild-GIF fidelity should composite
+    * via the reader's metadata before the per-frame statistics. */
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] =
     try {
       val iis = memIn(bytes)
@@ -436,6 +445,7 @@ object Multimodal {
     * the value); the q68 oracle recomputes the means analytically from the
     * synthetic formula. Undecodable rows are dropped. */
   def frameStats(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       decodeFrames(r.media).toSeq.flatMap { frames =>
@@ -487,6 +497,7 @@ object Multimodal {
     * scene search / per-frame near-dup. */
   def embedFrames(media: Dataset[MediaRow], grid: Int = 4,
                   stride: Int = 1): Dataset[FrameEmbedding] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       decodeFrames(r.media).toSeq.flatMap { frames =>
@@ -506,6 +517,7 @@ object Multimodal {
     * `array<float>` Similarity operators as every other embedding. */
   def videoEmbeddings(media: Dataset[MediaRow], grid: Int = 4,
                       stride: Int = 1): Dataset[EmbeddedRow] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       decodeFrames(r.media).map { frames =>
@@ -548,8 +560,12 @@ object Multimodal {
     * parses the container bytes directly with zero shared state; anything
     * that isn't 16-bit PCM WAV (AIFF, AU, other encodings) falls through
     * to the AudioSystem path. Returns None when `bytes` is not parseable
-    * 16-bit PCM WAV. */
-  private def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    * 16-bit PCM WAV — including crafted/corrupt containers: chunk-size
+    * bounds are checked in Long arithmetic (a declared u32 size near 2³¹
+    * must not wrap the guard in Int math), and any residual parse failure
+    * is caught, honoring the drop-the-row poison-input contract at crawl
+    * scale instead of crashing the task. */
+  private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
     def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int) = (bytes(o) & 0xFF).toLong | ((bytes(o + 1) & 0xFF).toLong << 8) |
       ((bytes(o + 2) & 0xFF).toLong << 16) | ((bytes(o + 3) & 0xFF).toLong << 24)
@@ -562,16 +578,21 @@ object Multimodal {
       var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, bits)
       var rate = 0
       var data: Option[(Int, Int)] = None // (offset, length)
-      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-        val size = u32(off + 4).toInt
-        if (size < 0 || off + 8 + size > bytes.length) return None
-        if (tag(off, "fmt ") && size >= 16) {
-          fmt = Some((u16(off + 8), u16(off + 10), u16(off + 22)))
-          rate = u32(off + 12).toInt
-        } else if (tag(off, "data")) data = Some((off + 8, size))
-        off += 8 + size + (size & 1) // chunks are word-aligned
+      var bad = false
+      while (!bad && off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val size = u32(off + 4) // Long: 0 .. 2³²−1, never negative
+        if (off.toLong + 8L + size > bytes.length) bad = true
+        else {
+          val sz = size.toInt // safe: bounded by bytes.length above
+          if (tag(off, "fmt ") && sz >= 16) {
+            fmt = Some((u16(off + 8), u16(off + 10), u16(off + 22)))
+            rate = u32(off + 12).toInt
+          } else if (tag(off, "data")) data = Some((off + 8, sz))
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
       }
-      (fmt, data) match {
+      if (bad) None
+      else (fmt, data) match {
         case (Some((1, channels, 16)), Some((dOff, dLen))) if channels > 0 =>
           val out = new Array[Int](dLen / 2)
           var i = 0
@@ -584,7 +605,7 @@ object Multimodal {
         case _ => None
       }
     }
-  }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL audio decode: container bytes → (sampleRate, channels,
     * interleaved integer samples). 16-bit PCM WAV takes the lock-free

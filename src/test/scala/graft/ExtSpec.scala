@@ -52,6 +52,13 @@ class ExtSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == Set(12L), s"fpp=$fpp kept $kept")
     }
+    // the Reliable (real-FS) checkpoint strategy — the cluster-mode path —
+    // yields the same result; only the lineage-truncation mechanism differs
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-inc").toString
+    val rel = Dedup.incrementalExact(arrivals, seen, "doc_id", "text",
+        checkpoint = CheckpointStrategy.Reliable(ckptDir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rel == Set(12L), s"Reliable checkpoint kept $rel")
     // empty history: everything is fresh
     val all = Dedup.incrementalExact(arrivals, seen.limit(0), "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -813,6 +820,51 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeFrames(bytes.take(10)).isEmpty)
   }
 
+  test("crafted WAV with a 2^31-adjacent chunk size drops the row, never the task") {
+    // a declared u32 chunk size near Int.MaxValue used to wrap
+    // `off + 8 + size` negative in Int arithmetic, bypassing the bounds
+    // guard — the header reads / sample-array allocation then threw
+    // (AIOOBE or OOM) inside the executor task. The bounds math is now
+    // Long and any residual parse failure maps to None: drop the row,
+    // honoring the poison-input contract at crawl scale.
+    def patched(off: Int, sz: Long): Array[Byte] = {
+      val b = Multimodal.syntheticWav(1L, 100).clone()
+      b(off) = (sz & 0xFF).toByte; b(off + 1) = ((sz >> 8) & 0xFF).toByte
+      b(off + 2) = ((sz >> 16) & 0xFF).toByte
+      b(off + 3) = ((sz >> 24) & 0xFF).toByte
+      b
+    }
+    // offsets 16 / 40 are the fmt / data chunk size fields of the
+    // canonical 44-byte header syntheticWav writes
+    for (off <- Seq(16, 40); sz <- Seq(0x7FFFFFF8L, 0x7FFFFFFFL, 0xFFFFFFF0L)) {
+      val evil = patched(off, sz)
+      // the direct parser must reject, not crash
+      assert(Multimodal.parseWavPcm16(evil).isEmpty, s"parser off=$off sz=$sz")
+      // and the public path must agree with the AudioSystem fallback on the
+      // same bytes (never throw, never a third behavior)
+      assert(Multimodal.decodeAudio(evil).map { case (r, c, s) => (r, c, s.toSeq) } ==
+        Multimodal.decodeAudioJdk(evil).map { case (r, c, s) => (r, c, s.toSeq) },
+        s"parity off=$off sz=$sz")
+    }
+    // the 44-byte header-only variant of the same attack (huge declared
+    // data size, zero actual payload) — previously a multi-GB allocation
+    val evil44 = patched(40, 0x7FFFFFF8L).take(44)
+    assert(Multimodal.parseWavPcm16(evil44).isEmpty)
+    assert(Multimodal.decodeAudio(evil44).map { case (r, c, s) => (r, c, s.toSeq) } ==
+      Multimodal.decodeAudioJdk(evil44).map { case (r, c, s) => (r, c, s.toSeq) })
+    // sanity: the patch helper itself didn't break well-formed decode
+    assert(Multimodal.parseWavPcm16(Multimodal.syntheticWav(1L, 100)).isDefined)
+  }
+
+  test("frame-sampling entry points reject stride < 1 on the driver") {
+    val media = Multimodal.syntheticVideos(spark.range(2).toDF("doc_id"), "doc_id")
+    for (bad <- Seq(0, -1)) {
+      intercept[IllegalArgumentException](Multimodal.frameStats(media, stride = bad))
+      intercept[IllegalArgumentException](Multimodal.embedFrames(media, stride = bad))
+      intercept[IllegalArgumentException](Multimodal.videoEmbeddings(media, stride = bad))
+    }
+  }
+
   test("frameStats samples every 2nd real frame with analytic means") {
     val ids = spark.range(30).toDF("doc_id")
     val out = Multimodal.frameStats(
@@ -1148,6 +1200,25 @@ class ExtSpec extends AnyFunSuite {
         minDocs = 4).filter(col("doc_id") === 100L).collect().head
     assert(e.getAs[String]("text_clean") == "")
     assert(e.getAs[Long]("n_lines_kept") == 0L)
+    // a null-text doc also SURVIVES — as ("", 0 kept, 0 dropped) — instead
+    // of silently vanishing (split(null) → null array used to explode to
+    // zero rows); membership changes belong to the dedup/gating terminals
+    val withNull = docs.unionByName(
+      Seq((200L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nOut = Corpus.removeBoilerplateLines(withNull, "doc_id", "text",
+        minDocs = 4)
+    assert(nOut.count() == 13L) // no row lost
+    val n = nOut.filter(col("doc_id") === 200L).collect().head
+    assert(n.getAs[String]("text_clean") == "")
+    assert(n.getAs[Long]("n_lines_kept") == 0L)
+    assert(n.getAs[Long]("n_lines_dropped") == 0L)
+    // and the null row doesn't perturb any other doc's result
+    val others = nOut.filter(col("doc_id") < 12L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    (0 until 12).foreach { i =>
+      val shared = if (i < 3) "shared snippet\n" else ""
+      assert(others(i.toLong) == s"unique a $i\n${shared}unique b $i")
+    }
   }
 
   test("prefixSum matches the single-partition window on shuffled input") {

@@ -437,6 +437,13 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"), concat(lit("garbled "), col("doc_id")).as("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     garbled.toDF("doc_id", "text").write.mode("overwrite").parquet(histDir)
+    // the reload path itself is taken on restart: the persisted covering
+    // count equals the live history count (the metadata check), so a fresh
+    // state object accepts the state directly — the positive twin of the
+    // divergence refusal asserted below
+    val reloadable = new Streaming.IngestEpochState(0.01, 100L, Some(stateDir))
+    assert(reloadable.tryReload(history()),
+      "mid-epoch persisted state should reload when the covering count matches")
     // restarted writer: dup of original history (12), dup of the mid-epoch
     // accept (13), genuinely new (14) — no duplicate emissions, no rescan
     assert(run(Seq((12L, "alpha beta gamma delta"),
