@@ -440,6 +440,24 @@ object ExtQueries {
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("frame_idx"))
     },
+    // The SECOND real video container under the SAME oracle pattern (r9):
+    // deterministic uncompressed-DIB AVIs (frame f of clip id: gray
+    // (id + 11f + 3x + 5y) % 256 over dims 14+id%6 × 10+5id%7, 2 + id%4
+    // frames) are hand-encoded into standard RIFF/AVI on the executors and
+    // decoded back through the direct container walker (hdrl/strl/strf →
+    // movi '00db' chunks, bottom-up BGR rows with 4-byte padding). BI_RGB
+    // DIB is raw bytes — lossless — so the oracle recomputes the per-frame
+    // means analytically: any deviation in the RIFF walk, the row order /
+    // padding math, the frame COUNT, or the sampling breaks the hash. The
+    // MJPEG flavor of the same container (JPEG frames, lossy) is
+    // spec-checked instead (ExtSpec).
+    "q76_avi_frames" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.frameStats(
+          Multimodal.syntheticAviVideos(docsPar(s, dir), "doc_id"), stride = 2)
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
     // Incremental index maintenance under the oracle: the index is built on
     // a 400-vector PREFIX of the corpus (which contains the 16 pivot ids,
     // so the pivot set equals the full build's) and the remaining 100
@@ -1153,6 +1171,29 @@ object ExtQueries {
         |    CAST(16 + doc_id % 5 AS INT) AS width,
         |    CAST(12 + (doc_id * 3) % 5 AS INT) AS height,
         |    2 + doc_id % 3 AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, width, height,
+        |         unnest(range(0, n_frames)) AS f FROM dims),
+        |sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |xs AS (SELECT doc_id, width, height, f,
+        |         unnest(range(0, width)) AS x FROM sampled),
+        |xy AS (SELECT doc_id, width, height, f, x,
+        |         unnest(range(0, height)) AS y FROM xs),
+        |agg AS (SELECT doc_id, f, width, height,
+        |    SUM((doc_id + 11*f + 3*x + 5*y) % 256) AS sv
+        |  FROM xy GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, width, height,
+        |  CAST(sv AS DOUBLE)/(width*height) AS avg_v
+        |FROM agg ORDER BY doc_id, frame_idx""".stripMargin,
+    // q76: q68's analytic-mean oracle over the AVI fixture's own dims
+    // (14+id%6 × 10+5id%7, frames 0..2+id%4, sampled every 2nd); the DIB
+    // losslessness argument replaces the GIF palette one — no video
+    // decoder on the oracle side
+    "q76_avi_frames" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(14 + doc_id % 6 AS INT) AS width,
+        |    CAST(10 + (doc_id * 5) % 7 AS INT) AS height,
+        |    2 + doc_id % 4 AS n_frames
         |  FROM documents),
         |fr AS (SELECT doc_id, width, height,
         |         unnest(range(0, n_frames)) AS f FROM dims),

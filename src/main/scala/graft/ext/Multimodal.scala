@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   * recomputes channel statistics analytically from the synthetic pixel
   * formula, so a decoder deviation breaks the hash). AUDIO likewise has a
   * real codec — [[decodeAudio]]/[[audioStats]] read WAV/AIFF/AU PCM
-  * through `javax.sound.sampled`, oracle-checked the same way (q62). The
-  * byte-level [[decodeStub]]/[[embedStub]] path remains for media kinds
-  * with no JDK decoder (video, compressed audio): its Spark-side
-  * plumbing — schema, partitioning, batch iteration — is identical, and
-  * swapping the stub for a real codec changes nothing else (the image and
-  * audio paths are the proof). (Beyond the reference surface; required by
+  * through `javax.sound.sampled`, oracle-checked the same way (q62).
+  * VIDEO has real codecs for TWO container families — animated GIF via
+  * ImageIO's sequence reader (q68) and RIFF/AVI via a direct container
+  * walker ([[parseAviFrames]]): uncompressed 24-bit DIB streams decode
+  * losslessly (q76's analytic oracle) and MJPEG streams decode through
+  * the JDK's JPEG reader (spec-checked — JPEG is lossy, so no hash
+  * oracle). The byte-level [[decodeStub]]/[[embedStub]] path remains only
+  * for media the JDK has no entropy coder for (MP4/H.264 video, MP3/AAC
+  * audio): its Spark-side plumbing — schema, partitioning, batch
+  * iteration — is identical, and swapping the stub for a real codec
+  * changes nothing else (the image, audio, GIF, and AVI paths are the
+  * proof, four times over). (Beyond the reference surface; required by
   * the build brief.)
   */
 object Multimodal {
@@ -305,7 +311,9 @@ object Multimodal {
     new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
   }
 
-  /** REAL multi-frame decode via ImageIO's sequence API
+  /** REAL multi-frame decode: RIFF/AVI containers (uncompressed 24-bit DIB
+    * and MJPEG streams) through the direct parser ([[parseAviFrames]]);
+    * everything else through ImageIO's sequence API
     * (`ImageReader.getNumImages`/`read(i)` — the JDK's GIF reader returns
     * every image in an animated GIF): container bytes → per-frame
     * (width, height, packed 0xRRGGBB pixels). None for undecodable
@@ -322,7 +330,8 @@ object Multimodal {
     * decodes exactly. Callers needing wild-GIF fidelity should composite
     * via the reader's metadata before the per-frame statistics. */
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] =
-    try {
+    if (isAvi(bytes)) parseAviFrames(bytes)
+    else try {
       val iis = memIn(bytes)
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) { iis.close(); None }
@@ -431,6 +440,230 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
       MediaRow(id, syntheticGif(id,
         (16 + id % 5).toInt, (12 + (id * 3) % 5).toInt, (2 + id % 3).toInt))
+    })
+  }
+
+  // ---- real AVI container codec (direct RIFF walk + ImageIO for MJPEG) ---
+
+  /** True iff `bytes` is a RIFF/AVI container — [[decodeFrames]]'s dispatch
+    * test. WAV is RIFF too; the form type at offset 8 disambiguates. */
+  private[graft] def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** REAL AVI video decode: walks the RIFF chunk tree (`hdrl` → `strl` →
+    * `strh`/`strf` for the first 'vids' stream, `movi` for the frame
+    * chunks) and decodes each `##db`/`##dc` frame — uncompressed 24-bit
+    * DIB (BI_RGB, bottom-up or top-down via the biHeight sign) directly,
+    * MJPEG through the JDK's JPEG reader (an MJPEG stream is just
+    * independently coded JPEG frames, which is why a JDK-only decoder can
+    * be REAL here while MP4/H.264 cannot). Returns per-frame
+    * (width, height, packed 0xAARRGGBB pixels); None for anything
+    * unparseable — the drop-the-row contract. Every chunk-size bound is
+    * checked in LONG arithmetic (the [[parseWavPcm16]] lesson: a crafted
+    * u32 size near 2³¹ must fail the guard, never wrap it), and the whole
+    * parse is NonFatal-caught, so a corrupt container can cost at most its
+    * own row. */
+  private[graft] def parseAviFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] = try {
+    if (!isAvi(bytes)) None
+    else {
+      def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long = (bytes(o) & 0xFF).toLong | ((bytes(o + 1) & 0xFF).toLong << 8) |
+        ((bytes(o + 2) & 0xFF).toLong << 16) | ((bytes(o + 3) & 0xFF).toLong << 24)
+      def cc(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      var vw = 0; var vh = 0; var bits = 0; var mjpg = false
+      var haveFmt = false
+      var inVideoStream = false
+      // (body offset, body length, compressed?) per frame chunk, in order
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off.toLong + 8 <= end) {
+          val id = cc(off)
+          val size = u32(off + 4) // Long: 0 .. 2³²−1
+          if (off.toLong + 8L + size > end) return // truncated or crafted
+          val body = off + 8
+          val sz = size.toInt // safe: bounded by `end` above
+          if (id == "RIFF" || id == "LIST") {
+            if (sz >= 4) walk(body + 4, body + sz)
+          } else if (id == "strh") {
+            // a header opens a stream scope; only 'vids' streams may bind
+            // the following strf as the video format
+            inVideoStream = sz >= 4 && cc(body) == "vids"
+          } else if (id == "strf" && inVideoStream && !haveFmt && sz >= 40) {
+            vw = u32(body + 4).toInt; vh = u32(body + 8).toInt
+            bits = u16(body + 14)
+            mjpg = u32(body + 16) != 0L && cc(body + 16) == "MJPG"
+            haveFmt = u32(body + 16) == 0L || mjpg // BI_RGB or MJPG only
+          } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+                     (id(3) == 'b' || id(3) == 'c')) {
+            frames += ((body, sz, id(3) == 'c'))
+          }
+          off = body + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(0, bytes.length)
+      val h = math.abs(vh)
+      if (!haveFmt || frames.isEmpty || vw <= 0 || h == 0 ||
+          vw.toLong * h > 64L * 1024 * 1024) None
+      else Some(frames.toIndexedSeq.map { case (fo, flen, compressed) =>
+        if (compressed || mjpg) {
+          val img = javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes, fo, flen)))
+          if (img == null) throw new java.io.IOException("undecodable frame")
+          val (w2, h2) = (img.getWidth, img.getHeight)
+          (w2, h2, img.getRGB(0, 0, w2, h2, null, 0, w2))
+        } else {
+          if (bits != 24) throw new java.io.IOException(s"DIB depth $bits")
+          val rowStride = ((vw * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+          if (flen.toLong < rowStride.toLong * h)
+            throw new java.io.IOException("short DIB frame")
+          val px = new Array[Int](vw * h)
+          var y = 0
+          while (y < h) {
+            // positive biHeight = bottom-up storage (the DIB default)
+            val base = fo + (if (vh > 0) h - 1 - y else y) * rowStride
+            var x = 0
+            while (x < vw) {
+              val b = bytes(base + 3 * x) & 0xFF
+              val g = bytes(base + 3 * x + 1) & 0xFF
+              val r = bytes(base + 3 * x + 2) & 0xFF
+              px(y * vw + x) = 0xFF000000 | (r << 16) | (g << 8) | b
+              x += 1
+            }
+            y += 1
+          }
+          (vw, h, px)
+        }
+      })
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Little-endian RIFF chunk builder shared by the AVI emitters. */
+  private final class LeBuf {
+    private val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): LeBuf = { bos.write(s.getBytes("US-ASCII")); this }
+    def u16(v: Int): LeBuf = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF); this }
+    def u32(v: Long): LeBuf = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+      this
+    }
+    def raw(b: Array[Byte]): LeBuf = { bos.write(b); this }
+    def u8(v: Int): LeBuf = { bos.write(v & 0xFF); this }
+    def bytes: Array[Byte] = bos.toByteArray
+  }
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val b = new LeBuf().cc(id).u32(body.length.toLong).raw(body)
+    if (body.length % 2 == 1) b.u8(0) // chunks are word-aligned
+    b.bytes
+  }
+
+  private def riffList(listId: String, typ: String,
+                       parts: Seq[Array[Byte]]): Array[Byte] =
+    riffChunk(listId, typ.getBytes("US-ASCII") ++ parts.flatten)
+
+  /** Build a minimal standard single-video-stream AVI around pre-encoded
+    * frame chunks (`00db` raw DIB / `00dc` MJPEG). */
+  private def buildAvi(w: Int, h: Int, handler: String, compression: Long,
+                       frameChunks: Seq[Array[Byte]]): Array[Byte] = {
+    require(frameChunks.nonEmpty, "an AVI needs at least one frame")
+    val n = frameChunks.size
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val bufSize = frameChunks.map(_.length - 8).max.toLong
+    val avih = new LeBuf().u32(40000L).u32(0L).u32(0L).u32(0L) // 25 fps
+      .u32(n.toLong).u32(0L).u32(1L).u32(bufSize)
+      .u32(w.toLong).u32(h.toLong).u32(0L).u32(0L).u32(0L).u32(0L).bytes
+    val strh = new LeBuf().cc("vids").cc(handler).u32(0L).u16(0).u16(0)
+      .u32(0L).u32(1L).u32(25L).u32(0L).u32(n.toLong).u32(bufSize)
+      .u32(0xFFFFFFFFL).u32(0L).u16(0).u16(0).u16(w).u16(h).bytes
+    val strf = new LeBuf().u32(40L).u32(w.toLong).u32(h.toLong).u16(1).u16(24)
+      .u32(compression).u32(rowStride.toLong * h)
+      .u32(0L).u32(0L).u32(0L).u32(0L).bytes
+    val hdrl = riffList("LIST", "hdrl", Seq(
+      riffChunk("avih", avih),
+      riffList("LIST", "strl", Seq(riffChunk("strh", strh),
+        riffChunk("strf", strf)))))
+    val movi = riffList("LIST", "movi", frameChunks)
+    riffList("RIFF", "AVI ", Seq(hdrl, movi))
+  }
+
+  /** Deterministic synthetic uncompressed-DIB AVI: pixel (x, y) of frame f
+    * carries gray value (id + 11f + 3x + 5y) % 256 — [[syntheticGif]]'s
+    * formula in a second REAL container. BI_RGB DIB is raw bytes, so the
+    * round-trip is lossless and the q76 oracle recomputes frame statistics
+    * analytically with no video decoder on its side. */
+  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val frames = (0 until nFrames).map { f =>
+      val d = new Array[Byte](rowStride * h)
+      var y = 0
+      while (y < h) {
+        val base = (h - 1 - y) * rowStride // bottom-up rows
+        var x = 0
+        while (x < w) {
+          val v = ((id + 11L * f + 3L * x + 5L * y) % 256).toInt.toByte
+          d(base + 3 * x) = v; d(base + 3 * x + 1) = v; d(base + 3 * x + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      riffChunk("00db", d)
+    }
+    buildAvi(w, h, "DIB ", 0L, frames)
+  }
+
+  /** Synthetic MJPEG AVI: [[patternGif]]'s flat-cell block pattern, JPEG-
+    * encoded per frame through the JDK's ImageIO writer and wrapped in
+    * `00dc` chunks with the 'MJPG' fourcc. JPEG is lossy, so this fixture
+    * feeds SPECS (decode succeeds, dims/count exact, per-frame means close)
+    * rather than a hash oracle — the flat cells keep the coding error
+    * bounded to ringing at cell borders. */
+  def syntheticMjpegAvi(id: Long, w: Int = 32, h: Int = 32, nFrames: Int = 3,
+                        grid: Int = 4): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = (y * grid / h) * grid + (x * grid / w)
+          val v = (mix(id * 8192L + f * 1024L + cell) & 0xFF).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = memOut(bos)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      wr.setOutput(ios)
+      wr.write(img)
+      ios.close()
+      wr.dispose()
+      riffChunk("00dc", bos.toByteArray)
+    }
+    buildAvi(w, h, "MJPG", 0x47504A4DL /* 'MJPG' LE */, frames)
+  }
+
+  /** Distributed DIB-AVI fixture ([[syntheticVideos]]'s AVI sibling, with
+    * its own dims/frame-count formulas so the two container paths can't
+    * mask each other): one [[syntheticAvi]] per id. */
+  def syntheticAviVideos(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, syntheticAvi(id,
+        (14 + id % 6).toInt, (10 + (id * 5) % 7).toInt, (2 + id % 4).toInt))
     })
   }
 

@@ -820,6 +820,87 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeFrames(bytes.take(10)).isEmpty)
   }
 
+  test("real AVI decode: DIB frames round-trip exactly through the RIFF walker") {
+    val (id, w, h, nf) = (7L, 15, 11, 3)
+    val bytes = Multimodal.syntheticAvi(id, w, h, nf)
+    // a real RIFF/AVI container
+    assert(new String(bytes.take(4)) == "RIFF" &&
+      new String(bytes.slice(8, 12)) == "AVI ")
+    val Some(frames) = Multimodal.decodeFrames(bytes)
+    assert(frames.length == nf, "frame count")
+    for (f <- 0 until nf) {
+      val (dw, dh, px) = frames(f)
+      assert((dw, dh) == (w, h), s"dims of frame $f")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y * w + x)
+        // BI_RGB DIB is raw bytes: the round-trip is lossless (this also
+        // pins the bottom-up row order and 4-byte row padding — w = 15
+        // makes rowStride 48 != w*3, so a padding bug shifts every row)
+        val want = ((id + 11L * f + 3 * x + 5 * y) % 256).toInt
+        assert(((p >> 16) & 0xFF) == want, s"v($x,$y) frame $f")
+        assert(((p >> 8) & 0xFF) == want && (p & 0xFF) == want,
+          s"gray($x,$y) frame $f")
+      }
+    }
+    // the whole frame pipeline composes over the AVI container unchanged
+    val stats = Multimodal.frameStats(
+        Multimodal.syntheticAviVideos(spark.range(12).toDF("doc_id"), "doc_id"),
+        stride = 2)
+      .collect().map(s => (s.id, s.frame_idx) -> s).toMap
+    (0L until 12L).foreach { id =>
+      val (vw, vh, vn) = ((14 + id % 6).toInt, (10 + id * 5 % 7).toInt,
+        (2 + id % 4).toInt)
+      val want = (0 until vn).filter(_ % 2 == 0)
+      assert(stats.keys.filter(_._1 == id).map(_._2).toSet == want.toSet,
+        s"sampled frames of $id")
+      want.foreach { f =>
+        val s = stats((id, f))
+        assert((s.width, s.height) == (vw, vh), s"dims of $id/$f")
+        val sv = (for (y <- 0 until vh; x <- 0 until vw)
+          yield (id + 11 * f + 3 * x + 5 * y) % 256).sum
+        assert(s.avg_v == sv.toDouble / (vw * vh), s"avg_v of $id/$f")
+      }
+    }
+  }
+
+  test("real MJPEG-AVI decode: JPEG frames through ImageIO, corrupt containers drop") {
+    val mb = Multimodal.syntheticMjpegAvi(3L, 32, 32, nFrames = 4)
+    val Some(mf) = Multimodal.decodeFrames(mb)
+    // dims and frame count are exact even though JPEG is lossy
+    assert(mf.length == 4 && mf.forall { case (w, h, _) => w == 32 && h == 32 })
+    // flat-cell pattern keeps coding error bounded: per-frame means within
+    // a few gray levels of the analytic block pattern
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (f <- 0 until 4) {
+      val (w, h, px) = mf(f)
+      val got = px.map(p => (p >> 16) & 0xFF).map(_.toDouble).sum / (w * h)
+      val want = (for (y <- 0 until h; x <- 0 until w) yield {
+        val cell = (y * 4 / h) * 4 + (x * 4 / w)
+        (mix(3L * 8192L + f * 1024L + cell) & 0xFF).toDouble
+      }).sum / (w * h)
+      assert(math.abs(got - want) < 3.0, s"frame $f mean $got vs $want")
+    }
+    // corrupt / crafted containers: drop the row, never the task
+    val dib = Multimodal.syntheticAvi(7L, 15, 11, 3)
+    assert(Multimodal.decodeFrames(dib.take(30)).isEmpty) // truncated header
+    val evil = dib.clone()
+    // clobber the first frame chunk's u32 size to ~2^31: Int math would
+    // wrap the bounds guard (the parseWavPcm16 lesson, applied from birth)
+    val idx = dib.indices.find(i => i + 4 < dib.length && dib(i) == '0' &&
+      dib(i + 1) == '0' && dib(i + 2) == 'd' && dib(i + 3) == 'b').get
+    evil(idx + 4) = 0xF8.toByte; evil(idx + 5) = 0xFF.toByte
+    evil(idx + 6) = 0xFF.toByte; evil(idx + 7) = 0x7F.toByte
+    assert(Multimodal.parseAviFrames(evil).isEmpty)
+    assert(Multimodal.decodeFrames(evil).isEmpty)
+    // a WAV is RIFF too: the form type keeps it out of the video path
+    assert(!Multimodal.isAvi(Multimodal.syntheticWav(1L, 10)))
+  }
+
   test("crafted WAV with a 2^31-adjacent chunk size drops the row, never the task") {
     // a declared u32 chunk size near Int.MaxValue used to wrap
     // `off + 8 + size` negative in Int arithmetic, bypassing the bounds
