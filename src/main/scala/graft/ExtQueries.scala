@@ -330,6 +330,23 @@ object ExtQueries {
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // REAL COMPRESSED audio decode under the oracle (r9): deterministic
+    // G.711 μ-law WAVs (code byte i of clip id is (id·13 + i·17) % 256,
+    // length 800 + id%400) decoded through the JDK's ULAW expander (the
+    // telephony companding codec — 8-bit log-compressed, 2× smaller than
+    // PCM16) into linear 16-bit samples, reduced to exact integer loudness
+    // sums. μ-law is lossy as an ENCODER but the DECODE is a fixed integer
+    // expansion, and the fixture is defined in CODE space — so the oracle
+    // replays the G.711 expansion arithmetically and the hash pins the
+    // JDK expander bit-for-bit (the spec separately pins all 256 codes
+    // against the CCITT formula).
+    "q77_ulaw_audio" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioStats(
+          Multimodal.syntheticCompressedAudio(docsPar(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // The persisted-index serving path under the oracle: build the IVF
     // index (centroids + cell-bucketed vectors as catalog tables — the
     // index-once/query-many shape), then serve top-k FROM THE TABLES with
@@ -1185,6 +1202,27 @@ object ExtQueries {
         |SELECT doc_id, CAST(f AS INT) AS frame_idx, width, height,
         |  CAST(sv AS DOUBLE)/(width*height) AS avg_v
         |FROM agg ORDER BY doc_id, frame_idx""".stripMargin,
+    // q77: q62's loudness oracle over the μ-law fixture — the G.711
+    // expansion ( ~code → sign/exponent/mantissa → linear ) replayed as
+    // integer arithmetic (255 - c == ~c & 0xFF for byte codes; << and //
+    // are DuckDB's shift and integer-divide), then the same exact integer
+    // |s| and s² sums as q62
+    "q77_ulaw_audio" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(800 + doc_id % 400 AS INT) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+        |u AS (SELECT doc_id, n,
+        |        255 - ((doc_id*13 + i*17) % 256) AS uu FROM sm),
+        |v AS (SELECT doc_id, n,
+        |        CASE WHEN uu >= 128 THEN -((((uu % 16) * 8 + 132) << ((uu // 16) % 8)) - 132)
+        |             ELSE (((uu % 16) * 8 + 132) << ((uu // 16) % 8)) - 132 END AS s
+        |      FROM u),
+        |agg AS (SELECT doc_id, n, SUM(ABS(s)) AS sa, SUM(s*s) AS sq
+        |        FROM v GROUP BY 1, 2)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        |  CAST(sa AS DOUBLE)/n AS avg_abs,
+        |  sqrt(CAST(sq AS DOUBLE)/n) AS rms
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // q76: q68's analytic-mean oracle over the AVI fixture's own dims
     // (14+id%6 × 10+5id%7, frames 0..2+id%4, sampled every 2nd); the DIB
     // losslessness argument replaces the GIF palette one — no video

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG containers through the JDK's `javax.imageio` (zero new
   * dependencies) and are oracle-checked end-to-end (q61: the DuckDB side
   * recomputes channel statistics analytically from the synthetic pixel
-  * formula, so a decoder deviation breaks the hash). AUDIO likewise has a
-  * real codec — [[decodeAudio]]/[[audioStats]] read WAV/AIFF/AU PCM
-  * through `javax.sound.sampled`, oracle-checked the same way (q62).
+  * formula, so a decoder deviation breaks the hash). AUDIO likewise has
+  * real codecs — [[decodeAudio]]/[[audioStats]] read WAV/AIFF/AU PCM
+  * through `javax.sound.sampled`, oracle-checked the same way (q62), plus
+  * REAL COMPRESSED audio: G.711 μ-law/A-law companded streams transcode
+  * through the JDK's expander, with the μ-law path pinned bit-exact to
+  * the CCITT expansion and hash-oracled (q77).
   * VIDEO has real codecs for TWO container families — animated GIF via
   * ImageIO's sequence reader (q68) and RIFF/AVI via a direct container
   * walker ([[parseAviFrames]]): uncompressed 24-bit DIB streams decode
@@ -851,11 +854,28 @@ object Multimodal {
     parseWavPcm16(bytes).orElse(decodeAudioJdk(bytes))
 
   /** The `AudioSystem` fallback path of [[decodeAudio]] (package-visible so
-    * the spec can assert direct-parser/JDK parity on the same bytes). */
+    * the spec can assert direct-parser/JDK parity on the same bytes).
+    * Handles plain signed PCM AND the G.711 companded encodings — μ-law /
+    * A-law are REAL compressed audio (8-bit logarithmic companding, the
+    * telephony codec) that the JDK ships an expander for: those streams
+    * are transcoded to 16-bit signed PCM first. The JDK's μ-law expansion
+    * is bit-exact to the standard G.711 table (spec-pinned over all 256
+    * code values), which is what lets q77 hash-check the decode against a
+    * DuckDB oracle that recomputes the expansion arithmetically. */
   private[graft] def decodeAudioJdk(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais0 = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val f0 = ais0.getFormat
+      val ais =
+        if (f0.getEncoding == AudioFormat.Encoding.ULAW ||
+            f0.getEncoding == AudioFormat.Encoding.ALAW)
+          AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f0.getSampleRate,
+              16, f0.getChannels, f0.getChannels * 2, f0.getSampleRate,
+              false), ais0)
+        else ais0
       val fmt = ais.getFormat
       val pcmSigned =
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
@@ -917,6 +937,49 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
       MediaRow(id, syntheticWav(id, (1000 + id % 500).toInt))
+    })
+  }
+
+  /** Deterministic synthetic G.711 μ-law WAV (REAL compressed audio —
+    * 8-bit logarithmic companding, WAVE format code 7): μ-law code i of
+    * clip `id` is (id·13 + i·17) % 256. The code bytes — not the linear
+    * samples — are the analytic quantity, and the G.711 expansion is a
+    * fixed integer formula, so the q77 oracle recomputes the DECODED
+    * samples arithmetically with no codec on its side. */
+  def syntheticUlawWav(id: Long, n: Int, rate: Int = 8000): Array[Byte] = {
+    val out = new Array[Byte](44 + n)
+    def put4(o: Int, s: String): Unit = { var j = 0; while (j < 4) { out(o + j) = s(j).toByte; j += 1 } }
+    def le32(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    put4(0, "RIFF"); le32(4, 36 + n); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16); le16(20, 7 /* WAVE_FORMAT_MULAW */)
+    le16(22, 1); le32(24, rate); le32(28, rate); le16(32, 1); le16(34, 8)
+    put4(36, "data"); le32(40, n)
+    var i = 0
+    while (i < n) {
+      out(44 + i) = ((id * 13 + i.toLong * 17) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Reference G.711 μ-law expansion (code byte → linear 16-bit sample) —
+    * the published CCITT table as arithmetic. The spec pins the JDK
+    * expander to this over all 256 codes; the q77 oracle replays the same
+    * arithmetic in SQL. */
+  private[graft] def g711Ulaw(code: Int): Int = {
+    val u = ~code & 0xFF
+    val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Distributed compressed-audio fixture: one [[syntheticUlawWav]] per id
+    * with an id-dependent length. */
+  def syntheticCompressedAudio(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, syntheticUlawWav(id, (800 + id % 400).toInt))
     })
   }
 

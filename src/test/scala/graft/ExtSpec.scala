@@ -901,6 +901,32 @@ class ExtSpec extends AnyFunSuite {
     assert(!Multimodal.isAvi(Multimodal.syntheticWav(1L, 10)))
   }
 
+  test("real G.711 mu-law decode: JDK expander is bit-exact to the CCITT formula") {
+    // one WAV carrying every possible mu-law code byte, in order: the JDK's
+    // ULAW -> PCM16 transcode must match the published expansion exactly
+    // (this is what makes q77's arithmetic oracle sound)
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val wav = {
+      val b = Multimodal.syntheticUlawWav(0L, 256)
+      // splice the exhaustive code ramp over the synthetic payload
+      System.arraycopy(codes, 0, b, 44, 256); b
+    }
+    val Some((rate, channels, samples)) = Multimodal.decodeAudio(wav)
+    assert(rate == 8000 && channels == 1 && samples.length == 256)
+    for (c <- 0 until 256)
+      assert(samples(c) == Multimodal.g711Ulaw(c),
+        s"code $c: jdk ${samples(c)} != g711 ${Multimodal.g711Ulaw(c)}")
+    // the synthetic fixture decodes to the formula's samples end-to-end
+    val (id, n) = (5L, 100)
+    val Some((_, _, syn)) = Multimodal.decodeAudio(Multimodal.syntheticUlawWav(id, n))
+    (0 until n).foreach { i =>
+      val code = ((id * 13 + i.toLong * 17) % 256).toInt
+      assert(syn(i) == Multimodal.g711Ulaw(code), s"sample $i")
+    }
+    // corrupt / truncated compressed payloads drop the row
+    assert(Multimodal.decodeAudio(wav.take(40)).isEmpty)
+  }
+
   test("crafted WAV with a 2^31-adjacent chunk size drops the row, never the task") {
     // a declared u32 chunk size near Int.MaxValue used to wrap
     // `off + 8 + size` negative in Int arithmetic, bypassing the bounds
