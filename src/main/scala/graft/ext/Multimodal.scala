@@ -786,15 +786,17 @@ object Multimodal {
 
   // ---- real audio codec (javax.sound.sampled — ships with the JDK) -------
 
-  /** Direct RIFF/WAVE parser for the dominant case — 16-bit PCM WAV. The
-    * general [[decodeAudio]] path goes through `AudioSystem`, whose
+  /** Direct RIFF/WAVE parser for the dominant cases — 16-bit PCM WAV and
+    * 8-bit G.711 μ-law WAV (format code 7, expanded through [[g711Ulaw]],
+    * which the spec pins bit-exact to the JDK expander). The general
+    * [[decodeAudio]] path goes through `AudioSystem`, whose
     * per-call provider lookup takes a GLOBAL class lock
     * (`JDK13Services.getProviders` is a synchronized static): at 32 decode
     * threads that serializes the whole executor — measured 10.3s for 60k
-    * clips that cost 0.15s of actual CPU. Plain PCM WAV is a fixed chunk
+    * clips that cost 0.15s of actual CPU. Plain WAV is a fixed chunk
     * grammar (RIFF header, `fmt ` chunk, `data` chunk), so the hot path
     * parses the container bytes directly with zero shared state; anything
-    * that isn't 16-bit PCM WAV (AIFF, AU, other encodings) falls through
+    * else (AIFF, AU, A-law, other encodings) falls through
     * to the AudioSystem path. Returns None when `bytes` is not parseable
     * 16-bit PCM WAV — including crafted/corrupt containers: chunk-size
     * bounds are checked in Long arithmetic (a declared u32 size near 2³¹
@@ -835,6 +837,15 @@ object Multimodal {
           while (i < out.length) {
             out(i) = (bytes(dOff + 2 * i + 1).toInt << 8) |
               (bytes(dOff + 2 * i) & 0xFF)
+            i += 1
+          }
+          Some((rate, channels, out))
+        case (Some((7, channels, 8)), Some((dOff, dLen))) if channels > 0 =>
+          // WAVE_FORMAT_MULAW: one G.711 code byte per sample
+          val out = new Array[Int](dLen)
+          var i = 0
+          while (i < out.length) {
+            out(i) = g711Ulaw(bytes(dOff + i) & 0xFF)
             i += 1
           }
           Some((rate, channels, out))

@@ -901,6 +901,29 @@ class ExtSpec extends AnyFunSuite {
     assert(!Multimodal.isAvi(Multimodal.syntheticWav(1L, 10)))
   }
 
+  test("cross-container: the same clip as GIF and MJPEG-AVI embeds near-identically") {
+    import spark.implicits._
+    // patternGif and syntheticMjpegAvi share the analytic flat-cell frame
+    // formula, so each id yields the SAME logical video in two different
+    // containers AND codecs (lossless palette GIF vs lossy JPEG-in-AVI);
+    // the whole decode → frame-embed → video-embed pipeline must agree up
+    // to JPEG coding noise — a codec-robustness property the format-blind
+    // dispatch in decodeFrames is supposed to buy
+    val media = spark.range(8).as[Long].mapPartitions(_.flatMap { id =>
+      Iterator(
+        Multimodal.MediaRow(id, Multimodal.patternGif(id, nFrames = 3)),
+        Multimodal.MediaRow(id + 1000L, Multimodal.syntheticMjpegAvi(id, 32, 32, 3)))
+    })
+    val emb = Multimodal.videoEmbeddings(media).collect()
+      .map(e => e.id -> e.embedding).toMap
+    assert(emb.size == 16)
+    (0L until 8L).foreach { id =>
+      val (a, b) = (emb(id), emb(id + 1000L))
+      val cos = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      assert(cos > 0.9999, s"clip $id: GIF-vs-AVI cosine $cos")
+    }
+  }
+
   test("real G.711 mu-law decode: JDK expander is bit-exact to the CCITT formula") {
     // one WAV carrying every possible mu-law code byte, in order: the JDK's
     // ULAW -> PCM16 transcode must match the published expansion exactly
@@ -915,7 +938,12 @@ class ExtSpec extends AnyFunSuite {
     assert(rate == 8000 && channels == 1 && samples.length == 256)
     for (c <- 0 until 256)
       assert(samples(c) == Multimodal.g711Ulaw(c),
-        s"code $c: jdk ${samples(c)} != g711 ${Multimodal.g711Ulaw(c)}")
+        s"code $c: decoded ${samples(c)} != g711 ${Multimodal.g711Ulaw(c)}")
+    // the lock-free direct parser and the AudioSystem expander agree
+    // bit-for-bit on every code (the fast path must be a pure optimization,
+    // never a different decoder — same contract as the PCM16 parity test)
+    val Some((_, _, jdk)) = Multimodal.decodeAudioJdk(wav)
+    assert(jdk.toSeq == samples.toSeq, "direct parser != JDK expander")
     // the synthetic fixture decodes to the formula's samples end-to-end
     val (id, n) = (5L, 100)
     val Some((_, _, syn)) = Multimodal.decodeAudio(Multimodal.syntheticUlawWav(id, n))
