@@ -347,6 +347,38 @@ object ExtQueries {
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // q77's A-law sibling (r9): G.711 A-law is the OTHER half of the
+    // telephony codec pair — different companding curve (13-segment,
+    // even-bits-inverted, OPPOSITE sign convention from μ-law) — decoded
+    // on the lock-free direct-parse path (format code 6). The fixture is
+    // defined in code space, so the oracle replays the CCITT A-law
+    // expansion arithmetically; the spec separately pins the direct parser
+    // to the JDK's ALAW expander over all 256 codes.
+    "q78_alaw_audio" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioStats(
+          Multimodal.syntheticAlawAudio(docsPar(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // SemDeDup under the oracle (r9): the q41 planted-near-dup corpus
+    // (every vector gets a cos ≈ 0.999 twin at id + 1e6) run through the
+    // semantic-dedup terminal — nearest-of-16-pivots cell assignment,
+    // intra-cell exact cosine pairs at 0.95, connected components, keep
+    // the min id per component. The oracle replays the SAME algorithm
+    // (cells, intra-cell pairs, recursive min-label closure): within-cell-
+    // only comparison is the operator's DEFINITION (the SemDeDup
+    // approximation), not an implementation shortcut, so the two sides
+    // agree exactly — including on any planted twin that lands across a
+    // cell boundary from its seed.
+    "q79_semantic_dedup" -> { (s, dir) =>
+      val corpus = Similarity.plantNearDups(read(s, dir, "embeddings"),
+        "vec_id", "embedding", offset = 1000000L, scale = 0.01)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          minCos = 0.95, nCells = 16)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
     // The persisted-index serving path under the oracle: build the IVF
     // index (centroids + cell-bucketed vectors as catalog tables — the
     // index-once/query-many shape), then serve top-k FROM THE TABLES with
@@ -1223,6 +1255,68 @@ object ExtQueries {
         |  CAST(sa AS DOUBLE)/n AS avg_abs,
         |  sqrt(CAST(sq AS DOUBLE)/n) AS rms
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q78: the A-law expansion replayed arithmetically — xor(c, 85)
+    // toggles the even bits, segment = bits 4-6, mantissa = low nibble,
+    // 0x108 = 264; sign bit SET means positive (A-law's convention, the
+    // mirror of μ-law's) — then q77's exact integer loudness sums
+    "q78_alaw_audio" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(900 + doc_id % 300 AS INT) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+        |aw AS (SELECT doc_id, n,
+        |        xor((doc_id*11 + i*19) % 256, 85) AS aa FROM sm),
+        |tv AS (SELECT doc_id, n, aa,
+        |        CASE WHEN ((aa // 16) % 8) = 0 THEN (aa % 16) * 16 + 8
+        |             ELSE ((aa % 16) * 16 + 264) << (((aa // 16) % 8) - 1)
+        |        END AS t FROM aw),
+        |sv AS (SELECT doc_id, n,
+        |        CASE WHEN aa >= 128 THEN t ELSE -t END AS s FROM tv),
+        |agg AS (SELECT doc_id, n, SUM(ABS(s)) AS sa, SUM(s*s) AS sq
+        |        FROM sv GROUP BY 1, 2)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        |  CAST(sa AS DOUBLE)/n AS avg_abs,
+        |  sqrt(CAST(sq AS DOUBLE)/n) AS rms
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // q79: the SemDeDup pipeline replayed end-to-end — q41's planted
+    // corpus (verbatim), nearest-of-16-pivots assignment (q42's asg
+    // pattern), intra-cell exact pairs at 0.95, q49's recursive min-label
+    // closure, survivors = ids that are their component's minimum
+    "q79_semantic_dedup" ->
+      """WITH RECURSIVE pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
+        |pl AS (SELECT oid + 1000000 AS vec_id,
+        |  list_transform(range(0, 64), d -> CAST(CAST(emb[d+1] AS DOUBLE) +
+        |    CAST(0.01 AS DOUBLE) * CAST((oid*131 + d*7919) % 1000003
+        |      * 2654435761 % 2000003 - 1000001 AS DOUBLE)
+        |    / CAST(1000001.0 AS DOUBLE) AS REAL)) AS embedding
+        |  FROM pb),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings
+        |           UNION ALL SELECT vec_id, embedding FROM pl),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM corpus),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+        |      FROM e),
+        |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
+        |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
+        |  FROM n c CROSS JOIN piv),
+        |cells AS (SELECT id, v, nrm, pid AS cell FROM asg WHERE rn = 1),
+        |j AS (SELECT a.id AS id1, b.id AS id2
+        |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+        |      WHERE round(list_sum(list_transform(range(1, 65),
+        |        k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) >= 0.95),
+        |ed AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
+        |nodes AS (SELECT DISTINCT id1 AS id FROM ed),
+        |reach(id, x) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, ed.id2 FROM reach JOIN ed ON reach.x = ed.id1),
+        |cl AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+        |drops AS (SELECT id FROM cl WHERE cluster < id)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
     // q76: q68's analytic-mean oracle over the AVI fixture's own dims
     // (14+id%6 × 10+5id%7, frames 0..2+id%4, sampled every 2nd); the DIB
     // losslessness argument replaces the GIF palette one — no video

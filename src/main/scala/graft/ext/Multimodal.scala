@@ -786,23 +786,25 @@ object Multimodal {
 
   // ---- real audio codec (javax.sound.sampled — ships with the JDK) -------
 
-  /** Direct RIFF/WAVE parser for the dominant cases — 16-bit PCM WAV and
-    * 8-bit G.711 μ-law WAV (format code 7, expanded through [[g711Ulaw]],
-    * which the spec pins bit-exact to the JDK expander). The general
-    * [[decodeAudio]] path goes through `AudioSystem`, whose
-    * per-call provider lookup takes a GLOBAL class lock
+  /** Direct RIFF/WAVE parser for the dominant cases — 16-bit PCM, 8-bit
+    * unsigned PCM (the WAV spec's only 8-bit PCM: silence is 0x80, so
+    * samples are centered to signed by −128), and the two G.711 companded
+    * telephony encodings: μ-law (format code 7, [[g711Ulaw]]) and A-law
+    * (format code 6, [[g711Alaw]]) — both spec-pinned bit-exact to the JDK
+    * expander. The general [[decodeAudio]] path goes through `AudioSystem`,
+    * whose per-call provider lookup takes a GLOBAL class lock
     * (`JDK13Services.getProviders` is a synchronized static): at 32 decode
     * threads that serializes the whole executor — measured 10.3s for 60k
     * clips that cost 0.15s of actual CPU. Plain WAV is a fixed chunk
     * grammar (RIFF header, `fmt ` chunk, `data` chunk), so the hot path
     * parses the container bytes directly with zero shared state; anything
-    * else (AIFF, AU, A-law, other encodings) falls through
+    * else (AIFF, AU, other encodings) falls through
     * to the AudioSystem path. Returns None when `bytes` is not parseable
-    * 16-bit PCM WAV — including crafted/corrupt containers: chunk-size
-    * bounds are checked in Long arithmetic (a declared u32 size near 2³¹
-    * must not wrap the guard in Int math), and any residual parse failure
-    * is caught, honoring the drop-the-row poison-input contract at crawl
-    * scale instead of crashing the task. */
+    * WAV in one of those encodings — including crafted/corrupt containers:
+    * chunk-size bounds are checked in Long arithmetic (a declared u32 size
+    * near 2³¹ must not wrap the guard in Int math), and any residual parse
+    * failure is caught, honoring the drop-the-row poison-input contract at
+    * crawl scale instead of crashing the task. */
   private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
     def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int) = (bytes(o) & 0xFF).toLong | ((bytes(o + 1) & 0xFF).toLong << 8) |
@@ -840,12 +842,30 @@ object Multimodal {
             i += 1
           }
           Some((rate, channels, out))
+        case (Some((1, channels, 8)), Some((dOff, dLen))) if channels > 0 =>
+          // 8-bit PCM WAV is UNSIGNED by spec (silence = 0x80): center
+          val out = new Array[Int](dLen)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (bytes(dOff + i) & 0xFF) - 128
+            i += 1
+          }
+          Some((rate, channels, out))
         case (Some((7, channels, 8)), Some((dOff, dLen))) if channels > 0 =>
           // WAVE_FORMAT_MULAW: one G.711 code byte per sample
           val out = new Array[Int](dLen)
           var i = 0
           while (i < out.length) {
             out(i) = g711Ulaw(bytes(dOff + i) & 0xFF)
+            i += 1
+          }
+          Some((rate, channels, out))
+        case (Some((6, channels, 8)), Some((dOff, dLen))) if channels > 0 =>
+          // WAVE_FORMAT_ALAW: one G.711 code byte per sample
+          val out = new Array[Int](dLen)
+          var i = 0
+          while (i < out.length) {
+            out(i) = g711Alaw(bytes(dOff + i) & 0xFF)
             i += 1
           }
           Some((rate, channels, out))
@@ -891,11 +911,17 @@ object Multimodal {
       val pcmSigned =
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
       val bits = fmt.getSampleSizeInBits
-      if (!pcmSigned || (bits != 16 && bits != 8)) None
+      // 8-bit PCM splits by container: WAV is unsigned (silence 0x80,
+      // centered to signed here, matching the direct parser), AIFF/AU are
+      // signed — the JDK reports whichever the container uses
+      val pcmU8 = bits == 8 && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if ((!pcmSigned && !pcmU8) || (bits != 16 && bits != 8)) None
       else {
         val raw = ais.readAllBytes()
         val samples =
-          if (bits == 8) raw.map(_.toInt)
+          if (bits == 8 && pcmU8) raw.map(b => (b & 0xFF) - 128)
+          else if (bits == 8) raw.map(_.toInt)
           else {
             val out = new Array[Int](raw.length / 2)
             val le = !fmt.isBigEndian
@@ -983,6 +1009,51 @@ object Multimodal {
     val u = ~code & 0xFF
     val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
     if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Reference G.711 A-law expansion (code byte → linear 16-bit sample) —
+    * the published CCITT table as arithmetic: even bits toggled (XOR 0x55),
+    * then segment/mantissa decode; bit 7 set means POSITIVE in A-law (the
+    * opposite sign convention from μ-law). The spec pins the JDK expander
+    * to this over all 256 codes; the q78 oracle replays the same
+    * arithmetic in SQL. */
+  private[graft] def g711Alaw(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8 else { t += 0x108; t <<= (seg - 1) }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Deterministic synthetic G.711 A-law WAV (WAVE format code 6): A-law
+    * code i of clip `id` is (id·11 + i·19) % 256 — defined in CODE space
+    * like [[syntheticUlawWav]], so the q78 oracle recomputes the decoded
+    * samples arithmetically with no codec on its side. */
+  def syntheticAlawWav(id: Long, n: Int, rate: Int = 8000): Array[Byte] = {
+    val out = new Array[Byte](44 + n)
+    def put4(o: Int, s: String): Unit = { var j = 0; while (j < 4) { out(o + j) = s(j).toByte; j += 1 } }
+    def le32(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    put4(0, "RIFF"); le32(4, 36 + n); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16); le16(20, 6 /* WAVE_FORMAT_ALAW */)
+    le16(22, 1); le32(24, rate); le32(28, rate); le16(32, 1); le16(34, 8)
+    put4(36, "data"); le32(40, n)
+    var i = 0
+    while (i < n) {
+      out(44 + i) = ((id * 11 + i.toLong * 19) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Distributed A-law fixture: one [[syntheticAlawWav]] per id with an
+    * id-dependent length. */
+  def syntheticAlawAudio(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, syntheticAlawWav(id, (900 + id % 300).toInt))
+    })
   }
 
   /** Distributed compressed-audio fixture: one [[syntheticUlawWav]] per id

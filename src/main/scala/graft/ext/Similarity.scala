@@ -646,6 +646,66 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** SemDeDup-style semantic-duplicate PAIR graph (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup": cluster the embedding space, then
+    * compare pairwise within clusters only): a coarse quantizer assigns
+    * every vector to its nearest of `nCells` pivots, then exact cosine
+    * pairs are computed WITHIN each cell only — the quadratic all-pairs
+    * cost drops by ~K (members of different cells are never compared; by
+    * construction semantic dups land in the same cell at adequate K).
+    *
+    * Scale shape: the K pivots broadcast; the intra-cell self-join is an
+    * equi-join on (cell, sub-block) — each row is replicated into `blocks`
+    * sub-cells (the [[cosinePairsBlocked]] grid, applied per cell), so one
+    * oversized cell becomes B² evenly-sized join tasks instead of one
+    * quadratic straggler; nothing quadratic is materialized (the codegen'd
+    * cosine filters immediately after the match). Pivots are the first
+    * `nCells` corpus ids — deterministic and SQL-reproducible (swap in
+    * [[annIvfKMeansTopK]]'s k-means centroids for better balance when
+    * cross-engine reproducibility is not required). */
+  def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    minCos: Double, nCells: Int = 16,
+                    blocks: Int = 4): DataFrame = {
+    val b = blocks
+    val c = prepared(corpus, idCol, vecCol)
+    val pv = c.filter(col("id") < nCells)
+      .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val assigned = assignCells(c, pv)
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
+    val l = assigned.withColumn("sub",
+      explode(transform(sequence(col("blk"), lit(b - 1)), j => col("blk") * b + j)))
+    val r = assigned.withColumn("sub",
+      explode(transform(sequence(lit(0), col("blk")), i => i * b + col("blk"))))
+    l.as("a").join(r.as("b"),
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+          (col("a.blk") =!= col("b.blk") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        cosOf("a", "b").as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Semantic dedup TERMINAL: [[semanticPairs]] → connected components →
+    * keep one representative (the min id) per semantic-dup component —
+    * the corpus with semantic duplicates removed, same contract as
+    * [[Dedup.dedupCorpus]] for text. Components rather than raw pairs:
+    * pair-at-a-time deletion ("drop id2 of every pair") over-deletes on
+    * chains (a~b, b~c but a≁c would drop both b and c); the min-label CC
+    * keeps exactly one member per transitive group. The pair graph is
+    * intra-cell so components never span cells — propagation converges in
+    * O(log max-cell-diameter) rounds over a pair list far smaller than the
+    * corpus. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    minCos: Double = 0.95, nCells: Int = 16,
+                    blocks: Int = 4,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val pairs = semanticPairs(corpus, idCol, vecCol, minCos, nCells, blocks)
+    val drops = Dedup.nearDupClusters(pairs, checkpoint = checkpoint)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Recall-calibration fixture: for every row, append a deterministic
     * near-duplicate (id + offset) whose components are perturbed by
     * `scale · c(id, d)` with c an integer-LCG pseudo-random in [-1, 1].

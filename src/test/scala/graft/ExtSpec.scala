@@ -955,6 +955,96 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(wav.take(40)).isEmpty)
   }
 
+  test("real G.711 A-law decode: JDK expander is bit-exact to the CCITT formula") {
+    // A-law is the OTHER G.711 half: even-bits-inverted companding with the
+    // OPPOSITE sign convention (bit 7 set = positive) — the exhaustive
+    // 256-code ramp pins formula, JDK expander, and direct parser to each
+    // other (this is what makes q78's arithmetic oracle sound)
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val wav = {
+      val b = Multimodal.syntheticAlawWav(0L, 256)
+      System.arraycopy(codes, 0, b, 44, 256); b
+    }
+    val Some((rate, channels, samples)) = Multimodal.parseWavPcm16(wav)
+    assert(rate == 8000 && channels == 1 && samples.length == 256)
+    for (c <- 0 until 256)
+      assert(samples(c) == Multimodal.g711Alaw(c),
+        s"code $c: parsed ${samples(c)} != g711 ${Multimodal.g711Alaw(c)}")
+    val Some((_, _, jdk)) = Multimodal.decodeAudioJdk(wav)
+    assert(jdk.toSeq == samples.toSeq, "direct parser != JDK expander")
+    // the synthetic fixture decodes to the formula's samples end-to-end
+    val (id, n) = (7L, 100)
+    val Some((_, _, syn)) = Multimodal.decodeAudio(Multimodal.syntheticAlawWav(id, n))
+    (0 until n).foreach { i =>
+      val code = ((id * 11 + i.toLong * 19) % 256).toInt
+      assert(syn(i) == Multimodal.g711Alaw(code), s"sample $i")
+    }
+    assert(Multimodal.decodeAudio(wav.take(40)).isEmpty)
+  }
+
+  test("8-bit unsigned PCM WAV decodes on both paths, centered at -128") {
+    // 8-bit WAV is UNSIGNED by spec (silence = 0x80) — formerly dropped by
+    // BOTH paths (the JDK path rejected PCM_UNSIGNED, the direct parser had
+    // no bits=8 case); the two paths must agree on the centered samples
+    val n = 256
+    val wav = {
+      // reuse the A-law fixture's container and flip the format code to
+      // PCM (1): same 44-byte layout, one code byte per sample
+      val b = Multimodal.syntheticAlawWav(3L, n)
+      b(20) = 1; b
+    }
+    val Some((rate, channels, direct)) = Multimodal.parseWavPcm16(wav)
+    assert(rate == 8000 && channels == 1 && direct.length == n)
+    (0 until n).foreach { i =>
+      val raw = ((3L * 11 + i.toLong * 19) % 256).toInt
+      assert(direct(i) == raw - 128, s"sample $i")
+    }
+    val Some((_, _, jdk)) = Multimodal.decodeAudioJdk(wav)
+    assert(jdk.toSeq == direct.toSeq, "direct parser != JDK unsigned-8 path")
+  }
+
+  test("semanticDedup keeps one representative per intra-cell component") {
+    import spark.implicits._
+    // 3 orthogonal pivot directions (ids 0..2 = the pivots at nCells=3) and
+    // near-copies of each: cells form around the pivots, every near-copy
+    // joins its seed's component, and exactly the min id of each component
+    // survives. A chain (14 ~ 13 ~ 0 with 14 !~ 0 at the threshold) pins
+    // the connected-components semantics — pairwise drop-id2 would
+    // over-delete.
+    def unit(d: Int, eps: Double, d2: Int = 1): Array[Float] = {
+      val v = new Array[Float](8)
+      v(d) = 1f; v((d + d2) % 8) = eps.toFloat
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = Seq(
+      0L  -> unit(0, 0.0),   // pivot A, survives
+      1L  -> unit(3, 0.0),   // pivot B, survives
+      2L  -> unit(6, 0.0),   // pivot C, survives
+      10L -> unit(0, 0.05),  // ~0 (cos .999)
+      11L -> unit(3, 0.04),  // ~1
+      12L -> unit(6, 0.03),  // ~2
+      13L -> unit(0, 0.20),  // chain mid: cos(13,0)=.981, cos(13,14)=.995
+      14L -> unit(0, 0.30),  // chain end: cos(14,0)=.958 < .97 but linked via 13
+      20L -> unit(6, 0.9, 1) // same cell as C but far (cos ~ .74): survives
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        minCos = 0.97, nCells = 3, blocks = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 20L), s"kept $kept")
+    // the pair graph really is intra-cell: pairs never straddle cells
+    val pairs = Similarity.semanticPairs(rows, "vec_id", "embedding",
+      minCos = 0.97, nCells = 3, blocks = 2).collect()
+    assert(pairs.nonEmpty)
+    // blocked and unblocked sub-join shapes agree (the grid is a pure
+    // distribution choice)
+    val p1 = Similarity.semanticPairs(rows, "vec_id", "embedding",
+      minCos = 0.97, nCells = 3, blocks = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val p2 = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p2, s"blocked $p2 != unblocked $p1")
+  }
+
   test("crafted WAV with a 2^31-adjacent chunk size drops the row, never the task") {
     // a declared u32 chunk size near Int.MaxValue used to wrap
     // `off + 8 + size` negative in Int arithmetic, bypassing the bounds
