@@ -322,16 +322,18 @@ object Multimodal {
     * (width, height, packed 0xRRGGBB pixels). None for undecodable
     * payloads — the same drop-the-row contract as [[decodeImage]].
     *
-    * LIMITATION — full-frame GIFs only: frames are returned as
-    * INDEPENDENTLY decoded images; GIF disposal methods and per-frame
-    * canvas offsets from the stream's `IIOMetadata` are NOT composited.
-    * An animated GIF whose later frames are partial deltas drawn at an
-    * offset onto the logical screen (common in the wild as a size
-    * optimization) decodes to that frame's own sub-image, not the
-    * composited screen state. Every frame of a full-frame GIF (what
-    * [[syntheticGif]] writes, and what re-encoders typically emit)
-    * decodes exactly. Callers needing wild-GIF fidelity should composite
-    * via the reader's metadata before the per-frame statistics. */
+    * GIF frames are COMPOSITED onto the logical screen: wild animated GIFs
+    * commonly encode later frames as partial deltas drawn at an offset (a
+    * size optimization), with a per-frame disposal method saying what to do
+    * with the canvas before the next draw. Each emitted frame here is the
+    * composited screen state — per-frame `imageLeftPosition`/
+    * `imageTopPosition` offsets and all four disposal methods (`none`,
+    * `doNotDispose`, `restoreToBackgroundColor` — cleared to transparent,
+    * decoded as black by the channel masks — and `restoreToPrevious`) from
+    * the reader's `IIOMetadata` are honored. Full-frame opaque GIFs (what
+    * [[syntheticGif]] writes) composite to exactly their independent
+    * decode, which is what keeps the q68 oracle analytic. Other multi-image
+    * formats decode independently (no canvas semantics). */
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] =
     if (isAvi(bytes)) parseAviFrames(bytes)
     else try {
@@ -344,6 +346,8 @@ object Multimodal {
           reader.setInput(iis) // seekable input: getNumImages(true) may search
           val n = reader.getNumImages(true)
           if (n <= 0) None
+          else if (reader.getFormatName.equalsIgnoreCase("gif"))
+            Some(gifComposited(reader, n))
           else Some((0 until n).map { i =>
             val img = reader.read(i)
             val (w, h) = (img.getWidth, img.getHeight)
@@ -352,6 +356,78 @@ object Multimodal {
         } finally { reader.dispose(); iis.close() }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** GIF canvas compositing (the [[decodeFrames]] GIF path): replays each
+    * frame's placement + the PREVIOUS frame's disposal onto a persistent
+    * ARGB canvas sized to the logical screen (falling back to the max
+    * frame extent when the descriptor is absent or lies small — wild GIFs
+    * do both). Disposal semantics per GIF89a: `restoreToBackgroundColor`
+    * clears the disposed frame's rectangle to transparent (the modern
+    * reading — browsers ignore the palette background index);
+    * `restoreToPrevious` restores the canvas bytes from before that frame
+    * drew. Transparent frame pixels leave the canvas untouched
+    * (SRC_OVER), which is exactly the delta-frame optimization this
+    * compositing exists to honor. */
+  private def gifComposited(reader: javax.imageio.ImageReader,
+                            n: Int): IndexedSeq[(Int, Int, Array[Int])] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    def child(parent: IIOMetadataNode, name: String): Option[IIOMetadataNode] = {
+      val kids = parent.getElementsByTagName(name)
+      if (kids.getLength > 0) Some(kids.item(0).asInstanceOf[IIOMetadataNode])
+      else None
+    }
+    val screen: Option[(Int, Int)] = try {
+      val root = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[IIOMetadataNode]
+      child(root, "LogicalScreenDescriptor").map { d =>
+        (d.getAttribute("logicalScreenWidth").toInt,
+          d.getAttribute("logicalScreenHeight").toInt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    case class Frame(img: java.awt.image.BufferedImage,
+                     left: Int, top: Int, disposal: String)
+    val frames = (0 until n).map { i =>
+      val img = reader.read(i)
+      val (l, t, d) = (try {
+        val root = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[IIOMetadataNode]
+        val desc = child(root, "ImageDescriptor")
+        (desc.map(_.getAttribute("imageLeftPosition").toInt).getOrElse(0),
+          desc.map(_.getAttribute("imageTopPosition").toInt).getOrElse(0),
+          child(root, "GraphicControlExtension")
+            .map(_.getAttribute("disposalMethod")).getOrElse("none"))
+      } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") })
+      Frame(img, l, t, d)
+    }
+    val cw = math.max(screen.map(_._1).getOrElse(0),
+      frames.map(f => f.left + f.img.getWidth).max)
+    val ch = math.max(screen.map(_._2).getOrElse(0),
+      frames.map(f => f.top + f.img.getHeight).max)
+    val canvas = new java.awt.image.BufferedImage(cw, ch,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = canvas.createGraphics()
+    try {
+      var prev: Option[(Frame, Array[Int])] = None // frame + canvas before it drew
+      frames.map { f =>
+        prev.foreach { case (pf, beforePrev) =>
+          pf.disposal match {
+            case "restoreToBackgroundColor" =>
+              val old = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(pf.left, pf.top, pf.img.getWidth, pf.img.getHeight)
+              g.setComposite(old)
+            case "restoreToPrevious" =>
+              canvas.setRGB(0, 0, cw, ch, beforePrev, 0, cw)
+            case _ => ()
+          }
+        }
+        val before = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+        g.drawImage(f.img, f.left, f.top, null)
+        prev = Some((f, before))
+        (cw, ch, canvas.getRGB(0, 0, cw, ch, null, 0, cw))
+      }
+    } finally g.dispose()
+  }
 
   /** Deterministic synthetic animated GIF: pixel (x, y) of frame f of clip
     * `id` carries gray value (id + 11f + 3x + 5y) % 256, drawn through the

@@ -1003,6 +1003,144 @@ class ExtSpec extends AnyFunSuite {
     assert(jdk.toSeq == direct.toSeq, "direct parser != JDK unsigned-8 path")
   }
 
+  test("GIF compositing: delta frames at offsets + disposal methods replay the canvas") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // a wild-style delta GIF: full first frame, then small patches drawn at
+    // offsets, exercising every disposal method — the size optimization
+    // real animated GIFs use and the old independent-frame decode got wrong
+    val ramp = Array.tabulate(256)(_.toByte)
+    val pal = new IndexColorModel(8, 256, ramp, ramp, ramp)
+    def patch(w: Int, h: Int, v: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, pal)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, v)
+      img
+    }
+    def writeGif(frames: Seq[(BufferedImage, Int, Int, String)]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // the JDK writer interlaces by default, and the JDK's interlace
+      // ROUND-TRIP loses the last row of frames with tiny heights (the
+      // LZW data is provably complete — hand-decoded; the reader drops
+      // it). Wild delta GIFs are non-interlaced; write what they write.
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      frames.foreach { case (img, l, t, disp) =>
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def node(name: String): IIOMetadataNode = {
+          val kids = root.getElementsByTagName(name)
+          if (kids.getLength > 0) kids.item(0).asInstanceOf[IIOMetadataNode]
+          else {
+            val nn = new IIOMetadataNode(name)
+            // DTD order: ImageDescriptor, LocalColorTable, GCE, ...
+            // GCE must come after the descriptor nodes
+            root.appendChild(nn); nn
+          }
+        }
+        val desc = node("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", l.toString)
+        desc.setAttribute("imageTopPosition", t.toString)
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disp)
+        if (!gce.hasAttribute("userInputFlag")) gce.setAttribute("userInputFlag", "FALSE")
+        if (!gce.hasAttribute("transparentColorFlag")) gce.setAttribute("transparentColorFlag", "FALSE")
+        if (!gce.hasAttribute("delayTime") || gce.getAttribute("delayTime").isEmpty)
+          gce.setAttribute("delayTime", "10")
+        if (!gce.hasAttribute("transparentColorIndex") || gce.getAttribute("transparentColorIndex").isEmpty)
+          gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val gif = writeGif(Seq(
+      (patch(8, 8, 100), 0, 0, "doNotDispose"),             // f0: full canvas
+      (patch(2, 2, 200), 3, 2, "restoreToBackgroundColor"), // f1: patch; clears after
+      (patch(2, 2, 50), 6, 6, "doNotDispose"),              // f2: corner patch
+      (patch(2, 2, 250), 0, 0, "restoreToPrevious"),        // f3: reverted after
+      (patch(2, 2, 75), 4, 4, "none")))                     // f4
+    val Some(frames) = Multimodal.decodeFrames(gif)
+    assert(frames.length == 5)
+    // every composited frame is the 8x8 logical screen, not the patch dims
+    frames.foreach { case (w, h, px) => assert(w == 8 && h == 8 && px.length == 64) }
+    def at(f: Int, x: Int, y: Int): Int = frames(f)._3(y * 8 + x)
+    def gray(v: Int): Int = 0xFF000000 | (v * 0x010101)
+    assert(at(0, 0, 0) == gray(100) && at(0, 7, 7) == gray(100))
+    // f1: patch over the full frame
+    assert(at(1, 3, 2) == gray(200) && at(1, 4, 3) == gray(200))
+    assert(at(1, 0, 0) == gray(100) && at(1, 5, 2) == gray(100))
+    // f2: f1's restoreToBackgroundColor cleared ITS rect to transparent
+    assert(at(2, 3, 2) == 0 && at(2, 4, 3) == 0, "disposed rect must be cleared")
+    assert(at(2, 0, 0) == gray(100) && at(2, 6, 6) == gray(50))
+    // f3: draws at origin over the doNotDispose'd f2 state
+    assert(at(3, 0, 0) == gray(250) && at(3, 6, 6) == gray(50))
+    // f4: f3's restoreToPrevious restored the pre-f3 canvas before drawing
+    assert(at(4, 0, 0) == gray(100), "restoreToPrevious must revert f3's draw")
+    assert(at(4, 4, 4) == gray(75) && at(4, 6, 6) == gray(50) && at(4, 3, 2) == 0)
+    // full-frame GIFs are unchanged by compositing: frame-for-frame equal to
+    // the analytic formula (the q68 oracle's losslessness argument survives)
+    val Some(full) = Multimodal.decodeFrames(Multimodal.syntheticGif(9L, 7, 5, 3))
+    full.zipWithIndex.foreach { case ((w, h, px), f) =>
+      assert(w == 7 && h == 5)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xFF) == ((9L + 11 * f + 3 * x + 5 * y) % 256).toInt)
+    }
+  }
+
+  test("decoder fuzz: arbitrary and truncated-valid bytes drop the row, never throw") {
+    // the poison-input contract, pinned broadly: every decoder entry point
+    // must return None (or a valid decode) on ANY byte string — crawl-scale
+    // corpora contain every possible corruption. Deterministic LCG fuzz:
+    // 400 random buffers + every prefix of each valid container format
+    // (truncation is the most common real corruption and exercises every
+    // bounds check in the chunk walkers).
+    var seed = 0x9e3779b97f4a7c15L
+    def nextBytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        b(i) = (seed >>> 56).toByte
+        i += 1
+      }
+      b
+    }
+    def check(bytes: Array[Byte], what: String): Unit =
+      try {
+        Multimodal.decodeImage(bytes)
+        Multimodal.decodeAudio(bytes)
+        Multimodal.decodeFrames(bytes)
+        ()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          fail(s"decoder threw on $what (${bytes.length} bytes): $e")
+      }
+    (0 until 400).foreach { i => check(nextBytes(i % 97 + 1), s"random#$i") }
+    // RIFF/GIF/PNG magic with garbage bodies — reach past the magic checks
+    for (magic <- Seq("RIFF????WAVE", "RIFF????AVI ", "GIF89a", "PNG")) {
+      val b = magic.getBytes("ISO-8859-1") ++ nextBytes(64)
+      check(b, s"magic:$magic")
+    }
+    // every prefix of each VALID container: truncation mid-chunk
+    val valid = Seq(
+      Multimodal.syntheticWav(1L, 30),
+      Multimodal.syntheticUlawWav(2L, 30),
+      Multimodal.syntheticAlawWav(3L, 30),
+      Multimodal.patternGif(4L, nFrames = 2),
+      Multimodal.syntheticMjpegAvi(5L, 16, 16, 2))
+    valid.foreach { v =>
+      (0 until v.length).foreach(k => check(v.take(k), s"prefix@$k"))
+    }
+  }
+
   test("semanticDedup keeps one representative per intra-cell component") {
     import spark.implicits._
     // 3 orthogonal pivot directions (ids 0..2 = the pivots at nCells=3) and
