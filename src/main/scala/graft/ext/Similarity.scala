@@ -660,16 +660,30 @@ object Similarity {
     * oversized cell becomes B² evenly-sized join tasks instead of one
     * quadratic straggler; nothing quadratic is materialized (the codegen'd
     * cosine filters immediately after the match). Pivots are the first
-    * `nCells` corpus ids — deterministic and SQL-reproducible (swap in
-    * [[annIvfKMeansTopK]]'s k-means centroids for better balance when
-    * cross-engine reproducibility is not required). */
+    * `nCells` corpus ids — deterministic and SQL-reproducible; pass
+    * `kmeansIters = Some(n)` for spherical-Lloyd centroids instead (the
+    * paper's clustering, better cell balance — [[annIvfKMeansTopK]]'s
+    * trade-off: reproducible only within this engine). */
   def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
                     minCos: Double, nCells: Int = 16,
-                    blocks: Int = 4): DataFrame = {
+                    blocks: Int = 4,
+                    kmeansIters: Option[Int] = None): DataFrame = {
     val b = blocks
-    val c = prepared(corpus, idCol, vecCol)
-    val pv = c.filter(col("id") < nCells)
-      .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val c0 = prepared(corpus, idCol, vecCol)
+    // k-means iterates over the prepared projection: materialize it once
+    // rather than re-running the upstream per Lloyd round (same reasoning
+    // as annIvfKMeansTopK's checkpoint)
+    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
+    val pv = kmeansIters match {
+      case Some(it) =>
+        import corpus.sparkSession.implicits._
+        kmeansLloyd(c, nCells, it).toDF("pid", "pv")
+          .withColumn("pnrm",
+            sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+      case None =>
+        c.filter(col("id") < nCells)
+          .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    }
     val assigned = assignCells(c, pv)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
     val l = assigned.withColumn("sub",
@@ -698,8 +712,10 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     minCos: Double = 0.95, nCells: Int = 16,
                     blocks: Int = 4,
+                    kmeansIters: Option[Int] = None,
                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    val pairs = semanticPairs(corpus, idCol, vecCol, minCos, nCells, blocks)
+    val pairs = semanticPairs(corpus, idCol, vecCol, minCos, nCells, blocks,
+      kmeansIters)
     val drops = Dedup.nearDupClusters(pairs, checkpoint = checkpoint)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

@@ -1181,6 +1181,13 @@ class ExtSpec extends AnyFunSuite {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val p2 = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1 == p2, s"blocked $p2 != unblocked $p1")
+    // k-means pivots (the paper's clustering): the three direction groups
+    // are orthogonal, so Lloyd keeps them in separate cells and the same
+    // representatives survive
+    val keptKm = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        minCos = 0.97, nCells = 3, blocks = 2, kmeansIters = Some(2))
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptKm == Set(0L, 1L, 2L, 20L), s"kmeans variant kept $keptKm")
   }
 
   test("crafted WAV with a 2^31-adjacent chunk size drops the row, never the task") {
