@@ -735,12 +735,15 @@ object ExtQueries {
   }
 
   /** Full IVF-ANN pipeline in SQL, mirroring Similarity.annIvfTopK: pivot
-    * cells = first 16 ids, nearest-pivot assignment and probe ranking on
+    * cells = the 16 smallest ids (ORDER BY id LIMIT 16, mirroring
+    * firstIdPivots — id-domain-agnostic, unlike a `vec_id < 16` predicate),
+    * nearest-pivot assignment and probe ranking on
     * 6-dp-rounded cosines with pivot-id tie-breaks, exact re-rank of the 4
     * probed cells' members. */
   private val annIvfSql: String =
     s"""WITH $cosineCtes,
-       |pv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 16),
+       |pv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n
+       |       ORDER BY vec_id LIMIT 16),
        |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
        |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
        |      round(list_sum(list_transform(range(1, 65),
@@ -1295,7 +1298,8 @@ object ExtQueries {
         |      FROM corpus),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
         |      FROM e),
-        |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 16),
+        |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n
+        |        ORDER BY vec_id LIMIT 16),
         |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
         |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
         |      round(list_sum(list_transform(range(1, 65),

@@ -367,7 +367,19 @@ object Multimodal {
     * `restoreToPrevious` restores the canvas bytes from before that frame
     * drew. Transparent frame pixels leave the canvas untouched
     * (SRC_OVER), which is exactly the delta-frame optimization this
-    * compositing exists to honor. */
+    * compositing exists to honor.
+    *
+    * Memory bounds (all untrusted-metadata driven, so all guarded): the
+    * canvas is capped at 64 M pixels — the same cap as [[parseAviFrames]] —
+    * because the logical screen descriptor and frame offsets are attacker
+    * bytes (each u16 up to 65535; a declared 40000×40000 screen around
+    * tiny frames would otherwise force multi-GB allocations, and
+    * OutOfMemoryError is an Error the NonFatal catch in [[decodeFrames]]
+    * deliberately does NOT swallow). The RETAINED footprint — n output
+    * frames plus up to two transient canvas snapshots for
+    * `restoreToPrevious`, each cw×ch ints — is capped at 256 M pixels
+    * (1 GiB packed) total. Either guard throws; [[decodeFrames]] maps that
+    * to None: drop the row, never the task. */
   private def gifComposited(reader: javax.imageio.ImageReader,
                             n: Int): IndexedSeq[(Int, Int, Array[Int])] = {
     import javax.imageio.metadata.IIOMetadataNode
@@ -403,6 +415,14 @@ object Multimodal {
       frames.map(f => f.left + f.img.getWidth).max)
     val ch = math.max(screen.map(_._2).getOrElse(0),
       frames.map(f => f.top + f.img.getHeight).max)
+    // guard BEFORE the first canvas-sized allocation: cw/ch derive from
+    // attacker-controlled metadata, and an OOM would kill the task, not
+    // the row (see scaladoc)
+    if (cw.toLong * ch > 64L * 1024 * 1024)
+      throw new java.io.IOException(s"GIF canvas $cw x $ch exceeds 64M pixels")
+    if (n.toLong * cw * ch > 256L * 1024 * 1024)
+      throw new java.io.IOException(
+        s"GIF composited output $n x $cw x $ch exceeds 256M pixels")
     val canvas = new java.awt.image.BufferedImage(cw, ch,
       java.awt.image.BufferedImage.TYPE_INT_ARGB)
     val g = canvas.createGraphics()
@@ -532,8 +552,12 @@ object Multimodal {
       bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
 
   /** REAL AVI video decode: walks the RIFF chunk tree (`hdrl` → `strl` →
-    * `strh`/`strf` for the first 'vids' stream, `movi` for the frame
-    * chunks) and decodes each `##db`/`##dc` frame — uncompressed 24-bit
+    * `strh`/`strf` for the first DECODABLE 'vids' stream, `movi` for the
+    * frame chunks) and decodes that stream's `##db`/`##dc` frames ONLY
+    * (the two digits are the stream's strh ordinal; chunks of other
+    * streams — a skipped XVID stream, audio, a second video stream — are
+    * ignored rather than misdecoded with the bound format) —
+    * uncompressed 24-bit
     * DIB (BI_RGB, bottom-up or top-down via the biHeight sign) directly,
     * MJPEG through the JDK's JPEG reader (an MJPEG stream is just
     * independently coded JPEG frames, which is why a JDK-only decoder can
@@ -554,8 +578,16 @@ object Multimodal {
       var vw = 0; var vh = 0; var bits = 0; var mjpg = false
       var haveFmt = false
       var inVideoStream = false
-      // (body offset, body length, compressed?) per frame chunk, in order
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
+      // streams are numbered by their strh ordinal; the movi frame chunks
+      // carry that number in their id ("01db" = stream 1). Bind the format
+      // AND its stream number together, else a second stream's chunks
+      // (XVID before a DIB stream, or a second video stream) would be
+      // decoded with the wrong format — garbage stats or a thrown decode
+      // that drops the whole container including its valid stream.
+      var curStream = -1
+      var boundStream = -1
+      // (stream no, body offset, body length, compressed?) per frame chunk
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Boolean)]
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off.toLong + 8 <= end) {
@@ -569,24 +601,31 @@ object Multimodal {
           } else if (id == "strh") {
             // a header opens a stream scope; only 'vids' streams may bind
             // the following strf as the video format
+            curStream += 1
             inVideoStream = sz >= 4 && cc(body) == "vids"
           } else if (id == "strf" && inVideoStream && !haveFmt && sz >= 40) {
             vw = u32(body + 4).toInt; vh = u32(body + 8).toInt
             bits = u16(body + 14)
             mjpg = u32(body + 16) != 0L && cc(body + 16) == "MJPG"
             haveFmt = u32(body + 16) == 0L || mjpg // BI_RGB or MJPG only
+            if (haveFmt) boundStream = curStream
           } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
                      (id(3) == 'b' || id(3) == 'c')) {
-            frames += ((body, sz, id(3) == 'c'))
+            frames += (((id(0) - '0') * 10 + (id(1) - '0'), body, sz, id(3) == 'c'))
           }
           off = body + sz + (sz & 1) // chunks are word-aligned
         }
       }
       walk(0, bytes.length)
       val h = math.abs(vh)
-      if (!haveFmt || frames.isEmpty || vw <= 0 || h == 0 ||
+      // only the BOUND stream's chunks carry the bound format
+      val mine = frames.toIndexedSeq.collect {
+        case (sn, fo, flen, compressed) if sn == boundStream =>
+          (fo, flen, compressed)
+      }
+      if (!haveFmt || mine.isEmpty || vw <= 0 || h == 0 ||
           vw.toLong * h > 64L * 1024 * 1024) None
-      else Some(frames.toIndexedSeq.map { case (fo, flen, compressed) =>
+      else Some(mine.map { case (fo, flen, compressed) =>
         if (compressed || mjpg) {
           val img = javax.imageio.ImageIO.read(
             new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -675,9 +714,15 @@ object Multimodal {
     * formula in a second REAL container. BI_RGB DIB is raw bytes, so the
     * round-trip is lossless and the q76 oracle recomputes frame statistics
     * analytically with no video decoder on its side. */
-  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+    buildAvi(w, h, "DIB ", 0L, dibFrameChunks(id, w, h, nFrames, "00db"))
+
+  /** The [[syntheticAvi]] DIB frame payloads under a caller-chosen chunk id
+    * (stream number) — shared with the two-stream fixture. */
+  private def dibFrameChunks(id: Long, w: Int, h: Int, nFrames: Int,
+                             chunkId: String): Seq[Array[Byte]] = {
     val rowStride = ((w * 3 + 3) / 4) * 4
-    val frames = (0 until nFrames).map { f =>
+    (0 until nFrames).map { f =>
       val d = new Array[Byte](rowStride * h)
       var y = 0
       while (y < h) {
@@ -690,9 +735,43 @@ object Multimodal {
         }
         y += 1
       }
-      riffChunk("00db", d)
+      riffChunk(chunkId, d)
     }
-    buildAvi(w, h, "DIB ", 0L, frames)
+  }
+
+  /** Two-video-stream AVI fixture for the stream-binding spec: stream 0 is
+    * an XVID 'vids' stream (compressed with a codec this parser cannot
+    * decode, so its strf must NOT bind the format) carrying junk `00dc`
+    * chunks; stream 1 is [[syntheticAvi]]'s DIB stream with its frames as
+    * `01db` chunks, interleaved after the junk. A stream-aware parser
+    * decodes exactly stream 1's frames; a stream-blind one either
+    * misdecodes the junk with the DIB format or throws and drops the whole
+    * container. */
+  private[graft] def twoStreamAvi(id: Long, w: Int, h: Int,
+                                  nFrames: Int): Array[Byte] = {
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val dib = dibFrameChunks(id, w, h, nFrames, "01db")
+    val junk = (0 until nFrames).map(f =>
+      riffChunk("00dc", Array.tabulate[Byte](7 + f)(i => (i * 31 + f).toByte)))
+    val avih = new LeBuf().u32(40000L).u32(0L).u32(0L).u32(0L)
+      .u32(nFrames.toLong).u32(0L).u32(2L).u32(rowStride.toLong * h)
+      .u32(w.toLong).u32(h.toLong).u32(0L).u32(0L).u32(0L).u32(0L).bytes
+    def strh(handler: String) = new LeBuf().cc("vids").cc(handler).u32(0L)
+      .u16(0).u16(0).u32(0L).u32(1L).u32(25L).u32(0L).u32(nFrames.toLong)
+      .u32(rowStride.toLong * h).u32(0xFFFFFFFFL).u32(0L)
+      .u16(0).u16(0).u16(w).u16(h).bytes
+    def strf(compression: Long) = new LeBuf().u32(40L).u32(w.toLong)
+      .u32(h.toLong).u16(1).u16(24).u32(compression)
+      .u32(rowStride.toLong * h).u32(0L).u32(0L).u32(0L).u32(0L).bytes
+    val hdrl = riffList("LIST", "hdrl", Seq(
+      riffChunk("avih", avih),
+      riffList("LIST", "strl", Seq(riffChunk("strh", strh("XVID")),
+        riffChunk("strf", strf(0x44495658L /* 'XVID' LE */)))),
+      riffList("LIST", "strl", Seq(riffChunk("strh", strh("DIB ")),
+        riffChunk("strf", strf(0L))))))
+    val movi = riffList("LIST", "movi",
+      junk.zip(dib).flatMap { case (j, d) => Seq(j, d) })
+    riffList("RIFF", "AVI ", Seq(hdrl, movi))
   }
 
   /** Synthetic MJPEG AVI: [[patternGif]]'s flat-cell block pattern, JPEG-

@@ -224,9 +224,10 @@ object Similarity {
     * exact cosine re-ranks only those cells' members. The candidate fraction
     * is ~nProbe/nCells of the corpus — the classic recall/cost dial.
     *
-    * Pivots are the first `nCells` corpus ids — deterministic and
-    * reproducible in plain SQL (which is what lets the DuckDB oracle mirror
-    * the whole pipeline); swap in k-means centroids for better cell balance
+    * Pivots are the `nCells` SMALLEST corpus ids ([[firstIdPivots]]) —
+    * deterministic on any id domain and reproducible in plain SQL (which is
+    * what lets the DuckDB oracle mirror the whole pipeline); swap in k-means
+    * centroids for better cell balance
     * when reproducibility across engines is not required. All ranking
     * decisions use 6-dp-rounded cosines with id tie-breaks, so assignment is
     * bit-stable. */
@@ -234,10 +235,23 @@ object Similarity {
                  vecCol: String, topK: Int, nCells: Int = 16,
                  nProbe: Int = 4): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val pv = c.filter(col("id") < nCells)
-      .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
-    ivfCore(c, prepared(queries, idCol, vecCol), pv, topK, nProbe)
+    ivfCore(c, prepared(queries, idCol, vecCol), firstIdPivots(c, nCells),
+      topK, nProbe)
   }
+
+  /** Deterministic default pivot set: the `nCells` corpus rows with the
+    * SMALLEST ids, as (pid, pv, pnrm). `ORDER BY id LIMIT n` rather than
+    * `id < n`: the latter silently selects fewer than `nCells` pivots —
+    * possibly ZERO, which would turn [[semanticDedup]] into a no-op and
+    * [[annIvfTopK]] empty — on any corpus whose ids are sparse or large
+    * (xxhash64-derived fingerprints, offset partitions). Smallest-ids
+    * matches the documented "first nCells corpus ids" contract on every id
+    * domain and stays reproducible in plain SQL (`ORDER BY id LIMIT n`).
+    * The limit is a K-row global top-k (Spark plans TakeOrdered — no full
+    * sort), the same broadcast-sized footprint as the k-means seeding. */
+  private def firstIdPivots(c: DataFrame, nCells: Int): DataFrame =
+    c.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
 
   /** IVF assignment/probe/re-rank over an arbitrary pivot set (pid, pv,
     * pnrm): nearest-pivot cell per corpus vector, nProbe nearest cells per
@@ -300,8 +314,8 @@ object Similarity {
     * [[graft.sources.IO.writeBucketed]], so a later probe join on the cell
     * key reads co-partitioned buckets with NO exchange and no re-sort on
     * the corpus side: the shuffle is paid once here, at build time.
-    * Pivots: deterministic first-`nCells` ids (matching [[annIvfTopK]],
-    * reproducible in SQL) or k-means centroids when `kmeansIters` is set
+    * Pivots: the deterministic `nCells`-smallest ids (matching
+    * [[annIvfTopK]], reproducible in SQL) or k-means centroids when `kmeansIters` is set
     * (better cell balance, [[annIvfKMeansTopK]]'s trade-off). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     name: String, nCells: Int = 16, buckets: Int = 32,
@@ -318,9 +332,7 @@ object Similarity {
         kmeansLloyd(c, nCells, iters).toDF("pid", "pv")
           .withColumn("pnrm",
             sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
-      case None =>
-        c.filter(col("id") < nCells)
-          .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+      case None => firstIdPivots(c, nCells)
     }
     // orphaned-location cleanup first: a rebuild into the same name must
     // succeed even when the in-memory catalog lost the table but its
@@ -659,8 +671,9 @@ object Similarity {
     * sub-cells (the [[cosinePairsBlocked]] grid, applied per cell), so one
     * oversized cell becomes B² evenly-sized join tasks instead of one
     * quadratic straggler; nothing quadratic is materialized (the codegen'd
-    * cosine filters immediately after the match). Pivots are the first
-    * `nCells` corpus ids — deterministic and SQL-reproducible; pass
+    * cosine filters immediately after the match). Pivots are the `nCells`
+    * smallest corpus ids ([[firstIdPivots]]) — deterministic and
+    * SQL-reproducible; pass
     * `kmeansIters = Some(n)` for spherical-Lloyd centroids instead (the
     * paper's clustering, better cell balance — [[annIvfKMeansTopK]]'s
     * trade-off: reproducible only within this engine). */
@@ -680,9 +693,7 @@ object Similarity {
         kmeansLloyd(c, nCells, it).toDF("pid", "pv")
           .withColumn("pnrm",
             sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
-      case None =>
-        c.filter(col("id") < nCells)
-          .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+      case None => firstIdPivots(c, nCells)
     }
     val assigned = assignCells(c, pv)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))

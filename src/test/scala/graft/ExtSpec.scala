@@ -901,6 +901,36 @@ class ExtSpec extends AnyFunSuite {
     assert(!Multimodal.isAvi(Multimodal.syntheticWav(1L, 10)))
   }
 
+  test("two-video-stream AVI: only the bound DIB stream's chunks decode") {
+    // stream 0 is XVID (skipped for format binding — compression is neither
+    // BI_RGB nor MJPG) with junk 00dc chunks; stream 1 is the DIB stream.
+    // The parser must decode exactly stream 1's frames: a stream-blind walk
+    // would feed the junk to the DIB/MJPEG decoder — garbage stats or a
+    // thrown decode dropping the container including its valid stream.
+    val (w, h, nf) = (15, 11, 3)
+    val Some(frames) = Multimodal.decodeFrames(Multimodal.twoStreamAvi(7L, w, h, nf))
+    val Some(ref) = Multimodal.decodeFrames(Multimodal.syntheticAvi(7L, w, h, nf))
+    assert(frames.size == nf)
+    frames.zip(ref).foreach { case ((fw, fh, px), (rw, rh, rpx)) =>
+      assert(fw == rw && fh == rh && px.sameElements(rpx))
+    }
+  }
+
+  test("crafted GIF declaring a huge logical screen drops the row, never the task") {
+    // the logical screen descriptor is attacker bytes (u16 width at offset
+    // 6, height at 8): a 40000x40000 declaration around tiny frames would
+    // otherwise allocate a multi-GB canvas — and OutOfMemoryError is an
+    // Error, invisible to decodeFrames' NonFatal catch. The 64 MP canvas
+    // guard must turn this into a dropped row.
+    val gif = Multimodal.syntheticGif(3L, 8, 6, 2).clone()
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    gif(6) = (40000 & 0xFF).toByte; gif(7) = ((40000 >> 8) & 0xFF).toByte
+    gif(8) = (40000 & 0xFF).toByte; gif(9) = ((40000 >> 8) & 0xFF).toByte
+    assert(Multimodal.decodeFrames(gif).isEmpty)
+    // the unpatched original still decodes — the guard is not a blanket drop
+    assert(Multimodal.decodeFrames(Multimodal.syntheticGif(3L, 8, 6, 2)).nonEmpty)
+  }
+
   test("cross-container: the same clip as GIF and MJPEG-AVI embeds near-identically") {
     import spark.implicits._
     // patternGif and syntheticMjpegAvi share the analytic flat-cell frame
@@ -1188,6 +1218,96 @@ class ExtSpec extends AnyFunSuite {
         minCos = 0.97, nCells = 3, blocks = 2, kmeansIters = Some(2))
       .select("vec_id").as[Long].collect().toSet
     assert(keptKm == Set(0L, 1L, 2L, 20L), s"kmeans variant kept $keptKm")
+  }
+
+  test("IVF and semantic dedup are id-domain-agnostic: offset ids (1e9+) give shifted-identical results") {
+    // regression for the pivot-selection defect: `filter(id < nCells)`
+    // selected ZERO pivots on sparse/large id domains (xxhash64-derived
+    // fingerprints, offset partitions), silently emptying annIvfTopK and
+    // turning semanticDedup into a no-op. The contract is now the nCells
+    // SMALLEST ids, so shifting every id by a constant must shift every
+    // result by the same constant — nothing more.
+    val off = 1000000000L
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val eOff = e.withColumn("vec_id", col("vec_id") + off)
+    val q = e.filter(col("vec_id") < 5)
+    val qOff = eOff.filter(col("vec_id") < off + 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // partial probe: pivot set = 16 smallest ids = the same 16 rows either
+    // way, so the offset run is the dense run shifted by `off`
+    val dense = pairs(Similarity.annIvfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4))
+    val sparse = pairs(Similarity.annIvfTopK(eOff, qOff, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4))
+    assert(sparse.nonEmpty)
+    assert(sparse == dense.map { case (a, b, c, r) => (a + off, b + off, c, r) })
+    // and full probe on the offset corpus still equals brute force
+    val brute = pairs(Similarity.annTopK(eOff, qOff, "vec_id", "embedding", 5))
+    val full = pairs(Similarity.annIvfTopK(eOff, qOff, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 8))
+    assert(full == brute)
+    // semanticDedup: the intra-cell component structure is id-label-blind
+    def unit(d: Int, eps: Double): Array[Float] = {
+      val v = new Array[Float](8)
+      v(d) = 1f; v((d + 1) % 8) = eps.toFloat
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = Seq(
+      off + 0L  -> unit(0, 0.0), off + 1L -> unit(3, 0.0),
+      off + 2L  -> unit(6, 0.0),
+      off + 10L -> unit(0, 0.05), off + 11L -> unit(3, 0.04),
+      off + 12L -> unit(6, 0.03)
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        minCos = 0.97, nCells = 3, blocks = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(off + 0L, off + 1L, off + 2L), s"kept $kept")
+  }
+
+  test("ext layer sparse-id guard: planted-dup fixtures with 1e9-offset ids behave identically") {
+    // insurance against further dense-id assumptions: the planted-dup
+    // fixtures re-run with every id offset by 1e9 through the other
+    // id-keyed families — text dedup terminal, LSH cosine pairs,
+    // incremental near-dup, quantized ANN — and must produce the dense
+    // results shifted by the offset.
+    val off = 1000000000L
+    // dedupCorpus: near-dup group {0,1,2} collapses to its min id either way
+    val docsOff = corpus.withColumn("doc_id", col("doc_id") + off)
+    val keptDense = Dedup.dedupCorpus(corpus, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val keptOff = Dedup.dedupCorpus(docsOff, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptOff == keptDense.map(_ + off) && keptOff.size < 5)
+    // cosineLshPairs (auto-sized default): every planted pair recovered on
+    // the offset id domain, matching brute force
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("vec_id", col("vec_id") + off)
+    val planted = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 2000000000L, scale = 0.01)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = set(Similarity.cosinePairs(planted, "vec_id", "embedding", 0.95))
+    val lsh = set(Similarity.cosineLshPairs(planted, "vec_id", "embedding", 0.95))
+    assert(lsh == brute && brute.nonEmpty)
+    // incrementalNear: same drop decisions on offset arrival/history ids
+    val seen = Seq((off + 0L, "alpha beta gamma delta"),
+      (off + 1L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (off + 10L, "beta alpha delta gamma"), (off + 12L, "nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val keptInc = Dedup.incrementalNear(arrivals, seen, "doc_id", "text", k = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptInc == Set(off + 12L))
+    // quantized ANN: identical-vector query still ranks its twin first
+    val vs = Seq(
+      (off + 0L, Array(1f, 0f, 0f, 0f)), (off + 1L, Array(1f, 0.01f, 0f, 0f)),
+      (off + 2L, Array(0f, 1f, 0f, 0f)), (off + 3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Quantize.annTopKQuantized(vs, vs.filter(col("vec_id") === off),
+      "vec_id", "embedding", topK = 2).collect()
+    assert(top.head.getLong(1) == off + 1L)
   }
 
   test("crafted WAV with a 2^31-adjacent chunk size drops the row, never the task") {
