@@ -379,6 +379,43 @@ object ExtQueries {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     },
+    // q79's PERSISTED-INDEX sibling (r10): the SAME planted corpus and the
+    // SAME 16 first-id pivots, but the cell assignment is built once into
+    // the bucketed IVF index tables and the dedup is served FROM the index
+    // (semanticPairsIndexed reuses the stored assignment — the O(n·K)
+    // assignment pass is not re-run). Assignment is bit-stable, so the
+    // oracle is q79's SQL verbatim; like q63, the query rebuilds the index
+    // per invocation so it is self-contained and its bench number prices
+    // build+serve.
+    "q81_semantic_dedup_indexed" -> { (s, dir) =>
+      val corpus = Similarity.plantNearDups(read(s, dir, "embeddings"),
+        "vec_id", "embedding", offset = 1000000L, scale = 0.01)
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        "graft_q81_sem", nCells = 16, buckets = 8)
+      Similarity.semanticDedupIndexed(s, "graft_q81_sem", corpus, "vec_id",
+          minCos = 0.95)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    // Incremental EMBEDDING dedup under the oracle (r10): history = the
+    // even-id originals, arrivals = the odd-id originals (fresh — no
+    // original-original pair reaches 0.95 in this fixture) plus one
+    // planted cos ≈ 0.999 twin per original. Dups of even seeds drop, odd
+    // originals and odd-seed dups survive. bits=256/bands=16 is q41's
+    // recall-1.0 regime (per-pair miss ~2e-11), so the brute-force
+    // arrival×seen cosine join is the oracle — the same operator the
+    // streaming epoch loop (dedupIncrementalCosine) replays per batch.
+    "q80_incremental_cosine" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val seen = e.filter(col("vec_id") % 2 === 0)
+      val arrivals = e.filter(col("vec_id") % 2 === 1).unionByName(
+        Similarity.plantNearDups(e, "vec_id", "embedding",
+          offset = 1000000L, scale = 0.01).filter(col("vec_id") >= 1000000L))
+      Similarity.incrementalCosine(arrivals, seen, "vec_id", "embedding",
+          minCos = 0.95, bits = 256, bands = 16)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
     // The persisted-index serving path under the oracle: build the IVF
     // index (centroids + cell-bucketed vectors as catalog tables — the
     // index-once/query-many shape), then serve top-k FROM THE TABLES with
@@ -1283,43 +1320,42 @@ object ExtQueries {
     // q79: the SemDeDup pipeline replayed end-to-end — q41's planted
     // corpus (verbatim), nearest-of-16-pivots assignment (q42's asg
     // pattern), intra-cell exact pairs at 0.95, q49's recursive min-label
-    // closure, survivors = ids that are their component's minimum
-    "q79_semantic_dedup" ->
-      """WITH RECURSIVE pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
+    // closure, survivors = ids that are their component's minimum.
+    // q81 serves the SAME pipeline from the persisted bucketed index
+    // (bit-stable assignment), so its oracle is this SQL verbatim.
+    "q79_semantic_dedup" -> semanticDedupSql,
+    "q81_semantic_dedup_indexed" -> semanticDedupSql,
+    // q80: incremental embedding dedup — arrivals (odd originals + planted
+    // twins of every original) minus those with cosine >= 0.95 to a seen
+    // (even-id) vector. Brute-force arrival x seen join is exact because
+    // the Spark side runs the recall-1.0 LSH regime (see the query's
+    // comment); planted-twin CTE is lshPairsOracleSql's, verbatim.
+    "q80_incremental_cosine" ->
+      """WITH pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
         |pl AS (SELECT oid + 1000000 AS vec_id,
         |  list_transform(range(0, 64), d -> CAST(CAST(emb[d+1] AS DOUBLE) +
         |    CAST(0.01 AS DOUBLE) * CAST((oid*131 + d*7919) % 1000003
         |      * 2654435761 % 2000003 - 1000001 AS DOUBLE)
         |    / CAST(1000001.0 AS DOUBLE) AS REAL)) AS embedding
         |  FROM pb),
-        |corpus AS (SELECT vec_id, embedding FROM embeddings
-        |           UNION ALL SELECT vec_id, embedding FROM pl),
-        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |      FROM corpus),
-        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
-        |      FROM e),
-        |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n
-        |        ORDER BY vec_id LIMIT 16),
-        |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
-        |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-        |      round(list_sum(list_transform(range(1, 65),
-        |        k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
-        |  FROM n c CROSS JOIN piv),
-        |cells AS (SELECT id, v, nrm, pid AS cell FROM asg WHERE rn = 1),
-        |j AS (SELECT a.id AS id1, b.id AS id2
-        |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
-        |      WHERE round(list_sum(list_transform(range(1, 65),
-        |        k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) >= 0.95),
-        |ed AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
-        |nodes AS (SELECT DISTINCT id1 AS id FROM ed),
-        |reach(id, x) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.id, ed.id2 FROM reach JOIN ed ON reach.x = ed.id1),
-        |cl AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
-        |drops AS (SELECT id FROM cl WHERE cluster < id)
-        |SELECT vec_id FROM corpus
-        |WHERE vec_id NOT IN (SELECT id FROM drops)
+        |arr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+        |        UNION ALL SELECT vec_id, embedding FROM pl),
+        |na AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM arr),
+        |a2 AS (SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM na),
+        |ns AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings WHERE vec_id % 2 = 0),
+        |s2 AS (SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ns),
+        |dropped AS (SELECT DISTINCT a.vec_id
+        |  FROM a2 a JOIN s2 s
+        |    ON round(list_sum(list_transform(range(1, 65),
+        |      k -> a.v[k]*s.v[k])) / (a.nrm*s.nrm), 6) >= 0.95)
+        |SELECT vec_id FROM arr
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
     // q76: q68's analytic-mean oracle over the AVI fixture's own dims
     // (14+id%6 × 10+5id%7, frames 0..2+id%4, sampled every 2nd); the DIB
@@ -1549,6 +1585,48 @@ object ExtQueries {
         |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1)
         |SELECT id, min(x) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
   )
+
+  /** The SemDeDup pipeline in SQL (q79 AND q81 — the persisted-index path
+    * serves a bit-identical assignment): planted corpus, 16-smallest-id
+    * pivots, nearest-pivot cells, intra-cell exact pairs at 0.95,
+    * recursive min-label closure, survivors = component minima. */
+  private val semanticDedupSql: String =
+    """WITH RECURSIVE pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
+      |pl AS (SELECT oid + 1000000 AS vec_id,
+      |  list_transform(range(0, 64), d -> CAST(CAST(emb[d+1] AS DOUBLE) +
+      |    CAST(0.01 AS DOUBLE) * CAST((oid*131 + d*7919) % 1000003
+      |      * 2654435761 % 2000003 - 1000001 AS DOUBLE)
+      |    / CAST(1000001.0 AS DOUBLE) AS REAL)) AS embedding
+      |  FROM pb),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings
+      |           UNION ALL SELECT vec_id, embedding FROM pl),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM corpus),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |      FROM e),
+      |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n
+      |        ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |      round(list_sum(list_transform(range(1, 65),
+      |        k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
+      |  FROM n c CROSS JOIN piv),
+      |cells AS (SELECT id, v, nrm, pid AS cell FROM asg WHERE rn = 1),
+      |j AS (SELECT a.id AS id1, b.id AS id2
+      |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+      |      WHERE round(list_sum(list_transform(range(1, 65),
+      |        k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) >= 0.95),
+      |ed AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
+      |nodes AS (SELECT DISTINCT id1 AS id FROM ed),
+      |reach(id, x) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, ed.id2 FROM reach JOIN ed ON reach.x = ed.id1),
+      |cl AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+      |drops AS (SELECT id FROM cl WHERE cluster < id)
+      |SELECT vec_id FROM corpus
+      |WHERE vec_id NOT IN (SELECT id FROM drops)
+      |ORDER BY vec_id""".stripMargin
 
   /** Brute-force cosine pairs at 0.95 over the corpus with planted near-dups
     * — mirrors Similarity.plantNearDups exactly: integer LCG in [-1e6, 1e6]

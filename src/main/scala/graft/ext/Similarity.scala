@@ -158,7 +158,15 @@ object Similarity {
     * top-k LSH paths. */
   private def bandedIds(df: DataFrame, idOut: String, vecName: String,
                         bits: Int, bands: Int, mix: Boolean,
-                        thresholds: Seq[Long]): DataFrame = {
+                        thresholds: Seq[Long]): DataFrame =
+    bandedRows(df, Seq(idOut), vecName, bits, bands, mix, thresholds)
+
+  /** [[bandedIds]] generalized to carry arbitrary columns through the band
+    * explode (the incremental-cosine confirm join needs the vector + norm
+    * alongside each band key, not just an id). */
+  private def bandedRows(df: DataFrame, carry: Seq[String], vecName: String,
+                         bits: Int, bands: Int, mix: Boolean,
+                         thresholds: Seq[Long]): DataFrame = {
     val rows = bits / bands
     // the 64|rows alignment constraint exists only so multi-word bands never
     // straddle a word boundary; single-word signatures shift freely
@@ -173,7 +181,7 @@ object Similarity {
         mix = mix, thresholds = thresholds.slice(64 * w, 64 * w + wBits))
         .as(s"__w$w")
     }
-    val sigged = df.select(col(idOut) +: words: _*)
+    val sigged = df.select(carry.map(col) ++ words: _*)
     val mask = if (rows == 64) lit(-1L) else lit((1L << rows) - 1)
     val keys = array((0 until bands).map { b =>
       val word = col(s"__w${(b * rows) / 64}")
@@ -181,7 +189,7 @@ object Similarity {
       struct(lit(b).as("band"),
         shiftrightunsigned(word, shift).bitwiseAND(mask).as("v"))
     }: _*)
-    sigged.select(col(idOut), explode(keys).as("bk"))
+    sigged.select(carry.map(col) :+ explode(keys).as("bk"): _*)
   }
 
   /** LSH-bucketed ANN: candidates share a signature band (default 4 bands of
@@ -658,6 +666,83 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  // ---- incremental embedding dedup (arrivals vs a seen corpus) ----------
+
+  /** Band-key rows of a corpus for INCREMENTAL cosine dedup: one row per
+    * (vector, band) with the band key `bk` (band index + band value — the
+    * [[cosineLshPairs]] candidate key), its 64-bit hash `__fp` (what the
+    * Bloom prefilter covers), and the vector + norm (`__sv`, `__snrm`) the
+    * exact confirm join re-ranks against. Null vectors carry no signal and
+    * are dropped. The LCG plane family below 65 bits keeps the key chain
+    * ANSI-SQL-mirrorable (the q80 oracle replays it); wider signatures
+    * switch to splitmix64 exactly like [[cosineLshPairs]]. */
+  private[graft] def vectorBandKeys(df: DataFrame, vecCol: String,
+                                    bits: Int, bands: Int): DataFrame = {
+    graft.funcs.VectorFunctions.register(df.sparkSession)
+    val p = df.select(col(vecCol).as("v")).filter(col("v").isNotNull)
+      .withColumn("nrm",
+        sqrt(graft.funcs.VectorFunctions.dotF(col("v"), col("v"))))
+    bandedRows(p, Seq("v", "nrm"), "v", bits, bands, mix = bits > 64, Nil)
+      .select(col("bk"), bandFp(col("bk")).as("__fp"),
+        col("v").as("__sv"), col("nrm").as("__snrm"))
+  }
+
+  /** 64-bit probe key of a band-key struct — the Bloom filter's domain.
+    * Hash collisions cost only confirm-join rows: candidacy is decided by
+    * the STRUCT equi-join on `bk`, never by this hash. */
+  private def bandFp(bk: Column): Column =
+    xxhash64(bk.getField("band"), bk.getField("v"))
+
+  /** Incremental COSINE near-dup dedup — [[Dedup.incrementalExact]]'s
+    * embedding-modality sibling: drop from `newDf` every row whose vector
+    * has cosine ≥ `minCos` with a seen vector SHARING an LSH BAND (the
+    * [[cosineLshPairs]] candidate scope — recall follows the same
+    * 1 − (1 − p^r)^b curve, so a true near-dup pair missing every band
+    * survives; that is the documented LSH trade-off, not a defect). The
+    * same Bloom-prefilter + exact-confirm shape as the text family: seen
+    * band keys build one measured-capacity filter, an arrival is a
+    * candidate iff ANY of its `bands` probes hits (ORed codegen probes),
+    * and candidates pay the exact confirm — a band equi-join against the
+    * seen vectors filtered by the 6-dp-rounded cosine. False positives
+    * cost confirm rows, never correctness. Defaults (bits 64 / bands 8 →
+    * r = 8) hold per-pair miss < 1e-3 at cos ≥ 0.999; q80's oracle pins
+    * the SQL-mirrorable 16/4 configuration. */
+  def incrementalCosine(newDf: DataFrame, seenDf: DataFrame, idCol: String,
+                        vecCol: String, minCos: Double, bits: Int = 64,
+                        bands: Int = 8, expectedSeen: Option[Long] = None,
+                        fpp: Double = 0.01): DataFrame = {
+    val seenKeys = vectorBandKeys(seenDf, vecCol, bits, bands)
+    val bytes = Dedup.serializedBloom(Dedup.buildLongBloom(
+      seenKeys.select(col("__fp")), "__fp",
+      expectedSeen.map(_ * bands), fpp))
+    cosineProbeConfirmMulti(newDf, seenKeys, Seq(bytes), idCol, vecCol,
+      minCos, bits, bands)
+  }
+
+  /** [[incrementalCosine]]'s per-batch core, mirroring
+    * [[Dedup.nearProbeConfirmMulti]]: `seenKeys` is a [[vectorBandKeys]]
+    * table and `filters` a frozen epoch filter plus delta filters whose
+    * UNION covers it (the streaming epoch loop's contract). Returns the
+    * fresh rows of `newDf`. */
+  private[graft] def cosineProbeConfirmMulti(newDf: DataFrame,
+      seenKeys: DataFrame, filters: Seq[Array[Byte]], idCol: String,
+      vecCol: String, minCos: Double, bits: Int, bands: Int): DataFrame = {
+    require(filters.nonEmpty, "at least one filter required")
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
+    val p = prepared(newDf, idCol, vecCol).filter(col("v").isNotNull)
+    val banded = bandedRows(p, Seq("id", "v", "nrm"), "v", bits, bands,
+        mix = bits > 64, Nil)
+      .withColumn("__fp", bandFp(col("bk")))
+    val candidates = banded.filter(filters.map(b =>
+      graft.funcs.VectorFunctions.bloomMightContain(col("__fp"), b))
+      .reduce(_ || _))
+    val confirmed = candidates.join(seenKeys.drop("__fp"), Seq("bk"))
+      .filter(round(graft.funcs.VectorFunctions.dotF(col("v"), col("__sv")) /
+        (col("nrm") * col("__snrm")), 6) >= minCos)
+      .select(col("id")).distinct()
+    newDf.join(confirmed, newDf(idCol) === confirmed("id"), "left_anti")
+  }
+
   /** SemDeDup-style semantic-duplicate PAIR graph (Abbas et al. 2023,
     * arXiv:2303.09540 — "SemDeDup": cluster the embedding space, then
     * compare pairwise within clusters only): a coarse quantizer assigns
@@ -676,26 +761,30 @@ object Similarity {
     * SQL-reproducible; pass
     * `kmeansIters = Some(n)` for spherical-Lloyd centroids instead (the
     * paper's clustering, better cell balance — [[annIvfKMeansTopK]]'s
-    * trade-off: reproducible only within this engine). */
+    * trade-off: reproducible only within this engine).
+    *
+    * `nCells <= 0` (the default) AUTO-sizes the cell count to ~√n from a
+    * measured corpus count ([[autoNCells]]) so cell size — and with it the
+    * intra-cell quadratic term — stays bounded as the corpus grows; an
+    * explicit value remains the reproducibility dial (q79's oracle pins
+    * 16). Watch [[semanticCellStats]] for skew either way. */
   def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                    minCos: Double, nCells: Int = 16,
+                    minCos: Double, nCells: Int = 0,
                     blocks: Int = 4,
-                    kmeansIters: Option[Int] = None): DataFrame = {
+                    kmeansIters: Option[Int] = None): DataFrame =
+    pairsWithinCells(
+      semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters),
+      minCos, blocks)
+
+  /** The intra-cell pair half of [[semanticPairs]] over an already-assigned
+    * (id, v, nrm, cell) table — shared with the persisted-index path
+    * ([[semanticPairsIndexed]]), so in-memory and indexed semantic dedup
+    * cannot drift. Each row fans into `blocks` grid sub-cells; the join is
+    * an equi-join on (cell, sub). */
+  private def pairsWithinCells(assignedCells: DataFrame, minCos: Double,
+                               blocks: Int): DataFrame = {
     val b = blocks
-    val c0 = prepared(corpus, idCol, vecCol)
-    // k-means iterates over the prepared projection: materialize it once
-    // rather than re-running the upstream per Lloyd round (same reasoning
-    // as annIvfKMeansTopK's checkpoint)
-    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
-    val pv = kmeansIters match {
-      case Some(it) =>
-        import corpus.sparkSession.implicits._
-        kmeansLloyd(c, nCells, it).toDF("pid", "pv")
-          .withColumn("pnrm",
-            sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
-      case None => firstIdPivots(c, nCells)
-    }
-    val assigned = assignCells(c, pv)
+    val assigned = assignedCells
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
     val l = assigned.withColumn("sub",
       explode(transform(sequence(col("blk"), lit(b - 1)), j => col("blk") * b + j)))
@@ -710,6 +799,91 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** [[semanticPairs]] served from a PERSISTED [[buildIvfIndex]] index:
+    * the pair graph is computed from the index's stored (id, v, nrm, cell)
+    * assignment — the O(n·K) pivot-broadcast assignment pass is NOT re-run,
+    * which is the whole cost of cell formation on a repeated-epoch corpus.
+    * Identical to the in-memory operator built with the same pivots
+    * (assignment is bit-stable, [[assignCells]]); q81 pins the equality
+    * against q79's oracle. Grow the index between runs with
+    * [[appendToIvfIndex]]. */
+  def semanticPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                           name: String, minCos: Double,
+                           blocks: Int = 4): DataFrame = {
+    graft.funcs.VectorFunctions.register(spark)
+    pairsWithinCells(spark.table(s"${name}_vectors"), minCos, blocks)
+  }
+
+  /** [[semanticDedup]] served from a persisted index: indexed pair graph →
+    * connected components → anti-join `corpus` (which must be the corpus
+    * the index covers — same ids). The build-once / dedup-many shape for
+    * repeated-epoch semantic dedup. */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                           name: String, corpus: DataFrame, idCol: String,
+                           minCos: Double = 0.95, blocks: Int = 4,
+                           checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val drops = Dedup.nearDupClusters(
+        semanticPairsIndexed(spark, name, minCos, blocks),
+        checkpoint = checkpoint)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The cell-assignment half of [[semanticPairs]] — (id, v, nrm, cell)
+    * rows, shared with [[semanticCellStats]] so observability measures the
+    * SAME assignment the dedup uses. `nCells <= 0` AUTO-sizes to ~√n from
+    * a measured corpus count ([[autoNCells]]) — cells of ~√n members, so
+    * the intra-cell quadratic term totals ~n^1.5 instead of n²/K for a
+    * fixed K; the count costs one pass over the prepared projection (the
+    * same posture as [[cosineLshPairs]]'s auto signature width). */
+  private def semanticAssigned(corpus: DataFrame, idCol: String,
+                               vecCol: String, nCells: Int,
+                               kmeansIters: Option[Int]): DataFrame = {
+    val c0 = prepared(corpus, idCol, vecCol)
+    // k-means iterates over the prepared projection: materialize it once
+    // rather than re-running the upstream per Lloyd round (same reasoning
+    // as annIvfKMeansTopK's checkpoint)
+    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
+    val k = if (nCells > 0) nCells else autoNCells(c.count())
+    val pv = kmeansIters match {
+      case Some(it) =>
+        import corpus.sparkSession.implicits._
+        kmeansLloyd(c, k, it).toDF("pid", "pv")
+          .withColumn("pnrm",
+            sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+      case None => firstIdPivots(c, k)
+    }
+    assignCells(c, pv)
+  }
+
+  /** Auto cell count for [[semanticPairs]]/[[semanticDedup]]: ~√n, clamped
+    * to [1, 65536]. √n balances the two cost terms — assignment is O(n·K)
+    * and intra-cell pair generation is O(n²/K), equal at K = √n — and keeps
+    * the expected cell size (~√n vectors) bounded as the corpus grows,
+    * instead of letting a fixed K = 16 default produce n/16-member cells
+    * whose pair join is quadratic in n. The upper clamp bounds the pivot
+    * broadcast (65536 × dims floats). Skew beyond the expectation is what
+    * [[semanticCellStats]] is for. */
+  def autoNCells(n: Long): Int =
+    math.max(1L, math.min(65536L, math.round(math.sqrt(math.max(0L, n).toDouble)))).toInt
+
+  /** Cell-occupancy histogram for the SemDeDup path: one row per cell with
+    * its member count, computed from the SAME assignment [[semanticPairs]]
+    * uses (pivot selection included) — the [[ivfCellStats]] analogue for
+    * the in-memory semantic-dedup pipeline, and the observability surface
+    * for its one quadratic risk: a dominant cell makes the intra-cell pair
+    * join O(max_cell²) regardless of blocking (the grid only distributes
+    * that work, it cannot shrink it). Runbook: log
+    * `max(n_vectors)` before a large semanticDedup run; if one cell holds
+    * ≫ √n members, raise `nCells` (or pass `kmeansIters` for balanced
+    * centroids) and re-check. One map-side-combined aggregate. */
+  def semanticCellStats(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int = 0,
+                        kmeansIters: Option[Int] = None): DataFrame =
+    semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+
   /** Semantic dedup TERMINAL: [[semanticPairs]] → connected components →
     * keep one representative (the min id) per semantic-dup component —
     * the corpus with semantic duplicates removed, same contract as
@@ -721,7 +895,7 @@ object Similarity {
     * O(log max-cell-diameter) rounds over a pair list far smaller than the
     * corpus. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    minCos: Double = 0.95, nCells: Int = 16,
+                    minCos: Double = 0.95, nCells: Int = 0,
                     blocks: Int = 4,
                     kmeansIters: Option[Int] = None,
                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {

@@ -241,6 +241,41 @@ object Streaming {
         NearKeying(k, hasher, maxDist)))
   }
 
+  /** [[dedupIncremental]]'s EMBEDDING-modality sibling — the streaming
+    * epoch-loop composition of [[graft.ext.Similarity.incrementalCosine]]:
+    * drop from each micro-batch every row whose vector has cosine ≥
+    * `minCos` with the full history OR with anything accepted earlier this
+    * epoch, WITHOUT rescanning history per batch. Identical state machine
+    * and guarantees to the exact and SimHash loops (one history scan per
+    * epoch, frozen epoch filter + batch-sized delta filters, explicit
+    * block release, optional durable `stateDir`, at-most-once `onFresh`);
+    * the key domain is LSH BAND KEYS over the vector column — covering
+    * keys are `bands` band-key rows per vector (so `headroom` counts
+    * band rows, n·bands per n history rows), the filters cover their
+    * hashes, and the confirm is the band equi-join + exact 6-dp cosine.
+    * Candidacy requires a shared band: recall follows [[graft.ext.
+    * Similarity.cosineLshPairs]]'s 1 − (1 − p^r)^b curve (q80 pins the
+    * batch semantics this loop replays; the spec drives two epochs against
+    * a batch-by-batch `incrementalCosine` replay with planted near-dups).
+    * Near-dups WITHIN one micro-batch are the batch terminal's job,
+    * matching `incrementalCosine`'s arrivals-vs-history contract. */
+  def dedupIncrementalCosine(events: DataFrame, history: () => DataFrame,
+                             idCol: String, vecCol: String,
+                             onFresh: (DataFrame, Long) => Unit,
+                             minCos: Double = 0.95,
+                             bits: Int = 64, bands: Int = 8,
+                             refreshEveryBatches: Int = 10,
+                             headroom: Long = 100000L,
+                             fpp: Double = 0.01,
+                             stateDir: Option[String] = None,
+                             trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(refreshEveryBatches > 0,
+      s"refreshEveryBatches must be positive, got $refreshEveryBatches")
+    epochLoop(events, history, idCol, vecCol, onFresh, refreshEveryBatches,
+      trigger, new IngestEpochState(fpp, headroom, stateDir,
+        CosineKeying(minCos, bits, bands)))
+  }
+
   /** The shared epoch-loop driver: reload-or-refresh, probe, deliver,
     * fold — identical for every key domain. Driver-held state is touched
     * only inside foreachBatch (micro-batch execution is serial per query,
@@ -330,6 +365,29 @@ object Streaming {
                      textCol: String): DataFrame =
       Dedup.nearProbeConfirmMulti(batch, seenKeys, filters, idCol, textCol,
         k, hasher, maxDist)
+  }
+
+  /** LSH band keys over an embedding column at cosine ≥ `minCos` —
+    * [[dedupIncrementalCosine]]'s domain
+    * ([[graft.ext.Similarity.incrementalCosine]] batch-for-batch). The
+    * covering "key set" is the [[graft.ext.Similarity.vectorBandKeys]]
+    * table — band key + vector + norm, because the exact confirm re-ranks
+    * with the true cosine, not key equality alone; the Bloom filters cover
+    * the 64-bit band-key hashes. `bits`/`bands` are fixed for the life of
+    * the query, so epoch and delta filters share one key domain. */
+  private[graft] final case class CosineKeying(minCos: Double, bits: Int,
+      bands: Int) extends EpochKeying {
+    import graft.ext.{Dedup, Similarity}
+    def keys(df: DataFrame, vecCol: String): DataFrame =
+      Similarity.vectorBandKeys(df, vecCol, bits, bands)
+    def bloom(keys: DataFrame, expected: Option[Long], fpp: Double): Array[Byte] =
+      Dedup.serializedBloom(
+        Dedup.buildLongBloom(keys.select(col("__fp")), "__fp", expected, fpp))
+    def probeConfirm(batch: DataFrame, seenKeys: DataFrame,
+                     filters: Seq[Array[Byte]], idCol: String,
+                     vecCol: String): DataFrame =
+      Similarity.cosineProbeConfirmMulti(batch, seenKeys, filters, idCol,
+        vecCol, minCos, bits, bands)
   }
 
   /** Driver-held epoch state for [[dedupIncremental]]: the FROZEN epoch

@@ -93,7 +93,15 @@ object ScaleSlope {
       // the span windows of the 10x copies each contain >= 1 spliced marker
       // token (markers every 6 tokens < w = 8), so copies never collide
       // with their originals and duplicate-span structure grows linearly
-      "q72_duplicate_spans", "q73_drop_duplicate_spans")
+      "q72_duplicate_spans", "q73_drop_duplicate_spans",
+      // r10 additions: the codec queries (q76-q78) synthesize media from
+      // doc ids — strictly per-row, slope is a pure codec-throughput rail.
+      // q79 pins nCells=16, so its intra-cell pair term is quadratic BY
+      // CONSTRUCTION at fixed K — expect slope ~= factor, the documented
+      // fixed-K caveat the auto-sqrt(n) default exists for (COVERAGE
+      // runbook); q80's band joins are the linear path.
+      "q76_avi_frames", "q77_ulaw_audio", "q78_alaw_audio",
+      "q79_semantic_dedup", "q80_incremental_cosine")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -1220,6 +1220,100 @@ class ExtSpec extends AnyFunSuite {
     assert(keptKm == Set(0L, 1L, 2L, 20L), s"kmeans variant kept $keptKm")
   }
 
+  test("semanticDedupIndexed serves the in-memory semanticDedup result from the persisted index") {
+    // build-once / dedup-many: the persisted assignment must reproduce the
+    // in-memory pipeline exactly (bit-stable assignCells), and a second
+    // serve without a rebuild must too
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 1000000L, scale = 0.01)
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      "sem_idx_spec", nCells = 16, buckets = 8)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val inMem = kept(Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      minCos = 0.95, nCells = 16))
+    val served = kept(Similarity.semanticDedupIndexed(spark, "sem_idx_spec",
+      corpus, "vec_id", minCos = 0.95))
+    assert(served == inMem && served.nonEmpty)
+    assert(served.size < corpus.count()) // it actually dropped dups
+    // serve again (no rebuild) — the index is the only state needed
+    val again = kept(Similarity.semanticDedupIndexed(spark, "sem_idx_spec",
+      corpus, "vec_id", minCos = 0.95))
+    assert(again == inMem)
+    // pair graphs agree too (the shared pairsWithinCells body)
+    val p1 = Similarity.semanticPairs(corpus, "vec_id", "embedding",
+        minCos = 0.95, nCells = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val p2 = Similarity.semanticPairsIndexed(spark, "sem_idx_spec",
+        minCos = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(p1 == p2)
+  }
+
+  test("incrementalCosine drops arrivals near seen embeddings and matches the brute-force drop set") {
+    // history = even-id originals; arrivals = odd-id originals (fresh at
+    // 0.95 — the fixture has no original-original pair that high) + one
+    // planted near-dup (cos ~0.999) per original. Dups of even seeds must
+    // drop, dups of odd seeds (seed not in history) and odd originals must
+    // survive. bits=256/bands=16 is q41's recall-1.0 regime, so the brute
+    // cosine join over the same constructed sets is the exact reference.
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val seen = e.filter(col("vec_id") % 2 === 0)
+    val planted = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 1000000L, scale = 0.01).filter(col("vec_id") >= 1000000L)
+    val arrivals = e.filter(col("vec_id") % 2 === 1).unionByName(planted)
+    val kept = Similarity.incrementalCosine(arrivals, seen, "vec_id",
+        "embedding", minCos = 0.95, bits = 256, bands = 16)
+      .select("vec_id").as[Long].collect().toSet
+    // brute-force reference: pairs >= 0.95 across the arrival/seen split
+    val arrIds = arrivals.select("vec_id").as[Long].collect().toSet
+    val seenIds = seen.select("vec_id").as[Long].collect().toSet
+    val droppedRef = Similarity.cosinePairs(arrivals.unionByName(seen),
+        "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (a, s) if arrIds(a) && seenIds(s) => a }.toSet
+    assert(droppedRef.nonEmpty && kept.nonEmpty)
+    assert(kept == arrIds -- droppedRef)
+    // every even seed's dup dropped; odd originals and odd-seed dups kept
+    assert(droppedRef.forall(id => id >= 1000000L && (id - 1000000L) % 2 == 0))
+    // empty history: everything is fresh
+    assert(Similarity.incrementalCosine(arrivals, seen.limit(0), "vec_id",
+      "embedding", 0.95).count() == arrIds.size)
+  }
+
+  test("semanticCellStats observes the dedup's own assignment; nCells auto-sizes to ~sqrt(n)") {
+    // the histogram must describe the SAME cells semanticPairs compares
+    // within — it is the observability surface for the one quadratic risk
+    // in the SemDeDup path (a dominant cell)
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    val stats = Similarity.semanticCellStats(e, "vec_id", "embedding", nCells = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.values.sum == n)          // every vector in exactly one cell
+    assert(stats.keySet.subsetOf((0L until 16L).toSet)) // cells = the 16 smallest ids
+    // fixture sanity: no degenerate single-cell collapse on real embeddings
+    assert(stats.values.max < n, s"one cell swallowed the corpus: $stats")
+    // auto-sizing: ~sqrt(n) cells, clamped
+    assert(Similarity.autoNCells(0L) == 1 && Similarity.autoNCells(1L) == 1)
+    assert(Similarity.autoNCells(10000L) == 100)
+    assert(Similarity.autoNCells(Long.MaxValue) == 65536)
+    val auto = Similarity.semanticCellStats(e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(1))
+    assert(auto.sum == n)
+    // the auto default flows through the terminal: planted near-dups still
+    // collapse with no nCells argument at all
+    val planted = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 1000000L, scale = 0.01)
+    val kept = Similarity.semanticDedup(planted, "vec_id", "embedding",
+        minCos = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.size < 2 * n) // at least some planted dups dropped
+    assert(kept.count(_ < 1000000L) == n) // originals (min ids) all survive
+  }
+
   test("IVF and semantic dedup are id-domain-agnostic: offset ids (1e9+) give shifted-identical results") {
     // regression for the pivot-selection defect: `filter(id < nCells)`
     // selected ZERO pivots on sparse/large id domains (xxhash64-derived

@@ -307,6 +307,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Vector(Set(11L), Set(13L), Set(16L)))
   }
 
+  test("dedupIncrementalCosine: epoch loop matches batch-by-batch incrementalCosine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inccos_stream")
+      .resolve("hist").toString
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding"))
+      .write.parquet(dir)
+    def history() = spark.read.parquet(dir)
+    // planted near-dup (cos ~0.999) of any original, keyed by seed + 1e6;
+    // bits=256/bands=16 is the recall-1.0 regime (q41), so drop decisions
+    // are deterministic on this fixture
+    val dup = graft.ext.Similarity.plantNearDups(e, "vec_id", "embedding",
+        offset = 1000000L, scale = 0.01)
+      .filter(col("vec_id") >= 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val orig = e.filter(col("vec_id").isin(50L, 51L, 52L, 53L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // three micro-batches over a 2-batch epoch: batch 0 refreshes (dup of
+    // history 3 drops, two fresh originals accepted), batch 1 rides the
+    // STALE epoch filter (dup of batch-0-accepted 50 must drop via the
+    // delta, not the epoch set), batch 2 refreshes (dups of history 7 and
+    // of the now-folded-into-history 51 both drop)
+    val batches = Seq(
+      Seq(1000003L -> dup(1000003L), 50L -> orig(50L), 51L -> orig(51L)),
+      Seq(1000050L -> dup(1000050L), 52L -> orig(52L)),
+      Seq(1000007L -> dup(1000007L), 1000051L -> dup(1000051L),
+        53L -> orig(53L)))
+    val stream = MemoryStream[(Long, Array[Float])]
+    @volatile var got = Vector.empty[Set[Long]]
+    val q = Streaming.dedupIncrementalCosine(
+      stream.toDF().toDF("vec_id", "embedding"), () => history(),
+      "vec_id", "embedding",
+      onFresh = (fresh, _) => {
+        got :+= fresh.select("vec_id").collect().map(_.getLong(0)).toSet
+        fresh.select(col("vec_id"), col("embedding"))
+          .write.mode("append").parquet(dir)
+      },
+      minCos = 0.95, bits = 256, bands = 16,
+      refreshEveryBatches = 2, headroom = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    ).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // parity oracle: the batch operator applied batch-by-batch with the
+    // history grown by each batch's survivors
+    var hist = e.filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val want = batches.map { b =>
+      val fresh = graft.ext.Similarity.incrementalCosine(
+          b.toDF("vec_id", "embedding"), hist.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", minCos = 0.95, bits = 256, bands = 16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      hist ++= fresh
+      fresh.map(_._1).toSet
+    }
+    assert(got.toSeq == want, s"streamed fresh sets $got != batch-replay $want")
+    assert(got == Vector(Set(50L, 51L), Set(52L), Set(53L)))
+  }
+
   test("dedupIncrementalNear: epoch loop matches batch-by-batch incrementalNear at Hamming <= 2") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
