@@ -159,6 +159,69 @@ object TextStats {
     graft.funcs.VectorFunctions.rollingHash(norm)
   }
 
+  /** Gopher-style quality-rule columns (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", table A1) —
+    * the standard pre-training document filter, as per-rule AUDIT columns
+    * plus one `gopher_pass` conjunction. Emitting every rule verdict (not
+    * just the filter bit) is the corpus-curation posture: at 100 TB you tune
+    * thresholds from the rule histogram, not by re-running the scan per
+    * candidate threshold.
+    *
+    * Rules (thresholds are the paper's):
+    *   - `r_word_count`    — 50 ≤ words ≤ 100 000
+    *   - `r_mean_word_len` — mean word length in [3, 10]
+    *   - `r_symbol_ratio`  — (# of `#` or `...`) / words ≤ 0.1
+    *   - `r_bullet_lines`  — ≤ 90% of lines start with a bullet
+    *   - `r_ellipsis_lines`— ≤ 30% of lines end with `...`/`…`
+    *   - `r_alpha_words`   — ≥ 80% of words contain a letter
+    *   - `r_stop_hits`     — ≥ 2 DISTINCT hits from the 8-word required list
+    *
+    * Every rule is a pure per-row column expression over the token/line
+    * arrays (integer counts and one division each, so bit-reproducible and
+    * SQL-replayable — the q82 DuckDB oracle recomputes all seven); the scan
+    * stays embarrassingly parallel with zero shuffles. Null/empty text fails
+    * `r_word_count` and passes nothing. */
+  val gopherRequiredStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val nWords = size(filter(toks, w => length(w) > 0))
+    val charSum = aggregate(toks, lit(0L), (a, w) => a + length(w))
+    val meanLen = when(nWords > 0, charSum.cast("double") / nWords)
+    val nSymbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("^[-*•‣▪]")))
+        .cast("double") / nLines)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nLines)
+    val alphaFrac = when(nWords > 0,
+      size(filter(toks, w => w.rlike("\\p{L}"))).cast("double") / nWords)
+    val dict = array(gopherRequiredStop.map(lit): _*)
+    val stopHits = size(filter(dict, s => array_contains(toks, s)))
+    val out = df
+      .withColumn("r_word_count", nWords.between(50, 100000))
+      .withColumn("r_mean_word_len", coalesce(meanLen.between(3.0, 10.0), lit(false)))
+      .withColumn("r_symbol_ratio",
+        when(nWords > 0, nSymbols.cast("double") / nWords <= 0.1).otherwise(false))
+      .withColumn("r_bullet_lines", coalesce(bulletFrac <= 0.9, lit(false)))
+      .withColumn("r_ellipsis_lines", coalesce(ellipsisFrac <= 0.3, lit(false)))
+      .withColumn("r_alpha_words", coalesce(alphaFrac >= 0.8, lit(false)))
+      .withColumn("r_stop_hits", stopHits >= 2)
+    out.withColumn("gopher_pass",
+      Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stop_hits")
+        .map(col).reduce(_ && _))
+  }
+
+  /** [[gopherStats]] as a terminal filter: rows passing all seven rules,
+    * original columns only. */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame =
+    gopherStats(df, textCol).filter(col("gopher_pass")).select(df.columns.map(col): _*)
+
   /** All per-document stats in one projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
