@@ -117,6 +117,13 @@ object ExtQueries {
           "embedding", topK = 5)
         .orderBy(col("qid"), col("rank"))
     },
+    // D4-style prototypicality pruning: per semantic cell, drop the 25%
+    // most-pivot-similar members, keep the diverse tail. nCells pinned to 16
+    // for the oracle (the operator auto-sizes to ~sqrt(n) by default).
+    "q83_proto_prune" -> ((s, dir) =>
+      Similarity.prototypicalityPrune(read(s, dir, "embeddings"), "vec_id",
+          "embedding", keepFrac = 0.75, nCells = 16)
+        .orderBy(col("vec_id"))),
     // dedup endgame: pairs -> connected components -> representative per
     // cluster (min id); oracled by a recursive transitive closure in DuckDB
     "q44_dedup_clusters" -> ((s, dir) =>
@@ -235,6 +242,20 @@ object ExtQueries {
         .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"),
           col("dup_trigram_frac"))
         .orderBy(col("doc_id"))),
+    // Gopher quality rules (Rae et al. 2021, table A1): seven per-document
+    // verdict columns plus the conjunction, all pure per-row expressions —
+    // integer counts and one double division each, so the DuckDB oracle
+    // replays every rule bit-for-bit. Verdicts cast to INT (0/1) so both
+    // engines hash the same representation. docsPar: per-row regex work
+    // must not run in the one task a single-file scan would produce.
+    "q82_gopher_quality" -> { (s, dir) =>
+      val rules = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stop_hits",
+        "gopher_pass")
+      TextStats.gopherStats(docsPar(s, dir), "text")
+        .select(col("doc_id") +: rules.map(r => col(r).cast("int").as(r)): _*)
+        .orderBy(col("doc_id"))
+    },
     // Source-level quality gate: keep docs whose source's mean integer
     // quality points clear the bar (7.8 keeps 11/20 fixture sources). The
     // mean is sum(int)/count — fold-order-exact, so the threshold compare is
@@ -902,6 +923,26 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
+    // the whole prune replayed: 16-smallest-id pivots, nearest-pivot cells
+    // with the q79 tie-break, per-cell proto-desc rank, drop floor(0.25*cnt)
+    "q83_proto_prune" ->
+      s"""WITH $cosineCtes,
+         |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n
+         |        ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT c.vec_id AS id, pid,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) AS pcos,
+         |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |      round(list_sum(list_transform(range(1, 65),
+         |        k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
+         |  FROM n c CROSS JOIN piv),
+         |cells AS (SELECT id, pid AS cell, pcos AS proto FROM asg WHERE rn = 1),
+         |r AS (SELECT id, cell, proto,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY proto DESC, id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cell) AS cnt FROM cells)
+         |SELECT id AS vec_id, cell, proto FROM r
+         |WHERE rk > CAST(floor(0.25 * cnt) AS BIGINT)
+         |ORDER BY vec_id""".stripMargin,
     // served-from-index results are bit-identical to the in-memory IVF
     // operator (deterministic pivots + bit-stable assignment), so the
     // same SQL is the oracle for both
@@ -1150,6 +1191,46 @@ object ExtQueries {
          |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg)
          |    AS dup_trigram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // all seven Gopher rules replayed: same tokenization ($docToks), same
+    // integer counts, same double divisions and thresholds; rules whose
+    // denominator is zero (no words / no non-blank lines) are false, matching
+    // the Spark side's coalesce(..., false). Verdicts as INT 0/1 both sides.
+    "q82_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx,
+         |    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+         |  FROM documents),
+         |w AS (SELECT doc_id,
+         |    len(list_filter(toks, x -> len(x) > 0)) AS n_words,
+         |    list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))) AS char_sum,
+         |    len(regexp_extract_all(tx, '#'))
+         |      + len(regexp_extract_all(tx, '\\.\\.\\.')) AS n_symbols,
+         |    list_filter(string_split_regex(tx, '\\n'),
+         |      l -> len(trim(l)) > 0) AS lns,
+         |    len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS n_alpha,
+         |    len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      s -> list_contains(toks, s))) AS stop_hits
+         |  FROM t),
+         |r AS (SELECT doc_id,
+         |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+         |    CASE WHEN n_words > 0 AND CAST(char_sum AS DOUBLE)/n_words
+         |      BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_mean_word_len,
+         |    CASE WHEN n_words > 0 AND CAST(n_symbols AS DOUBLE)/n_words <= 0.1
+         |      THEN 1 ELSE 0 END AS r_symbol_ratio,
+         |    CASE WHEN len(lns) > 0 AND CAST(len(list_filter(lns,
+         |        l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+         |        AS DOUBLE)/len(lns) <= 0.9 THEN 1 ELSE 0 END AS r_bullet_lines,
+         |    CASE WHEN len(lns) > 0 AND CAST(len(list_filter(lns,
+         |        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+         |        AS DOUBLE)/len(lns) <= 0.3 THEN 1 ELSE 0 END AS r_ellipsis_lines,
+         |    CASE WHEN n_words > 0 AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8
+         |      THEN 1 ELSE 0 END AS r_alpha_words,
+         |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop_hits
+         |  FROM w)
+         |SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+         |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stop_hits,
+         |  r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+         |    * r_ellipsis_lines * r_alpha_words * r_stop_hits AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin,
     // per-source integer quality points (q32's quality components ×10);
     // mean = sum(int)/count, the fold-order-exact form
     "q55_source_gate" ->
@@ -1590,7 +1671,9 @@ object ExtQueries {
     * serves a bit-identical assignment): planted corpus, 16-smallest-id
     * pivots, nearest-pivot cells, intra-cell exact pairs at 0.95,
     * recursive min-label closure, survivors = component minima. */
-  private val semanticDedupSql: String =
+  // def, not val: referenced from `oracle` (defined above in source order) —
+  // a val here would still be null when the map is built at object init.
+  private def semanticDedupSql: String =
     """WITH RECURSIVE pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
       |pl AS (SELECT oid + 1000000 AS vec_id,
       |  list_transform(range(0, 64), d -> CAST(CAST(emb[d+1] AS DOUBLE) +

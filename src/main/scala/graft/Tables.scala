@@ -12,14 +12,24 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp with integer division (a double division would lose precision
-    * above 2^53 ns). */
+  /** events.parquet's `ts` physical type has varied across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's reader rejects
+    * without the legacy flag), plain micros TIMESTAMP, or micros without
+    * timezone (read as TIMESTAMP_NTZ). Normalize all three to a session-UTC
+    * TimestampType so downstream `window`/`cast("long")` arithmetic is
+    * identical regardless of which generation produced the file: nanos-long
+    * via integer division (a double division would lose precision above
+    * 2^53 ns), NTZ via a cast that reinterprets the naive value as UTC. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Exact-sum column: doubles cast to DECIMAL(18,2) so distributed

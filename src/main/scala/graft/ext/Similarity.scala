@@ -272,7 +272,16 @@ object Similarity {
     * (id, v, nrm, cell). One broadcast of the K pivots + one linear pass;
     * the row_number tie-break (rounded cosine desc, pid) makes assignment
     * bit-stable, which is what lets a PERSISTED index serve forever. */
-  private[graft] def assignCells(c: DataFrame, pv: DataFrame): DataFrame = {
+  private[graft] def assignCells(c: DataFrame, pv: DataFrame): DataFrame =
+    assignCellsProto(c, pv).drop("proto")
+
+  /** [[assignCells]] plus the winning cosine itself (`proto`, 6-dp rounded):
+    * a vector's similarity to its own cell pivot IS its prototypicality
+    * score, so [[prototypicalityPrune]] gets it for free from the one
+    * assignment pass instead of re-scoring. `assignCells` (the persisted
+    * index and every ANN path) drops the column so stored schemas and
+    * serve-side joins are unchanged. */
+  private[graft] def assignCellsProto(c: DataFrame, pv: DataFrame): DataFrame = {
     val pcos = round(graft.funcs.VectorFunctions.dotF(col("v"), col("pv")) /
       (col("nrm") * col("pnrm")), 6)
     val byCell = Window.partitionBy(col("id"))
@@ -281,7 +290,8 @@ object Similarity {
       .select(col("id"), col("v"), col("nrm"), col("pid"), pcos.as("pcos"))
       .withColumn("rn", row_number().over(byCell))
       .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("pid").as("cell"))
+      .select(col("id"), col("v"), col("nrm"), col("pid").as("cell"),
+        col("pcos").as("proto"))
   }
 
   /** The query half of IVF: nProbe nearest cells per query, then exact
@@ -883,6 +893,48 @@ object Similarity {
                         kmeansIters: Option[Int] = None): DataFrame =
     semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+
+  /** Prototypicality pruning in the spirit of D4 (Tirumala et al. 2023,
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): within each semantic cell, the vectors MOST similar
+    * to their cell pivot are the over-represented "prototypes" (templated
+    * boilerplate, near-identical spam); dropping the top `1 - keepFrac`
+    * most-prototypical members per cell keeps the diverse tail that adds
+    * training signal. Complements [[semanticDedup]]: dedup removes
+    * pairwise-near-identical documents, pruning thins whole dense regions.
+    *
+    * Returns the KEPT rows as (idCol, cell, proto) — the score column is the
+    * audit surface (its histogram is how `keepFrac` gets tuned from one
+    * scan). Per cell of size c, the `floor((1-keepFrac)·c)` highest-proto
+    * members (ties broken by id, ascending kept) are dropped, so for any
+    * `keepFrac > 0` every nonempty cell keeps at least one member, and the
+    * global keep fraction approaches `keepFrac` as cells grow
+    * (`keepFrac = 0` empties the corpus, by request).
+    *
+    * Scale shape: one pivot broadcast + linear assignment pass (shared
+    * [[assignCellsProto]]), then ONE shuffle on the cell key feeding both
+    * window functions — no self-join anywhere, so cost is O(n·K + n log
+    * cell) regardless of how dense the near-dup regions are. Pivots are the
+    * `nCells` smallest ids (deterministic, SQL-replayable — q83's oracle
+    * replays the whole pipeline); `nCells <= 0` auto-sizes to ~√n like
+    * [[semanticPairs]]. */
+  def prototypicalityPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                           keepFrac: Double, nCells: Int = 0): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in [0, 1], got $keepFrac")
+    val c = prepared(corpus, idCol, vecCol)
+    val k = if (nCells > 0) nCells else autoNCells(c.count())
+    val asg = assignCellsProto(c, firstIdPivots(c, k))
+    val byProto = Window.partitionBy(col("cell"))
+      .orderBy(col("proto").desc, col("id"))
+    val cellW = Window.partitionBy(col("cell"))
+    asg
+      .withColumn("rk", row_number().over(byProto))
+      .withColumn("cnt", count(lit(1)).over(cellW))
+      .filter(col("rk").cast("long") >
+        floor(lit(1.0 - keepFrac) * col("cnt")).cast("long"))
+      .select(col("id").as(idCol), col("cell"), col("proto"))
+  }
 
   /** Semantic dedup TERMINAL: [[semanticPairs]] → connected components →
     * keep one representative (the min id) per semantic-dup component —

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks on the driver-facing maps themselves. These exist because
+  * of a real failure mode: a `private val fooSql` defined AFTER the `oracle`
+  * map that references it is still null when the map is built at object init
+  * — Scala initializes vals in declaration order — and the driver's JSON dump
+  * then NPEs, zeroing the whole round's correctness. A spec-time walk of the
+  * maps turns that silent init-order hazard into a red test. */
+class EntrySpec extends AnyFunSuite {
+
+  test("every oracleSql value is a non-empty SQL string (no init-order nulls)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql != null, s"$name: oracle SQL is null — val defined after the map?")
+      assert(sql.trim.nonEmpty, s"$name: oracle SQL is empty")
+      assert(sql.toUpperCase.contains("SELECT"), s"$name: not SQL: $sql")
+    }
+  }
+
+  test("every oracleSql key has a queries entry; query names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle SQL without a query impl: $orphans")
+    qs.foreach(n => assert(n.matches("q\\d+_[a-z0-9_]+"), s"bad query name: $n"))
+  }
+
+  test("queries without an oracle are the known non-SQL-expressible set") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Anything newly added here must be a deliberate rows-only check —
+    // extend the allowlist in the same commit that adds the query.
+    assert(noOracle.isEmpty,
+      s"queries recorded rows-only (no oracle) — intended? $noOracle")
+  }
+}

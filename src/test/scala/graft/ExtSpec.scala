@@ -1977,4 +1977,62 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no rows"))
   }
+
+  test("prototypicalityPrune: drops the floor((1-keep)*cnt) most-pivot-similar per cell, sparse ids included") {
+    def corpus(off: Long) = Seq(
+      (off + 0L, Array(1f, 0f, 0f, 0f)),     // pivot 0 (proto 1.0)
+      (off + 1L, Array(0f, 1f, 0f, 0f)),     // pivot 1 (proto 1.0)
+      (off + 2L, Array(1f, 0.1f, 0f, 0f)),   // cell 0, proto ~0.995
+      (off + 3L, Array(1f, 0.5f, 0f, 0f)),   // cell 0, proto ~0.894
+      (off + 4L, Array(1f, 1.1f, 0f, 0f)),   // cell 1, proto ~0.740
+      (off + 5L, Array(0f, 1f, 0.2f, 0f)),   // cell 1, proto ~0.981 (ties 6)
+      (off + 6L, Array(0.2f, 1f, 0f, 0f))    // cell 1, proto ~0.981 (ties 5)
+    ).toDF("vec_id", "embedding")
+    def keptIds(off: Long, keep: Double) =
+      Similarity.prototypicalityPrune(corpus(off), "vec_id", "embedding",
+          keepFrac = keep, nCells = 2)
+        .select("vec_id").as[Long].collect().toSet
+    // cell 0 = {0,2,3} drops 1 (id 0); cell 1 = {1,4,5,6} drops 2 (1, then
+    // the id-asc half of the 5/6 proto tie)
+    assert(keptIds(0L, 0.5) == Set(2L, 3L, 4L, 6L))
+    // keepFrac 1.0 keeps everything; 0.25 keeps exactly one per cell
+    assert(keptIds(0L, 1.0) == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    assert(keptIds(0L, 0.25) == Set(3L, 4L))
+    // pivots are the smallest ids, not ids < nCells: a 1e9 offset shifts
+    // nothing but the labels
+    assert(keptIds(1000000000L, 0.5) == Set(2L, 3L, 4L, 6L).map(_ + 1000000000L))
+    intercept[IllegalArgumentException] {
+      Similarity.prototypicalityPrune(corpus(0L), "vec_id", "embedding",
+        keepFrac = 1.5)
+    }
+  }
+
+  test("gopherStats: each rule fires on its crafted violation; filter keeps only full passes") {
+    val prose = ("where the large animals have wandered with their keepers " +
+      "that evening ") * 5 // 55 words, mean len ~5, 4 distinct stop hits
+    val docs = Seq(
+      (0L, prose),                                   // passes all seven
+      (1L, "tiny text with the usual words"),        // < 50 words
+      (2L, prose + ("#### " * 30)),                  // symbol ratio > 0.1
+      (3L, prose + "\n" + Seq.fill(60)("- item").mkString("\n")), // > 90% bullet lines
+      (4L, prose.split(" ").grouped(2).map(_.mkString(" ") + "...").mkString("\n")), // ellipsis lines
+      (5L, ("12345 67890 " * 30) + "the of"),        // < 80% alphabetic words
+      (6L, null.asInstanceOf[String]))               // null text: nothing passes
+    val r = TextStats.gopherStats(docs.toDF("doc_id", "text"), "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def rule(id: Long, name: String): Boolean =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert((0L to 6L).forall(id => rule(id, "gopher_pass") == (id == 0L)))
+    assert(!rule(1L, "r_word_count") && rule(1L, "r_stop_hits"))
+    assert(!rule(2L, "r_symbol_ratio") && rule(2L, "r_word_count"))
+    assert(!rule(3L, "r_bullet_lines") && rule(3L, "r_word_count"))
+    assert(!rule(4L, "r_ellipsis_lines"))
+    assert(!rule(5L, "r_alpha_words") && rule(5L, "r_stop_hits"))
+    assert(Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stop_hits")
+      .forall(n => !rule(6L, n)))
+    val kept = TextStats.gopherFilter(docs.toDF("doc_id", "text"), "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
 }
