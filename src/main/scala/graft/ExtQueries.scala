@@ -256,6 +256,33 @@ object ExtQueries {
         .select(col("doc_id") +: rules.map(r => col(r).cast("int").as(r)): _*)
         .orderBy(col("doc_id"))
     },
+    // C4 page cleaning over a synthesized line-structured corpus (the
+    // fixture docs are single-line; q70's trick): 8-token lines, with line
+    // (doc_id+i)%4 deciding the ending ('.', '!', none, ' javascript.') and
+    // every 5th line truncated to 3 words — so each line rule fires — plus
+    // page-level lorem-ipsum (doc_id%11) and brace (doc_id%13) plants.
+    // blockWords exercises the badword gate against a real fixture token.
+    "q84_c4_filters" -> { (s, dir) =>
+      val withLines = docsPar(s, dir)
+        .select(col("doc_id"), graft.ext.TextStats.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, greatest(cast(ceil(size(__t)/8.0) as int)-1, 0)), i -> " +
+            "concat(array_join(slice(__t, i*8+1, case when i%5=4 then 3 else 8 end), ' '), " +
+            "case when (doc_id+i)%4=0 then '.' when (doc_id+i)%4=1 then '!' " +
+            "when (doc_id+i)%4=2 then '' else ' javascript.' end))").as("__lines"))
+        .select(col("doc_id"), concat(
+          array_join(col("__lines"), "\n"),
+          when(col("doc_id") % 11 === 0, lit("\nsee lorem ipsum terms."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\nconfig { }"))
+            .otherwise(lit(""))).as("text"))
+      TextStats.c4Stats(withLines, "text", blockWords = Seq("customer"))
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("has_lorem").cast("int").as("has_lorem"),
+          col("has_brace").cast("int").as("has_brace"), col("blocked_hits"),
+          col("c4_keep").cast("int").as("c4_keep"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    },
     // Source-level quality gate: keep docs whose source's mean integer
     // quality points clear the bar (7.8 keeps 11/20 fixture sources). The
     // mean is sum(int)/count — fold-order-exact, so the threshold compare is
@@ -1230,6 +1257,53 @@ object ExtQueries {
          |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stop_hits,
          |  r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
          |    * r_ellipsis_lines * r_alpha_words * r_stop_hits AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // the full C4 replay: q70-style line synthesis (8-token slices, ending
+    // by (doc_id+i)%4, every 5th line 3 words, lorem/brace plants), then the
+    // line rules (terminal punct, >=5 words, no javascript) and page rules
+    // (>=3 sentences in CLEANED text, lorem, brace, blockword) in SQL
+    "q84_c4_filters" ->
+      s"""WITH fix AS (SELECT doc_id, $docToks AS t FROM documents),
+         |nl AS (SELECT doc_id, t,
+         |    greatest(CAST(ceil(len(t)/8.0) AS INT), 1) AS n FROM fix),
+         |li AS (SELECT doc_id, t, unnest(range(0, n)) AS i FROM nl),
+         |bl AS (SELECT doc_id, i,
+         |    array_to_string(t[i*8+1 : i*8 + (CASE WHEN i%5=4 THEN 3 ELSE 8 END)], ' ')
+         |    || (CASE WHEN (doc_id+i)%4=0 THEN '.' WHEN (doc_id+i)%4=1 THEN '!'
+         |             WHEN (doc_id+i)%4=2 THEN '' ELSE ' javascript.' END) AS line
+         |  FROM li),
+         |body AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+         |         FROM bl GROUP BY 1),
+         |doc AS (SELECT doc_id, b
+         |    || (CASE WHEN doc_id%11=0 THEN chr(10)||'see lorem ipsum terms.' ELSE '' END)
+         |    || (CASE WHEN doc_id%13=0 THEN chr(10)||'config { }' ELSE '' END) AS tx
+         |  FROM body),
+         |l0 AS (SELECT doc_id, tx,
+         |    list_filter(string_split(tx, chr(10)), l -> len(trim(l)) > 0) AS lns
+         |  FROM doc),
+         |k AS (SELECT doc_id, tx, lns,
+         |    list_filter(lns, l -> regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+         |            w -> len(w) > 0)) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS keptl
+         |  FROM l0),
+         |c AS (SELECT doc_id, tx, lns, keptl,
+         |    coalesce(array_to_string(keptl, chr(10)), '') AS clean_text,
+         |    string_split_regex(lower(trim(tx)), '\\s+') AS toks FROM k),
+         |r AS (SELECT doc_id,
+         |    CAST(len(lns) AS INT) AS n_lines,
+         |    CAST(len(keptl) AS INT) AS n_lines_kept,
+         |    CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT) AS n_sentences,
+         |    CASE WHEN contains(lower(tx), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+         |    CASE WHEN contains(tx, '{') THEN 1 ELSE 0 END AS has_brace,
+         |    CAST(len(list_filter(['customer'],
+         |      w -> list_contains(toks, w))) AS INT) AS blocked_hits,
+         |    clean_text FROM c)
+         |SELECT doc_id, n_lines, n_lines_kept, n_sentences, has_lorem,
+         |  has_brace, blocked_hits,
+         |  CASE WHEN n_sentences >= 3 AND has_lorem=0 AND has_brace=0
+         |       AND blocked_hits=0 THEN 1 ELSE 0 END AS c4_keep,
+         |  clean_text
          |FROM r ORDER BY doc_id""".stripMargin,
     // per-source integer quality points (q32's quality components ×10);
     // mean = sum(int)/count, the fold-order-exact form

@@ -222,6 +222,58 @@ object TextStats {
   def gopherFilter(df: DataFrame, textCol: String): DataFrame =
     gopherStats(df, textCol).filter(col("gopher_pass")).select(df.columns.map(col): _*)
 
+  /** C4-style page cleaning (Raffel et al. 2020, §2.2): the line- and
+    * page-level heuristics that built C4, as audit columns over the input.
+    * Line level — a line survives into `clean_text` iff it ends in terminal
+    * punctuation (`. ! ? "`), has ≥ 5 whitespace words, and does not contain
+    * "javascript" (case-insensitive). Page level — `c4_keep` requires ≥ 3
+    * sentences in the CLEANED text (sentence ≈ one `. ! ?` occurrence, the
+    * deterministic stand-in for C4's sentence splitter), no "lorem ipsum",
+    * no `{`, and zero hits from `blockWords` (C4's badword list is an
+    * external artifact — callers supply their own; empty = rule off).
+    *
+    * Same posture as [[gopherStats]]: every verdict is a pure per-row
+    * expression (the line arrays are materialized into their own projection
+    * first — higher-order-function lambdas get no common-subexpression
+    * elimination, so sharing `__lines`/`__kept` via columns is what keeps
+    * the scan single-pass), zero shuffles, thresholds tunable from one
+    * scan's histogram. Null text: zero lines, nothing kept, page dropped. */
+  def c4Stats(df: DataFrame, textCol: String,
+              blockWords: Seq[String] = Nil): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val blocked =
+      if (blockWords.isEmpty) lit(0)
+      else size(filter(array(blockWords.map(w => lit(w.toLowerCase)): _*),
+        w => array_contains(toks, w)))
+    df
+      .withColumn("__lines", filter(split(t, "\n"), l => length(trim(l)) > 0))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        trim(l).rlike("[.!?\"]$") &&
+          size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 5 &&
+          !lower(l).contains("javascript")))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines", size(col("__lines")))
+      .withColumn("n_lines_kept", size(col("__kept")))
+      .withColumn("n_sentences", regexp_count(col("clean_text"), lit("[.!?]")))
+      .withColumn("has_lorem", lower(t).contains("lorem ipsum"))
+      .withColumn("has_brace", t.contains("{"))
+      .withColumn("blocked_hits", blocked)
+      .withColumn("c4_keep",
+        col("n_sentences") >= 3 && !col("has_lorem") && !col("has_brace") &&
+          col("blocked_hits") === 0)
+      .drop("__lines", "__kept")
+  }
+
+  /** [[c4Stats]] as a terminal: pages passing every rule, with `textCol`
+    * replaced by the line-filtered `clean_text` (that substitution — not
+    * just row filtering — is what C4 is). */
+  def c4Filter(df: DataFrame, textCol: String,
+               blockWords: Seq[String] = Nil): DataFrame =
+    c4Stats(df, textCol, blockWords).filter(col("c4_keep"))
+      .select(df.columns.map(c =>
+        if (c == textCol) col("clean_text").as(textCol) else col(c)): _*)
+
   /** All per-document stats in one projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -2007,6 +2007,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Stats/c4Filter: line rules, page rules, blockword gate, clean-text substitution") {
+    val good = "this line has five good words."
+    val docs = Seq(
+      (0L, s"$good\n$good\nthis third line is also fine!"),
+      (1L, s"$good\nno terminal punctuation here\n$good"),  // 2 sentences left
+      (2L, s"$good\nshort line here.\n$good\n$good"),       // < 5 words dropped
+      (3L, s"$good\nthe javascript snippet is right here.\n$good\n$good"),
+      (4L, s"$good\n$good\n$good\nread the lorem ipsum terms."),
+      (5L, s"$good\n$good\n$good\nvar x = { 1 }."),
+      (6L, s"$good\n$good\nbadword alert in this line here."),
+      (7L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val r = TextStats.c4Stats(df, "text", blockWords = Seq("badword"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, n: String) = r(id).get(r(id).fieldIndex(n))
+    assert(f(0L, "n_lines") == 3 && f(0L, "n_lines_kept") == 3 &&
+      f(0L, "n_sentences") == 3 && f(0L, "c4_keep") == true)
+    assert(f(1L, "n_lines_kept") == 2 && f(1L, "c4_keep") == false)
+    assert(f(2L, "n_lines") == 4 && f(2L, "n_lines_kept") == 3 &&
+      f(2L, "c4_keep") == true)
+    assert(f(3L, "n_lines_kept") == 3 && f(3L, "c4_keep") == true)
+    assert(f(4L, "has_lorem") == true && f(4L, "c4_keep") == false)
+    assert(f(5L, "has_brace") == true && f(5L, "c4_keep") == false)
+    assert(f(6L, "blocked_hits") == 1 && f(6L, "c4_keep") == false)
+    assert(f(7L, "n_lines") == 0 && f(7L, "c4_keep") == false)
+    val kept = TextStats.c4Filter(df, "text", blockWords = Seq("badword"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    val m = kept.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(m.keySet == Set(0L, 2L, 3L))
+    // the terminal substitutes CLEANED text, not the original page
+    assert(m(2L) == s"$good\n$good\n$good")
+  }
+
   test("gopherStats: each rule fires on its crafted violation; filter keeps only full passes") {
     val prose = ("where the large animals have wandered with their keepers " +
       "that evening ") * 5 // 55 words, mean len ~5, 4 distinct stop hits
