@@ -101,7 +101,12 @@ object ScaleSlope {
       // fixed-K caveat the auto-sqrt(n) default exists for (COVERAGE
       // runbook); q80's band joins are the linear path.
       "q76_avi_frames", "q77_ulaw_audio", "q78_alaw_audio",
-      "q79_semantic_dedup", "q80_incremental_cosine")
+      "q79_semantic_dedup", "q80_incremental_cosine",
+      // r10 quality/pruning additions: q82/q84 are pure per-row rule scans
+      // (linear by construction); q83 pins nCells=16 like q79 but has NO
+      // intra-cell pair term — assignment is O(n·K) and the per-cell windows
+      // are sort-based, so slope stays ~1 even at fixed K
+      "q82_gopher_quality", "q83_proto_prune", "q84_c4_filters")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

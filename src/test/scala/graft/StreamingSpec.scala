@@ -201,6 +201,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher and C4 rule columns stream unchanged (stateless projections)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the r10 quality operators are pure per-row expressions, so the same
+    // calls must score a stream exactly as they score the batch
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.TextStats.c4Stats(
+          graft.ext.TextStats.gopherStats(df, "text"), "text",
+          blockWords = Seq("customer"))
+        .select(col("doc_id"), col("gopher_pass"), col("c4_keep"),
+          col("blocked_hits"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val q = Streaming.toMemorySink(score(stream.toDF().toDF("doc_id", "text")),
+      "stream_rules", outputMode = "append")
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_rules").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getInt(3))).toMap
+      val want = score(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getInt(3))).toMap
+      assert(got == want && got.size == 200)
+      // the gate actually differentiates on fixture prose (not all-true/false)
+      assert(got.values.map(_._3).toSet.size > 1)
+    } finally q.stop()
+  }
+
   test("epoch state: per-batch filters are batch-sized and the epoch filter stays frozen") {
     import spark.implicits._
     val state = new Streaming.IngestEpochState(fpp = 0.01, headroom = 100000L)
