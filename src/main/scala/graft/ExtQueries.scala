@@ -683,6 +683,14 @@ object ExtQueries {
       Corpus.targetMixture(read(s, dir, "documents"), "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    // α-sampling at the mT5 default α=0.5: realized counts ∝ sqrt(n) per
+    // source, limiting source kept whole. sqrt (unlike pow) is correctly
+    // rounded everywhere, which is what makes the oracle replay exact.
+    "q85_temperature_mixture" -> ((s, dir) =>
+      Corpus.temperatureMixture(read(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.5)
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id")))
   )
 
@@ -1661,6 +1669,21 @@ object ExtQueries {
         |  FROM j)
         |SELECT d.doc_id, d.source FROM documents d JOIN cut USING (source)
         |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:mix'), 1, 8))
+        |    AS BIGINT) % 10000 < cut
+        |ORDER BY doc_id""".stripMargin,
+    // q75's replay shape with sqrt(n) weights, unnormalized (fractions are
+    // normalizer-invariant; no data-ordered double sum -> bit-exact replay)
+    "q85_temperature_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |w AS (SELECT source, n, sqrt(n) AS wt FROM c),
+        |tm AS (SELECT min(n / wt) AS t FROM w),
+        |cut AS (SELECT source,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE), (SELECT t FROM tm) * wt / n)
+        |      * 10000.0 + 0.5) AS BIGINT) AS cut
+        |  FROM w)
+        |SELECT d.doc_id, d.source FROM documents d JOIN cut USING (source)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:temp'), 1, 8))
         |    AS BIGINT) % 10000 < cut
         |ORDER BY doc_id""".stripMargin,
     // the window-cumsum mirror of the distributed prefix sum; 1024 is a

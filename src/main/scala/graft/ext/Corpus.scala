@@ -151,6 +151,43 @@ object Corpus {
       keyCol, sourceCol, fractions, default = 0.0, buckets, salt)
   }
 
+  /** Temperature-based mixture (the multilingual α-sampling of mT5 / XLM-R:
+    * sample sources toward p(s) ∝ n(s)^α): downsample so realized per-source
+    * counts are EXACTLY proportional to `count^alpha`, keeping as much data
+    * as possible — the limiting source is kept whole and every other source
+    * thins to match. `alpha = 1` keeps the natural distribution (no-op
+    * fractions); `alpha → 0` equalizes all sources down to the smallest.
+    * The standard dial between "big sources drown the mixture" and "tiny
+    * sources get no signal".
+    *
+    * The per-source math never normalizes the weights: fractions are
+    * invariant to the normalizer (`frac(s) = t·w(s)/n(s)` with
+    * `t = min n/w`), and skipping it keeps every step per-source — no
+    * data-ordered floating-point SUM anywhere — so the DuckDB oracle
+    * replays the arithmetic bit-for-bit. `alpha = 0.5` (the default, and
+    * mT5's most-used setting) routes through `sqrt`, which IEEE 754
+    * correctly rounds on every engine; other alphas use `pow`, which is
+    * engine-faithful but not cross-engine-reproducible in the last ulp.
+    * Membership is [[stratifiedSample]]'s hash threshold: deterministic,
+    * zero-shuffle, stable under corpus growth. Null-source rows are
+    * dropped (they are no stratum). Scale shape: one count aggregate
+    * (bounded driver state, one row per source) + a codegen filter. */
+  def temperatureMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                         alpha: Double = 0.5, buckets: Int = 10000,
+                         salt: String = "graft:temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture on an empty corpus")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val t = counts.map { case (_, n) => n / w(n) }.min
+    val fractions = counts.map { case (s, n) => s -> math.min(1.0, t * w(n) / n) }
+    stratifiedSample(df.filter(col(sourceCol).isNotNull), keyCol, sourceCol,
+      fractions, default = 0.0, buckets, salt)
+  }
+
   /** Per-document n-gram overlap against a benchmark/eval corpus — the
     * decontamination check a training pipeline runs before anything ships:
     * a document sharing a large fraction of its n-grams with an evaluation

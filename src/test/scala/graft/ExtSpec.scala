@@ -1978,6 +1978,32 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("temperatureMixture: realized counts track n^alpha, limiting source kept whole") {
+    val df = ((0 until 400).map(i => (i.toLong, "srcA")) ++
+      (400 until 500).map(i => (i.toLong, "srcB")) ++
+      (500 until 525).map(i => (i.toLong, "srcC"))).toDF("doc_id", "source")
+    val got = Corpus.temperatureMixture(df, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // w = sqrt(n) = (20, 10, 5); t = min(n/w) = 5 -> targets (100, 50, 25):
+    // srcC (the limiting source) is kept WHOLE, others are hash-binomial
+    // around their target
+    assert(got("srcC") == 25L, got.toString)
+    assert(math.abs(got("srcA") - 100L) <= 30, got.toString)
+    assert(math.abs(got("srcB") - 50L) <= 22, got.toString)
+    // alpha = 1 is the natural distribution: every fraction is exactly 1
+    val all = Corpus.temperatureMixture(df, "doc_id", "source", alpha = 1.0)
+    assert(all.count() == 525L)
+    // deterministic: same corpus, same alpha -> same membership
+    val again = Corpus.temperatureMixture(df, "doc_id", "source", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val first = Corpus.temperatureMixture(df, "doc_id", "source", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMixture(df, "doc_id", "source", alpha = 0.0)
+    }
+  }
+
   test("prototypicalityPrune: drops the floor((1-keep)*cnt) most-pivot-similar per cell, sparse ids included") {
     def corpus(off: Long) = Seq(
       (off + 0L, Array(1f, 0f, 0f, 0f)),     // pivot 0 (proto 1.0)
