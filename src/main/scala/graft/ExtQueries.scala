@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Similarity, TextStats}
+import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Similarity, TextStats, Urls}
 import graft.Tables.read
 
 /** Training-data-pipeline operator queries (dedup, similarity search, text
@@ -684,6 +684,32 @@ object ExtQueries {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // URL hygiene over synthesized per-doc URLs (fixture has no URL column):
+    // scheme by doc_id%2, www by %3, host = source + suffix by %7 (two
+    // multi-label public suffixes reachable), digit path, %9 docs get a
+    // 60-char pad so the maxLen=80 rule fires; blocklist + digit-frac rules
+    // split on real fixture variation. Oracle replays extraction and rules.
+    "q86_url_filters" -> { (s, dir) =>
+      val suffix = expr("case cast(doc_id % 7 as int) when 0 then 'co.uk' " +
+        "when 1 then 'com' when 2 then 'org' when 3 then 'net' " +
+        "when 4 then 'io' when 5 then 'com.au' else 'de' end")
+      val url = concat(
+        lit("http"), when(col("doc_id") % 2 === 0, "s").otherwise(""),
+        lit("://"), when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        col("source"), lit("."), suffix, lit("/d/"),
+        ((col("doc_id") * 37) % 1000).cast("string"),
+        when(col("doc_id") % 9 === 0, concat(lit("?pad="), lit("x" * 60)))
+          .otherwise(""))
+      Urls.urlStats(
+          read(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "url", blockedDomains = Seq("src0.com", "src1.org", "src2.co.uk"),
+          maxLen = 80, maxDigitFrac = 0.12)
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          col("url_len"), col("digit_frac"),
+          col("blocked").cast("int").as("blocked"),
+          col("url_ok").cast("int").as("url_ok"))
+        .orderBy(col("doc_id"))
+    },
     // α-sampling at the mT5 default α=0.5: realized counts ∝ sqrt(n) per
     // source, limiting source kept whole. sqrt (unlike pow) is correctly
     // rounded everywhere, which is what makes the oracle replay exact.
@@ -1671,6 +1697,48 @@ object ExtQueries {
         |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:mix'), 1, 8))
         |    AS BIGINT) % 10000 < cut
         |ORDER BY doc_id""".stripMargin,
+    // URL synthesis + host regex + registrable-domain derivation (full
+    // pinned multi-suffix list mirrored) + every rule, replayed in SQL
+    "q86_url_filters" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    'http' || (CASE WHEN doc_id%2=0 THEN 's' ELSE '' END) || '://'
+         |    || (CASE WHEN doc_id%3=0 THEN 'www.' ELSE '' END)
+         |    || source || '.'
+         |    || (CASE CAST(doc_id%7 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+         |        WHEN 2 THEN 'org' WHEN 3 THEN 'net' WHEN 4 THEN 'io'
+         |        WHEN 5 THEN 'com.au' ELSE 'de' END)
+         |    || '/d/' || CAST((doc_id*37)%1000 AS VARCHAR)
+         |    || (CASE WHEN doc_id%9=0 THEN '?pad=' || repeat('x', 60) ELSE '' END)
+         |    AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id, url,
+         |    regexp_extract(lower(url),
+         |      '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS host
+         |  FROM u),
+         |lx AS (SELECT doc_id, url, host, string_split(host, '.') AS labs,
+         |    len(string_split(host, '.')) AS n FROM h),
+         |d AS (SELECT doc_id, url, host,
+         |    CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+         |         WHEN n <= 2 THEN host
+         |         WHEN (labs[n-1] || '.' || labs[n]) IN ('co.uk','org.uk',
+         |           'ac.uk','gov.uk','net.uk','com.au','net.au','org.au',
+         |           'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx',
+         |           'com.ar','com.tr','com.tw','co.in','co.kr','co.za',
+         |           'com.sg','com.hk')
+         |           THEN labs[n-2] || '.' || labs[n-1] || '.' || labs[n]
+         |         ELSE labs[n-1] || '.' || labs[n] END AS domain
+         |  FROM lx),
+         |r AS (SELECT doc_id, url, host, domain,
+         |    CAST(length(url) AS INT) AS url_len,
+         |    CAST(len(regexp_extract_all(url, '[0-9]')) AS DOUBLE)/length(url)
+         |      AS digit_frac,
+         |    CASE WHEN domain IN ('src0.com','src1.org','src2.co.uk')
+         |         THEN 1 ELSE 0 END AS blocked
+         |  FROM d)
+         |SELECT doc_id, url, host, domain, url_len, digit_frac, blocked,
+         |  CASE WHEN length(host) > 0 AND blocked = 0 AND url_len <= 80
+         |       AND digit_frac <= 0.12 THEN 1 ELSE 0 END AS url_ok
+         |FROM r ORDER BY doc_id""".stripMargin,
     // q75's replay shape with sqrt(n) weights, unnormalized (fractions are
     // normalizer-invariant; no data-ordered double sum -> bit-exact replay)
     "q85_temperature_mixture" ->

@@ -917,14 +917,28 @@ object Similarity {
     * cell) regardless of how dense the near-dup regions are. Pivots are the
     * `nCells` smallest ids (deterministic, SQL-replayable — q83's oracle
     * replays the whole pipeline); `nCells <= 0` auto-sizes to ~√n like
-    * [[semanticPairs]]. */
+    * [[semanticPairs]]. `kmeansIters = Some(n)` uses spherical-Lloyd
+    * centroids instead — D4's own clustering, and the better proto score
+    * (distance to an actual density center rather than to an arbitrary
+    * corpus vector); same reproducibility trade-off as everywhere else:
+    * within-engine deterministic, not SQL-replayable. */
   def prototypicalityPrune(corpus: DataFrame, idCol: String, vecCol: String,
-                           keepFrac: Double, nCells: Int = 0): DataFrame = {
+                           keepFrac: Double, nCells: Int = 0,
+                           kmeansIters: Option[Int] = None): DataFrame = {
     require(keepFrac >= 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in [0, 1], got $keepFrac")
-    val c = prepared(corpus, idCol, vecCol)
+    val c0 = prepared(corpus, idCol, vecCol)
+    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
     val k = if (nCells > 0) nCells else autoNCells(c.count())
-    val asg = assignCellsProto(c, firstIdPivots(c, k))
+    val pv = kmeansIters match {
+      case Some(it) =>
+        import corpus.sparkSession.implicits._
+        kmeansLloyd(c, k, it).toDF("pid", "pv")
+          .withColumn("pnrm",
+            sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+      case None => firstIdPivots(c, k)
+    }
+    val asg = assignCellsProto(c, pv)
     val byProto = Window.partitionBy(col("cell"))
       .orderBy(col("proto").desc, col("id"))
     val cellW = Window.partitionBy(col("cell"))

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain hygiene for crawl corpora — the gate that runs BEFORE text
+  * quality in a production pipeline (RefinedWeb, C4 and friends filter and
+  * cap by registrable domain first; a single spammy domain can be most of a
+  * crawl). Everything here is a pure column expression (zero shuffles for
+  * the stats/filter; the domain cap is [[Corpus.capPerKey]]'s one bounded
+  * shuffle), and the q86 oracle replays host extraction, domain derivation
+  * and every rule in SQL.
+  *
+  * Reference behavior modeled on the reference pipeline's source gating
+  * (flatbread has no URL layer; this follows the public C4/RefinedWeb
+  * recipes).
+  */
+object Urls {
+
+  /** Hostname of a URL (lowercased): the authority between `scheme://`
+    * (userinfo stripped) and the first `/ : ? #`. Returns `''` for
+    * schemeless or unparseable input — rules treat that as "not a URL". */
+  def host(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+
+  /** Multi-label public suffixes recognized by [[registrableDomain]]'s
+    * default: a PINNED subset of the Public Suffix List's most common
+    * second-level suffixes. The full PSL is an external, versioned artifact
+    * — callers needing exact PSL semantics pass their own set; a pinned
+    * default keeps results reproducible across runs and engines. */
+  val DefaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.tw",
+    "co.in", "co.kr", "co.za", "com.sg", "com.hk")
+
+  /** Registrable domain ("example.co.uk" for "a.b.example.co.uk"): the last
+    * two host labels, or three when the last two are a known multi-label
+    * public suffix. All-numeric hosts (IPv4 literals) are returned whole —
+    * truncating an IP to its last two octets would merge unrelated hosts.
+    * Hosts with ≤ 2 labels (or `''` from a non-URL) pass through as-is. */
+  def registrableDomain(url: Column,
+                        multiSuffixes: Seq[String] = DefaultMultiSuffixes): Column = {
+    val h = host(url)
+    val labs = split(h, "\\.")
+    val n = size(labs)
+    val last2 = concat_ws(".", element_at(labs, -2), element_at(labs, -1))
+    val last3 = concat_ws(".", element_at(labs, -3), last2)
+    when(h.rlike("^[0-9.]+$"), h)
+      .when(n <= 2, h)
+      .when(last2.isin(multiSuffixes: _*), when(n >= 3, last3).otherwise(h))
+      .otherwise(last2)
+  }
+
+  /** URL rule columns (RefinedWeb-style pre-text gate): `host`, `domain`,
+    * `url_len`, `digit_frac` (digits / total URL chars), `blocked` (domain
+    * in the caller's blocklist — exact registrable-domain match, the
+    * blocklist semantic crawl pipelines use), and the conjunction `url_ok`
+    * = parseable host ∧ not blocked ∧ `url_len ≤ maxLen` ∧ `digit_frac ≤
+    * maxDigitFrac`. Emitted as audit COLUMNS (same posture as
+    * [[TextStats.gopherStats]]): at crawl scale thresholds are tuned from
+    * one scan's histogram. Null URL ⇒ every rule false. */
+  def urlStats(df: DataFrame, urlCol: String,
+               blockedDomains: Seq[String] = Nil,
+               maxLen: Int = 2048, maxDigitFrac: Double = 0.5,
+               multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame = {
+    val u = coalesce(col(urlCol), lit(""))
+    val blockedCol =
+      if (blockedDomains.isEmpty) lit(false)
+      else col("domain").isin(blockedDomains.map(_.toLowerCase): _*)
+    df.withColumn("host", host(u))
+      .withColumn("domain", registrableDomain(u, multiSuffixes))
+      .withColumn("url_len", length(u))
+      .withColumn("digit_frac",
+        when(length(u) > 0,
+          regexp_count(u, lit("[0-9]")).cast("double") / length(u))
+          .otherwise(lit(0.0)))
+      .withColumn("blocked", blockedCol)
+      .withColumn("url_ok",
+        length(col("host")) > 0 && !col("blocked") &&
+          col("url_len") <= maxLen && col("digit_frac") <= maxDigitFrac)
+  }
+
+  /** [[urlStats]] as a terminal: rows whose URL passes every rule, original
+    * columns only. */
+  def filterUrls(df: DataFrame, urlCol: String,
+                 blockedDomains: Seq[String] = Nil,
+                 maxLen: Int = 2048, maxDigitFrac: Double = 0.5,
+                 multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
+    urlStats(df, urlCol, blockedDomains, maxLen, maxDigitFrac, multiSuffixes)
+      .filter(col("url_ok"))
+      .select(df.columns.map(col): _*)
+
+  /** Frequency cap per registrable domain — [[Corpus.capPerKey]] keyed on
+    * the derived domain: at most `cap` documents from any one domain, the
+    * standard guard against one hot site drowning the mixture. Same
+    * determinism and WindowGroupLimit-below-exchange shape as q74. */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String, cap: Int,
+                   multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
+    Corpus.capPerKey(
+      df.withColumn("__domain", registrableDomain(coalesce(col(urlCol), lit("")), multiSuffixes)),
+      "__domain", idCol, cap)
+      .drop("__domain")
+}

@@ -1978,6 +1978,50 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("Urls: host/domain extraction, rule gate, domain cap") {
+    val rows = Seq(
+      (0L, "https://www.example.co.uk/path"),
+      (1L, "http://sub.a.spam.com/x?y=1"),
+      (2L, "https://example.com"),
+      (3L, "http://localhost/x"),
+      (4L, "http://192.168.0.1/a"),
+      (5L, "ftp://user:pw@files.example.org:21/a"),
+      (6L, "not a url"),
+      (7L, null.asInstanceOf[String]),
+      (8L, "http://a.co.uk/"),
+      (9L, "http://co.uk/"),
+      (10L, "http://x.com/1234567890123456789"))
+    val df = rows.toDF("doc_id", "url")
+    val r = Urls.urlStats(df, "url", blockedDomains = Seq("spam.com"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def s(id: Long, c: String) = r(id).getString(r(id).fieldIndex(c))
+    def b(id: Long, c: String) = r(id).getBoolean(r(id).fieldIndex(c))
+    assert(s(0L, "host") == "www.example.co.uk" && s(0L, "domain") == "example.co.uk")
+    assert(s(1L, "domain") == "spam.com" && b(1L, "blocked") && !b(1L, "url_ok"))
+    assert(s(2L, "domain") == "example.com")           // 2 labels pass through
+    assert(s(3L, "domain") == "localhost")
+    assert(s(4L, "domain") == "192.168.0.1")           // IPs never truncated
+    assert(s(5L, "host") == "files.example.org" && s(5L, "domain") == "example.org")
+    assert(s(6L, "host") == "" && !b(6L, "url_ok"))
+    assert(!b(7L, "url_ok") && s(7L, "host") == "")
+    assert(s(8L, "domain") == "a.co.uk")               // multi-label suffix
+    assert(s(9L, "domain") == "co.uk")                 // the bare suffix edge
+    assert(!b(10L, "url_ok"))                          // digit_frac > 0.5
+    assert(b(0L, "url_ok") && b(2L, "url_ok"))
+    // maxLen gate
+    val short = Urls.urlStats(df.filter(col("doc_id") === 0L), "url", maxLen = 10)
+      .head()
+    assert(!short.getBoolean(short.fieldIndex("url_ok")))
+    // filter terminal keeps original columns only
+    val kept = Urls.filterUrls(df, "url", blockedDomains = Seq("spam.com"))
+    assert(kept.columns.toSeq == Seq("doc_id", "url"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 3L, 4L, 5L, 8L, 9L))
+    // cap per domain: 3 docs on example.com -> 2 survive
+    val many = Seq((1L, "http://a.example.com/1"), (2L, "http://b.example.com/2"),
+      (3L, "http://example.com/3"), (4L, "http://other.org/")).toDF("doc_id", "url")
+    assert(Urls.capPerDomain(many, "url", "doc_id", cap = 2).count() == 3)
+  }
+
   test("temperatureMixture: realized counts track n^alpha, limiting source kept whole") {
     val df = ((0 until 400).map(i => (i.toLong, "srcA")) ++
       (400 until 500).map(i => (i.toLong, "srcB")) ++
@@ -2027,6 +2071,14 @@ class ExtSpec extends AnyFunSuite {
     // pivots are the smallest ids, not ids < nCells: a 1e9 offset shifts
     // nothing but the labels
     assert(keptIds(1000000000L, 0.5) == Set(2L, 3L, 4L, 6L).map(_ + 1000000000L))
+    // k-means pivots (D4's clustering): within-engine deterministic, and the
+    // per-cell drop law still holds — 7 vectors over 2 cells of sizes (a,
+    // 7-a) keep 7 - floor(a/2) - floor((7-a)/2) = 4 members for ANY split
+    def km() = Similarity.prototypicalityPrune(corpus(0L), "vec_id",
+        "embedding", keepFrac = 0.5, nCells = 2, kmeansIters = Some(5))
+      .select("vec_id").as[Long].collect().toSet
+    val k1 = km()
+    assert(k1.size == 4 && k1 == km())
     intercept[IllegalArgumentException] {
       Similarity.prototypicalityPrune(corpus(0L), "vec_id", "embedding",
         keepFrac = 1.5)
