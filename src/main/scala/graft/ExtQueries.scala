@@ -713,9 +713,16 @@ object ExtQueries {
     // α-sampling at the mT5 default α=0.5: realized counts ∝ sqrt(n) per
     // source, limiting source kept whole. sqrt (unlike pow) is correctly
     // rounded everywhere, which is what makes the oracle replay exact.
+    // The fixture's sources are UNIFORM (α-sampling would be an identity),
+    // so the query first skews the corpus deterministically: four sources
+    // keep every row, the rest keep every 4th — two count tiers the
+    // sqrt weights then rebalance.
     "q85_temperature_mixture" -> ((s, dir) =>
-      Corpus.temperatureMixture(read(s, dir, "documents"), "doc_id", "source",
-          alpha = 0.5)
+      Corpus.temperatureMixture(
+          read(s, dir, "documents")
+            .filter(col("source").isin("src0", "src1", "src2", "src3") ||
+              col("doc_id") % 4 === 0),
+          "doc_id", "source", alpha = 0.5)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id")))
   )
@@ -1740,17 +1747,20 @@ object ExtQueries {
          |       AND digit_frac <= 0.12 THEN 1 ELSE 0 END AS url_ok
          |FROM r ORDER BY doc_id""".stripMargin,
     // q75's replay shape with sqrt(n) weights, unnormalized (fractions are
-    // normalizer-invariant; no data-ordered double sum -> bit-exact replay)
+    // normalizer-invariant; no data-ordered double sum -> bit-exact replay);
+    // the skew CTE mirrors the query's deterministic two-tier thinning
     "q85_temperature_mixture" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
-        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+      """WITH documents_sk AS (SELECT * FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3') OR doc_id%4 = 0),
+        |c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents_sk WHERE source IS NOT NULL GROUP BY source),
         |w AS (SELECT source, n, sqrt(n) AS wt FROM c),
         |tm AS (SELECT min(n / wt) AS t FROM w),
         |cut AS (SELECT source,
         |    CAST(floor(least(CAST(1.0 AS DOUBLE), (SELECT t FROM tm) * wt / n)
         |      * 10000.0 + 0.5) AS BIGINT) AS cut
         |  FROM w)
-        |SELECT d.doc_id, d.source FROM documents d JOIN cut USING (source)
+        |SELECT d.doc_id, d.source FROM documents_sk d JOIN cut USING (source)
         |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:temp'), 1, 8))
         |    AS BIGINT) % 10000 < cut
         |ORDER BY doc_id""".stripMargin,

@@ -106,7 +106,9 @@ object ScaleSlope {
       // (linear by construction); q83 pins nCells=16 like q79 but has NO
       // intra-cell pair term — assignment is O(n·K) and the per-cell windows
       // are sort-based, so slope stays ~1 even at fixed K
-      "q82_gopher_quality", "q83_proto_prune", "q84_c4_filters")
+      "q82_gopher_quality", "q83_proto_prune", "q84_c4_filters",
+      // q85: one bounded count aggregate + hash filter; q86: per-row regex
+      "q85_temperature_mixture", "q86_url_filters")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
