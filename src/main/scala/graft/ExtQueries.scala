@@ -684,6 +684,17 @@ object ExtQueries {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // Quality-weighted retention: keep probability = qualityPoints/10 —
+    // the soft alternative to a hard quality cutoff. Integer points (not the
+    // double score) so the per-row cut is bit-replayable in the oracle.
+    "q87_quality_sampling" -> { (s, dir) =>
+      val scored = read(s, dir, "documents")
+        .withColumn("pts", TextStats.qualityPoints(col("text")))
+        .withColumn("frac", col("pts").cast("double") / 10.0)
+      Corpus.sampleByFraction(scored, "doc_id", "frac")
+        .select(col("doc_id"), col("pts"))
+        .orderBy(col("doc_id"))
+    },
     // URL hygiene over synthesized per-doc URLs (fixture has no URL column):
     // scheme by doc_id%2, www by %3, host = source + suffix by %7 (two
     // multi-label public suffixes reachable), digit path, %9 docs get a
@@ -1704,6 +1715,23 @@ object ExtQueries {
         |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:mix'), 1, 8))
         |    AS BIGINT) % 10000 < cut
         |ORDER BY doc_id""".stripMargin,
+    // q55's integer-points CTE + the per-row hash cut: floor(pts/10 * 10000
+    // + 0.5) — same exact-integer division both engines
+    "q87_quality_sampling" ->
+      s"""WITH t AS (SELECT doc_id, text, $docToks AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+         |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / length(text) <= 0.1 THEN 2 ELSE 0 END) AS pts
+         |  FROM t)
+         |SELECT doc_id, CAST(pts AS INT) AS pts FROM p
+         |WHERE CAST(('0x' || substr(md5(doc_id || ':graft:byfrac'), 1, 8))
+         |    AS BIGINT) % 10000
+         |  < CAST(floor(CAST(pts AS DOUBLE)/10.0 * 10000 + 0.5) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     // URL synthesis + host regex + registrable-domain derivation (full
     // pinned multi-suffix list mirrored) + every rule, replayed in SQL
     "q86_url_filters" ->

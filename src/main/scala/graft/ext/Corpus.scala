@@ -151,6 +151,27 @@ object Corpus {
       keyCol, sourceCol, fractions, default = 0.0, buckets, salt)
   }
 
+  /** Per-ROW-fraction deterministic sampling: keep a row iff its hash
+    * bucket falls under its OWN fraction column — [[stratifiedSample]]
+    * generalized from per-stratum constants to a computed per-row rate.
+    * This is the quality-weighted-retention primitive (keep probability ∝
+    * quality score, the soft alternative to a hard quality cutoff), and
+    * composes with any joined-in rate (per-domain, per-cluster, per-epoch).
+    * Fractions are clamped to [0, 1]; null fraction keeps nothing.
+    * Determinism, composability-across-salts and stability under corpus
+    * growth are [[hashBucket]]'s. Zero shuffle — the rate compare is one
+    * codegen projection. Prefer fraction columns derived from INTEGER
+    * scores (e.g. `qualityPoints / 10.0`): both engines then divide the
+    * same exact integers, so the per-row cut replays bit-for-bit in the
+    * oracle, the same reasoning as [[temperatureMixture]]'s sqrt. */
+  def sampleByFraction(df: DataFrame, keyCol: String, fracCol: String,
+                       buckets: Int = 10000,
+                       salt: String = "graft:byfrac"): DataFrame = {
+    val f = least(greatest(col(fracCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hashBucket(col(keyCol), buckets, salt) <
+      floor(f * buckets + 0.5).cast("int"))
+  }
+
   /** Temperature-based mixture (the multilingual α-sampling of mT5 / XLM-R:
     * sample sources toward p(s) ∝ n(s)^α): downsample so realized per-source
     * counts are EXACTLY proportional to `count^alpha`, keeping as much data

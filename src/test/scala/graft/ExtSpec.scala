@@ -1978,6 +1978,24 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("sampleByFraction: per-row rates, clamping, null drops, determinism") {
+    val df = Seq(
+      (0L, 1.0), (1L, 1.0), (2L, 1.0),        // rate 1 -> always kept
+      (3L, 0.0), (4L, 0.0),                   // rate 0 -> never kept
+      (5L, 1.7), (6L, -2.0),                  // clamped to 1 / 0
+      (7L, Double.NaN)).toDF("doc_id", "frac")
+      .withColumn("frac", when(col("doc_id") === 7L, lit(null)).otherwise(col("frac")))
+    def run() = Corpus.sampleByFraction(df, "doc_id", "frac")
+      .select("doc_id").as[Long].collect().toSet
+    val got = run()
+    assert(got == Set(0L, 1L, 2L, 5L))
+    assert(run() == got)
+    // proportionality on a real rate: ~half of 1000 keys at frac 0.5
+    val many = (0L until 1000L).toDF("doc_id").withColumn("frac", lit(0.5))
+    val n = Corpus.sampleByFraction(many, "doc_id", "frac").count()
+    assert(math.abs(n - 500L) < 80, s"kept $n of 1000 at rate 0.5")
+  }
+
   test("Urls: host/domain extraction, rule gate, domain cap") {
     val rows = Seq(
       (0L, "https://www.example.co.uk/path"),
