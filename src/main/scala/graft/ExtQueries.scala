@@ -684,6 +684,12 @@ object ExtQueries {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // Sliding-window chunking at 8 tokens / stride 4 (50% overlap, the
+    // retrieval-index shape); tail chunks shorter by design.
+    "q88_chunk_documents" -> ((s, dir) =>
+      Corpus.chunkDocuments(read(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 8, stride = 4)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // Quality-weighted retention: keep probability = qualityPoints/10 —
     // the soft alternative to a hard quality cutoff. Integer points (not the
     // double score) so the per-row cut is bit-replayable in the oracle.
@@ -1715,6 +1721,18 @@ object ExtQueries {
         |WHERE CAST(('0x' || substr(md5(d.doc_id || ':graft:mix'), 1, 8))
         |    AS BIGINT) % 10000 < cut
         |ORDER BY doc_id""".stripMargin,
+    // chunk starts = multiples of 4 below the token count; window = 8-token
+    // inclusive list slice
+    "q88_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $docToks AS tk FROM documents),
+         |s AS (SELECT doc_id, tk,
+         |    unnest(range(0, CAST(floor((len(tk)-1)/4) AS BIGINT) + 1)) AS ci
+         |  FROM t),
+         |c AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |    tk[CAST(ci*4+1 AS BIGINT) : CAST(ci*4+8 AS BIGINT)] AS ch FROM s)
+         |SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_tokens,
+         |  array_to_string(ch, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // q55's integer-points CTE + the per-row hash cut: floor(pts/10 * 10000
     // + 0.5) — same exact-integer division both engines
     "q87_quality_sampling" ->

@@ -209,6 +209,42 @@ object Corpus {
       fractions, default = 0.0, buckets, salt)
   }
 
+  /** Sliding-window document chunking: one output row per (document,
+    * chunk), where chunk `i` is the `chunkTokens`-token window starting at
+    * token `i · stride` — `stride = chunkTokens` (default) tiles the
+    * document disjointly (the long-document splitter in front of
+    * [[packSequences]]); `stride < chunkTokens` overlaps adjacent chunks by
+    * `chunkTokens - stride` tokens (the retrieval-index shape, where
+    * boundary-spanning passages must exist in some chunk). Chunk starts
+    * run over every multiple of `stride` below the token count, so final
+    * chunks may be shorter than `chunkTokens` — they carry the document
+    * tail; consumers wanting full windows only filter on `n_tokens`.
+    *
+    * Output: (idCol, chunk_idx, n_tokens, chunk_text). Zero shuffle — one
+    * generator projection; the token array is materialized into its own
+    * column first (generators rebuild their input per output row, the
+    * HOF-no-CSE trap), so tokenization runs once per document, not once
+    * per chunk. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int = 0): DataFrame = {
+    val st = if (stride <= 0) chunkTokens else stride
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(st <= chunkTokens,
+      s"stride must be <= chunkTokens ($chunkTokens), got $st (gaps would drop tokens)")
+    val withT = df.select(col(idCol),
+      graft.ext.TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val n = size(col("__t"))
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(st))
+    withT
+      .select(col(idCol), col("__t"),
+        posexplode(starts).as(Seq("chunk_idx", "__s")))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), col("__s") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("__c")).cast("int").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Per-document n-gram overlap against a benchmark/eval corpus — the
     * decontamination check a training pipeline runs before anything ships:
     * a document sharing a large fraction of its n-grams with an evaluation

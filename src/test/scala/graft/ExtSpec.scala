@@ -1978,6 +1978,26 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("chunkDocuments: overlap windows, disjoint default, short tails, domain guards") {
+    val df = Seq((0L, "a b c d e f g h i j"), (1L, "x y")).toDF("doc_id", "text")
+    val over = Corpus.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    // doc 0: starts 0,2,4,6,8 -> windows of 4, tail shorter
+    assert(over((0L, 0)) == (4, "a b c d"))
+    assert(over((0L, 1)) == (4, "c d e f"))
+    assert(over((0L, 3)) == (4, "g h i j"))
+    assert(over((0L, 4)) == (2, "i j"))
+    assert(over((1L, 0)) == (2, "x y") && !over.contains((1L, 1)))
+    // default stride tiles disjointly: every token in exactly one chunk
+    val tiles = Corpus.chunkDocuments(df, "doc_id", "text", chunkTokens = 4)
+      .filter(col("doc_id") === 0L).orderBy(col("chunk_idx"))
+      .select("chunk_text").as[String].collect()
+    assert(tiles.toSeq == Seq("a b c d", "e f g h", "i j"))
+    intercept[IllegalArgumentException] {
+      Corpus.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, stride = 5)
+    }
+  }
+
   test("sampleByFraction: per-row rates, clamping, null drops, determinism") {
     val df = Seq(
       (0L, 1.0), (1L, 1.0), (2L, 1.0),        // rate 1 -> always kept
