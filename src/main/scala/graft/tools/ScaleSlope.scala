@@ -107,8 +107,11 @@ object ScaleSlope {
       // intra-cell pair term — assignment is O(n·K) and the per-cell windows
       // are sort-based, so slope stays ~1 even at fixed K
       "q82_gopher_quality", "q83_proto_prune", "q84_c4_filters",
-      // q85: one bounded count aggregate + hash filter; q86: per-row regex
-      "q85_temperature_mixture", "q86_url_filters")
+      // q85: one bounded count aggregate + hash filter; q86: per-row regex;
+      // q87: per-row scoring + hash cut; q88: generator fan-out (rows grow
+      // ~14x: 10x docs x per-doc chunk count)
+      "q85_temperature_mixture", "q86_url_filters",
+      "q87_quality_sampling", "q88_chunk_documents")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

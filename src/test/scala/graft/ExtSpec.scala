@@ -1978,6 +1978,44 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("r10 curation gates compose end-to-end: URLs -> C4 -> Gopher -> dedup -> mixture -> chunks") {
+    val sentence =
+      "where the large animals have wandered with their keepers that evening. "
+    val prose = (sentence * 8).trim // one 88-word line of 8 sentences
+    def mk(id: Long, src: String, dom: String, text: String) =
+      (id, src, s"http://$dom/p/$id", text)
+    val rows =
+      (0 until 12).map(i => mk(i, "big", "good.com", s"$prose marker$i only.")) ++
+        Seq(mk(100L, "big", "good.com", s"$prose marker0 only.")) ++ // exact dup of doc 0
+        (200 until 203).map(i => mk(i, "small", "fine.org", s"$prose tail$i here.")) ++
+        Seq(
+          mk(300L, "big", "spam.net", prose),                 // blocked domain
+          mk(301L, "big", "good.com", "short junk"),          // no sentence -> C4 drop
+          mk(302L, "big", "good.com", prose.replace(".", ""))) // no terminal punct
+    val df = rows.toDF("doc_id", "source", "url", "text")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+    val gated = Urls.filterUrls(df, "url", blockedDomains = Seq("spam.net"))
+    assert(ids(df) -- ids(gated) == Set(300L))
+    val cleaned = TextStats.c4Filter(gated, "text")
+    val quality = TextStats.gopherFilter(cleaned, "text")
+    assert(ids(gated) -- ids(quality) == Set(301L, 302L))
+    val deduped = quality.join(
+      Dedup.exact(quality, "doc_id", "text").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(ids(quality) -- ids(deduped) == Set(100L)) // dup collapsed to min id 0
+    val mixed = Corpus.temperatureMixture(deduped, "doc_id", "source", alpha = 0.5)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    // small (3 docs) is limiting -> kept whole; big thins toward sqrt ratio
+    assert(bySrc("small") == 3L, bySrc.toString)
+    assert(bySrc("big") >= 1L && bySrc("big") < 12L, bySrc.toString)
+    val chunks = Corpus.chunkDocuments(mixed, "doc_id", "text", chunkTokens = 16)
+    // every surviving doc chunks, no doc invents chunks; 90 tokens -> 6 tiles
+    assert(ids(chunks) == ids(mixed))
+    val perDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(_ == 6L), perDoc.toString)
+  }
+
   test("chunkDocuments: overlap windows, disjoint default, short tails, domain guards") {
     val df = Seq((0L, "a b c d e f g h i j"), (1L, "x y")).toDF("doc_id", "text")
     val over = Corpus.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, stride = 2)
