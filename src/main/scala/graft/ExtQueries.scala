@@ -242,6 +242,13 @@ object ExtQueries {
         .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"),
           col("dup_trigram_frac"))
         .orderBy(col("doc_id"))),
+    // Repetition gates as a terminal: thresholds chosen to make all three
+    // rules bite on the fixture distribution (medians 0.54/0.033/0.0).
+    "q89_repetition_filter" -> ((s, dir) =>
+      TextStats.repetitionFilter(docsPar(s, dir), "text",
+          maxDupWord = 0.55, maxTopBigram = 0.05, maxDupTrigram = 0.03)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     // Gopher quality rules (Rae et al. 2021, table A1): seven per-document
     // verdict columns plus the conjunction, all pure per-row expressions —
     // integer counts and one double division each, so the DuckDB oracle
@@ -1276,6 +1283,28 @@ object ExtQueries {
          |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg)
          |    AS dup_trigram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // q54's fraction CTE + threshold gates; NULL metric passes its rule
+    // (coalesce true), mirroring repetitionFilter's short-doc contract
+    "q89_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, $docToks AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1])) AS bg,
+         |    list_transform(range(1, len(toks)-1),
+         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
+         |  FROM t),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)/len(toks)
+         |      AS dw,
+         |    CAST(list_max(list_transform(list_distinct(bg),
+         |        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)/len(bg)
+         |      AS tb,
+         |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg) AS dt
+         |  FROM g)
+         |SELECT d.doc_id, d.source FROM documents d JOIN m USING (doc_id)
+         |WHERE coalesce(dw <= 0.55, true) AND coalesce(tb <= 0.05, true)
+         |  AND coalesce(dt <= 0.03, true)
+         |ORDER BY doc_id""".stripMargin,
     // all seven Gopher rules replayed: same tokenization ($docToks), same
     // integer counts, same double divisions and thresholds; rules whose
     // denominator is zero (no words / no non-blank lines) are false, matching

@@ -130,6 +130,26 @@ object TextStats {
       .drop("__toks", "__bg", "__tg")
   }
 
+  /** [[repetitionStats]] as a terminal — the Gopher-style repetition gates
+    * (Rae et al. 2021 filter on duplicate/top-n-gram fractions; thresholds
+    * here apply to THIS engine's three metrics, defaults in the paper's
+    * spirit): keep documents whose duplicate-word, top-bigram and
+    * duplicate-trigram fractions are all at or under their thresholds.
+    * A NULL metric (document too short to have that n-gram) PASSES its rule
+    * — absence of evidence is not repetition; the short-doc gate is
+    * [[gopherStats]]'s word-count rule, not this one. Original columns
+    * only; zero shuffles. */
+  def repetitionFilter(df: DataFrame, textCol: String,
+                       maxDupWord: Double = 0.5,
+                       maxTopBigram: Double = 0.2,
+                       maxDupTrigram: Double = 0.3): DataFrame =
+    repetitionStats(df, textCol)
+      .filter(
+        coalesce(col("dup_word_frac") <= maxDupWord, lit(true)) &&
+          coalesce(col("top_bigram_frac") <= maxTopBigram, lit(true)) &&
+          coalesce(col("dup_trigram_frac") <= maxDupTrigram, lit(true)))
+      .select(df.columns.map(col): _*)
+
   /** N-gram-heuristic language ID: stopword hit counts per language, argmax
     * with deterministic tie-break (en > de > fr > es). */
   def langId(text: Column): Column = {

@@ -1697,6 +1697,23 @@ class ExtSpec extends AnyFunSuite {
     assert(r(1L).getDouble(2) == 1.0 && r(1L).isNullAt(3))
   }
 
+  test("repetitionFilter: each gate drops its planted doc; null metrics pass") {
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (1L, "spam spam spam spam spam word other things here now"), // dup words
+      (2L, "ab cd ab cd ab cd ab cd ab cd"),                       // top bigram
+      (3L, "solo"))                                // no bi/trigrams -> nulls pass
+    val kept = TextStats.repetitionFilter(docs.toDF("doc_id", "text"), "text",
+        maxDupWord = 0.3, maxTopBigram = 0.3, maxDupTrigram = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 1: 10 toks, 6 distinct -> dup 0.4 > 0.3; doc 2: top bigram
+    // "ab cd" 5 of 9 -> 0.56 > 0.3; doc 3's single token has NULL bigram and
+    // trigram metrics (absence of evidence) and dup_word 0 -> passes
+    assert(kept == Set(0L, 3L))
+    assert(TextStats.repetitionFilter(docs.toDF("doc_id", "text"), "text")
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("sourceQualityGate keeps only sources whose integer-point mean clears the bar") {
     val good = "the quick brown fox jumps over the lazy dog and runs far away " +
       "home tonight with many more plain words of normal prose " * 2
