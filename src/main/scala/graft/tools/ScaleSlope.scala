@@ -111,7 +111,9 @@ object ScaleSlope {
       // q87: per-row scoring + hash cut; q88: generator fan-out (rows grow
       // ~14x: 10x docs x per-doc chunk count)
       "q85_temperature_mixture", "q86_url_filters",
-      "q87_quality_sampling", "q88_chunk_documents")
+      "q87_quality_sampling", "q88_chunk_documents",
+      // q89: per-row n-gram fractions + threshold filter
+      "q89_repetition_filter")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
