@@ -1275,13 +1275,16 @@ object ExtQueries {
          |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
          |  FROM t)
          |SELECT doc_id,
-         |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)/len(toks)
-         |    AS dup_word_frac,
-         |  CAST(list_max(list_transform(list_distinct(bg),
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)/len(toks)
+         |    END AS dup_word_frac,
+         |  CASE WHEN len(bg) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(bg),
          |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)/len(bg)
-         |    AS top_bigram_frac,
-         |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg)
-         |    AS dup_trigram_frac
+         |    END AS top_bigram_frac,
+         |  CASE WHEN len(tg) > 0 THEN
+         |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg)
+         |    END AS dup_trigram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
     // q54's fraction CTE + threshold gates; NULL metric passes its rule
     // (coalesce true), mirroring repetitionFilter's short-doc contract
@@ -1294,12 +1297,16 @@ object ExtQueries {
          |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
          |  FROM t),
          |m AS (SELECT doc_id,
-         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)/len(toks)
-         |      AS dw,
-         |    CAST(list_max(list_transform(list_distinct(bg),
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)/len(toks)
+         |      END AS dw,
+         |    CASE WHEN len(bg) > 0 THEN
+         |      CAST(list_max(list_transform(list_distinct(bg),
          |        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)/len(bg)
-         |      AS tb,
-         |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg) AS dt
+         |      END AS tb,
+         |    CASE WHEN len(tg) > 0 THEN
+         |      CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg)
+         |      END AS dt
          |  FROM g)
          |SELECT d.doc_id, d.source FROM documents d JOIN m USING (doc_id)
          |WHERE coalesce(dw <= 0.55, true) AND coalesce(tb <= 0.05, true)

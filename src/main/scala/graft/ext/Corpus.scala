@@ -157,7 +157,9 @@ object Corpus {
     * This is the quality-weighted-retention primitive (keep probability ∝
     * quality score, the soft alternative to a hard quality cutoff), and
     * composes with any joined-in rate (per-domain, per-cluster, per-epoch).
-    * Fractions are clamped to [0, 1]; null fraction keeps nothing.
+    * Fractions are clamped to [0, 1]; null or NaN fraction keeps nothing
+    * (NaN sorts ABOVE all doubles in Spark, so without an explicit guard a
+    * 0/0-derived rate would clamp to 1.0 and silently keep everything).
     * Determinism, composability-across-salts and stability under corpus
     * growth are [[hashBucket]]'s. Zero shuffle — the rate compare is one
     * codegen projection. Prefer fraction columns derived from INTEGER
@@ -167,7 +169,8 @@ object Corpus {
   def sampleByFraction(df: DataFrame, keyCol: String, fracCol: String,
                        buckets: Int = 10000,
                        salt: String = "graft:byfrac"): DataFrame = {
-    val f = least(greatest(col(fracCol).cast("double"), lit(0.0)), lit(1.0))
+    val raw = col(fracCol).cast("double")
+    val f = least(greatest(when(isnan(raw), lit(0.0)).otherwise(raw), lit(0.0)), lit(1.0))
     df.filter(hashBucket(col(keyCol), buckets, salt) <
       floor(f * buckets + 0.5).cast("int"))
   }
@@ -227,7 +230,11 @@ object Corpus {
     * per chunk. */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int, stride: Int = 0): DataFrame = {
-    val st = if (stride <= 0) chunkTokens else stride
+    // only 0 is the documented tiling sentinel — a negative stride is a
+    // caller bug and must fail like the stride > chunkTokens case, not
+    // silently tile
+    require(stride >= 0, s"stride must be >= 0 (0 = tile disjointly), got $stride")
+    val st = if (stride == 0) chunkTokens else stride
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(st <= chunkTokens,
       s"stride must be <= chunkTokens ($chunkTokens), got $st (gaps would drop tokens)")

@@ -851,10 +851,11 @@ object Similarity {
                                vecCol: String, nCells: Int,
                                kmeansIters: Option[Int]): DataFrame = {
     val c0 = prepared(corpus, idCol, vecCol)
-    // k-means iterates over the prepared projection: materialize it once
-    // rather than re-running the upstream per Lloyd round (same reasoning
-    // as annIvfKMeansTopK's checkpoint)
-    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
+    // k-means iterates over the prepared projection, and the auto-sizing
+    // count would otherwise be a second full upstream pass before the
+    // assignment scan: materialize it once for either multi-pass consumer
+    // (same reasoning as annIvfKMeansTopK's checkpoint)
+    val c = if (kmeansIters.isDefined || nCells <= 0) c0.localCheckpoint() else c0
     val k = if (nCells > 0) nCells else autoNCells(c.count())
     val pv = kmeansIters match {
       case Some(it) =>
@@ -928,7 +929,9 @@ object Similarity {
     require(keepFrac >= 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in [0, 1], got $keepFrac")
     val c0 = prepared(corpus, idCol, vecCol)
-    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
+    // checkpoint for the same two multi-pass consumers as semanticAssigned:
+    // Lloyd rounds, and the auto-sizing count before the assignment scan
+    val c = if (kmeansIters.isDefined || nCells <= 0) c0.localCheckpoint() else c0
     val k = if (nCells > 0) nCells else autoNCells(c.count())
     val pv = kmeansIters match {
       case Some(it) =>
@@ -945,8 +948,12 @@ object Similarity {
     asg
       .withColumn("rk", row_number().over(byProto))
       .withColumn("cnt", count(lit(1)).over(cellW))
+      // round to 9 decimals before floor: (1 - keepFrac) in doubles is not
+      // exact (0.9 → 0.09999999999999998), so a bare floor under-drops by
+      // one at exact multiples (cnt=10, keepFrac=0.9 would drop 0, not the
+      // documented floor(0.1·10)=1)
       .filter(col("rk").cast("long") >
-        floor(lit(1.0 - keepFrac) * col("cnt")).cast("long"))
+        floor(round(lit(1.0 - keepFrac) * col("cnt"), 9)).cast("long"))
       .select(col("id").as(idCol), col("cell"), col("proto"))
   }
 

@@ -82,13 +82,17 @@ object Urls {
   }
 
   /** [[urlStats]] as a terminal: rows whose URL passes every rule, original
-    * columns only. */
+    * columns only. Routed through [[TextStats.pinnedFilter]] like every
+    * other filter terminal: `PushDownPredicates` would otherwise inline the
+    * regex-derived rule columns (`host`, `digit_frac`) into the pushed
+    * predicate, re-evaluating them below any repartition on the raw scan. */
   def filterUrls(df: DataFrame, urlCol: String,
                  blockedDomains: Seq[String] = Nil,
                  maxLen: Int = 2048, maxDigitFrac: Double = 0.5,
                  multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
-    urlStats(df, urlCol, blockedDomains, maxLen, maxDigitFrac, multiSuffixes)
-      .filter(col("url_ok"))
+    TextStats.pinnedFilter(
+      urlStats(df, urlCol, blockedDomains, maxLen, maxDigitFrac, multiSuffixes),
+      col("url_ok"))
       .select(df.columns.map(col): _*)
 
   /** Frequency cap per registrable domain — [[Corpus.capPerKey]] keyed on

@@ -2051,6 +2051,10 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Corpus.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, stride = 5)
     }
+    // a negative stride is a caller bug, not the tiling sentinel
+    intercept[IllegalArgumentException] {
+      Corpus.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, stride = -1)
+    }
   }
 
   test("sampleByFraction: per-row rates, clamping, null drops, determinism") {
@@ -2058,6 +2062,7 @@ class ExtSpec extends AnyFunSuite {
       (0L, 1.0), (1L, 1.0), (2L, 1.0),        // rate 1 -> always kept
       (3L, 0.0), (4L, 0.0),                   // rate 0 -> never kept
       (5L, 1.7), (6L, -2.0),                  // clamped to 1 / 0
+      (8L, Double.NaN),                       // NaN (0/0-derived rate) -> never kept
       (7L, Double.NaN)).toDF("doc_id", "frac")
       .withColumn("frac", when(col("doc_id") === 7L, lit(null)).otherwise(col("frac")))
     def run() = Corpus.sampleByFraction(df, "doc_id", "frac")
@@ -2176,6 +2181,41 @@ class ExtSpec extends AnyFunSuite {
       Similarity.prototypicalityPrune(corpus(0L), "vec_id", "embedding",
         keepFrac = 1.5)
     }
+    // the drop law at an inexact (1 - keepFrac): 0.9 -> 0.09999999999999998
+    // in doubles, and a bare floor would drop 0 of a 10-member cell instead
+    // of the documented floor(0.1*10) = 1
+    val ten = (0 until 10).map(i => (i.toLong, Array(1f, i * 0.01f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept9 = Similarity.prototypicalityPrune(ten, "vec_id", "embedding",
+      keepFrac = 0.9, nCells = 1).count()
+    assert(kept9 == 9L, s"keepFrac=0.9 over a 10-cell must drop exactly 1, kept $kept9")
+  }
+
+  test("auto-sized semantic ops run ONE upstream pass (checkpointed before the count)") {
+    // nCells <= 0 needs a corpus count before the assignment scan; without
+    // the localCheckpoint that count is a second full pass over the
+    // prepared projection's upstream. The checkpoint shows up as a
+    // LogicalRDD source in the downstream plan.
+    val c = (0 until 20).map(i => (i.toLong, Array(1f, i * 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.semanticCellStats(c, "vec_id", "embedding")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"auto-sized semantic path did not checkpoint its prepared projection:\n$plan")
+  }
+
+  test("filterUrls: predicate stays pinned above the rule projection") {
+    // same PushDownPredicates trap as the gopher/C4/repetition terminals:
+    // without the pin, url_ok's regex-derived inputs are inlined into the
+    // pushed predicate and re-evaluated below any repartition on the raw
+    // scan. The nondeterministic guard is the pin's signature — it must
+    // survive optimization.
+    val df = Seq((0L, "https://example.com/a"), (1L, "http://spam.net/b"))
+      .toDF("doc_id", "url").repartition(4)
+    val plan = Urls.filterUrls(df, "url", blockedDomains = Seq("spam.net"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("spark_partition_id"),
+      s"filterUrls predicate was not pinned:\n$plan")
   }
 
   test("c4Stats/c4Filter: line rules, page rules, blockword gate, clean-text substitution") {
