@@ -748,6 +748,19 @@ object ExtQueries {
               col("doc_id") % 4 === 0),
           "doc_id", "source", alpha = 0.5)
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    // CCNet-style LM quality score: bigram add-1 model trained on the
+    // English slice, every document scored by mean NLL — non-English docs
+    // surface as the high-NLL tail, the exact separation CCNet buckets on.
+    // docsPar on the scored side (tokenize+explode before the first
+    // shuffle); the ref slice feeds one aggregate. Defaults (n=2, k=1,
+    // maxVocab 2^20) are what the oracle replays.
+    "q90_perplexity" -> ((s, dir) =>
+      graft.ext.Perplexity.perplexityScore(
+          docsPar(s, dir), "doc_id", "text",
+          ref = read(s, dir, "documents").filter(col("lang") === "en"))
+        .select(col("doc_id"), col("lang"), col("lm_grams"), col("lm_oov"),
+          col("nll_mean"))
         .orderBy(col("doc_id")))
   )
 
@@ -1311,6 +1324,48 @@ object ExtQueries {
          |SELECT d.doc_id, d.source FROM documents d JOIN m USING (doc_id)
          |WHERE coalesce(dw <= 0.55, true) AND coalesce(tb <= 0.05, true)
          |  AND coalesce(dt <= 0.03, true)
+         |ORDER BY doc_id""".stripMargin,
+    // the FULL CCNet-style pipeline replayed: train bigram+unigram counts
+    // on the English slice (exact integers, capped by the same
+    // deterministic top-K), V = capped unigram vocab + 1, per-gram
+    // P = (c+1)/(c_ctx+V), and the per-document mean NLL summed in
+    // DOCUMENT ORDER (list(nll ORDER BY pos) -> list_sum, matching the
+    // Spark side's pos-sorted sequential fold) then rounded to 6 dp —
+    // the cosine-oracle float discipline applied to ln
+    "q90_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, lang, $docToks AS toks FROM documents),
+         |r AS (SELECT toks FROM t WHERE lang = 'en'),
+         |rg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1]))
+         |    ELSE [] END) AS gram FROM r),
+         |gc AS (SELECT gram, count(*) AS c FROM rg GROUP BY 1
+         |  QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 1048576),
+         |ru AS (SELECT unnest(toks) AS u FROM r),
+         |uc AS (SELECT u, count(*) AS c FROM ru GROUP BY 1
+         |  QUALIFY row_number() OVER (ORDER BY c DESC, u) <= 1048576),
+         |vv AS (SELECT count(*) + 1 AS v FROM uc),
+         |dg AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |sc AS (SELECT doc_id, i AS pos,
+         |    concat_ws(' ', toks[i], toks[i+1]) AS gram, toks[i] AS ctx
+         |  FROM dg),
+         |j AS (SELECT sc.doc_id, sc.pos, gc.c AS cg, uc.c AS cc
+         |  FROM sc LEFT JOIN gc ON sc.gram = gc.gram
+         |    LEFT JOIN uc ON sc.ctx = uc.u),
+         |nl AS (SELECT doc_id, pos, cg IS NULL AS oov,
+         |    -ln(CAST(coalesce(cg, 0) + 1 AS DOUBLE) /
+         |        CAST(coalesce(cc, 0) + (SELECT v FROM vv) AS DOUBLE)) AS nll
+         |  FROM j),
+         |f AS (SELECT doc_id, count(*) AS lm_grams,
+         |    count(*) FILTER (WHERE oov) AS lm_oov,
+         |    list_sum(list(nll ORDER BY pos)) AS s
+         |  FROM nl GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(f.lm_grams, 0) AS lm_grams,
+         |  coalesce(f.lm_oov, 0) AS lm_oov,
+         |  round(f.s / f.lm_grams, 6) AS nll_mean
+         |FROM documents d LEFT JOIN f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // all seven Gopher rules replayed: same tokenization ($docToks), same
     // integer counts, same double divisions and thresholds; rules whose

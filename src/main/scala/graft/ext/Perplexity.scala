@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2019, "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl Data" — the
+  * public recipe behind most "quality by perplexity" filters): train n-gram
+  * counts on a trusted reference slice, score every document by mean
+  * negative log-likelihood under the smoothed model, and let the caller
+  * bucket head/middle/tail from the score histogram. CCNet proper uses a
+  * 5-gram Kneser-Ney KenLM over SentencePiece tokens; this is the
+  * deterministic, SQL-replayable analogue — word n-grams with add-k
+  * smoothing — which preserves the property the filter actually uses
+  * (monotone "looks like the reference corpus" ranking) while every count
+  * is an exact integer both engines reproduce.
+  *
+  * Scale shape: training is ONE aggregate over the reference slice (n-gram
+  * counts + (n−1)-gram context counts, each capped to `maxVocab` rows by a
+  * deterministic top-K); the count tables are model-sized and broadcast
+  * into the scoring join, so scoring a 100 TB corpus is: explode grams
+  * (linear), two broadcast hash joins (no shuffle of the corpus), one
+  * skinny (id, pos, nll) shuffle for the per-document fold. Bounded driver
+  * state: only the vocabulary size (one long) is collected.
+  *
+  * Float reproducibility: probabilities are ratios of exact integers
+  * ((c_gram + k) / (c_ctx + k·V)), the per-document sum folds the per-gram
+  * NLLs in DOCUMENT ORDER on both engines (sequential fold over the
+  * pos-sorted array, not a shuffle-ordered SUM), and the mean is rounded
+  * to 6 dp at the end — the same discipline as the cosine oracles, leaving
+  * only `ln`'s sub-ulp engine variance under six decimal places of
+  * headroom. (Beyond the reference surface; required by the build brief.)
+  */
+object Perplexity {
+
+  /** Word n-gram counts of a reference slice: one map-side-combined
+    * aggregate → (gram, c). The order-n gram table of the LM; n = 1 gives
+    * the unigram (context) table. */
+  def ngramCounts(ref: DataFrame, textCol: String, n: Int,
+                  tokenizer: Column => Column = TextStats.tokens): DataFrame =
+    ref.select(explode(
+        TextStats.ngramsOfTokens(tokenizer(coalesce(col(textCol), lit(""))), n))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+
+  /** Deterministic top-`maxVocab` cap on a count table: highest counts
+    * first, ties broken by gram ascending — the bound that keeps the
+    * broadcast model-sized no matter how large the reference slice is.
+    * Grams cut by the cap score as unseen (count 0), the standard
+    * closed-vocabulary treatment. */
+  private def capVocab(counts: DataFrame, maxVocab: Int): DataFrame =
+    // orderBy+limit plans as TakeOrderedAndProject — a distributed top-K
+    // with per-partition pruning, where a global row_number window would
+    // funnel the whole vocabulary through one partition
+    counts.orderBy(col("c").desc, col("gram")).limit(maxVocab)
+
+  /** Per-document LM score under an order-`n` add-`k` model trained on
+    * `ref`: appends to `df`
+    *   - `lm_grams` — number of scored n-grams (0 for docs shorter than n)
+    *   - `lm_oov`   — how many of them were unseen in the reference
+    *   - `nll_mean` — mean negative log-likelihood (natural log, rounded
+    *     to 6 dp; null when `lm_grams` = 0). Perplexity = exp(nll_mean);
+    *     the monotone NLL is emitted directly so no cross-engine `exp`
+    *     enters the compare.
+    *
+    * P(w | ctx) = (c(ctx·w) + k) / (c(ctx) + k·V) with V = reference
+    * unigram vocabulary + 1 (the OOV type). `k` is an INTEGER so both
+    * numerator and denominator stay exact integers. `tokenizer` swaps the
+    * unit — pass [[TextStats.bpeTokens]] for subword grams, or a
+    * char-splitter for CCNet's char-LM flavor. */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+                      ref: DataFrame, n: Int = 2, k: Long = 1L,
+                      maxVocab: Int = 1 << 20,
+                      tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1L, s"add-k smoothing needs k >= 1, got $k")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val refTextCol = textCol // same column name expected on the ref slice
+    val gramC = capVocab(ngramCounts(ref, refTextCol, n, tokenizer), maxVocab)
+    // context table: (n-1)-grams; for a unigram model the context is the
+    // whole corpus — one total-token count, handled as a literal below
+    val ctxC =
+      if (n > 1) capVocab(ngramCounts(ref, refTextCol, n - 1, tokenizer), maxVocab)
+      else null
+    // V is a bounded collect (one long); the unigram table doubles as the
+    // vocabulary when n = 2, saving an aggregate
+    val uni = if (n == 2 && ctxC != null) ctxC
+              else ngramCounts(ref, refTextCol, 1, tokenizer)
+    val vocab = uni.select(count(lit(1))).head().getLong(0) + 1L
+    val nTotal: Long =
+      if (n == 1) uni.agg(sum(col("c"))).head().getLong(0) else 0L
+
+    val toks = tokenizer(coalesce(col(textCol), lit("")))
+    val grams = TextStats.ngramsOfTokens(toks, n)
+    val ctxs = if (n > 1) TextStats.ngramsOfTokens(toks, n - 1) else lit(null)
+    // gram at pos i spans tokens [i, i+n-1]; its context spans [i, i+n-2] —
+    // the SAME position in the (n-1)-gram array, so one posexplode aligns
+    // both without a second generator
+    val exploded = df
+      .select(col(idCol).as("__id"), grams.as("__g"),
+        (if (n > 1) ctxs else lit(null).cast("string")).as("__cx"))
+      .select(col("__id"), col("__cx"),
+        posexplode(col("__g")).as(Seq("pos", "gram")))
+      .select(col("__id"), col("pos"), col("gram"),
+        (if (n > 1) element_at(col("__cx"), col("pos") + 1)
+         else lit("")).as("ctx"))
+    val joined = exploded
+      .join(broadcast(gramC.withColumnRenamed("c", "__cg")), Seq("gram"), "left")
+    val withCtx =
+      if (n > 1)
+        joined.join(broadcast(ctxC.select(col("gram").as("ctx"), col("c").as("__cc"))),
+          Seq("ctx"), "left")
+      else joined.withColumn("__cc", lit(nTotal))
+    val nll = -log(
+      (coalesce(col("__cg"), lit(0L)) + lit(k)).cast("double") /
+        (coalesce(col("__cc"), lit(0L)) + lit(k) * lit(vocab)).cast("double"))
+    // fold the per-gram NLLs in DOCUMENT ORDER: collect, sort by pos,
+    // sequential fold — a shuffle-ordered SUM(double) would differ between
+    // engines (and between runs) in the last bits
+    val agg = withCtx
+      .groupBy(col("__id"))
+      .agg(
+        count(col("gram")).as("lm_grams"),
+        sum(when(col("__cg").isNull, 1L).otherwise(0L)).cast("long").as("lm_oov"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), nll.as("nll")))),
+            s => s("nll")),
+          lit(0.0), (a, x) => a + x).as("__s"))
+      .select(col("__id"), col("lm_grams"), col("lm_oov"),
+        round(col("__s") / col("lm_grams"), 6).as("nll_mean"))
+    df.join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
+      .withColumn("lm_oov", coalesce(col("lm_oov"), lit(0L)))
+  }
+}

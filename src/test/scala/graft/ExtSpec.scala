@@ -2279,4 +2279,44 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(0L))
   }
+
+  test("perplexityScore: hand-computed add-1 bigram NLL, OOV, short docs, vocab cap") {
+    val ref = Seq((0L, "the cat sat"), (1L, "the cat ran")).toDF("doc_id", "text")
+    // model: gc = {the cat: 2, cat sat: 1, cat ran: 1}; uc = {the: 2,
+    // cat: 2, sat: 1, ran: 1}; V = 4 + 1
+    val docs = Seq(
+      (10L, "the cat sat"),   // P(cat|the)=3/7, P(sat|cat)=2/7
+      (11L, "dog bites"),     // unseen gram AND context: P = 1/5
+      (12L, "hi")             // < n tokens: no grams, null score
+    ).toDF("doc_id", "text")
+    val r = Perplexity.perplexityScore(docs, "doc_id", "text", ref)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, c: String): Double = r(id).getDouble(r(id).fieldIndex(c))
+    def l(id: Long, c: String): Long = r(id).getLong(r(id).fieldIndex(c))
+    assert(l(10L, "lm_grams") == 2 && l(10L, "lm_oov") == 0)
+    assert(math.abs(f(10L, "nll_mean") -
+      (-math.log(3.0 / 7) - math.log(2.0 / 7)) / 2) < 1e-6)
+    assert(l(11L, "lm_grams") == 1 && l(11L, "lm_oov") == 1)
+    assert(math.abs(f(11L, "nll_mean") - math.log(5.0)) < 1e-6)
+    assert(l(12L, "lm_grams") == 0 && l(12L, "lm_oov") == 0)
+    assert(r(12L).isNullAt(r(12L).fieldIndex("nll_mean")))
+    // unigram model: N = 6 ref tokens, P(w) = (c+1)/(6+5)
+    val u = Perplexity.perplexityScore(docs, "doc_id", "text", ref, n = 1)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val exp1 = (-math.log(3.0 / 11) - math.log(3.0 / 11) - math.log(2.0 / 11)) / 3
+    assert(math.abs(u(10L).getDouble(u(10L).fieldIndex("nll_mean")) - exp1) < 1e-6)
+    // maxVocab = 2: deterministic top-K keeps {the cat, cat ran} (count
+    // desc, gram asc) and contexts {cat, the}; V = 2 + 1. "cat sat" now
+    // scores as unseen: P(sat|cat) = (0+1)/(2+3)
+    val capped = Perplexity.perplexityScore(docs, "doc_id", "text", ref,
+        maxVocab = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val expCap = (-math.log(3.0 / 5) - math.log(1.0 / 5)) / 2
+    assert(capped(10L).getLong(capped(10L).fieldIndex("lm_oov")) == 1)
+    assert(math.abs(
+      capped(10L).getDouble(capped(10L).fieldIndex("nll_mean")) - expCap) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Perplexity.perplexityScore(docs, "doc_id", "text", ref, k = 0L)
+    }
+  }
 }
