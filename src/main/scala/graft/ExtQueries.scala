@@ -749,6 +749,20 @@ object ExtQueries {
           "doc_id", "source", alpha = 0.5)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // REAL BPE apply (custom codegen'd expression, graft_bpe_encode): a
+    // small well-formed merges table so the oracle can replay the merge
+    // loop as rank-ordered replace passes over a US-wrapped char string —
+    // valid because for well-formed tables (each side a base char or an
+    // earlier merge's output) min-rank iteration == rank-order application.
+    // Tokens joined with chr(31) (can't occur in text), ids space-joined.
+    "q91_bpe_apply" -> ((s, dir) =>
+      TextStats.bpeStats(docsPar(s, dir), "text",
+          q91Merges.map { case (a, b) => s"$a $b" }, q91Vocab)
+        .select(col("doc_id"), col("bpe_count"),
+          array_join(col("bpe_tokens"), "\u001f").as("bpe_str"),
+          array_join(transform(col("bpe_ids"), _.cast("string")), " ")
+            .as("bpe_ids_str"))
+        .orderBy(col("doc_id"))),
     // CCNet-style LM quality score: bigram add-1 model trained on the
     // English slice, every document scored by mean NLL — non-English docs
     // surface as the high-NLL tail, the exact separation CCNet buckets on.
@@ -763,6 +777,28 @@ object ExtQueries {
           col("nll_mean"))
         .orderBy(col("doc_id")))
   )
+
+  /** q91's merges ranking: WELL-FORMED (each side a base char or an earlier
+    * merge's output), which is what licenses the oracle's rank-order replay.
+    * `def`s, not `val`s: referenced from both maps, and a val declared after
+    * a map that captures it is still null at object init. */
+  private def q91Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("o", "n"), ("e", "r"), ("o", "r"), ("a", "t"))
+
+  private def q91Vocab: Seq[String] = Seq(
+    "the", "th", "in", "an", "er", "on", "at", "or", "e", "t", "a", " ")
+
+  /** DuckDB replay of the BPE merge loop: wrap every char as ␟c␟, then one
+    * `replace` pass per merge in rank order — `replace`'s left-to-right
+    * non-overlapping scan IS the all-occurrences merge pass, and the
+    * double-separator boundary (`␟a␟␟b␟` → `␟ab␟`) keeps adjacency intact
+    * while making cross-token substring matches impossible. */
+  private def q91MergedExpr(src: String): String =
+    q91Merges.foldLeft(src) { case (acc, (a, b)) =>
+      s"replace($acc, chr(31)||'$a'||chr(31)||chr(31)||'$b'||chr(31), " +
+        s"chr(31)||'$a$b'||chr(31))"
+    }
 
   private val docToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
@@ -1325,6 +1361,38 @@ object ExtQueries {
          |WHERE coalesce(dw <= 0.55, true) AND coalesce(tb <= 0.05, true)
          |  AND coalesce(dt <= 0.03, true)
          |ORDER BY doc_id""".stripMargin,
+    // the FULL BPE merge loop replayed in SQL (see q91MergedExpr): GPT-2
+    // pre-tokenization with the same RE2-safe pattern, whitespace runs
+    // dropped, chars wrapped in chr(31), one replace pass per merge in rank
+    // order, tokens re-split on the double separator and flattened in
+    // pre-token order. ids = 0-based position in the vocab list, -1 unknown.
+    "q91_bpe_apply" -> {
+      val pat = graft.ext.TextStats.BpePattern.replace("'", "''")
+      val vocabSql = q91Vocab.map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id,
+         |    regexp_extract_all(coalesce(text, ''), '$pat') AS pts
+         |  FROM documents),
+         |e AS (SELECT doc_id, pts, unnest(range(1, len(pts)+1)) AS i FROM base),
+         |w AS (SELECT doc_id, i, pts[i] AS pt FROM e
+         |  WHERE NOT regexp_matches(pts[i], '^\\s+$$')),
+         |wr AS (SELECT doc_id, i,
+         |    regexp_replace(pt, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g') AS s0
+         |  FROM w),
+         |mg AS (SELECT doc_id, i,
+         |    string_split(trim(${q91MergedExpr("s0")}, chr(31)),
+         |      chr(31)||chr(31)) AS tl
+         |  FROM wr),
+         |f AS (SELECT doc_id, flatten(list(tl ORDER BY i)) AS toks
+         |  FROM mg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(len(f.toks), 0) AS INT) AS bpe_count,
+         |  coalesce(array_to_string(f.toks, chr(31)), '') AS bpe_str,
+         |  coalesce(array_to_string(list_transform(f.toks,
+         |    t -> CAST(coalesce(list_position($vocabSql, t) - 1, -1)
+         |           AS VARCHAR)), ' '), '') AS bpe_ids_str
+         |FROM documents d LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     // the FULL CCNet-style pipeline replayed: train bigram+unigram counts
     // on the English slice (exact integers, capped by the same
     // deterministic top-K), V = capped unigram vocab + 1, per-gram

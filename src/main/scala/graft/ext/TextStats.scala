@@ -178,6 +178,27 @@ object TextStats {
     graft.funcs.VectorFunctions.rollingHash(norm)
   }
 
+  /** REAL byte-pair encoding under a caller-supplied merges ranking
+    * ([[graft.funcs.BpeCodec]] — GPT-2 `merges.txt` line format), closing
+    * the gap [[bpeTokenCount]]'s pre-tokenizer estimate leaves: appends
+    *   - `bpe_tokens` — the exact merged tokens (`array<string>`)
+    *   - `bpe_count`  — their number (the true token cost)
+    *   - `bpe_ids`    — vocabulary ids when `vocab` is non-empty
+    *     (id = index in `vocab`, unknown → -1)
+    * One codegen'd expression call per row, zero shuffles; the merges
+    * table ships once per executor inside the expression, never per row. */
+  def bpeStats(df: DataFrame, textCol: String,
+               merges: Seq[String], vocab: Seq[String] = Nil): DataFrame = {
+    graft.funcs.BpeFunctions.register(df.sparkSession)
+    val t = coalesce(col(textCol), lit(""))
+    val base = df
+      .withColumn("bpe_tokens", graft.funcs.BpeFunctions.bpeEncode(t, merges))
+      .withColumn("bpe_count", size(col("bpe_tokens")))
+    if (vocab.isEmpty) base
+    else base.withColumn("bpe_ids",
+      graft.funcs.BpeFunctions.bpeIds(t, merges, vocab))
+  }
+
   /** Gopher-style quality-rule columns (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", table A1) —
     * the standard pre-training document filter, as per-rule AUDIT columns

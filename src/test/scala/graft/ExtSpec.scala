@@ -2280,6 +2280,44 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("bpeStats: real merge loop against a hand-computed vocabulary") {
+    // merges (rank order): t+h, th+e, i+n, a+n, an+d
+    val merges = Seq("t h", "th e", "i n", "a n", "an d")
+    val vocab = Seq("the", "th", "in", "h", "and", " ")
+    val docs = Seq(
+      (0L, "the thin hand"),
+      (1L, "aaaa"),       // no applicable merges -> single chars
+      (2L, "can't"),      // contraction pre-token splits off 't
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextStats.bpeStats(docs, "text", merges, vocab)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def toks(id: Long) = r(id).getSeq[String](r(id).fieldIndex("bpe_tokens"))
+    def ids(id: Long) = r(id).getSeq[Int](r(id).fieldIndex("bpe_ids"))
+    // "the" -> t,h,e -> th,e -> the; " thin" -> ' ',th,in; " hand" -> ' ',h,and
+    assert(toks(0L) == Seq("the", " ", "th", "in", " ", "h", "and"))
+    assert(r(0L).getInt(r(0L).fieldIndex("bpe_count")) == 7)
+    assert(ids(0L) == Seq(0, 5, 1, 2, 5, 3, 4))
+    assert(toks(1L) == Seq("a", "a", "a", "a"))
+    // pre-tokenizer: "can" + "'t"; (a,n) applies inside "can" only
+    assert(toks(2L) == Seq("c", "an", "'", "t"))
+    assert(ids(2L) == Seq(-1, -1, -1, -1))
+    assert(toks(3L).isEmpty && r(3L).getInt(r(3L).fieldIndex("bpe_count")) == 0)
+    // left-to-right all-occurrences semantics: with (a,a) "aaaa" -> aa,aa
+    val aa = TextStats.bpeStats(Seq((0L, "aaaaa")).toDF("doc_id", "text"),
+      "text", Seq("a a"))
+    assert(aa.select("bpe_tokens").as[Seq[String]].head() == Seq("aa", "aa", "a"))
+    // whole-stage codegen must survive the expression (no fallback);
+    // repartition first or ConvertToLocalRelation folds the whole local
+    // input into a pre-evaluated LocalTableScan
+    val q = TextStats.bpeStats(docs.repartition(2), "text", merges)
+    q.collect() // finalize the adaptive plan before reading it
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the plan string — the
+    // projection containing bpeencode must carry it (no codegen fallback)
+    assert("""\*\(\d+\) Project \[.*bpeencode""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("perplexityScore: hand-computed add-1 bigram NLL, OOV, short docs, vocab cap") {
     val ref = Seq((0L, "the cat sat"), (1L, "the cat ran")).toDF("doc_id", "text")
     // model: gc = {the cat: 2, cat sat: 1, cat ran: 1}; uc = {the: 2,
