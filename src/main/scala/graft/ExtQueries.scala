@@ -749,6 +749,29 @@ object ExtQueries {
           "doc_id", "source", alpha = 0.5)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // CCNet-style corpus-wide paragraph dedup over q70's synthesized
+    // multi-line docs (per-source headers + a global footer plant repeats;
+    // body lines are 10-token slices). First occurrence in (doc_id, idx)
+    // order wins; the digit-stripping CCNet key collapses ALL "begin
+    // header srcN" paragraphs onto one survivor. Membership preserved:
+    // all-dup docs emit empty text_dedup.
+    "q92_dedup_paragraphs" -> { (s, dir) =>
+      val withLines = docsPar(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.ext.TextStats.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), col("source"),
+          expr("transform(sequence(0, greatest(cast(ceil(size(__t)/10.0) as int)-1, 0)), i -> array_join(slice(__t, i*10+1, 10), ' '))")
+            .as("__lines"))
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("begin header "), col("source")),
+            array_join(col("__lines"), "\n"),
+            lit("copyright footer all rights reserved")).as("text"))
+      Corpus.dedupParagraphs(withLines, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup"), col("para_total"),
+          col("para_kept"))
+        .orderBy(col("doc_id"))
+    },
     // REAL BPE apply (custom codegen'd expression, graft_bpe_encode): a
     // small well-formed merges table so the oracle can replay the merge
     // loop as rank-ordered replace passes over a US-wrapped char string —
@@ -1361,6 +1384,44 @@ object ExtQueries {
          |WHERE coalesce(dw <= 0.55, true) AND coalesce(tb <= 0.05, true)
          |  AND coalesce(dt <= 0.03, true)
          |ORDER BY doc_id""".stripMargin,
+    // q70's synthesis CTEs + the CCNet paragraph-dedup replay: same
+    // normalization chain (lower/trim → strip non-letter/non-ws → collapse
+    // ws → md5), first (doc_id, idx) wins via row_number, reassembly in
+    // original order. LEFT join keeps all-dup docs with empty text.
+    "q92_dedup_paragraphs" ->
+      """WITH fix AS (SELECT doc_id, 'begin header ' || source AS hdr,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |nl AS (SELECT doc_id, hdr, t,
+        |    greatest(CAST(ceil(len(t)/10.0) AS INT), 1) AS n FROM fix),
+        |li AS (SELECT doc_id, hdr, t, unnest(range(0, n)) AS i FROM nl),
+        |bl AS (SELECT doc_id, hdr, i,
+        |    array_to_string(t[i*10+1 : i*10+10], ' ') AS line FROM li),
+        |body AS (SELECT doc_id, hdr,
+        |    string_agg(line, chr(10) ORDER BY i) AS b FROM bl GROUP BY 1, 2),
+        |doc AS (SELECT doc_id, hdr || chr(10) || b || chr(10) ||
+        |    'copyright footer all rights reserved' AS text FROM body),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc),
+        |ln AS (SELECT doc_id, l, unnest(range(1, len(l)+1)) AS i FROM ls),
+        |p AS (SELECT doc_id, i, l[i] AS para FROM ln
+        |  WHERE length(trim(l[i])) > 0),
+        |k AS (SELECT doc_id, i, para,
+        |    md5(regexp_replace(regexp_replace(lower(trim(para)),
+        |      '[^\p{L}\s]+', '', 'g'), '\s+', ' ', 'g')) AS key FROM p),
+        |r AS (SELECT doc_id, i, para,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, i) AS rn
+        |  FROM k),
+        |f AS (SELECT doc_id,
+        |    string_agg(para, chr(10) ORDER BY i) AS text_dedup,
+        |    count(*) AS para_kept
+        |  FROM r WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS para_total FROM p GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(f.text_dedup, '') AS text_dedup,
+        |  coalesce(tot.para_total, 0) AS para_total,
+        |  coalesce(f.para_kept, 0) AS para_kept
+        |FROM documents d
+        |  LEFT JOIN tot USING (doc_id) LEFT JOIN f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the FULL BPE merge loop replayed in SQL (see q91MergedExpr): GPT-2
     // pre-tokenization with the same RE2-safe pattern, whitespace runs
     // dropped, chars wrapped in chr(31), one replace pass per merge in rank

@@ -484,4 +484,59 @@ object Corpus {
         sum(when(col("__line").isNotNull && !col("__drop"), 1L).otherwise(0L)).as("n_lines_kept"),
         sum(when(col("__line").isNotNull && col("__drop"), 1L).otherwise(0L)).as("n_lines_dropped"))
   }
+
+  /** CCNet-normalized paragraph identity (Wenzek et al. 2019 §4.1: lowercase,
+    * strip everything but letters and whitespace — their digit/punctuation
+    * removal — collapse runs): md5 so the key is fixed-width and replays in
+    * SQL like [[TextStats.fingerprint]]. Note the digit strip is aggressive
+    * by design: "chapter 1" and "chapter 2" are the same paragraph to CCNet. */
+  def paragraphKey(p: Column): Column =
+    md5(regexp_replace(
+      regexp_replace(lower(trim(p)), "[^\\p{L}\\s]+", ""), "\\s+", " "))
+
+  /** CCNet-style corpus-wide paragraph dedup: every repeated paragraph
+    * (under [[paragraphKey]] identity) is dropped except its FIRST
+    * occurrence — first in global (id, position) order, deterministic and
+    * SQL-replayable. Returns one row per input document (membership is
+    * preserved, matching [[removeBoilerplateLines]]'s contract — a doc
+    * whose every paragraph was a repeat survives with `outCol` empty and
+    * `para_kept` 0; corpus-membership decisions belong to the caller):
+    * (original columns, `outCol` deduped text, `para_total`, `para_kept`).
+    * Blank/whitespace-only segments are dropped from the reassembly and
+    * not counted — the same blank-structure collapse C4/CCNet apply.
+    *
+    * Scale shape: explode to (id, idx, paragraph) → row_number window on
+    * the paragraph key (ONE hash shuffle; blank segments are salted onto
+    * per-doc keys so a blank-heavy corpus cannot funnel them into one
+    * null-key partition) → groupBy(id) reassembly in original order. The
+    * paragraph text rides both shuffles — unlike
+    * [[removeBoilerplateLines]]'s hash-only aggregate this op must move
+    * text to its winner decision — but each row moves exactly twice and
+    * nothing is ever O(corpus²). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      outCol: String = "text_dedup",
+                      delim: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__para")
+      .withColumn("__live",
+        col("__para").isNotNull && length(trim(col("__para"))) > 0)
+      // non-live rows get a per-doc salt key: they take no part in dedup,
+      // and must not all land in one null-key window partition
+      .withColumn("__pk", when(col("__live"), paragraphKey(col("__para")))
+        .otherwise(concat(lit(" "), col(idCol).cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pk")).orderBy(col(idCol), col("__idx"))
+    val kept = paras
+      .withColumn("__keep", col("__live") && row_number().over(w) === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(delim,
+          expr("transform(array_sort(collect_list(CASE WHEN __keep THEN struct(__idx, __para) END)), s -> s.__para)"))
+          .as(outCol),
+        sum(when(col("__live"), 1L).otherwise(0L)).as("para_total"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("para_kept"))
+    df.join(rebuilt, Seq(idCol), "left")
+  }
 }

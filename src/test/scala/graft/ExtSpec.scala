@@ -2280,6 +2280,30 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("dedupParagraphs: first occurrence wins, digit-strip identity, membership preserved") {
+    val docs = Seq(
+      (0L, "alpha one\nshared para\nbeta two"),
+      (1L, "shared para\ngamma three"),        // "shared para" repeats -> dropped here
+      (2L, "chapter 1\nunique text"),
+      (3L, "chapter 2\n\n  \nmore text"),      // "chapter 2" == "chapter 1" after digit strip; blanks dropped
+      (4L, "shared para"),                     // ALL paragraphs are repeats -> empty survivor
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = Corpus.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def txt(id: Long) = r(id).getString(r(id).fieldIndex("text_dedup"))
+    def tot(id: Long) = r(id).getLong(r(id).fieldIndex("para_total"))
+    def kept(id: Long) = r(id).getLong(r(id).fieldIndex("para_kept"))
+    assert(r.size == 6) // membership preserved, null-text doc included
+    assert(txt(0L) == "alpha one\nshared para\nbeta two" && kept(0L) == 3)
+    assert(txt(1L) == "gamma three" && tot(1L) == 2 && kept(1L) == 1)
+    assert(txt(2L) == "chapter 1\nunique text")
+    // CCNet digit strip: "chapter 2" normalizes to "chapter 1"'s key
+    assert(txt(3L) == "more text" && tot(3L) == 2 && kept(3L) == 1)
+    assert(txt(4L) == "" && tot(4L) == 1 && kept(4L) == 0)
+    assert(txt(5L) == "" && tot(5L) == 0 && kept(5L) == 0)
+  }
+
   test("bpeStats: real merge loop against a hand-computed vocabulary") {
     // merges (rank order): t+h, th+e, i+n, a+n, an+d
     val merges = Seq("t h", "th e", "i n", "a n", "an d")
