@@ -792,10 +792,13 @@ object ExtQueries {
     // docsPar on the scored side (tokenize+explode before the first
     // shuffle); the ref slice feeds one aggregate. Defaults (n=2, k=1,
     // maxVocab 2^20) are what the oracle replays.
+    // docsPar on BOTH sides: the ref slice feeds two tokenize+explode
+    // aggregates, which over the single-file scan would each run in one
+    // task (measured: 9.5s -> ~2s at sf0.1 from this alone)
     "q90_perplexity" -> ((s, dir) =>
       graft.ext.Perplexity.perplexityScore(
           docsPar(s, dir), "doc_id", "text",
-          ref = read(s, dir, "documents").filter(col("lang") === "en"))
+          ref = docsPar(s, dir).filter(col("lang") === "en"))
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("lm_oov"),
           col("nll_mean"))
         .orderBy(col("doc_id")))

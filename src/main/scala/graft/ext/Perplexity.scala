@@ -38,9 +38,13 @@ object Perplexity {
     * the unigram (context) table. */
   def ngramCounts(ref: DataFrame, textCol: String, n: Int,
                   tokenizer: Column => Column = TextStats.tokens): DataFrame =
-    ref.select(explode(
+    // the array is pinned before the explode (TextStats.pinnedCol) so the
+    // optimizer cannot inline its construction into the Generate and
+    // rebuild it per exploded gram
+    ref.select(TextStats.pinnedCol(
         TextStats.ngramsOfTokens(tokenizer(coalesce(col(textCol), lit(""))), n))
-        .as("gram"))
+        .as("__g"))
+      .select(explode(col("__g")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c"))
 
   /** Deterministic top-`maxVocab` cap on a count table: highest counts
@@ -49,10 +53,14 @@ object Perplexity {
     * Grams cut by the cap score as unseen (count 0), the standard
     * closed-vocabulary treatment. */
   private def capVocab(counts: DataFrame, maxVocab: Int): DataFrame =
-    // orderBy+limit plans as TakeOrderedAndProject — a distributed top-K
-    // with per-partition pruning, where a global row_number window would
-    // funnel the whole vocabulary through one partition
+    // orderBy+limit is the distributed exact top-K (never a global
+    // row_number window, which would funnel the vocabulary through one
+    // partition); localCheckpoint because the capped table is MODEL-sized
+    // (≤ maxVocab rows) and has two+ consumers — the vocabulary count, the
+    // scoring broadcast — which would otherwise each re-run the count
+    // aggregate and the sort (measured 2× the whole model build on q90)
     counts.orderBy(col("c").desc, col("gram")).limit(maxVocab)
+      .localCheckpoint()
 
   /** Per-document LM score under an order-`n` add-`k` model trained on
     * `ref`: appends to `df`
@@ -82,10 +90,13 @@ object Perplexity {
     val ctxC =
       if (n > 1) capVocab(ngramCounts(ref, refTextCol, n - 1, tokenizer), maxVocab)
       else null
-    // V is a bounded collect (one long); the unigram table doubles as the
-    // vocabulary when n = 2, saving an aggregate
-    val uni = if (n == 2 && ctxC != null) ctxC
-              else ngramCounts(ref, refTextCol, 1, tokenizer)
+    // V is a bounded collect (one long) over the CAPPED unigram table (cut
+    // grams score as unseen, so the capped table IS the vocabulary); an
+    // already-built capped table is reused when the order allows
+    val uni =
+      if (n == 1) gramC
+      else if (n == 2) ctxC
+      else capVocab(ngramCounts(ref, refTextCol, 1, tokenizer), maxVocab)
     val vocab = uni.select(count(lit(1))).head().getLong(0) + 1L
     val nTotal: Long =
       if (n == 1) uni.agg(sum(col("c"))).head().getLong(0) else 0L
@@ -95,10 +106,12 @@ object Perplexity {
     val ctxs = if (n > 1) TextStats.ngramsOfTokens(toks, n - 1) else lit(null)
     // gram at pos i spans tokens [i, i+n-1]; its context spans [i, i+n-2] —
     // the SAME position in the (n-1)-gram array, so one posexplode aligns
-    // both without a second generator
+    // both without a second generator. Both arrays are PINNED
+    // (TextStats.pinnedCol): un-pinned, the optimizer inlines them into
+    // the Generate and rebuilds the n-gram array per exploded row
     val exploded = df
-      .select(col(idCol).as("__id"), grams.as("__g"),
-        (if (n > 1) ctxs else lit(null).cast("string")).as("__cx"))
+      .select(col(idCol).as("__id"), TextStats.pinnedCol(grams).as("__g"),
+        (if (n > 1) TextStats.pinnedCol(ctxs) else lit(null).cast("string")).as("__cx"))
       .select(col("__id"), col("__cx"),
         posexplode(col("__g")).as(Seq("pos", "gram")))
       .select(col("__id"), col("pos"), col("gram"),

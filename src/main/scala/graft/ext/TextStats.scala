@@ -276,6 +276,18 @@ object TextStats {
   private[ext] def pinnedFilter(df: DataFrame, cond: Column): DataFrame =
     df.filter(when(spark_partition_id() >= 0, cond).otherwise(lit(false)))
 
+  /** Pin an expensive column so the optimizer cannot inline it past its
+    * projection — the PROJECTION-side twin of [[pinnedFilter]]. The case
+    * that motivates it: a generator input. `posexplode(col("__g"))` with
+    * `__g` a deterministic alias gets `__g`'s whole expression substituted
+    * into the Generate, where it is re-evaluated per OUTPUT row — an
+    * O(len²)-per-document blow-up when `__g` is an n-gram array (measured
+    * on q90: 7.2 s → 0.7 s at sf0.1 for the explode stage alone). The
+    * always-true nondeterministic guard makes the alias non-inlinable
+    * while evaluating to exactly `c`. */
+  private[ext] def pinnedCol(c: Column): Column =
+    when(spark_partition_id() >= 0, c)
+
   /** [[gopherStats]] as a terminal filter: rows passing all seven rules,
     * original columns only. */
   def gopherFilter(df: DataFrame, textCol: String): DataFrame =

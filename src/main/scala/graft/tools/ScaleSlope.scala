@@ -102,6 +102,9 @@ object ScaleSlope {
       // runbook); q80's band joins are the linear path.
       "q76_avi_frames", "q77_ulaw_audio", "q78_alaw_audio",
       "q79_semantic_dedup", "q80_incremental_cosine",
+      // q81 rebuilds its persisted index per invocation (self-contained),
+      // so its slope prices build+serve like q63
+      "q81_semantic_dedup_indexed",
       // r10 quality/pruning additions: q82/q84 are pure per-row rule scans
       // (linear by construction); q83 pins nCells=16 like q79 but has NO
       // intra-cell pair term — assignment is O(n·K) and the per-cell windows
@@ -113,7 +116,12 @@ object ScaleSlope {
       "q85_temperature_mixture", "q86_url_filters",
       "q87_quality_sampling", "q88_chunk_documents",
       // q89: per-row n-gram fractions + threshold filter
-      "q89_repetition_filter")
+      "q89_repetition_filter",
+      // r11 additions: q90 = two ref aggregates + broadcast joins + one
+      // skinny per-doc fold (ref slice grows with the corpus, so the model
+      // build scales too); q91 = pure codegen'd per-row merge loop; q92 =
+      // one key window + one reassembly groupBy, text moves twice
+      "q90_perplexity", "q91_bpe_apply", "q92_dedup_paragraphs")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
@@ -121,7 +129,11 @@ object ScaleSlope {
     // the cheap per-row queries stay single-sample, their slopes are only
     // sanity rails
     val multiSample = Set("q41_cosine_lsh", "q50_dedup_corpus",
-      "q51_dedup_corpus_terminal")
+      "q51_dedup_corpus_terminal",
+      // r11 (VERDICT r10 #7): the heavy r10 rows join the median[min]
+      // protocol — their single-sample rows sat inside the ±70% wobble
+      "q79_semantic_dedup", "q80_incremental_cosine",
+      "q81_semantic_dedup_indexed", "q89_repetition_filter")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
