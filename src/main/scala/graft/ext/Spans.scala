@@ -35,8 +35,9 @@ object Spans {
         TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .filter(size(col("__t")) >= w)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(col("__t")) - w),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(w))))).as(Seq("pos", "span")))
+        TextStats.pinnedCol(transform(sequence(lit(0), size(col("__t")) - w),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(w))))).as("__w"))
+      .select(col(idCol), posexplode(col("__w")).as(Seq("pos", "span")))
   }
 
   /** Every w-token span that occurs in at least `minDocs` DISTINCT
@@ -87,9 +88,10 @@ object Spans {
     val wins = toks
       .filter(size(col("__t")) >= w)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(col("__t")) - w),
+        TextStats.pinnedCol(transform(sequence(lit(0), size(col("__t")) - w),
           i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(w))))))
-          .as(Seq("pos", "__sh")))
+          .as("__wh"))
+      .select(col(idCol), posexplode(col("__wh")).as(Seq("pos", "__sh")))
     val dup = wins.select(col("__sh"), col(idCol)).distinct()
       .groupBy(col("__sh")).agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= minDocs)
