@@ -801,6 +801,37 @@ object ExtQueries {
           ref = docsPar(s, dir).filter(col("lang") === "en"))
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("lm_oov"),
           col("nll_mean"))
+        .orderBy(col("doc_id"))),
+    // DSIR (Xie et al. 2023): hashed uni+bigram bag models, target = the
+    // English slice vs raw = the whole corpus; per-doc log importance
+    // weight = document-order sum of per-bucket log count-ratios. Same
+    // float discipline as q90 (integer counts, model-sized ln table,
+    // pos-sorted fold, 6 dp); the md5 bucket arithmetic is q53's.
+    "q93_dsir_weights" -> ((s, dir) =>
+      graft.ext.Dsir.dsirLogWeights(
+          docsPar(s, dir), "doc_id", "text",
+          target = docsPar(s, dir).filter(col("lang") === "en"))
+        .select(col("doc_id"), col("lang"), col("ds_grams"), col("ds_logw"))
+        .orderBy(col("doc_id"))),
+    // DSIR selection terminal: keep the top 25% by log weight via the
+    // histogram-CDF cutoff + boundary tie-fill (equivalent to rank by
+    // (ds_logw DESC, doc_id) <= ceil(0.25 n), which is what the oracle
+    // replays as one window).
+    "q94_dsir_select" -> ((s, dir) =>
+      graft.ext.Dsir.dsirSelect(
+          docsPar(s, dir), "doc_id", "text",
+          target = docsPar(s, dir).filter(col("lang") === "en"),
+          keepFrac = 0.25)
+        .select(col("doc_id"), col("ds_logw"))
+        .orderBy(col("doc_id"))),
+    // CCNet head/middle/tail on q90's scores: histogram-CDF terciles over
+    // the rounded NLL values, ties land in one bucket as a block.
+    "q95_perplexity_buckets" -> ((s, dir) =>
+      graft.ext.Perplexity.perplexityBuckets(
+          graft.ext.Perplexity.perplexityScore(
+            docsPar(s, dir), "doc_id", "text",
+            ref = docsPar(s, dir).filter(col("lang") === "en")))
+        .select(col("doc_id"), col("nll_mean"), col("ppl_bucket"))
         .orderBy(col("doc_id")))
   )
 
@@ -828,6 +859,71 @@ object ExtQueries {
 
   private val docToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
+
+  /** Shared q90/q95 perplexity replay CTEs: bigram add-1 model trained on
+    * the English slice, per-document mean NLL summed in DOCUMENT ORDER —
+    * ends at `f` = (doc_id, lm_grams, lm_oov, s). */
+  private def pplCtes: String =
+    s"""WITH t AS (SELECT doc_id, lang, $docToks AS toks FROM documents),
+       |r AS (SELECT toks FROM t WHERE lang = 'en'),
+       |rg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1]))
+       |    ELSE [] END) AS gram FROM r),
+       |gc AS (SELECT gram, count(*) AS c FROM rg GROUP BY 1
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 1048576),
+       |ru AS (SELECT unnest(toks) AS u FROM r),
+       |uc AS (SELECT u, count(*) AS c FROM ru GROUP BY 1
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, u) <= 1048576),
+       |vv AS (SELECT count(*) + 1 AS v FROM uc),
+       |dg AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |  FROM t WHERE len(toks) >= 2),
+       |sc AS (SELECT doc_id, i AS pos,
+       |    concat_ws(' ', toks[i], toks[i+1]) AS gram, toks[i] AS ctx
+       |  FROM dg),
+       |j AS (SELECT sc.doc_id, sc.pos, gc.c AS cg, uc.c AS cc
+       |  FROM sc LEFT JOIN gc ON sc.gram = gc.gram
+       |    LEFT JOIN uc ON sc.ctx = uc.u),
+       |nl AS (SELECT doc_id, pos, cg IS NULL AS oov,
+       |    -ln(CAST(coalesce(cg, 0) + 1 AS DOUBLE) /
+       |        CAST(coalesce(cc, 0) + (SELECT v FROM vv) AS DOUBLE)) AS nll
+       |  FROM j),
+       |f AS (SELECT doc_id, count(*) AS lm_grams,
+       |    count(*) FILTER (WHERE oov) AS lm_oov,
+       |    list_sum(list(nll ORDER BY pos)) AS s
+       |  FROM nl GROUP BY 1)""".stripMargin
+
+  /** Shared q93/q94 DSIR replay CTEs: hashed uni+bigram buckets (q53's md5
+    * arithmetic, salt "graft:dsir", B = 10000), bucket-count models on the
+    * target (lang='en') vs raw (all documents) slices, per-bucket add-1
+    * log-ratios, and the per-document document-order fold. Every bucket a
+    * document emits exists in `rc` (raw = the scored corpus itself), so the
+    * LEFT JOIN to `lr` never misses — mirroring the Spark side, where the
+    * unseen-bucket constant never fires for the same reason. */
+  private def dsirCtes: String =
+    s"""WITH t AS (SELECT doc_id, lang, $docToks AS toks FROM documents),
+       |g AS (SELECT doc_id, lang, list_concat(toks,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END) AS grams
+       |  FROM t),
+       |bk AS (SELECT doc_id, lang, list_transform(grams, x ->
+       |    CAST(CAST(('0x' || substr(md5(x || ':graft:dsir'), 1, 8)) AS BIGINT)
+       |      % 10000 AS INT)) AS bks FROM g),
+       |e0 AS (SELECT doc_id, lang, bks,
+       |    unnest(range(1, len(bks) + 1)) AS pos FROM bk),
+       |e AS (SELECT doc_id, lang, pos, bks[pos] AS bucket FROM e0),
+       |tc AS (SELECT bucket, count(*) AS c FROM e WHERE lang = 'en' GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+       |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS tt,
+       |               (SELECT coalesce(sum(c), 0) FROM rc) AS tr),
+       |lr AS (SELECT rc.bucket,
+       |    ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(tt + 10000 AS DOUBLE))
+       |  - ln(CAST(rc.c + 1 AS DOUBLE) / CAST(tr + 10000 AS DOUBLE)) AS lr
+       |  FROM rc LEFT JOIN tc USING (bucket), tot),
+       |j AS (SELECT e.doc_id, e.pos, lr.lr FROM e LEFT JOIN lr USING (bucket)),
+       |f AS (SELECT doc_id, count(*) AS ds_grams,
+       |    round(list_sum(list(lr ORDER BY pos)), 6) AS ds_logw
+       |  FROM j GROUP BY 1)""".stripMargin
 
   /** shared shingle CTEs (word k-grams, distinct per doc) over any source
     * relation — mirrors Dedup.shinglesOfTokens INCLUDING the short-doc
@@ -1465,39 +1561,53 @@ object ExtQueries {
     // Spark side's pos-sorted sequential fold) then rounded to 6 dp —
     // the cosine-oracle float discipline applied to ln
     "q90_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, lang, $docToks AS toks FROM documents),
-         |r AS (SELECT toks FROM t WHERE lang = 'en'),
-         |rg AS (SELECT unnest(CASE WHEN len(toks) >= 2
-         |    THEN list_transform(range(1, len(toks)),
-         |      i -> concat_ws(' ', toks[i], toks[i+1]))
-         |    ELSE [] END) AS gram FROM r),
-         |gc AS (SELECT gram, count(*) AS c FROM rg GROUP BY 1
-         |  QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 1048576),
-         |ru AS (SELECT unnest(toks) AS u FROM r),
-         |uc AS (SELECT u, count(*) AS c FROM ru GROUP BY 1
-         |  QUALIFY row_number() OVER (ORDER BY c DESC, u) <= 1048576),
-         |vv AS (SELECT count(*) + 1 AS v FROM uc),
-         |dg AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-         |  FROM t WHERE len(toks) >= 2),
-         |sc AS (SELECT doc_id, i AS pos,
-         |    concat_ws(' ', toks[i], toks[i+1]) AS gram, toks[i] AS ctx
-         |  FROM dg),
-         |j AS (SELECT sc.doc_id, sc.pos, gc.c AS cg, uc.c AS cc
-         |  FROM sc LEFT JOIN gc ON sc.gram = gc.gram
-         |    LEFT JOIN uc ON sc.ctx = uc.u),
-         |nl AS (SELECT doc_id, pos, cg IS NULL AS oov,
-         |    -ln(CAST(coalesce(cg, 0) + 1 AS DOUBLE) /
-         |        CAST(coalesce(cc, 0) + (SELECT v FROM vv) AS DOUBLE)) AS nll
-         |  FROM j),
-         |f AS (SELECT doc_id, count(*) AS lm_grams,
-         |    count(*) FILTER (WHERE oov) AS lm_oov,
-         |    list_sum(list(nll ORDER BY pos)) AS s
-         |  FROM nl GROUP BY 1)
+      s"""$pplCtes
          |SELECT d.doc_id, d.lang,
          |  coalesce(f.lm_grams, 0) AS lm_grams,
          |  coalesce(f.lm_oov, 0) AS lm_oov,
          |  round(f.s / f.lm_grams, 6) AS nll_mean
          |FROM documents d LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // the FULL DSIR recipe replayed: same md5 bucket arithmetic as q53,
+    // integer bucket counts for both models, per-bucket log-ratios over
+    // exact integer ratios, and the per-document sum folded in DOCUMENT
+    // ORDER (list(lr ORDER BY pos) -> list_sum) then rounded to 6 dp
+    "q93_dsir_weights" ->
+      s"""$dsirCtes
+         |SELECT d.doc_id, d.lang, f.ds_grams, f.ds_logw
+         |FROM documents d LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // the Spark side's histogram-cutoff + boundary tie-fill IS rank by
+    // (ds_logw DESC, doc_id) <= ceil(keepFrac*n) — replayed as one window
+    "q94_dsir_select" ->
+      s"""$dsirCtes
+         |SELECT doc_id, ds_logw FROM f
+         |QUALIFY row_number() OVER (ORDER BY ds_logw DESC, doc_id)
+         |  <= ceil(0.25 * (SELECT count(*) FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    // q90's scores -> histogram of rounded NLLs -> cumulative counts ->
+    // tercile labels per VALUE (head: cum <= floor(n/3); tail: block start
+    // >= n - floor(n/3); straddlers middle) -> join back. The 1/3 literals
+    // are CAST to DOUBLE (DuckDB parses bare 1.0/3.0 as exact DECIMAL,
+    // which would not match the Spark driver's IEEE math.floor(n/3.0)).
+    "q95_perplexity_buckets" ->
+      s"""$pplCtes,
+         |d2 AS (SELECT d.doc_id, round(f.s / f.lm_grams, 6) AS nll_mean
+         |  FROM documents d LEFT JOIN f USING (doc_id)),
+         |h AS (SELECT nll_mean, count(*) AS c FROM d2
+         |  WHERE nll_mean IS NOT NULL GROUP BY 1),
+         |cw AS (SELECT nll_mean, c, sum(c) OVER (ORDER BY nll_mean) AS cume
+         |  FROM h),
+         |nn AS (SELECT sum(c) AS n FROM h),
+         |lab AS (SELECT nll_mean,
+         |    CASE WHEN cume <= floor(n * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)))
+         |           THEN 'head'
+         |         WHEN cume - c >= n - floor(n * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)))
+         |           THEN 'tail'
+         |         ELSE 'middle' END AS ppl_bucket
+         |  FROM cw, nn)
+         |SELECT d2.doc_id, d2.nll_mean, lab.ppl_bucket
+         |FROM d2 LEFT JOIN lab USING (nll_mean)
          |ORDER BY doc_id""".stripMargin,
     // all seven Gopher rules replayed: same tokenization ($docToks), same
     // integer counts, same double divisions and thresholds; rules whose

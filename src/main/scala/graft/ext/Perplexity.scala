@@ -145,4 +145,47 @@ object Perplexity {
       .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
       .withColumn("lm_oov", coalesce(col("lm_oov"), lit(0L)))
   }
+
+  /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2019, §4.3):
+    * label each document by which perplexity tercile it falls in — `head`
+    * (lowest NLL, most reference-like), `middle`, `tail`. Most public
+    * pipelines keep head+middle and drop or down-weight tail.
+    *
+    * Scale shape — a corpus-fraction split must not rank the corpus through
+    * a global window. Instead: a HISTOGRAM of the rounded scores (one
+    * aggregate; one row per distinct 6 dp value, model-sized), a cumulative
+    * window over the histogram only, labels decided per VALUE from the
+    * cumulative counts, then one broadcast join back. Ties (equal rounded
+    * scores) land in one bucket as a block: a value straddling a boundary
+    * goes wholly to `middle`, so the head/tail fractions are exact up to
+    * one value's tie set — the determinism-over-exact-fractions trade every
+    * hash-derived sampler in this package makes. Documents with a null
+    * score (shorter than the LM order) get a null label.
+    *
+    * Cutoffs: head = values with cumulative count ≤ floor(n·headFrac);
+    * tail = values whose block starts at or after n − floor(n·tailFrac). */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String = "nll_mean",
+                        headFrac: Double = 1.0 / 3, tailFrac: Double = 1.0 / 3,
+                        bucketCol: String = "ppl_bucket"): DataFrame = {
+    require(headFrac >= 0.0 && tailFrac >= 0.0 && headFrac + tailFrac <= 1.0,
+      s"fractions must be >= 0 and sum <= 1, got head=$headFrac tail=$tailFrac")
+    val hist = scored.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // histogram-sized; feeds the total AND the label projection
+    val cum = hist.select(col(scoreCol), col("__c"),
+      sum(col("__c")).over(w).as("__cum")).localCheckpoint()
+    if (cum.isEmpty) // no scorable documents: every label is null
+      return scored.withColumn(bucketCol, lit(null).cast("string"))
+    val n = cum.agg(max(col("__cum"))).head().getLong(0)
+    val headN = math.floor(n * headFrac)
+    val tailStart = n - math.floor(n * tailFrac)
+    val labels = cum.select(col(scoreCol),
+      when(col("__cum") <= lit(headN), lit("head"))
+        .when(col("__cum") - col("__c") >= lit(tailStart), lit("tail"))
+        .otherwise(lit("middle")).as(bucketCol))
+    scored.join(broadcast(labels), Seq(scoreCol), "left")
+  }
 }

@@ -2381,4 +2381,103 @@ class ExtSpec extends AnyFunSuite {
       Perplexity.perplexityScore(docs, "doc_id", "text", ref, k = 0L)
     }
   }
+
+  test("perplexityBuckets: terciles by cumulative count; straddling tie-blocks go middle") {
+    val scored = Seq(
+      (0L, Some(1.0)), (1L, Some(2.0)), (2L, Some(3.0)),
+      (3L, Some(4.0)), (4L, Some(5.0)), (5L, Some(6.0)),
+      (6L, Some(7.0)), (7L, Some(8.0)), (8L, Some(9.0)),
+      (9L, None) // unscorable doc: null label
+    ).toDF("doc_id", "nll_mean")
+    val out = Perplexity.perplexityBuckets(scored)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getAs[String]("ppl_bucket")).toMap
+    assert((0L to 2L).forall(out(_) == "head"))
+    assert((3L to 5L).forall(out(_) == "middle"))
+    assert((6L to 8L).forall(out(_) == "tail"))
+    assert(out(9L) == null)
+    // a tie block straddling the head boundary goes wholly to middle;
+    // blocks starting at/after the tail cutoff are tail
+    val tied = Seq(
+      (0L, 1.0), (1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 2.0), (5L, 3.0)
+    ).toDF("doc_id", "nll_mean")
+    val t = Perplexity.perplexityBuckets(tied)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getAs[String]("ppl_bucket")).toMap
+    assert((0L to 3L).forall(t(_) == "middle"))
+    assert(t(4L) == "tail" && t(5L) == "tail")
+    intercept[IllegalArgumentException] {
+      Perplexity.perplexityBuckets(tied, headFrac = 0.7, tailFrac = 0.7)
+    }
+  }
+
+  test("dsirLogWeights: target==raw zeroes every weight; feature count is uni+bigrams") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "a completely different sentence"),
+      (2L, "one")
+    ).toDF("doc_id", "text")
+    // identical models on both sides -> every bucket's log-ratio is
+    // EXACTLY 0 (same integer counts, same totals), so every document
+    // sums to 0.0 — the self-consistency invariant of the formula
+    val out = Dsir.dsirLogWeights(docs, "doc_id", "text", target = docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { r =>
+      val row = out(r.getLong(0))
+      assert(row.getDouble(row.fieldIndex("ds_logw")) == 0.0)
+    }
+    // ds_grams = tokens + bigrams = (2n - 1) for n >= 2, n for n = 1
+    assert(out(0L).getLong(out(0L).fieldIndex("ds_grams")) == 11L)
+    assert(out(2L).getLong(out(2L).fieldIndex("ds_grams")) == 1L)
+    intercept[IllegalArgumentException] {
+      Dsir.dsirLogWeights(docs, "doc_id", "text", docs, k = 0L)
+    }
+  }
+
+  test("dsirLogWeights ranks target-vocabulary documents above off-target ones") {
+    val target = Seq(
+      (100L, "spark engine shuffle partition broadcast join"),
+      (101L, "spark partition codegen engine plan broadcast")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "spark engine shuffle broadcast partition plan"), // target-like
+      (1L, "spark engine partition broadcast shuffle"),      // target-like
+      (2L, "cooking recipes with butter flour and sugar"),   // off-target
+      (3L, "football scores and league standings today")     // off-target
+    ).toDF("doc_id", "text")
+    val w = Dsir.dsirLogWeights(raw, "doc_id", "text", target)
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("ds_logw"))).toMap
+    assert(math.min(w(0L), w(1L)) > math.max(w(2L), w(3L)),
+      s"target-like docs must outscore off-target: $w")
+  }
+
+  test("dsirSelect keeps exactly ceil(keepFrac*n), boundary ties broken by id") {
+    // four identical docs (equal weights — all ties) + two distinct: the
+    // cutoff lands inside the tie block, so the fill must take the LOWEST
+    // doc ids of the tied weight, matching the oracle's rank window
+    val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "alpha beta gamma"), (1L, "unrelated words here"),
+      (2L, "same tied text"), (3L, "same tied text"),
+      (4L, "same tied text"), (5L, "same tied text")
+    ).toDF("doc_id", "text")
+    val scored = Dsir.dsirLogWeights(raw, "doc_id", "text", target)
+    val expected = {
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ds_logw").desc, col("doc_id"))
+      scored.withColumn("__rn", row_number().over(win))
+        .filter(col("__rn") <= math.ceil(0.5 * 6).toInt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val got = Dsir.dsirSelect(raw, "doc_id", "text", target, keepFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 3 && got == expected, s"got $got expected $expected")
+    // empty corpus: no boundary row to collect — returns empty, no throw
+    val empty = raw.filter(col("doc_id") < 0)
+    assert(Dsir.dsirSelect(empty, "doc_id", "text", target, 0.5).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Dsir.dsirSelect(raw, "doc_id", "text", target, 0.0)
+    }
+  }
 }
