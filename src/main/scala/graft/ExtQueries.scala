@@ -832,6 +832,22 @@ object ExtQueries {
             docsPar(s, dir), "doc_id", "text",
             ref = docsPar(s, dir).filter(col("lang") === "en")))
         .select(col("doc_id"), col("nll_mean"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))),
+    // CCNet text normalization as a column op: lower → 1:1 accent fold →
+    // digits→0 → strip non-letter/digit/space → collapse whitespace; the
+    // md5 of the result is the normalized-identity dedup key. Pure per-row
+    // codegen'd expressions, replayed verbatim by the oracle.
+    "q96_ccnet_normalize" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"), Corpus.ccnetNormalize(col("text")).as("text_norm"))
+        .select(col("doc_id"), col("text_norm"), md5(col("text_norm")).as("norm_fp"))
+        .orderBy(col("doc_id"))),
+    // Quality-aware exact dedup: each duplicate group keeps its highest-
+    // n_chars member (id tiebreak) instead of the minimum id — one
+    // fingerprint shuffle, argmax as min(struct(-score, id)).
+    "q97_dedup_keep_best" -> ((s, dir) =>
+      graft.ext.Dedup.exactKeepBest(
+          read(s, dir, "documents"), "doc_id", "text", "n_chars")
         .orderBy(col("doc_id")))
   )
 
@@ -1609,6 +1625,31 @@ object ExtQueries {
          |SELECT d2.doc_id, d2.nll_mean, lab.ppl_bucket
          |FROM d2 LEFT JOIN lab USING (nll_mean)
          |ORDER BY doc_id""".stripMargin,
+    // the normalization chain replayed operator-for-operator (translate is
+    // 1:1 codepoint in both engines; DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all default)
+    "q96_ccnet_normalize" ->
+      """SELECT doc_id, text_norm, md5(text_norm) AS norm_fp FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      translate(lower(trim(text)),
+        |        'àáâãäåèéêëìíîïòóôõöøùúûüçñýÿ', 'aaaaaaeeeeiiiioooooouuuucnyy'),
+        |      '[0-9]', '0', 'g'),
+        |      '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS text_norm
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // argmax replayed as the rank window: highest n_chars, doc_id tiebreak
+    "q97_dedup_keep_best" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_copies, fp
+        |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // all seven Gopher rules replayed: same tokenization ($docToks), same
     // integer counts, same double divisions and thresholds; rules whose
     // denominator is zero (no words / no non-blank lines) are false, matching

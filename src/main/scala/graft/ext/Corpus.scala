@@ -494,6 +494,34 @@ object Corpus {
     md5(regexp_replace(
       regexp_replace(lower(trim(p)), "[^\\p{L}\\s]+", ""), "\\s+", " "))
 
+  // 1:1 codepoint accent-fold table for [[ccnetNormalize]]: the Latin-1/
+  // Latin-Extended lowercase forms (input is lowercased first, so only
+  // lowercase forms are needed). Multi-char expansions (œ→oe, æ→ae, ß→ss)
+  // are deliberately excluded — translate is strictly 1:1, and keeping the
+  // mapping 1:1 is what lets any ANSI engine replay it verbatim.
+  private val AccentFrom = "àáâãäåèéêëìíîïòóôõöøùúûüçñýÿ"
+  private val AccentTo   = "aaaaaaeeeeiiiioooooouuuucnyy"
+
+  /** CCNet's text normalization (Wenzek et al. 2019 — the `text_normalizer`
+    * step applied before both its paragraph hashing and its LM scoring):
+    * lowercase → 1:1 accent fold → every digit to `0` → strip everything
+    * that is not a letter, digit, or whitespace → collapse whitespace runs.
+    * One deterministic scalar expression — no UDF, fully codegen'd, and
+    * replayable in ANSI SQL (`translate` + three `regexp_replace`) so
+    * normalized-identity dedup keys compare bit-identically across engines.
+    * Use it as the pre-hash key transform wherever "same text up to
+    * case/accents/digits/punctuation" is the identity you want — e.g.
+    * `Dedup.exact` on a pre-normalized column, or [[paragraphKey]]'s
+    * stricter letters-only cousin. */
+  def ccnetNormalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          translate(lower(trim(coalesce(text, lit("")))), AccentFrom, AccentTo),
+          "[0-9]", "0"),
+        "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+
   /** CCNet-style corpus-wide paragraph dedup: every repeated paragraph
     * (under [[paragraphKey]] identity) is dropped except its FIRST
     * occurrence — first in global (id, position) order, deterministic and

@@ -69,6 +69,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"), col("fp"))
 
+  /** [[exact]] with a QUALITY-AWARE representative: instead of the minimum
+    * id, each duplicate group keeps the member with the HIGHEST `scoreCol`
+    * (id ascending as tiebreak) — the RefinedWeb/RedPajama-style "keep the
+    * best copy" policy, where the score is whatever quality signal the
+    * pipeline already carries (length, LM score, quality-classifier
+    * output). Same cost shape as [[exact]]: one map-side-combined shuffle
+    * on the fingerprint; the argmax is a `min(struct(-score, id))` —
+    * deterministic under ties because (score, id) is a total order, never
+    * the tie-arbitrary `max_by`. Returns (id, score, n_copies, fp). */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String): DataFrame =
+    df.select(col(idCol), col(scoreCol),
+        TextStats.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("__best"),
+        max(col(scoreCol)).as(scoreCol),
+        count(lit(1)).as("n_copies"))
+      .select(col("__best.id").as(idCol), col(scoreCol), col("n_copies"),
+        col("fp"))
+
   /** Incremental exact dedup — the CONTINUOUS-INGESTION form of [[exact]]:
     * drop from `newDf` every document whose content fingerprint already
     * exists in `seenDf`, without joining the full history. A Bloom filter

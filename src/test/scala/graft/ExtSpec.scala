@@ -2382,6 +2382,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnetNormalize folds accents, zeroes digits, strips punctuation, collapses space") {
+    val df = Seq(
+      (0L, "  Café \t Ångström—naïve!!  Chapter 12, page 345.  "),
+      (1L, "çà-et-là:  déjà   vu?"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Corpus.ccnetNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // lower() runs BEFORE the fold, so uppercase Å reaches the table as å;
+    // the em dash strips (joining angstrom+naive); digits become 0
+    assert(out(0L) == "cafe angstromnaive chapter 00 page 000")
+    assert(out(1L) == "caetla deja vu")
+    assert(out(2L) == "")
+  }
+
+  test("exactKeepBest keeps the highest-score member, id ascending on ties") {
+    val df = Seq(
+      (10L, "Hello  World", 5L), (11L, "hello world", 9L),
+      (12L, "HELLO\tWORLD", 9L), (13L, "something else", 2L)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(df, "doc_id", "text", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // group {10,11,12}: max score 9 held by 11 and 12 -> lowest id 11 wins
+    assert(out == Map(11L -> (9L, 3L), 13L -> (2L, 1L)))
+  }
+
   test("perplexityBuckets: terciles by cumulative count; straddling tie-blocks go middle") {
     val scored = Seq(
       (0L, Some(1.0)), (1L, Some(2.0)), (2L, Some(3.0)),
