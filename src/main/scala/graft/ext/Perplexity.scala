@@ -166,10 +166,16 @@ object Perplexity {
     * tail = values whose block starts at or after n − floor(n·tailFrac). */
   def perplexityBuckets(scored: DataFrame, scoreCol: String = "nll_mean",
                         headFrac: Double = 1.0 / 3, tailFrac: Double = 1.0 / 3,
-                        bucketCol: String = "ppl_bucket"): DataFrame = {
+                        bucketCol: String = "ppl_bucket",
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(headFrac >= 0.0 && tailFrac >= 0.0 && headFrac + tailFrac <= 1.0,
       s"fractions must be >= 0 and sum <= 1, got head=$headFrac tail=$tailFrac")
-    val hist = scored.filter(col(scoreCol).isNotNull)
+    // the scored relation feeds TWO consumers (the histogram aggregate and
+    // the label join) — materialized once so an upstream scoring pipeline
+    // (q95 feeds perplexityScore straight in) doesn't execute twice
+    // (measured 6.5 s → ~4 s at sf0.1)
+    val scoredM = CheckpointStrategy.materializer(checkpoint)(scored)
+    val hist = scoredM.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol))
@@ -178,7 +184,7 @@ object Perplexity {
     val cum = hist.select(col(scoreCol), col("__c"),
       sum(col("__c")).over(w).as("__cum")).localCheckpoint()
     if (cum.isEmpty) // no scorable documents: every label is null
-      return scored.withColumn(bucketCol, lit(null).cast("string"))
+      return scoredM.withColumn(bucketCol, lit(null).cast("string"))
     val n = cum.agg(max(col("__cum"))).head().getLong(0)
     val headN = math.floor(n * headFrac)
     val tailStart = n - math.floor(n * tailFrac)
@@ -186,6 +192,6 @@ object Perplexity {
       when(col("__cum") <= lit(headN), lit("head"))
         .when(col("__cum") - col("__c") >= lit(tailStart), lit("tail"))
         .otherwise(lit("middle")).as(bucketCol))
-    scored.join(broadcast(labels), Seq(scoreCol), "left")
+    scoredM.join(broadcast(labels), Seq(scoreCol), "left")
   }
 }
