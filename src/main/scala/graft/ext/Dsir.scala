@@ -69,12 +69,25 @@ object Dsir {
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
                      target: DataFrame, raw: DataFrame = null,
                      buckets: Int = 10000, k: Long = 1L,
-                     salt: String = "graft:dsir"): DataFrame = {
+                     salt: String = "graft:dsir"): DataFrame =
+    frozenScorer(target, if (raw == null) df else raw, textCol, buckets, k,
+      salt)(df, idCol)
+
+  /** The CONTINUOUS-SCORING form: fit the two bucket models ONCE on static
+    * slices and return a closure that appends `ds_grams`/`ds_logw` to any
+    * batch — a later ingestion epoch, or a `foreachBatch` micro-batch in a
+    * streaming pipeline (the scoring itself is one broadcast join plus the
+    * per-doc fold, so it runs unchanged on micro-batches; the epoch-loop
+    * posture of the streaming dedup operators). The captured log-ratio
+    * table is model-sized (≤ `buckets` rows) and localCheckpointed, so
+    * re-scoring never re-runs the corpus aggregates. */
+  def frozenScorer(target: DataFrame, raw: DataFrame, textCol: String,
+                   buckets: Int = 10000, k: Long = 1L,
+                   salt: String = "graft:dsir"): (DataFrame, String) => DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(k >= 1L, s"add-k smoothing needs k >= 1, got $k")
-    val rawDf = if (raw == null) df else raw
     val tc = bucketCounts(target, textCol, buckets, salt)
-    val rc = bucketCounts(rawDf, textCol, buckets, salt)
+    val rc = bucketCounts(raw, textCol, buckets, salt)
     // model-sized (≤ buckets rows) with two consumers (totals, broadcast);
     // materialized once so neither side re-runs its corpus aggregate
     val joined = tc.withColumnRenamed("c", "__ct")
@@ -93,6 +106,13 @@ object Dsir {
         log((coalesce(col("__cr"), lit(0L)) + lit(k)).cast("double") / lit(denR)))
         .as("__lr"))
     val unseenLr = math.log(k.toDouble / denT) - math.log(k.toDouble / denR)
+    (df: DataFrame, idCol: String) =>
+      scoreBatch(df, idCol, textCol, lrTable, unseenLr, buckets, salt)
+  }
+
+  private def scoreBatch(df: DataFrame, idCol: String, textCol: String,
+                         lrTable: DataFrame, unseenLr: Double,
+                         buckets: Int, salt: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("__id"), TextStats.pinnedCol(
         hashedGramBuckets(col(textCol), buckets, salt)).as("__b"))

@@ -121,7 +121,15 @@ object ScaleSlope {
       // skinny per-doc fold (ref slice grows with the corpus, so the model
       // build scales too); q91 = pure codegen'd per-row merge loop; q92 =
       // one key window + one reassembly groupBy, text moves twice
-      "q90_perplexity", "q91_bpe_apply", "q92_dedup_paragraphs")
+      "q90_perplexity", "q91_bpe_apply", "q92_dedup_paragraphs",
+      // r11 continued: q93/q94 = two bucket-count aggregates (B-bounded
+      // broadcast) + one skinny per-doc fold — linear, model fixed at 10k
+      // buckets; q94 adds the histogram cutoff + two filters over the
+      // materialized scored corpus; q95 = q90's build+score + a value
+      // histogram + broadcast label join; q96 = pure per-row regex chain;
+      // q97 = one fingerprint shuffle (exact-dedup shape)
+      "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets",
+      "q96_ccnet_normalize", "q97_dedup_keep_best")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
@@ -133,7 +141,9 @@ object ScaleSlope {
       // r11 (VERDICT r10 #7): the heavy r10 rows join the median[min]
       // protocol — their single-sample rows sat inside the ±70% wobble
       "q79_semantic_dedup", "q80_incremental_cosine",
-      "q81_semantic_dedup_indexed", "q89_repetition_filter")
+      "q81_semantic_dedup_indexed", "q89_repetition_filter",
+      // r11 heavies: model build + broadcast-scored folds
+      "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()

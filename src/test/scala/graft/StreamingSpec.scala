@@ -231,6 +231,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("frozen DSIR scorer scores micro-batches exactly like the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the models are fit ONCE on static slices; the returned closure is a
+    // broadcast join + per-doc fold, so inside foreachBatch it must assign
+    // every arriving document the exact weight the batch path assigns
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val staticDf = docs.toDF("doc_id", "text", "lang")
+    val scorer = graft.ext.Dsir.frozenScorer(
+      target = staticDf.filter(col("lang") === "en"), raw = staticDf, "text")
+    val want = scorer(staticDf, "doc_id")
+      .select(col("doc_id"), col("ds_grams"), col("ds_logw")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        scorer(b, "doc_id")
+          .select(col("doc_id"), col("ds_grams"), col("ds_logw")).collect()
+          .foreach(r => got += r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        ()
+      }.start()
+    try {
+      stream.addData(docs.take(60).map(d => (d._1, d._2)))
+      q.processAllAvailable()
+      stream.addData(docs.drop(60).map(d => (d._1, d._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == want && got.size == 120)
+  }
+
   test("epoch state: per-batch filters are batch-sized and the epoch filter stays frozen") {
     import spark.implicits._
     val state = new Streaming.IngestEpochState(fpp = 0.01, headroom = 100000L)
