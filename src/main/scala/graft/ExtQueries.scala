@@ -848,7 +848,13 @@ object ExtQueries {
     "q97_dedup_keep_best" -> ((s, dir) =>
       graft.ext.Dedup.exactKeepBest(
           read(s, dir, "documents"), "doc_id", "text", "n_chars")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // Per-doc top-5 terms by tf-idf: capped-broadcast df table, one
+    // (id, term) shuffle, per-doc rank window; score rounded to 6 dp
+    // BEFORE the rank decision, term tiebreak.
+    "q98_tfidf_topterms" -> ((s, dir) =>
+      graft.ext.Keywords.tfidfTopTerms(docsPar(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("rank")))
   )
 
   /** q91's merges ranking: WELL-FORMED (each side a base char or an earlier
@@ -1639,6 +1645,31 @@ object ExtQueries {
         |      '\s+', ' ', 'g')) AS text_norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the tf-idf replay: same distinct-token df aggregate with the same
+    // deterministic top-K cap, idf over exact integer ratios, score
+    // rounded to 6 dp before the per-doc rank window (term tiebreak);
+    // DuckDB's row_number is BIGINT so the rank casts to INT to match
+    "q98_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, $docToks AS toks FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+         |  GROUP BY 1
+         |  QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 1048576),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |sc AS (SELECT tfc.doc_id, tfc.term, tfc.tf,
+         |    round(CAST(tfc.tf AS DOUBLE) *
+         |      ln(CAST(n + 1 AS DOUBLE) / CAST(coalesce(dfreq.df, 1) + 1 AS DOUBLE)),
+         |      6) AS tfidf
+         |  FROM tfc LEFT JOIN dfreq USING (term), nn),
+         |r AS (SELECT doc_id, term, tf, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term) AS INT) AS "rank"
+         |  FROM sc)
+         |SELECT doc_id, term, tf, tfidf, "rank" FROM r
+         |WHERE "rank" <= 5
+         |ORDER BY doc_id, "rank"""".stripMargin,
     // argmax replayed as the rank window: highest n_chars, doc_id tiebreak
     "q97_dedup_keep_best" ->
       """WITH f AS (SELECT doc_id, n_chars,

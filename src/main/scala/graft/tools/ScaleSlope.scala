@@ -129,7 +129,10 @@ object ScaleSlope {
       // histogram + broadcast label join; q96 = pure per-row regex chain;
       // q97 = one fingerprint shuffle (exact-dedup shape)
       "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets",
-      "q96_ccnet_normalize", "q97_dedup_keep_best")
+      "q96_ccnet_normalize", "q97_dedup_keep_best",
+      // q98 = capped-broadcast df table + one (id, term) shuffle + per-doc
+      // rank window — linear in corpus tokens
+      "q98_tfidf_topterms")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -2382,6 +2382,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopTerms: hand-computed scores, rank by rounded score then term") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "cherry date date cherry")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    // idf = ln(4/(df+1)): apple/date ln2 = 0.693147, banana/cherry ln(4/3)
+    val out = Keywords.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0L, 1)) == ("apple", 2L, 1.386294))
+    assert(out((0L, 2)) == ("banana", 1L, 0.287682))
+    assert(out((2L, 1)) == ("date", 2L, 1.386294))
+    assert(out((2L, 2)) == ("cherry", 2L, 0.575364))
+    // doc 1: equal tf=1 terms tie on ROUNDED score only when idf ties —
+    // banana and cherry share df=2, so rank falls to the term tiebreak
+    assert(out((1L, 1))._1 == "banana" && out((1L, 2))._1 == "cherry")
+    intercept[IllegalArgumentException] {
+      Keywords.tfidfTopTerms(docs, "doc_id", "text", k = 0)
+    }
+  }
+
   test("ccnetNormalize folds accents, zeroes digits, strips punctuation, collapses space") {
     val df = Seq(
       (0L, "  Café \t Ångström—naïve!!  Chapter 12, page 345.  "),
