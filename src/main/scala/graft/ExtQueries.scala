@@ -855,6 +855,20 @@ object ExtQueries {
     "q98_tfidf_topterms" -> ((s, dir) =>
       graft.ext.Keywords.tfidfTopTerms(docsPar(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("rank")))
+    ,
+    // GPT-3-style span decontamination over q52's corpus/bench split:
+    // colliding 8-grams plus a 2-token margin are cut out, the rest of the
+    // document survives (contrast q58, which drops whole documents).
+    "q99_mask_contamination" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Corpus.maskContamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          k = 8, margin = 2)
+        .select(col("doc_id"), col("text_clean"), col("spans_hit"),
+          col("tokens_total"), col("tokens_masked"))
+        .orderBy(col("doc_id"))
+    }
   )
 
   /** q91's merges ranking: WELL-FORMED (each side a base char or an earlier
@@ -1645,6 +1659,38 @@ object ExtQueries {
         |      '\s+', ' ', 'g')) AS text_norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // span masking replayed: positioned 8-grams (pos 0-based both sides),
+    // IN-list collision against the distinct bench grams, ordered hit list,
+    // and the keep filter as nested lambdas — a token at index i is cut iff
+    // some hit p satisfies p-2 <= i <= p+9 (k=8, margin=2)
+    "q99_mask_contamination" ->
+      s"""WITH c AS (SELECT doc_id, $docToks AS toks FROM documents
+         |  WHERE doc_id % 20 <> 0),
+         |b AS (SELECT $docToks AS toks FROM documents WHERE doc_id % 20 = 0),
+         |bg AS (SELECT DISTINCT concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+         |    toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS g
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM b WHERE len(toks) >= 8)),
+         |pg AS (SELECT doc_id, i - 1 AS pos, concat_ws(' ', toks[i], toks[i+1],
+         |    toks[i+2], toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS g
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM c WHERE len(toks) >= 8)),
+         |h AS (SELECT doc_id, list(pos ORDER BY pos) AS hits FROM pg
+         |  WHERE g IN (SELECT g FROM bg) GROUP BY 1),
+         |m AS (SELECT c.doc_id, c.toks, coalesce(h.hits, []::BIGINT[]) AS hits
+         |  FROM c LEFT JOIN h USING (doc_id)),
+         |r AS (SELECT doc_id, toks, hits,
+         |    list_filter(range(0, len(toks)), i ->
+         |      len(list_filter(hits, p -> i >= p - 2 AND i <= p + 9)) = 0)
+         |      AS keep_idx
+         |  FROM m)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(keep_idx, i -> toks[i + 1]),
+         |    ' '), '') AS text_clean,
+         |  CAST(len(hits) AS INT) AS spans_hit,
+         |  CAST(len(toks) AS INT) AS tokens_total,
+         |  CAST(len(toks) - len(keep_idx) AS INT) AS tokens_masked
+         |FROM r ORDER BY doc_id""".stripMargin,
     // the tf-idf replay: same distinct-token df aggregate with the same
     // deterministic top-K cap, idf over exact integer ratios, score
     // rounded to 6 dp before the per-doc rank window (term tiebreak);

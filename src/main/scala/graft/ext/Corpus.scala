@@ -313,6 +313,67 @@ object Corpus {
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
   }
 
+  /** SPAN-LEVEL decontamination (Brown et al. 2020 appendix C's published
+    * recipe, token-margin variant: GPT-3 removed each colliding 13-gram
+    * plus a window on either side rather than the whole document):
+    * instead of [[decontaminate]]'s drop-the-document policy, remove only
+    * the token spans covered by a benchmark k-gram collision, widened by
+    * `margin` tokens on each side — the high-recall cleanup that keeps the
+    * rest of an otherwise-good document. Appends
+    *   - `outCol`        — surviving tokens rejoined (whitespace-normalized
+    *     lowercase, [[graft.ext.Spans]]'s rebuilt-text caveat)
+    *   - `spans_hit`     — number of colliding k-gram positions
+    *   - `tokens_total` / `tokens_masked` — audit counts.
+    *
+    * Scale shape: corpus explodes to positioned k-grams once (pinned
+    * array), the collision check is a semi-join against the DISTINCT
+    * benchmark grams (skinny side, AQE-broadcast like [[decontaminate]]),
+    * the hit positions fold to one bounded array per contaminated doc
+    * (skinny (id, pos) shuffle), and the mask itself is a per-row HOF over
+    * the token array — O(tokens · hits) per doc, hits being the (typically
+    * tiny) collision count. Benchmark docs shorter than k contribute no
+    * grams here (no whole-doc fallback — a sub-k bench doc has no k-gram
+    * to collide with; [[benchmarkContamination]]'s overlap SCORE keeps its
+    * fallback because there a short doc still needs a denominator). */
+  def maskContamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, k: Int = 8, margin: Int = 0,
+                        outCol: String = "text_clean"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    def toks(c: Column) = TextStats.tokens(coalesce(c, lit("")))
+    val posGrams = corpus
+      .select(col(idCol).as("__id"), TextStats.pinnedCol(
+        TextStats.ngramsOfTokens(toks(col(textCol)), k)).as("__g"))
+      .select(col("__id"), posexplode(col("__g")).as(Seq("pos", "g")))
+    val benchGrams = bench
+      .select(TextStats.pinnedCol(
+        TextStats.ngramsOfTokens(toks(col(textCol)), k)).as("__g"))
+      .select(explode(col("__g")).as("g")).distinct()
+    val hits = posGrams.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__hits"))
+    val joined = corpus
+      .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col("*"), TextStats.pinnedCol(toks(col(textCol))).as("__t"),
+        coalesce(col("__hits"), array().cast("array<int>")).as("__h"))
+    // token i survives iff NO hit position p covers it: a hit at p masks
+    // tokens [p - margin, p + k - 1 + margin]
+    val kept = filter(
+      zip_with(col("__t"), sequence(lit(0), size(col("__t")) - 1),
+        (t, i) => struct(t.as("t"), i.as("i"))),
+      s => !exists(col("__h"),
+        p => s("i") >= p - lit(margin) && s("i") <= p + lit(k - 1 + margin)))
+    joined
+      // pinned: `kept` feeds two expressions (rebuild + count) and HOF
+      // lambdas get no CSE — un-pinned, the O(tokens·hits) filter runs twice
+      .withColumn("__kept", TextStats.pinnedCol(kept))
+      .withColumn(outCol, concat_ws(" ", transform(col("__kept"), s => s("t"))))
+      .withColumn("spans_hit", size(col("__h")))
+      .withColumn("tokens_total", size(col("__t")))
+      .withColumn("tokens_masked", size(col("__t")) - size(col("__kept")))
+      .drop("__hits", "__t", "__h", "__kept")
+  }
+
   /** Distributed prefix sum: `outCol` = running total of `valueCol` in
     * `orderCol` order (rows BEFORE and including this one). The scale-shaped
     * form of `sum().over(Window.orderBy(...))` — a global-order window

@@ -132,7 +132,10 @@ object ScaleSlope {
       "q96_ccnet_normalize", "q97_dedup_keep_best",
       // q98 = capped-broadcast df table + one (id, term) shuffle + per-doc
       // rank window — linear in corpus tokens
-      "q98_tfidf_topterms")
+      "q98_tfidf_topterms",
+      // q99 = positioned-gram explode + semi-join + per-row HOF mask —
+      // linear; bench side grows with the corpus in this fixture
+      "q99_mask_contamination")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

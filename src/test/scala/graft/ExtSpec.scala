@@ -2382,6 +2382,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("maskContamination cuts colliding spans plus margin, keeps the rest") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h x y z w"),       // 8-gram hit at pos 0
+      (1L, "totally clean words nothing shared here at all today"),
+      (2L, "p q a b c d e f g h r s")        // hit at pos 2
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    def runWith(m: Int) = Corpus.maskContamination(
+        corpus, bench, "doc_id", "text", k = 8, margin = m)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Int]("spans_hit"),
+          r.getAs[Int]("tokens_masked"))).toMap
+    val m0 = runWith(0)
+    assert(m0(0L) == ("x y z w", 1, 8))
+    assert(m0(1L)._2 == 0 && m0(1L)._3 == 0 &&
+      m0(1L)._1 == "totally clean words nothing shared here at all today")
+    assert(m0(2L) == ("p q r s", 1, 8))
+    // margin 2 widens each cut by two tokens per side (clamped at edges)
+    val m2 = runWith(2)
+    assert(m2(0L) == ("z w", 1, 10))
+    assert(m2(2L) == ("", 1, 12))
+    intercept[IllegalArgumentException] {
+      Corpus.maskContamination(corpus, bench, "doc_id", "text", margin = -1)
+    }
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank by rounded score then term") {
     val docs = Seq(
       (0L, "apple banana apple"),
