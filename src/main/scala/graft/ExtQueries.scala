@@ -856,6 +856,18 @@ object ExtQueries {
       graft.ext.Keywords.tfidfTopTerms(docsPar(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("rank")))
     ,
+    // Greedy token-budget curation: top up a 10k-token budget by quality
+    // points (doc_id tiebreak) via the two-phase distributed prefix sum —
+    // the keep set is the maximal affordable prefix.
+    "q100_token_budget" -> ((s, dir) =>
+      Corpus.selectUnderTokenBudget(
+          read(s, dir, "documents")
+            .select(col("doc_id"),
+              TextStats.qualityPoints(col("text")).as("quality"),
+              TextStats.tokenCount(col("text")).as("tokens")),
+          "doc_id", "tokens", "quality", budget = 10000L)
+        .select(col("doc_id"), col("quality"), col("tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))),
     // GPT-3-style span decontamination over q52's corpus/bench split:
     // colliding 8-grams plus a 2-token margin are cut out, the rest of the
     // document survives (contrast q58, which drops whole documents).
@@ -1659,6 +1671,28 @@ object ExtQueries {
         |      '\s+', ' ', 'g')) AS text_norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the budget prefix replayed as ONE global cumsum window over the
+    // unique (quality DESC, doc_id) order — equivalent to the two-phase
+    // prefix sum because the order key is unique; quality points are q55's
+    // integer rules, tokens the q32 count; integer sums, exact compare
+    "q100_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, $docToks AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |    CAST((CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+         |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / length(text) <= 0.1 THEN 2 ELSE 0 END) AS INT) AS quality,
+         |    CAST(len(toks) AS INT) AS tokens
+         |  FROM t),
+         |r AS (SELECT doc_id, quality, tokens,
+         |    CAST(sum(tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM p)
+         |SELECT doc_id, quality, tokens, cum_tokens FROM r
+         |WHERE cum_tokens <= 10000
+         |ORDER BY doc_id""".stripMargin,
     // span masking replayed: positioned 8-grams (pos 0-based both sides),
     // IN-list collision against the distinct bench grams, ordered hit list,
     // and the keep filter as nested lambdas — a token at index i is cut iff

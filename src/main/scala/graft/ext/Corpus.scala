@@ -438,6 +438,31 @@ object Corpus {
         floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
   }
 
+  /** Greedy token-budget selection: fill a training budget with the
+    * best-scored documents first — order by (`scoreCol` desc, `idCol` asc),
+    * keep the maximal prefix whose cumulative `tokenCol` stays within
+    * `budget`. The standard "top up to N tokens by quality" curation step
+    * (budget-constrained pretraining mixes); PREFIX semantics, not
+    * knapsack: the first overflowing document and everything after it are
+    * dropped, which is what makes the keep set deterministic and
+    * order-replayable. Appends `cum_tokens` to the survivors.
+    *
+    * Scale shape: inherits [[prefixSum]]'s two-phase form on a synthesized
+    * unique (−score, id) range key — range repartition, per-partition
+    * window, O(parallelism) driver offsets. No global-order window, no
+    * driver-side keep set. */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                             scoreCol: String, budget: Long,
+                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    requireFresh(df, "selectUnderTokenBudget", "cum_tokens", "__ord")
+    val ordered = df.withColumn("__ord",
+      struct((-col(scoreCol)).as("s"), col(idCol).as("i")))
+    prefixSum(ordered, "__ord", tokenCol, "cum_tokens", checkpoint)
+      .filter(col("cum_tokens") <= budget)
+      .drop("__ord")
+  }
+
   /** Source-level quality gate ("drop spammy domains"): aggregate integer
     * quality points per source, keep documents whose source's mean is at or
     * above the bar. Returns the gated corpus with `avg_points` and

@@ -135,7 +135,11 @@ object ScaleSlope {
       "q98_tfidf_topterms",
       // q99 = positioned-gram explode + semi-join + per-row HOF mask —
       // linear; bench side grows with the corpus in this fixture
-      "q99_mask_contamination")
+      "q99_mask_contamination",
+      // q100 = two-phase prefix sum (range repartition + per-partition
+      // window); the FIXED 10k budget keeps output constant while the
+      // cumsum machinery prices the full corpus
+      "q100_token_budget")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -2382,6 +2382,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("selectUnderTokenBudget keeps the maximal affordable quality prefix") {
+    val df = Seq(
+      (0L, 5, 100L), (1L, 9, 300L), (2L, 9, 250L), (3L, 2, 50L), (4L, 7, 400L)
+    ).toDF("doc_id", "quality", "tokens")
+    // order: (9,1)->300, (9,2)->550, (7,4)->950, (5,0)->1050 OVER, (2,3)...
+    // budget 1000: the overflowing doc 0 and everything after it drop —
+    // doc 3 would FIT (50 tokens) but prefix semantics exclude it
+    val out = Corpus.selectUnderTokenBudget(df, "doc_id", "tokens",
+        "quality", budget = 1000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_tokens")).toMap
+    assert(out == Map(1L -> 300L, 2L -> 550L, 4L -> 950L))
+    // budget below the first doc: empty; budget covering all: everything
+    assert(Corpus.selectUnderTokenBudget(df, "doc_id", "tokens",
+      "quality", 299L).count() == 0L)
+    assert(Corpus.selectUnderTokenBudget(df, "doc_id", "tokens",
+      "quality", 2000L).count() == 5L)
+    intercept[IllegalArgumentException] {
+      Corpus.selectUnderTokenBudget(df, "doc_id", "tokens", "quality", -1L)
+    }
+  }
+
   test("maskContamination cuts colliding spans plus margin, keeps the rest") {
     val corpus = Seq(
       (0L, "a b c d e f g h x y z w"),       // 8-gram hit at pos 0
