@@ -856,6 +856,19 @@ object ExtQueries {
       graft.ext.Keywords.tfidfTopTerms(docsPar(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("rank")))
     ,
+    // Per-source corpus audit in one scan: volume, exact-distinct dup
+    // rate, short-doc and integer-quality tallies — the before/after
+    // report of every curation stage.
+    "q101_corpus_report" -> ((s, dir) =>
+      graft.ext.Audit.corpusReport(read(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))),
+    // Deterministic epoch shuffle: reproducible (part, key) placement from
+    // the md5 of (id, epoch) — the RNG-free training-order primitive.
+    "q102_epoch_shuffle" -> ((s, dir) =>
+      graft.ext.Audit.epochShuffle(read(s, dir, "documents"), "doc_id",
+          epoch = 1, numParts = 32)
+        .select(col("doc_id"), col("shuffle_part"), col("shuffle_key"))
+        .orderBy(col("doc_id"))),
     // Greedy token-budget curation: top up a 10k-token budget by quality
     // points (doc_id tiebreak) via the two-phase distributed prefix sum —
     // the keep set is the maximal affordable prefix.
@@ -1669,6 +1682,47 @@ object ExtQueries {
         |      '[0-9]', '0', 'g'),
         |      '[^\p{L}\p{N}\s]', '', 'g'),
         |      '\s+', ' ', 'g')) AS text_norm
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // every report number replayed exactly: q55's integer quality points,
+    // q31's fingerprint for the distinct count, integer sums, and the
+    // ratio columns as identical double divisions
+    "q101_corpus_report" ->
+      """WITH t AS (SELECT source, coalesce(text, '') AS tx FROM documents),
+        |u AS (SELECT source, tx,
+        |    string_split_regex(lower(trim(tx)), '\s+') AS toks,
+        |    md5(regexp_replace(lower(trim(tx)), '\s+', ' ', 'g')) AS fp FROM t),
+        |p AS (SELECT source, tx, toks, fp,
+        |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+        |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+        |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+        |  + (CASE WHEN CAST(len(regexp_extract_all(tx, '[.,!?;:]')) AS DOUBLE)
+        |      / length(tx) <= 0.1 THEN 2 ELSE 0 END) AS pts
+        |  FROM u),
+        |g AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS tokens_sum,
+        |    CAST(sum(length(tx)) AS BIGINT) AS chars_sum,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_docs,
+        |    CAST(count(*) FILTER (WHERE len(toks) < 30) AS BIGINT) AS short_docs,
+        |    CAST(sum(pts) AS BIGINT) AS quality_sum
+        |  FROM p GROUP BY 1)
+        |SELECT source, docs, tokens_sum, chars_sum, distinct_docs, short_docs,
+        |  quality_sum,
+        |  CAST(1 AS DOUBLE)
+        |    - CAST(distinct_docs AS DOUBLE) / CAST(docs AS DOUBLE) AS dup_rate,
+        |  CAST(quality_sum AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_quality,
+        |  CAST(tokens_sum AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_tokens
+        |FROM g ORDER BY source""".stripMargin,
+    // the identical md5 placement arithmetic: key = md5("<id>:1:graft:shuffle"),
+    // part = leading 32 bits mod 32
+    "q102_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 32 AS INT)
+        |    AS shuffle_part,
+        |  k AS shuffle_key
+        |FROM (SELECT doc_id, md5(doc_id || ':1:graft:shuffle') AS k
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // the budget prefix replayed as ONE global cumsum window over the

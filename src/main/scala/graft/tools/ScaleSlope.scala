@@ -139,7 +139,10 @@ object ScaleSlope {
       // q100 = two-phase prefix sum (range repartition + per-partition
       // window); the FIXED 10k budget keeps output constant while the
       // cumsum machinery prices the full corpus
-      "q100_token_budget")
+      "q100_token_budget",
+      // q101 = one groupBy(source) aggregate (+ partial-distinct expand);
+      // q102 = one hash repartition + per-partition sort
+      "q101_corpus_report", "q102_epoch_shuffle")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

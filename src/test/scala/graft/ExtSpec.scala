@@ -2382,6 +2382,52 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReport: exact per-source volume, distinct, short and quality tallies") {
+    val df = Seq(
+      (0L, "web", "alpha beta gamma"),
+      (1L, "web", "ALPHA  beta gamma"), // dup of 0 under the fingerprint
+      (2L, "web", "a genuinely different page"),
+      (3L, "book", "one two three four five six seven eight nine ten " * 4)
+    ).toDF("doc_id", "source", "text")
+    val out = Audit.corpusReport(df, "text", "source", shortTokens = 5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("docs") == 3L)
+    assert(web.getAs[Long]("distinct_docs") == 2L)
+    assert(web.getAs[Double]("dup_rate") == 1.0 - 2.0 / 3.0)
+    assert(web.getAs[Long]("short_docs") == 3L) // 3, 3 and 4 tokens, all < 5
+    assert(web.getAs[Long]("tokens_sum") == 10L)
+    val book = out("book")
+    assert(book.getAs[Long]("docs") == 1L && book.getAs[Long]("short_docs") == 0L)
+    assert(book.getAs[Long]("tokens_sum") == 40L)
+  }
+
+  test("epochShuffle: reproducible placement, epoch decorrelation, layout applied") {
+    val df = Seq.tabulate(64)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    def run(epoch: Int) = Audit.epochShuffle(df, "doc_id", epoch, numParts = 8)
+      .select(col("doc_id"), col("shuffle_part"), col("shuffle_key"))
+    val a = run(1).collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val b = run(1).collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(a.toSet == b.toSet) // same epoch: identical placement
+    assert(a.forall { case (_, p, _) => p >= 0 && p < 8 })
+    // the layout IS applied: rows arrive partition-grouped and key-sorted
+    // (collect preserves partition-internal order)
+    val keysInOrder = a.map(_._3)
+    val grouped = a.map(_._2)
+    assert(grouped.distinct.size == grouped.foldLeft((List.empty[Int], 0)) {
+      case ((seen, runs), p) =>
+        if (seen.headOption.contains(p)) (seen, runs) else (p :: seen, runs + 1)
+    }._2) // each partition id appears as ONE contiguous run
+    assert(a.groupBy(_._2).values.forall { g =>
+      val ks = g.map(_._3); ks.sameElements(ks.sorted) })
+    // different epoch: a different order (astronomically unlikely to match)
+    val e2 = run(2).collect().map(r => (r.getLong(0), r.getString(2)))
+    val ord1 = a.sortBy(_._3).map(_._1).toSeq
+    val ord2 = e2.sortBy(_._2).map(_._1).toSeq
+    assert(ord1 != ord2)
+    assert(keysInOrder.toSet.size == 64) // md5 keys distinct
+  }
+
   test("selectUnderTokenBudget keeps the maximal affordable quality prefix") {
     val df = Seq(
       (0L, 5, 100L), (1L, 9, 300L), (2L, 9, 250L), (3L, 2, 50L), (4L, 7, 400L)
