@@ -856,6 +856,16 @@ object ExtQueries {
       graft.ext.Keywords.tfidfTopTerms(docsPar(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("rank")))
     ,
+    // Product-quantization ADC top-k (Jégou et al. 2011): 8 subspaces x
+    // 16-code deterministic first-K codebooks trained on the vec_id < 64
+    // slice; corpus scanned as codes only, queries keep raw subvectors.
+    "q103_pq_topk" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      graft.ext.Quantize.pqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", m = 8, ksub = 16, topK = 5,
+          train = e.filter(col("vec_id") < 64))
+        .orderBy(col("qid"), col("rank"))
+    },
     // Per-source corpus audit in one scan: volume, exact-distinct dup
     // rate, short-doc and integer-quality tallies — the before/after
     // report of every curation stage.
@@ -1684,6 +1694,47 @@ object ExtQueries {
         |      '\s+', ' ', 'g')) AS text_norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the ENTIRE PQ pipeline replayed: first-K codebooks per subspace
+    // (distinct subvectors by min id), encode as the rounded-d2 argmin
+    // (code tiebreak), ADC distance as the subspace-ORDERED sum of
+    // query-to-centroid squared distances (pure +/*, no libm), rank window
+    "q103_pq_topk" ->
+      """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |tsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM emb e, ss WHERE e.vec_id < 64),
+        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
+        |cbk AS (SELECT s, sv AS cent,
+        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
+        |  FROM cb0 QUALIFY code < 16),
+        |dsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM emb e, ss),
+        |cand AS (SELECT d.vec_id, d.s, cbk.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (d.sv[i] - cbk.cent[i]) * (d.sv[i] - cbk.cent[i]))), 6) AS dd
+        |  FROM dsv d JOIN cbk ON d.s = cbk.s),
+        |enc AS (SELECT vec_id, s, code FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
+        |qs AS (SELECT e.vec_id AS qid, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS qsv
+        |  FROM emb e, ss WHERE e.vec_id < 10),
+        |pair AS (SELECT qs.qid, en.vec_id AS neighbor_id, en.s,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qs.qsv[i] - cbk.cent[i]) * (qs.qsv[i] - cbk.cent[i]))) AS dsub
+        |  FROM enc en JOIN cbk ON en.s = cbk.s AND en.code = cbk.code
+        |    JOIN qs ON qs.s = en.s
+        |  WHERE en.vec_id <> qs.qid),
+        |dist AS (SELECT qid, neighbor_id,
+        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
+        |  FROM pair GROUP BY 1, 2),
+        |r AS (SELECT qid, neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
+        |  FROM dist)
+        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
+        |WHERE "rank" <= 5
+        |ORDER BY qid, "rank"""".stripMargin,
     // every report number replayed exactly: q55's integer quality points,
     // q31's fingerprint for the distinct count, integer sums, and the
     // ratio columns as identical double divisions

@@ -71,6 +71,120 @@ object Quantize {
       .filter(col("rank") <= topK)
   }
 
+  // ---- product quantization (Jégou, Douze, Schmid 2011) ----------------
+
+  /** PQ codebooks: split the vector into `m` equal subspaces and give each
+    * subspace a `ksub`-entry codebook — here the DETERMINISTIC first-K
+    * codebook (the `ksub` distinct subvectors with the lowest ids, code
+    * order by that id), the same reproducibility-over-quality trade as the
+    * first-K IVF pivots (q42); real deployments pass a sampled `train`
+    * slice, and the codebook is model-sized (m·ksub rows) either way.
+    * Returns (sub, code, cent). The distinct-subvector aggregate runs over
+    * the TRAIN slice only — train on a sample, never the corpus. */
+  def pqCodebooks(train: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val dim = train.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val w = Window.partitionBy(col("sub")).orderBy(col("mid"))
+    train
+      .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("__v"))
+      .select(col("id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("sub"), slice(col("__v"), s * dsub + 1, lit(dsub)).as("sv"))))
+        .as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .groupBy(col("sub"), col("sv")).agg(min(col("id")).as("mid"))
+      .withColumn("code", row_number().over(w) - 1)
+      .filter(col("code") < ksub)
+      .select(col("sub"), col("code"), col("sv").as("cent"))
+  }
+
+  /** Codebooks packed to ONE broadcastable row: `cb[sub][code] = cent`
+    * (sub- and code-ordered nested arrays) — the shape the per-row encode
+    * and ADC lambdas index into. */
+  private def packCodebooks(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("cent")))),
+        s => s("cent")).as("cents"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+        s => s("cents")).as("cb"))
+
+  /** Squared L2 between two same-length arrays, folded in dimension order
+    * (deterministic; the oracle replays the identical in-order sum). */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** PQ encode: each vector becomes `m` small codes — with `ksub` ≤ 256
+    * that is m bytes instead of 4·dim, the 32× storage cut that makes
+    * exhaustive ADC scans affordable at corpus scale. Zero shuffle: the
+    * packed codebook rides a broadcast cross join and the argmin (rounded
+    * 6 dp subspace distance, lowest code on ties) is a per-row fold.
+    * Returns (id, codes: array<int>). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame): DataFrame = {
+    val packed = packCodebooks(codebooks)
+    corpus
+      .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(packed))
+      .select(col("id"), transform(sequence(lit(0), size(col("cb")) - 1), s => {
+        val cents = element_at(col("cb"), s + 1)
+        val dsub = size(element_at(cents, 1))
+        val sv = slice(col("__v"), s * dsub + 1, dsub)
+        aggregate(sequence(lit(0), size(cents) - 1),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+          (acc, ci) =>
+            when(round(d2(sv, element_at(cents, ci + 1)), 6) < acc("d"),
+              struct(round(d2(sv, element_at(cents, ci + 1)), 6).as("d"),
+                ci.as("c")))
+              .otherwise(acc))
+          .getField("c")
+      }).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k (the paper's ADC): the corpus is scanned
+    * as codes only; each query keeps its RAW subvectors and the distance is
+    * the subspace-ordered sum of query-subvector-to-centroid squared
+    * distances. Returns (qid, neighbor_id, adc_dist, rank 1..topK) ranked
+    * by (rounded distance asc, neighbor id). `train` defaults to the corpus
+    * — pass a sample slice at scale (see [[pqCodebooks]]).
+    *
+    * Scale shape: codebook is model-sized and broadcast; the corpus is one
+    * scan of the 32×-narrower code column; queries broadcast; the only
+    * shuffle is the per-query rank window. (A production variant
+    * precomputes each query's m·ksub distance TABLE once — this
+    * formulation recomputes the subspace distance per pair, which at the
+    * suite's ksub=16 is the same arithmetic to within a constant and keeps
+    * the whole pipeline one declarative expression.) */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int = 8, ksub: Int = 16, topK: Int = 10,
+             train: DataFrame = null): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cbs = pqCodebooks(if (train == null) corpus else train,
+      idCol, vecCol, m, ksub)
+      .localCheckpoint() // model-sized; feeds the encode AND the ADC scan
+    val enc = pqEncode(corpus, idCol, vecCol, cbs)
+    val q = queries.select(col(idCol).as("qid"),
+      Similarity.toDouble(col(vecCol)).as("qv"))
+    val dist = aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
+      (acc, s) => {
+        val cents = element_at(col("cb"), s + 1)
+        val dsub = size(element_at(cents, 1))
+        val qsub = slice(col("qv"), s * dsub + 1, dsub)
+        acc + d2(qsub, element_at(cents, element_at(col("codes"), s + 1) + 1))
+      })
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.crossJoin(broadcast(q))
+      .crossJoin(broadcast(packCodebooks(cbs)))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        round(dist, 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Relative L2 reconstruction error per vector:
     * `‖v − q·scale‖ / ‖v‖` — the quantization-quality diagnostic. */
   def reconstructionError(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

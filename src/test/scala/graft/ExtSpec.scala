@@ -2382,6 +2382,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK: planted-cluster recall, byte-sized codes, deterministic encode") {
+    // two well-separated clusters in 8 dims; jitter is deterministic
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) Array(10f, 0f, 10f, 0f, 10f, 0f, 10f, 0f)
+                 else        Array(0f, 10f, 0f, 10f, 0f, 10f, 0f, 10f)
+      val jit = base.zipWithIndex.map { case (x, d) =>
+        x + ((i * 7 + d * 3) % 5) * 0.1f }
+      (i.toLong, jit)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val top = Quantize.pqTopK(df, df.filter(col("vec_id").isin(0L, 15L)),
+        "vec_id", "embedding", m = 4, ksub = 16, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // every retrieved neighbor of a cluster member is in the same cluster
+    assert(top(0L).forall(_ < 10L) && top(0L).size == 5)
+    assert(top(15L).forall(_ >= 10L) && top(15L).size == 5)
+    // codes are m small ints and the encode is reproducible
+    val cb = Quantize.pqCodebooks(df, "vec_id", "embedding", m = 4, ksub = 16)
+    val enc1 = Quantize.pqEncode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val enc2 = Quantize.pqEncode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc1 == enc2 && enc1(0L).length == 4)
+    assert(enc1.values.flatten.forall(c => c >= 0 && c < 16))
+    // dim 8 is not divisible by m = 3
+    intercept[IllegalArgumentException] {
+      Quantize.pqCodebooks(df, "vec_id", "embedding", m = 3, ksub = 4)
+    }
+  }
+
   test("corpusReport: exact per-source volume, distinct, short and quality tallies") {
     val df = Seq(
       (0L, "web", "alpha beta gamma"),
