@@ -866,6 +866,16 @@ object ExtQueries {
           train = e.filter(col("vec_id") < 64))
         .orderBy(col("qid"), col("rank"))
     },
+    // IVF-PQ (IVFADC): smallest-id L2 cells route each query to 4 of 16
+    // cells via an equi-join; ADC re-rank reads codes only. Same codebook
+    // setup as q103.
+    "q104_ivfpq_topk" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      graft.ext.Quantize.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", topK = 5, nCells = 16, nProbe = 4,
+          m = 8, ksub = 16, train = e.filter(col("vec_id") < 64))
+        .orderBy(col("qid"), col("rank"))
+    },
     // Per-source corpus audit in one scan: volume, exact-distinct dup
     // rate, short-doc and integer-quality tallies — the before/after
     // report of every curation stage.
@@ -1694,6 +1704,61 @@ object ExtQueries {
         |      '\s+', ' ', 'g')) AS text_norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
+    // per vector (pid tiebreak), 4 nearest cells per query, candidates by
+    // the cell equi-join, then the same ordered ADC sum and rank window
+    "q104_ivfpq_topk" ->
+      """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |tsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM emb e, ss WHERE e.vec_id < 64),
+        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
+        |cbk AS (SELECT s, sv AS cent,
+        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
+        |  FROM cb0 QUALIFY code < 16),
+        |dsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM emb e, ss),
+        |cnd AS (SELECT d.vec_id, d.s, cbk.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (d.sv[i] - cbk.cent[i]) * (d.sv[i] - cbk.cent[i]))), 6) AS dd
+        |  FROM dsv d JOIN cbk ON d.s = cbk.s),
+        |enc AS (SELECT vec_id, s, code FROM cnd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
+        |piv AS (SELECT vec_id AS pid, v AS pv FROM emb ORDER BY vec_id LIMIT 16),
+        |acell AS (SELECT e.vec_id, piv.pid AS cell,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
+        |  FROM emb e, piv
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) = 1),
+        |qcell AS (SELECT e.vec_id AS qid, piv.pid AS cell,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
+        |  FROM emb e, piv WHERE e.vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) <= 4),
+        |cpair AS (SELECT q.qid, a.vec_id AS neighbor_id
+        |  FROM acell a JOIN qcell q ON a.cell = q.cell
+        |  WHERE a.vec_id <> q.qid),
+        |qs AS (SELECT e.vec_id AS qid, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS qsv
+        |  FROM emb e, ss WHERE e.vec_id < 10),
+        |pair AS (SELECT cp.qid, cp.neighbor_id, en.s,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qs.qsv[i] - cbk.cent[i]) * (qs.qsv[i] - cbk.cent[i]))) AS dsub
+        |  FROM cpair cp
+        |    JOIN enc en ON en.vec_id = cp.neighbor_id
+        |    JOIN cbk ON en.s = cbk.s AND en.code = cbk.code
+        |    JOIN qs ON qs.qid = cp.qid AND qs.s = en.s),
+        |dist AS (SELECT qid, neighbor_id,
+        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
+        |  FROM pair GROUP BY 1, 2),
+        |r AS (SELECT qid, neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
+        |  FROM dist)
+        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
+        |WHERE "rank" <= 5
+        |ORDER BY qid, "rank"""".stripMargin,
     // the ENTIRE PQ pipeline replayed: first-K codebooks per subspace
     // (distinct subvectors by min id), encode as the rounded-d2 argmin
     // (code tiebreak), ADC distance as the subspace-ORDERED sum of

@@ -185,6 +185,69 @@ object Quantize {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ (the paper's IVFADC, the canonical billion-scale ANN layout):
+    * coarse L2 cells route each query to `nProbe` candidate cells via an
+    * EQUI-JOIN on the cell key — candidate generation never cross-joins the
+    * corpus — and the ADC re-rank inside the probed cells reads codes only.
+    * Flat-codebook variant: codes quantize the vectors themselves rather
+    * than the per-cell residuals, so ONE shared codebook serves every cell
+    * (no per-cell codebook broadcast, simpler persisted layout) at some
+    * accuracy cost vs residual PQ — the standard flat-PQ-with-IVF-routing
+    * trade. Cells are the deterministic smallest-id pivots (the q42/IVF
+    * contract); assignment = min rounded L2, pid tiebreak.
+    * Returns (qid, neighbor_id, adc_dist, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, topK: Int = 10, nCells: Int = 16,
+                nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+                train: DataFrame = null): DataFrame = {
+    require(topK >= 1 && nCells >= 1 && nProbe >= 1,
+      s"topK/nCells/nProbe must be >= 1, got $topK/$nCells/$nProbe")
+    val c = corpus.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    // smallest-id pivot set — K rows, TakeOrdered, broadcast everywhere
+    val piv = c.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("pid"), col("v").as("pv"))
+      .localCheckpoint() // feeds the assignment AND the probe side
+    def nearestCells(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
+      df.crossJoin(broadcast(piv))
+        .select(col("id"), col("v"), col("pid"),
+          round(d2(col("v"), col("pv")), 6).as("__dd"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col("id"), col("v"), col("pid").as("cell"))
+    }
+    val cbs = pqCodebooks(if (train == null) corpus else train,
+      idCol, vecCol, m, ksub).localCheckpoint()
+    // index side: (id, cell, codes) — the persisted layout of a real
+    // deployment; vectors themselves are not carried past this point
+    val assigned = nearestCells(c, 1)
+      .join(pqEncode(corpus, idCol, vecCol, cbs), Seq("id"))
+      .select(col("id"), col("cell"), col("codes"))
+    val probes = nearestCells(
+      queries.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v")),
+      nProbe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cell"))
+    val dist = aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
+      (acc, s) => {
+        val cents = element_at(col("cb"), s + 1)
+        val dsub = size(element_at(cents, 1))
+        val qsub = slice(col("qv"), s * dsub + 1, dsub)
+        acc + d2(qsub, element_at(cents, element_at(col("codes"), s + 1) + 1))
+      })
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    // the equi-join: probed cells only — AQE broadcasts a small query
+    // batch, a large offline batch shuffles on the cell key
+    assigned.join(probes, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .crossJoin(broadcast(packCodebooks(cbs)))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        round(dist, 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Relative L2 reconstruction error per vector:
     * `‖v − q·scale‖ / ‖v‖` — the quantization-quality diagnostic. */
   def reconstructionError(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -144,8 +144,9 @@ object ScaleSlope {
       // q102 = one hash repartition + per-partition sort
       "q101_corpus_report", "q102_epoch_shuffle",
       // q103 = fixed-size codebook broadcast + per-row encode/ADC folds +
-      // per-query rank window — linear in corpus vectors
-      "q103_pq_topk")
+      // per-query rank window — linear in corpus vectors; q104 adds the
+      // coarse cells, candidates via the cell equi-join
+      "q103_pq_topk", "q104_ivfpq_topk")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

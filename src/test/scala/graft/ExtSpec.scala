@@ -2413,6 +2413,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: full probe equals flat PQ; partial probe keeps cluster recall") {
+    // clusters INTERLEAVED by id (even = A, odd = B): the smallest-id
+    // pivot set must cover both clusters or a partial probe cannot route
+    // cross-cluster queries — the documented first-K-pivot quality trade
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 10f, 0f, 10f, 0f, 10f, 0f)
+                 else            Array(0f, 10f, 0f, 10f, 0f, 10f, 0f, 10f)
+      val jit = base.zipWithIndex.map { case (x, d) =>
+        x + ((i * 7 + d * 3) % 5) * 0.1f }
+      (i.toLong, jit)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 15L))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))
+    // probing EVERY cell makes the candidate set the whole corpus, so the
+    // ranking must equal the exhaustive flat-PQ scan exactly
+    val full = Quantize.ivfPqTopK(df, q, "vec_id", "embedding",
+        topK = 5, nCells = 4, nProbe = 4, m = 4, ksub = 16)
+      .collect().map(key).toSet
+    val flat = Quantize.pqTopK(df, q, "vec_id", "embedding",
+        m = 4, ksub = 16, topK = 5)
+      .collect().map(key).toSet
+    assert(full == flat && full.nonEmpty)
+    // partial probe on separated clusters still retrieves same-cluster docs
+    val part = Quantize.ivfPqTopK(df, q, "vec_id", "embedding",
+        topK = 5, nCells = 4, nProbe = 2, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(part(0L).forall(_ % 2 == 0L) && part(0L).size == 5)
+    assert(part(15L).forall(_ % 2 == 1L) && part(15L).size == 5)
+  }
+
   test("corpusReport: exact per-source volume, distinct, short and quality tallies") {
     val df = Seq(
       (0L, "web", "alpha beta gamma"),
