@@ -866,6 +866,35 @@ object ExtQueries {
           train = e.filter(col("vec_id") < 64))
         .orderBy(col("qid"), col("rank"))
     },
+    // Snapshot diff: old = ids not divisible by 10, new = ids not
+    // divisible by 9 with every 7th doc's text edited — all four statuses
+    // realized on the fixture.
+    "q105_corpus_diff" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      graft.ext.Audit.corpusDiff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 9 =!= 0)
+            .withColumn("text", when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" edited v2"))).otherwise(col("text"))),
+          "doc_id", "text")
+        .select(col("doc_id"), col("status"), col("fp_old"), col("fp_new"))
+        .orderBy(col("doc_id"))
+    },
+    // Per-benchmark contamination report over q52's split, bench names
+    // b0/b1/b2 from doc_id % 3 — which benchmark leaked where. k=4 (not
+    // the production 8): the report is hits-sized, and the fixture needs
+    // plentiful collisions to gate anything.
+    "q106_contamination_by_bench" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Corpus.contaminationByBenchmark(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0)
+            .withColumn("bench",
+              concat(lit("b"), (col("doc_id") % 3).cast("string"))),
+          "doc_id", "text", "bench", k = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("bench"))
+    },
     // IVF-PQ (IVFADC): smallest-id L2 cells route each query to 4 of 16
     // cells via an equi-join; ADC re-rank reads codes only. Same codebook
     // setup as q103.
@@ -1704,6 +1733,45 @@ object ExtQueries {
         |      '\s+', ' ', 'g')) AS text_norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the same fingerprint + full-outer-join status algebra in SQL
+    "q105_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2' ELSE text END
+        |    )), '\s+', ' ', 'g')) AS fp_new
+        |  FROM documents WHERE doc_id % 9 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp_old IS NULL THEN 'added'
+        |       WHEN n.fp_new IS NULL THEN 'removed'
+        |       WHEN o.fp_old <> n.fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.fp_old, n.fp_new
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q52's shingle replay split per benchmark name: distinct doc shingles
+    // (short-doc fallback included), distinct (bench, gram) set, inner
+    // join for hits, exact integer ratio
+    "q106_contamination_by_bench" ->
+      s"""WITH ${shingleCtesOver("(SELECT * FROM documents WHERE doc_id % 20 <> 0)", 4, "c")},
+         |btoks AS (SELECT 'b' || CAST(doc_id % 3 AS VARCHAR) AS bench,
+         |    $docToks AS t FROM documents WHERE doc_id % 20 = 0),
+         |bsh AS (SELECT bench, unnest(CASE WHEN len(t) >= 4
+         |    THEN list_transform(range(1, len(t)-2),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))
+         |    ELSE [array_to_string(t, ' ')] END) AS g FROM btoks),
+         |bd AS (SELECT DISTINCT bench, g FROM bsh),
+         |sz AS (SELECT doc_id, count(*) AS n_grams FROM cd GROUP BY 1),
+         |h AS (SELECT cd.doc_id, bd.bench, count(*) AS n_hit
+         |  FROM cd JOIN bd USING (g) GROUP BY 1, 2)
+         |SELECT h.doc_id, h.bench,
+         |  CAST(sz.n_grams AS BIGINT) AS n_grams,
+         |  CAST(h.n_hit AS BIGINT) AS n_hit,
+         |  CAST(h.n_hit AS DOUBLE) / sz.n_grams AS overlap
+         |FROM h JOIN sz USING (doc_id)
+         |ORDER BY doc_id, bench""".stripMargin,
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window

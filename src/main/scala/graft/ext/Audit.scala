@@ -41,6 +41,28 @@ object Audit {
         col("tokens_sum").cast("double") / col("docs").cast("double"))
   }
 
+  /** Snapshot diff between two corpus versions — the audit of what a
+    * curation run actually did: per id, `added` (only in `newDf`),
+    * `removed` (only in `oldDf`), `changed` (both, content fingerprint
+    * differs), `unchanged`. One full-outer join on the id; content
+    * identity is [[TextStats.fingerprint]] (whitespace-normalized
+    * lowercase), so a reformatted doc counts as unchanged — pass a
+    * stricter key column yourself if byte identity matters. Null text
+    * fingerprints as the empty document (a present row never reads as
+    * absent). Returns (idCol, status, fp_old, fp_new). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) = df.select(col(idCol).as("id"),
+      TextStats.fingerprint(coalesce(col(textCol), lit(""))).as(out))
+    fp(oldDf, "fp_old").join(fp(newDf, "fp_new"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Deterministic global training-order shuffle: every (document, epoch)
     * pair gets a reproducible pseudo-random placement — `shuffle_part` (a
     * stable partition in [0, numParts)) and `shuffle_key` (the md5 sort key

@@ -313,6 +313,36 @@ object Corpus {
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
   }
 
+  /** [[benchmarkContamination]] resolved PER BENCHMARK: the bench table
+    * carries a `benchCol` name and the report answers "which benchmark
+    * leaked into which document, and how badly" — one row per contaminated
+    * (document, benchmark) pair with the doc's total shingle count, the
+    * per-benchmark hit count, and their ratio. Clean documents emit
+    * nothing (inner join — the report is benchmark-hits-sized, not
+    * corpus-sized). The corpus gram table feeds two consumers (sizes,
+    * hits), so it is materialized once (`checkpoint`) instead of running
+    * the tokenize→shingle pipeline twice. */
+  def contaminationByBenchmark(corpus: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String,
+                               benchCol: String, k: Int = 8,
+                               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docGrams = CheckpointStrategy.materializer(checkpoint)(
+      corpus.select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("__t"))
+        .select(col("id"), explode(Dedup.shinglesOfTokens(col("__t"), k)).as("g")))
+    val benchGrams = bench
+      .select(col(benchCol).as("bench"), TextStats.tokens(col(textCol)).as("__t"))
+      .select(col("bench"), explode(Dedup.shinglesOfTokens(col("__t"), k)).as("g"))
+      .distinct()
+    val sizes = docGrams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams.join(benchGrams, Seq("g"))
+      .groupBy(col("id"), col("bench")).agg(count(lit(1)).as("n_hit"))
+    hits.join(sizes, Seq("id"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_grams"))
+      .select(col("id"), col("bench"), col("n_grams"), col("n_hit"),
+        col("overlap"))
+  }
+
   /** SPAN-LEVEL decontamination (Brown et al. 2020 appendix C's published
     * recipe, token-margin variant: GPT-3 removed each colliding 13-gram
     * plus a window on either side rather than the whole document):

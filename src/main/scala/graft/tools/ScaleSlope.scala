@@ -146,7 +146,10 @@ object ScaleSlope {
       // q103 = fixed-size codebook broadcast + per-row encode/ADC folds +
       // per-query rank window — linear in corpus vectors; q104 adds the
       // coarse cells, candidates via the cell equi-join
-      "q103_pq_topk", "q104_ivfpq_topk")
+      "q103_pq_topk", "q104_ivfpq_topk",
+      // q105 = two fingerprint projections + one full-outer id join;
+      // q106 = shingle explode + gram equi-join (hits-sized output)
+      "q105_corpus_diff", "q106_contamination_by_bench")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

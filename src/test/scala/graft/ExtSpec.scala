@@ -2446,6 +2446,39 @@ class ExtSpec extends AnyFunSuite {
     assert(part(15L).forall(_ % 2 == 1L) && part(15L).size == 5)
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged; format drift is unchanged") {
+    val oldDf = Seq(
+      (0L, "kept the same"), (1L, "will be edited"), (2L, "will be removed"),
+      (3L, "Spacing   And Case")
+    ).toDF("doc_id", "text")
+    val newDf = Seq(
+      (0L, "kept the same"), (1L, "now edited text"), (4L, "brand new doc"),
+      (3L, "spacing and case") // fingerprint-equal: NOT a change
+    ).toDF("doc_id", "text")
+    val out = Audit.corpusDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(out == Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("contaminationByBenchmark attributes hits to the right benchmark") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // collides with bench A
+      (1L, "one two three four five six"),         // collides with bench B
+      (2L, "totally clean words nothing shared")   // clean: absent
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      ("A", "alpha beta gamma delta"), ("B", "one two three four")
+    ).toDF("bench", "text")
+    val out = Corpus.contaminationByBenchmark(
+        corpus, bench, "doc_id", "text", "bench", k = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("bench")) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    // doc 0: 3 distinct 4-grams, 1 hits bench A's single shingle
+    assert(out == Map((0L, "A") -> (3L, 1L), (1L, "B") -> (3L, 1L)))
+  }
+
   test("corpusReport: exact per-source volume, distinct, short and quality tallies") {
     val df = Seq(
       (0L, "web", "alpha beta gamma"),
