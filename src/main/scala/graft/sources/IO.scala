@@ -43,6 +43,49 @@ object IO {
     }
   }
 
+  /** Training-shard export: write the corpus as size-bounded parquet
+    * shards (`spark.sql.files.maxRecordsPerFile` per task output) with an
+    * optional epoch-shuffle layout column set, and return the MANIFEST —
+    * one row per written file with its row count and byte size — that a
+    * training loader consumes to plan workers without listing storage.
+    *
+    * The row counts come from ONE metadata-only pass over the written
+    * files (parquet footers; Spark plans a count over file statistics, no
+    * data pages are read) joined with the FileSystem listing for sizes —
+    * both manifest-sized, collected nowhere. Returns (file, rows, bytes)
+    * sorted by file name; pair with [[graft.ext.Audit.epochShuffle]]
+    * upstream so shard order IS training order. */
+  def writeShards(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                  partitionBy: Seq[String] = Nil): DataFrame = {
+    require(maxRecordsPerFile >= 1,
+      s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
+    val w0 = df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    w.parquet(path)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
+    // join on the BASENAME (unique per file: part-NNNN-<uuid>): the
+    // scan-side input_file_name() and the listing-side Path render the
+    // same file with different URI spellings (file:/// vs file:/)
+    val rows = spark.read.parquet(path)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .groupBy(col("file")).agg(count(lit(1)).as("rows"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        sizes += ((f.getPath.getName, f.getLen))
+    }
+    import spark.implicits._
+    rows.join(sizes.toSeq.toDF("file", "bytes"), Seq("file"))
+      .select(col("file"), col("rows"), col("bytes"))
+      .orderBy(col("file"))
+  }
+
   /** Write a FlatTable's canonical view (margins in place, metadata order),
     * with the full [[graft.core.TableMeta]] serialized into the first
     * column's `StructField.metadata` so [[readTable]] can rebuild the

@@ -150,4 +150,25 @@ class IOSpec extends AnyFunSuite {
       df.filter(org.apache.spark.sql.functions.col("l_returnflag") === "A").count())
     assert(scanText.contains("PartitionFilters") || pruned.inputFiles.forall(_.contains("l_returnflag=A")))
   }
+
+  test("writeShards bounds rows per file and the manifest accounts for every row") {
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft_io_shards").toString + "/s"
+    val manifest = IO.writeShards(
+      // spread input across tasks so maxRecordsPerFile actually splits
+      docs.repartition(2), dir, maxRecordsPerFile = 100).collect()
+    assert(manifest.map(_.getAs[Long]("rows")).sum == n)
+    assert(manifest.forall(_.getAs[Long]("rows") <= 100L))
+    assert(manifest.length >= (n / 100).toInt)
+    assert(manifest.forall(_.getAs[Long]("bytes") > 0L))
+    assert(manifest.map(_.getAs[String]("file")).distinct.length == manifest.length)
+    // round trip: the shards read back to the same id set
+    val back = IO.read(spark, dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(back == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      IO.writeShards(docs, dir, maxRecordsPerFile = 0)
+    }
+  }
 }
