@@ -45,6 +45,28 @@ object Streaming {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Corpus-quality drift monitor: per event-time window (optionally per
+    * source), the integer quality-point sum, document count, the exact
+    * mean, and `drift` = mean − `baselineMean` (fit the baseline on a
+    * trusted static slice: `avg(qualityPoints)` there). The alerting
+    * primitive of a continuously-ingesting pipeline — a souring source
+    * shows up as a sustained negative drift in its windows. Sums are
+    * INTEGER points ([[graft.ext.TextStats.qualityPoints]]), so the means
+    * are fold-order-exact and batch/stream parity is bit-for-bit;
+    * [[windowedAgg]] supplies the watermark/state semantics. */
+  def qualityDrift(events: DataFrame, tsCol: String, textCol: String,
+                   watermark: Option[String], win: String,
+                   baselineMean: Double, keys: Seq[String] = Nil): DataFrame =
+    windowedAgg(
+      events.withColumn("__pts", graft.ext.TextStats.qualityPoints(col(textCol))),
+      tsCol, watermark, win, keys = keys,
+      aggs = Seq(
+        sum(col("__pts").cast("long")).as("points_sum"),
+        count(lit(1)).as("docs")))
+      .withColumn("mean_quality",
+        col("points_sum").cast("double") / col("docs").cast("double"))
+      .withColumn("drift", col("mean_quality") - lit(baselineMean))
+
   /** Per-batch tabulation: run the (margin-producing) tabulation pipeline on
     * every micro-batch output. Margins over an unbounded stream are only
     * consistent within a batch snapshot, so `foreachBatch` is the correct

@@ -231,6 +231,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityDrift windows match the batch means exactly; drift offsets the baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // deterministic event times: 4 hourly windows
+    val rows = docs.zipWithIndex.map { case ((id, tx), i) =>
+      (id, tx, java.sql.Timestamp.valueOf(s"2026-01-01 0${i % 4}:15:00")) }
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    stream.addData(rows)
+    val baseline = 5.0
+    val agg = Streaming.qualityDrift(
+      stream.toDF().toDF("doc_id", "text", "ts"), "ts", "text",
+      watermark = Some("1 hour"), win = "1 hour", baselineMean = baseline)
+    val q = Streaming.toMemorySink(agg, "stream_drift")
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_drift")
+        .select(col("window.start").as("w"), col("points_sum"), col("docs"),
+          col("mean_quality"), col("drift"))
+        .collect().map(r => r.getTimestamp(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      val want = rows.toSeq.toDF("doc_id", "text", "ts")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum(graft.ext.TextStats.qualityPoints(col("text")).cast("long"))
+          .as("points_sum"), count(lit(1)).as("docs"))
+        .select(col("window.start"), col("points_sum"), col("docs"))
+        .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got.size == 4 && got.keySet == want.keySet)
+      got.foreach { case (w, (ps, n, mean, drift)) =>
+        assert((ps, n) == want(w))
+        assert(mean == ps.toDouble / n)
+        assert(drift == mean - baseline)
+      }
+    } finally q.stop()
+  }
+
   test("frozen DSIR scorer scores micro-batches exactly like the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
