@@ -942,6 +942,44 @@ object ExtQueries {
         .select(col("doc_id"), col("text_clean"), col("spans_hit"),
           col("tokens_total"), col("tokens_masked"))
         .orderBy(col("doc_id"))
+    },
+    // Backward as-of join (merge_asof semantics): every click matched to
+    // the user's latest purchase at-or-before it. Union + one user_id
+    // shuffle + last(ignoreNulls) carry-forward — no range predicate ever
+    // reaches a join, so the plan can never be a nested loop.
+    "q107_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ext.Joins.asofJoin(clicks, buys, Seq("user_id"), "ts", "ts",
+          payload = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    // Bucketized point-in-interval range join: clicks inside the 10-minute
+    // window after each error, per user — intervals replicate to their
+    // covered 600 s epoch buckets and the match is an EQUI-join on
+    // (user_id, bucket) + exact residual, never a theta join.
+    "q108_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 600 SECONDS")).as("w_end"))
+      graft.ext.Joins.rangeJoin(clicks, errors, Seq("user_id"),
+          "ts", "w_start", "w_end", bucketSeconds = 600L)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("sum_value"))
+        .orderBy(col("err_id"))
     }
   )
 
@@ -1296,6 +1334,46 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
+    // union + carry-forward replay of the as-of algebra: right rows sort
+    // before left rows at equal ts (inclusive match), right-row ties
+    // resolve by (matched ts, value) — the same total order Spark uses.
+    "q107_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events WHERE event_type='click'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+        |      FROM events WHERE event_type='purchase'),
+        |u AS (
+        |  SELECT user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+        |         t AS mt, value FROM r
+        |  UNION ALL
+        |  SELECT user_id, t, 1 AS side, event_id,
+        |         CAST(NULL AS TIMESTAMP) AS mt, CAST(NULL AS DOUBLE) AS value
+        |  FROM l),
+        |c AS (SELECT user_id, t, side, event_id,
+        |        last_value(mt IGNORE NULLS) OVER w AS m_ts,
+        |        last_value(value IGNORE NULLS) OVER w AS m_value
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t, side, mt, value
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  m_value AS purchase_value
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // plain inequality join — DuckDB's IEJoin handles what would be a
+    // nested loop in Spark; the engine-side bucketing is replayed only by
+    // its RESULT equivalence.
+    "q108_range_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+        |           FROM events WHERE event_type='click'),
+        |i AS (SELECT event_id AS err_id, user_id,
+        |        CAST(ts AS TIMESTAMP) AS ws,
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 600 SECOND AS we
+        |      FROM events WHERE event_type='error')
+        |SELECT i.err_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM i JOIN p ON i.user_id = p.user_id AND p.t >= i.ws AND p.t <= i.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the whole prune replayed: 16-smallest-id pivots, nearest-pivot cells
     // with the q79 tie-break, per-cell proto-desc rank, drop floor(0.25*cnt)
     "q83_proto_prune" ->

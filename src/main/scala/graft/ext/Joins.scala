@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins: backward as-of join and
+  * point-in-interval range join. Both are re-expressed as ONE key-shuffle
+  * plus window/equi-join algebra — never a `BroadcastNestedLoopJoin` theta
+  * join, which is what a naive `l.join(r, l("t") >= r("t"))` plans and
+  * which is quadratic at corpus scale.
+  *
+  * The reference (flatbread) has no temporal-join surface; these follow
+  * the public kdb/pandas `merge_asof` semantics and the interval-binning
+  * scheme every distributed range-join implementation uses (bucketize the
+  * interval, replicate to covered buckets, equi-join on the bucket key).
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, the LATEST right row whose
+    * `rightTime` <= the left row's `leftTime`, matched within equal `keys`
+    * (pandas `merge_asof` / kdb `aj` semantics, inclusive at equality).
+    *
+    * Plan shape: tag both sides, union, ONE shuffle on `keys`, and a
+    * running `last(payload, ignoreNulls)` over (time, side) order — the
+    * carry-forward trick. No range predicate ever reaches a join operator,
+    * so Catalyst cannot fall back to a nested-loop plan; cost is
+    * O((|L|+|R|) log) within each key partition, and keys distribute the
+    * work evenly across executors.
+    *
+    * Determinism: right rows sort before left rows at equal timestamps
+    * (inclusive match), and ties among right rows at the same timestamp
+    * resolve by the payload struct's field order — a total order, so the
+    * matched row never depends on partitioning.
+    *
+    * Output: every left column, then `<rightTime>_matched` plus the
+    * requested `payload` columns (null when no right row precedes, or when
+    * the match is older than `toleranceSeconds`).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String, payload: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equality key")
+    val matchedTs = s"${rightTime}_matched"
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(col(rightTime).as(matchedTs) +: payload.map(col): _*).as("__p")): _*)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    // unionByName fills each side's missing columns (left's payload struct,
+    // right's left-only columns) with nulls — one relation, one shuffle.
+    val u = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+
+    val inTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__m").isNotNull &&
+          (col("__t").cast("long") - col("__m").getField(matchedTs).cast("long")) <= tol
+      case None => col("__m").isNotNull
+    }
+    val matched = when(inTol, col("__m"))
+    carried.where(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        (matchedTs +: payload).map(f => matched.getField(f).as(f)): _*)
+  }
+
+  /** Point-in-interval range join: rows of `points` whose `pointTime` falls
+    * in `[startCol, endCol]` (inclusive) of an `intervals` row with equal
+    * `keys`. Returns the matched pairs: every `points` column plus every
+    * `intervals` column not already claimed by the points side.
+    *
+    * Plan shape: intervals explode to the epoch buckets of width
+    * `bucketSeconds` they cover, points map to their single bucket, and the
+    * match is an EQUI-join on (keys, bucket) + an exact residual predicate
+    * — the standard distributed range-join scheme. Replication factor is
+    * `interval span / bucketSeconds + 1`, so pick the bucket near the
+    * typical span: the join stays a hash join at any scale and skew is
+    * bounded by events-per-(key, bucket), not events-per-key.
+    *
+    * A point meets each interval in exactly one bucket (its own), so no
+    * pair-level dedup pass is needed. Degenerate intervals (end < start)
+    * match nothing and are dropped before the explode.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointTime: String, startCol: String, endCol: String,
+                bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val w = lit(bucketSeconds)
+    val iCols = intervals.columns.filterNot(points.columns.contains)
+    val p = points
+      .withColumn("__b", floor(col(pointTime).cast("long") / w))
+      .alias("__pt")
+    val i = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn("__b",
+        explode(sequence(floor(col(startCol).cast("long") / w),
+          floor(col(endCol).cast("long") / w))))
+      .alias("__iv")
+    val cond = (keys.map(k => col(s"__pt.$k") === col(s"__iv.$k")) :+
+      (col("__pt.__b") === col("__iv.__b")) :+
+      (col(s"__pt.$pointTime") >= col(s"__iv.$startCol")) :+
+      (col(s"__pt.$pointTime") <= col(s"__iv.$endCol"))).reduce(_ && _)
+    p.join(i, cond)
+      .select(points.columns.map(c => col(s"__pt.$c")) ++
+        iCols.map(c => col(s"__iv.$c")): _*)
+  }
+}

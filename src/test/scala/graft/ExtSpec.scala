@@ -2721,4 +2721,85 @@ class ExtSpec extends AnyFunSuite {
       Dsir.dsirSelect(raw, "doc_id", "text", target, 0.0)
     }
   }
+
+  // ---- temporal joins ------------------------------------------------------
+
+  private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
+    rows.toDF("k", "sec", valName)
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+
+  test("asofJoin: latest at-or-before match, inclusive equality, null before first") {
+    val left = Seq((1L, 100L, 0.0), (1L, 50L, 0.0), (1L, 5L, 0.0), (2L, 100L, 0.0))
+      .zipWithIndex.map { case ((k, s, _), i) => (i.toLong, k, s) }
+      .toDF("lid", "k", "sec").withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val right = tsDf(Seq((1L, 10L, 1.1), (1L, 50L, 2.2), (1L, 90L, 3.3), (9L, 1L, 9.9)), "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select(col("lid"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(0L) == 3.3)   // t=100 → latest right at 90
+    assert(out(1L) == 2.2)   // t=50 → right AT 50 (inclusive)
+    assert(out(2L) == null)  // t=5 → nothing at or before
+    assert(out(3L) == null)  // key 2 has no right rows at all
+  }
+
+  test("asofJoin: tolerance nulls out stale matches; right-time column surfaces") {
+    val left = Seq((0L, 1L, 500L)).toDF("lid", "k", "sec")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val right = tsDf(Seq((1L, 100L, 7.0)), "v")
+    val loose = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceSeconds = Some(1000L)).select("v", "t_matched").head()
+    assert(loose.getDouble(0) == 7.0 && !loose.isNullAt(1))
+    val strict = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceSeconds = Some(100L)).select("v", "t_matched").head()
+    assert(strict.isNullAt(0) && strict.isNullAt(1))
+  }
+
+  test("asofJoin: equal right timestamps resolve by payload order, not partitioning") {
+    val left = Seq((0L, 1L, 60L)).toDF("lid", "k", "sec")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val right = tsDf(Seq((1L, 30L, 2.0), (1L, 30L, 5.0), (1L, 30L, 1.0)), "v")
+      .repartition(7)
+    val got = (1 to 3).map(_ =>
+      Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+        .select("v").head().getDouble(0))
+    assert(got.toSet == Set(5.0)) // greatest (ts, v) struct wins, every run
+  }
+
+  test("rangeJoin: inclusive bounds, multi-match, key isolation, degenerate drop") {
+    val points = tsDf(Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 350L, 3.0),
+      (2L, 100L, 4.0)), "pv")
+    val intervals = Seq(
+      (10L, 1L, 100L, 200L),  // catches both boundary points for key 1
+      (11L, 1L, 150L, 400L),  // overlaps: point 200 and 350 match here too
+      (12L, 2L, 500L, 400L),  // degenerate end<start: matches nothing
+      (13L, 3L, 0L, 1000L)    // other key: never sees key-1/2 points
+    ).toDF("iid", "k", "s0", "s1")
+      .withColumn("ws", timestamp_seconds(col("s0")))
+      .withColumn("we", timestamp_seconds(col("s1")))
+      .drop("s0", "s1")
+    val out = Joins.rangeJoin(points, intervals, Seq("k"), "t", "ws", "we", 60L)
+      .select(col("iid"), col("pv")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((10L, 1.0), (10L, 2.0), (11L, 2.0), (11L, 3.0)))
+  }
+
+  test("rangeJoin: result is invariant to the bucket width") {
+    val points = tsDf(Seq((1L, 95L, 1.0), (1L, 180L, 2.0), (1L, 260L, 3.0),
+      (2L, 95L, 4.0), (2L, 300L, 5.0)), "pv")
+    val intervals = Seq((0L, 1L, 90L, 260L), (1L, 2L, 200L, 301L))
+      .toDF("iid", "k", "s0", "s1")
+      .withColumn("ws", timestamp_seconds(col("s0")))
+      .withColumn("we", timestamp_seconds(col("s1")))
+      .drop("s0", "s1")
+    val results = Seq(1L, 7L, 60L, 1000L).map { w =>
+      Joins.rangeJoin(points, intervals, Seq("k"), "t", "ws", "we", w)
+        .select(col("iid"), col("pv")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    }
+    assert(results.forall(_ == results.head))
+    assert(results.head == Set((0L, 1.0), (0L, 2.0), (0L, 3.0), (1L, 5.0)))
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(points, intervals, Seq("k"), "t", "ws", "we", 0L)
+    }
+  }
 }
