@@ -833,6 +833,16 @@ object ExtQueries {
             ref = docsPar(s, dir).filter(col("lang") === "en")))
         .select(col("doc_id"), col("nll_mean"), col("ppl_bucket"))
         .orderBy(col("doc_id"))),
+    // Stupid Backoff bigram score (Brants et al. 2007): seen bigrams score
+    // c(bg)/c(ctx), unseen back off to alpha * unigram with a +1/+V floor;
+    // same capped-broadcast model + document-order fold shape as q90.
+    "q109_stupid_backoff" -> ((s, dir) =>
+      graft.ext.Perplexity.stupidBackoffScore(
+          docsPar(s, dir), "doc_id", "text",
+          ref = docsPar(s, dir).filter(col("lang") === "en"))
+        .select(col("doc_id"), col("lang"), col("sb_grams"), col("sb_hits"),
+          col("sb_logscore"))
+        .orderBy(col("doc_id"))),
     // CCNet text normalization as a column op: lower → 1:1 accent fold →
     // digits→0 → strip non-letter/digit/space → collapse whitespace; the
     // md5 of the result is the normalized-identity dedup key. Pure per-row
@@ -961,9 +971,9 @@ object ExtQueries {
           col("value").as("purchase_value"))
         .orderBy(col("event_id"))
     },
-    // Bucketized point-in-interval range join: clicks inside the 10-minute
+    // Bucketized point-in-interval range join: clicks inside the 2-hour
     // window after each error, per user — intervals replicate to their
-    // covered 600 s epoch buckets and the match is an EQUI-join on
+    // covered 7200 s epoch buckets and the match is an EQUI-join on
     // (user_id, bucket) + exact residual, never a theta join.
     "q108_range_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -972,9 +982,9 @@ object ExtQueries {
       val errors = ev.where(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id"),
           col("ts").as("w_start"),
-          (col("ts") + expr("INTERVAL 600 SECONDS")).as("w_end"))
+          (col("ts") + expr("INTERVAL 7200 SECONDS")).as("w_end"))
       graft.ext.Joins.rangeJoin(clicks, errors, Seq("user_id"),
-          "ts", "w_start", "w_end", bucketSeconds = 600L)
+          "ts", "w_start", "w_end", bucketSeconds = 7200L)
         .groupBy(col("err_id"))
         .agg(count(lit(1)).as("n_clicks"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
@@ -1368,7 +1378,7 @@ object ExtQueries {
         |           FROM events WHERE event_type='click'),
         |i AS (SELECT event_id AS err_id, user_id,
         |        CAST(ts AS TIMESTAMP) AS ws,
-        |        CAST(ts AS TIMESTAMP) + INTERVAL 600 SECOND AS we
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 7200 SECOND AS we
         |      FROM events WHERE event_type='error')
         |SELECT i.err_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
         |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1796,6 +1806,52 @@ object ExtQueries {
          |  FROM cw, nn)
          |SELECT d2.doc_id, d2.nll_mean, lab.ppl_bucket
          |FROM d2 LEFT JOIN lab USING (nll_mean)
+         |ORDER BY doc_id""".stripMargin,
+    // the FULL Stupid Backoff replay: capped bigram/unigram models off the
+    // English slice, hit branch c(bg)/c(ctx), backoff branch with the
+    // +1/(N+V) floor, per-doc DOCUMENT-ORDER fold, 6 dp
+    "q109_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, lang, $docToks AS toks FROM documents),
+         |r AS (SELECT toks FROM t WHERE lang = 'en'),
+         |rg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1]))
+         |    ELSE [] END) AS gram FROM r),
+         |gc AS (SELECT gram, count(*) AS c FROM rg GROUP BY 1
+         |  QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 1048576),
+         |ru AS (SELECT unnest(toks) AS u FROM r),
+         |uc AS (SELECT u, count(*) AS c FROM ru GROUP BY 1
+         |  QUALIFY row_number() OVER (ORDER BY c DESC, u) <= 1048576),
+         |vv AS (SELECT count(*) + 1 AS v FROM uc),
+         |nn AS (SELECT sum(c) AS ntot FROM uc),
+         |dg AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |sc AS (SELECT doc_id, i AS pos,
+         |    concat_ws(' ', toks[i], toks[i+1]) AS gram,
+         |    toks[i] AS ctx, toks[i+1] AS w
+         |  FROM dg),
+         |j AS (SELECT sc.doc_id, sc.pos, gc.c AS cbg, u1.c AS ccx, u2.c AS cw
+         |  FROM sc LEFT JOIN gc ON sc.gram = gc.gram
+         |    LEFT JOIN uc u1 ON sc.ctx = u1.u
+         |    LEFT JOIN uc u2 ON sc.w = u2.u),
+         |nl AS (SELECT doc_id, pos,
+         |    (cbg IS NOT NULL AND ccx IS NOT NULL) AS hit,
+         |    CASE WHEN cbg IS NOT NULL AND ccx IS NOT NULL
+         |      THEN ln(CAST(cbg AS DOUBLE) / CAST(ccx AS DOUBLE))
+         |      ELSE ln(CAST(0.4 AS DOUBLE) *
+         |        (CAST(coalesce(cw, 0) + 1 AS DOUBLE) /
+         |         CAST((SELECT ntot FROM nn) + (SELECT v FROM vv) AS DOUBLE)))
+         |    END AS ls
+         |  FROM j),
+         |f AS (SELECT doc_id, count(*) AS sb_grams,
+         |    count(*) FILTER (WHERE hit) AS sb_hits,
+         |    list_sum(list(ls ORDER BY pos)) AS s
+         |  FROM nl GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(f.sb_grams, 0) AS sb_grams,
+         |  coalesce(f.sb_hits, 0) AS sb_hits,
+         |  round(f.s / f.sb_grams, 6) AS sb_logscore
+         |FROM documents d LEFT JOIN f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // the normalization chain replayed operator-for-operator (translate is
     // 1:1 codepoint in both engines; DuckDB regexp_replace needs the 'g'

@@ -146,6 +146,81 @@ object Perplexity {
       .withColumn("lm_oov", coalesce(col("lm_oov"), lit(0L)))
   }
 
+  /** Stupid Backoff bigram score (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4 — the smoothing Google built for
+    * web-scale counts precisely BECAUSE it needs no discount statistics,
+    * only raw counts, making it the natural distributed-aggregate LM):
+    *
+    *   S(w | w_prev) = c(w_prev w) / c(w_prev)        if the bigram was seen
+    *                 = α · (c(w) + 1) / (N + V)        otherwise
+    *
+    * with α = 0.4 (the paper's value), N = reference token count, V =
+    * vocabulary + 1. Brants leaves the unseen-unigram case open; the +1/+V
+    * floor keeps the backoff term positive for OOV words so every position
+    * scores (documented deviation, same closed-vocabulary convention as
+    * [[perplexityScore]]'s cap). Scores are not normalized probabilities —
+    * the paper's point — but the ranking is what quality filters use.
+    *
+    * Appends `sb_grams` (scored bigrams), `sb_hits` (bigrams found in the
+    * reference), `sb_logscore` (mean log S in document order, 6 dp; null
+    * when the document has no bigram). Same scale shape as
+    * [[perplexityScore]]: two capped model aggregates broadcast into three
+    * joins on the exploded gram stream; the corpus itself never shuffles.
+    */
+  def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String,
+                         ref: DataFrame, alpha: Double = 0.4,
+                         maxVocab: Int = 1 << 20,
+                         tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val bgC = capVocab(ngramCounts(ref, textCol, 2, tokenizer), maxVocab)
+    val uniC = capVocab(ngramCounts(ref, textCol, 1, tokenizer), maxVocab)
+    val vocab = uniC.select(count(lit(1))).head().getLong(0) + 1L
+    val nTotal = uniC.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+
+    val toks = tokenizer(coalesce(col(textCol), lit("")))
+    // bigram at pos i (0-based) spans tokens[i], tokens[i+1]: context and
+    // trailing word come straight off the PINNED token array — no second
+    // gram explode needed
+    val exploded = df
+      .select(col(idCol).as("__id"),
+        TextStats.pinnedCol(TextStats.ngramsOfTokens(toks, 2)).as("__g"),
+        TextStats.pinnedCol(toks).as("__t"))
+      .select(col("__id"), col("__t"),
+        posexplode(col("__g")).as(Seq("pos", "gram")))
+      .select(col("__id"), col("pos"), col("gram"),
+        element_at(col("__t"), col("pos") + 1).as("ctx"),
+        element_at(col("__t"), col("pos") + 2).as("w"))
+    val joined = exploded
+      .join(broadcast(bgC.withColumnRenamed("c", "__cbg")), Seq("gram"), "left")
+      .join(broadcast(uniC.select(col("gram").as("ctx"), col("c").as("__ccx"))),
+        Seq("ctx"), "left")
+      .join(broadcast(uniC.select(col("gram").as("w"), col("c").as("__cw"))),
+        Seq("w"), "left")
+    // a capped context can orphan a surviving bigram (c_bg without c_ctx):
+    // such positions take the backoff branch rather than divide by zero
+    val hit = col("__cbg").isNotNull && col("__ccx").isNotNull
+    val logS = when(hit,
+        log(col("__cbg").cast("double") / col("__ccx").cast("double")))
+      .otherwise(log(lit(alpha) *
+        ((coalesce(col("__cw"), lit(0L)) + lit(1L)).cast("double") /
+          lit(nTotal + vocab).cast("double"))))
+    val agg = joined
+      .groupBy(col("__id"))
+      .agg(
+        count(col("gram")).as("sb_grams"),
+        sum(when(hit, 1L).otherwise(0L)).cast("long").as("sb_hits"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), logS.as("ls")))),
+            s => s("ls")),
+          lit(0.0), (a, x) => a + x).as("__s"))
+      .select(col("__id"), col("sb_grams"), col("sb_hits"),
+        round(col("__s") / col("sb_grams"), 6).as("sb_logscore"))
+    df.join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("sb_grams", coalesce(col("sb_grams"), lit(0L)))
+      .withColumn("sb_hits", coalesce(col("sb_hits"), lit(0L)))
+  }
+
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2019, §4.3):
     * label each document by which perplexity tercile it falls in — `head`
     * (lowest NLL, most reference-like), `middle`, `tail`. Most public

@@ -2722,6 +2722,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("stupidBackoffScore: hand-computed hit and backoff branches") {
+    // ref "a b a c": uni a:2 b:1 c:1 (N=4, V=4); bigrams "a b","b a","a c"
+    val ref = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b x"), // "a b" hit ln(1/2); "b x" OOV backoff ln(0.4*1/8)
+      (2L, "x a"),   // miss with seen trailing word: ln(0.4*(2+1)/8)
+      (3L, "solo"),  // no bigram: grams 0, null score
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Perplexity.stupidBackoffScore(docs, "doc_id", "text", ref)
+      .select("doc_id", "sb_grams", "sb_hits", "sb_logscore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val exp1 = (math.log(1.0 / 2) + math.log(0.4 * 1.0 / 8)) / 2
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1)
+    assert(math.abs(out(1L)._3 - exp1) < 1e-6, s"got ${out(1L)._3} want $exp1")
+    assert(out(2L)._1 == 1 && out(2L)._2 == 0)
+    assert(math.abs(out(2L)._3 - math.log(0.4 * 3.0 / 8)) < 1e-6)
+    assert(out(3L) == ((0L, 0L, Double.NaN)) ||
+      (out(3L)._1 == 0L && out(3L)._3.isNaN))
+    assert(out(4L)._1 == 0L && out(4L)._3.isNaN)
+    // seen-everything doc ranks above gibberish
+    val rank = Perplexity.stupidBackoffScore(
+      Seq((1L, "a b a c"), (2L, "zz qq ww")).toDF("doc_id", "text"),
+      "doc_id", "text", ref)
+      .select("doc_id", "sb_logscore").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rank(1L) > rank(2L))
+    intercept[IllegalArgumentException] {
+      Perplexity.stupidBackoffScore(docs, "doc_id", "text", ref, alpha = 0.0)
+    }
+  }
+
   // ---- temporal joins ------------------------------------------------------
 
   private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
