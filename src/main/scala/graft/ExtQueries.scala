@@ -843,6 +843,14 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("sb_grams"), col("sb_hits"),
           col("sb_logscore"))
         .orderBy(col("doc_id"))),
+    // Sentence-level language segmentation: per-segment q33 langid →
+    // per-language segment counts, modal language, modal share — the
+    // polyglot-page detector. Pure per-row column algebra, zero shuffles.
+    "q110_segment_langid" -> ((s, dir) =>
+      TextStats.segmentLangStats(read(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_segments"), col("seg_en"), col("seg_de"),
+          col("seg_fr"), col("seg_es"), col("lang_major"), col("lang_major_frac"))
+        .orderBy(col("doc_id"))),
     // CCNet text normalization as a column op: lower → 1:1 accent fold →
     // digits→0 → strip non-letter/digit/space → collapse whitespace; the
     // md5 of the result is the normalized-identity dedup key. Pure per-row
@@ -1853,6 +1861,55 @@ object ExtQueries {
          |  round(f.s / f.sb_grams, 6) AS sb_logscore
          |FROM documents d LEFT JOIN f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // sentence split, per-segment q33 stopword argmax, per-doc modal
+    // aggregation — all replayed; the modal share divides the same exact
+    // integers on both engines
+    "q110_segment_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split_regex(coalesce(text, ''), '[.!?]+\s*'), x -> trim(x)),
+        |      x -> len(x) > 0) AS segs
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(segs) AS seg FROM s),
+        |h AS (SELECT doc_id, string_split_regex(lower(trim(seg)), '\s+') AS toks
+        |  FROM e),
+        |c AS (SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','ein','nicht','mit'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','un','une','pour'], x))) AS fr,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','los','las','y','es','un','una','por'], x))) AS es
+        |  FROM h),
+        |l AS (SELECT doc_id,
+        |    CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |         WHEN de >= fr AND de >= es THEN 'de'
+        |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang
+        |  FROM c),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS seg_en,
+        |    CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS seg_de,
+        |    CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS seg_fr,
+        |    CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS seg_es
+        |  FROM l GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(g.n_segments, 0) AS n_segments,
+        |  coalesce(g.seg_en, 0) AS seg_en,
+        |  coalesce(g.seg_de, 0) AS seg_de,
+        |  coalesce(g.seg_fr, 0) AS seg_fr,
+        |  coalesce(g.seg_es, 0) AS seg_es,
+        |  CASE WHEN g.n_segments IS NULL THEN NULL
+        |       WHEN g.seg_en >= g.seg_de AND g.seg_en >= g.seg_fr
+        |            AND g.seg_en >= g.seg_es THEN 'en'
+        |       WHEN g.seg_de >= g.seg_fr AND g.seg_de >= g.seg_es THEN 'de'
+        |       WHEN g.seg_fr >= g.seg_es THEN 'fr' ELSE 'es' END AS lang_major,
+        |  CASE WHEN g.n_segments > 0 THEN
+        |    CAST(greatest(g.seg_en, g.seg_de, g.seg_fr, g.seg_es) AS DOUBLE)
+        |      / CAST(g.n_segments AS DOUBLE) END AS lang_major_frac
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the normalization chain replayed operator-for-operator (translate is
     // 1:1 codepoint in both engines; DuckDB regexp_replace needs the 'g'
     // flag to match Spark's replace-all default)

@@ -162,6 +162,50 @@ object TextStats {
       .otherwise("es")
   }
 
+  /** Sentence-level language segmentation — the polyglot-page detector.
+    * Whole-document language ID (q33) mislabels pages that interleave
+    * languages (boilerplate in one, content in another — the case CCNet
+    * handles by scoring at paragraph granularity, Wenzek et al. 2019 §3).
+    * Splits on sentence punctuation (`[.!?]+` + following whitespace),
+    * runs [[langId]] per segment, and appends
+    *   - `n_segments` — non-blank sentence count
+    *   - `seg_en`/`seg_de`/`seg_fr`/`seg_es` — segments claimed per language
+    *   - `lang_major` — modal language ([[langId]]'s en>de>fr>es tie-break;
+    *     null when the document has no segments)
+    *   - `lang_major_frac` — modal share, an exact ratio of the integer
+    *     counts (1.0 = monolingual; low = polyglot page)
+    * Pure per-row column algebra, zero shuffles. Each projection pins the
+    * array the next consumes (the repetitionStats HOF-no-CSE discipline),
+    * so the sentence split and the per-segment langid run once per row. */
+  def segmentLangStats(df: DataFrame, textCol: String): DataFrame = {
+    val raw = split(coalesce(col(textCol), lit("")), "[.!?]+\\s*")
+    val segs = filter(transform(raw, s => trim(s)), s => length(s) > 0)
+    val n = col("n_segments")
+    df.withColumn("__segs", segs)
+      .withColumn("__langs", transform(col("__segs"), s => langId(s)))
+      .withColumn("n_segments", size(col("__langs")).cast("long"))
+      .withColumn("seg_en",
+        size(filter(col("__langs"), l => l === "en")).cast("long"))
+      .withColumn("seg_de",
+        size(filter(col("__langs"), l => l === "de")).cast("long"))
+      .withColumn("seg_fr",
+        size(filter(col("__langs"), l => l === "fr")).cast("long"))
+      .withColumn("seg_es",
+        size(filter(col("__langs"), l => l === "es")).cast("long"))
+      .withColumn("lang_major",
+        when(n === 0, lit(null).cast("string"))
+          .when(col("seg_en") >= col("seg_de") && col("seg_en") >= col("seg_fr") &&
+            col("seg_en") >= col("seg_es"), "en")
+          .when(col("seg_de") >= col("seg_fr") && col("seg_de") >= col("seg_es"), "de")
+          .when(col("seg_fr") >= col("seg_es"), "fr")
+          .otherwise("es"))
+      .withColumn("lang_major_frac",
+        when(n > 0,
+          greatest(col("seg_en"), col("seg_de"), col("seg_fr"), col("seg_es"))
+            .cast("double") / n.cast("double")))
+      .drop("__segs", "__langs")
+  }
+
   /** Canonical-form content fingerprint: md5 of whitespace-normalized
     * lowercase text. Stable across engines; the key for exact dedup. */
   def fingerprint(text: Column): Column =

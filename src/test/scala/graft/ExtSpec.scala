@@ -2755,6 +2755,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentLangStats: polyglot page detection with per-segment langid") {
+    val docs = Seq(
+      (1L, "The cat is on the mat. Le chat est sur le tapis! El gato es un gato."),
+      (2L, "The dog is in the house. The cat is on the mat."),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.segmentLangStats(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val p = out(1L)
+    assert(p.getAs[Long]("n_segments") == 3L)
+    assert(p.getAs[Long]("seg_en") == 1L && p.getAs[Long]("seg_fr") == 1L &&
+      p.getAs[Long]("seg_es") == 1L && p.getAs[Long]("seg_de") == 0L)
+    assert(p.getAs[String]("lang_major") == "en") // tie goes en-first like q33
+    assert(math.abs(p.getAs[Double]("lang_major_frac") - 1.0 / 3) < 1e-12)
+    val mono = out(2L)
+    assert(mono.getAs[Long]("n_segments") == 2L &&
+      mono.getAs[String]("lang_major") == "en" &&
+      mono.getAs[Double]("lang_major_frac") == 1.0)
+    for (id <- Seq(3L, 4L)) {
+      assert(out(id).getAs[Long]("n_segments") == 0L)
+      assert(out(id).getAs[String]("lang_major") == null)
+      assert(out(id).isNullAt(out(id).fieldIndex("lang_major_frac")))
+    }
+  }
+
   // ---- temporal joins ------------------------------------------------------
 
   private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
