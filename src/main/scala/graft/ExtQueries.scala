@@ -843,6 +843,26 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("sb_grams"), col("sb_hits"),
           col("sb_logscore"))
         .orderBy(col("doc_id"))),
+    // Trainable quality classifier (fastText-recipe logistic regression
+    // over hashed uni+bigram features), DISTILLING the heuristic gate:
+    // labels come from qualityPoints on every 4th doc (pos = full marks),
+    // the model learns to predict the gate from raw text, and the whole
+    // corpus is scored — the DataComp/Dolma-style seed-labeled quality
+    // model. Training is engine-side and iterative — no SQL oracle (driver
+    // records the rows-only check); determinism and separation are
+    // spec-pinned instead.
+    "q111_quality_classifier" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val slice = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("__pts", TextStats.qualityPoints(col("text")))
+      graft.ext.Classifier.qualityClassifierScore(
+          docs, "doc_id", "text",
+          pos = slice.filter(col("__pts") === 10).drop("__pts"),
+          neg = slice.filter(col("__pts") < 10).drop("__pts"),
+          iters = 12, lr = 300.0)
+        .select(col("doc_id"), col("lang"), col("clf_prob"), col("clf_keep"))
+        .orderBy(col("doc_id"))
+    }),
     // Sentence-level language segmentation: per-segment q33 langid →
     // per-language segment counts, modal language, modal share — the
     // polyglot-page detector. Pure per-row column algebra, zero shuffles.

@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StructField, StructType}
+
+/** Trainable model-based quality classifier — the fastText-recipe linear
+  * model (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+  * Classification"; the same shape GPT-3/LLaMA-style pipelines use to score
+  * "looks like the reference corpus" with a classifier trained on
+  * positive = curated pages, negative = random crawl). Features are the
+  * hashed uni+bigram bag ([[Dsir.hashedGramBuckets]], shared with DSIR so
+  * "feature" means the same thing across the scoring stack), L1-normalized
+  * per document; the model is logistic regression trained by full-batch
+  * gradient descent as a sequence of Spark aggregates.
+  *
+  * Scale shape: TRAINING runs on the caller's labeled slice (curation
+  * practice: thousands-to-millions of rows, not the corpus) — per iteration
+  * one (doc)-keyed aggregate for margins and one (bucket)-keyed aggregate
+  * for the gradient, collecting only the B-bounded gradient (B = 4096
+  * default). SCORING is corpus-scale and cheap: explode grams, ONE
+  * broadcast join against the B-row weight table, one skinny (id, bucket)
+  * fold — the corpus never shuffles by anything wider than its id.
+  *
+  * Determinism: a naive distributed gradient sums doubles in shuffle order
+  * and drifts between runs/partitionings, compounding over iterations.
+  * Here every cross-row sum (margins, gradients, scoring dots) is cast to
+  * DECIMAL(38,18) first — decimal addition is exact, hence
+  * order-independent — so training and scoring are bit-reproducible under
+  * any partitioning (spec-asserted). Per-row float math (σ, the products)
+  * stays IEEE-deterministic given identical inputs.
+  *
+  * No DuckDB oracle: the training loop is iterative and engine-side by
+  * nature (the q91-Excel precedent — spec-pinned where SQL replay is
+  * impossible); the driver records the rows-only check for q111.
+  */
+object Classifier {
+
+  /** A trained linear model over hashed-gram features. `weights(b)` is the
+    * coefficient of bucket `b`; the model is a plain value — broadcastable,
+    * serializable, reusable across batches/epochs (frozen-scorer posture). */
+  final case class LinearModel(weights: Array[Double], bias: Double,
+                               buckets: Int, salt: String)
+
+  private val Dec = DecimalType(38, 18)
+
+  /** The bias feature's value. Text features are L1-normalized (each
+    * ~1/grams ≈ 0.01–0.1), so a bias feature at 1.0 gets a ~20× larger
+    * gradient and full-batch GD spends its first dozens of iterations
+    * oscillating on the intercept (observed: at lr=50 the model passes
+    * through bias −15 before converging). Scaling the bias into the same
+    * range as the other features conditions the problem instead of
+    * requiring a tiny global rate. */
+  private val BiasX = 0.05
+
+  /** L1-normalized hashed-feature rows of a labeled slice:
+    * (__key, __y, bucket, __x) with __x = bucket count / total grams — an
+    * exact integer ratio per row — plus one constant row (bucket −1,
+    * __x = [[BiasX]]) per document: the BIAS as a feature, so one weight
+    * table and one gradient aggregate cover intercept and coefficients
+    * alike (the reported intercept is w₋₁·BiasX). */
+  private def featureRows(df: DataFrame, idCol: String, textCol: String,
+                          y: Double, buckets: Int, salt: String): DataFrame = {
+    val keyed = df.select(
+      concat(lit(f"$y%.1f:"), col(idCol).cast("string")).as("__key"),
+      lit(y).as("__y"),
+      TextStats.pinnedCol(
+        Dsir.hashedGramBuckets(col(textCol), buckets, salt)).as("__b"))
+    keyed
+      .select(col("__key"), col("__y"),
+        explode(col("__b")).as("bucket"), size(col("__b")).as("__n"))
+      .groupBy(col("__key"), col("__y"), col("bucket"), col("__n"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__key"), col("__y"), col("bucket"),
+        (col("__c").cast("double") / col("__n").cast("double")).as("__x"))
+      .unionAll(keyed.select(col("__key"), col("__y"),
+        lit(-1).as("bucket"), lit(BiasX).as("__x")))
+  }
+
+  /** Fit a logistic-regression quality model: `pos` = documents of the kind
+    * to keep, `neg` = documents of the kind to filter. Full-batch GD,
+    * `iters` fixed iterations, learning rate `lr`, optional L2 `l2`.
+    * Deterministic: same slices → bit-identical model, any partitioning. */
+  def train(pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
+            buckets: Int = 1 << 12, iters: Int = 20, lr: Double = 50.0,
+            l2: Double = 0.0, salt: String = "graft:clf"): LinearModel = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0.0, s"lr must be positive, got $lr")
+    val spark = pos.sparkSession
+    // the feature table feeds every iteration twice — materialize once.
+    // Training slices are labeled samples (thousands of rows), so a handful
+    // of partitions minimizes per-iteration task-scheduling overhead; at a
+    // genuinely large slice, raise spark.sql.shuffle.partitions instead.
+    val feats = featureRows(pos, idCol, textCol, 1.0, buckets, salt)
+      .unionAll(featureRows(neg, idCol, textCol, 0.0, buckets, salt))
+      .repartition(math.max(2, pos.sparkSession.sparkContext.defaultParallelism / 8))
+      .localCheckpoint()
+    val n = feats.select(countDistinct(col("__key"))).head().getLong(0)
+    require(n > 0, "training slices produced no feature rows")
+
+    val wSchema = StructType(Seq(StructField("bucket", IntegerType),
+      StructField("__w", DoubleType)))
+    // index 0 is the bias (feature bucket −1); coefficients shift by one
+    var w = new Array[Double](buckets + 1)
+    for (it <- 1 to iters) {
+      // linearly decaying rate (the fastText schedule): high early progress,
+      // damped endgame so a large base rate cannot oscillate forever
+      val lrT = lr * (1.0 - (it - 1).toDouble / iters)
+      val wDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          w.indices.map(b => Row(b - 1, w(b))), 1), wSchema)
+      // margins (bias rides as bucket −1): one (doc)-keyed exact aggregate;
+      // σ and the residual are per-row math on the exact sum
+      val err = feats.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col("__key"), col("__y"))
+        .agg(sum((col("__x") * coalesce(col("__w"), lit(0.0))).cast(Dec)).as("__m"))
+        .select(col("__key"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double")))
+            - col("__y")).as("__e"))
+      // gradient: one (bucket)-keyed exact aggregate, ≤ B+1 rows collected
+      // — the bucket −1 row IS the bias gradient
+      val grads = feats.join(err, Seq("__key"))
+        .groupBy(col("bucket"))
+        .agg(sum((col("__e") * col("__x")).cast(Dec)).as("__g"))
+        .collect().map(r => r.getInt(0) ->
+          r.getDecimal(1).doubleValue()).toMap
+      w = Array.tabulate(buckets + 1)(b =>
+        // no L2 on the intercept, the standard convention
+        w(b) - lrT * (grads.getOrElse(b - 1, 0.0) / n +
+          (if (b == 0) 0.0 else l2 * w(b))))
+    }
+    LinearModel(w.drop(1), w(0) * BiasX, buckets, salt)
+  }
+
+  /** Score a batch under a trained model: appends `clf_prob` (σ of the
+    * linear score, 6 dp) and `clf_keep` (prob ≥ `threshold`). One broadcast
+    * join + one id-keyed exact fold; corpus-scale safe. */
+  def score(df: DataFrame, idCol: String, textCol: String, model: LinearModel,
+            threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    val wSchema = StructType(Seq(StructField("bucket", IntegerType),
+      StructField("__w", DoubleType)))
+    val wDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        model.weights.indices.map(b => Row(b, model.weights(b))), 1), wSchema)
+    val feats = df.select(col(idCol).as("__id"),
+        TextStats.pinnedCol(Dsir.hashedGramBuckets(
+          col(textCol), model.buckets, model.salt)).as("__b"))
+      .select(col("__id"), explode(col("__b")).as("bucket"), size(col("__b")).as("__n"))
+      .groupBy(col("__id"), col("bucket"), col("__n"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__id"), col("bucket"),
+        (col("__c").cast("double") / col("__n").cast("double")).as("__x"))
+    val scored = feats.join(broadcast(wDf), Seq("bucket"), "left")
+      .groupBy(col("__id"))
+      .agg(sum((col("__x") * coalesce(col("__w"), lit(0.0))).cast(Dec)).as("__m"))
+      .select(col("__id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("__m").cast("double") + lit(model.bias)))), 6).as("clf_prob"))
+    df.join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("clf_keep", col("clf_prob") >= lit(threshold))
+  }
+
+  /** Train-and-score in one call (the q111 shape): fit on the labeled
+    * slices, score `df`. For repeated batches train once and reuse
+    * [[score]] with the returned model. */
+  def qualityClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                             pos: DataFrame, neg: DataFrame,
+                             buckets: Int = 1 << 12, iters: Int = 20,
+                             lr: Double = 50.0, l2: Double = 0.0,
+                             threshold: Double = 0.5,
+                             salt: String = "graft:clf"): DataFrame =
+    score(df, idCol, textCol,
+      train(pos, neg, idCol, textCol, buckets, iters, lr, l2, salt), threshold)
+}

@@ -2781,6 +2781,42 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quality classifier separates the classes and is partitioning-invariant") {
+    val pos = Seq(
+      (0L, "the cat is on the mat and the dog is in the house"),
+      (1L, "a report on the state of the data for the board"),
+      (2L, "the quick brown fox jumps over the lazy dog in the field"),
+      (3L, "this is a story of the sea and of the wind")
+    ).toDF("doc_id", "text")
+    val neg = Seq(
+      (0L, "el gato es un animal y los perros son animales"),
+      (1L, "las casas y los coches son caros por el momento"),
+      (2L, "el agua es importante para las plantas y los animales"),
+      (3L, "un dia por la playa con el sol y las olas")
+    ).toDF("doc_id", "text")
+    val model = Classifier.train(pos, neg, "doc_id", "text",
+      iters = 15, lr = 50.0)
+    val held = Seq(
+      (10L, "the ship is on the water and the crew is on the deck"),
+      (11L, "los barcos y el mar son para los marineros")
+    ).toDF("doc_id", "text")
+    val scored = Classifier.score(held, "doc_id", "text", model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("clf_prob"), r.getAs[Boolean]("clf_keep"))).toMap
+    assert(scored(10L)._1 > scored(11L)._1,
+      s"en ${scored(10L)._1} should beat es ${scored(11L)._1}")
+    assert(scored(10L)._2 && !scored(11L)._2)
+    // bit-identical model under a different input partitioning: decimal
+    // accumulation makes every cross-row sum order-independent
+    val model2 = Classifier.train(pos.repartition(7), neg.repartition(5),
+      "doc_id", "text", iters = 15, lr = 50.0)
+    assert(model.bias == model2.bias)
+    assert(model.weights.sameElements(model2.weights))
+    intercept[IllegalArgumentException] {
+      Classifier.train(pos, neg, "doc_id", "text", iters = 0)
+    }
+  }
+
   // ---- temporal joins ------------------------------------------------------
 
   private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
