@@ -943,6 +943,16 @@ object ExtQueries {
           m = 8, ksub = 16, train = e.filter(col("vec_id") < 64))
         .orderBy(col("qid"), col("rank"))
     },
+    // Binary quantization ANN: one bit per dimension (above/below the
+    // corpus mean, integer micro-unit cross-multiplied — no division),
+    // packed 32 bits/word; Hamming ranks 20 candidates per query, exact
+    // cosine re-ranks the top 5. The 32× compression rung below PQ.
+    "q112_binary_ann" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      graft.ext.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", topK = 5, rerank = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
     // Per-source corpus audit in one scan: volume, exact-distinct dup
     // rate, short-doc and integer-quality tallies — the before/after
     // report of every curation stage.
@@ -1191,6 +1201,41 @@ object ExtQueries {
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       |      FROM e)""".stripMargin
 
+  /** The whole binary-ANN pipeline replayed: micro-unit quantization,
+    * cross-multiplied mean-threshold bits packed 32/word, xor+popcount
+    * Hamming candidates (topK·rerank = 20, (ham, id) order), exact cosine
+    * re-rank with the q39 rounding/tie conventions. */
+  private val binaryAnnSql: String =
+    s"""WITH $cosineCtes,
+       |qz AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM n),
+       |nn AS (SELECT count(*) AS cnt FROM qz),
+       |st AS (SELECT d, sum(qv[d]) AS s
+       |  FROM qz CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+       |th AS (SELECT list(s ORDER BY d) AS sl FROM st),
+       |bs AS (SELECT vec_id,
+       |    list_transform(range(0, 2), w -> list_sum(list_transform(range(0, 32),
+       |      k -> CASE WHEN qv[w*32 + k + 1] * cnt > sl[w*32 + k + 1]
+       |           THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))) AS words
+       |  FROM qz CROSS JOIN nn CROSS JOIN th),
+       |hm AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+       |    list_sum(list_transform(range(1, 3),
+       |      j -> bit_count(xor(q.words[j], c.words[j])))) AS ham
+       |  FROM bs c JOIN bs q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |cd AS (SELECT qid, id FROM hm
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ham, id) <= 20),
+       |p2 AS (SELECT cd.qid, cd.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> q.v[k]*c.v[k])) / (q.nrm*c.nrm), 6) AS cos_sim
+       |  FROM cd JOIN n c ON cd.id = c.vec_id JOIN n q ON cd.qid = q.vec_id),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM p2)
+       |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   private val bruteCosineSql =
     s"""WITH $cosineCtes,
        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1372,6 +1417,7 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
+    "q112_binary_ann" -> binaryAnnSql,
     // union + carry-forward replay of the as-of algebra: right rows sort
     // before left rows at equal ts (inclusive match), right-row ties
     // resolve by (matched ts, value) — the same total order Spark uses.

@@ -248,6 +248,122 @@ object Quantize {
       .filter(col("rank") <= topK)
   }
 
+  /** Binary quantization: each dimension becomes ONE bit — above or below
+    * that dimension's mean over a `train` slice — packed into 32-bit words
+    * (`array<long>`, 32 bits per word: a full 64-bit pack would overflow
+    * BIGINT construction in engines that error instead of wrap). 64-dim
+    * float32 → 8 bytes: the 32× compression rung below int8/PQ, and the
+    * candidate-scan format where Hamming distance (one xor + popcount per
+    * word) replaces the dot product entirely.
+    *
+    * Determinism: components quantize to exact micro-units
+    * (`floor(v·10⁶)` as BIGINT, the [[Similarity]] centering discipline);
+    * the threshold test is `qv_d · n > Σ_d` — the mean comparison
+    * cross-multiplied so NO division ever happens (Java floorDiv and SQL
+    * integer division disagree on negatives; a product of exact integers
+    * does not). Output: (id, bits). */
+  def binarize(df: DataFrame, idCol: String, vecCol: String,
+               train: DataFrame = null, vecColTrain: String = null): DataFrame = {
+    val t = if (train == null) df else train
+    val tv = Similarity.toDouble(col(if (vecColTrain == null) vecCol else vecColTrain))
+    val stats = t
+      .select(posexplode(transform(tv,
+        x => floor(x * 1000000.0).cast("long"))).as(Seq("d", "q")))
+      .groupBy(col("d")).agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+      .collect()
+    require(stats.nonEmpty, "binarize needs a non-empty train slice")
+    val dims = stats.length
+    val n = stats.head.getLong(2)
+    val sums = new Array[Long](dims)
+    stats.foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    binarizeWith(df, idCol, vecCol, sums, n)
+  }
+
+  /** [[binarize]] against precomputed per-dimension micro-unit sums — the
+    * frozen-threshold form (new batches must binarize under the SAME
+    * thresholds or their words are incomparable). */
+  def binarizeWith(df: DataFrame, idCol: String, vecCol: String,
+                   sums: Array[Long], n: Long): DataFrame = {
+    val dims = sums.length
+    val nWords = (dims + 31) / 32
+    val sumsLit = array(sums.map(lit(_)): _*)
+    val pow2 = array((0 until 32).map(k => lit(1L << k)): _*)
+    val qv = transform(Similarity.toDouble(col(vecCol)),
+      x => floor(x * 1000000.0).cast("long"))
+    df.select(col(idCol).as("id"), TextStats.pinnedCol(qv).as("__qv"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(nWords - 1)), w =>
+          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, k) => {
+            val idx = w * 32 + k // 0-based dimension
+            acc + when(idx < dims &&
+              element_at(col("__qv"), idx + 1) * lit(n) >
+                element_at(sumsLit, idx + 1),
+              element_at(pow2, k + 1)).otherwise(0L)
+          })).as("bits"))
+  }
+
+  /** Two-stage binary ANN: Hamming distance over [[binarize]]d words ranks
+    * `topK · rerank` candidates per query (the cheap scan — xor+popcount on
+    * 8-byte signatures, queries broadcast, same plan shape as
+    * [[Similarity.annTopK]]), then exact cosine re-ranks only the
+    * candidates (a candidate-sized id equi-join back to the raw vectors —
+    * the only touch of full-precision data). `rerank = 0` skips the exact
+    * stage and returns the Hamming ranking itself (`ham` ascending, id
+    * tiebreak). Ties and rounding follow the q38/q56 conventions so the
+    * whole pipeline replays in SQL (q112). */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, topK: Int, rerank: Int = 4,
+                 train: DataFrame = null): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(rerank >= 0, s"rerank must be >= 0, got $rerank")
+    graft.funcs.VectorFunctions.register(corpus.sparkSession)
+    val t = if (train == null) corpus else train
+    // thresholds fit once (bounded collect: dims rows) and freeze for BOTH
+    // sides — corpus and queries must share the bit geometry
+    val tv = Similarity.toDouble(col(vecCol))
+    val stats = t
+      .select(posexplode(transform(tv,
+        x => floor(x * 1000000.0).cast("long"))).as(Seq("d", "q")))
+      .groupBy(col("d")).agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+      .collect()
+    require(stats.nonEmpty, "binaryTopK needs a non-empty train slice")
+    val sums = new Array[Long](stats.length)
+    stats.foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val n = stats.head.getLong(2)
+
+    val cB = binarizeWith(corpus, idCol, vecCol, sums, n)
+    val qB = binarizeWith(queries, idCol, vecCol, sums, n)
+      .select(col("id").as("qid"), col("bits").as("qbits"))
+    val ham = aggregate(
+      zip_with(col("qbits"), col("bits"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("id"))
+    val kH = if (rerank == 0) topK else topK * rerank
+    val cands = cB.join(broadcast(qB), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), ham.as("ham"))
+      .withColumn("rank", row_number().over(wH))
+      .filter(col("rank") <= kH)
+    if (rerank == 0)
+      return cands.select(col("qid"), col("id").as("neighbor_id"),
+        col("ham"), col("rank"))
+    // exact re-rank: candidate-sized joins back to full precision, the
+    // q38/q56 cosine convention (codegen'd float dot, 6 dp, id tiebreak)
+    val c = Similarity.prepared(corpus, idCol, vecCol)
+    val q = Similarity.prepared(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands.select(col("qid"), col("id"))
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        round(graft.funcs.VectorFunctions.dotF(col("qv"), col("v")) /
+          (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= topK)
+  }
+
   /** Relative L2 reconstruction error per vector:
     * `‖v − q·scale‖ / ‖v‖` — the quantization-quality diagnostic. */
   def reconstructionError(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -2817,6 +2817,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("binary ANN: self-match first, decent recall with re-rank, frozen thresholds") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.annTopK(e, q, "vec_id", "embedding", 5))
+    val bin = pairs(Quantize.binaryTopK(e, q, "vec_id", "embedding",
+      topK = 5, rerank = 4))
+    val recall = (brute & bin).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    // hamming-only mode: a vector is its own nearest signature
+    val ham0 = Quantize.binaryTopK(e, e.filter(col("vec_id") === 7), "vec_id",
+      "embedding", topK = 3, rerank = 0)
+    assert(ham0.columns.contains("ham") && ham0.count() == 3)
+    // frozen thresholds: binarizeWith under the same sums is partitioning-
+    // invariant bit-for-bit
+    val stats = e.select(posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long"))).as(Seq("d", "q")))
+      .groupBy(col("d")).agg(sum(col("q")).as("s"), count(lit(1)).as("c")).collect()
+    val sums = new Array[Long](stats.length)
+    stats.foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val n = stats.head.getLong(2)
+    def words(df: org.apache.spark.sql.DataFrame) =
+      Quantize.binarizeWith(df, "vec_id", "embedding", sums, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(words(e) == words(e.repartition(13)))
+    intercept[IllegalArgumentException] {
+      Quantize.binaryTopK(e, q, "vec_id", "embedding", topK = 0)
+    }
+  }
+
   // ---- temporal joins ------------------------------------------------------
 
   private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
