@@ -943,6 +943,13 @@ object ExtQueries {
           m = 8, ksub = 16, train = e.filter(col("vec_id") < 64))
         .orderBy(col("qid"), col("rank"))
     },
+    // Quality-aware corpus dedup terminal: q51's exact→LSH→CC pipeline
+    // with keep-BEST representatives (n_chars score, id tiebreak) at both
+    // the exact and the cluster stage, instead of first-wins.
+    "q113_dedup_keep_best_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpusKeepBest(docsPar(s, dir), "doc_id", "text", "n_chars")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
     // Binary quantization ANN: one bit per dimension (above/below the
     // corpus mean, integer micro-unit cross-multiplied — no division),
     // packed 32 bits/word; Hamming ranks 20 candidates per query, exact
@@ -1556,6 +1563,28 @@ object ExtQueries {
          |clusters AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id)
          |SELECT doc_id FROM rdocs
          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+         |ORDER BY doc_id""".stripMargin,
+    // q51's closure replay with keep-best winners: exact reps ranked by
+    // (n_chars DESC, id), cluster winners likewise — the engine's
+    // min(struct(-score, id)) argmax as two rank windows
+    "q113_dedup_keep_best_corpus" ->
+      s"""WITH RECURSIVE
+         |f AS (SELECT doc_id, n_chars,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |reps AS (SELECT doc_id FROM f
+         |  QUALIFY row_number() OVER (PARTITION BY fp
+         |    ORDER BY n_chars DESC, doc_id) = 1),
+         |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+         |${jaccardClosureCtesOver("rdocs")},
+         |clusters AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+         |cs AS (SELECT c.id, c.cluster, f2.n_chars
+         |  FROM clusters c JOIN f f2 ON c.id = f2.doc_id),
+         |win AS (SELECT id AS wid FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, id) = 1)
+         |SELECT doc_id FROM rdocs
+         |WHERE doc_id NOT IN (SELECT id FROM cs WHERE id NOT IN (SELECT wid FROM win))
          |ORDER BY doc_id""".stripMargin,
     "q45_collection_funcs" ->
       s"""SELECT doc_id,

@@ -751,6 +751,39 @@ object Dedup {
     dedupCorpusCore(df, idCol, textCol, minJaccard, numPerm, bands, k,
       maxBucketSize, maxIters, checkpoint, diagnose = false)._1
 
+  /** [[dedupCorpus]] with QUALITY-AWARE representative choice — the
+    * [[exactKeepBest]] policy extended through the near-dup stage: each
+    * exact-duplicate group keeps its highest-`scoreCol` member, and each
+    * near-dup cluster then keeps ITS highest-scoring member (id ascending
+    * among score ties — `min(struct(-score, id))`, deterministic where
+    * `max_by` is not). The standard curation refinement over first-wins:
+    * when boilerplate variants cluster, the longest / highest-quality
+    * variant survives instead of whichever id sorts first. Same plan shape
+    * and cap semantics as [[dedupCorpus]]; the extra cost is one
+    * cluster-sized argmax aggregate. */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String,
+                          minJaccard: Double = 0.8, numPerm: Int = 128,
+                          bands: Int = 32, k: Int = 4,
+                          maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
+                          maxIters: Int = 20,
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val reps = exactKeepBest(df, idCol, textCol, scoreCol).select(col(idCol))
+    val repDocs = CheckpointStrategy.materializer(checkpoint)(
+      df.join(reps, Seq(idCol), "left_semi"))
+    val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
+      numPerm, bands, k, maxBucketSize)
+    val clusters = nearDupClusters(pairs, maxIters, checkpoint)
+    val members = clusters.join(
+      repDocs.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
+    val winners = members.groupBy(col("cluster"))
+      .agg(min(struct((-col("__sc")).as("ns"), col("id").as("wid"))).as("__b"))
+      .select(col("__b.wid").as("wid"))
+    val drop = members.join(winners, members("id") === winners("wid"), "left_anti")
+      .select(col("id"))
+    repDocs.join(drop, repDocs(idCol) === drop("id"), "left_anti")
+  }
+
   /** [[dedupCorpus]] plus the cap's [[BucketCapReport]] — for pipelines that
     * must assert "the cap dropped nothing" (or log how close it came) as a
     * first-class output rather than scrape listener metrics. The report is

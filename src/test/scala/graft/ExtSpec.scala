@@ -2848,6 +2848,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupCorpusKeepBest keeps the highest-scoring member at both stages") {
+    val df = Seq(
+      (0L, base, 10L),                              // near-dup cluster, low score
+      (1L, base + " extra", 99L),                   // same cluster, best score
+      (2L, base.replace("quick", "slow"), 5L),      // same cluster
+      (3L, "completely different words describing a data processing engine built on spark", 1L),
+      (4L, base.toUpperCase, 50L)                   // exact dup of 0 modulo case
+    ).toDF("doc_id", "text", "score")
+    val kb = Dedup.dedupCorpusKeepBest(df, "doc_id", "text", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact stage: {0,4} keeps 4 (50 > 10); near-dup cluster {4,1} keeps 1
+    // (99 > 50); doc 2 is below the 0.8 jaccard bar (2/12 shingles changed)
+    // and rightly survives
+    assert(kb == Set(1L, 2L, 3L), s"got $kb")
+    // the first-wins terminal keeps min-id 0 from the same duplicate mass
+    val fw = Dedup.dedupCorpus(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fw == Set(0L, 2L, 3L), s"got $fw")
+  }
+
   // ---- temporal joins ------------------------------------------------------
 
   private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
