@@ -54,21 +54,35 @@ object IO {
     * data pages are read) joined with the FileSystem listing for sizes —
     * both manifest-sized, collected nowhere. Returns (file, rows, bytes)
     * sorted by file name; pair with [[graft.ext.Audit.epochShuffle]]
-    * upstream so shard order IS training order. */
+    * upstream so shard order IS training order.
+    *
+    * `format = "json"` writes JSONL shards instead — the format HF
+    * datasets / Megatron-style preprocessors ingest directly. JSONL has no
+    * footer statistics, so its manifest row counts come from one pass over
+    * the written LINES (`spark.read.text` + input_file_name — linear in
+    * the data, still collected nowhere); parquet stays footer-only. */
   def writeShards(df: DataFrame, path: String, maxRecordsPerFile: Long,
-                  partitionBy: Seq[String] = Nil): DataFrame = {
+                  partitionBy: Seq[String] = Nil,
+                  format: String = "parquet"): DataFrame = {
     require(maxRecordsPerFile >= 1,
       s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
+    require(format == "parquet" || format == "json",
+      s"format must be parquet or json, got $format")
     val w0 = df.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
-    w.parquet(path)
+    val ext = format match { case "json" => ".json"; case _ => ".parquet" }
+    format match { case "json" => w.json(path); case _ => w.parquet(path) }
     val spark = df.sparkSession
     import org.apache.spark.sql.functions._
     // join on the BASENAME (unique per file: part-NNNN-<uuid>): the
     // scan-side input_file_name() and the listing-side Path render the
     // same file with different URI spellings (file:/// vs file:/)
-    val rows = spark.read.parquet(path)
+    val readBack =
+      if (format == "json")
+        spark.read.option("recursiveFileLookup", "true").text(path)
+      else spark.read.parquet(path)
+    val rows = readBack
       .select(element_at(split(input_file_name(), "/"), -1).as("file"))
       .groupBy(col("file")).agg(count(lit(1)).as("rows"))
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -77,7 +91,7 @@ object IO {
     val sizes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet"))
+      if (f.getPath.getName.endsWith(ext))
         sizes += ((f.getPath.getName, f.getLen))
     }
     import spark.implicits._

@@ -171,4 +171,25 @@ class IOSpec extends AnyFunSuite {
       IO.writeShards(docs, dir, maxRecordsPerFile = 0)
     }
   }
+
+  test("writeShards json format emits loadable JSONL with a line-accurate manifest") {
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft_io_jsonl").toString + "/s"
+    val manifest = IO.writeShards(docs.repartition(2), dir,
+      maxRecordsPerFile = 100, format = "json").collect()
+    assert(manifest.map(_.getAs[Long]("rows")).sum == n)
+    assert(manifest.forall(_.getAs[Long]("rows") <= 100L))
+    assert(manifest.forall(_.getAs[String]("file").endsWith(".json")))
+    // every line is a standalone JSON document (the JSONL contract)
+    val back = spark.read.json(dir)
+    assert(back.count() == n)
+    assert(!back.columns.contains("_corrupt_record"))
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      IO.writeShards(docs, dir, maxRecordsPerFile = 10, format = "orc")
+    }
+  }
 }

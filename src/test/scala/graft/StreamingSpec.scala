@@ -705,4 +705,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(tot.getLong(1) == rows.dropRight(1).map(_.getLong(1)).sum)
     } finally q.stop()
   }
+
+  test("frozen quality classifier scores micro-batches exactly like the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the LinearModel is a plain value: train once on static slices, then
+    // score each arriving micro-batch under the SAME weights — continuous
+    // ingestion reuses the batch scorer unchanged
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(80)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val staticDf = docs.toDF("doc_id", "text")
+    val pts = graft.ext.TextStats.qualityPoints(col("text"))
+    val model = graft.ext.Classifier.train(
+      pos = staticDf.filter(pts === 10), neg = staticDf.filter(pts < 10),
+      "doc_id", "text", iters = 5, lr = 50.0)
+    val want = graft.ext.Classifier.score(staticDf, "doc_id", "text", model)
+      .select(col("doc_id"), col("clf_prob")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[Long, Double]()
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.Classifier.score(b, "doc_id", "text", model)
+          .select(col("doc_id"), col("clf_prob")).collect()
+          .foreach(r => got += r.getLong(0) -> r.getDouble(1))
+        ()
+      }.start()
+    try {
+      stream.addData(docs.take(40))
+      q.processAllAvailable()
+      stream.addData(docs.drop(40))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == want && got.size == 80)
+  }
 }
