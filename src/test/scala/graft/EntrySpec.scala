@@ -29,7 +29,10 @@ class EntrySpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Anything newly added here must be a deliberate rows-only check —
     // extend the allowlist in the same commit that adds the query.
-    assert(noOracle.isEmpty,
-      s"queries recorded rows-only (no oracle) — intended? $noOracle")
+    // q111: iterative engine-side GD training — no SQL replay exists;
+    // separation + bit-reproducibility are spec-pinned in ExtSpec instead.
+    val allowed = Set("q111_quality_classifier")
+    assert((noOracle -- allowed).isEmpty,
+      s"queries recorded rows-only (no oracle) — intended? ${noOracle -- allowed}")
   }
 }
