@@ -36,38 +36,77 @@ object Joins {
     * Output: every left column, then `<rightTime>_matched` plus the
     * requested `payload` columns (null when no right row precedes, or when
     * the match is older than `toleranceSeconds`).
+    *
+    * `direction` completes the pandas `merge_asof` surface:
+    *   - `"backward"` (default) — latest right at-or-before the left time;
+    *   - `"forward"` — earliest right at-or-after (right rows sort AFTER
+    *     left rows at equal timestamps so equality still matches, and the
+    *     carry runs over the forward frame);
+    *   - `"nearest"` — whichever of the two is closer in seconds, the
+    *     backward match winning exact-distance ties (both carries ride the
+    *     same single shuffle; only the in-partition sort runs twice).
+    * `toleranceSeconds` bounds |leftTime − match| in every direction.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
-               toleranceSeconds: Option[Long] = None): DataFrame = {
+               toleranceSeconds: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equality key")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val matchedTs = s"${rightTime}_matched"
 
+    // side ordering places right rows INSIDE the relevant frame at equal
+    // timestamps: before left (0 < 1) for the backward carry, after left
+    // (2 > 1) for the forward carry
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
-        lit(0).as("__side"),
+        lit(0).as("__sb"), lit(2).as("__sf"),
         struct(col(rightTime).as(matchedTs) +: payload.map(col): _*).as("__p")): _*)
     val l = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__sb", lit(1)).withColumn("__sf", lit(1))
     // unionByName fills each side's missing columns (left's payload struct,
     // right's left-only columns) with nulls — one relation, one shuffle.
     val u = l.unionByName(r, allowMissingColumns = true)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__p"))
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__sb"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-
-    val inTol = toleranceSeconds match {
-      case Some(tol) =>
-        col("__m").isNotNull &&
-          (col("__t").cast("long") - col("__m").getField(matchedTs).cast("long")) <= tol
-      case None => col("__m").isNotNull
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__sf"), col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = direction match {
+      case "backward" =>
+        u.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+          .withColumn("__mf", lit(null).cast(u.schema("__p").dataType))
+      case "forward" =>
+        u.withColumn("__mb", lit(null).cast(u.schema("__p").dataType))
+          .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
+      case _ =>
+        u.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+          .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
     }
-    val matched = when(inTol, col("__m"))
-    carried.where(col("__side") === 1)
+
+    def dist(m: Column): Column =
+      abs(col("__t").cast("long") - m.getField(matchedTs).cast("long"))
+    def within(m: Column): Column = toleranceSeconds match {
+      case Some(tol) => m.isNotNull && dist(m) <= tol
+      case None => m.isNotNull
+    }
+    val mb = when(within(col("__mb")), col("__mb"))
+    val mf = when(within(col("__mf")), col("__mf"))
+    // nearest: closest in seconds; exact ties and one-sided misses fall to
+    // the surviving side (backward wins ties — the documented convention)
+    val matched = direction match {
+      case "backward" => mb
+      case "forward" => mf
+      case _ => when(mb.isNotNull && mf.isNotNull,
+          when(dist(col("__mf")) < dist(col("__mb")), mf).otherwise(mb))
+        .otherwise(coalesce(mb, mf))
+    }
+    carried.where(col("__sb") === 1)
       .select(left.columns.map(col) ++
         (matchedTs +: payload).map(f => matched.getField(f).as(f)): _*)
   }

@@ -2911,6 +2911,41 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSet == Set(5.0)) // greatest (ts, v) struct wins, every run
   }
 
+  test("asofJoin: forward and nearest directions complete the merge_asof surface") {
+    val left = Seq((0L, 1L, 100L), (1L, 1L, 22L), (2L, 1L, 500L))
+      .toDF("lid", "k", "sec")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val right = tsDf(Seq((1L, 20L, 1.0), (1L, 110L, 2.0), (1L, 300L, 3.0)), "v")
+    def got(dir: String, tol: Option[Long] = None) =
+      Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"), tol, dir)
+        .select(col("lid"), col("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val fwd = got("forward")
+    assert(fwd(0L) == 2.0)  // t=100 → earliest at-or-after is 110
+    assert(fwd(1L) == 2.0)  // t=22 → 20 is in the past; earliest ahead is 110
+    assert(fwd(2L) == null) // nothing at-or-after 500
+    val near = got("nearest")
+    assert(near(0L) == 2.0)  // |100-110|=10 beats |100-20|=80
+    assert(near(1L) == 1.0)  // |22-20|=2 beats |22-110|=88
+    assert(near(2L) == 3.0)  // only the backward side exists
+    // inclusive equality in forward mode; exact-tie goes backward in nearest
+    val eq = Seq((0L, 1L, 50L)).toDF("lid", "k", "sec")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val rEq = tsDf(Seq((1L, 50L, 7.0)), "v")
+    assert(Joins.asofJoin(eq, rEq, Seq("k"), "t", "t", Seq("v"),
+      direction = "forward").select("v").head().getDouble(0) == 7.0)
+    val tie = tsDf(Seq((1L, 40L, 1.0), (1L, 60L, 2.0)), "v")
+    assert(Joins.asofJoin(eq, tie, Seq("k"), "t", "t", Seq("v"),
+      direction = "nearest").select("v").head().getDouble(0) == 1.0)
+    // tolerance applies per direction
+    val farFwd = got("forward", tol = Some(5L))
+    assert(farFwd(0L) == null && farFwd(1L) == null)
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+        direction = "sideways")
+    }
+  }
+
   test("rangeJoin: inclusive bounds, multi-match, key isolation, degenerate drop") {
     val points = tsDf(Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 350L, 3.0),
       (2L, 100L, 4.0)), "pv")
