@@ -960,6 +960,28 @@ object ExtQueries {
           "vec_id", "embedding", topK = 5, rerank = 4)
         .orderBy(col("qid"), col("rank"))
     },
+    // Embedding-norm hygiene: drop the 10% lowest- and 10% highest-norm
+    // value blocks via the histogram-CDF pattern (q94/q95) — the pre-index
+    // screen for degenerate and outlier vectors. No global corpus rank.
+    // The driver embeddings are unit-normalized, so the fixture scales each
+    // vector by 1 + (id%20)/10 to realize 20 distinct norm blocks — the
+    // operator itself sees an ordinary raw-embedding column.
+    "q114_norm_filter" -> ((s, dir) => {
+      val scaled = read(s, dir, "embeddings").withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double") *
+          (lit(1.0) + (col("vec_id") % 20).cast("double") / 10.0)))
+      Similarity.filterByNormBand(scaled, "vec_id", "embedding",
+          dropLowFrac = 0.1, dropHighFrac = 0.1)
+        .select(col("vec_id"), col("vec_norm"))
+        .orderBy(col("vec_id"))
+    }),
+    // Per-source token-length histogram: the length-distribution audit
+    // behind truncation/mixture decisions — one groupBy scan, exact
+    // integer counts and sums, histogram-sized output.
+    "q115_length_histogram" -> ((s, dir) =>
+      graft.ext.Audit.lengthHistogram(read(s, dir, "documents"),
+          "text", "source", bucketWidth = 20)
+        .orderBy(col("source"), col("len_bucket"))),
     // Per-source corpus audit in one scan: volume, exact-distinct dup
     // rate, short-doc and integer-quality tallies — the before/after
     // report of every curation stage.
@@ -1425,6 +1447,36 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
     "q112_binary_ann" -> binaryAnnSql,
+    // sequential-fold norm (array order both engines) rounded 6 dp, then
+    // the q95 histogram-CDF cut replayed per value block; drop fractions
+    // CAST to DOUBLE (the DuckDB bare-decimal gotcha)
+    "q114_norm_filter" ->
+      s"""WITH $cosineCtes,
+         |sc AS (SELECT vec_id, list_transform(v,
+         |    x -> x * (1 + CAST(vec_id % 20 AS DOUBLE) / 10.0)) AS v
+         |  FROM e),
+         |nm AS (SELECT vec_id,
+         |    round(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS vec_norm
+         |  FROM sc),
+         |h AS (SELECT vec_norm, count(*) AS c FROM nm GROUP BY 1),
+         |cw AS (SELECT vec_norm, c, sum(c) OVER (ORDER BY vec_norm) AS cum
+         |  FROM h),
+         |tt AS (SELECT sum(c) AS tot FROM h)
+         |SELECT nm.vec_id, nm.vec_norm
+         |FROM nm JOIN cw USING (vec_norm) CROSS JOIN tt
+         |WHERE NOT (cum <= floor(tot * CAST(0.1 AS DOUBLE)))
+         |  AND NOT (cum - c >= tot - floor(tot * CAST(0.1 AS DOUBLE)))
+         |ORDER BY vec_id""".stripMargin,
+    // exact integer histogram; bucket floor over a float division in both
+    // engines, sums cast off DuckDB's HUGEINT
+    "q115_length_histogram" ->
+      s"""WITH t AS (SELECT source, len($docToks) AS tc FROM documents)
+         |SELECT source, CAST(floor(tc / 20.0) AS BIGINT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(tc) AS BIGINT) AS tokens,
+         |  CAST(floor(tc / 20.0) AS BIGINT) * 20 AS bucket_lo
+         |FROM t GROUP BY 1, 2
+         |ORDER BY source, len_bucket""".stripMargin,
     // union + carry-forward replay of the as-of algebra: right rows sort
     // before left rows at equal ts (inclusive match), right-row ties
     // resolve by (matched ts, value) — the same total order Spark uses.

@@ -95,4 +95,22 @@ object Audit {
       .repartition(numParts, col("shuffle_part"))
       .sortWithinPartitions(col("shuffle_part"), col("shuffle_key"))
   }
+
+  /** Per-source token-length histogram: one row per (source, bucket) with
+    * the document count and exact token sum — the length-distribution audit
+    * every mixture decision reads (truncation risk at the context limit,
+    * short-doc mass per source) without ever ranking the corpus. One
+    * groupBy scan, histogram-sized output; buckets are
+    * `floor(tokens / bucketWidth)` so the report is integer-exact in both
+    * engines. */
+  def lengthHistogram(df: DataFrame, textCol: String, sourceCol: String,
+                      bucketWidth: Int = 50): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val toks = TextStats.tokenCount(coalesce(col(textCol), lit("")))
+    df.select(col(sourceCol).as("source"), toks.as("__tc"))
+      .groupBy(col("source"),
+        floor(col("__tc") / lit(bucketWidth)).as("len_bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("__tc")).as("tokens"))
+      .withColumn("bucket_lo", col("len_bucket") * bucketWidth)
+  }
 }

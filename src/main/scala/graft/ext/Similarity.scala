@@ -1003,4 +1003,44 @@ object Similarity {
         df.select(col(idCol), pert.as(vecCol))
           .select((col(idCol) + offset).as(idCol), col(vecCol)))
   }
+
+  /** Embedding-norm hygiene filter: drop the `dropLowFrac` lowest-norm and
+    * `dropHighFrac` highest-norm fractions of the corpus — the standard
+    * pre-index screen for degenerate vectors (all-zero / truncated inputs
+    * at the low end, outlier activations at the high end) that would
+    * otherwise pollute centroid training and distance rankings.
+    *
+    * Scale shape — a corpus-fraction cut must not rank the corpus through a
+    * global window. This is the histogram-CDF pattern (q94/q95): norms are
+    * rounded to 6 dp, a HISTOGRAM of the rounded values (one aggregate,
+    * value-cardinality-sized) takes the cumulative window, cut decisions
+    * are made per VALUE block, and one broadcast join labels the corpus.
+    * Tie blocks straddling a boundary survive whole — determinism over
+    * exact fractions, the package-wide trade. The norm itself is the
+    * sequential double fold [[l2Norm]] (array order, both engines), so the
+    * rounded value — and therefore the keep set — replays exactly in SQL.
+    * Appends `vec_norm`; returns only surviving rows. */
+  def filterByNormBand(df: DataFrame, idCol: String, vecCol: String,
+                       dropLowFrac: Double = 0.0, dropHighFrac: Double = 0.0,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(dropLowFrac >= 0.0 && dropHighFrac >= 0.0 &&
+      dropLowFrac + dropHighFrac < 1.0,
+      s"drop fractions must be >= 0 and sum < 1, got low=$dropLowFrac high=$dropHighFrac")
+    val scored = CheckpointStrategy.materializer(checkpoint)(
+      df.withColumn("vec_norm", round(l2Norm(toDouble(col(vecCol))), 6)))
+    val hist = scored.groupBy(col("vec_norm")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("vec_norm"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.select(col("vec_norm"), col("__c"),
+      sum(col("__c")).over(w).as("__cum")).localCheckpoint()
+    if (cum.isEmpty) return scored
+    val n = cum.agg(max(col("__cum"))).head().getLong(0)
+    val lowN = math.floor(n * dropLowFrac)
+    val highStart = n - math.floor(n * dropHighFrac)
+    val keepVals = cum.filter(!(col("__cum") <= lit(lowN)) &&
+        !(col("__cum") - col("__c") >= lit(highStart)))
+      .select(col("vec_norm"))
+    scored.join(broadcast(keepVals), Seq("vec_norm"), "left_semi")
+      .select((df.columns :+ "vec_norm").map(col): _*)
+  }
 }

@@ -2868,6 +2868,46 @@ class ExtSpec extends AnyFunSuite {
     assert(fw == Set(0L, 2L, 3L), s"got $fw")
   }
 
+  test("filterByNormBand drops value blocks at both ends, straddlers survive") {
+    // norms 1..10 (vector (k, 0)): drop 20% low + 20% high → keep 3..8
+    val vs = (1 to 10).map(k => (k.toLong, Array(k.toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.filterByNormBand(vs, "vec_id", "embedding",
+      dropLowFrac = 0.2, dropHighFrac = 0.2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (3L to 8L).toSet, s"got $kept")
+    // a tie block straddling the low boundary survives whole: three docs
+    // share norm 1, dropLow=0.2 of n=5 cuts 1 — the block of 3 straddles
+    val tied = Seq((1L, 1f), (2L, 1f), (3L, 1f), (4L, 5f), (5L, 9f))
+      .map { case (i, x) => (i, Array(x, 0f)) }.toDF("vec_id", "embedding")
+    val keptTied = Similarity.filterByNormBand(tied, "vec_id", "embedding",
+      dropLowFrac = 0.2, dropHighFrac = 0.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L, 2L, 3L, 4L, 5L), s"got $keptTied")
+    intercept[IllegalArgumentException] {
+      Similarity.filterByNormBand(vs, "vec_id", "embedding", 0.6, 0.5)
+    }
+  }
+
+  test("lengthHistogram: exact per-source bucket counts and token sums") {
+    val docs = Seq(
+      ("a", "one two three"),            // 3 tokens → bucket 0
+      ("a", (1 to 25).map(_ => "w").mkString(" ")), // 25 → bucket 1
+      ("a", (1 to 22).map(_ => "w").mkString(" ")), // 22 → bucket 1
+      ("b", "x"),                        // 1 → bucket 0
+      ("b", null.asInstanceOf[String])   // null → 1 empty token → bucket 0
+    ).toDF("source", "text")
+    val out = Audit.lengthHistogram(docs, "text", "source", bucketWidth = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", 0L)) == ((1L, 3L, 0L)))
+    assert(out(("a", 1L)) == ((2L, 47L, 20L)))
+    assert(out(("b", 0L)) == ((2L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Audit.lengthHistogram(docs, "text", "source", bucketWidth = 0)
+    }
+  }
+
   // ---- temporal joins ------------------------------------------------------
 
   private def tsDf(rows: Seq[(Long, Long, Double)], valName: String) =
