@@ -982,6 +982,31 @@ object ExtQueries {
       graft.ext.Audit.lengthHistogram(read(s, dir, "documents"),
           "text", "source", bucketWidth = 20)
         .orderBy(col("source"), col("len_bucket"))),
+    // Corpus-wide most-frequent trigrams: the boilerplate radar behind
+    // stop-gram lists and repeated-passage analysis. Two map-side-combined
+    // shuffles (per-doc gram counts, then gram totals), TakeOrdered top-K.
+    "q116_top_ngrams" -> ((s, dir) =>
+      graft.ext.Audit.topNgrams(docsPar(s, dir), "doc_id", "text",
+          n = 3, topK = 50, minDocFreq = 2)
+        .orderBy(col("rank"))),
+    // Per-registrable-domain corpus report over q86's synthesized URLs:
+    // the blocklist-candidate audit (flag = high dup rate OR low mean
+    // quality). One groupBy(domain) scan; domain-cardinality output.
+    "q117_domain_report" -> { (s, dir) =>
+      val suffix = expr("case cast(doc_id % 7 as int) when 0 then 'co.uk' " +
+        "when 1 then 'com' when 2 then 'org' when 3 then 'net' " +
+        "when 4 then 'io' when 5 then 'com.au' else 'de' end")
+      val url = concat(
+        lit("http"), when(col("doc_id") % 2 === 0, "s").otherwise(""),
+        lit("://"), when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        col("source"), lit("."), suffix, lit("/d/"),
+        ((col("doc_id") * 37) % 1000).cast("string"))
+      Urls.domainReport(
+          read(s, dir, "documents").select(col("doc_id"), col("text"), url.as("url")),
+          "url", "text", shortTokens = 30, maxDupRate = 0.05,
+          minAvgQuality = 5.0)
+        .orderBy(col("domain"))
+    },
     // Per-source corpus audit in one scan: volume, exact-distinct dup
     // rate, short-doc and integer-quality tallies — the before/after
     // report of every curation stage.
@@ -1477,6 +1502,89 @@ object ExtQueries {
          |  CAST(floor(tc / 20.0) AS BIGINT) * 20 AS bucket_lo
          |FROM t GROUP BY 1, 2
          |ORDER BY source, len_bucket""".stripMargin,
+    // full n-gram replay: per-doc gram counts, gram totals + doc frequency,
+    // rank under the same (occurrences desc, gram) total order; sums cast
+    // off DuckDB's HUGEINT. Spark's limit(50) is deterministic because the
+    // order is total (gram is unique per group).
+    "q116_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $docToks AS t FROM documents),
+         |g AS (SELECT doc_id, concat_ws(' ', t[CAST(i AS INT)],
+         |        t[CAST(i+1 AS INT)], t[CAST(i+2 AS INT)]) AS gram
+         |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+         |            FROM t WHERE len(t) >= 3)),
+         |pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |gl AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
+         |         CAST(count(*) AS BIGINT) AS doc_freq
+         |       FROM pd GROUP BY 1 HAVING count(*) >= 2),
+         |r AS (SELECT gram, occurrences, doc_freq,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, gram)
+         |          AS INT) AS rank
+         |      FROM gl)
+         |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
+         |ORDER BY rank""".stripMargin,
+    // q86's URL-synthesis + domain CTEs feeding q101's report shape keyed
+    // by domain; the flag compares ratios of identical exact integers, so
+    // the IEEE comparison cannot diverge between engines
+    "q117_domain_report" ->
+      """WITH u AS (SELECT doc_id, coalesce(text, '') AS tx,
+        |    'http' || (CASE WHEN doc_id%2=0 THEN 's' ELSE '' END) || '://'
+        |    || (CASE WHEN doc_id%3=0 THEN 'www.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE CAST(doc_id%7 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+        |        WHEN 2 THEN 'org' WHEN 3 THEN 'net' WHEN 4 THEN 'io'
+        |        WHEN 5 THEN 'com.au' ELSE 'de' END)
+        |    || '/d/' || CAST((doc_id*37)%1000 AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, tx, url,
+        |    regexp_extract(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS host
+        |  FROM u),
+        |lx AS (SELECT doc_id, tx, host, string_split(host, '.') AS labs,
+        |    len(string_split(host, '.')) AS n FROM h),
+        |dm AS (SELECT doc_id, tx,
+        |    CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+        |         WHEN n <= 2 THEN host
+        |         WHEN (labs[n-1] || '.' || labs[n]) IN ('co.uk','org.uk',
+        |           'ac.uk','gov.uk','net.uk','com.au','net.au','org.au',
+        |           'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx',
+        |           'com.ar','com.tr','com.tw','co.in','co.kr','co.za',
+        |           'com.sg','com.hk')
+        |           THEN labs[n-2] || '.' || labs[n-1] || '.' || labs[n]
+        |         ELSE labs[n-1] || '.' || labs[n] END AS domain
+        |  FROM lx),
+        |p AS (SELECT domain, tx,
+        |    string_split_regex(lower(trim(tx)), '\s+') AS toks,
+        |    md5(regexp_replace(lower(trim(tx)), '\s+', ' ', 'g')) AS fp
+        |  FROM dm),
+        |q AS (SELECT domain, tx, toks, fp,
+        |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+        |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+        |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+        |  + (CASE WHEN CAST(len(regexp_extract_all(tx, '[.,!?;:]')) AS DOUBLE)
+        |      / length(tx) <= 0.1 THEN 2 ELSE 0 END) AS pts
+        |  FROM p),
+        |g AS (SELECT domain,
+        |    CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS tokens_sum,
+        |    CAST(sum(length(tx)) AS BIGINT) AS chars_sum,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_docs,
+        |    CAST(count(*) FILTER (WHERE len(toks) < 30) AS BIGINT) AS short_docs,
+        |    CAST(sum(pts) AS BIGINT) AS quality_sum
+        |  FROM q GROUP BY 1),
+        |r AS (SELECT domain, docs, tokens_sum, chars_sum, distinct_docs,
+        |    short_docs, quality_sum,
+        |    CAST(1 AS DOUBLE)
+        |      - CAST(distinct_docs AS DOUBLE) / CAST(docs AS DOUBLE) AS dup_rate,
+        |    CAST(quality_sum AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_quality,
+        |    CAST(tokens_sum AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_tokens
+        |  FROM g)
+        |SELECT domain, docs, tokens_sum, chars_sum, distinct_docs, short_docs,
+        |  quality_sum, dup_rate, avg_quality, avg_tokens,
+        |  CAST(CASE WHEN dup_rate > CAST(0.05 AS DOUBLE)
+        |         OR avg_quality < CAST(5.0 AS DOUBLE) THEN 1 ELSE 0 END AS INT)
+        |    AS flagged
+        |FROM r ORDER BY domain""".stripMargin,
     // union + carry-forward replay of the as-of algebra: right rows sort
     // before left rows at equal ts (inclusive match), right-row ties
     // resolve by (matched ts, value) — the same total order Spark uses.

@@ -113,4 +113,47 @@ object Audit {
       .agg(count(lit(1)).as("docs"), sum(col("__tc")).as("tokens"))
       .withColumn("bucket_lo", col("len_bucket") * bucketWidth)
   }
+
+  /** Corpus-wide most-frequent token n-grams: the boilerplate radar — the
+    * report behind "what 13-gram is suspiciously common" (Gopher's
+    * repeated-passage analysis), stop-gram lists for the Jaccard indexes,
+    * and template detection. One row per surviving gram with
+    *   - `occurrences` — total occurrence count across the corpus
+    *   - `doc_freq` — number of distinct documents containing the gram
+    *   - `rank` — dense position under (occurrences desc, gram asc)
+    * restricted to grams appearing in at least `minDocFreq` documents,
+    * top `topK` overall.
+    *
+    * Scale shape: explode feeds a groupBy(id, gram) — partial-agg combines
+    * map-side, so raw occurrences never cross the wire — then the per-doc
+    * (gram, count) rows aggregate by gram (second, much smaller shuffle);
+    * no exact-distinct expansion needed because doc_freq is just a row
+    * count at that point. The top-K is `orderBy(...).limit(topK)` —
+    * Spark's TakeOrdered, partial per partition, never a global sort.
+    * The rank window runs on topK rows (output-sized single partition,
+    * the documented presentation-layer contract). */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                topK: Int = 100, minDocFreq: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    // token array materialized before the generator: explode rebuilds its
+    // input per output row (the HOF-no-CSE trap), so tokenization must not
+    // live inside the exploded expression
+    val toks = df.select(col(idCol).as("id"),
+      TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val grams = toks
+      .select(col("id"), TextStats.ngramsOfTokens(col("__t"), n).as("__g"))
+      .select(col("id"), explode(col("__g")).as("gram"))
+    val perDoc = grams.groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+    val global = perDoc.groupBy(col("gram"))
+      .agg(sum(col("__c")).as("occurrences"), count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(topK)
+    global.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("occurrences").desc, col("gram"))).cast("int"))
+  }
 }

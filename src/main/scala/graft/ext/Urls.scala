@@ -105,4 +105,28 @@ object Urls {
       df.withColumn("__domain", registrableDomain(coalesce(col(urlCol), lit("")), multiSuffixes)),
       "__domain", idCol, cap)
       .drop("__domain")
+
+  /** Per-registrable-domain corpus report + blocklist-candidate flag: the
+    * audit behind curated domain blocklists (RefinedWeb prunes whole
+    * domains whose content is duplicated or low-quality, not individual
+    * pages). [[Audit.corpusReport]] keyed on the derived domain, plus
+    * `flagged` = 1 when the domain's duplicate rate exceeds `maxDupRate` OR
+    * its mean quality points fall below `minAvgQuality`. Both ratios divide
+    * the report's exact integers with identical IEEE arithmetic in Spark
+    * and the oracle, so the threshold comparison is engine-stable.
+    *
+    * Scale shape: the domain derivation is a zero-shuffle projection;
+    * everything after is [[Audit.corpusReport]]'s one groupBy scan, output
+    * sized by domain cardinality. */
+  def domainReport(df: DataFrame, urlCol: String, textCol: String,
+                   shortTokens: Int = 30, maxDupRate: Double = 0.5,
+                   minAvgQuality: Double = 2.0,
+                   multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
+    Audit.corpusReport(
+        df.withColumn("domain",
+          registrableDomain(coalesce(col(urlCol), lit("")), multiSuffixes)),
+        textCol, "domain", shortTokens)
+      .withColumn("flagged",
+        (col("dup_rate") > maxDupRate ||
+          col("avg_quality") < minAvgQuality).cast("int"))
 }

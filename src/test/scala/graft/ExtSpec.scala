@@ -2120,6 +2120,30 @@ class ExtSpec extends AnyFunSuite {
     assert(Urls.capPerDomain(many, "url", "doc_id", cap = 2).count() == 3)
   }
 
+  test("domainReport: per-domain exact tallies and the blocklist-candidate flag") {
+    val good = (1 to 40).map(i => "tok" + i).mkString("the and of to a is in for on with ", " ", "")
+    val docs = Seq(
+      (0L, "http://a.dup.com/1", "same same text here"),
+      (1L, "http://b.dup.com/2", "same same text here"),   // exact dup of 0
+      (2L, "http://dup.com/3", "other words entirely"),
+      (3L, "http://good.org/x", good),                     // long, stopword-rich
+      (4L, "http://good.org/y", good + " more")
+    ).toDF("doc_id", "url", "text")
+    val out = Urls.domainReport(docs, "url", "text",
+        shortTokens = 3, maxDupRate = 0.2, minAvgQuality = 6.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dup = out("dup.com")
+    assert(dup.getLong(dup.fieldIndex("docs")) == 3L)
+    assert(dup.getLong(dup.fieldIndex("distinct_docs")) == 2L)
+    assert(dup.getInt(dup.fieldIndex("flagged")) == 1)     // dup_rate 1/3 > 0.2
+    val g = out("good.org")
+    assert(g.getLong(g.fieldIndex("docs")) == 2L)
+    assert(g.getLong(g.fieldIndex("distinct_docs")) == 2L)
+    // 50-token stopword-rich low-punct docs score 5+3+2 = 10 -> unflagged
+    assert(g.getDouble(g.fieldIndex("avg_quality")) == 10.0)
+    assert(g.getInt(g.fieldIndex("flagged")) == 0)
+  }
+
   test("temperatureMixture: realized counts track n^alpha, limiting source kept whole") {
     val df = ((0 until 400).map(i => (i.toLong, "srcA")) ++
       (400 until 500).map(i => (i.toLong, "srcB")) ++
@@ -2905,6 +2929,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out(("b", 0L)) == ((2L, 2L, 0L)))
     intercept[IllegalArgumentException] {
       Audit.lengthHistogram(docs, "text", "source", bucketWidth = 0)
+    }
+  }
+
+  test("topNgrams: exact occurrence/doc-freq counts, minDocFreq gate, rank order") {
+    val docs = Seq(
+      (0L, "a b c a b c"),      // "a b c"×2, "b c a"×1, "c a b"×1
+      (1L, "a b c d"),          // "a b c", "b c d"
+      (2L, "z z z z"),          // "z z z"×2 — single doc, killed by minDocFreq
+      (3L, "a b"),              // too short for trigrams
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Audit.topNgrams(docs, "doc_id", "text", n = 3, topK = 10,
+      minDocFreq = 2).collect()
+    // only "a b c" appears in >= 2 docs
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a b c" && r.getLong(1) == 3L &&
+      r.getLong(2) == 2L && r.getInt(3) == 1)
+    // minDocFreq=1 admits per-doc grams; rank follows (occurrences, gram)
+    val all = Audit.topNgrams(docs, "doc_id", "text", n = 3, topK = 3,
+      minDocFreq = 1).collect()
+    assert(all.map(_.getString(0)).toSeq == Seq("a b c", "z z z", "b c a"))
+    assert(all.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Audit.topNgrams(docs, "doc_id", "text", n = 0)
     }
   }
 
