@@ -989,6 +989,15 @@ object ExtQueries {
       graft.ext.Audit.topNgrams(docsPar(s, dir), "doc_id", "text",
           n = 3, topK = 50, minDocFreq = 2)
         .orderBy(col("rank"))),
+    // Epoch-repeat mixture: src0 upsampled 2.5x, src1 dropped, src2 kept at
+    // 0.25, everything else 1 epoch. Zero-shuffle generator; copy counts
+    // are exact-integer floors plus a deterministic md5-bucket draw.
+    "q118_repeat_mixture" -> ((s, dir) =>
+      Corpus.repeatMixture(read(s, dir, "documents"), "doc_id", "source",
+          factors = Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.25),
+          default = 1.0)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))),
     // Per-registrable-domain corpus report over q86's synthesized URLs:
     // the blocklist-candidate audit (flag = high dup rate OR low mean
     // quality). One groupBy(domain) scan; domain-cardinality output.
@@ -1522,6 +1531,22 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // identical md5-bucket arithmetic (q85's replay shape): floor copies
+    // per source + one extra below the fractional cut, unnested 0..n-1
+    "q118_repeat_mixture" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(doc_id || ':graft:repeat'), 1, 8))
+        |      AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 2 + (CASE WHEN b < 5000 THEN 1 ELSE 0 END)
+        |         WHEN source = 'src1' THEN 0
+        |         WHEN source = 'src2' THEN (CASE WHEN b < 2500 THEN 1 ELSE 0 END)
+        |         ELSE 1 END AS copies
+        |  FROM c)
+        |SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+        |FROM (SELECT doc_id, source, unnest(range(0, copies)) AS i FROM n)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     // q86's URL-synthesis + domain CTEs feeding q101's report shape keyed
     // by domain; the flag compares ratios of identical exact integers, so
     // the IEEE comparison cannot diverge between engines

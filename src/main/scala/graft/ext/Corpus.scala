@@ -212,6 +212,48 @@ object Corpus {
       fractions, default = 0.0, buckets, salt)
   }
 
+  /** Epoch-repeat mixture: per-source REAL repeat factor (the up-sampling
+    * half of data mixing — "Wikipedia 2.5 epochs, web 0.3" in the
+    * LLaMA/Pile recipes). A row from a source with factor `f` is emitted
+    * `floor(f)` times, plus once more iff its hash bucket falls under the
+    * fractional part — so realized counts are `n·floor(f)` exactly plus a
+    * hash-binomial `frac(f)` draw, deterministic per (key, salt) and
+    * stable as the corpus grows. Each copy carries `copy_idx` (0-based):
+    * feed it into [[graft.ext.Audit.epochShuffle]]'s epoch to decorrelate
+    * copies across the training order. Factor 0 drops the source (the
+    * down-sampling degenerate case is [[stratifiedSample]]).
+    *
+    * Scale shape: zero shuffle — a broadcast-free when-chain resolves the
+    * factor, the copy count is pure hash arithmetic, and one generator
+    * projection emits the copies. Output size is Σ n_s·f_s by design. */
+  def repeatMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                    factors: Map[String, Double], default: Double = 1.0,
+                    buckets: Int = 10000,
+                    salt: String = "graft:repeat"): DataFrame = {
+    require((factors.values ++ Seq(default)).forall(f => f >= 0.0),
+      s"repeat factors must be >= 0: $factors, default $default")
+    requireFresh(df, "repeatMixture", "copy_idx")
+    def copiesOf(f: Double): Column = {
+      val base = math.floor(f).toLong
+      val cut = math.round((f - base) * buckets)
+      lit(base) + when(hashBucket(col(keyCol), buckets, salt) < cut, 1L)
+        .otherwise(0L)
+    }
+    val copies = factors.foldRight(copiesOf(default)) {
+      case ((source, f), rest) =>
+        when(col(sourceCol) === source, copiesOf(f)).otherwise(rest)
+    }
+    // sequence(0, n-1) with n = 0 would yield [0, -1] (Spark sequences run
+    // DOWNWARD when start > stop) — the unguarded when leaves NULL for
+    // zero copies and explode emits nothing for a NULL array; the copy
+    // count is materialized first (generators have no CSE)
+    df.withColumn("__copies", copies)
+      .withColumn("copy_idx",
+        explode(when(col("__copies") > 0,
+          sequence(lit(0L), col("__copies") - 1))))
+      .drop("__copies")
+  }
+
   /** Sliding-window document chunking: one output row per (document,
     * chunk), where chunk `i` is the `chunkTokens`-token window starting at
     * token `i · stride` — `stride = chunkTokens` (default) tiles the

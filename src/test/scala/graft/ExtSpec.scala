@@ -2144,6 +2144,35 @@ class ExtSpec extends AnyFunSuite {
     assert(g.getInt(g.fieldIndex("flagged")) == 0)
   }
 
+  test("repeatMixture: floor copies exact, fractional part hash-binomial, 0 drops") {
+    val df = ((0 until 200).map(i => (i.toLong, "up")) ++
+      (200 until 400).map(i => (i.toLong, "down")) ++
+      (400 until 500).map(i => (i.toLong, "gone")) ++
+      (500 until 600).map(i => (i.toLong, "other"))).toDF("doc_id", "source")
+    val out = Corpus.repeatMixture(df, "doc_id", "source",
+      factors = Map("up" -> 2.5, "down" -> 0.5, "gone" -> 0.0))
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // floor component is exact: every "up" row appears >= 2 times
+    val upCounts = out.filter(col("source") === "up")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().map(_._2)
+    assert(upCounts.forall(c => c == 2L || c == 3L))
+    assert(bySrc("up") >= 400 && bySrc("up") <= 600)
+    assert(bySrc("down") > 50 && bySrc("down") < 150)   // ~100 of 200
+    assert(!bySrc.contains("gone"))
+    assert(bySrc("other") == 100L)                       // default 1.0 exact
+    // copy_idx is 0-based and dense per row
+    val idxs = out.filter(col("source") === "up" && col("doc_id") === 0L)
+      .select("copy_idx").as[Long].collect().sorted
+    assert(idxs.headOption.contains(0L) && idxs.toSeq == idxs.indices.map(_.toLong))
+    // determinism: same inputs, same realized multiset
+    assert(out.count() ==
+      Corpus.repeatMixture(df, "doc_id", "source",
+        factors = Map("up" -> 2.5, "down" -> 0.5, "gone" -> 0.0)).count())
+    intercept[IllegalArgumentException] {
+      Corpus.repeatMixture(df, "doc_id", "source", Map("up" -> -1.0))
+    }
+  }
+
   test("temperatureMixture: realized counts track n^alpha, limiting source kept whole") {
     val df = ((0 until 400).map(i => (i.toLong, "srcA")) ++
       (400 until 500).map(i => (i.toLong, "srcB")) ++
