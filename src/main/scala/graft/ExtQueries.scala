@@ -998,6 +998,25 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Incremental MinHash near-dup vs the frozen corpus: arrivals are 100
+    // appended-token near-dups (Jaccard ≈ (n-3)/(n-2), high) + 50
+    // token-reversed rewrites (shingle sets ≈ disjoint). Probe-confirm:
+    // seen band keys → Bloom → band equi-join → exact candidate Jaccard;
+    // the oracle replays exact Jaccard over every new×seen pair.
+    "q119_incremental_minhash" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val toks = TextStats.tokens(col("text"))
+      val arrivals = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" "), toks.getItem(0)).as("text"))
+        .unionByName(docs.filter(col("doc_id").between(100, 149))
+          .select((col("doc_id") + 2000).as("doc_id"),
+            concat_ws(" ", reverse(toks)).as("text")))
+      Dedup.incrementalMinhash(arrivals, docs, "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     // Per-registrable-domain corpus report over q86's synthesized URLs:
     // the blocklist-candidate audit (flag = high dup rate OR low mean
     // quality). One groupBy(domain) scan; domain-cardinality output.
@@ -1531,6 +1550,31 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // exact Jaccard over every arrival×seen pair at the threshold (the LSH
+    // path's recall-1 contract, q35/q41's oracle trick, applied to the
+    // incremental shape): arrivals synthesized as in the query, kept =
+    // no seen pair at J >= 0.8
+    "q119_incremental_minhash" ->
+      s"""WITH tk AS (SELECT doc_id, text, $docToks AS t FROM documents),
+         |arr AS (
+         |  SELECT doc_id + 2000 AS doc_id, text || ' ' || t[1] AS text
+         |  FROM tk WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 2000 AS doc_id,
+         |    array_to_string(list_reverse(t), ' ') AS text
+         |  FROM tk WHERE doc_id BETWEEN 100 AND 149),
+         |${shingleCtesOver("arr", 4, "a")},
+         |${shingleCtesOver("documents", 4, "s")},
+         |na AS (SELECT doc_id, count(*) AS n FROM ad GROUP BY 1),
+         |ns AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
+         |co AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS c
+         |       FROM ad a JOIN sd b ON a.g = b.g GROUP BY 1, 2),
+         |hit AS (SELECT DISTINCT aid FROM co
+         |        JOIN na ON aid = na.doc_id JOIN ns ON bid = ns.doc_id
+         |        WHERE CAST(c AS DOUBLE)/(na.n + ns.n - c) >= 0.8)
+         |SELECT doc_id FROM arr
+         |WHERE doc_id NOT IN (SELECT aid FROM hit)
+         |ORDER BY doc_id""".stripMargin,
     // identical md5-bucket arithmetic (q85's replay shape): floor copies
     // per source + one extra below the fractional cut, unnested 0..n-1
     "q118_repeat_mixture" ->

@@ -723,6 +723,78 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Incremental MinHash-LSH near-dup dedup: the rows of `newDf` with NO
+    * Jaccard ≥ `minJaccard` near-duplicate in the frozen `seenDf` — the
+    * continuous-ingestion form of [[minhashDedupPairs]] (today's crawl
+    * delta against the standing corpus), completing the incremental family
+    * ([[incrementalExact]] for identity, [[incrementalNear]] for Hamming,
+    * [[graft.ext.Similarity.incrementalCosine]] for embeddings) with the
+    * probe-then-confirm shape they share:
+    *   1. the seen side's (band, bandHash) keys are computed once
+    *      (materialized — at production scale persist them next to the
+    *      corpus) and folded into a measured-capacity Bloom filter;
+    *   2. each batch band row probes the filter (codegen, zero shuffle):
+    *      batches are mostly fresh, so most rows exit here for the cost of
+    *      a hash;
+    *   3. survivors equi-join the seen band keys — never a cross join — to
+    *      concrete (new, seen) candidate pairs, and exact shingle-set
+    *      Jaccard on those pairs only confirms (LSH decides recall, the
+    *      exact check decides precision, same contract as
+    *      [[minhashDedupPairs]]).
+    * The band-bucket cap guards the candidate join's F² term on the seen
+    * side; as with the batch terminal, collapse exact duplicates (here:
+    * [[incrementalExact]]) FIRST at real dup rates — an over-cap
+    * identical-content group emits no candidates by design. */
+  def incrementalMinhash(newDf: DataFrame, seenDf: DataFrame, idCol: String,
+                         textCol: String, minJaccard: Double = 0.8,
+                         numPerm: Int = 128, bands: Int = 32, k: Int = 4,
+                         maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
+                         expectedSeen: Option[Long] = None, fpp: Double = 0.01,
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val m = CheckpointStrategy.materializer(checkpoint)
+    def bandKey = xxhash64(col("bk.band"), col("bk.sig"))
+    // materialized once: feeds the Bloom build (+ its sizing count) and the
+    // confirm join — incrementalExact's seenFp posture
+    val seenBk = m(capBuckets(
+      bandedSignatures(
+        minhashSignatures(seenDf, idCol, textCol, numPerm, k), numPerm, bands),
+      maxBucketSize)
+      .select(col("id").as("sid"), col("bk"), bandKey.as("__bkh")))
+    val bytes = serializedBloom(buildLongBloom(
+      seenBk.select(col("__bkh")).distinct(), "__bkh", expectedSeen, fpp))
+    // batch signatures materialized BEFORE the probe (the ORed-probe /
+    // no-CSE lesson from incrementalNear: a lazy projection would re-run
+    // the whole signature lineage under the filter)
+    val newBk = m(bandedSignatures(
+      minhashSignatures(newDf, idCol, textCol, numPerm, k), numPerm, bands))
+    val probed = newBk.filter(
+      graft.funcs.VectorFunctions.bloomMightContain(bandKey, bytes))
+    val pairs = probed.as("p")
+      .join(seenBk.as("s"), col("p.bk") === col("s.bk"))
+      .select(col("p.id").as("id"), col("s.sid").as("sid")).distinct()
+    // exact confirm on candidate pairs only; candidate-id semi-joins are
+    // left to AQE (same no-forced-broadcast posture as minhashDedupPairs)
+    def sets(df: DataFrame, idc: String, out: String, gout: String) = df
+      .select(col(idc).as(out),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(out), shinglesOfTokens(col("__t"), k).as(gout))
+    val newSets = sets(newDf, idCol, "id", "g1")
+      .join(pairs.select("id").distinct(), Seq("id"))
+    val seenSets = sets(seenDf, idCol, "sid", "g2")
+      .join(pairs.select("sid").distinct(), Seq("sid"))
+    val confirmed = pairs.join(newSets, Seq("id")).join(seenSets, Seq("sid"))
+      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("__j", col("__c").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("__c")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("id")).distinct()
+    // bounded by the batch, but its plan embeds the whole probe+confirm
+    // pipeline — materialize before the anti-join (incrementalNear's q65
+    // union-shaped-input lesson)
+    val confirmedIds = m(confirmed)
+    newDf.join(confirmedIds, newDf(idCol) === confirmedIds("id"), "left_anti")
+  }
+
   /** The full text-dedup TERMINAL: exact-duplicate collapse, then MinHash-LSH
     * near-dup pairs over the exact REPRESENTATIVES only, then connected
     * components and one anti-join keeping one document per cluster.

@@ -2144,6 +2144,37 @@ class ExtSpec extends AnyFunSuite {
     assert(g.getInt(g.fieldIndex("flagged")) == 0)
   }
 
+  test("incrementalMinhash: near-dup arrivals dropped, fresh kept, bloom is perf-only") {
+    val seen = (0L to 9L).map(i =>
+      (i, s"seen document number $i with a long enough body of tokens " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      // near-dup of seen 3: one appended token -> J = (n-3)/(n-2)
+      (100L, "seen document number 3 with a long enough body of tokens " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      // verbatim copy of seen 7
+      (101L, "seen document number 7 with a long enough body of tokens " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // genuinely fresh
+      (102L, "completely unrelated arrival about spark physical plans " +
+        "and exchange reuse with nothing shared at the shingle level")
+    ).toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val kept = Dedup.incrementalMinhash(arrivals, seen, "doc_id", "text",
+          minJaccard = 0.8, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(102L), s"fpp=$fpp kept $kept")
+    }
+    // batch-internal duplicates are NOT the incremental contract: both
+    // copies of a fresh doc survive (dedupe the batch itself separately)
+    val twin = Seq(
+      (200L, "twin fresh arrival with its own distinct shingle content here"),
+      (201L, "twin fresh arrival with its own distinct shingle content here")
+    ).toDF("doc_id", "text")
+    assert(Dedup.incrementalMinhash(twin, seen, "doc_id", "text").count() == 2L)
+  }
+
   test("repeatMixture: floor copies exact, fractional part hash-binomial, 0 drops") {
     val df = ((0 until 200).map(i => (i.toLong, "up")) ++
       (200 until 400).map(i => (i.toLong, "down")) ++
