@@ -998,6 +998,17 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Perceptual image hashing over the REAL decode path: synthetic PNGs →
+    // ImageIO decode → 9×8 nearest-grid dHash. The oracle recomputes every
+    // sampled pixel analytically (q61's losslessness argument), so a
+    // decoder or sampling deviation breaks the hash. Signature halves
+    // emitted as unsigned 32-bit BIGINTs.
+    "q120_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(
+          Multimodal.syntheticImages(docsPar(s, dir), "doc_id"))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sig_hi"), col("sig_lo"))
+        .orderBy(col("doc_id"))),
     // Incremental MinHash near-dup vs the frozen corpus: arrivals are 100
     // appended-token near-dups (Jaccard ≈ (n-3)/(n-2), high) + 50
     // token-reversed rewrites (shingle sets ≈ disjoint). Probe-confirm:
@@ -1550,6 +1561,35 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // full analytic replay of the dHash: q61's synthetic pixel formulas at
+    // the 72 nearest-sampled grid points, row-adjacent gray comparisons,
+    // bits packed into unsigned 32-bit halves with integer shifts
+    "q120_image_dhash" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id * 3) % 8 AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, gy.range AS gy, gx.range AS gx,
+        |    (gx.range * w) // 9 AS sx, (gy.range * h) // 8 AS sy
+        |  FROM dims, range(0, 8) gy, range(0, 9) gx),
+        |gr AS (SELECT doc_id, gy, gx,
+        |    ((doc_id + 3*sx + 5*sy) % 256)
+        |    + ((2*doc_id + 7*sx + sy) % 256)
+        |    + ((doc_id + sx*sy) % 256) AS gray
+        |  FROM g),
+        |b AS (SELECT a.doc_id, a.gy * 8 + (a.gx - 1) AS pos,
+        |    CASE WHEN a.gray > p.gray THEN 1 ELSE 0 END AS bit
+        |  FROM gr a JOIN gr p
+        |    ON a.doc_id = p.doc_id AND a.gy = p.gy AND p.gx = a.gx - 1
+        |  WHERE a.gx >= 1)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN pos >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT)
+        |    AS sig_hi,
+        |  CAST(SUM(CASE WHEN pos < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT)
+        |    AS sig_lo
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // exact Jaccard over every arrival×seen pair at the threshold (the LSH
     // path's recall-1 contract, q35/q41's oracle trick, applied to the
     // incremental shape): arrivals synthesized as in the query, kept =

@@ -928,23 +928,34 @@ object Dedup {
           useMd5 = hasher == Hasher.Md5).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
-    * 16-bit signature quarters (a pair within distance 3 must agree on at
-    * least one of 4 blocks — pigeonhole), so no cross join. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, k: Int = 4,
-                   hasher: Hasher = Hasher.Xx): DataFrame = {
-    require(maxDist < 4, "blocking scheme assumes maxDist <= 3 (4 blocks)")
-    val sigs = simhash(df, idCol, textCol, k, hasher)
+  /** Hamming near-dup pairs over ANY precomputed 64-bit signature table
+    * (`id`, `sig`) — SimHash text signatures, image dHashes, audio
+    * fingerprints: blocked on 16-bit signature quarters (a pair within
+    * distance 3 must agree on at least one of 4 blocks — pigeonhole), so
+    * the candidate generation is an equi-join on the block key, never a
+    * cross join. Returns distinct (id1, id2, dist) with id1 < id2 and
+    * dist ≤ `maxDist`. */
+  def hammingPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      "blocking scheme assumes 0 <= maxDist <= 3 (4 blocks)")
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("blk"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v")))
-    val keyed = sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
-    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v")))
+    val keyed = sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk"))
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"), hamming.as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist — [[simhash]]
+    * signatures through the generic [[hammingPairs]] pigeonhole join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, k: Int = 4,
+                   hasher: Hasher = Hasher.Xx): DataFrame =
+    hammingPairs(
+      simhash(df, idCol, textCol, k, hasher)
+        .select(col("id"), col("simhash").as("sig")), maxDist)
 }

@@ -301,6 +301,59 @@ object Multimodal {
       embedImage(r.media, grid).map(EmbeddedRow(r.id, _))))
   }
 
+  /** dHash (difference hash) of one image — the standard perceptual
+    * near-dup signature for crawl imagery (resize-invariant by
+    * construction, brightness-shift-invariant because only ADJACENT
+    * comparisons matter): sample a 9×8 grid by nearest pixel
+    * (`sx = gx·w/9`, `sy = gy·h/8`, integer division — deterministic and
+    * analytically replayable, unlike interpolated resizes), take the
+    * channel-sum gray (r+g+b, no division — comparing sums ≡ comparing
+    * means), and set bit `gy·8+gx` iff gray(gx+1) > gray(gx) within the
+    * row. 64 bits; Hamming distance ≤ 3 ≈ same image re-encoded/rescaled.
+    * Undecodable input → None (drop the row, never the task). */
+  def dHashImage(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { case (w, h, px) =>
+      var sig = 0L
+      var gy = 0
+      while (gy < 8) {
+        val sy = gy * h / 8
+        var gx = 0
+        var prev = 0
+        while (gx < 9) {
+          val sx = gx * w / 9
+          val p = px(sy * w + sx)
+          val gray = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          if (gx > 0 && gray > prev) sig |= 1L << (gy * 8 + (gx - 1))
+          prev = gray
+          gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+
+  /** `dhash` = the packed 64-bit signature (feeds the Hamming machinery);
+    * `sig_hi`/`sig_lo` = its unsigned 32-bit halves, emitted so results
+    * stay in non-negative BIGINT space for cross-engine comparison. */
+  case class DHashRow(id: Long, dhash: Long, sig_hi: Long, sig_lo: Long)
+
+  /** Per-partition real decode + [[dHashImage]]: (id, media) → signatures. */
+  def imageDHash(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => dHashImage(r.media).map(sig =>
+      DHashRow(r.id, sig, sig >>> 32, sig & 0xFFFFFFFFL))))
+  }
+
+  /** Image near-dup pairs: real decode → [[dHashImage]] →
+    * [[Dedup.hammingPairs]]'s 16-bit pigeonhole equi-join (never a cross
+    * join). Returns distinct (id1, id2, dist ≤ maxDist). The
+    * [[patternPng]] `tweakCells` fixture plants guaranteed near-pairs for
+    * the specs. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      imageDHash(media).toDF().select(col("id"), col("dhash").as("sig")),
+      maxDist)
+
   // ---- real multi-frame codec (animated GIF via javax.imageio) -----------
 
   /** 256-entry grayscale palette (index i → r=g=b=i). GIF is a PALETTE

@@ -2144,6 +2144,41 @@ class ExtSpec extends AnyFunSuite {
     assert(g.getInt(g.fieldIndex("flagged")) == 0)
   }
 
+  test("image dHash: resize-invariant on patterns, tweak plants Hamming near-pairs") {
+    // the same block pattern rendered at 32² and 64² samples identical cell
+    // colors at every 9×8 grid point -> identical signature (the
+    // resize-invariance dHash exists for)
+    val a = Multimodal.dHashImage(Multimodal.patternPng(7L, 32, 32)).get
+    val b = Multimodal.dHashImage(Multimodal.patternPng(7L, 64, 64)).get
+    assert(a == b)
+    // tweaked first cell -> small Hamming distance; the pairs op finds
+    // every planted pair within the blocking guarantee
+    val ids = 0L until 8L
+    val rows = ids.map(i => Multimodal.MediaRow(i, Multimodal.patternPng(i, 32, 32))) ++
+      ids.map(i => Multimodal.MediaRow(i + 100,
+        Multimodal.patternPng(i, 32, 32, tweakCells = 1)))
+    val media = spark.createDataset(rows.toSeq)
+    val sigRows = Multimodal.imageDHash(media).collect()
+    val sigs = sigRows.map(r => r.id -> r.dhash).toMap
+    val planted = ids.map(i => (i, java.lang.Long.bitCount(sigs(i) ^ sigs(i + 100))))
+    assert(planted.exists(_._2 <= 3), s"no planted pair within 3: $planted")
+    val pairs = Multimodal.imageNearDupPairs(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.filter(_._2 <= 3).foreach { case (i, _) =>
+      assert(pairs.contains((i, i + 100)), s"missing planted pair $i")
+    }
+    // unsigned halves recompose to the packed signature
+    sigRows.foreach { d =>
+      assert(((d.sig_hi << 32) | d.sig_lo) == d.dhash)
+      assert(d.sig_hi >= 0L && d.sig_lo >= 0L)
+    }
+    // truncated/garbage bytes drop the row, not the task
+    val poisoned = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, Multimodal.patternPng(0L, 32, 32)),
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3))))
+    assert(Multimodal.imageDHash(poisoned).collect().map(_.id).toSeq == Seq(0L))
+  }
+
   test("incrementalMinhash: near-dup arrivals dropped, fresh kept, bloom is perf-only") {
     val seen = (0L to 9L).map(i =>
       (i, s"seen document number $i with a long enough body of tokens " +
