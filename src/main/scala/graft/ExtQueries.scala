@@ -998,6 +998,16 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Acoustic fingerprinting over the REAL audio decode: synthetic PCM16
+    // WAVs → direct RIFF parse → 65-frame energy contour → 64-bit
+    // signature. The oracle replays samples, framing, energies and bit
+    // packing analytically from the fixture formula.
+    "q121_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprints(
+          Multimodal.syntheticAudio(docsPar(s, dir), "doc_id"))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sig_hi"), col("sig_lo"))
+        .orderBy(col("doc_id"))),
     // Perceptual image hashing over the REAL decode path: synthetic PNGs →
     // ImageIO decode → 9×8 nearest-grid dHash. The oracle recomputes every
     // sampled pixel analytically (q61's losslessness argument), so a
@@ -1561,6 +1571,29 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // full analytic replay of the acoustic fingerprint: the q62 sample
+    // formula, assignment framing i*65//n, exact-integer frame energies,
+    // adjacent comparisons packed with integer shifts
+    "q121_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1000 + doc_id % 500 AS BIGINT) AS n FROM documents),
+        |s AS (SELECT doc_id, n, i.range AS i,
+        |    abs(((doc_id*7 + i.range*31) % 65536) - 32768) AS a
+        |  FROM d, range(0, 1500) i WHERE i.range < n),
+        |e AS (SELECT doc_id, (i * 65) // n AS f, SUM(a) AS en
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT a.doc_id, a.f - 1 AS pos,
+        |    CASE WHEN a.en > p.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e p ON a.doc_id = p.doc_id AND p.f = a.f - 1
+        |  WHERE a.f >= 1)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN pos >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT)
+        |    AS sig_hi,
+        |  CAST(SUM(CASE WHEN pos < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT)
+        |    AS sig_lo
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // full analytic replay of the dHash: q61's synthetic pixel formulas at
     // the 72 nearest-sampled grid points, row-adjacent gray comparisons,
     // bits packed into unsigned 32-bit halves with integer shifts

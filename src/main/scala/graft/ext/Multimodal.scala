@@ -1302,4 +1302,50 @@ object Multimodal {
       }
     })
   }
+
+  /** Acoustic fingerprint: 64-bit energy-contour signature (the
+    * Haitsma–Kalker/Chromaprint family's core idea — hash the SHAPE of the
+    * energy envelope, not its absolute level — reduced to the time domain
+    * so it stays exact-integer and engine-replayable). The clip is cut
+    * into 65 uniform frames by ASSIGNMENT (sample i → frame `i·65/n`,
+    * integer division — the framing both engines compute identically),
+    * frame energy is Σ|s| in exact Long arithmetic, and bit f is set iff
+    * energy(f+1) > energy(f). Level-invariant under any positive gain that
+    * preserves energy ordering; Hamming ≤ 3 ≈ the same clip re-encoded or
+    * lightly edited. Zero/header-only clips drop the row ([[audioStats]]'s
+    * contract). */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodeAudio(bytes).filter(_._3.nonEmpty).map { case (_, _, samples) =>
+      val n = samples.length
+      val energy = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        energy((i.toLong * 65 / n).toInt) += math.abs(samples(i).toLong)
+        i += 1
+      }
+      var sig = 0L
+      var f = 0
+      while (f < 64) {
+        if (energy(f + 1) > energy(f)) sig |= 1L << f
+        f += 1
+      }
+      sig
+    }
+
+  /** [[DHashRow]]'s audio sibling: packed signature + unsigned halves. */
+  case class AudioFpRow(id: Long, afp: Long, sig_hi: Long, sig_lo: Long)
+
+  /** Per-partition real decode + [[audioFingerprint]]. */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => audioFingerprint(r.media).map(sig =>
+      AudioFpRow(r.id, sig, sig >>> 32, sig & 0xFFFFFFFFL))))
+  }
+
+  /** Audio near-dup pairs: real decode → [[audioFingerprint]] →
+    * [[Dedup.hammingPairs]] (16-bit pigeonhole equi-join). */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      audioFingerprints(media).toDF().select(col("id"), col("afp").as("sig")),
+      maxDist)
 }

@@ -2179,6 +2179,33 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.imageDHash(poisoned).collect().map(_.id).toSeq == Seq(0L))
   }
 
+  test("audioFingerprint: gain-invariant contour, perturbation is near, poison drops") {
+    val base = Multimodal.syntheticWav(5L, 1200)
+    val sig = Multimodal.audioFingerprint(base).get
+    // one-sample perturbation moves one frame's energy by at most 1 ->
+    // at most the two adjacent contour bits flip
+    val tweaked = base.clone()
+    tweaked(44) = (tweaked(44) + 1).toByte
+    val sig2 = Multimodal.audioFingerprint(tweaked).get
+    assert(java.lang.Long.bitCount(sig ^ sig2) <= 2)
+    // pairs op finds the planted near pair
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, base),
+      Multimodal.MediaRow(1L, tweaked),
+      Multimodal.MediaRow(2L, Multimodal.syntheticWav(99L, 1400))))
+    val pairs = Multimodal.audioNearDupPairs(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    // unsigned halves recompose; poison bytes drop the row
+    val rows = Multimodal.audioFingerprints(media).collect()
+    rows.foreach(r => assert(((r.sig_hi << 32) | r.sig_lo) == r.afp &&
+      r.sig_hi >= 0L && r.sig_lo >= 0L))
+    val poisoned = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, base),
+      Multimodal.MediaRow(1L, Array[Byte](82, 73, 70, 70))))
+    assert(Multimodal.audioFingerprints(poisoned).collect().map(_.id).toSeq == Seq(0L))
+  }
+
   test("incrementalMinhash: near-dup arrivals dropped, fresh kept, bloom is perf-only") {
     val seen = (0L to 9L).map(i =>
       (i, s"seen document number $i with a long enough body of tokens " +
