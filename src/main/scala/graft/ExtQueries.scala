@@ -998,6 +998,11 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Per-source vocabulary health: exact type/token/hapax tallies and the
+    // Zipf head. Two map-side-combined shuffles, vocabulary-sized output.
+    "q122_vocab_report" -> ((s, dir) =>
+      graft.ext.Audit.vocabularyReport(docsPar(s, dir), "text", "source")
+        .orderBy(col("source"))),
     // Acoustic fingerprinting over the REAL audio decode: synthetic PCM16
     // WAVs → direct RIFF parse → 65-frame energy contour → 64-bit
     // signature. The oracle replays samples, framing, energies and bit
@@ -1571,6 +1576,21 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // per-(source, token) counts rolled up to source; sums cast off
+    // HUGEINT, ratios divide the same exact integers
+    "q122_vocab_report" ->
+      s"""WITH t AS (SELECT source, unnest($docToks) AS tok FROM documents),
+         |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |g AS (SELECT source,
+         |    CAST(sum(c) AS BIGINT) AS tokens_sum,
+         |    CAST(count(*) AS BIGINT) AS types,
+         |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+         |    CAST(max(c) AS BIGINT) AS top_token_count
+         |  FROM c GROUP BY 1)
+         |SELECT source, tokens_sum, types, hapax, top_token_count,
+         |  CAST(types AS DOUBLE) / CAST(tokens_sum AS DOUBLE) AS ttr,
+         |  CAST(hapax AS DOUBLE) / CAST(types AS DOUBLE) AS hapax_frac
+         |FROM g ORDER BY source""".stripMargin,
     // full analytic replay of the acoustic fingerprint: the q62 sample
     // formula, assignment framing i*65//n, exact-integer frame energies,
     // adjacent comparisons packed with integer shifts

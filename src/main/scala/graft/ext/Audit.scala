@@ -114,6 +114,34 @@ object Audit {
       .withColumn("bucket_lo", col("len_bucket") * bucketWidth)
   }
 
+  /** Per-source vocabulary report — the Heaps/Zipf corpus-health audit
+    * (a healthy natural-language slice grows types ~ tokens^β with a fat
+    * hapax tail; templated/machine text collapses both): one row per
+    * source with exact `tokens_sum`, `types` (distinct tokens), `hapax`
+    * (types occurring once in the source), `top_token_count` (the Zipf
+    * head), and the derived ratios `ttr` = types/tokens and `hapax_frac`
+    * = hapax/types (doubles of the same exact integers).
+    *
+    * Scale shape: [[topNgrams]]'s two map-side-combined shuffles — explode
+    * feeds groupBy(source, token) (raw occurrences never cross the wire),
+    * then the per-source rollup is vocabulary-sized. */
+  def vocabularyReport(df: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col("source"), explode(col("__t")).as("tok"))
+    toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("tokens_sum"),
+        count(lit(1)).as("types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        max(col("__c")).as("top_token_count"))
+      .withColumn("ttr",
+        col("types").cast("double") / col("tokens_sum").cast("double"))
+      .withColumn("hapax_frac",
+        col("hapax").cast("double") / col("types").cast("double"))
+  }
+
   /** Corpus-wide most-frequent token n-grams: the boilerplate radar — the
     * report behind "what 13-gram is suspiciously common" (Gopher's
     * repeated-passage analysis), stop-gram lists for the Jaccard indexes,

@@ -3054,6 +3054,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabularyReport: exact type/token/hapax tallies per source") {
+    val docs = Seq(
+      ("a", "x x y z"),        // tokens 4; types x,y,z; hapax y,z; top x=2
+      ("a", "x w"),            // a: tokens 6, types x,y,z,w; hapax y,z,w; top 3
+      ("b", "u u u"),
+      ("b", null.asInstanceOf[String]) // -> one '' token
+    ).toDF("source", "text")
+    val out = Audit.vocabularyReport(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(a.fieldIndex("tokens_sum")) == 6L)
+    assert(a.getLong(a.fieldIndex("types")) == 4L)
+    assert(a.getLong(a.fieldIndex("hapax")) == 3L)
+    assert(a.getLong(a.fieldIndex("top_token_count")) == 3L)
+    assert(a.getDouble(a.fieldIndex("ttr")) == 4.0 / 6.0)
+    val b = out("b")
+    assert(b.getLong(b.fieldIndex("tokens_sum")) == 4L)
+    assert(b.getLong(b.fieldIndex("types")) == 2L)   // "u" and ""
+    assert(b.getLong(b.fieldIndex("hapax")) == 1L)   // ""
+  }
+
   test("topNgrams: exact occurrence/doc-freq counts, minDocFreq gate, rank order") {
     val docs = Seq(
       (0L, "a b c a b c"),      // "a b c"×2, "b c a"×1, "c a b"×1
