@@ -127,8 +127,10 @@ object Audit {
     * then the per-source rollup is vocabulary-sized. */
   def vocabularyReport(df: DataFrame, textCol: String,
                        sourceCol: String): DataFrame = {
+    // pinned before the explode (topNgrams' InferFiltersFromGenerate note)
     val toks = df.select(col(sourceCol).as("source"),
-        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+        TextStats.pinnedCol(
+          TextStats.tokens(coalesce(col(textCol), lit("")))).as("__t"))
       .select(col("source"), explode(col("__t")).as("tok"))
     toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col("source"))
@@ -165,13 +167,16 @@ object Audit {
     require(n >= 1, s"n must be >= 1, got $n")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
-    // token array materialized before the generator: explode rebuilds its
-    // input per output row (the HOF-no-CSE trap), so tokenization must not
-    // live inside the exploded expression
+    // token array materialized before the generator (HOF-no-CSE), and the
+    // gram array PINNED (TextStats.pinnedCol): InferFiltersFromGenerate
+    // adds `size(grams) > 0` above the scan, and pushdown would otherwise
+    // inline the whole tokenize+transform tree into a pre-repartition
+    // filter on the one-file scan — measured 12.5 s -> ~1 s at sf0.1
     val toks = df.select(col(idCol).as("id"),
       TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
     val grams = toks
-      .select(col("id"), TextStats.ngramsOfTokens(col("__t"), n).as("__g"))
+      .select(col("id"),
+        TextStats.pinnedCol(TextStats.ngramsOfTokens(col("__t"), n)).as("__g"))
       .select(col("id"), explode(col("__g")).as("gram"))
     val perDoc = grams.groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("__c"))

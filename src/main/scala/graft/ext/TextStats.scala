@@ -243,6 +243,85 @@ object TextStats {
       graft.funcs.BpeFunctions.bpeIds(t, merges, vocab))
   }
 
+  /** BPE TRAINING (Sennrich et al. 2016) — induce the merges ranking
+    * [[bpeStats]] applies, from the corpus itself. The corpus-scale step is
+    * distributed: one pre-token frequency aggregate (the same
+    * [[BpePattern]] splitter and whitespace-run drop the apply side uses),
+    * capped to the `maxWords` most frequent words under a deterministic
+    * (freq desc, word) order — the word-table reduction every production
+    * BPE trainer performs (HF tokenizers, fastText). The merge loop then
+    * runs over that BOUNDED table on the driver (the k-means-centroid /
+    * classifier-GD bounded-collect posture): per iteration, count adjacent
+    * symbol pairs weighted by word frequency, take the most frequent pair
+    * (ties broken lexicographically, so training is bit-reproducible), and
+    * merge all its occurrences.
+    *
+    * Two deliberate deviations from the textbook loop, both documented
+    * limits of the character-level codec rather than training choices:
+    * pairs touching a whitespace-bearing symbol are never merged (a
+    * space-containing merge line is unparseable in the `"left right"`
+    * format — byte-level GPT-2 sidesteps this with the byte→unicode remap,
+    * which [[graft.funcs.BpeCodec]] already declares the caller's job),
+    * and training stops early when the best pair's corpus count drops
+    * below `minPairCount` (merging hapax pairs only memorizes words).
+    *
+    * Returns (merges in GPT-2 rank order, vocab = sorted base symbols ++
+    * merge outputs in rank order) — exactly the shapes [[bpeStats]]
+    * consumes, so `bpeStats(df, c, m, v)` with `(m, v) = bpeTrain(...)`
+    * is the full train→tokenize pipeline. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 100000,
+               minPairCount: Long = 2L): (Seq[String], Seq[String]) = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val words = df
+      .select(explode(filter(bpeTokens(coalesce(col(textCol), lit(""))),
+        t => !t.rlike("^\\s+$"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def mergeable(s: String) = !s.exists(_.isWhitespace)
+    def mergeAll(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    var reps = words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stop = false
+    while (merges.length < numMerges && !stop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          if (mergeable(syms(i)) && mergeable(syms(i + 1))) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + n)
+          }
+          i += 1
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+        if (c < minPairCount) stop = true
+        else {
+          merges += s"$a $b"
+          reps = reps.map { case (syms, n) => (mergeAll(syms, a, b), n) }
+        }
+      }
+    }
+    val baseSyms = words.flatMap(_._1.map(_.toString)).distinct.sorted
+    val vocab = (baseSyms ++ merges.map(_.replace(" ", ""))).distinct
+    (merges.toSeq, vocab.toSeq)
+  }
+
   /** Gopher-style quality-rule columns (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", table A1) —
     * the standard pre-training document filter, as per-rule AUDIT columns

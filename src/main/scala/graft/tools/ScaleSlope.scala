@@ -149,7 +149,18 @@ object ScaleSlope {
       "q103_pq_topk", "q104_ivfpq_topk",
       // q105 = two fingerprint projections + one full-outer id join;
       // q106 = shingle explode + gram equi-join (hits-sized output)
-      "q105_corpus_diff", "q106_contamination_by_bench")
+      "q105_corpus_diff", "q106_contamination_by_bench",
+      // r11 continued: q114 = one norm-cardinality histogram aggregate +
+      // codegen filter; q115/q117/q122 = groupBy-scan reports
+      // (histogram/domain/vocabulary-sized outputs); q116 = two map-side-
+      // combined gram shuffles + TakeOrdered; q118 = zero-shuffle
+      // generator (output grows ~1.36x input); q119 = band-Bloom probe +
+      // band equi-join + candidate-sized exact Jaccard; q120/q121 =
+      // per-row codec chains (no shuffle)
+      "q114_norm_filter", "q115_length_histogram", "q116_top_ngrams",
+      "q117_domain_report", "q118_repeat_mixture",
+      "q119_incremental_minhash", "q120_image_dhash",
+      "q121_audio_fingerprint", "q122_vocab_report")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
