@@ -998,6 +998,20 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // BPE TRAINING end-to-end: induce 20 merges from the corpus itself
+    // (distributed word-count table + bounded driver merge loop), then
+    // tokenize the corpus with them. Iterative training has no SQL replay
+    // (q111's precedent): rows-only check here; the merge loop is pinned
+    // against a hand-computed fixture in ExtSpec.
+    "q123_bpe_train" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val (m, v) = TextStats.bpeTrain(docs, "text", numMerges = 20,
+        maxWords = 10000)
+      TextStats.bpeStats(docs, "text", m, v)
+        .select(col("doc_id"), col("bpe_count"),
+          array_join(col("bpe_tokens"), "\u001f").as("bpe_str"))
+        .orderBy(col("doc_id"))
+    },
     // Per-source vocabulary health: exact type/token/hapax tallies and the
     // Zipf head. Two map-side-combined shuffles, vocabulary-sized output.
     "q122_vocab_report" -> ((s, dir) =>

@@ -31,7 +31,9 @@ class EntrySpec extends AnyFunSuite {
     // extend the allowlist in the same commit that adds the query.
     // q111: iterative engine-side GD training — no SQL replay exists;
     // separation + bit-reproducibility are spec-pinned in ExtSpec instead.
-    val allowed = Set("q111_quality_classifier")
+    // q123: iterative BPE merge induction — same no-SQL-replay class; the
+    // merge loop is pinned against a hand-computed fixture in ExtSpec.
+    val allowed = Set("q111_quality_classifier", "q123_bpe_train")
     assert((noOracle -- allowed).isEmpty,
       s"queries recorded rows-only (no oracle) — intended? ${noOracle -- allowed}")
   }

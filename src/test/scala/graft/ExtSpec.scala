@@ -3054,6 +3054,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: hand-computed merges, deterministic ties, train->apply composes") {
+    val docs = Seq((0L, "ab ab ab"), (1L, "abc abc")).toDF("doc_id", "text")
+    // pre-tokens: "ab"x1, " ab"x2, "abc"x1, " abc"x1 (BpePattern keeps the
+    // leading space). Whitespace-free pair counts: (a,b)=5, (b,c)=2 ->
+    // merge "a b"; then (ab,c)=2 -> merge "ab c"; then only space-pairs
+    // remain -> stop (space-bearing symbols never merge).
+    val (m, v) = TextStats.bpeTrain(docs, "text", numMerges = 5)
+    assert(m == Seq("a b", "ab c"))
+    assert(v.contains("ab") && v.contains("abc") && v.contains("a"))
+    // train -> apply composes: counts from the induced table
+    val counts = TextStats.bpeStats(docs, "text", m, v)
+      .select("doc_id", "bpe_count").as[(Long, Int)].collect().toMap
+    // doc0: [ab] + 2x[" ", ab] = 5; doc1: [abc] + [" ", abc] = 3
+    assert(counts == Map(0L -> 5, 1L -> 3))
+    // minPairCount=1 keeps merging into full words (space still never merges)
+    val (m1, _) = TextStats.bpeTrain(docs, "text", numMerges = 5, minPairCount = 1)
+    assert(m1 == Seq("a b", "ab c"))
+    // deterministic: same corpus, same merges
+    assert(TextStats.bpeTrain(docs, "text", numMerges = 5)._1 == m)
+    // lexicographic tiebreak at equal counts: "xy zw" corpus has
+    // (x,y)=2 and (z,w)=2 -> (x,y) first
+    val tie = Seq((0L, "xy zw xy zw")).toDF("doc_id", "text")
+    assert(TextStats.bpeTrain(tie, "text", numMerges = 1)._1 == Seq("x y"))
+  }
+
   test("vocabularyReport: exact type/token/hapax tallies per source") {
     val docs = Seq(
       ("a", "x x y z"),        // tokens 4; types x,y,z; hapax y,z; top x=2
