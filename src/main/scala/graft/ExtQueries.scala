@@ -998,6 +998,12 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Per-document novelty (memorization-risk audit): fraction of a doc's
+    // distinct 8-shingles appearing in no other document. Inverted-index
+    // shape: postings → gram doc-freq → one gram equi-join → per-doc rollup.
+    "q124_novelty_score" -> ((s, dir) =>
+      graft.ext.Audit.noveltyScore(docsPar(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
     // BPE TRAINING end-to-end: induce 20 merges from the corpus itself
     // (distributed word-count table + bounded driver merge loop), then
     // tokenize the corpus with them. Iterative training has no SQL replay
@@ -1590,6 +1596,18 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // the q52-family shingle CTEs at k=8: gram doc-frequency + per-doc
+    // rollup, exact integers, ratio of the same integers
+    "q124_novelty_score" ->
+      s"""WITH ${shingleCtesOver("documents", 8, "v")},
+         |fr AS (SELECT g, count(*) AS df FROM vd GROUP BY 1),
+         |j AS (SELECT vd.doc_id, fr.df FROM vd JOIN fr USING (g))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS novel_grams,
+         |  CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*)
+         |    AS novelty
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // per-(source, token) counts rolled up to source; sums cast off
     // HUGEINT, ratios divide the same exact integers
     "q122_vocab_report" ->

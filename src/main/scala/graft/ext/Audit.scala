@@ -144,6 +144,43 @@ object Audit {
         col("hapax").cast("double") / col("types").cast("double"))
   }
 
+  /** Per-document novelty score — the memorization-risk audit: what
+    * fraction of a document's distinct k-shingles appear in NO other
+    * document. Low-novelty documents are recombinations of corpus-common
+    * text (template spam, quote farms); high-novelty ones carry unique
+    * content a dedup pass must not lose. Output per doc: `n_grams`
+    * (distinct shingles), `novel_grams` (corpus doc-freq 1), `novelty` =
+    * novel/n (a ratio of the same exact integers).
+    *
+    * Scale shape: the inverted-index formulation (ngramJaccard's posting
+    * shape, without the pair join): distinct (doc, gram) postings →
+    * gram doc-frequency aggregate → one postings⋈frequency equi-join on
+    * the gram → per-doc rollup. Documents shorter than `k` tokens
+    * contribute their whole text as one shingle. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // token array materialized first (HOF-no-CSE: the shingle transform's
+    // element_at calls would each re-run the split), then the shingle
+    // array pinned before the explode (topNgrams' InferFiltersFromGenerate
+    // note)
+    val postings = df
+      .select(col(idCol).as("id"),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col("id"),
+        TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
+      .select(col("id"), explode(col("__g")).as("g"))
+      .distinct()
+    val freq = postings.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    postings.join(freq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty",
+        col("novel_grams").cast("double") / col("n_grams").cast("double"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Corpus-wide most-frequent token n-grams: the boilerplate radar — the
     * report behind "what 13-gram is suspiciously common" (Gopher's
     * repeated-passage analysis), stop-gram lists for the Jaccard indexes,

@@ -3054,6 +3054,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyScore: shared shingles score 0, unique 1, partial in between") {
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (0L, shared),
+      (1L, shared),                                       // exact copy -> 0
+      (2L, "totally different words in this unique document body here now"),
+      (3L, shared + " plus a genuinely novel unique tail section") // partial
+    ).toDF("doc_id", "text")
+    val out = Audit.noveltyScore(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._3 == 0.0 && out(1L)._3 == 0.0)
+    assert(out(2L)._3 == 1.0)
+    assert(out(3L)._3 > 0.0 && out(3L)._3 < 1.0)
+    // doc 0/1: 12 tokens -> 5 distinct 8-shingles
+    assert(out(0L)._1 == 5L && out(0L)._2 == 0L)
+    // short doc (< k tokens) contributes its whole text as one shingle
+    val short = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other")).toDF("doc_id", "text")
+    val so = Audit.noveltyScore(short, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(so == Map(0L -> 0.0, 1L -> 0.0, 2L -> 1.0))
+  }
+
   test("bpeTrain: hand-computed merges, deterministic ties, train->apply composes") {
     val docs = Seq((0L, "ab ab ab"), (1L, "abc abc")).toDF("doc_id", "text")
     // pre-tokens: "ab"x1, " ab"x2, "abc"x1, " abc"x1 (BpePattern keeps the
