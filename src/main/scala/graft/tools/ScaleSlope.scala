@@ -160,7 +160,10 @@ object ScaleSlope {
       "q114_norm_filter", "q115_length_histogram", "q116_top_ngrams",
       "q117_domain_report", "q118_repeat_mixture",
       "q119_incremental_minhash", "q120_image_dhash",
-      "q121_audio_fingerprint", "q122_vocab_report")
+      "q121_audio_fingerprint", "q122_vocab_report",
+      // q123 = one word-count aggregate + bounded driver merge loop +
+      // codegen'd apply scan; q124 = postings + gram doc-freq + equi-join
+      "q123_bpe_train", "q124_novelty_score")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
