@@ -998,6 +998,12 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Split-leakage integrity check: near-dup pairs straddling the
+    // train/val/test boundary — the leak a per-document hash split cannot
+    // prevent. Near-dup machinery's shape + two label joins.
+    "q125_split_leak" -> ((s, dir) =>
+      Corpus.splitLeakReport(docsPar(s, dir), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
     // Per-document novelty (memorization-risk audit): fraction of a doc's
     // distinct 8-shingles appearing in no other document. Inverted-index
     // shape: postings → gram doc-freq → one gram equi-join → per-doc rollup.
@@ -1596,6 +1602,26 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // q35's exact-Jaccard pair replay (recall-1 contract) + q53's split
+    // arithmetic, filtered to boundary-crossing pairs
+    "q125_split_leak" ->
+      s"""WITH $shingleBase,
+         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+         |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
+         |j AS (SELECT id1, id2, CAST(c AS DOUBLE)/(s1.n+s2.n-c) AS jaccard
+         |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(('0x' || substr(md5(doc_id || ':graft:split'), 1, 8))
+         |        AS BIGINT) % 10000 AS b
+         |    FROM documents))
+         |SELECT id1, id2, jaccard, s1.split AS split1, s2.split AS split2
+         |FROM j JOIN sp s1 ON id1 = s1.doc_id JOIN sp s2 ON id2 = s2.doc_id
+         |WHERE jaccard >= 0.8 AND s1.split <> s2.split
+         |ORDER BY id1, id2""".stripMargin,
     // the q52-family shingle CTEs at k=8: gram doc-frequency + per-doc
     // rollup, exact integers, ratio of the same integers
     "q124_novelty_score" ->

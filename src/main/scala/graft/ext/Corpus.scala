@@ -87,6 +87,40 @@ object Corpus {
     df.filter(b < cut)
   }
 
+  /** Split-leakage report — the train/test-contamination integrity check a
+    * hash split alone cannot give: a near-duplicate PAIR straddling the
+    * split boundary leaks training content into evaluation even though
+    * every individual document was assigned consistently. Runs
+    * [[hashSplit]], finds near-dup pairs with
+    * [[Dedup.minhashDedupPairs]] (band equi-join + exact candidate
+    * Jaccard, never a cross join), and keeps the pairs whose endpoints
+    * landed in DIFFERENT splits. Returns (id1, id2, jaccard, split1,
+    * split2) — empty means the split is leak-free at the threshold;
+    * non-empty is the worklist to requarantine (move BOTH endpoints to one
+    * side, or drop one).
+    *
+    * Scale shape: the split is a zero-shuffle projection; everything else
+    * is the near-dup pair machinery's documented shape, plus two
+    * broadcast-eligible id joins to attach split labels. */
+  def splitLeakReport(df: DataFrame, keyCol: String, textCol: String,
+                      weights: Seq[(String, Double)] = Seq(
+                        "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                      minJaccard: Double = 0.8,
+                      buckets: Int = 10000,
+                      salt: String = "graft:split"): DataFrame = {
+    val split = hashSplit(df, keyCol, weights, buckets, salt)
+    val assign = split.select(col(keyCol).as("__sid"), col("split"))
+    val pairs = Dedup.minhashDedupPairs(df, keyCol, textCol, minJaccard)
+    pairs
+      .join(assign.withColumnRenamed("__sid", "id1")
+        .withColumnRenamed("split", "split1"), Seq("id1"))
+      .join(assign.withColumnRenamed("__sid", "id2")
+        .withColumnRenamed("split", "split2"), Seq("id2"))
+      .filter(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        col("split1"), col("split2"))
+  }
+
   /** Frequency capping: keep at most `cap` documents per key (URL, domain,
     * template hash, …) — the standard guard against a single hot source
     * drowning the mixture. Selection is deterministic: within a key, rows

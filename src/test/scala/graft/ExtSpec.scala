@@ -3054,6 +3054,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLeakReport: exactly the boundary-crossing near-dup pairs") {
+    // 15 planted identical pairs (ids i, i+1000) with unique per-pair text
+    val docs = (0L until 15L).flatMap { i =>
+      val t = s"planted pair number $i with enough distinct body tokens " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+      Seq((i, t), (i + 1000L, t))
+    }.toDF("doc_id", "text")
+    val splits = Corpus.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = (0L until 15L)
+      .filter(i => splits(i) != splits(i + 1000L))
+      .map(i => (i, i + 1000L)).toSet
+    assert(expected.nonEmpty, "fixture produced no cross-split pairs")
+    val got = Corpus.splitLeakReport(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // and the report is empty on a leak-free corpus (all-unique docs)
+    val unique = (0L until 10L).map(i =>
+      (i, s"totally unique document $i uniq${i}a uniq${i}b uniq${i}c uniq${i}d"))
+      .toDF("doc_id", "text")
+    assert(Corpus.splitLeakReport(unique, "doc_id", "text").count() == 0L)
+  }
+
   test("noveltyScore: shared shingles score 0, unique 1, partial in between") {
     val shared = "one two three four five six seven eight nine ten eleven twelve"
     val docs = Seq(
