@@ -998,6 +998,17 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Clip-level perceptual hash over the REAL multi-frame decode:
+    // synthetic GIFs → composited frames → per-frame dHash → per-bit
+    // majority fold. The oracle replays frames, grid, bits and the
+    // majority analytically from the q68 pixel formula.
+    "q126_video_dhash" -> ((s, dir) =>
+      Multimodal.videoDHash(
+          Multimodal.syntheticVideos(docsPar(s, dir), "doc_id"))
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("sig_hi"), col("sig_lo"))
+        .orderBy(col("doc_id"))),
     // Split-leakage integrity check: near-dup pairs straddling the
     // train/val/test boundary — the leak a per-document hash split cannot
     // prevent. Near-dup machinery's shape + two label joins.
@@ -1602,6 +1613,39 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // q68's synthetic GIF formula (gray = (id+11f+3x+5y)%256, dims/frames
+    // from the id) at the 72 sampled grid points per frame, per-frame
+    // adjacent-gray bits, strict per-bit majority across frames, integer
+    // shift packing
+    "q126_video_dhash" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(12 + (doc_id * 3) % 5 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents),
+        |g AS (SELECT doc_id, nf, f.range AS f, gy.range AS gy, gx.range AS gx,
+        |    (gx.range * w) // 9 AS sx, (gy.range * h) // 8 AS sy
+        |  FROM dims, range(0, 4) f, range(0, 8) gy, range(0, 9) gx
+        |  WHERE f.range < nf),
+        |gr AS (SELECT doc_id, nf, f, gy, gx,
+        |    (doc_id + 11*f + 3*sx + 5*sy) % 256 AS gray
+        |  FROM g),
+        |b AS (SELECT a.doc_id, a.nf, a.f, a.gy * 8 + (a.gx - 1) AS pos,
+        |    CASE WHEN a.gray > p.gray THEN 1 ELSE 0 END AS bit
+        |  FROM gr a JOIN gr p ON a.doc_id = p.doc_id AND a.f = p.f
+        |    AND a.gy = p.gy AND p.gx = a.gx - 1
+        |  WHERE a.gx >= 1),
+        |mj AS (SELECT doc_id, nf, pos,
+        |    CASE WHEN 2 * SUM(bit) > nf THEN 1 ELSE 0 END AS mbit
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(nf AS INT) AS n_frames,
+        |  CAST(SUM(CASE WHEN pos >= 32
+        |    THEN mbit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT)
+        |    AS sig_hi,
+        |  CAST(SUM(CASE WHEN pos < 32
+        |    THEN mbit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT)
+        |    AS sig_lo
+        |FROM mj GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // q35's exact-Jaccard pair replay (recall-1 contract) + q53's split
     // arithmetic, filtered to boundary-crossing pairs
     "q125_split_leak" ->

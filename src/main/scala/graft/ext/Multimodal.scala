@@ -312,25 +312,29 @@ object Multimodal {
     * row. 64 bits; Hamming distance ≤ 3 ≈ same image re-encoded/rescaled.
     * Undecodable input → None (drop the row, never the task). */
   def dHashImage(bytes: Array[Byte]): Option[Long] =
-    decodeImage(bytes).map { case (w, h, px) =>
-      var sig = 0L
-      var gy = 0
-      while (gy < 8) {
-        val sy = gy * h / 8
-        var gx = 0
-        var prev = 0
-        while (gx < 9) {
-          val sx = gx * w / 9
-          val p = px(sy * w + sx)
-          val gray = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-          if (gx > 0 && gray > prev) sig |= 1L << (gy * 8 + (gx - 1))
-          prev = gray
-          gx += 1
-        }
-        gy += 1
+    decodeImage(bytes).map { case (w, h, px) => dHashPixels(w, h, px) }
+
+  /** [[dHashImage]]'s core over an already-decoded pixel array — shared
+    * with the per-frame video path. */
+  private def dHashPixels(w: Int, h: Int, px: Array[Int]): Long = {
+    var sig = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      var prev = 0
+      while (gx < 9) {
+        val sx = gx * w / 9
+        val p = px(sy * w + sx)
+        val gray = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        if (gx > 0 && gray > prev) sig |= 1L << (gy * 8 + (gx - 1))
+        prev = gray
+        gx += 1
       }
-      sig
+      gy += 1
     }
+    sig
+  }
 
   /** `dhash` = the packed 64-bit signature (feeds the Hamming machinery);
     * `sig_hi`/`sig_lo` = its unsigned 32-bit halves, emitted so results
@@ -352,6 +356,45 @@ object Multimodal {
   def imageNearDupPairs(media: Dataset[MediaRow], maxDist: Int = 3): DataFrame =
     Dedup.hammingPairs(
       imageDHash(media).toDF().select(col("id"), col("dhash").as("sig")),
+      maxDist)
+
+  /** Clip-level perceptual hash: [[dHashImage]]'s core on every REAL
+    * decoded (composited) frame, folded into one 64-bit signature by
+    * PER-BIT MAJORITY across frames (a bit is set iff strictly more than
+    * half the frames set it — ties fall to 0, so the fold is order-free
+    * and engine-replayable). Majority, not first-frame: a re-encoded clip
+    * with one corrupted or shifted frame keeps its signature, which is the
+    * robustness a perceptual video hash exists for. `n_frames` rides along
+    * for the audit. Zero/undecodable clips drop the row. */
+  case class VideoDHashRow(id: Long, n_frames: Int, vhash: Long,
+                           sig_hi: Long, sig_lo: Long)
+
+  /** Per-partition real multi-frame decode + per-frame dHash + majority
+    * fold: (id, media) → clip signatures. */
+  def videoDHash(media: Dataset[MediaRow]): Dataset[VideoDHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeFrames(r.media).filter(_.nonEmpty).map { frames =>
+        val sigs = frames.map { case (w, h, px) => dHashPixels(w, h, px) }
+        var clip = 0L
+        var b = 0
+        while (b < 64) {
+          var c = 0
+          sigs.foreach(s => if (((s >>> b) & 1L) == 1L) c += 1)
+          if (2 * c > sigs.length) clip |= 1L << b
+          b += 1
+        }
+        VideoDHashRow(r.id, sigs.length, clip, clip >>> 32, clip & 0xFFFFFFFFL)
+      }
+    })
+  }
+
+  /** Video near-dup pairs on the clip-level perceptual hash —
+    * [[videoNearDupPairs]]'s cheap sibling (no embedding, no band join):
+    * [[videoDHash]] → [[Dedup.hammingPairs]]. */
+  def videoPerceptualPairs(media: Dataset[MediaRow], maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      videoDHash(media).toDF().select(col("id"), col("vhash").as("sig")),
       maxDist)
 
   // ---- real multi-frame codec (animated GIF via javax.imageio) -----------

@@ -3054,6 +3054,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("videoDHash: majority fold, planted tweaked-clip near pairs, poison drops") {
+    // identical clips -> identical signature, found at dist 0
+    val ids = 0L until 6L
+    val rows = ids.map(i => Multimodal.MediaRow(i, Multimodal.patternGif(i))) ++
+      ids.map(i => Multimodal.MediaRow(i + 100,
+        Multimodal.patternGif(i, tweakCells = 1)))
+    val media = spark.createDataset(rows.toSeq)
+    val sigRows = Multimodal.videoDHash(media).collect()
+    val sigs = sigRows.map(r => r.id -> r.vhash).toMap
+    val planted = ids.map(i => (i, java.lang.Long.bitCount(sigs(i) ^ sigs(i + 100))))
+    assert(planted.exists(_._2 <= 3), s"no planted pair within 3: $planted")
+    val pairs = Multimodal.videoPerceptualPairs(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.filter(_._2 <= 3).foreach { case (i, _) =>
+      assert(pairs.contains((i, i + 100)), s"missing planted pair $i")
+    }
+    sigRows.foreach { r =>
+      assert(((r.sig_hi << 32) | r.sig_lo) == r.vhash)
+      assert(r.n_frames == 3 && r.sig_hi >= 0L && r.sig_lo >= 0L)
+    }
+    // poison bytes drop the row, not the task
+    val poisoned = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, Multimodal.patternGif(0L)),
+      Multimodal.MediaRow(1L, Array[Byte](71, 73, 70, 56))))
+    assert(Multimodal.videoDHash(poisoned).collect().map(_.id).toSeq == Seq(0L))
+  }
+
   test("splitLeakReport: exactly the boundary-crossing near-dup pairs") {
     // 15 planted identical pairs (ids i, i+1000) with unique per-pair text
     val docs = (0L until 15L).flatMap { i =>
