@@ -163,7 +163,10 @@ object ScaleSlope {
       "q121_audio_fingerprint", "q122_vocab_report",
       // q123 = one word-count aggregate + bounded driver merge loop +
       // codegen'd apply scan; q124 = postings + gram doc-freq + equi-join
-      "q123_bpe_train", "q124_novelty_score")
+      "q123_bpe_train", "q124_novelty_score",
+      // q125 = q35's pair machinery + two label joins; q126 = per-row
+      // multi-frame GIF decode + majority fold (codec rail, no shuffle)
+      "q125_split_leak", "q126_video_dhash")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
