@@ -998,6 +998,13 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Inter-source overlap matrix: cross-corpus duplication audit for
+    // mixture design. Gram-keyed self-join bounded by source cardinality
+    // per gram; post-join partial agg collapses to source² rows.
+    "q127_source_overlap" -> ((s, dir) =>
+      graft.ext.Audit.sourceOverlapMatrix(docsPar(s, dir), "text", "source",
+          k = 8)
+        .orderBy(col("source1"), col("source2"))),
     // Clip-level perceptual hash over the REAL multi-frame decode:
     // synthetic GIFs → composited frames → per-frame dHash → per-bit
     // majority fold. The oracle replays frames, grid, bits and the
@@ -1613,6 +1620,24 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // the shingle CTEs driven with source as the key (source-level distinct
+    // gram sets), gram self-join, exact integers; overlap divides the same
+    // exact integers in both engines
+    "q127_source_overlap" ->
+      s"""WITH ${shingleCtesOver(
+             "(SELECT source AS doc_id, text FROM documents)", 8, "o")},
+         |sz AS (SELECT doc_id AS source, count(*) AS n FROM od GROUP BY 1),
+         |co AS (SELECT a.doc_id AS source1, b.doc_id AS source2,
+         |         count(*) AS shared
+         |       FROM od a JOIN od b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT source1, source2, CAST(shared AS BIGINT) AS shared_grams,
+         |  CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+         |  CAST(shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
+         |    AS overlap
+         |FROM co JOIN sz s1 ON source1 = s1.source
+         |        JOIN sz s2 ON source2 = s2.source
+         |ORDER BY source1, source2""".stripMargin,
     // q68's synthetic GIF formula (gray = (id+11f+3x+5y)%256, dims/frames
     // from the id) at the 72 sampled grid points per frame, per-frame
     // adjacent-gray bits, strict per-bit majority across frames, integer

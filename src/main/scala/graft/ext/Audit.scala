@@ -181,6 +181,43 @@ object Audit {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Inter-source overlap matrix — the cross-corpus duplication audit
+    * behind mixture design (how much of source B is already in source A
+    * decides whether B adds data or epochs): one row per source pair that
+    * shares at least one distinct k-shingle, with `shared_grams` (exact)
+    * and `overlap` = shared / min(|A|, |B|) (the overlap coefficient —
+    * robust to very different source sizes, unlike Jaccard).
+    *
+    * Scale shape: distinct (source, gram) postings, then a gram-keyed
+    * self-join — each gram contributes C(s_g, 2) pairs where s_g ≤ the
+    * SOURCE CARDINALITY (tens, not documents), and the post-join aggregate
+    * partial-combines to source² rows per task before the final tiny
+    * shuffle. Two corpus-sized shuffles total (the join's two sides). */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, sourceCol: String,
+                          k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = df
+      .select(col(sourceCol).as("source"),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col("source"),
+        TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
+      .select(col("source"), explode(col("__g")).as("g"))
+      .distinct()
+    val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    d.as("a").join(d.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes.withColumnRenamed("source", "source1")
+        .withColumnRenamed("n", "n1"), Seq("source1"))
+      .join(sizes.withColumnRenamed("source", "source2")
+        .withColumnRenamed("n", "n2"), Seq("source2"))
+      .withColumn("overlap", col("shared_grams").cast("double") /
+        least(col("n1"), col("n2")).cast("double"))
+      .select(col("source1"), col("source2"), col("shared_grams"),
+        col("n1"), col("n2"), col("overlap"))
+  }
+
   /** Corpus-wide most-frequent token n-grams: the boilerplate radar — the
     * report behind "what 13-gram is suspiciously common" (Gopher's
     * repeated-passage analysis), stop-gram lists for the Jaccard indexes,

@@ -3054,6 +3054,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceOverlapMatrix: exact shared-gram counts and overlap coefficient") {
+    val shared = "common passage one two three four five six seven eight nine"
+    val docs = Seq(
+      ("a", shared),                    // a: grams of the 12-token passage
+      ("a", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      ("b", shared),                    // b shares the passage with a
+      ("c", "entirely disjoint content uno dos tres cuatro cinco seis siete ocho")
+    ).toDF("source", "text")
+    val out = Audit.sourceOverlapMatrix(docs, "text", "source", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only (a, b) overlaps; shared grams = the 11-token passage's 4 shingles
+    assert(out.keySet == Set(("a", "b")))
+    val (sh, n1, n2, ov) = out(("a", "b"))
+    assert(sh == 4L && n2 == 4L && n1 == 8L)   // a has 4 + 4 from doc 2
+    assert(ov == 1.0)                           // b is fully contained in a
+  }
+
   test("videoDHash: majority fold, planted tweaked-clip near pairs, poison drops") {
     // identical clips -> identical signature, found at dist 0
     val ids = 0L until 6L
