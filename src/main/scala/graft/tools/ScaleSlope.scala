@@ -166,7 +166,9 @@ object ScaleSlope {
       "q123_bpe_train", "q124_novelty_score",
       // q125 = q35's pair machinery + two label joins; q126 = per-row
       // multi-frame GIF decode + majority fold (codec rail, no shuffle)
-      "q125_split_leak", "q126_video_dhash")
+      "q125_split_leak", "q126_video_dhash",
+      // q127 = gram self-join bounded by source cardinality per gram
+      "q127_source_overlap")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
