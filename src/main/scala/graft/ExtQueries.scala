@@ -998,6 +998,22 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // WET-style HTML text extraction over synthesized pages (fixture has
+    // no HTML column): script/style/comment blocks dropped, tags stripped,
+    // entities decoded, whitespace collapsed — a pure codegen chain the
+    // oracle replays with the identical RE2-safe regexes.
+    "q128_html_extract" -> { (s, dir) =>
+      val page = concat(
+        lit("<html><head><title>t</title><style>body{color:red}</style>"),
+        lit("<script>var x = '<p>';</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><!-- nav --><div>footer &amp; &lt;links&gt;</div></body></html>"))
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.extractHtmlText(page).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
     // Inter-source overlap matrix: cross-corpus duplication audit for
     // mixture design. Gram-keyed self-join bounded by source cardinality
     // per gram; post-join partial agg collapses to source² rows.
@@ -1620,6 +1636,32 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // the identical RE2-safe chain with the 'g' flag (DuckDB replaces only
+    // the first match by default); entity decode order mirrored (&amp; last)
+    "q128_html_extract" ->
+      """WITH p AS (SELECT doc_id,
+        |    '<html><head><title>t</title><style>body{color:red}</style>'
+        |    || '<script>var x = ''<p>'';</script></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || text
+        |    || '</p><!-- nav --><div>footer &amp; &lt;links&gt;</div></body></html>'
+        |    AS page
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+        |      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS t1
+        |  FROM p),
+        |e AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(t1,
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&amp;', '&', 'g')
+        |      AS t2
+        |  FROM c)
+        |SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean_text
+        |FROM e ORDER BY doc_id""".stripMargin,
     // the shingle CTEs driven with source as the key (source-level distinct
     // gram sets), gram self-join, exact integers; overlap divides the same
     // exact integers in both engines

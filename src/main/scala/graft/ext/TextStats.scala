@@ -322,6 +322,30 @@ object TextStats {
     (merges.toSeq, vocab.toSeq)
   }
 
+  /** HTML → text extraction (the WET-style step in front of every crawl
+    * pipeline — C4 and RefinedWeb start from extracted text, not markup):
+    * drop `<script>`/`<style>` blocks and comments, strip remaining tags,
+    * decode the common entities, collapse whitespace. Pure codegen'd
+    * regexp/replace chain — zero shuffles, embarrassingly parallel — built
+    * from RE2-SAFE constructs only (no backreferences, no \\Q\\E), so the
+    * DuckDB oracle replays the identical chain. Entity decoding order is
+    * load-bearing: `&amp;` is decoded LAST, otherwise `&amp;lt;` would
+    * double-decode to `<`. This is a heuristic extractor (no DOM, no
+    * boilerplate model — that is [[Corpus.removeBoilerplateLines]]'s job
+    * downstream), which is exactly the WET/CC-extraction contract. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(coalesce(html, lit("")),
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Gopher-style quality-rule columns (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", table A1) —
     * the standard pre-training document filter, as per-rule AUDIT columns

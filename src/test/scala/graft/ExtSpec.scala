@@ -3054,6 +3054,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("extractHtmlText: blocks stripped, entities decoded amp-last, ws collapsed") {
+    val html = "<html><style>a{color:x}</style>" +
+      "<script>if (1<2) { x('<b>'); }</script>" +
+      "<body><h1>Title</h1><!-- nav comment --><p>A &amp;amp; B &lt;tag&gt; " +
+      "&quot;q&quot; &#39;s&#39; &nbsp;end</p></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextStats.extractHtmlText(col("h")).as("t"))
+      .head().getString(0)
+    // &amp;amp; decodes ONCE (amp runs last, left-to-right non-overlapping)
+    assert(out == "Title A &amp; B <tag> \"q\" 's' end")
+    // null html -> empty string; plain text passes through normalized
+    val plain = Seq((null.asInstanceOf[String], "no  markup here")).toDF("a", "b")
+    val r = plain.select(TextStats.extractHtmlText(col("a")).as("x"),
+      TextStats.extractHtmlText(col("b")).as("y")).head()
+    assert(r.getString(0) == "" && r.getString(1) == "no markup here")
+  }
+
   test("sourceOverlapMatrix: exact shared-gram counts and overlap coefficient") {
     val shared = "common passage one two three four five six seven eight nine"
     val docs = Seq(
