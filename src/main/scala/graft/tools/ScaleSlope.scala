@@ -168,7 +168,9 @@ object ScaleSlope {
       // multi-frame GIF decode + majority fold (codec rail, no shuffle)
       "q125_split_leak", "q126_video_dhash",
       // q127 = gram self-join bounded by source cardinality per gram
-      "q127_source_overlap")
+      "q127_source_overlap",
+      // q128 = pure per-row regexp/replace chain (no shuffle)
+      "q128_html_extract")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
