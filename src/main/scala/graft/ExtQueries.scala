@@ -998,6 +998,33 @@ object ExtQueries {
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))),
+    // Incremental audio dedup vs a frozen media corpus: arrivals are 100
+    // byte-identical re-uploads (same synthetic PCM, new ids — fingerprint
+    // distance 0) + 50 genuinely new clips (kept unless their energy
+    // contour lands within Hamming 1 of some catalog clip — the oracle
+    // decides exactly). Signature-table-in incremental Hamming (Bloom +
+    // pigeonhole confirm) over the REAL WAV decode.
+    "q129_incremental_audio_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsPar(s, dir)
+      val seen = Multimodal.audioFingerprints(
+          Multimodal.syntheticAudio(docs, "doc_id"))
+        .toDF().select(col("id"), col("afp").as("sig"))
+      val arrivalIds = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 5000).as("id"), col("doc_id").as("src"))
+        .unionByName(docs.filter(col("doc_id").between(100, 149))
+          .select((col("doc_id") + 5000).as("id"),
+            (col("doc_id") + 1000000).as("src")))
+      val arrMedia = arrivalIds.as[(Long, Long)].map { case (aid, src) =>
+        Multimodal.MediaRow(aid,
+          Multimodal.syntheticWav(src, (1000 + src % 500).toInt))
+      }
+      val arrSigs = Multimodal.audioFingerprints(arrMedia)
+        .toDF().select(col("id"), col("afp").as("sig"))
+      Dedup.incrementalHamming(arrSigs, seen, maxDist = 1)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     // WET-style HTML text extraction over synthesized pages (fixture has
     // no HTML column): script/style/comment blocks dropped, tags stripped,
     // entities decoded, whitespace collapsed — a pure codegen chain the
@@ -1306,6 +1333,31 @@ object ExtQueries {
 
   private def shingleBaseOver(src: String, k: Int = 4) =
     shingleCtesOver(src, k, "")
+
+  /** q121's analytic acoustic-fingerprint replay, parametric over a
+    * `(k, base)` source CTE — `base` drives the synthetic sample/length
+    * formulas, `k` is the row identity. Emits `${p}s(k, hi, lo)` (unsigned
+    * 32-bit halves), so one WITH list can carry TWO signature pipelines
+    * (q129 compares arrivals against the seen catalog). */
+  private def afpCtesOver(src: String, p: String): String =
+    s"""${p}d AS (SELECT k, base,
+       |    CAST(1000 + base % 500 AS BIGINT) AS n FROM $src),
+       |${p}sm AS (SELECT k, n, i.range AS i,
+       |    abs(((base*7 + i.range*31) % 65536) - 32768) AS a
+       |  FROM ${p}d, range(0, 1500) i WHERE i.range < n),
+       |${p}e AS (SELECT k, (i * 65) // n AS f, SUM(a) AS en
+       |  FROM ${p}sm GROUP BY 1, 2),
+       |${p}b AS (SELECT a.k, a.f - 1 AS pos,
+       |    CASE WHEN a.en > q.en THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}e a JOIN ${p}e q ON a.k = q.k AND q.f = a.f - 1
+       |  WHERE a.f >= 1),
+       |${p}s AS (SELECT k,
+       |    CAST(SUM(CASE WHEN pos >= 32
+       |      THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+       |      AS BIGINT) AS hi,
+       |    CAST(SUM(CASE WHEN pos < 32
+       |      THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM ${p}b GROUP BY 1)""".stripMargin
 
   private val shingleBase = shingleBaseOver("documents")
 
@@ -1636,6 +1688,25 @@ object ExtQueries {
          |      FROM gl)
          |SELECT gram, occurrences, doc_freq, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    // both sides' fingerprints replayed analytically (afpCtesOver),
+    // pairwise Hamming via bit_count(xor) over the unsigned halves, kept
+    // = no seen signature within 1
+    "q129_incremental_audio_dedup" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id + 5000 AS k, doc_id AS base
+         |  FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 5000 AS k, doc_id + 1000000 AS base
+         |  FROM documents WHERE doc_id BETWEEN 100 AND 149),
+         |sn AS (SELECT doc_id AS k, doc_id AS base FROM documents),
+         |${afpCtesOver("arr", "x")},
+         |${afpCtesOver("sn", "y")},
+         |hit AS (SELECT DISTINCT a.k FROM xs a, ys s
+         |        WHERE bit_count(xor(a.hi, s.hi))
+         |            + bit_count(xor(a.lo, s.lo)) <= 1)
+         |SELECT k AS doc_id FROM arr
+         |WHERE k NOT IN (SELECT k FROM hit)
+         |ORDER BY doc_id""".stripMargin,
     // the identical RE2-safe chain with the 'g' flag (DuckDB replaces only
     // the first match by default); entity decode order mirrored (&amp; last)
     "q128_html_extract" ->

@@ -950,6 +950,40 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Incremental Hamming dedup over ANY precomputed 64-bit signature
+    * tables (`id`, `sig`) — the media-modality member of the incremental
+    * family (image dHash, acoustic fingerprints, clip hashes from
+    * [[graft.ext.Multimodal]]): the rows of `newSigs` with NO `seenSigs`
+    * signature within `maxDist`. maxDist 0 probes a Bloom over the seen
+    * signatures themselves then confirms with an equality semi-join;
+    * 1–3 probes the four 16-bit pigeonhole block keys and confirms with
+    * the popcount join ([[incrementalNear]]'s engine, signature-table-in
+    * instead of text-in — compute signatures once, reuse them across the
+    * pairs AND incremental paths). Returns the fresh (id, sig) rows. */
+  def incrementalHamming(newSigs: DataFrame, seenSigs: DataFrame,
+                         maxDist: Int = 0,
+                         expectedSeen: Option[Long] = None, fpp: Double = 0.01,
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"pigeonhole blocking assumes maxDist <= 3 (4 blocks), got $maxDist")
+    graft.funcs.VectorFunctions.register(newSigs.sparkSession)
+    val m = CheckpointStrategy.materializer(checkpoint)
+    // both sides materialized (the incrementalNear no-CSE/probe lessons)
+    val seen = m(seenSigs.select(col("sig").as("__sig")).distinct())
+    val nw = m(newSigs.select(col("id"), col("sig").as("simhash")))
+    val dropIds =
+      if (maxDist == 0) {
+        val bytes = serializedBloom(
+          buildLongBloom(seen, "__sig", expectedSeen, fpp))
+        nw.filter(graft.funcs.VectorFunctions.bloomMightContain(
+            col("simhash"), bytes))
+          .join(seen, col("simhash") === col("__sig"), "left_semi")
+          .select(col("id"))
+      } else nearSeenIds(nw, seen, maxDist, expectedSeen, fpp)
+    val confirmed = m(dropIds)
+    newSigs.join(confirmed, Seq("id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist — [[simhash]]
     * signatures through the generic [[hammingPairs]] pigeonhole join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -170,7 +170,9 @@ object ScaleSlope {
       // q127 = gram self-join bounded by source cardinality per gram
       "q127_source_overlap",
       // q128 = pure per-row regexp/replace chain (no shuffle)
-      "q128_html_extract")
+      "q128_html_extract",
+      // q129 = two WAV-decode fingerprint scans + Bloom probe + confirm
+      "q129_incremental_audio_dedup")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -3054,6 +3054,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalHamming: exact and near signature matches drop, bloom perf-only") {
+    val seen = Seq((0L, 0x00FFL), (1L, 0x0F0FL), (2L, 0xAAAAL)).toDF("id", "sig")
+    val arrivals = Seq(
+      (10L, 0x00FFL),          // exact copy of seen 0
+      (11L, 0x00FDL),          // Hamming 1 from seen 0
+      (12L, 0x5500AA00L)       // far from everything
+    ).toDF("id", "sig")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val kept0 = Dedup.incrementalHamming(arrivals, seen, maxDist = 0, fpp = fpp)
+        .select("id").as[Long].collect().toSet
+      assert(kept0 == Set(11L, 12L), s"maxDist=0 fpp=$fpp kept $kept0")
+      val kept3 = Dedup.incrementalHamming(arrivals, seen, maxDist = 3, fpp = fpp)
+        .select("id").as[Long].collect().toSet
+      assert(kept3 == Set(12L), s"maxDist=3 fpp=$fpp kept $kept3")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalHamming(arrivals, seen, maxDist = 4)
+    }
+  }
+
   test("extractHtmlText: blocks stripped, entities decoded amp-last, ws collapsed") {
     val html = "<html><style>a{color:x}</style>" +
       "<script>if (1<2) { x('<b>'); }</script>" +
