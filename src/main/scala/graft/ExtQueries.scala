@@ -848,18 +848,21 @@ object ExtQueries {
     // labels come from qualityPoints on every 4th doc (pos = full marks),
     // the model learns to predict the gate from raw text, and the whole
     // corpus is scored — the DataComp/Dolma-style seed-labeled quality
-    // model. Training is engine-side and iterative — no SQL oracle (driver
-    // records the rows-only check); determinism and separation are
-    // spec-pinned instead.
+    // model. Training is engine-side and iterative, so the trained weight
+    // table is FROZEN through OracleAux and the DuckDB oracle replays the
+    // entire corpus-scale scoring pass against it (hashed-gram features,
+    // DECIMAL dot product, sigmoid — see the dynamicOracle builder);
+    // GD determinism and class separation stay spec-pinned.
     "q111_quality_classifier" -> ((s, dir) => {
       val docs = docsPar(s, dir)
       val slice = docs.filter(col("doc_id") % 4 === 0)
         .withColumn("__pts", TextStats.qualityPoints(col("text")))
-      graft.ext.Classifier.qualityClassifierScore(
-          docs, "doc_id", "text",
-          pos = slice.filter(col("__pts") === 10).drop("__pts"),
-          neg = slice.filter(col("__pts") < 10).drop("__pts"),
-          iters = 12, lr = 300.0)
+      val model = graft.ext.Classifier.train(
+        pos = slice.filter(col("__pts") === 10).drop("__pts"),
+        neg = slice.filter(col("__pts") < 10).drop("__pts"),
+        idCol = "doc_id", textCol = "text", iters = 12, lr = 300.0)
+      OracleAux.writeModel("q111_model", model)
+      graft.ext.Classifier.score(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("lang"), col("clf_prob"), col("clf_keep"))
         .orderBy(col("doc_id"))
     }),
@@ -1073,13 +1076,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))),
     // BPE TRAINING end-to-end: induce 20 merges from the corpus itself
     // (distributed word-count table + bounded driver merge loop), then
-    // tokenize the corpus with them. Iterative training has no SQL replay
-    // (q111's precedent): rows-only check here; the merge loop is pinned
-    // against a hand-computed fixture in ExtSpec.
+    // tokenize the corpus with them. The learned merges are FROZEN through
+    // OracleAux and the DuckDB oracle both REPLAYS the tokenization with
+    // them (q91's replace-chain machinery) and INDUCTIVELY re-derives the
+    // training itself: for every rank k it recomputes the word table, applies
+    // merges 1..k-1, recounts weighted symbol pairs, and checks the argmax
+    // equals merge k — a full cross-engine verification of the merge loop,
+    // gating the output rows (see dynamicOracle). The loop is additionally
+    // pinned against a hand-computed fixture in ExtSpec.
     "q123_bpe_train" -> { (s, dir) =>
       val docs = docsPar(s, dir)
       val (m, v) = TextStats.bpeTrain(docs, "text", numMerges = 20,
         maxWords = 10000)
+      OracleAux.write("q123_merges", m)
       TextStats.bpeStats(docs, "text", m, v)
         .select(col("doc_id"), col("bpe_count"),
           array_join(col("bpe_tokens"), "\u001f").as("bpe_str"))
@@ -3526,4 +3535,131 @@ object ExtQueries {
        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
        |SELECT id1, id2, cos_sim FROM p WHERE cos_sim >= 0.95
        |ORDER BY id1, id2""".stripMargin
+
+  // ---- dynamic oracles for the two iterative trainers -------------------
+  // Built at Verify's SQL-dump time — AFTER the queries ran — from the
+  // trained artifacts the queries froze through OracleAux, so the emitted
+  // SQL is fully self-contained (weights/merges embedded as literals) by
+  // the time DuckDB executes it. Absent artifacts (a dev subset run that
+  // skipped the query) simply omit the entry — the driver then records the
+  // weaker rows-only check instead of failing the whole dump.
+
+  /** Oracle entries whose SQL depends on what the query run just trained. */
+  def dynamicOracle: Map[String, String] =
+    scala.util.Try {
+      q111OracleSql.map("q111_quality_classifier" -> _).toMap ++
+        q123OracleSql.map("q123_bpe_train" -> _).toMap
+    }.getOrElse(Map.empty)
+
+  /** q111's scoring pass replayed in full against the FROZEN trained model:
+    * tokenize → hashed uni+bigram buckets (q93's md5 arithmetic, salt
+    * "graft:clf", B = 4096) → per-(doc, bucket) L1-normalized counts → dot
+    * product with the embedded weight table summed as DECIMAL(38,18)
+    * (exact, order-free — mirroring Classifier's determinism discipline) →
+    * sigmoid with the embedded bias, 6 dp. Zero-weight buckets are omitted
+    * from the VALUES list (their terms are exactly 0 on both engines). */
+  private def q111OracleSql: Option[String] =
+    OracleAux.readModel("q111_model").map { case (bias, ws0) =>
+      val ws = if (ws0.isEmpty) Seq((0, 0.0)) else ws0
+      val values = ws.map { case (b, w) => s"($b, $w)" }.mkString(", ")
+      val docToksC = """string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"""
+      s"""WITH t AS (SELECT doc_id, lang, $docToksC AS toks FROM documents),
+         |g AS (SELECT doc_id, lang, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END) AS grams
+         |  FROM t),
+         |bk AS (SELECT doc_id, lang, len(grams) AS n, list_transform(grams, x ->
+         |    CAST(CAST(('0x' || substr(md5(x || ':graft:clf'), 1, 8)) AS BIGINT)
+         |      % 4096 AS INT)) AS bks FROM g),
+         |e AS (SELECT doc_id, lang, n, unnest(bks) AS bucket FROM bk),
+         |c AS (SELECT doc_id, lang, n, bucket, count(*) AS cnt FROM e
+         |  GROUP BY 1, 2, 3, 4),
+         |w(bucket, wt) AS (VALUES $values),
+         |m AS (SELECT c.doc_id, c.lang,
+         |    sum(CAST((CAST(c.cnt AS DOUBLE) / CAST(c.n AS DOUBLE))
+         |      * coalesce(w.wt, 0.0) AS DECIMAL(38,18))) AS mm
+         |  FROM c LEFT JOIN w USING (bucket) GROUP BY 1, 2),
+         |p AS (SELECT doc_id, lang,
+         |    round(1.0 / (1.0 + exp(-(CAST(mm AS DOUBLE) + ($bias)))), 6)
+         |      AS clf_prob
+         |  FROM m)
+         |SELECT doc_id, lang, clf_prob, clf_prob >= 0.5 AS clf_keep
+         |FROM p ORDER BY doc_id""".stripMargin
+    }
+
+  /** q123's oracle, built from the FROZEN learned merges: replays the
+    * corpus tokenization with the full merge chain (q91's ␟-wrapped
+    * replace-pass machinery) AND inductively re-derives the training loop —
+    * for every rank k it recomputes the capped word-frequency table from
+    * scratch, applies merges 1..k−1, recounts frequency-weighted adjacent
+    * symbol pairs (whitespace-bearing symbols excluded, the mergeable()
+    * rule), and checks the argmax under (count desc, left, right) with the
+    * minPairCount ≥ 2 floor equals merge k exactly; if training stopped
+    * early it additionally checks no further merge was possible. All checks
+    * GATE the output rows (WHERE ok), so a single deviated selection
+    * empties the oracle and fails the driver's row compare. */
+  private def q123OracleSql: Option[String] =
+    OracleAux.read("q123_merges").map { lines =>
+      val merges = lines.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(' '); (l.substring(0, i), l.substring(i + 1))
+      }
+      val numMerges = 20 // must mirror the q123 call above
+      def sq(s: String) = s.replace("'", "''")
+      def mergedExpr(src: String, k: Int): String =
+        merges.take(k).foldLeft(src) { case (acc, (a, b)) =>
+          s"replace($acc, chr(31)||'${sq(a)}'||chr(31)||chr(31)||'${sq(b)}'||chr(31), " +
+            s"chr(31)||'${sq(a + b)}'||chr(31))"
+        }
+      val pat = graft.ext.TextStats.BpePattern.replace("'", "''")
+      // ranks to re-derive: every learned merge, plus (on early stop) one
+      // extra rank that must find NO admissible pair
+      val ranks = merges.indices.map(_ + 1) ++
+        (if (merges.length < numMerges) Seq(merges.length + 1) else Nil)
+      val rankCtes = ranks.map { k =>
+        s"""s$k AS (SELECT string_split(trim(${mergedExpr("s0", k - 1)}, chr(31)),
+           |    chr(31)||chr(31)) AS syms, n FROM wr0),
+           |e$k AS (SELECT syms, n, unnest(range(1, len(syms))) AS i FROM s$k),
+           |p$k AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(n) AS c FROM e$k
+           |  WHERE NOT regexp_matches(syms[i], '\\s')
+           |    AND NOT regexp_matches(syms[i+1], '\\s')
+           |  GROUP BY 1, 2),
+           |m$k AS (SELECT a || ' ' || b AS mrg FROM p$k WHERE c >= 2
+           |  ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val checks = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"coalesce((SELECT mrg FROM m${i + 1}) = '${sq(s"$a $b")}', FALSE)"
+      } ++ (if (merges.length < numMerges)
+        Seq(s"(SELECT count(*) FROM m${merges.length + 1}) = 0") else Nil)
+      val ok = if (checks.isEmpty) "TRUE" else checks.mkString("\n  AND ")
+      s"""WITH base AS (SELECT doc_id,
+         |    regexp_extract_all(coalesce(text, ''), '$pat') AS pts
+         |  FROM documents),
+         |wt AS (SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(pts) AS w FROM base) u
+         |  WHERE NOT regexp_matches(w, '^\\s+$$')
+         |  GROUP BY 1
+         |  QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 10000),
+         |wr0 AS (SELECT regexp_replace(w, '(?s)(.)',
+         |    chr(31)||'\\1'||chr(31), 'g') AS s0, n FROM wt),
+         |$rankCtes,
+         |chk AS (SELECT $ok AS ok),
+         |we AS (SELECT doc_id, pts, unnest(range(1, len(pts)+1)) AS i FROM base),
+         |w2 AS (SELECT doc_id, i, pts[i] AS pt FROM we
+         |  WHERE NOT regexp_matches(pts[i], '^\\s+$$')),
+         |wr AS (SELECT doc_id, i,
+         |    regexp_replace(pt, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g') AS s0
+         |  FROM w2),
+         |mg AS (SELECT doc_id, i,
+         |    string_split(trim(${mergedExpr("s0", merges.length)}, chr(31)),
+         |      chr(31)||chr(31)) AS tl
+         |  FROM wr),
+         |f AS (SELECT doc_id, flatten(list(tl ORDER BY i)) AS toks
+         |  FROM mg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(len(f.toks), 0) AS INT) AS bpe_count,
+         |  coalesce(array_to_string(f.toks, chr(31)), '') AS bpe_str
+         |FROM documents d LEFT JOIN f USING (doc_id)
+         |WHERE (SELECT ok FROM chk)
+         |ORDER BY d.doc_id""".stripMargin
+    }
 }

@@ -13,5 +13,6 @@ object SparkEntry {
     Queries.all ++ ExtQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracle ++ ExtQueries.oracle
+  def oracleSql: Map[String, String] =
+    Queries.oracle ++ ExtQueries.oracle ++ ExtQueries.dynamicOracle
 }
