@@ -1260,6 +1260,14 @@ object ExtQueries {
   private val docToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
 
+  /** [[docToks]] with the Spark side's null-text coalesce: operators whose
+    * Scala pipeline tokenizes `coalesce(text, '')` (q116/q122/q127/q128)
+    * must replay the SAME empty-document semantics — a bare `text` would
+    * silently drop NULL-text rows from the unnest while Spark still emits
+    * the [''] token (latent today: the fixture has no NULL text). */
+  private val docToksC =
+    """string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"""
+
   /** Shared q90/q95 perplexity replay CTEs: bigram add-1 model trained on
     * the English slice, per-document mean NLL summed in DOCUMENT ORDER —
     * ends at `f` = (doc_id, lm_grams, lm_oov, s). */
@@ -1682,7 +1690,7 @@ object ExtQueries {
     // off DuckDB's HUGEINT. Spark's limit(50) is deterministic because the
     // order is total (gram is unique per group).
     "q116_top_ngrams" ->
-      s"""WITH t AS (SELECT doc_id, $docToks AS t FROM documents),
+      s"""WITH t AS (SELECT doc_id, $docToksC AS t FROM documents),
          |g AS (SELECT doc_id, concat_ws(' ', t[CAST(i AS INT)],
          |        t[CAST(i+1 AS INT)], t[CAST(i+2 AS INT)]) AS gram
          |      FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
@@ -1727,7 +1735,8 @@ object ExtQueries {
         |    AS page
         |  FROM documents),
         |c AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      coalesce(page, ''),
         |      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
         |      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
@@ -1747,7 +1756,8 @@ object ExtQueries {
     // exact integers in both engines
     "q127_source_overlap" ->
       s"""WITH ${shingleCtesOver(
-             "(SELECT source AS doc_id, text FROM documents)", 8, "o")},
+             "(SELECT source AS doc_id, coalesce(text, '') AS text " +
+               "FROM documents)", 8, "o")},
          |sz AS (SELECT doc_id AS source, count(*) AS n FROM od GROUP BY 1),
          |co AS (SELECT a.doc_id AS source1, b.doc_id AS source2,
          |         count(*) AS shared
@@ -1828,7 +1838,7 @@ object ExtQueries {
     // per-(source, token) counts rolled up to source; sums cast off
     // HUGEINT, ratios divide the same exact integers
     "q122_vocab_report" ->
-      s"""WITH t AS (SELECT source, unnest($docToks) AS tok FROM documents),
+      s"""WITH t AS (SELECT source, unnest($docToksC) AS tok FROM documents),
          |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
          |g AS (SELECT source,
          |    CAST(sum(c) AS BIGINT) AS tokens_sum,
@@ -3562,7 +3572,6 @@ object ExtQueries {
     OracleAux.readModel("q111_model").map { case (bias, ws0) =>
       val ws = if (ws0.isEmpty) Seq((0, 0.0)) else ws0
       val values = ws.map { case (b, w) => s"($b, $w)" }.mkString(", ")
-      val docToksC = """string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"""
       s"""WITH t AS (SELECT doc_id, lang, $docToksC AS toks FROM documents),
          |g AS (SELECT doc_id, lang, list_concat(toks,
          |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
