@@ -161,11 +161,14 @@ object Dsir {
     val scored = CheckpointStrategy.materializer(checkpoint)(
       dsirLogWeights(df, idCol, textCol, target, raw, buckets, k, salt))
     val hist = scored.groupBy(col("ds_logw")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ds_logw").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist.select(col("ds_logw"), col("__c"), sum(col("__c")).over(w).as("__cum"))
-      .localCheckpoint() // histogram-sized; feeds the total AND the boundary row
+    // descending cumulative counts via the two-phase distributed prefix sum
+    // over the NEGATED weight (ascending −w ≡ descending w; the histogram
+    // key stays unique) — never a partitionless Window.orderBy, which would
+    // sort the whole distinct-value histogram in one task at scale.
+    // Histogram-sized; feeds the total AND the boundary row.
+    val cum = Corpus.prefixSum(hist.withColumn("__ok", negate(col("ds_logw"))),
+        "__ok", "__c", "__cum")
+      .drop("__ok").localCheckpoint()
     if (cum.isEmpty) return scored // empty corpus: nothing to select
     val n = cum.agg(max(col("__cum"))).head().getLong(0)
     val keep = math.ceil(keepFrac * n).toLong

@@ -252,12 +252,14 @@ object Perplexity {
     val scoredM = CheckpointStrategy.materializer(checkpoint)(scored)
     val hist = scoredM.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(scoreCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // histogram-sized; feeds the total AND the label projection
-    val cum = hist.select(col(scoreCol), col("__c"),
-      sum(col("__c")).over(w).as("__cum")).localCheckpoint()
+    // cumulative counts via the two-phase distributed prefix sum
+    // ([[Corpus.prefixSum]]) rather than a partitionless Window.orderBy —
+    // the histogram is distinct-6dp-value-sized, which at 100 TB can still
+    // be tens of millions of rows, and a global-order window would sort
+    // them all in ONE task. Histogram-sized; feeds the total AND the label
+    // projection, so materialized once.
+    val cum = Corpus.prefixSum(hist, scoreCol, "__c", "__cum", checkpoint)
+      .localCheckpoint()
     if (cum.isEmpty) // no scorable documents: every label is null
       return scoredM.withColumn(bucketCol, lit(null).cast("string"))
     val n = cum.agg(max(col("__cum"))).head().getLong(0)

@@ -1029,10 +1029,11 @@ object Similarity {
     val scored = CheckpointStrategy.materializer(checkpoint)(
       df.withColumn("vec_norm", round(l2Norm(toDouble(col(vecCol))), 6)))
     val hist = scored.groupBy(col("vec_norm")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("vec_norm"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = hist.select(col("vec_norm"), col("__c"),
-      sum(col("__c")).over(w).as("__cum")).localCheckpoint()
+    // cumulative counts via the two-phase distributed prefix sum — a
+    // partitionless Window.orderBy would funnel the whole distinct-norm
+    // histogram through one task at scale (see Corpus.prefixSum).
+    val cum = Corpus.prefixSum(hist, "vec_norm", "__c", "__cum", checkpoint)
+      .localCheckpoint()
     if (cum.isEmpty) return scored
     val n = cum.agg(max(col("__cum"))).head().getLong(0)
     val lowN = math.floor(n * dropLowFrac)

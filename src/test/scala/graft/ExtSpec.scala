@@ -3368,4 +3368,30 @@ class ExtSpec extends AnyFunSuite {
       Joins.rangeJoin(points, intervals, Seq("k"), "t", "ws", "we", 0L)
     }
   }
+
+  test("histogram-CDF operators plan no partitionless window (scale guard)") {
+    // the three fraction-cut operators (perplexityBuckets, dsirSelect,
+    // filterByNormBand) route their cumulative histogram counts through
+    // Corpus.prefixSum; a Window with an EMPTY partitionSpec anywhere in
+    // that plan would collapse the distinct-value histogram to one task —
+    // the r11-verdict scale finding this guards against.
+    def partitionlessWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.size
+    val hist = Seq((1.5, 3L), (0.5, 2L), (2.5, 1L)).toDF("v", "__c")
+    val cum = Corpus.prefixSum(hist, "v", "__c", "__cum")
+    assert(partitionlessWindows(cum) == 0, "prefixSum must not plan a global window")
+    assert(cum.orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(2))).toSeq
+      == Seq((0.5, 2L), (1.5, 5L), (2.5, 6L)))
+    // end-to-end: the three operators still produce the pinned results
+    // (their oracles q95/q94/q114 hash-pin values at sf0.01; here a quick
+    // shape check that the rewrite kept semantics on a tiny fixture)
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.fill(4)(1.0f + i))).toDF("id", "emb")
+    val kept = Similarity.filterByNormBand(vecs, "id", "emb",
+      dropLowFrac = 0.2, dropHighFrac = 0.2)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq == (2L to 7L))
+  }
 }
