@@ -101,6 +101,88 @@ object Quantize {
       .select(col("sub"), col("code"), col("sv").as("cent"))
   }
 
+  /** K-MEANS-trained PQ codebooks (the paper's actual recipe — Lloyd per
+    * subspace) seeded from [[pqCodebooks]]'s deterministic first-K set, so
+    * `iters = 0` degrades to exactly the first-K codebook. Each iteration:
+    * assign every TRAIN subvector to its nearest centroid (6-dp-rounded
+    * in-order squared L2, lowest code on ties — the same argmin contract as
+    * [[pqEncode]]), then recompute each centroid as the per-dimension mean
+    * of its members in FIXED-POINT: components quantize to the 1e-6 grid
+    * before the sum, so the per-(sub, code, dim) totals are exact integers
+    * (associative — partition order cannot change them) and the new
+    * centroid `(Σq/10⁶)/n` is a deterministic double chain both engines
+    * replay verbatim ([[Similarity.kmeansCentroids]]'s discipline; the
+    * q103/q104 oracles re-derive the full iteration in SQL). Empty cells
+    * keep their centroid. Driver state per iteration: m·ksub·dsub rows —
+    * model-sized, never corpus-sized; the subvector table is materialized
+    * once and rescanned per iteration.
+    *
+    * Better recall than first-K at the same (m, ksub) because centroids
+    * move to the train distribution's density centers instead of sitting on
+    * arbitrary early vectors — the r11-verdict item this closes. */
+  def pqCodebooksKmeans(train: DataFrame, idCol: String, vecCol: String,
+                        m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val init = pqCodebooks(train, idCol, vecCol, m, ksub)
+    if (iters == 0) return init
+    val dim = train.select(size(col(vecCol))).head().getInt(0)
+    val dsub = dim / m
+    // (sub, sv) rows of the train slice — the per-iteration scan
+    val svs = train.select(Similarity.toDouble(col(vecCol)).as("__v"))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("sub"), slice(col("__v"), s * dsub + 1, lit(dsub)).as("sv"))))
+        .as("e"))
+      .select(col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .localCheckpoint()
+    var cent: Map[(Int, Int), Seq[Double]] = init.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    for (_ <- 1 to iters) {
+      // per-sub code-ordered centroid arrays, broadcast to the assignment
+      val cbDf = cent.toSeq.sortBy(_._1)
+        .map { case ((s, c), v) => (s, c, v) }.toDF("sub", "code", "cent")
+      val packedPerSub = cbDf.groupBy(col("sub"))
+        .agg(transform(array_sort(collect_list(struct(col("code"), col("cent")))),
+          s => s("cent")).as("cents"))
+      // per-row argmin (pqEncode's fold: strictly-smaller replaces, so the
+      // lowest code wins rounded-distance ties), then exact integer sums of
+      // the 1e-6-quantized member components per (sub, code, dim)
+      val assigned = svs.join(broadcast(packedPerSub), Seq("sub"))
+        .select(col("sub"), col("sv"),
+          aggregate(sequence(lit(0), size(col("cents")) - 1),
+            struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+            (acc, ci) =>
+              when(round(d2(col("sv"), element_at(col("cents"), ci + 1)), 6) < acc("d"),
+                struct(round(d2(col("sv"), element_at(col("cents"), ci + 1)), 6).as("d"),
+                  ci.as("c")))
+                .otherwise(acc))
+            .getField("c").as("code"))
+      val sums = assigned
+        .select(col("sub"), col("code"),
+          posexplode(transform(col("sv"),
+            x => floor(x * 1000000.0).cast("long"))).as(Seq("d", "q")))
+        .groupBy(col("sub"), col("code"), col("d"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cent = cent.map { case (key, old) =>
+        byCell.get(key) match {
+          case Some(rows) =>
+            val next = old.toArray
+            // exact-integer sum → the deterministic double chain the
+            // oracle mirrors: (Σq / 1e6) / n
+            rows.foreach(r =>
+              next(r.getInt(2)) = r.getLong(3).toDouble / 1000000.0 / r.getLong(4))
+            key -> next.toSeq
+          case None => key -> old // empty cell keeps its centroid
+        }
+      }
+    }
+    cent.toSeq.sortBy(_._1).map { case ((s, c), v) => (s, c, v) }
+      .toDF("sub", "code", "cent")
+  }
+
   /** Codebooks packed to ONE broadcastable row: `cb[sub][code] = cent`
     * (sub- and code-ordered nested arrays) — the shape the per-row encode
     * and ADC lambdas index into. */
@@ -159,10 +241,10 @@ object Quantize {
     * the whole pipeline one declarative expression.) */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, m: Int = 8, ksub: Int = 16, topK: Int = 10,
-             train: DataFrame = null): DataFrame = {
+             train: DataFrame = null, kmeansIters: Int = 0): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val cbs = pqCodebooks(if (train == null) corpus else train,
-      idCol, vecCol, m, ksub)
+    val cbs = pqCodebooksKmeans(if (train == null) corpus else train,
+      idCol, vecCol, m, ksub, kmeansIters)
       .localCheckpoint() // model-sized; feeds the encode AND the ADC scan
     val enc = pqEncode(corpus, idCol, vecCol, cbs)
     val q = queries.select(col(idCol).as("qid"),
@@ -199,7 +281,7 @@ object Quantize {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, topK: Int = 10, nCells: Int = 16,
                 nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
-                train: DataFrame = null): DataFrame = {
+                train: DataFrame = null, kmeansIters: Int = 0): DataFrame = {
     require(topK >= 1 && nCells >= 1 && nProbe >= 1,
       s"topK/nCells/nProbe must be >= 1, got $topK/$nCells/$nProbe")
     val c = corpus.select(col(idCol).as("id"),
@@ -217,8 +299,8 @@ object Quantize {
         .filter(col("__rn") <= keep)
         .select(col("id"), col("v"), col("pid").as("cell"))
     }
-    val cbs = pqCodebooks(if (train == null) corpus else train,
-      idCol, vecCol, m, ksub).localCheckpoint()
+    val cbs = pqCodebooksKmeans(if (train == null) corpus else train,
+      idCol, vecCol, m, ksub, kmeansIters).localCheckpoint()
     // index side: (id, cell, codes) — the persisted layout of a real
     // deployment; vectors themselves are not carried past this point
     val assigned = nearestCells(c, 1)
