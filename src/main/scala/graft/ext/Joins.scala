@@ -46,14 +46,33 @@ object Joins {
     *     backward match winning exact-distance ties (both carries ride the
     *     same single shuffle; only the in-partition sort runs twice).
     * `toleranceSeconds` bounds |leftTime − match| in every direction.
+    *
+    * SKEW: the carry window partitions by `keys` alone, so ONE pathological
+    * key (a null-heavy instrument, a default user id) serializes its whole
+    * timeline into a single task. `timeBucketSeconds = Some(w)` is the
+    * documented hot-key fallback: rows additionally partition by their
+    * epoch bucket `floor(t / w)` — per-task work drops from rows-per-key to
+    * rows-per-(key, bucket) — and matches that cross a bucket boundary come
+    * from a BUCKET-LEVEL carry relation (one row per (key, bucket): the
+    * latest/earliest right payload, running-carried across buckets within
+    * the key — a window over bucket-count-sized data, never row-level).
+    * Results are IDENTICAL to the unbucketed plan for any width
+    * (spec-asserted): a right row in an earlier bucket always has a
+    * strictly smaller time, so `coalesce(in-bucket carry, boundary carry)`
+    * reproduces the global carry exactly. Pick `w` near the typical match
+    * gap; timestamps must be non-null in bucketed mode (a null time cannot
+    * be assigned a bucket).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
                toleranceSeconds: Option[Long] = None,
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               timeBucketSeconds: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equality key")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
+    require(timeBucketSeconds.forall(_ > 0),
+      s"timeBucketSeconds must be positive, got $timeBucketSeconds")
     val matchedTs = s"${rightTime}_matched"
 
     // side ordering places right rows INSIDE the relevant frame at equal
@@ -69,24 +88,69 @@ object Joins {
       .withColumn("__sb", lit(1)).withColumn("__sf", lit(1))
     // unionByName fills each side's missing columns (left's payload struct,
     // right's left-only columns) with nulls — one relation, one shuffle.
-    val u = l.unionByName(r, allowMissingColumns = true)
+    val u0 = l.unionByName(r, allowMissingColumns = true)
 
-    val wB = Window.partitionBy(keys.map(col): _*)
+    // partition spec: keys alone, or keys + epoch bucket in hot-key mode
+    val u = timeBucketSeconds.foldLeft(u0)((d, w) =>
+      d.withColumn("__bk", floor(col("__t").cast("long") / w)))
+    val pSpec = keys.map(col) ++ timeBucketSeconds.map(_ => col("__bk"))
+    val wB = Window.partitionBy(pSpec: _*)
       .orderBy(col("__t"), col("__sb"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy(keys.map(col): _*)
+    val wF = Window.partitionBy(pSpec: _*)
       .orderBy(col("__t"), col("__sf"), col("__p"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = direction match {
+    val pType = u.schema("__p").dataType
+    def inBucket(d: DataFrame) = direction match {
       case "backward" =>
-        u.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
-          .withColumn("__mf", lit(null).cast(u.schema("__p").dataType))
+        d.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+          .withColumn("__mf", lit(null).cast(pType))
       case "forward" =>
-        u.withColumn("__mb", lit(null).cast(u.schema("__p").dataType))
+        d.withColumn("__mb", lit(null).cast(pType))
           .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
       case _ =>
-        u.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+        d.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
           .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
+    }
+    val carried = timeBucketSeconds match {
+      case None => inBucket(u)
+      case Some(_) =>
+        // bucket-level boundary carry: one row per (keys, bucket) holding
+        // that bucket's latest/earliest RIGHT payload (struct max/min over
+        // (__t, __p) — lexicographic, the same total order the window's
+        // (__t, side, __p) sort gives among right rows), then running
+        // last/first non-null across buckets WITHIN the key. The window
+        // here runs over bucket-count-sized rows, not corpus rows.
+        val bl = u.groupBy((keys.map(col) :+ col("__bk")): _*)
+          .agg(
+            max(when(col("__sb") === 0, struct(col("__t"), col("__p"))))
+              .as("__mx"),
+            min(when(col("__sf") === 2, struct(col("__t"), col("__p"))))
+              .as("__mn"))
+        val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col("__bk"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val carry = bl.select((keys.map(col) :+ col("__bk") :+
+          last(col("__mx"), ignoreNulls = true).over(wPrev)
+            .getField("__p").as("__cb") :+
+          first(col("__mn"), ignoreNulls = true).over(wNext)
+            .getField("__p").as("__cf")): _*)
+        // a right row in an earlier bucket has a strictly smaller time than
+        // anything in this bucket, so the in-bucket match always wins when
+        // present — coalesce reproduces the global carry exactly. The
+        // lookup is NULL-SAFE on the keys: a null key is the canonical hot
+        // key (the whole reason bucketed mode exists) and a plain equi-join
+        // would silently drop its rows.
+        val cond = (keys :+ "__bk")
+          .map(k => col(s"__u.$k") <=> col(s"__c.$k")).reduce(_ && _)
+        val joined = u.alias("__u")
+          .join(carry.select((keys.map(c => col(c)) :+ col("__bk") :+
+              col("__cb") :+ col("__cf")): _*).alias("__c"), cond)
+          .select(col("__u.*"), col("__c.__cb"), col("__c.__cf"))
+        inBucket(joined)
+          .withColumn("__mb", coalesce(col("__mb"), col("__cb")))
+          .withColumn("__mf", coalesce(col("__mf"), col("__cf")))
     }
 
     def dist(m: Column): Column =

@@ -3349,6 +3349,49 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Set((10L, 1.0), (10L, 2.0), (11L, 2.0), (11L, 3.0)))
   }
 
+  test("asofJoin: time-bucketed hot-key mode is exact for every width and direction") {
+    // one key holds 90% of the rows (the skew regime timeBucketSeconds
+    // exists for) plus a NULL key — the canonical degenerate hot key the
+    // carry lookup must keep (null-safe join). Matches frequently cross
+    // bucket boundaries at the small widths, exercising the bucket-level
+    // boundary carry, not just the in-bucket window.
+    val rnd = new scala.util.Random(7)
+    val hotL = (0 until 180).map(i => (1L, 7L + i * 11L, i.toDouble))
+    val coldL = (0 until 20).map(i => (2L + i % 3, 13L + i * 17L, 100.0 + i))
+    val hotR = (0 until 90).map(i => (1L, 3L + i * 23L, 1000.0 + i))
+    val coldR = (0 until 10).map(i => (2L + i % 3, 5L + i * 31L, 2000.0 + i))
+    def withNullKey(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("k", when(col("v") === 0.0 || col("v") === 1000.0,
+        lit(null).cast("long")).otherwise(col("k")))
+    val left = withNullKey(tsDf(rnd.shuffle(hotL ++ coldL), "v"))
+      .withColumnRenamed("v", "lv")
+    val right = withNullKey(tsDf(rnd.shuffle(hotR ++ coldR), "v"))
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(40L))) {
+      val base = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+          tol, dir)
+        .select("lv", "t_matched", "v").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      for (w <- Seq(1L, 29L, 500L, 1000000L)) {
+        val bucketed = Joins.asofJoin(left, right, Seq("k"), "t", "t",
+            Seq("v"), tol, dir, timeBucketSeconds = Some(w))
+          .select("lv", "t_matched", "v").collect()
+          .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+        assert(bucketed == base, s"dir=$dir tol=$tol w=$w diverged")
+      }
+    }
+    // the row-level windows must partition by (keys, bucket) — the whole
+    // point: no window in the bucketed plan may group a key's entire
+    // timeline into one partition
+    val plan = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      timeBucketSeconds = Some(29L)).queryExecution.sparkPlan
+    val rowWindows = plan.collect {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we
+    }
+    assert(rowWindows.exists(_.partitionSpec.size >= 2),
+      "expected a (key, bucket)-partitioned row window in the bucketed plan")
+  }
+
   test("rangeJoin: result is invariant to the bucket width") {
     val points = tsDf(Seq((1L, 95L, 1.0), (1L, 180L, 2.0), (1L, 260L, 3.0),
       (2L, 95L, 4.0), (2L, 300L, 5.0)), "pv")
@@ -3424,7 +3467,7 @@ class ExtSpec extends AnyFunSuite {
     // that plan would collapse the distinct-value histogram to one task —
     // the r11-verdict scale finding this guards against.
     def partitionlessWindows(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
+      df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
       }.size
