@@ -292,32 +292,80 @@ object TextStats {
       }
       out.toArray
     }
-    var reps = words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val reps = words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+      .toArray
+    // INCREMENTAL pair counts (the standard Sennrich trainer optimization):
+    // maintain the weighted mergeable-pair counts and a pair → word-index
+    // posting list, so each merge touches only the words CONTAINING the
+    // merged pair instead of recounting the whole table — O(affected words)
+    // per merge instead of O(merges × table), which is what lets numMerges
+    // reach real vocabulary sizes (32k). The maintained map is additively
+    // identical to a from-scratch recount (exact long arithmetic, entries
+    // dropped at zero), so the selected merges are bit-identical to the
+    // naive loop's (spec-asserted at numMerges = 200).
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def pairCountsOf(syms: Array[String]): scala.collection.mutable.HashMap[(String, String), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        if (mergeable(syms(i)) && mergeable(syms(i + 1))) {
+          val k = (syms(i), syms(i + 1))
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        i += 1
+      }
+      m
+    }
+    def add(idx: Int, syms: Array[String], n: Long, sign: Long): Unit =
+      pairCountsOf(syms).foreach { case (k, c) =>
+        val nv = counts.getOrElse(k, 0L) + sign * c * n
+        if (nv == 0L) { counts.remove(k); where.get(k).foreach(_.remove(idx)) }
+        else {
+          counts.update(k, nv)
+          if (sign > 0)
+            where.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += idx
+          else where.get(k).foreach(_.remove(idx))
+        }
+      }
+    reps.zipWithIndex.foreach { case ((syms, n), i) => add(i, syms, n, 1L) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var stop = false
     while (merges.length < numMerges && !stop) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      reps.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          if (mergeable(syms(i)) && mergeable(syms(i + 1))) {
-            val k = (syms(i), syms(i + 1))
-            counts.update(k, counts.getOrElse(k, 0L) + n)
-          }
-          i += 1
-        }
-      }
       if (counts.isEmpty) stop = true
       else {
         val ((a, b), c) = counts.minBy { case ((x, y), m) => (-m, x, y) }
         if (c < minPairCount) stop = true
         else {
           merges += s"$a $b"
-          reps = reps.map { case (syms, n) => (mergeAll(syms, a, b), n) }
+          // only the posting list's words change; updates are additive, so
+          // iteration order over the set cannot affect the final counts
+          val affected = where.getOrElse((a, b), Nil).toArray
+          affected.foreach { i =>
+            val (syms, n) = reps(i)
+            add(i, syms, n, -1L)
+            val merged = mergeAll(syms, a, b)
+            reps(i) = (merged, n)
+            add(i, merged, n, 1L)
+          }
         }
       }
     }
-    val baseSyms = words.flatMap(_._1.map(_.toString)).distinct.sorted
+    // base symbols from the UNCAPPED corpus (one distinct-chars aggregate —
+    // alphabet-sized, not vocabulary-sized), not from the maxWords-capped
+    // word table: a character appearing only in words beyond the cap must
+    // still get a vocabulary id at apply time instead of mapping to -1.
+    // (Char granularity here is the regex engine's codepoint split; the
+    // merge loop itself runs on UTF-16 units — identical for BMP text, and
+    // the byte-level remap for anything wider is the caller's job per the
+    // BpeCodec contract.)
+    val baseSyms = df
+      .select(explode(filter(bpeTokens(coalesce(col(textCol), lit(""))),
+        t => !t.rlike("^\\s+$"))).as("w"))
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
     val vocab = (baseSyms ++ merges.map(_.replace(" ", ""))).distinct
     (merges.toSeq, vocab.toSeq)
   }

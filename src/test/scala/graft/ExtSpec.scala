@@ -3207,6 +3207,63 @@ class ExtSpec extends AnyFunSuite {
     assert(TextStats.bpeTrain(tie, "text", numMerges = 1)._1 == Seq("x y"))
   }
 
+  test("bpeTrain: incremental pair counts match the naive recount at 200 merges") {
+    // the Sennrich-optimized loop (postings + additive count maintenance)
+    // must select bit-identical merges to a from-scratch recount every
+    // iteration — checked deep enough (200 merges over a mixed corpus)
+    // that any drift in the maintenance would surface
+    val rnd = new scala.util.Random(11)
+    val vocabLetters = "abcdefghij"
+    val docs = (0 until 60).map { i =>
+      val words = (0 until 30).map { _ =>
+        (0 until (2 + rnd.nextInt(6)))
+          .map(_ => vocabLetters(rnd.nextInt(vocabLetters.length))).mkString
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val (m, _) = TextStats.bpeTrain(docs, "text", numMerges = 200,
+      minPairCount = 2)
+    // naive reference: recount all pairs every iteration
+    val words = docs.select(explode(filter(
+        TextStats.bpeTokens(coalesce(col("text"), lit(""))),
+        t => !t.rlike("^\\s+$"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(100000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def mergeable(s: String) = !s.exists(_.isWhitespace)
+    def mergeAll(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    var reps = words.map { case (w, n) => (w.map(_.toString).toArray, n) }.toSeq
+    val naive = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stop = false
+    while (naive.length < 200 && !stop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (syms, n) =>
+        for (i <- 0 until syms.length - 1
+             if mergeable(syms(i)) && mergeable(syms(i + 1)))
+          counts.update((syms(i), syms(i + 1)),
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + n)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), cc) => (-cc, x, y) }
+        if (c < 2L) stop = true
+        else { naive += s"$a $b"; reps = reps.map { case (s2, n) => (mergeAll(s2, a, b), n) } }
+      }
+    }
+    assert(m == naive.toSeq, s"incremental loop diverged at merge ${
+      m.zip(naive).indexWhere { case (x, y) => x != y }}")
+    assert(m.length == 200, s"fixture exhausted early: ${m.length} merges")
+  }
+
   test("vocabularyReport: exact type/token/hapax tallies per source") {
     val docs = Seq(
       ("a", "x x y z"),        // tokens 4; types x,y,z; hapax y,z; top x=2
