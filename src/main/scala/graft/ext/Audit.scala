@@ -259,6 +259,10 @@ object Audit {
       .filter(col("doc_freq") >= minDocFreq)
       .orderBy(col("occurrences").desc, col("gram"))
       .limit(topK)
+    // NOTE (r11 advice): this re-sorts the already-TakeOrdered topK rows in
+    // one output-sized partition to attach ranks — deliberate: topK is
+    // dozens-to-hundreds of rows, and deriving the rank from the limit's
+    // order would couple the operator to the sink's row order guarantee.
     global.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("occurrences").desc, col("gram"))).cast("int"))

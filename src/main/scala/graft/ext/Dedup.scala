@@ -744,7 +744,18 @@ object Dedup {
     * The band-bucket cap guards the candidate join's F² term on the seen
     * side; as with the batch terminal, collapse exact duplicates (here:
     * [[incrementalExact]]) FIRST at real dup rates — an over-cap
-    * identical-content group emits no candidates by design. */
+    * identical-content group emits no candidates by design.
+    *
+    * RECALL CONTRACT (probabilistic, quantified): candidacy is LSH-banded,
+    * so a true pair at Jaccard J that matches NO band survives dedup even
+    * though an exact all-pairs check (the q119 oracle's formulation) would
+    * drop it. At the defaults (numPerm = 128, bands = 32 → r = 4 rows per
+    * band) the per-pair miss probability is (1 − J⁴)³²: ≈ 4.7e-8 at the
+    * J = 0.8 threshold, falling to ≈ 1.6e-14 at J = 0.9 and ~0 as J → 1.
+    * The q119 fixture's planted near-dups sit at J ≈ (n−3)/(n−2) ≈ 1 and
+    * its rewrites at J ≈ 0, so the oracle's exact replay and the banded
+    * path agree with miss mass ≪ 1e-10 over the whole corpus — the same
+    * argument q41 makes for its auto-sized vector bands. */
   def incrementalMinhash(newDf: DataFrame, seenDf: DataFrame, idCol: String,
                          textCol: String, minJaccard: Double = 0.8,
                          numPerm: Int = 128, bands: Int = 32, k: Int = 4,

@@ -270,6 +270,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityDrift incorporates in-watermark late data (corrected alert) and drops expired") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the one streaming behavior batch parity cannot cover: out-of-order
+    // arrivals. A late batch INSIDE the watermark must re-emit the window
+    // with the corrected mean (the drift alert fires on the corrected
+    // numbers); a straggler BEYOND the watermark must be dropped without
+    // reviving the expired window.
+    val good = ("the and of to a is in for on with " * 4).trim // 40 toks, 10 pts
+    val bad = "x"                                              // 2 pts
+    def ev(id: Long, tx: String, t: String) =
+      (id, tx, java.sql.Timestamp.valueOf(t))
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val agg = Streaming.qualityDrift(
+      stream.toDF().toDF("doc_id", "text", "ts"), "ts", "text",
+      watermark = Some("1 hour"), win = "1 hour", baselineMean = 9.0)
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("stream_drift_late").start()
+    def w1Rows() = spark.table("stream_drift_late")
+      .filter(col("window.start") === lit("2026-01-01 01:00:00").cast("timestamp"))
+      .select(col("docs"), col("mean_quality"), col("drift"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    try {
+      // batch 1: 4 good docs in W1 [01:00, 02:00) + one W2 doc; watermark
+      // advances to 01:15, W1 stays open
+      stream.addData(Seq(ev(0, good, "2026-01-01 01:05:00"),
+        ev(1, good, "2026-01-01 01:10:00"), ev(2, good, "2026-01-01 01:12:00"),
+        ev(3, good, "2026-01-01 01:14:00"), ev(4, good, "2026-01-01 02:15:00")))
+      q.processAllAvailable()
+      assert(w1Rows().contains((4L, 10.0, 1.0)), s"pre-correction: ${w1Rows().toSeq}")
+      // batch 2: 4 LATE low-quality docs, out of order but within the
+      // watermark — W1 re-emits corrected: mean (4*10+4*2)/8 = 6, drift -3
+      stream.addData(Seq(ev(10, bad, "2026-01-01 01:20:00"),
+        ev(11, bad, "2026-01-01 01:21:00"), ev(12, bad, "2026-01-01 01:22:00"),
+        ev(13, bad, "2026-01-01 01:23:00")))
+      q.processAllAvailable()
+      assert(w1Rows().contains((8L, 6.0, -3.0)),
+        s"late-data correction missing: ${w1Rows().toSeq}")
+      // batch 3: advance event time to 05:00 -> watermark 04:00, W1 expires
+      stream.addData(Seq(ev(20, good, "2026-01-01 05:00:00")))
+      q.processAllAvailable()
+      // batch 4: a straggler beyond the watermark — dropped, W1 not revived
+      stream.addData(Seq(ev(30, bad, "2026-01-01 01:30:00")))
+      q.processAllAvailable()
+      assert(!w1Rows().exists(_._1 == 9L),
+        s"expired-window straggler leaked in: ${w1Rows().toSeq}")
+    } finally q.stop()
+  }
+
   test("frozen DSIR scorer scores micro-batches exactly like the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
