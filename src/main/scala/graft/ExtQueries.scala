@@ -952,6 +952,19 @@ object ExtQueries {
           kmeansIters = 2)
         .orderBy(col("qid"), col("rank"))
     },
+    // RESIDUAL IVF-PQ (the paper's true IVFADC): codes quantize
+    // v − centroid(cell) instead of v, queries probe with their own
+    // residual — the same (m, ksub) budget spent on the (much smaller)
+    // residual structure. One shared codebook trained on train-slice
+    // residuals by the same two oracled Lloyd iterations as q104.
+    "q130_residual_ivfpq" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      graft.ext.Quantize.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", topK = 5, nCells = 16, nProbe = 4,
+          m = 8, ksub = 16, train = e.filter(col("vec_id") < 64),
+          kmeansIters = 2, residual = true)
+        .orderBy(col("qid"), col("rank"))
+    },
     // Quality-aware corpus dedup terminal: q51's exact→LSH→CC pipeline
     // with keep-BEST representatives (n_chars score, id tiebreak) at both
     // the exact and the cluster stage, instead of first-wins.
@@ -2648,6 +2661,104 @@ object ExtQueries {
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window
+    // q104's replay in RESIDUAL space: cells/probes first (they gate the
+    // residual construction), train/corpus/query vectors re-expressed as
+    // v - pv(cell), the same two-iteration Lloyd over residual subvectors,
+    // and the pair join carries the PROBED cell so each query scores a
+    // neighbor with the residual of exactly that cell (unique per pair:
+    // the neighbor's assigned cell).
+    "q130_residual_ivfpq" ->
+      """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |piv AS (SELECT vec_id AS pid, v AS pv FROM emb ORDER BY vec_id LIMIT 16),
+        |acell AS (SELECT e.vec_id, piv.pid AS cell,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
+        |  FROM emb e, piv
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) = 1),
+        |tr AS (SELECT a.vec_id,
+        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
+        |  FROM acell a JOIN emb e USING (vec_id) JOIN piv ON a.cell = piv.pid
+        |  WHERE a.vec_id < 64),
+        |tsv AS (SELECT t.vec_id, ss.s, t.rv[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM tr t, ss),
+        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
+        |cbk AS (SELECT s, sv AS cent,
+        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
+        |  FROM cb0 QUALIFY code < 16),
+        |a1 AS (SELECT t.vec_id, t.s, t.sv, cbk.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (t.sv[i] - cbk.cent[i]) * (t.sv[i] - cbk.cent[i]))), 6) AS dd
+        |  FROM tsv t JOIN cbk ON t.s = cbk.s
+        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
+        |    ORDER BY dd, cbk.code) = 1),
+        |u1e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a1),
+        |u1 AS (SELECT s, code, i,
+        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
+        |  FROM u1e GROUP BY 1, 2, 3),
+        |c1 AS (SELECT s, code,
+        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
+        |  FROM u1 GROUP BY 1, 2),
+        |cb1 AS (SELECT cbk.s, cbk.code, coalesce(c1.cent, cbk.cent) AS cent
+        |  FROM cbk LEFT JOIN c1 ON cbk.s = c1.s AND cbk.code = c1.code),
+        |a2 AS (SELECT t.vec_id, t.s, t.sv, cb1.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (t.sv[i] - cb1.cent[i]) * (t.sv[i] - cb1.cent[i]))), 6) AS dd
+        |  FROM tsv t JOIN cb1 ON t.s = cb1.s
+        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
+        |    ORDER BY dd, cb1.code) = 1),
+        |u2e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a2),
+        |u2 AS (SELECT s, code, i,
+        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
+        |  FROM u2e GROUP BY 1, 2, 3),
+        |c2 AS (SELECT s, code,
+        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
+        |  FROM u2 GROUP BY 1, 2),
+        |cb2 AS (SELECT cb1.s, cb1.code, coalesce(c2.cent, cb1.cent) AS cent
+        |  FROM cb1 LEFT JOIN c2 ON cb1.s = c2.s AND cb1.code = c2.code),
+        |cr AS (SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
+        |  FROM acell a JOIN emb e USING (vec_id) JOIN piv ON a.cell = piv.pid),
+        |dsv AS (SELECT c0.vec_id, ss.s, c0.rv[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM cr c0, ss),
+        |cnd AS (SELECT d.vec_id, d.s, cb2.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (d.sv[i] - cb2.cent[i]) * (d.sv[i] - cb2.cent[i]))), 6) AS dd
+        |  FROM dsv d JOIN cb2 ON d.s = cb2.s),
+        |enc AS (SELECT vec_id, s, code FROM cnd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
+        |qcell AS (SELECT e.vec_id AS qid, piv.pid AS cell,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
+        |  FROM emb e, piv WHERE e.vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) <= 4),
+        |cpair AS (SELECT q.qid, a.vec_id AS neighbor_id, a.cell
+        |  FROM acell a JOIN qcell q ON a.cell = q.cell
+        |  WHERE a.vec_id <> q.qid),
+        |qr AS (SELECT q.qid, q.cell,
+        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
+        |  FROM qcell q JOIN emb e ON q.qid = e.vec_id JOIN piv ON q.cell = piv.pid),
+        |qs AS (SELECT q0.qid, q0.cell, ss.s, q0.rv[ss.s*8+1 : ss.s*8+8] AS qsv
+        |  FROM qr q0, ss),
+        |pair AS (SELECT cp.qid, cp.neighbor_id, en.s,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qs.qsv[i] - cb2.cent[i]) * (qs.qsv[i] - cb2.cent[i]))) AS dsub
+        |  FROM cpair cp
+        |    JOIN enc en ON en.vec_id = cp.neighbor_id
+        |    JOIN cb2 ON en.s = cb2.s AND en.code = cb2.code
+        |    JOIN qs ON qs.qid = cp.qid AND qs.cell = cp.cell AND qs.s = en.s),
+        |dist AS (SELECT qid, neighbor_id,
+        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
+        |  FROM pair GROUP BY 1, 2),
+        |r AS (SELECT qid, neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
+        |  FROM dist)
+        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
+        |WHERE "rank" <= 5
+        |ORDER BY qid, "rank"""".stripMargin,
     "q104_ivfpq_topk" ->
       """WITH emb AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

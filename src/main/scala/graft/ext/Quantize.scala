@@ -271,17 +271,31 @@ object Quantize {
     * coarse L2 cells route each query to `nProbe` candidate cells via an
     * EQUI-JOIN on the cell key — candidate generation never cross-joins the
     * corpus — and the ADC re-rank inside the probed cells reads codes only.
-    * Flat-codebook variant: codes quantize the vectors themselves rather
-    * than the per-cell residuals, so ONE shared codebook serves every cell
-    * (no per-cell codebook broadcast, simpler persisted layout) at some
-    * accuracy cost vs residual PQ — the standard flat-PQ-with-IVF-routing
-    * trade. Cells are the deterministic smallest-id pivots (the q42/IVF
+    * Flat-codebook variant by default: codes quantize the vectors
+    * themselves rather than the per-cell residuals, so ONE shared codebook
+    * serves every cell (no per-cell codebook broadcast, simpler persisted
+    * layout) at some accuracy cost vs residual PQ — the standard
+    * flat-PQ-with-IVF-routing trade. `residual = true` switches to the
+    * paper's actual IVFADC: codes quantize `v − centroid(cell)` and each
+    * query probes with ITS residual against the probed cell. On CLUSTERED
+    * corpora (real embeddings cluster — the regime IVF routing itself
+    * assumes) residuals concentrate near zero, so the same (m, ksub)
+    * budget quantizes far finer than flat codes (spec asserts strictly
+    * lower SSE on a 16-cluster fixture); on an ISOTROPIC corpus the
+    * residual carries the pivot's energy too (‖v − c‖² ≈ ‖v‖² + ‖c‖²
+    * for near-orthogonal directions) and flat codes win — pick by corpus
+    * shape, the documented trade. Still ONE shared
+    * codebook (trained on residuals), so the persisted layout and the
+    * scale shape are unchanged — the residual subtraction is a broadcast
+    * pivot join, exact IEEE arithmetic, SQL-replayable (q130's oracle).
+    * Cells are the deterministic smallest-id pivots (the q42/IVF
     * contract); assignment = min rounded L2, pid tiebreak.
     * Returns (qid, neighbor_id, adc_dist, rank). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, topK: Int = 10, nCells: Int = 16,
                 nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
-                train: DataFrame = null, kmeansIters: Int = 0): DataFrame = {
+                train: DataFrame = null, kmeansIters: Int = 0,
+                residual: Boolean = false): DataFrame = {
     require(topK >= 1 && nCells >= 1 && nProbe >= 1,
       s"topK/nCells/nProbe must be >= 1, got $topK/$nCells/$nProbe")
     val c = corpus.select(col(idCol).as("id"),
@@ -294,22 +308,43 @@ object Quantize {
       val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
       df.crossJoin(broadcast(piv))
         .select(col("id"), col("v"), col("pid"),
-          round(d2(col("v"), col("pv")), 6).as("__dd"))
+          round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= keep)
-        .select(col("id"), col("v"), col("pid").as("cell"))
+        .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
     }
-    val cbs = pqCodebooksKmeans(if (train == null) corpus else train,
-      idCol, vecCol, m, ksub, kmeansIters).localCheckpoint()
+    def toResidual(df: DataFrame, out: String): DataFrame =
+      df.withColumn(out, zip_with(col("v"), col("pv"), (x, p) => x - p))
+    val trainDf = if (train == null) corpus else train
+    val cbs = (if (residual)
+        pqCodebooksKmeans(
+          toResidual(nearestCells(trainDf.select(col(idCol).as("id"),
+            Similarity.toDouble(col(vecCol)).as("v")), 1), "rv"),
+          "id", "rv", m, ksub, kmeansIters)
+      else pqCodebooksKmeans(trainDf, idCol, vecCol, m, ksub, kmeansIters))
+      .localCheckpoint()
     // index side: (id, cell, codes) — the persisted layout of a real
     // deployment; vectors themselves are not carried past this point
-    val assigned = nearestCells(c, 1)
-      .join(pqEncode(corpus, idCol, vecCol, cbs), Seq("id"))
-      .select(col("id"), col("cell"), col("codes"))
-    val probes = nearestCells(
+    val cAssigned = nearestCells(c, 1)
+    val assigned =
+      if (residual) {
+        val withR = toResidual(cAssigned, "rv")
+          .select(col("id"), col("cell"), col("rv"))
+        withR.select(col("id"), col("cell"))
+          .join(pqEncode(withR, "id", "rv", cbs), Seq("id"))
+          .select(col("id"), col("cell"), col("codes"))
+      } else cAssigned
+        .join(pqEncode(corpus, idCol, vecCol, cbs), Seq("id"))
+        .select(col("id"), col("cell"), col("codes"))
+    val probes0 = nearestCells(
       queries.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v")),
       nProbe)
-      .select(col("id").as("qid"), col("v").as("qv"), col("cell"))
+    // residual probing: the query's OWN residual against each probed cell —
+    // within a cell the ADC distance then approximates ‖q − x‖² exactly as
+    // the flat form does, with both sides measured from the same centroid
+    val probes =
+      (if (residual) toResidual(probes0, "qv") else probes0.withColumn("qv", col("v")))
+        .select(col("id").as("qid"), col("qv"), col("cell"))
     val dist = aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
       (acc, s) => {
         val cents = element_at(col("cb"), s + 1)

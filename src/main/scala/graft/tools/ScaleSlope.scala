@@ -172,7 +172,10 @@ object ScaleSlope {
       // q128 = pure per-row regexp/replace chain (no shuffle)
       "q128_html_extract",
       // q129 = two WAV-decode fingerprint scans + Bloom probe + confirm
-      "q129_incremental_audio_dedup")
+      "q129_incremental_audio_dedup",
+      // q130 (r12) = q104's shape + broadcast pivot residual joins — the
+      // extra work per row is one zip_with, candidates still cell-bounded
+      "q130_residual_ivfpq")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
