@@ -965,6 +965,16 @@ object ExtQueries {
           kmeansIters = 2, residual = true)
         .orderBy(col("qid"), col("rank"))
     },
+    // Semantic corpus atlas: IVF cells over the embedding space, each
+    // described by exact per-cell stats + its most DISCRIMINATIVE terms
+    // (cell df × corpus idf) — the corpus-cartography report read before
+    // deciding mixtures/filters. Fully replayable: smallest-id pivots,
+    // 6-dp cosine assignment, integer tallies, q98's idf discipline.
+    "q131_semantic_atlas" -> ((s, dir) =>
+      graft.ext.Audit.semanticAtlas(
+          read(s, dir, "documents"), read(s, dir, "embeddings"),
+          "doc_id", "text", "vec_id", "embedding", nCells = 16, topTerms = 5)
+        .orderBy(col("cell"), col("rank"))),
     // Quality-aware corpus dedup terminal: q51's exact→LSH→CC pipeline
     // with keep-BEST representatives (n_chars score, id tiebreak) at both
     // the exact and the cluster stage, instead of first-wins.
@@ -2661,6 +2671,59 @@ object ExtQueries {
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window
+    // the full atlas replay: pivot cosine assignment (q79's float-dot
+    // double-replay convention), q101's integer quality points, per-doc
+    // distinct terms for both df tables, q98's ln((N+1)/(df+1)) idf with
+    // the 6-dp-before-rank discipline
+    "q131_semantic_atlas" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+         |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM n0
+         |  ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT c.vec_id AS id, piv.pid AS cell,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      k -> c.v[k]*piv.pv[k])) / (c.nrm*piv.pnrm), 6) AS pcos
+         |  FROM n0 c, piv
+         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY pcos DESC, pid) = 1),
+         |d AS (SELECT a.cell, doc.doc_id, coalesce(doc.text, '') AS tx
+         |  FROM documents doc JOIN asg a ON doc.doc_id = a.id),
+         |t AS (SELECT cell, doc_id, tx,
+         |    string_split_regex(lower(trim(tx)), '\\s+') AS toks FROM d),
+         |pts AS (SELECT cell, doc_id, toks, tx,
+         |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+         |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(regexp_extract_all(tx, '[.,!?;:]')) AS DOUBLE)
+         |      / length(tx) <= 0.1 THEN 2 ELSE 0 END) AS p
+         |  FROM t),
+         |st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS tokens_sum,
+         |    CAST(sum(p) AS BIGINT) AS quality_sum FROM pts GROUP BY 1),
+         |dt AS (SELECT cell, doc_id, unnest(list_distinct(toks)) AS term
+         |  FROM t),
+         |cdf AS (SELECT cell, term, count(*) AS cdf FROM dt GROUP BY 1, 2),
+         |gdf AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |sc AS (SELECT cell, term,
+         |    round(CAST(cdf AS DOUBLE) *
+         |      ln(CAST((SELECT n FROM nn) + 1 AS DOUBLE)
+         |        / CAST(df + 1 AS DOUBLE)), 6) AS term_score
+         |  FROM cdf JOIN gdf USING (term)),
+         |r AS (SELECT cell, term, term_score,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY term_score DESC, term) AS INT) AS "rank"
+         |  FROM sc)
+         |SELECT st.cell, st.n_docs, st.tokens_sum, st.quality_sum,
+         |  CAST(st.quality_sum AS DOUBLE) / CAST(st.n_docs AS DOUBLE)
+         |    AS mean_quality,
+         |  r.term, r.term_score, r."rank"
+         |FROM r JOIN st USING (cell) WHERE r."rank" <= 5
+         |ORDER BY cell, "rank"""".stripMargin,
     // q104's replay in RESIDUAL space: cells/probes first (they gate the
     // residual construction), train/corpus/query vectors re-expressed as
     // v - pv(cell), the same two-iteration Lloyd over residual subvectors,

@@ -267,4 +267,71 @@ object Audit {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("occurrences").desc, col("gram"))).cast("int"))
   }
+
+  /** Semantic corpus ATLAS: the corpus-cartography report — cluster the
+    * embedding space into `nCells` semantic cells (the IVF/SemDeDup cell
+    * machinery: deterministic smallest-id pivots, 6-dp cosine assignment,
+    * pid tiebreak — SQL-replayable), then describe each cell with exact
+    * per-cell statistics and its `topTerms` most DISCRIMINATIVE terms
+    * (cell document-frequency × corpus idf — a term common here and rare
+    * elsewhere names the cell; plain frequency would label every cell
+    * "the"). The map a curation run reads to see WHAT is in a corpus
+    * before deciding mixtures/filters — cluster-size balance, per-topic
+    * quality, and topic labels from one report.
+    *
+    * Output: one row per (cell, rank 1..topTerms): `cell`, `n_docs`,
+    * `tokens_sum`, `quality_sum` (exact integers), `mean_quality`, `term`,
+    * `term_score` (6 dp), `rank`.
+    *
+    * Scale shape: one pivot broadcast + linear assignment pass (never a
+    * pairwise join), one id equi-join docs↔vectors, one groupBy(cell)
+    * stats aggregate, one (cell, term) shuffle for cell document
+    * frequencies with the corpus df table BROADCAST (capped `maxVocab`
+    * deterministic top-K like [[Keywords.tfidfTopTerms]]), and a per-cell
+    * rank window (hash-partitioned by cell). Bounded driver state: the
+    * document count. Float discipline: idf = ln((N+1)/(df+1)) over exact
+    * integers, score rounded to 6 dp BEFORE the rank decision, term
+    * tiebreak — deterministic and replayed in full by the q131 oracle. */
+  def semanticAtlas(docs: DataFrame, emb: DataFrame, docIdCol: String,
+                    textCol: String, vecIdCol: String, vecCol: String,
+                    nCells: Int = 16, topTerms: Int = 5,
+                    maxVocab: Int = 1 << 20): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
+    val c = Similarity.prepared(emb, vecIdCol, vecCol)
+    val pv = c.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val assigned = Similarity.assignCells(c, pv).select(col("id"), col("cell"))
+    val d = docs
+      .select(col(docIdCol).as("id"), coalesce(col(textCol), lit("")).as("__tx"))
+      .join(assigned, Seq("id"))
+      .localCheckpoint() // feeds stats, cell-df, corpus-df and the count
+    val stats = d.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextStats.tokenCount(col("__tx")).cast("long")).as("tokens_sum"),
+      sum(TextStats.qualityPoints(col("__tx")).cast("long")).as("quality_sum"))
+    val n = d.count()
+    val corpusDf = Keywords.docFreq(d, "__tx")
+      .orderBy(col("df").desc, col("term")).limit(maxVocab)
+    val cellDf = d.select(col("cell"), TextStats.pinnedCol(
+        array_distinct(TextStats.tokens(col("__tx")))).as("__t"))
+      .select(col("cell"), explode(col("__t")).as("term"))
+      .groupBy(col("cell"), col("term")).agg(count(lit(1)).as("cdf"))
+    val idf = log((lit(n) + lit(1L)).cast("double") /
+      (coalesce(col("df"), lit(1L)) + lit(1L)).cast("double"))
+    val scored = cellDf.join(broadcast(corpusDf), Seq("term"), "left")
+      .select(col("cell"), col("term"),
+        round(col("cdf").cast("double") * idf, 6).as("term_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("term_score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topTerms)
+      .join(stats, Seq("cell"))
+      .withColumn("mean_quality",
+        col("quality_sum").cast("double") / col("n_docs").cast("double"))
+      .select(col("cell"), col("n_docs"), col("tokens_sum"),
+        col("quality_sum"), col("mean_quality"), col("term"),
+        col("term_score"), col("rank"))
+  }
 }

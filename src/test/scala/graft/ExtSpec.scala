@@ -3264,6 +3264,35 @@ class ExtSpec extends AnyFunSuite {
     assert(m.length == 200, s"fixture exhausted early: ${m.length} merges")
   }
 
+  test("semanticAtlas: exact cell stats, discriminative terms, deterministic ties") {
+    // two clean clusters, ids ALTERNATING so the 2 smallest-id pivots
+    // (0, 1) cover both: even ids ~ e1 with vocabulary alpha/beta, odd
+    // ids ~ e2 with gamma/delta; "common" appears everywhere (idf 0 —
+    // must never label a cell), word$i is unique per doc
+    val emb = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.001f * (i + 1))
+      if (i % 2 == 0) v(0) = 1f else v(1) = 1f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val docs = (0 until 8).map { i =>
+      (i.toLong,
+        if (i % 2 == 0) s"alpha beta common word$i" else s"gamma delta common word$i")
+    }.toDF("doc_id", "text")
+    val out = Audit.semanticAtlas(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", nCells = 2, topTerms = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(7)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    // per cell: 4 docs x 4 tokens; quality = 2 points/doc (punct rule only)
+    out.values.foreach { case (nDocs, toks, q, mean, _) =>
+      assert((nDocs, toks, q, mean) == (4L, 16L, 8L, 2.0))
+    }
+    // top-2 terms = the cluster vocabulary, alphabetical on the score tie;
+    // "common" (idf 0) and the unique word$i (cdf 1) never outrank them
+    assert(out((0L, 1))._5 == "alpha" && out((0L, 2))._5 == "beta")
+    assert(out((1L, 1))._5 == "delta" && out((1L, 2))._5 == "gamma")
+  }
+
   test("vocabularyReport: exact type/token/hapax tallies per source") {
     val docs = Seq(
       ("a", "x x y z"),        // tokens 4; types x,y,z; hapax y,z; top x=2
