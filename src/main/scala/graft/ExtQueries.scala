@@ -965,6 +965,23 @@ object ExtQueries {
           kmeansIters = 2, residual = true)
         .orderBy(col("qid"), col("rank"))
     },
+    // Duplication-structure histogram over a corpus with BOTH duplication
+    // modes realized (fixture has no exact dups): every 10th doc gets an
+    // exact copy, every 7th an appended-marker near-dup; exact groups
+    // collapse first, near-dup CC clusters weight by group size. The
+    // oracle replays fingerprint groups + q44's recursive closure over the
+    // representatives + the weighted histogram.
+    "q132_dup_histogram" -> { (s, dir) =>
+      val docs = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" near dup tail")).as("text")))
+      graft.ext.Audit.dupClusterHistogram(corpus, "doc_id", "text")
+        .orderBy(col("cluster_size"))
+    },
     // Semantic corpus atlas: IVF cells over the embedding space, each
     // described by exact per-cell stats + its most DISCRIMINATIVE terms
     // (cell df × corpus idf) — the corpus-cartography report read before
@@ -2671,6 +2688,33 @@ object ExtQueries {
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window
+    // fingerprint groups -> representatives -> q44's recursive exact-
+    // Jaccard closure -> cluster sizes weighted by exact-group size ->
+    // histogram; the synthesized corpus CTE mirrors the query verbatim
+    "q132_dup_histogram" ->
+      s"""WITH RECURSIVE
+         |corp AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |    WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 20000, text || ' near dup tail'
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |fh AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM corp),
+         |g AS (SELECT fp, min(doc_id) AS rep, count(*) AS gsize
+         |  FROM fh GROUP BY 1),
+         |rdocs AS (SELECT c.doc_id, c.text FROM corp c JOIN g ON c.doc_id = g.rep),
+         |${jaccardClosureCtesOver("rdocs")},
+         |clusters AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+         |rc AS (SELECT g.rep, g.gsize, coalesce(c.cluster, g.rep) AS cluster
+         |  FROM g LEFT JOIN clusters c ON g.rep = c.id),
+         |cs AS (SELECT cluster, sum(gsize) AS csize FROM rc GROUP BY 1),
+         |h AS (SELECT csize AS cluster_size, count(*) AS n_clusters
+         |  FROM cs GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * n_clusters AS BIGINT) AS docs_total
+         |FROM h ORDER BY cluster_size""".stripMargin,
     // the full atlas replay: pivot cosine assignment (q79's float-dot
     // double-replay convention), q101's integer quality points, per-doc
     // distinct terms for both df tables, q98's ln((N+1)/(df+1)) idf with

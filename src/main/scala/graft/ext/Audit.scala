@@ -268,6 +268,45 @@ object Audit {
         .orderBy(col("occurrences").desc, col("gram"))).cast("int"))
   }
 
+  /** Duplication-STRUCTURE histogram: the one-table answer to "how much
+    * duplication, and in what shapes?" — exact-duplicate groups collapse
+    * to min-id representatives (one fingerprint shuffle), near-dup pairs
+    * over the representatives feed connected components
+    * ([[Dedup.nearDupClusters]]), and each final cluster's TRUE size is
+    * the sum of its members' exact-group sizes. Output: one row per
+    * distinct cluster size — (`cluster_size`, `n_clusters`, `docs_total`),
+    * ascending; `cluster_size = 1` counts the unique documents. The curve
+    * every dedup paper plots (Lee et al. 2022 fig. 1), and the artifact
+    * that prices a dedup pass BEFORE running the terminal: expected
+    * removals = Σ (cluster_size − 1)·n_clusters.
+    *
+    * Scale shape: inherits the q50/q51 machinery — fingerprint shuffle,
+    * banded candidate join over representatives only, CC over the
+    * pair-sized graph — plus two histogram-sized aggregates. */
+  def dupClusterHistogram(docs: DataFrame, idCol: String, textCol: String,
+                          minJaccard: Double = 0.8): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      TextStats.fingerprint(coalesce(col(textCol), lit(""))).as("__fp"))
+    // exact groups: representative = min id, carry the group size
+    val groups = fp.groupBy(col("__fp"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("gsize"))
+      .localCheckpoint() // feeds the rep anti-join AND the size weighting
+    val reps = docs.join(groups.select(col("rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val clusters = Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(reps, idCol, textCol, minJaccard))
+    // every representative lands in a cluster (itself when untouched by
+    // the pair graph); cluster size sums the exact-group sizes
+    val sizes = groups.select(col("rep"), col("gsize"))
+      .join(clusters.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("rep")))
+      .groupBy(col("cluster")).agg(sum(col("gsize")).as("__cs"))
+    sizes.groupBy(col("__cs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("docs_total", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Semantic corpus ATLAS: the corpus-cartography report — cluster the
     * embedding space into `nCells` semantic cells (the IVF/SemDeDup cell
     * machinery: deterministic smallest-id pivots, 6-dp cosine assignment,

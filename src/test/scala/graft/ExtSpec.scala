@@ -3264,6 +3264,24 @@ class ExtSpec extends AnyFunSuite {
     assert(m.length == 200, s"fixture exhausted early: ${m.length} merges")
   }
 
+  test("dupClusterHistogram: exact groups weight near-dup clusters; singletons counted") {
+    // a×3 exact copies, b×2, c + near-dup c' (one appended token), d unique
+    // → clusters: {a,a,a}=3, {b,b}=2, {c,c'}=2, {d}=1
+    val baseA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val baseB = "window functions rank rows within partitions ordered by frames and bounds"
+    val baseC = "broadcast joins ship the small side to every executor avoiding a shuffle"
+    val docs = Seq(
+      (1L, baseA), (2L, baseA), (3L, baseA.toUpperCase),
+      (4L, baseB), (5L, baseB),
+      (6L, baseC), (7L, baseC + " extra"),
+      (8L, "an entirely different document about partition pruning in spark plans")
+    ).toDF("doc_id", "text")
+    val out = Audit.dupClusterHistogram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (1L, 1L), 2L -> (2L, 4L), 3L -> (1L, 3L)),
+      s"got $out")
+  }
+
   test("semanticAtlas: exact cell stats, discriminative terms, deterministic ties") {
     // two clean clusters, ids ALTERNATING so the 2 smallest-id pivots
     // (0, 1) cover both: even ids ~ e1 with vocabulary alpha/beta, odd
