@@ -175,7 +175,11 @@ object ScaleSlope {
       "q129_incremental_audio_dedup",
       // q130 (r12) = q104's shape + broadcast pivot residual joins — the
       // extra work per row is one zip_with, candidates still cell-bounded
-      "q130_residual_ivfpq")
+      "q130_residual_ivfpq",
+      // q131 (r12) = linear pivot assignment + one id join + two df
+      // aggregates with a broadcast vocab; q132 (r12) = q50's machinery +
+      // two histogram-sized aggregates
+      "q131_semantic_atlas", "q132_dup_histogram")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
