@@ -335,9 +335,14 @@ object Quantize {
       df.withColumn(out, zip_with(col("v"), col("pv"), (x, p) => x - p))
     val trainDf = if (train == null) corpus else train
     val cbs = (if (residual)
+        // the train-residual projection feeds THREE codebook-training
+        // consumers (first-K init, the dim probe, the Lloyd subvector
+        // table) — materialize once or the assignment cross join re-runs
+        // per consumer
         pqCodebooksKmeans(
           toResidual(nearestCells(trainDf.select(col(idCol).as("id"),
-            Similarity.toDouble(col(vecCol)).as("v")), 1), "rv"),
+            Similarity.toDouble(col(vecCol)).as("v")), 1), "rv")
+            .select(col("id"), col("rv")).localCheckpoint(),
           "id", "rv", m, ksub, kmeansIters)
       else pqCodebooksKmeans(trainDf, idCol, vecCol, m, ksub, kmeansIters))
       .localCheckpoint()
