@@ -965,6 +965,13 @@ object ExtQueries {
           kmeansIters = 2, residual = true)
         .orderBy(col("qid"), col("rank"))
     },
+    // Near-dup source matrix: q34's pair graph bucketed by the unordered
+    // source pair — within-source boilerplate vs cross-source overlap.
+    // Same recall-1 regime as q34 (cap provably inactive at sf<=0.01).
+    "q133_dup_source_matrix" -> ((s, dir) =>
+      graft.ext.Audit.nearDupSourceMatrix(docsPar(s, dir), "doc_id", "text",
+          "source", minJaccard = 0.8)
+        .orderBy(col("source1"), col("source2"))),
     // Duplication-structure histogram over a corpus with BOTH duplication
     // modes realized (fixture has no exact dups): every 10th doc gets an
     // exact copy, every 7th an appended-marker near-dup; exact groups
@@ -2688,6 +2695,23 @@ object ExtQueries {
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window
+    // q34's exact-Jaccard pair CTEs + two source joins + the unordered
+    // source-pair rollup
+    "q133_dup_source_matrix" ->
+      s"""WITH ${shingleBaseOver("documents", 4)},
+         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+         |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
+         |j AS (SELECT id1, id2 FROM (SELECT id1, id2,
+         |        CAST(c AS DOUBLE)/(s1.n+s2.n-c) AS jaccard
+         |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id)
+         |      WHERE jaccard >= 0.8),
+         |p2 AS (SELECT least(d1.source, d2.source) AS source1,
+         |         greatest(d1.source, d2.source) AS source2
+         |       FROM j JOIN documents d1 ON j.id1 = d1.doc_id
+         |         JOIN documents d2 ON j.id2 = d2.doc_id)
+         |SELECT source1, source2, CAST(count(*) AS BIGINT) AS dup_pairs
+         |FROM p2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // fingerprint groups -> representatives -> q44's recursive exact-
     // Jaccard closure -> cluster sizes weighted by exact-group size ->
     // histogram; the synthesized corpus CTE mirrors the query verbatim

@@ -307,6 +307,32 @@ object Audit {
       .orderBy(col("cluster_size"))
   }
 
+  /** Near-dup SOURCE matrix: near-duplicate pair counts bucketed by the
+    * (unordered) source pair — the "where is my duplication coming from"
+    * audit that separates within-source boilerplate from cross-source
+    * overlap (two crawl dumps covering the same sites), steering which
+    * dedup scope to run and which source to drop. Complements
+    * [[dupClusterHistogram]] (shape) and `sourceOverlapMatrix` (content
+    * overlap without a similarity threshold).
+    *
+    * Scale shape: the pair graph is [[Dedup.ngramJaccardPairs]]' banded
+    * candidate machinery (never all-pairs); the source labels join back on
+    * the id (two skinny equi-joins); output is source²-sized. */
+  def nearDupSourceMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String,
+                          minJaccard: Double = 0.8): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, minJaccard)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("id1"), col(sourceCol).as("__s1")), Seq("id1"))
+      .join(src.select(col(idCol).as("id2"), col(sourceCol).as("__s2")), Seq("id2"))
+      .select(least(col("__s1"), col("__s2")).as("source1"),
+        greatest(col("__s1"), col("__s2")).as("source2"))
+      .groupBy(col("source1"), col("source2"))
+      .agg(count(lit(1)).as("dup_pairs"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
   /** Semantic corpus ATLAS: the corpus-cartography report — cluster the
     * embedding space into `nCells` semantic cells (the IVF/SemDeDup cell
     * machinery: deterministic smallest-id pivots, 6-dp cosine assignment,

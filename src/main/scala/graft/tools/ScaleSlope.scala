@@ -179,7 +179,9 @@ object ScaleSlope {
       // q131 (r12) = linear pivot assignment + one id join + two df
       // aggregates with a broadcast vocab; q132 (r12) = q50's machinery +
       // two histogram-sized aggregates
-      "q131_semantic_atlas", "q132_dup_histogram")
+      "q131_semantic_atlas", "q132_dup_histogram",
+      // q133 (r12) = q34's banded pair machinery + two id equi-joins
+      "q133_dup_source_matrix")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -3264,6 +3264,19 @@ class ExtSpec extends AnyFunSuite {
     assert(m.length == 200, s"fixture exhausted early: ${m.length} merges")
   }
 
+  test("nearDupSourceMatrix: unordered source pairs, within vs cross source") {
+    val baseA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val baseB = "window functions rank rows within partitions ordered by frames and bounds"
+    val docs = Seq(
+      (1L, baseA, "s1"), (2L, baseA + " extra", "s1"),          // within s1
+      (3L, baseB, "s2"), (4L, baseB + " extra", "s1"),          // cross s1/s2
+      (5L, "a totally unrelated text about adaptive query execution plans", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Audit.nearDupSourceMatrix(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("s1", "s1") -> 1L, ("s1", "s2") -> 1L), s"got $out")
+  }
+
   test("dupClusterHistogram: exact groups weight near-dup clusters; singletons counted") {
     // a×3 exact copies, b×2, c + near-dup c' (one appended token), d unique
     // → clusters: {a,a,a}=3, {b,b}=2, {c,c'}=2, {d}=1
