@@ -14,7 +14,10 @@ object Plans {
       if (args.length > 1) args.tail.toSeq
       else Seq("q03_totals_both", "q04_subtotals", "q17_join_revenue",
         "q34_ngram_jaccard", "q37_embed_cosine", "q41_cosine_lsh",
-        "q42_ann_ivf", "q23_tumbling_window")
+        "q42_ann_ivf", "q23_tumbling_window",
+        // r12 additions: residual IVFADC, the atlas, the dup audits
+        "q130_residual_ivfpq", "q131_semantic_atlas",
+        "q132_dup_histogram", "q133_dup_source_matrix")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
