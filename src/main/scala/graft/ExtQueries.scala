@@ -965,6 +965,29 @@ object ExtQueries {
           kmeansIters = 2, residual = true)
         .orderBy(col("qid"), col("rank"))
     },
+    // URL-level dedup (the RefinedWeb first pass): synthesized URLs where
+    // the host+path identity is the PAGE (doc_id % 200) and per-doc
+    // decorations cover every canonical rule — scheme s/no-s, www, a
+    // trailing slash, tracking params in first-param position, fragments.
+    // Keep-best by n_chars per canonical key.
+    "q134_url_dedup" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val page = (col("doc_id") % 200).cast("string")
+      val url = concat(
+        lit("http"), when(col("doc_id") % 2 === 0, lit("s")).otherwise(lit("")),
+        lit("://"), when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("example"), ((col("doc_id") % 200) % 4).cast("string"),
+        lit(".com/page/"), page,
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 1, lit("?id=9&gclid=abc")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit("")))
+      graft.ext.Urls.dedupByUrl(docs.withColumn("url", url),
+          "doc_id", "url", scoreCol = "n_chars")
+        .select(col("doc_id"), col("url_canon"), col("n_url_copies"))
+        .orderBy(col("doc_id"))
+    },
     // Near-dup source matrix: q34's pair graph bucketed by the unordered
     // source pair — within-source boilerplate vs cross-source overlap.
     // Same recall-1 regime as q34 (cap provably inactive at sf<=0.01).
@@ -2695,6 +2718,40 @@ object ExtQueries {
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window
+    // URL build + the identical canonical regexp chain + count/argmax per
+    // canonical key (keep-best = n_chars DESC, id — the engine's
+    // min(struct(-score, id)))
+    "q134_url_dedup" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |    'example' || CAST((doc_id % 200) % 4 AS VARCHAR) || '.com/page/' ||
+        |    CAST(doc_id % 200 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 1 THEN '?id=9&gclid=abc' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    lower(coalesce(url, '')),
+        |    '#.*$', ''),
+        |    '&(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+        |    '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*&', '?'),
+        |    '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*$', ''),
+        |    '^https://', 'http://'),
+        |    '^http://www\.', 'http://'),
+        |    '/$', '') AS url_canon
+        |  FROM u),
+        |g AS (SELECT url_canon, count(*) AS n FROM c GROUP BY 1),
+        |k AS (SELECT doc_id, url_canon FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY url_canon
+        |    ORDER BY n_chars DESC, doc_id) = 1)
+        |SELECT k.doc_id, k.url_canon, CAST(g.n AS BIGINT) AS n_url_copies
+        |FROM k JOIN g USING (url_canon)
+        |ORDER BY doc_id""".stripMargin,
     // q34's exact-Jaccard pair CTEs + two source joins + the unordered
     // source-pair rollup
     "q133_dup_source_matrix" ->

@@ -99,6 +99,53 @@ object Urls {
     * the derived domain: at most `cap` documents from any one domain, the
     * standard guard against one hot site drowning the mixture. Same
     * determinism and WindowGroupLimit-below-exchange shape as q74. */
+  /** Query-parameter names stripped by [[canonicalUrl]]: the pinned
+    * tracking-parameter set (analytics campaign tags and click ids) whose
+    * values vary per referral while the page content does not — the reason
+    * URL-level dedup needs canonicalization at all. */
+  val TrackingParams: String = "utm_[a-z0-9]+|gclid|fbclid|ref"
+
+  /** Canonical DEDUP KEY of a URL (the RefinedWeb-style first-pass dedup
+    * key — NOT guaranteed fetchable): lowercase, fragment dropped,
+    * tracking parameters ([[TrackingParams]]) removed with separator
+    * repair, `https` folded to `http`, a leading `www.` dropped, and a
+    * trailing slash trimmed. Pure RE2-safe codegen `regexp_replace` chain
+    * (lowercase FIRST so no case-insensitive flags are needed), replayed
+    * verbatim by the q134 oracle. Two URLs mapping to one key are treated
+    * as the same page; the variations covered are exactly the ones crawl
+    * frontiers generate for identical content. */
+  def canonicalUrl(url: Column): Column = {
+    val u0 = lower(coalesce(url, lit("")))
+    val u1 = regexp_replace(u0, "#.*$", "")
+    // tracking params: non-first (&k=v) in one global pass, then a first
+    // param followed by another (?k=v& -> ?), then a lone first param
+    val u2 = regexp_replace(u1, "&(?:" + TrackingParams + ")=[^&#]*", "")
+    val u3 = regexp_replace(u2, "\\?(?:" + TrackingParams + ")=[^&#]*&", "?")
+    val u4 = regexp_replace(u3, "\\?(?:" + TrackingParams + ")=[^&#]*$", "")
+    val u5 = regexp_replace(u4, "^https://", "http://")
+    val u6 = regexp_replace(u5, "^http://www\\.", "http://")
+    regexp_replace(u6, "/$", "")
+  }
+
+  /** URL-level dedup — the cheap FIRST pass of a crawl pipeline (RefinedWeb
+    * runs it before any content dedup: same canonical URL ⇒ same page,
+    * no tokenization needed): keep ONE row per [[canonicalUrl]] key — the
+    * highest-`scoreCol` member (id tiebreak; min id when `scoreCol` is
+    * null) — and append `url_canon` plus the group's `n_url_copies`. One
+    * key shuffle, argmax as `min(struct(-score, id))`
+    * ([[Dedup.exactKeepBest]]'s shape); at 100 TB this collapses the
+    * crawl-frontier redundancy for the price of a string-key aggregate. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String,
+                 scoreCol: String = null): DataFrame = {
+    val keyed = df.withColumn("url_canon", canonicalUrl(col(urlCol)))
+    val score = if (scoreCol == null) lit(0L) else col(scoreCol)
+    val best = keyed.groupBy(col("url_canon"))
+      .agg(min(struct((-score).as("ns"), col(idCol).as("id"))).as("__best"),
+        count(lit(1)).as("n_url_copies"))
+      .select(col("__best.id").as(idCol), col("n_url_copies"))
+    keyed.join(best, Seq(idCol), "inner")
+  }
+
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String, cap: Int,
                    multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
     Corpus.capPerKey(

@@ -181,7 +181,9 @@ object ScaleSlope {
       // two histogram-sized aggregates
       "q131_semantic_atlas", "q132_dup_histogram",
       // q133 (r12) = q34's banded pair machinery + two id equi-joins
-      "q133_dup_source_matrix")
+      "q133_dup_source_matrix",
+      // q134 (r12) = per-row regex chain + one canonical-key aggregate
+      "q134_url_dedup")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

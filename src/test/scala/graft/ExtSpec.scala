@@ -3264,6 +3264,34 @@ class ExtSpec extends AnyFunSuite {
     assert(m.length == 200, s"fixture exhausted early: ${m.length} merges")
   }
 
+  test("canonicalUrl rules and dedupByUrl keep-best") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.com/Page/" -> "http://example.com/page",
+      "http://example.com/p?utm_source=x&id=1&utm_medium=y" -> "http://example.com/p?id=1",
+      "http://example.com/p?utm_source=x" -> "http://example.com/p",
+      "http://example.com/p?utm_a=1&utm_b=2" -> "http://example.com/p",
+      "http://example.com/p?gclid=z&ref=hn#middle" -> "http://example.com/p",
+      "http://example.com/p?id=1&fbclid=q" -> "http://example.com/p?id=1",
+      "http://example.com" -> "http://example.com")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "u")
+      .select(col("id"), Urls.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"canonicalUrl($in)") }
+    // keep-best: three variants of one page, highest score wins
+    val docs = Seq(
+      (1L, "https://www.site.com/a?utm_source=x", 10L),
+      (2L, "http://site.com/a/", 30L),
+      (3L, "http://site.com/a#f", 20L),
+      (4L, "http://other.com/b", 5L)
+    ).toDF("doc_id", "url", "score")
+    val kept = Urls.dedupByUrl(docs, "doc_id", "url", "score")
+      .select("doc_id", "n_url_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(2L -> 3L, 4L -> 1L), s"got $kept")
+  }
+
   test("nearDupSourceMatrix: unordered source pairs, within vs cross source") {
     val baseA = "the quick brown fox jumps over the lazy dog again and again tonight"
     val baseB = "window functions rank rows within partitions ordered by frames and bounds"
