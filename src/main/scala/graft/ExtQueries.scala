@@ -965,6 +965,17 @@ object ExtQueries {
           kmeansIters = 2, residual = true)
         .orderBy(col("qid"), col("rank"))
     },
+    // Min-K% Prob (Shi et al. 2023): membership-inference / memorization
+    // probe — mean NLL of only the 20% most surprising bigrams per doc
+    // under q90's reference model. Same deterministic n-gram analogue;
+    // per-doc DESC sort of its own nll array, prefix fold, 6 dp.
+    "q135_mink_prob" -> ((s, dir) =>
+      graft.ext.Perplexity.minKProbScore(
+          docsPar(s, dir), "doc_id", "text",
+          ref = docsPar(s, dir).filter(col("lang") === "en"), kFrac = 0.2)
+        .select(col("doc_id"), col("lang"), col("lm_grams"), col("mk_k"),
+          col("mink_nll"))
+        .orderBy(col("doc_id"))),
     // URL-level dedup (the RefinedWeb first pass): synthesized URLs where
     // the host+path identity is the PAGE (doc_id % 200) and per-doc
     // decorations cover every canonical rule — scheme s/no-s, www, a
@@ -2718,6 +2729,26 @@ object ExtQueries {
     // q103's replay plus the coarse layer: smallest-id pivots, min-L2 cell
     // per vector (pid tiebreak), 4 nearest cells per query, candidates by
     // the cell equi-join, then the same ordered ADC sum and rank window
+    // q90's model CTEs reused down to the per-gram `nl` level, then the
+    // per-doc DESC nll sort + prefix fold; the 0.2 literal CAST to DOUBLE
+    // (the q95 lesson — DuckDB parses bare decimals as exact DECIMAL,
+    // which would not match Spark's IEEE ceil(0.2*n))
+    "q135_mink_prob" ->
+      s"""$pplCtes,
+         |mk AS (SELECT doc_id, count(*) AS lm_grams,
+         |    list_sort(list(nll), 'DESC') AS l
+         |  FROM nl GROUP BY 1),
+         |m2 AS (SELECT doc_id, lm_grams,
+         |    greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * lm_grams) AS BIGINT))
+         |      AS mk_k, l
+         |  FROM mk)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(m2.lm_grams, 0) AS lm_grams,
+         |  coalesce(m2.mk_k, 0) AS mk_k,
+         |  round(list_sum(m2.l[1:CAST(m2.mk_k AS INT)]) / m2.mk_k, 6)
+         |    AS mink_nll
+         |FROM documents d LEFT JOIN m2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // URL build + the identical canonical regexp chain + count/argmax per
     // canonical key (keep-best = n_chars DESC, id — the engine's
     // min(struct(-score, id)))

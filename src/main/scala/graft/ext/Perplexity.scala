@@ -80,6 +80,34 @@ object Perplexity {
                       ref: DataFrame, n: Int = 2, k: Long = 1L,
                       maxVocab: Int = 1 << 20,
                       tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    val (withCtx, nll) =
+      scoredGrams(df, idCol, textCol, ref, n, k, maxVocab, tokenizer)
+    // fold the per-gram NLLs in DOCUMENT ORDER: collect, sort by pos,
+    // sequential fold — a shuffle-ordered SUM(double) would differ between
+    // engines (and between runs) in the last bits
+    val agg = withCtx
+      .groupBy(col("__id"))
+      .agg(
+        count(col("gram")).as("lm_grams"),
+        sum(when(col("__cg").isNull, 1L).otherwise(0L)).cast("long").as("lm_oov"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), nll.as("nll")))),
+            s => s("nll")),
+          lit(0.0), (a, x) => a + x).as("__s"))
+      .select(col("__id"), col("lm_grams"), col("lm_oov"),
+        round(col("__s") / col("lm_grams"), 6).as("nll_mean"))
+    df.join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
+      .withColumn("lm_oov", coalesce(col("lm_oov"), lit(0L)))
+  }
+
+  /** Shared model-build + per-gram scoring core of [[perplexityScore]] and
+    * [[minKProbScore]]: returns the exploded ((__id, pos, gram, __cg,
+    * __cc)) gram stream with both broadcast count joins applied, plus the
+    * per-gram NLL column over it. */
+  private def scoredGrams(df: DataFrame, idCol: String, textCol: String,
+                          ref: DataFrame, n: Int, k: Long, maxVocab: Int,
+                          tokenizer: Column => Column): (DataFrame, Column) = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1L, s"add-k smoothing needs k >= 1, got $k")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
@@ -127,23 +155,49 @@ object Perplexity {
     val nll = -log(
       (coalesce(col("__cg"), lit(0L)) + lit(k)).cast("double") /
         (coalesce(col("__cc"), lit(0L)) + lit(k) * lit(vocab)).cast("double"))
-    // fold the per-gram NLLs in DOCUMENT ORDER: collect, sort by pos,
-    // sequential fold — a shuffle-ordered SUM(double) would differ between
-    // engines (and between runs) in the last bits
+    (withCtx, nll)
+  }
+
+  /** Min-K% Prob (Shi et al. 2023, "Detecting Pretraining Data from Large
+    * Language Models" — the public membership-inference / memorization
+    * probe): score each document by the mean NLL of ONLY its `kFrac`
+    * LOWEST-probability (highest-NLL) n-grams. A document the model has
+    * memorized has no surprising region, so even its worst-k% tokens score
+    * near the model's floor — an unusually LOW mink score relative to the
+    * corpus flags near-verbatim training-set members; the full-document
+    * mean ([[perplexityScore]]) washes that signal out with the easy
+    * tokens. Same deterministic n-gram analogue as the rest of this file
+    * (the paper probes a neural LM; the statistic is model-agnostic).
+    *
+    * Appends `lm_grams`, `mk_k` (= max(1, ceil(kFrac·lm_grams)) selected
+    * grams) and `mink_nll` (mean NLL of the mk_k highest-NLL grams, 6 dp;
+    * null when the doc is shorter than n). Selection sorts each document's
+    * OWN nll array (descending, canonical order — ties are interchangeable
+    * under a sum) and folds the prefix sequentially, so the score replays
+    * in SQL like every other fold here; `ceil` runs on IEEE doubles in
+    * both engines (the oracle CASTs its kFrac literal to DOUBLE, the q95
+    * lesson). Scale shape identical to [[perplexityScore]]. */
+  def minKProbScore(df: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, kFrac: Double = 0.2, n: Int = 2,
+                    k: Long = 1L, maxVocab: Int = 1 << 20,
+                    tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    require(kFrac > 0.0 && kFrac <= 1.0, s"kFrac must be in (0, 1], got $kFrac")
+    val (withCtx, nll) =
+      scoredGrams(df, idCol, textCol, ref, n, k, maxVocab, tokenizer)
     val agg = withCtx
       .groupBy(col("__id"))
       .agg(
         count(col("gram")).as("lm_grams"),
-        sum(when(col("__cg").isNull, 1L).otherwise(0L)).cast("long").as("lm_oov"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), nll.as("nll")))),
-            s => s("nll")),
-          lit(0.0), (a, x) => a + x).as("__s"))
-      .select(col("__id"), col("lm_grams"), col("lm_oov"),
-        round(col("__s") / col("lm_grams"), 6).as("nll_mean"))
+        reverse(array_sort(collect_list(nll))).as("__l"))
+      .withColumn("mk_k",
+        greatest(lit(1L), ceil(lit(kFrac) * col("lm_grams"))).cast("long"))
+      .select(col("__id"), col("lm_grams"), col("mk_k"),
+        round(
+          aggregate(slice(col("__l"), lit(1), col("mk_k").cast("int")),
+            lit(0.0), (a, x) => a + x) / col("mk_k"), 6).as("mink_nll"))
     df.join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
-      .withColumn("lm_oov", coalesce(col("lm_oov"), lit(0L)))
+      .withColumn("mk_k", coalesce(col("mk_k"), lit(0L)))
   }
 
   /** Stupid Backoff bigram score (Brants et al. 2007, "Large Language

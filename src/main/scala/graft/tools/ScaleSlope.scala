@@ -183,7 +183,9 @@ object ScaleSlope {
       // q133 (r12) = q34's banded pair machinery + two id equi-joins
       "q133_dup_source_matrix",
       // q134 (r12) = per-row regex chain + one canonical-key aggregate
-      "q134_url_dedup")
+      "q134_url_dedup",
+      // q135 (r12) = q90's model build + per-doc sort/prefix fold
+      "q135_mink_prob")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

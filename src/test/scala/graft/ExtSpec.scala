@@ -3264,6 +3264,37 @@ class ExtSpec extends AnyFunSuite {
     assert(m.length == 200, s"fixture exhausted early: ${m.length} merges")
   }
 
+  test("minKProbScore: worst-k law, selection count, memorization separation") {
+    val ref = Seq(
+      (100L, "the model reads the corpus and the corpus trains the model daily"),
+      (101L, "data pipelines filter score and pack documents into training shards"),
+      (102L, "the model reads the corpus and the corpus trains the model nightly")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      // memorized: verbatim reference member — even its worst bigrams are seen
+      (0L, "the model reads the corpus and the corpus trains the model daily"),
+      // partially novel: reference-like head + garbled tail the model never saw
+      (1L, "the model reads the corpus and zxqv wvut qqzz plmk trains nothing")
+    ).toDF("doc_id", "text")
+    val mink = Perplexity.minKProbScore(probe, "doc_id", "text", ref, kFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("lm_grams")), r.getLong(r.fieldIndex("mk_k")),
+          r.getDouble(r.fieldIndex("mink_nll")))).toMap
+    val full = Perplexity.perplexityScore(probe, "doc_id", "text", ref)
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("nll_mean"))).toMap
+    // selection count law: mk_k = max(1, ceil(0.2 * lm_grams))
+    mink.foreach { case (_, (g, mk, _)) =>
+      assert(mk == math.max(1L, math.ceil(0.2 * g).toLong)) }
+    // worst-k mean dominates the full mean (it averages a subset chosen to
+    // be the most surprising)
+    mink.keys.foreach(id => assert(mink(id)._3 >= full(id) - 1e-9))
+    // the memorization signal: the verbatim member's worst bigrams are all
+    // seen, the garbled doc's are OOV — a wide margin, not a tie-breaker
+    assert(mink(0L)._3 + 0.5 < mink(1L)._3,
+      s"expected memorized ${mink(0L)._3} well under novel ${mink(1L)._3}")
+  }
+
   test("canonicalUrl rules and dedupByUrl keep-best") {
     val cases = Seq(
       "HTTPS://WWW.Example.com/Page/" -> "http://example.com/page",
