@@ -745,7 +745,7 @@ object Corpus {
       // non-live rows get a per-doc salt key: they take no part in dedup,
       // and must not all land in one null-key window partition
       .withColumn("__pk", when(col("__live"), paragraphKey(col("__para")))
-        .otherwise(concat(lit(" "), col(idCol).cast("string"))))
+        .otherwise(concat(lit("\u0000"), col(idCol).cast("string"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pk")).orderBy(col(idCol), col("__idx"))
     val kept = paras

@@ -44,17 +44,19 @@ object CheckpointStrategy {
   */
 object Dedup {
 
-  /** Word k-shingles from an ALREADY MATERIALIZED token-array column
-    * (distinct, order-insensitive set). Taking the array rather than the raw
-    * text matters for performance: higher-order-function lambdas are
-    * interpreted without common-subexpression elimination, so an inline
-    * `split(text)` here would be re-evaluated by every `element_at` call —
-    * O(tokens²) regex work per document. */
+  /** Word k-shingles of a token-array column (distinct, order-insensitive
+    * set). The input expression is lambda-bound ([[TextStats.bound]]) so it
+    * evaluates ONCE per row even when a raw `split(text)` is passed:
+    * higher-order-function lambdas are interpreted without
+    * common-subexpression elimination, so an unbound reference would be
+    * re-evaluated by every `element_at` call — O(tokens²) regex work per
+    * document. */
   def shinglesOfTokens(t: Column, k: Int = 4): Column =
-    when(size(t) >= k,
-      array_distinct(transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(t, (i + j + 1))): _*))))
-      .otherwise(array(concat_ws(" ", t)))
+    TextStats.bound(t) { ts =>
+      when(size(ts) >= k,
+        array_distinct(transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ts, (i + j + 1))): _*))))
+        .otherwise(array(concat_ws(" ", ts))) }
 
   /** Word k-shingles of a document (distinct, order-insensitive set). */
   def shingles(text: Column, k: Int = 4): Column =

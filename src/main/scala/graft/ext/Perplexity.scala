@@ -171,12 +171,19 @@ object Perplexity {
     *
     * Appends `lm_grams`, `mk_k` (= max(1, ceil(kFrac·lm_grams)) selected
     * grams) and `mink_nll` (mean NLL of the mk_k highest-NLL grams, 6 dp;
-    * null when the doc is shorter than n). Selection sorts each document's
-    * OWN nll array (descending, canonical order — ties are interchangeable
-    * under a sum) and folds the prefix sequentially, so the score replays
-    * in SQL like every other fold here; `ceil` runs on IEEE doubles in
-    * both engines (the oracle CASTs its kFrac literal to DOUBLE, the q95
-    * lesson). Scale shape identical to [[perplexityScore]]. */
+    * null when the doc is shorter than n). Selection is a per-doc
+    * descending rank window (hash-partitioned by doc — the window buffer
+    * spills, unlike an aggregation buffer, so a book-length outlier with
+    * millions of grams cannot blow one multi-MB aggregate buffer) + a
+    * rank ≤ mk_k filter + a streaming sum. The sum still replays in SQL:
+    * the window emits each doc's rows contiguously in descending-NLL
+    * order and the hash aggregate accumulates in arrival order, so the
+    * summation order is the same descending prefix the oracle's
+    * `list_sum` over the DESC-sorted list walks (ties are interchangeable
+    * under a sum; the rank tiebreak on `pos` only picks WHICH equal
+    * values cross the cut). `ceil` runs on IEEE doubles in both engines
+    * (the oracle CASTs its kFrac literal to DOUBLE, the q95 lesson).
+    * Scale shape identical to [[perplexityScore]]. */
   def minKProbScore(df: DataFrame, idCol: String, textCol: String,
                     ref: DataFrame, kFrac: Double = 0.2, n: Int = 2,
                     k: Long = 1L, maxVocab: Int = 1 << 20,
@@ -184,17 +191,21 @@ object Perplexity {
     require(kFrac > 0.0 && kFrac <= 1.0, s"kFrac must be in (0, 1], got $kFrac")
     val (withCtx, nll) =
       scoredGrams(df, idCol, textCol, ref, n, k, maxVocab, tokenizer)
-    val agg = withCtx
-      .groupBy(col("__id"))
-      .agg(
-        count(col("gram")).as("lm_grams"),
-        reverse(array_sort(collect_list(nll))).as("__l"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    val ranked = withCtx
+      .select(col("__id"), col("pos"), nll.as("__nll"))
+      .withColumn("lm_grams", count(lit(1)).over(byDoc))
       .withColumn("mk_k",
         greatest(lit(1L), ceil(lit(kFrac) * col("lm_grams"))).cast("long"))
-      .select(col("__id"), col("lm_grams"), col("mk_k"),
-        round(
-          aggregate(slice(col("__l"), lit(1), col("mk_k").cast("int")),
-            lit(0.0), (a, x) => a + x) / col("mk_k"), 6).as("mink_nll"))
+      .withColumn("__rk",
+        row_number().over(byDoc.orderBy(col("__nll").desc, col("pos"))))
+    val agg = ranked
+      .where(col("__rk") <= col("mk_k"))
+      .groupBy(col("__id"))
+      .agg(
+        max(col("lm_grams")).as("lm_grams"),
+        max(col("mk_k")).as("mk_k"),
+        round(sum(col("__nll")) / max(col("mk_k")), 6).as("mink_nll"))
     df.join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
       .withColumn("mk_k", coalesce(col("mk_k"), lit(0L)))

@@ -78,10 +78,23 @@ object TextStats {
     * repetition metrics need the multiset. Empty array when the document is
     * shorter than n. */
   def ngramsOfTokens(t: Column, n: Int): Column =
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
-      .otherwise(slice(t, 1, 0))
+    bound(t) { ts =>
+      when(size(ts) >= n,
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
+        .otherwise(slice(ts, 1, 0)) }
+
+  /** Evaluate `c` exactly ONCE per row and hand the result to `f` as a
+    * lambda-BOUND variable. Higher-order-function lambdas are interpreted
+    * with no common-subexpression elimination, so a plain Column reference
+    * inside one is re-evaluated on every element access — an inline
+    * `split(text)` under an n-gram transform is O(tokens²) regex work per
+    * document (intractable for a book-length outlier). Wrapping in a
+    * 1-element array and transforming binds the materialized value once;
+    * callers that pass an already-projected attribute pay only a trivial
+    * per-row array wrap. */
+  private[ext] def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
 
   /** Gopher-style repetition metrics, per document:
     *   - `dup_word_frac`     — fraction of tokens that are repeats of an

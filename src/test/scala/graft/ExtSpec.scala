@@ -3295,6 +3295,25 @@ class ExtSpec extends AnyFunSuite {
       s"expected memorized ${mink(0L)._3} well under novel ${mink(1L)._3}")
   }
 
+  test("minKProbScore: spill-safe per-doc path survives a 10^6-gram document") {
+    // a single book-length outlier: 1,000,001 tokens -> 10^6 bigrams, all
+    // identical ("a a"), so the worst-20% mean must equal the full mean —
+    // an end-to-end value check that needs no model internals. The old
+    // collect_list path built one 10^6-element aggregation buffer here;
+    // the rank-window path keeps per-task state spillable.
+    val big = "a " * 1000000 + "a"
+    val probe = Seq((0L, big)).toDF("doc_id", "text")
+    val ref = Seq((100L, "a a a a a a a a")).toDF("doc_id", "text")
+    val mink = Perplexity.minKProbScore(probe, "doc_id", "text", ref,
+      kFrac = 0.2).collect()(0)
+    assert(mink.getLong(mink.fieldIndex("lm_grams")) == 1000000L)
+    assert(mink.getLong(mink.fieldIndex("mk_k")) == 200000L)
+    val full = Perplexity.perplexityScore(probe, "doc_id", "text", ref)
+      .collect()(0)
+    assert(math.abs(mink.getDouble(mink.fieldIndex("mink_nll")) -
+      full.getDouble(full.fieldIndex("nll_mean"))) <= 1e-6)
+  }
+
   test("canonicalUrl rules and dedupByUrl keep-best") {
     val cases = Seq(
       "HTTPS://WWW.Example.com/Page/" -> "http://example.com/page",

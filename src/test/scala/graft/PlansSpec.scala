@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate over EVERY SparkEntry query (the audit
+  * `graft.Plans` prints for humans, frozen as assertions): the scale
+  * properties each round fights for — no cartesian products, no
+  * single-partition windows outside the presentation layer, pruned scans —
+  * must not silently regress when a query is edited. Planning only: each
+  * query is constructed and planned at sf0.001, never executed (model-
+  * training queries do run their bounded construction-time jobs). */
+class PlansSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.sparkPlan
+    }
+
+  /** Queries whose partitionless window runs over PRESENTATION-SIZED data
+    * by design — the tabulation layer's final pivot (a handful of rows
+    * wide, one row per group label) is ordered/cumulated as a whole on
+    * purpose; these windows never see corpus-scale input. Additions
+    * require the same justification. */
+  private val globalWindowAllowed: Set[String] = Set()
+
+  test("no query plans a CartesianProduct") {
+    val offenders = plans.flatMap { case (name, p) =>
+      val n = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
+      if (n > 0) Some(s"$name: $n CartesianProduct") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("partitionless windows only in the presentation layer") {
+    val offenders = plans.flatMap { case (name, p) =>
+      val bad = p.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+      }
+      if (bad.nonEmpty && !globalWindowAllowed(name))
+        Some(s"$name: ${bad.size} partitionless ${bad.distinct.mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("no scan reads the full lineitem width (column pruning holds)") {
+    // lineitem is the wide fact table (16 columns); no query needs all of
+    // them, so a 16-column ReadSchema means pruning broke.
+    val offenders = plans.flatMap { case (name, p) =>
+      val wide = p.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.requiredSchema.size >= 16 => s.requiredSchema.size
+      }
+      if (wide.nonEmpty) Some(s"$name: scan reads ${wide.max} columns") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("scan-level filters reach the parquet reader (PushedFilters)") {
+    // named probes: queries whose semantics put a row filter directly over
+    // a table scan — the filter must appear in the scan's pushed-down
+    // data filters, not only in a FilterExec above it.
+    val probes: Seq[(String, String)] = Seq(
+      "q90_perplexity" -> "lang",      // ref slice: documents WHERE lang='en'
+      "q135_mink_prob" -> "lang",      // same ref slice
+      "q20_setops" -> "o_orderstatus"  // status filters over the orders scan
+    )
+    val byName = plans.toMap
+    val offenders = probes.flatMap { case (name, colFrag) =>
+      byName.get(name).flatMap { p =>
+        val pushed = p.collectWithSubqueries {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.dataFilters.map(_.toString).mkString(";")
+        }.mkString(";")
+        if (pushed.toLowerCase.contains(colFrag.toLowerCase)) None
+        else Some(s"$name: no pushed filter mentioning '$colFrag' (got: $pushed)")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
