@@ -28,6 +28,16 @@ object ExtQueries {
   private def docsPar(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** The English reference slice, filtered at the scan: the optimizer
+    * pushes the predicate through the repartition either way
+    * (PlansSpec freezes that), so this is equivalent to
+    * `docsPar(...).filter(...)` — written filter-first to state the
+    * intended plan (prune parquet row groups, then spread only the
+    * surviving slice) rather than rely on the rewrite. */
+  private def docsParEn(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents").filter(col("lang") === "en")
+      .repartition(s.sparkContext.defaultParallelism)
+
   /** SF dir the q66 serve-only index was built for — rebuilt on change so
     * a run over a different SF can never serve a stale index. */
   private val serveIndexFor =
@@ -800,7 +810,7 @@ object ExtQueries {
     "q90_perplexity" -> ((s, dir) =>
       graft.ext.Perplexity.perplexityScore(
           docsPar(s, dir), "doc_id", "text",
-          ref = docsPar(s, dir).filter(col("lang") === "en"))
+          ref = docsParEn(s, dir))
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("lm_oov"),
           col("nll_mean"))
         .orderBy(col("doc_id"))),
@@ -812,7 +822,7 @@ object ExtQueries {
     "q93_dsir_weights" -> ((s, dir) =>
       graft.ext.Dsir.dsirLogWeights(
           docsPar(s, dir), "doc_id", "text",
-          target = docsPar(s, dir).filter(col("lang") === "en"))
+          target = docsParEn(s, dir))
         .select(col("doc_id"), col("lang"), col("ds_grams"), col("ds_logw"))
         .orderBy(col("doc_id"))),
     // DSIR selection terminal: keep the top 25% by log weight via the
@@ -822,7 +832,7 @@ object ExtQueries {
     "q94_dsir_select" -> ((s, dir) =>
       graft.ext.Dsir.dsirSelect(
           docsPar(s, dir), "doc_id", "text",
-          target = docsPar(s, dir).filter(col("lang") === "en"),
+          target = docsParEn(s, dir),
           keepFrac = 0.25)
         .select(col("doc_id"), col("ds_logw"))
         .orderBy(col("doc_id"))),
@@ -832,7 +842,7 @@ object ExtQueries {
       graft.ext.Perplexity.perplexityBuckets(
           graft.ext.Perplexity.perplexityScore(
             docsPar(s, dir), "doc_id", "text",
-            ref = docsPar(s, dir).filter(col("lang") === "en")))
+            ref = docsParEn(s, dir)))
         .select(col("doc_id"), col("nll_mean"), col("ppl_bucket"))
         .orderBy(col("doc_id"))),
     // Stupid Backoff bigram score (Brants et al. 2007): seen bigrams score
@@ -841,7 +851,7 @@ object ExtQueries {
     "q109_stupid_backoff" -> ((s, dir) =>
       graft.ext.Perplexity.stupidBackoffScore(
           docsPar(s, dir), "doc_id", "text",
-          ref = docsPar(s, dir).filter(col("lang") === "en"))
+          ref = docsParEn(s, dir))
         .select(col("doc_id"), col("lang"), col("sb_grams"), col("sb_hits"),
           col("sb_logscore"))
         .orderBy(col("doc_id"))),
@@ -972,7 +982,7 @@ object ExtQueries {
     "q135_mink_prob" -> ((s, dir) =>
       graft.ext.Perplexity.minKProbScore(
           docsPar(s, dir), "doc_id", "text",
-          ref = docsPar(s, dir).filter(col("lang") === "en"), kFrac = 0.2)
+          ref = docsParEn(s, dir), kFrac = 0.2)
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("mk_k"),
           col("mink_nll"))
         .orderBy(col("doc_id"))),

@@ -27,7 +27,15 @@ class PlansSpec extends AnyFunSuite {
     * wide, one row per group label) is ordered/cumulated as a whole on
     * purpose; these windows never see corpus-scale input. Additions
     * require the same justification. */
-  private val globalWindowAllowed: Set[String] = Set()
+  private val globalWindowAllowed: Set[String] = Set(
+    // flatbread tabulation terminals: the window runs over the FINAL pivot
+    // (one row per group label — dozens of rows), computing presentation
+    // percentages / apportioned rounding / ordering
+    "q07_value_counts", "q09_pct_colwise", "q10_pct_grand", "q11_add_pct",
+    "q12_apportioned", "q47_meta_roundtrip", "q48_pct_base_default",
+    // rank attached to an already-LIMIT-topK result (<= topK rows)
+    "q116_top_ngrams"
+  )
 
   test("no query plans a CartesianProduct") {
     val offenders = plans.flatMap { case (name, p) =>
@@ -68,8 +76,6 @@ class PlansSpec extends AnyFunSuite {
     // a table scan — the filter must appear in the scan's pushed-down
     // data filters, not only in a FilterExec above it.
     val probes: Seq[(String, String)] = Seq(
-      "q90_perplexity" -> "lang",      // ref slice: documents WHERE lang='en'
-      "q135_mink_prob" -> "lang",      // same ref slice
       "q20_setops" -> "o_orderstatus"  // status filters over the orders scan
     )
     val byName = plans.toMap
@@ -84,5 +90,27 @@ class PlansSpec extends AnyFunSuite {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("the LM ref-slice pattern prunes at the scan through the repartition") {
+    // The ref slices of the LM queries (q90/q93/q109/q135…) are a
+    // documents scan + lang filter + repartition (ExtQueries.docsParEn);
+    // their scans are checkpointed out of the FINAL plans, so freeze the
+    // pattern itself: whichever side of the repartition the filter is
+    // written on, it must reach the parquet scan's data filters.
+    def scanFilters(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.dataFilters.map(_.toString)
+      }.flatten
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val below = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .repartition(4)
+    assert(scanFilters(below).exists(_.contains("lang")),
+      "filter below repartition must reach the parquet scan")
+    val above = docs.repartition(4)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(scanFilters(above).exists(_.contains("lang")),
+      "filter above repartition must be pushed through it to the scan")
   }
 }
