@@ -986,6 +986,44 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("mk_k"),
           col("mink_nll"))
         .orderBy(col("doc_id"))),
+    // OPQ-rotated PQ (Ge et al. 2013, the parametric principle): a learned
+    // dimension permutation balances per-subspace variance before the
+    // split. The permutation (trained on the < 64 slice, deterministic)
+    // is frozen through OracleAux; the oracle replays q103's full
+    // two-iteration Lloyd + encode + ADC pipeline over the permuted
+    // vectors.
+    "q136_opq_pq_topk" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val train = e.filter(col("vec_id") < 64)
+      OracleAux.write("q136_perm",
+        graft.ext.Quantize.opqPermutation(train, "vec_id", "embedding", 8)
+          .map(_.toString).toSeq)
+      graft.ext.Quantize.pqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", m = 8, ksub = 16, topK = 5,
+          train = train, kmeansIters = 2, opq = true)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // Frozen-codebook IVF-PQ append (the serving reality: codebooks train
+    // once, shards append): build the persisted residual index on
+    // ids < 400, append the rest under the FROZEN pivots + codebooks,
+    // serve from the bucketed codes table. The pivot set (16 smallest
+    // ids) and the train slice (< 64) are contained in the base, so
+    // append-then-serve must equal q130's build-from-scratch on the
+    // union corpus — the oracle IS q130's.
+    "q137_ivfpq_append" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      graft.ext.Quantize.buildIvfPqIndex(e.filter(col("vec_id") < 400),
+        "vec_id", "embedding", "graft_q137_ivfpq", nCells = 16,
+        buckets = 8, m = 8, ksub = 16,
+        train = e.filter(col("vec_id") < 64), kmeansIters = 2,
+        residual = true)
+      graft.ext.Quantize.appendToIvfPqIndex(s, "graft_q137_ivfpq",
+        e.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      graft.ext.Quantize.ivfPqTopKIndexed(s, "graft_q137_ivfpq",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5,
+          nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
     // URL-level dedup (the RefinedWeb first pass): synthesized URLs where
     // the host+path identity is the PAGE (doc_id % 200) and per-doc
     // decorations cover every canonical rule — scheme s/no-s, www, a
@@ -2896,98 +2934,10 @@ object ExtQueries {
     // and the pair join carries the PROBED cell so each query scores a
     // neighbor with the residual of exactly that cell (unique per pair:
     // the neighbor's assigned cell).
-    "q130_residual_ivfpq" ->
-      """WITH emb AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |ss AS (SELECT unnest(range(0, 8)) AS s),
-        |piv AS (SELECT vec_id AS pid, v AS pv FROM emb ORDER BY vec_id LIMIT 16),
-        |acell AS (SELECT e.vec_id, piv.pid AS cell,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
-        |  FROM emb e, piv
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) = 1),
-        |tr AS (SELECT a.vec_id,
-        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
-        |  FROM acell a JOIN emb e USING (vec_id) JOIN piv ON a.cell = piv.pid
-        |  WHERE a.vec_id < 64),
-        |tsv AS (SELECT t.vec_id, ss.s, t.rv[ss.s*8+1 : ss.s*8+8] AS sv
-        |  FROM tr t, ss),
-        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
-        |cbk AS (SELECT s, sv AS cent,
-        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
-        |  FROM cb0 QUALIFY code < 16),
-        |a1 AS (SELECT t.vec_id, t.s, t.sv, cbk.code,
-        |    round(list_sum(list_transform(range(1, 9),
-        |      i -> (t.sv[i] - cbk.cent[i]) * (t.sv[i] - cbk.cent[i]))), 6) AS dd
-        |  FROM tsv t JOIN cbk ON t.s = cbk.s
-        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
-        |    ORDER BY dd, cbk.code) = 1),
-        |u1e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a1),
-        |u1 AS (SELECT s, code, i,
-        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
-        |  FROM u1e GROUP BY 1, 2, 3),
-        |c1 AS (SELECT s, code,
-        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
-        |  FROM u1 GROUP BY 1, 2),
-        |cb1 AS (SELECT cbk.s, cbk.code, coalesce(c1.cent, cbk.cent) AS cent
-        |  FROM cbk LEFT JOIN c1 ON cbk.s = c1.s AND cbk.code = c1.code),
-        |a2 AS (SELECT t.vec_id, t.s, t.sv, cb1.code,
-        |    round(list_sum(list_transform(range(1, 9),
-        |      i -> (t.sv[i] - cb1.cent[i]) * (t.sv[i] - cb1.cent[i]))), 6) AS dd
-        |  FROM tsv t JOIN cb1 ON t.s = cb1.s
-        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
-        |    ORDER BY dd, cb1.code) = 1),
-        |u2e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a2),
-        |u2 AS (SELECT s, code, i,
-        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
-        |  FROM u2e GROUP BY 1, 2, 3),
-        |c2 AS (SELECT s, code,
-        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
-        |  FROM u2 GROUP BY 1, 2),
-        |cb2 AS (SELECT cb1.s, cb1.code, coalesce(c2.cent, cb1.cent) AS cent
-        |  FROM cb1 LEFT JOIN c2 ON cb1.s = c2.s AND cb1.code = c2.code),
-        |cr AS (SELECT a.vec_id, a.cell,
-        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
-        |  FROM acell a JOIN emb e USING (vec_id) JOIN piv ON a.cell = piv.pid),
-        |dsv AS (SELECT c0.vec_id, ss.s, c0.rv[ss.s*8+1 : ss.s*8+8] AS sv
-        |  FROM cr c0, ss),
-        |cnd AS (SELECT d.vec_id, d.s, cb2.code,
-        |    round(list_sum(list_transform(range(1, 9),
-        |      i -> (d.sv[i] - cb2.cent[i]) * (d.sv[i] - cb2.cent[i]))), 6) AS dd
-        |  FROM dsv d JOIN cb2 ON d.s = cb2.s),
-        |enc AS (SELECT vec_id, s, code FROM cnd
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
-        |qcell AS (SELECT e.vec_id AS qid, piv.pid AS cell,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
-        |  FROM emb e, piv WHERE e.vec_id < 10
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) <= 4),
-        |cpair AS (SELECT q.qid, a.vec_id AS neighbor_id, a.cell
-        |  FROM acell a JOIN qcell q ON a.cell = q.cell
-        |  WHERE a.vec_id <> q.qid),
-        |qr AS (SELECT q.qid, q.cell,
-        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
-        |  FROM qcell q JOIN emb e ON q.qid = e.vec_id JOIN piv ON q.cell = piv.pid),
-        |qs AS (SELECT q0.qid, q0.cell, ss.s, q0.rv[ss.s*8+1 : ss.s*8+8] AS qsv
-        |  FROM qr q0, ss),
-        |pair AS (SELECT cp.qid, cp.neighbor_id, en.s,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (qs.qsv[i] - cb2.cent[i]) * (qs.qsv[i] - cb2.cent[i]))) AS dsub
-        |  FROM cpair cp
-        |    JOIN enc en ON en.vec_id = cp.neighbor_id
-        |    JOIN cb2 ON en.s = cb2.s AND en.code = cb2.code
-        |    JOIN qs ON qs.qid = cp.qid AND qs.cell = cp.cell AND qs.s = en.s),
-        |dist AS (SELECT qid, neighbor_id,
-        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
-        |  FROM pair GROUP BY 1, 2),
-        |r AS (SELECT qid, neighbor_id, adc_dist,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
-        |  FROM dist)
-        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
-        |WHERE "rank" <= 5
-        |ORDER BY qid, "rank"""".stripMargin,
+    "q130_residual_ivfpq" -> residualIvfPqSql,
+    // frozen-codebook append serves the identical result on the union
+    // corpus (pivots and train slice contained in the base) — same replay
+    "q137_ivfpq_append" -> residualIvfPqSql,
     "q104_ivfpq_topk" ->
       """WITH emb AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3074,73 +3024,10 @@ object ExtQueries {
     // (distinct subvectors by min id), encode as the rounded-d2 argmin
     // (code tiebreak), ADC distance as the subspace-ORDERED sum of
     // query-to-centroid squared distances (pure +/*, no libm), rank window
-    "q103_pq_topk" ->
-      """WITH emb AS (SELECT vec_id,
+    "q103_pq_topk" -> pqTopkReplaySql(
+      """SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |ss AS (SELECT unnest(range(0, 8)) AS s),
-        |tsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
-        |  FROM emb e, ss WHERE e.vec_id < 64),
-        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
-        |cbk AS (SELECT s, sv AS cent,
-        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
-        |  FROM cb0 QUALIFY code < 16),
-        |a1 AS (SELECT t.vec_id, t.s, t.sv, cbk.code,
-        |    round(list_sum(list_transform(range(1, 9),
-        |      i -> (t.sv[i] - cbk.cent[i]) * (t.sv[i] - cbk.cent[i]))), 6) AS dd
-        |  FROM tsv t JOIN cbk ON t.s = cbk.s
-        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
-        |    ORDER BY dd, cbk.code) = 1),
-        |u1e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a1),
-        |u1 AS (SELECT s, code, i,
-        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
-        |  FROM u1e GROUP BY 1, 2, 3),
-        |c1 AS (SELECT s, code,
-        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
-        |  FROM u1 GROUP BY 1, 2),
-        |cb1 AS (SELECT cbk.s, cbk.code, coalesce(c1.cent, cbk.cent) AS cent
-        |  FROM cbk LEFT JOIN c1 ON cbk.s = c1.s AND cbk.code = c1.code),
-        |a2 AS (SELECT t.vec_id, t.s, t.sv, cb1.code,
-        |    round(list_sum(list_transform(range(1, 9),
-        |      i -> (t.sv[i] - cb1.cent[i]) * (t.sv[i] - cb1.cent[i]))), 6) AS dd
-        |  FROM tsv t JOIN cb1 ON t.s = cb1.s
-        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
-        |    ORDER BY dd, cb1.code) = 1),
-        |u2e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a2),
-        |u2 AS (SELECT s, code, i,
-        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
-        |  FROM u2e GROUP BY 1, 2, 3),
-        |c2 AS (SELECT s, code,
-        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
-        |  FROM u2 GROUP BY 1, 2),
-        |cb2 AS (SELECT cb1.s, cb1.code, coalesce(c2.cent, cb1.cent) AS cent
-        |  FROM cb1 LEFT JOIN c2 ON cb1.s = c2.s AND cb1.code = c2.code),
-        |dsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
-        |  FROM emb e, ss),
-        |cand AS (SELECT d.vec_id, d.s, cb2.code,
-        |    round(list_sum(list_transform(range(1, 9),
-        |      i -> (d.sv[i] - cb2.cent[i]) * (d.sv[i] - cb2.cent[i]))), 6) AS dd
-        |  FROM dsv d JOIN cb2 ON d.s = cb2.s),
-        |enc AS (SELECT vec_id, s, code FROM cand
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
-        |qs AS (SELECT e.vec_id AS qid, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS qsv
-        |  FROM emb e, ss WHERE e.vec_id < 10),
-        |pair AS (SELECT qs.qid, en.vec_id AS neighbor_id, en.s,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (qs.qsv[i] - cb2.cent[i]) * (qs.qsv[i] - cb2.cent[i]))) AS dsub
-        |  FROM enc en JOIN cb2 ON en.s = cb2.s AND en.code = cb2.code
-        |    JOIN qs ON qs.s = en.s
-        |  WHERE en.vec_id <> qs.qid),
-        |dist AS (SELECT qid, neighbor_id,
-        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
-        |  FROM pair GROUP BY 1, 2),
-        |r AS (SELECT qid, neighbor_id, adc_dist,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
-        |  FROM dist)
-        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
-        |WHERE "rank" <= 5
-        |ORDER BY qid, "rank"""".stripMargin,
+        |  FROM embeddings""".stripMargin),
     // every report number replayed exactly: q55's integer quality points,
     // q31's fingerprint for the distinct count, integer sums, and the
     // ratio columns as identical double divisions
@@ -3890,6 +3777,173 @@ object ExtQueries {
     * recursive min-label closure, survivors = component minima. */
   // def, not val: referenced from `oracle` (defined above in source order) —
   // a val here would still be null when the map is built at object init.
+  /** q130's full residual-IVFADC replay (smallest-id cells, residual
+    * two-iteration Lloyd codebooks, residual encode + probing, ADC
+    * rank) — shared verbatim by q137: frozen-codebook append equals
+    * build-from-scratch on the union corpus when the pivot set and
+    * train slice live in the base, so one oracle pins both. */
+  private def residualIvfPqSql: String =
+    """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |piv AS (SELECT vec_id AS pid, v AS pv FROM emb ORDER BY vec_id LIMIT 16),
+        |acell AS (SELECT e.vec_id, piv.pid AS cell,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
+        |  FROM emb e, piv
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) = 1),
+        |tr AS (SELECT a.vec_id,
+        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
+        |  FROM acell a JOIN emb e USING (vec_id) JOIN piv ON a.cell = piv.pid
+        |  WHERE a.vec_id < 64),
+        |tsv AS (SELECT t.vec_id, ss.s, t.rv[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM tr t, ss),
+        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
+        |cbk AS (SELECT s, sv AS cent,
+        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
+        |  FROM cb0 QUALIFY code < 16),
+        |a1 AS (SELECT t.vec_id, t.s, t.sv, cbk.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (t.sv[i] - cbk.cent[i]) * (t.sv[i] - cbk.cent[i]))), 6) AS dd
+        |  FROM tsv t JOIN cbk ON t.s = cbk.s
+        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
+        |    ORDER BY dd, cbk.code) = 1),
+        |u1e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a1),
+        |u1 AS (SELECT s, code, i,
+        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
+        |  FROM u1e GROUP BY 1, 2, 3),
+        |c1 AS (SELECT s, code,
+        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
+        |  FROM u1 GROUP BY 1, 2),
+        |cb1 AS (SELECT cbk.s, cbk.code, coalesce(c1.cent, cbk.cent) AS cent
+        |  FROM cbk LEFT JOIN c1 ON cbk.s = c1.s AND cbk.code = c1.code),
+        |a2 AS (SELECT t.vec_id, t.s, t.sv, cb1.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (t.sv[i] - cb1.cent[i]) * (t.sv[i] - cb1.cent[i]))), 6) AS dd
+        |  FROM tsv t JOIN cb1 ON t.s = cb1.s
+        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
+        |    ORDER BY dd, cb1.code) = 1),
+        |u2e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a2),
+        |u2 AS (SELECT s, code, i,
+        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
+        |  FROM u2e GROUP BY 1, 2, 3),
+        |c2 AS (SELECT s, code,
+        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
+        |  FROM u2 GROUP BY 1, 2),
+        |cb2 AS (SELECT cb1.s, cb1.code, coalesce(c2.cent, cb1.cent) AS cent
+        |  FROM cb1 LEFT JOIN c2 ON cb1.s = c2.s AND cb1.code = c2.code),
+        |cr AS (SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
+        |  FROM acell a JOIN emb e USING (vec_id) JOIN piv ON a.cell = piv.pid),
+        |dsv AS (SELECT c0.vec_id, ss.s, c0.rv[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM cr c0, ss),
+        |cnd AS (SELECT d.vec_id, d.s, cb2.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (d.sv[i] - cb2.cent[i]) * (d.sv[i] - cb2.cent[i]))), 6) AS dd
+        |  FROM dsv d JOIN cb2 ON d.s = cb2.s),
+        |enc AS (SELECT vec_id, s, code FROM cnd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
+        |qcell AS (SELECT e.vec_id AS qid, piv.pid AS cell,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - piv.pv[i]) * (e.v[i] - piv.pv[i]))), 6) AS dd
+        |  FROM emb e, piv WHERE e.vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dd, pid) <= 4),
+        |cpair AS (SELECT q.qid, a.vec_id AS neighbor_id, a.cell
+        |  FROM acell a JOIN qcell q ON a.cell = q.cell
+        |  WHERE a.vec_id <> q.qid),
+        |qr AS (SELECT q.qid, q.cell,
+        |    list_transform(range(1, 65), i -> e.v[i] - piv.pv[i]) AS rv
+        |  FROM qcell q JOIN emb e ON q.qid = e.vec_id JOIN piv ON q.cell = piv.pid),
+        |qs AS (SELECT q0.qid, q0.cell, ss.s, q0.rv[ss.s*8+1 : ss.s*8+8] AS qsv
+        |  FROM qr q0, ss),
+        |pair AS (SELECT cp.qid, cp.neighbor_id, en.s,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qs.qsv[i] - cb2.cent[i]) * (qs.qsv[i] - cb2.cent[i]))) AS dsub
+        |  FROM cpair cp
+        |    JOIN enc en ON en.vec_id = cp.neighbor_id
+        |    JOIN cb2 ON en.s = cb2.s AND en.code = cb2.code
+        |    JOIN qs ON qs.qid = cp.qid AND qs.cell = cp.cell AND qs.s = en.s),
+        |dist AS (SELECT qid, neighbor_id,
+        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
+        |  FROM pair GROUP BY 1, 2),
+        |r AS (SELECT qid, neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
+        |  FROM dist)
+        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
+        |WHERE "rank" <= 5
+        |ORDER BY qid, "rank"""".stripMargin
+
+  /** q103's full PQ replay (first-K seed, two fixed-point Lloyd
+    * iterations, encode, ADC rank) parameterized by the `emb` CTE body
+    * — q136 reuses the whole chain over OPQ-permuted vectors. */
+  private def pqTopkReplaySql(embBody: String): String =
+    s"""WITH emb AS (${embBody}),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |tsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM emb e, ss WHERE e.vec_id < 64),
+        |cb0 AS (SELECT s, sv, min(vec_id) AS mid FROM tsv GROUP BY 1, 2),
+        |cbk AS (SELECT s, sv AS cent,
+        |    row_number() OVER (PARTITION BY s ORDER BY mid) - 1 AS code
+        |  FROM cb0 QUALIFY code < 16),
+        |a1 AS (SELECT t.vec_id, t.s, t.sv, cbk.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (t.sv[i] - cbk.cent[i]) * (t.sv[i] - cbk.cent[i]))), 6) AS dd
+        |  FROM tsv t JOIN cbk ON t.s = cbk.s
+        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
+        |    ORDER BY dd, cbk.code) = 1),
+        |u1e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a1),
+        |u1 AS (SELECT s, code, i,
+        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
+        |  FROM u1e GROUP BY 1, 2, 3),
+        |c1 AS (SELECT s, code,
+        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
+        |  FROM u1 GROUP BY 1, 2),
+        |cb1 AS (SELECT cbk.s, cbk.code, coalesce(c1.cent, cbk.cent) AS cent
+        |  FROM cbk LEFT JOIN c1 ON cbk.s = c1.s AND cbk.code = c1.code),
+        |a2 AS (SELECT t.vec_id, t.s, t.sv, cb1.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (t.sv[i] - cb1.cent[i]) * (t.sv[i] - cb1.cent[i]))), 6) AS dd
+        |  FROM tsv t JOIN cb1 ON t.s = cb1.s
+        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s
+        |    ORDER BY dd, cb1.code) = 1),
+        |u2e AS (SELECT s, code, sv, unnest(range(1, 9)) AS i FROM a2),
+        |u2 AS (SELECT s, code, i,
+        |    sum(CAST(floor(sv[i] * 1000000) AS BIGINT)) AS sm, count(*) AS n
+        |  FROM u2e GROUP BY 1, 2, 3),
+        |c2 AS (SELECT s, code,
+        |    list(CAST(sm AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cent
+        |  FROM u2 GROUP BY 1, 2),
+        |cb2 AS (SELECT cb1.s, cb1.code, coalesce(c2.cent, cb1.cent) AS cent
+        |  FROM cb1 LEFT JOIN c2 ON cb1.s = c2.s AND cb1.code = c2.code),
+        |dsv AS (SELECT e.vec_id, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS sv
+        |  FROM emb e, ss),
+        |cand AS (SELECT d.vec_id, d.s, cb2.code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (d.sv[i] - cb2.cent[i]) * (d.sv[i] - cb2.cent[i]))), 6) AS dd
+        |  FROM dsv d JOIN cb2 ON d.s = cb2.s),
+        |enc AS (SELECT vec_id, s, code FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) = 1),
+        |qs AS (SELECT e.vec_id AS qid, ss.s, e.v[ss.s*8+1 : ss.s*8+8] AS qsv
+        |  FROM emb e, ss WHERE e.vec_id < 10),
+        |pair AS (SELECT qs.qid, en.vec_id AS neighbor_id, en.s,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qs.qsv[i] - cb2.cent[i]) * (qs.qsv[i] - cb2.cent[i]))) AS dsub
+        |  FROM enc en JOIN cb2 ON en.s = cb2.s AND en.code = cb2.code
+        |    JOIN qs ON qs.s = en.s
+        |  WHERE en.vec_id <> qs.qid),
+        |dist AS (SELECT qid, neighbor_id,
+        |    round(list_sum(list(dsub ORDER BY s)), 6) AS adc_dist
+        |  FROM pair GROUP BY 1, 2),
+        |r AS (SELECT qid, neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_dist, neighbor_id) AS INT) AS "rank"
+        |  FROM dist)
+        |SELECT qid, neighbor_id, adc_dist, "rank" FROM r
+        |WHERE "rank" <= 5
+        |ORDER BY qid, "rank"""".stripMargin
+
   private def semanticDedupSql: String =
     """WITH RECURSIVE pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
       |pl AS (SELECT oid + 1000000 AS vec_id,
@@ -3964,8 +4018,23 @@ object ExtQueries {
   def dynamicOracle: Map[String, String] =
     scala.util.Try {
       q111OracleSql.map("q111_quality_classifier" -> _).toMap ++
-        q123OracleSql.map("q123_bpe_train" -> _).toMap
+        q123OracleSql.map("q123_bpe_train" -> _).toMap ++
+        q136OracleSql.map("q136_opq_pq_topk" -> _).toMap
     }.getOrElse(Map.empty)
+
+  /** q136's oracle: the frozen OPQ permutation (64 1-based indices
+    * embedded as a literal list) applied inside the `emb` CTE, then
+    * q103's entire PQ replay unchanged — training, encode, and ADC all
+    * run in the permuted basis exactly as the engine does. */
+  private def q136OracleSql: Option[String] =
+    OracleAux.read("q136_perm").map { lines =>
+      val idx = lines.filter(_.nonEmpty).map(l => (l.trim.toInt + 1).toString)
+        .mkString("[", ", ", "]")
+      pqTopkReplaySql(
+        s"""SELECT vec_id, list_transform($idx, p -> v0[p]) AS v
+           |  FROM (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings)""".stripMargin)
+    }
 
   /** q111's scoring pass replayed in full against the FROZEN trained model:
     * tokenize → hashed uni+bigram buckets (q93's md5 arithmetic, salt

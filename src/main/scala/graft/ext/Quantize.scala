@@ -183,6 +183,74 @@ object Quantize {
       .toDF("sub", "code", "cent")
   }
 
+  // ---- OPQ-style subspace allocation (Ge, He, Ke, Sun 2013) ------------
+
+  /** OPQ-parametric-style learned DIMENSION PERMUTATION for the PQ
+    * subspace split (Ge et al. 2013, "Optimized Product Quantization for
+    * Approximate Nearest Neighbor Search", CVPR — §4's principle: balance
+    * the information across subspaces so no codebook is starved while
+    * another is overwhelmed). Documented deviation: the paper's
+    * non-parametric OPQ learns an arbitrary orthonormal R by alternating
+    * SVD; a permutation is the deterministic subset of rotations (it
+    * reorders coordinates instead of mixing them), learned here by the
+    * paper's own balancing rule — greedy eigenvalue (variance) allocation:
+    * walk dimensions in descending variance order, assign each to the
+    * non-full subspace with the smallest variance log-product so far
+    * (lowest subspace index on ties). Per-dimension variances are the
+    * exact integer numerators n·Σq² − (Σq)² over 1e-6-quantized
+    * components (decimal sums — no overflow, no shuffle-order float
+    * drift), so the ordering and therefore the permutation are
+    * bit-reproducible run to run.
+    *
+    * Scale shape: ONE aggregate over the train slice → dim rows collected
+    * (model-sized); the greedy allocation is O(dim·m) driver work.
+    * Returns perm with perm(newPos) = oldPos (0-based); new position p
+    * lands in subspace p / dsub. */
+  def opqPermutation(train: DataFrame, idCol: String, vecCol: String,
+                     m: Int): Array[Int] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val rows = train
+      .select(posexplode(transform(Similarity.toDouble(col(vecCol)),
+        x => floor(x * 1000000.0).cast("long"))).as(Seq("d", "q")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("ss"))
+      .collect()
+    require(rows.nonEmpty, "opqPermutation needs a non-empty train slice")
+    val dim = rows.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val logVar = new Array[Double](dim)
+    rows.foreach { r =>
+      val n = BigDecimal(r.getLong(1))
+      val s = BigDecimal(r.getDecimal(2))
+      val ss = BigDecimal(r.getDecimal(3))
+      val num = n * ss - s * s // ∝ variance, exact integer
+      // log1p keeps zero-variance dims finite; monotone, so the exact
+      // integer ordering is preserved
+      logVar(r.getInt(0)) = math.log1p(num.toDouble)
+    }
+    val order = (0 until dim).sortBy(d => (-logVar(d), d))
+    val fill = new Array[Int](m)
+    val acc = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { d =>
+      val s = (0 until m).filter(fill(_) < dsub).minBy(i => (acc(i), i))
+      buckets(s) += d; fill(s) += 1; acc(s) += logVar(d)
+    }
+    // canonical layout: dims ascending within each subspace (the split is
+    // order-insensitive inside a subspace)
+    buckets.flatMap(_.sorted.toArray)
+  }
+
+  /** Apply an [[opqPermutation]] to a vector column: x′ = R·x where R is
+    * the permutation matrix — dim array lookups, the input bound once
+    * (HOF-no-CSE discipline). */
+  def permute(vec: Column, perm: Array[Int]): Column =
+    TextStats.bound(Similarity.toDouble(vec)) { v =>
+      array(perm.map(i => element_at(v, i + 1)): _*) }
+
   /** Codebooks packed to ONE broadcastable row: `cb[sub][code] = cent`
     * (sub- and code-ordered nested arrays) — the shape the per-row encode
     * and ADC lambdas index into. */
@@ -260,11 +328,21 @@ object Quantize {
     * paper's production layout), so the scan's inner loop is m array
     * lookups per pair, never a recomputed subspace distance; the only
     * shuffle is the per-query rank window. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+  def pqTopK(corpus0: DataFrame, queries0: DataFrame, idCol: String,
              vecCol: String, m: Int = 8, ksub: Int = 16, topK: Int = 10,
-             train: DataFrame = null, kmeansIters: Int = 0): DataFrame = {
+             train: DataFrame = null, kmeansIters: Int = 0,
+             opq: Boolean = false): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val cbs = pqCodebooksKmeans(if (train == null) corpus else train,
+    // OPQ: permute every vector into the balanced-subspace basis before
+    // the split. A permutation preserves L2 exactly, so the ADC ranking
+    // contract is unchanged — only the quantizer (and its error) moves.
+    val trainDf0 = if (train == null) corpus0 else train
+    val perm = if (opq) opqPermutation(trainDf0, idCol, vecCol, m) else null
+    def prep(df: DataFrame): DataFrame =
+      if (perm == null) df
+      else df.select(col(idCol), permute(col(vecCol), perm).as(vecCol))
+    val corpus = prep(corpus0); val queries = prep(queries0)
+    val cbs = pqCodebooksKmeans(prep(trainDf0),
       idCol, vecCol, m, ksub, kmeansIters)
       .localCheckpoint() // model-sized; feeds the encode AND the ADC scan
     val enc = pqEncode(corpus, idCol, vecCol, cbs)
@@ -309,30 +387,63 @@ object Quantize {
     * Cells are the deterministic smallest-id pivots (the q42/IVF
     * contract); assignment = min rounded L2, pid tiebreak.
     * Returns (qid, neighbor_id, adc_dist, rank). */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+  def ivfPqTopK(corpus0: DataFrame, queries0: DataFrame, idCol: String,
                 vecCol: String, topK: Int = 10, nCells: Int = 16,
                 nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
                 train: DataFrame = null, kmeansIters: Int = 0,
-                residual: Boolean = false): DataFrame = {
+                residual: Boolean = false,
+                opq: Boolean = false): DataFrame = {
     require(topK >= 1 && nCells >= 1 && nProbe >= 1,
       s"topK/nCells/nProbe must be >= 1, got $topK/$nCells/$nProbe")
+    // OPQ basis change up front: a permutation preserves every L2 distance,
+    // so cell routing is IDENTICAL to the unpermuted index — only the PQ
+    // split (flat or residual) sees the balanced subspaces.
+    val perm =
+      if (opq) opqPermutation(if (train == null) corpus0 else train,
+        idCol, vecCol, m)
+      else null
+    def prep(df: DataFrame): DataFrame =
+      if (perm == null) df
+      else df.select(col(idCol), permute(col(vecCol), perm).as(vecCol))
+    val corpus = prep(corpus0); val queries = prep(queries0)
+    val train0 = if (train == null) null else prep(train)
+    val (piv, cbs, assigned) =
+      ivfPqParts(corpus, idCol, vecCol, nCells, m, ksub, train0,
+        kmeansIters, residual)
+    ivfPqProbeRank(assigned, queries, idCol, vecCol, piv, cbs,
+      topK, nProbe, residual)
+  }
+
+  /** Nearest `keep` coarse cells by rounded L2 (pid tiebreak) — the shared
+    * IVF routing step of the PQ family. Input/output carry (id, v[, pv]). */
+  private def nearestCellsPq(df: DataFrame, piv: DataFrame,
+                             keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
+    df.crossJoin(broadcast(piv))
+      .select(col("id"), col("v"), col("pid"),
+        round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
+  }
+
+  private def residualOf(df: DataFrame, out: String): DataFrame =
+    df.withColumn(out, zip_with(col("v"), col("pv"), (x, p) => x - p))
+
+  /** Index-construction core shared by [[ivfPqTopK]] and
+    * [[buildIvfPqIndex]]: smallest-id pivots, the (possibly residual)
+    * k-means codebooks, and the (id, cell, codes) table — the persisted
+    * layout of a real deployment; vectors are not carried past it. */
+  private def ivfPqParts(corpus: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, m: Int, ksub: Int, train: DataFrame,
+                         kmeansIters: Int, residual: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("id"),
       Similarity.toDouble(col(vecCol)).as("v"))
     // smallest-id pivot set — K rows, TakeOrdered, broadcast everywhere
     val piv = c.orderBy(col("id")).limit(nCells)
       .select(col("id").as("pid"), col("v").as("pv"))
       .localCheckpoint() // feeds the assignment AND the probe side
-    def nearestCells(df: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
-      df.crossJoin(broadcast(piv))
-        .select(col("id"), col("v"), col("pid"),
-          round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
-    }
-    def toResidual(df: DataFrame, out: String): DataFrame =
-      df.withColumn(out, zip_with(col("v"), col("pv"), (x, p) => x - p))
     val trainDf = if (train == null) corpus else train
     val cbs = (if (residual)
         // the train-residual projection feeds THREE codebook-training
@@ -340,37 +451,53 @@ object Quantize {
         // table) — materialize once or the assignment cross join re-runs
         // per consumer
         pqCodebooksKmeans(
-          toResidual(nearestCells(trainDf.select(col(idCol).as("id"),
-            Similarity.toDouble(col(vecCol)).as("v")), 1), "rv")
+          residualOf(nearestCellsPq(trainDf.select(col(idCol).as("id"),
+            Similarity.toDouble(col(vecCol)).as("v")), piv, 1), "rv")
             .select(col("id"), col("rv")).localCheckpoint(),
           "id", "rv", m, ksub, kmeansIters)
       else pqCodebooksKmeans(trainDf, idCol, vecCol, m, ksub, kmeansIters))
       .localCheckpoint()
-    // index side: (id, cell, codes) — the persisted layout of a real
-    // deployment; vectors themselves are not carried past this point
-    val cAssigned = nearestCells(c, 1)
-    val assigned =
-      if (residual) {
-        val withR = toResidual(cAssigned, "rv")
-          .select(col("id"), col("cell"), col("rv"))
-        withR.select(col("id"), col("cell"))
-          .join(pqEncode(withR, "id", "rv", cbs), Seq("id"))
-          .select(col("id"), col("cell"), col("codes"))
-      } else cAssigned
-        .join(pqEncode(corpus, idCol, vecCol, cbs), Seq("id"))
+    val cAssigned = nearestCellsPq(c, piv, 1)
+    val assigned = encodeAssigned(cAssigned, corpus, idCol, vecCol, cbs, residual)
+    (piv, cbs, assigned)
+  }
+
+  /** (id, cell[, pv]) + raw vectors → (id, cell, codes) under the given
+    * (frozen) codebooks, flat or residual — the encode step both the build
+    * and the append run. */
+  private def encodeAssigned(cAssigned: DataFrame, raw: DataFrame,
+                             idCol: String, vecCol: String, cbs: DataFrame,
+                             residual: Boolean): DataFrame =
+    if (residual) {
+      val withR = residualOf(cAssigned, "rv")
+        .select(col("id"), col("cell"), col("rv"))
+      withR.select(col("id"), col("cell"))
+        .join(pqEncode(withR, "id", "rv", cbs), Seq("id"))
         .select(col("id"), col("cell"), col("codes"))
-    val probes0 = nearestCells(
+    } else cAssigned.select(col("id"), col("cell"))
+      .join(pqEncode(raw, idCol, vecCol, cbs), Seq("id"))
+      .select(col("id"), col("cell"), col("codes"))
+
+  /** Probe-and-rank core shared by [[ivfPqTopK]] and [[ivfPqTopKIndexed]]:
+    * route each query to `nProbe` cells, precompute its ADC table
+    * (residual probing uses the query's OWN residual per probed cell),
+    * equi-join on the cell key, rank. */
+  private def ivfPqProbeRank(assigned: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, piv: DataFrame,
+                             cbs: DataFrame, topK: Int, nProbe: Int,
+                             residual: Boolean): DataFrame = {
+    val probes0 = nearestCellsPq(
       queries.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v")),
-      nProbe)
+      piv, nProbe)
     // residual probing: the query's OWN residual against each probed cell —
-    // within a cell the ADC distance then approximates ‖q − x‖² exactly as
-    // the flat form does, with both sides measured from the same centroid
+    // within a cell the ADC distance then approximates ||q − x||² exactly as
+    // the flat form does, with both sides measured from the same centroid.
     // per-(query, probed cell) ADC distance table — nProbe·|queries| rows
     // of m·ksub entries on the broadcast-sized probe side; the cell-join
     // scan then pays m lookups per pair (the paper's ADC table, an 8× cut
     // of the inner loop at m=8/dsub=8; bit-identical to the direct form)
     val probes =
-      (if (residual) toResidual(probes0, "qv") else probes0.withColumn("qv", col("v")))
+      (if (residual) residualOf(probes0, "qv") else probes0.withColumn("qv", col("v")))
         .select(col("id").as("qid"), col("qv"), col("cell"))
         .crossJoin(broadcast(packCodebooks(cbs)))
         .select(col("qid"), col("cell"),
@@ -385,6 +512,92 @@ object Quantize {
         round(adcDistance(col("qtab"), col("codes")), 6).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  // ---- persisted IVF-PQ index (frozen-codebook append) -----------------
+
+  /** Build a PERSISTED IVF-PQ index — the serving layout where the model
+    * trains ONCE and shards append forever after. Four catalog tables:
+    * `name_pq_centroids` (pid, pv), `name_pq_codebooks` (sub, code, cent),
+    * `name_pq_meta` (residual, m, ksub — the encode contract appends must
+    * honor), and `name_pq_codes` (id, cell, codes) bucketed by cell so
+    * indexed serves equi-join probed cells without a corpus shuffle.
+    * Same deterministic contracts as [[ivfPqTopK]] (smallest-id pivots,
+    * fixed-point Lloyd codebooks, rounded-L2 argmins), so
+    * build-on-prefix + [[appendToIvfPqIndex]] equals build-on-everything
+    * whenever the pivot set and train slice are unchanged — the q137
+    * oracle pins exactly that. Rebuilds are NOT atomic across the four
+    * tables; rebuild under a new name and repoint consumers. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      name: String, nCells: Int = 16, buckets: Int = 8,
+                      m: Int = 8, ksub: Int = 16, train: DataFrame = null,
+                      kmeansIters: Int = 0, residual: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (piv, cbs, assigned) =
+      ivfPqParts(corpus, idCol, vecCol, nCells, m, ksub, train,
+        kmeansIters, residual)
+    Seq(s"${name}_pq_centroids", s"${name}_pq_codebooks", s"${name}_pq_meta")
+      .foreach(graft.sources.IO.dropOrphanedLocation(spark, _))
+    piv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_pq_centroids")
+    cbs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_pq_codebooks")
+    Seq((residual, m, ksub)).toDF("residual", "m", "ksub")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_pq_meta")
+    graft.sources.IO.writeBucketed(assigned, s"${name}_pq_codes",
+      bucketCols = Seq("cell"), buckets = buckets, sortCols = Seq("cell"))
+  }
+
+  /** Append new vectors to a persisted [[buildIvfPqIndex]] index WITHOUT
+    * retraining: arrivals are routed to the FROZEN pivots and encoded
+    * under the FROZEN codebooks in the mode the meta table recorded
+    * (residual appends quantize v − centroid(cell) exactly like the
+    * build), then land in the bucketed codes table in Append mode under
+    * the catalog's own bucket spec. Codebooks are deliberately not
+    * updated — PQ serving retrains offline and reindexes under a new name
+    * when drift warrants (watch cell occupancy, as with
+    * [[Similarity.ivfCellStats]]). Because every step is bit-stable,
+    * append-then-serve equals build-from-scratch-then-serve while the
+    * pivot set is unchanged. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         name: String, newVectors: DataFrame, idCol: String,
+                         vecCol: String): Unit = {
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(s"${name}_pq_codes")
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"${name}_pq_codes is not bucketed — not built by buildIvfPqIndex"))
+    val piv = spark.table(s"${name}_pq_centroids")
+    val cbs = spark.table(s"${name}_pq_codebooks")
+    val meta = spark.table(s"${name}_pq_meta").head()
+    val residual = meta.getBoolean(meta.fieldIndex("residual"))
+    val nv = newVectors.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    val assigned = encodeAssigned(nearestCellsPq(nv, piv, 1), newVectors,
+      idCol, vecCol, cbs, residual)
+    graft.sources.IO.writeBucketed(assigned, s"${name}_pq_codes",
+      bucketCols = spec.bucketColumnNames, buckets = spec.numBuckets,
+      sortCols = spec.sortColumnNames,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Serve ADC top-k from a persisted [[buildIvfPqIndex]] index: probes
+    * against the frozen pivots, ADC tables against the frozen codebooks,
+    * candidates via the bucketed cell equi-join — the scan reads codes
+    * only. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       name: String, queries: DataFrame, idCol: String,
+                       vecCol: String, topK: Int,
+                       nProbe: Int = 4): DataFrame = {
+    require(topK >= 1 && nProbe >= 1,
+      s"topK/nProbe must be >= 1, got $topK/$nProbe")
+    val meta = spark.table(s"${name}_pq_meta").head()
+    ivfPqProbeRank(spark.table(s"${name}_pq_codes"), queries, idCol, vecCol,
+      spark.table(s"${name}_pq_centroids"),
+      spark.table(s"${name}_pq_codebooks"), topK, nProbe,
+      meta.getBoolean(meta.fieldIndex("residual")))
   }
 
   /** Binary quantization: each dimension becomes ONE bit — above or below

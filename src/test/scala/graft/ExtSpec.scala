@@ -3727,6 +3727,93 @@ class ExtSpec extends AnyFunSuite {
       s"residual IVF-PQ twin recall degraded: $hits/$probed")
   }
 
+  test("OPQ permutation: balanced subspaces beat the contiguous split") {
+    // variance concentrated in dims 0..7 — exactly the naive split's first
+    // subspace. Plain PQ hands those 8 informative dims ONE 16-code book
+    // while 7 codebooks quantize near-constants; the OPQ allocation must
+    // spread them one per subspace, and the quantizer error must collapse.
+    // ids 256..511 are planted twins of ids 0..255 (+5e-4 per component)
+    // for the end-to-end recall check.
+    val c = spark.range(0, 512).toDF("id")
+      .withColumn("v", transform(sequence(lit(0), lit(63)), d => {
+        val sig = pmod(hash((col("id") % 256).cast("int"), d), lit(1000003))
+          .cast("double") / 1000003.0 * 2.0 - 1.0
+        when(d < 8, sig).otherwise(sig * 0.001) +
+          when(col("id") >= 256, 0.0005).otherwise(0.0)
+      }))
+      .localCheckpoint()
+    val perm = Quantize.opqPermutation(c, "id", "v", 8)
+    assert(perm.sorted.toSeq == (0 until 64), "not a permutation")
+    val bySub = perm.grouped(8).toSeq
+    assert(bySub.forall(b => b.count(_ < 8) == 1),
+      s"high-variance dims not spread one per subspace: ${bySub.map(_.toSeq)}")
+    // same permutation again — bit-reproducible training
+    assert(Quantize.opqPermutation(c, "id", "v", 8).toSeq == perm.toSeq)
+
+    def d2c(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    def sseOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val cbs = Quantize.pqCodebooksKmeans(df, "id", "v", 8, 16, 2)
+      val enc = Quantize.pqEncode(df, "id", "v", cbs)
+      val packed = cbs.groupBy(col("sub"))
+        .agg(transform(array_sort(collect_list(struct(col("code"), col("cent")))),
+          s => s("cent")).as("cents"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+          s => s("cents")).as("cb"))
+      enc.join(df.select(col("id"), Similarity.toDouble(col("v")).as("__v")), Seq("id"))
+        .crossJoin(broadcast(packed))
+        .select(aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
+          (acc, s) => {
+            val cents = element_at(col("cb"), s + 1)
+            val dsub = size(element_at(cents, 1))
+            acc + d2c(slice(col("__v"), s * dsub + 1, dsub),
+              element_at(cents, element_at(col("codes"), s + 1) + 1))
+          }).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    }
+    val ssePlain = sseOf(c)
+    val sseOpq = sseOf(c.select(col("id"),
+      Quantize.permute(col("v"), perm).as("v")))
+    assert(sseOpq < ssePlain * 0.5,
+      s"OPQ split should at least halve quantization SSE here " +
+        s"(plain=$ssePlain opq=$sseOpq)")
+    // end-to-end: opq=true finds every planted twin at rank 1
+    val q = c.filter(col("id").isin(3L, 7L, 11L))
+    val top = Quantize.pqTopK(c, q, "id", "v", m = 8, ksub = 16, topK = 1,
+      kmeansIters = 2, opq = true)
+    val twins = top.filter(col("rank") === 1)
+      .filter(col("neighbor_id") === col("qid") + 256L).count()
+    assert(twins == 3L, s"OPQ pqTopK lost planted twins: $twins/3")
+  }
+
+  test("persisted IVF-PQ: frozen-codebook append equals build-from-scratch") {
+    // codebooks + pivots train once on the base (ids < 300, which contains
+    // the 16 smallest-id pivots and the < 64 train slice); the appended
+    // shard encodes under the frozen model — serving the union must be
+    // row-identical to ivfPqTopK built on everything at once.
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    Quantize.buildIvfPqIndex(e.filter(col("vec_id") < 300), "vec_id",
+      "embedding", "graft_test_ivfpq", nCells = 16, buckets = 4, m = 8,
+      ksub = 16, train = e.filter(col("vec_id") < 64), kmeansIters = 1,
+      residual = true)
+    Quantize.appendToIvfPqIndex(spark, "graft_test_ivfpq",
+      e.filter(col("vec_id") >= 300), "vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val served = Quantize.ivfPqTopKIndexed(spark, "graft_test_ivfpq", q,
+        "vec_id", "embedding", topK = 5, nProbe = 4)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val scratch = Quantize.ivfPqTopK(e, q, "vec_id", "embedding", topK = 5,
+        nCells = 16, nProbe = 4, m = 8, ksub = 16,
+        train = e.filter(col("vec_id") < 64), kmeansIters = 1,
+        residual = true)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(served == scratch,
+      s"append-then-serve diverged from build-from-scratch")
+    // meta table froze the encode contract
+    val meta = spark.table("graft_test_ivfpq_pq_meta").head()
+    assert(meta.getBoolean(meta.fieldIndex("residual")))
+  }
+
   test("histogram-CDF operators plan no partitionless window (scale guard)") {
     // the three fraction-cut operators (perplexityBuckets, dsirSelect,
     // filterByNormBand) route their cumulative histogram counts through
