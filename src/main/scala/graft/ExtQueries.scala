@@ -1024,6 +1024,75 @@ object ExtQueries {
           nProbe = 4)
         .orderBy(col("qid"), col("rank"))
     },
+    // The COMPOSED crawl pipeline (RefinedWeb order): URL dedup → URL
+    // rules → C4 → Gopher → exact → MinHash near-dup → semantic, one
+    // fate per input doc. Fixture synthesis (mirrored in the oracle):
+    //  - URLs: q134's page identity (doc_id % 200 over 4 hosts) with
+    //    canonical-rule decorations; host example3.com is blocklisted so
+    //    the rules stage bites.
+    //  - text: token lines of 8 ending in '.', a stop-word-bearing
+    //    closing sentence (the Gopher stop gate needs >= 2 hits), and a
+    //    'lorem ipsum' tail keyed on the CONTENT hash (md5 % 13) so
+    //    exact-duplicate partners decorate identically and the dup
+    //    structure survives into the dedup stages while C4's page gate
+    //    still bites.
+    //  - embeddings: vec_id = doc_id % 250, rows >= 250 perturbed by the
+    //    plantNearDups LCG at scale 0.01 — textual strangers with
+    //    cos ≈ 0.999 twins, realizing the semantic fate.
+    "q138_crawl_pipeline" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val emb = read(s, dir, "embeddings")
+      // corpus-proportional fixture constants (identical to the fixed
+      // 200/250 at the sf0.01 gate, but the URL-survivor set and the
+      // semantic-twin groups keep growing linearly with the corpus so the
+      // slope run prices every stage): 40% of docs are distinct pages,
+      // embedding identity repeats at half the corpus
+      val nDocs = docs.count()
+      val nPages = math.max(2L * nDocs / 5L, 1L)
+      // capped by the embeddings table so every doc resolves a vector
+      // (sf0.1 ships fewer embeddings than documents)
+      val embK = math.max(math.min(nDocs / 2L, emb.count()), 1L)
+      val url = concat(
+        lit("http"), when(col("doc_id") % 2 === 0, "s").otherwise(""),
+        lit("://"), when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        lit("example"), ((col("doc_id") % nPages) % 4).cast("string"),
+        lit(".com/page/"), (col("doc_id") % nPages).cast("string"),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 7 === 0, "?utm_source=feed").otherwise(""),
+        when(col("doc_id") % 11 === 0, "#frag").otherwise(""))
+      val toks = graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))
+      val lines = graft.ext.TextStats.bound(toks) { t =>
+        transform(sequence(lit(0), greatest(ceil(size(t) / 8.0).cast("int"),
+            lit(1)) - 1),
+          i => concat(array_join(slice(t, i * 8 + 1, lit(8)), " "), lit(".")))
+      }
+      val body = concat(array_join(lines, "\n"),
+        lit("\nthat is all we have with the data."),
+        when(conv(substring(md5(coalesce(col("text"), lit(""))), 1, 8), 16, 10)
+            .cast("long") % 13 === 0,
+          "\nlorem ipsum boilerplate tail.").otherwise(""))
+      val pert = zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => (x.cast("double") +
+          lit(0.01) * ((col("doc_id") * 131L + d * 7919L) % 1000003L *
+            2654435761L % 2000003L - 1000001L).cast("double") / 1000001.0
+        ).cast("float"))
+      val fixture = docs
+        .select(col("doc_id"), col("n_chars"), url.as("url"),
+          body.as("text2"))
+        .join(emb.groupBy((col("vec_id") % embK).as("__vk"))
+            .agg(min(struct(col("vec_id").as("v"), col("embedding").as("e")))
+              .as("__b"))
+            .select(col("__vk"), col("__b.e").as("embedding")),
+          col("doc_id") % embK === col("__vk"))
+        .select(col("doc_id"), col("n_chars"), col("url"), col("text2"),
+          when(col("doc_id") < embK, col("embedding")).otherwise(pert)
+            .as("emb"))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.ext.Crawl.refinedWebFate(fixture, "doc_id", "url", "text2",
+          "n_chars", "emb", blockedDomains = Seq("example3.com"))
+        .orderBy(col("doc_id"))
+    },
     // URL-level dedup (the RefinedWeb first pass): synthesized URLs where
     // the host+path identity is the PAGE (doc_id % 200) and per-doc
     // decorations cover every canonical rule — scheme s/no-s, www, a
@@ -1782,6 +1851,197 @@ object ExtQueries {
        |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1)""".stripMargin
 
   private val jaccardClosureCtes: String = jaccardClosureCtesOver("documents")
+
+  /** q138's oracle: the ENTIRE composed crawl pipeline replayed in one
+    * chain — fixture synthesis (token lines + closing sentence +
+    * content-keyed lorem tail, q134-style URLs, embedding keys with the
+    * plantNearDups LCG), then canonical-URL keep-best → URL rules → C4
+    * clean+gate → Gopher over the CLEANED text → exact fingerprint dedup →
+    * the exact-Jaccard closure (q51's recall-1.0 stand-in for MinHash) →
+    * the cosine cell closure (q79's), each stage scoped to the prior
+    * stage's survivors; fate = first stage whose survivor set misses the
+    * doc.
+    *
+    * Every multiply-referenced CTE is marked AS MATERIALIZED: DuckDB
+    * inlines plain CTEs per reference, so in a 40-CTE chain where each
+    * stage reads the previous survivor set twice (next stage + fate CASE)
+    * and the recursive closures re-read their edge lists per round, the
+    * re-execution COMPOUNDS — measured >10 min at sf0.01 without the
+    * hints, 0.2 s with them. */
+  private def crawlPipelineSql: String = {
+    val mat = Seq("raw", "pr", "eb", "fx", "ck", "c0", "j", "e", "j2", "ed2", "s1",
+      "s2", "s3", "s4", "s5", "s6", "s7", "rdocs", "clusters", "cl2",
+      "em", "nv", "cells2")
+    mat.foldLeft(crawlPipelineSqlPlain) { (acc, n) =>
+      acc.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED (")
+    }
+  }
+
+  private def crawlPipelineSqlPlain: String =
+    s"""WITH RECURSIVE
+       |raw AS (SELECT doc_id, n_chars, coalesce(text, '') AS rt FROM documents),
+       |pr AS (SELECT greatest(count(*)*2//5, 1) AS np,
+       |    greatest(least(count(*)//2,
+       |      (SELECT count(*) FROM embeddings)), 1) AS ek FROM documents),
+       |tk AS (SELECT doc_id, string_split_regex(lower(trim(rt)), '\\s+') AS t
+       |  FROM raw),
+       |ln AS (SELECT doc_id, t,
+       |    greatest(CAST(ceil(len(t)/8.0) AS INT), 1) AS n FROM tk),
+       |li AS (SELECT doc_id, t, unnest(range(0, n)) AS i FROM ln),
+       |bl AS (SELECT doc_id, i,
+       |    array_to_string(t[i*8+1 : i*8+8], ' ') || '.' AS line FROM li),
+       |bd AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+       |  FROM bl GROUP BY 1),
+       |fx AS (SELECT r.doc_id, r.n_chars,
+       |    b || chr(10) || 'that is all we have with the data.'
+       |    || (CASE WHEN CAST(('0x' || substr(md5(r.rt), 1, 8)) AS BIGINT) % 13 = 0
+       |        THEN chr(10) || 'lorem ipsum boilerplate tail.' ELSE '' END) AS text,
+       |    'http' || (CASE WHEN r.doc_id % 2 = 0 THEN 's' ELSE '' END) || '://'
+       |    || (CASE WHEN r.doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+       |    || 'example' || CAST((r.doc_id % (SELECT np FROM pr)) % 4 AS VARCHAR)
+       |    || '.com/page/' || CAST(r.doc_id % (SELECT np FROM pr) AS VARCHAR)
+       |    || (CASE WHEN r.doc_id % 5 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN r.doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)
+       |    || (CASE WHEN r.doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+       |  FROM raw r JOIN bd USING (doc_id)),
+       |ck AS (SELECT doc_id, n_chars,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    lower(coalesce(url, '')),
+       |    '#.*$$', ''),
+       |    '&(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+       |    '\\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*&', '?'),
+       |    '\\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*$$', ''),
+       |    '^https://', 'http://'),
+       |    '^http://www\\.', 'http://'),
+       |    '/$$', '') AS k
+       |  FROM fx),
+       |s1 AS (SELECT doc_id FROM ck
+       |  QUALIFY row_number() OVER (PARTITION BY k
+       |    ORDER BY n_chars DESC, doc_id) = 1),
+       |h0 AS (SELECT f.doc_id, f.url,
+       |    regexp_extract(lower(f.url),
+       |      '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS host
+       |  FROM fx f JOIN s1 USING (doc_id)),
+       |d0 AS (SELECT doc_id, url, host, string_split(host, '.') AS labs,
+       |    len(string_split(host, '.')) AS nl FROM h0),
+       |r1 AS (SELECT doc_id, host,
+       |    CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+       |         WHEN nl <= 2 THEN host
+       |         WHEN (labs[nl-1] || '.' || labs[nl]) IN ('co.uk','org.uk',
+       |           'ac.uk','gov.uk','net.uk','com.au','net.au','org.au',
+       |           'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx',
+       |           'com.ar','com.tr','com.tw','co.in','co.kr','co.za',
+       |           'com.sg','com.hk')
+       |           THEN labs[nl-2] || '.' || labs[nl-1] || '.' || labs[nl]
+       |         ELSE labs[nl-1] || '.' || labs[nl] END AS domain,
+       |    length(url) AS url_len,
+       |    CASE WHEN length(url) > 0
+       |      THEN CAST(len(regexp_extract_all(url, '[0-9]')) AS DOUBLE)/length(url)
+       |      ELSE 0.0 END AS digit_frac
+       |  FROM d0),
+       |s2 AS (SELECT doc_id FROM r1
+       |  WHERE length(host) > 0 AND domain <> 'example3.com'
+       |    AND url_len <= 2048 AND digit_frac <= CAST(0.5 AS DOUBLE)),
+       |l0 AS (SELECT f.doc_id, f.text AS tx,
+       |    list_filter(string_split(f.text, chr(10)),
+       |      l -> len(trim(l)) > 0) AS lns
+       |  FROM fx f JOIN s2 USING (doc_id)),
+       |k0 AS (SELECT doc_id, tx, lns,
+       |    list_filter(lns, l -> regexp_matches(trim(l), '[.!?"]$$')
+       |      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+       |            w -> len(w) > 0)) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) AS keptl
+       |  FROM l0),
+       |c0 AS (SELECT doc_id, tx,
+       |    coalesce(array_to_string(keptl, chr(10)), '') AS ct FROM k0),
+       |s3 AS (SELECT doc_id FROM c0
+       |  WHERE len(regexp_extract_all(ct, '[.!?]')) >= 3
+       |    AND NOT contains(lower(tx), 'lorem ipsum')
+       |    AND NOT contains(tx, '{')),
+       |g0 AS (SELECT c0.doc_id, c0.ct AS tx,
+       |    string_split_regex(lower(trim(c0.ct)), '\\s+') AS gt
+       |  FROM c0 JOIN s3 USING (doc_id)),
+       |w0 AS (SELECT doc_id,
+       |    len(list_filter(gt, x -> len(x) > 0)) AS n_words,
+       |    list_sum(list_transform(gt, x -> CAST(len(x) AS BIGINT))) AS char_sum,
+       |    len(regexp_extract_all(tx, '#'))
+       |      + len(regexp_extract_all(tx, '\\.\\.\\.')) AS n_symbols,
+       |    list_filter(string_split_regex(tx, '\\n'),
+       |      l -> len(trim(l)) > 0) AS lns,
+       |    len(list_filter(gt, x -> regexp_matches(x, '\\p{L}'))) AS n_alpha,
+       |    len(list_filter(['the','be','to','of','and','that','have','with'],
+       |      sw -> list_contains(gt, sw))) AS stop_hits
+       |  FROM g0),
+       |s4 AS (SELECT doc_id FROM w0
+       |  WHERE n_words BETWEEN 50 AND 100000
+       |    AND n_words > 0
+       |    AND CAST(char_sum AS DOUBLE)/n_words BETWEEN 3.0 AND 10.0
+       |    AND CAST(n_symbols AS DOUBLE)/n_words <= 0.1
+       |    AND len(lns) > 0 AND CAST(len(list_filter(lns,
+       |        l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+       |        AS DOUBLE)/len(lns) <= 0.9
+       |    AND CAST(len(list_filter(lns,
+       |        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+       |        AS DOUBLE)/len(lns) <= 0.3
+       |    AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8
+       |    AND stop_hits >= 2),
+       |f0 AS (SELECT c0.doc_id,
+       |    md5(regexp_replace(lower(trim(c0.ct)), '\\s+', ' ', 'g')) AS fp
+       |  FROM c0 JOIN s4 USING (doc_id)),
+       |s5 AS (SELECT min(doc_id) AS doc_id FROM f0 GROUP BY fp),
+       |rdocs AS (SELECT c0.doc_id, c0.ct AS text FROM c0 JOIN s5 USING (doc_id)),
+       |${jaccardClosureCtesOver("rdocs")},
+       |clusters AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+       |s6 AS (SELECT doc_id FROM rdocs
+       |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)),
+       |eb AS (SELECT vec_id % (SELECT ek FROM pr) AS vk, embedding
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id % (SELECT ek FROM pr)
+       |    ORDER BY vec_id) = 1),
+       |em AS (SELECT s6.doc_id AS id,
+       |    CASE WHEN s6.doc_id < (SELECT ek FROM pr) THEN e.embedding
+       |         ELSE list_transform(range(0, 64),
+       |           dd -> CAST(CAST(e.embedding[dd+1] AS DOUBLE)
+       |             + CAST(0.01 AS DOUBLE) * CAST((s6.doc_id*131 + dd*7919)
+       |               % 1000003 * 2654435761 % 2000003 - 1000001 AS DOUBLE)
+       |             / CAST(1000001.0 AS DOUBLE) AS REAL))
+       |    END AS emb
+       |  FROM s6 JOIN eb e ON e.vk = s6.doc_id % (SELECT ek FROM pr)),
+       |ev AS (SELECT id, list_transform(emb, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM em),
+       |nv AS (SELECT id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+       |piv2 AS (SELECT id AS pid, v AS pv, nrm AS pnrm FROM nv
+       |  ORDER BY id LIMIT 16),
+       |asg2 AS (SELECT c.id, c.v, c.nrm, pid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        kk -> c.v[kk]*pv[kk])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
+       |  FROM nv c CROSS JOIN piv2),
+       |cells2 AS (SELECT id, v, nrm, pid AS cell FROM asg2 WHERE rn = 1),
+       |j2 AS (SELECT a.id AS id1, b.id AS id2
+       |      FROM cells2 a JOIN cells2 b ON a.cell = b.cell AND a.id < b.id
+       |      WHERE round(list_sum(list_transform(range(1, 65),
+       |        kk -> a.v[kk]*b.v[kk])) / (a.nrm*b.nrm), 6) >= 0.95),
+       |ed2 AS (SELECT id1, id2 FROM j2 UNION ALL SELECT id2, id1 FROM j2),
+       |nodes2 AS (SELECT DISTINCT id1 AS id FROM ed2),
+       |reach2(id, x) AS (SELECT id, id FROM nodes2
+       |  UNION
+       |  SELECT reach2.id, ed2.id2 FROM reach2 JOIN ed2 ON reach2.x = ed2.id1),
+       |cl2 AS (SELECT id, min(x) AS cluster FROM reach2 GROUP BY id),
+       |s7 AS (SELECT doc_id FROM s6
+       |  WHERE doc_id NOT IN (SELECT id FROM cl2 WHERE cluster < id))
+       |SELECT r.doc_id,
+       |  CASE WHEN r.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'url_dedup'
+       |       WHEN r.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'url_rules'
+       |       WHEN r.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'c4'
+       |       WHEN r.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'gopher'
+       |       WHEN r.doc_id NOT IN (SELECT doc_id FROM s5) THEN 'exact'
+       |       WHEN r.doc_id NOT IN (SELECT doc_id FROM s6) THEN 'neardup'
+       |       WHEN r.doc_id NOT IN (SELECT doc_id FROM s7) THEN 'semantic'
+       |       ELSE 'kept' END AS fate
+       |FROM raw r ORDER BY doc_id""".stripMargin
 
   private val dedupClustersSql: String =
     s"""WITH RECURSIVE $jaccardClosureCtes
@@ -2800,6 +3060,7 @@ object ExtQueries {
     // URL build + the identical canonical regexp chain + count/argmax per
     // canonical key (keep-best = n_chars DESC, id — the engine's
     // min(struct(-score, id)))
+    "q138_crawl_pipeline" -> crawlPipelineSql,
     "q134_url_dedup" ->
       """WITH u AS (SELECT doc_id, n_chars,
         |    'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||

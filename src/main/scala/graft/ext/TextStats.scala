@@ -93,7 +93,7 @@ object TextStats {
     * 1-element array and transforming binds the materialized value once;
     * callers that pass an already-projected attribute pay only a trivial
     * per-row array wrap. */
-  private[ext] def bound(c: Column)(f: Column => Column): Column =
+  private[graft] def bound(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
   /** Gopher-style repetition metrics, per document:

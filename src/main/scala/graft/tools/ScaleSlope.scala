@@ -39,7 +39,12 @@ object ScaleSlope {
       }
     }.reduce(_ unionByName _)
 
-  def scaledEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+  def scaledEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    // copy offset = table size, NOT a fixed 10^7: the scaled id space stays
+    // CONTIGUOUS [0, factor·n) so modular-key fixtures (q138's embedding
+    // identity) keep full coverage; originals keep their ids, so
+    // smallest-id pivot sets and `vec_id < K` query slices are unchanged
+    val n = emb.count()
     (0 until factor).map { c =>
       if (c == 0) emb
       else {
@@ -50,12 +55,13 @@ object ScaleSlope {
               2654435761L % 2000003L - 1000001L).cast("double") / 1000001.0
           ).cast("float"))
         emb.select(emb.columns.toSeq.map {
-          case "vec_id"    => (col("vec_id") + c * 10000000L).as("vec_id")
+          case "vec_id"    => (col("vec_id") + c * n).as("vec_id")
           case "embedding" => pert.as("embedding")
           case other       => col(other)
         }: _*)
       }
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -185,7 +191,16 @@ object ScaleSlope {
       // q134 (r12) = per-row regex chain + one canonical-key aggregate
       "q134_url_dedup",
       // q135 (r12) = q90's model build + per-doc sort/prefix fold
-      "q135_mink_prob")
+      "q135_mink_prob",
+      // q136 (r13) = q103 + one train-slice variance aggregate and a
+      // per-row permute projection; q137 (r13) = q104's build + bucketed
+      // append write + indexed serve (prices build+append+serve like q71)
+      "q136_opq_pq_topk", "q137_ivfpq_append",
+      // q138 (r13) = the composed crawl terminal: per-row synthesis +
+      // url-key aggregate + rule scans + fingerprint shuffle + banded
+      // pairs over survivors + cell-bounded cosine pairs + skinny fate
+      // joins — every stage linear or survivor-bounded
+      "q138_crawl_pipeline")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
@@ -199,7 +214,9 @@ object ScaleSlope {
       "q79_semantic_dedup", "q80_incremental_cosine",
       "q81_semantic_dedup_indexed", "q89_repetition_filter",
       // r11 heavies: model build + broadcast-scored folds
-      "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets")
+      "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets",
+      // r13: the composed crawl terminal stacks three dedup machineries
+      "q138_crawl_pipeline")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()

@@ -3786,6 +3786,46 @@ class ExtSpec extends AnyFunSuite {
     assert(twins == 3L, s"OPQ pqTopK lost planted twins: $twins/3")
   }
 
+  test("refinedWebFate: the first responsible stage claims each drop") {
+    // one handcrafted doc per fate: every stage of the composed pipeline
+    // must claim exactly the doc built to die there, and nothing else.
+    def mkText(seed: Int, words: Int = 64): String = {
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu", "omega", "sigma",
+        "tau", "phi")
+      val toks = (0 until words).map(w => vocab((seed * 7 + w * 3) % vocab.size))
+      toks.grouped(8).map(_.mkString(" ") + ".").mkString("\n") +
+        "\nthat is all we have with the data."
+    }
+    def vec(hot: Int): Array[Float] = {
+      val v = new Array[Float](64); v(hot % 64) = 1f; v
+    }
+    val rows = Seq(
+      (0L, "http://ok.com/p1", mkText(1), 10L, vec(0)),
+      // same canonical URL as id 0, lower score -> url_dedup
+      (1L, "https://www.ok.com/p1/", mkText(2), 5L, vec(1)),
+      (2L, "http://bad.com/x", mkText(3), 10L, vec(2)), // blocklist -> url_rules
+      (3L, "http://ok.com/p3", mkText(4) + "\nlorem ipsum tail.", 10L, vec(3)), // c4
+      // passes C4 (3 clean sentences) but only 18 words -> gopher
+      (4L, "http://ok.com/p4",
+        "one two three four five six.\nseven eight nine ten eleven twelve.\n" +
+          "just a few more words here.", 10L, vec(4)),
+      (5L, "http://ok.com/p5", mkText(6), 10L, vec(5)), // kept
+      (6L, "http://ok.com/p6", mkText(6), 10L, vec(6)), // exact dup of 5
+      // one token changed out of 72 -> Jaccard ~0.9 near-dup of 5
+      (7L, "http://ok.com/p7", mkText(6).replaceFirst("alpha", "alphax"),
+        10L, vec(7)),
+      // textual stranger sharing id 5's embedding -> semantic
+      (8L, "http://ok.com/p8", mkText(9), 10L, vec(5))
+    ).toDF("id", "url", "text", "score", "emb")
+    val fate = Crawl.refinedWebFate(rows, "id", "url", "text", "score",
+        "emb", blockedDomains = Seq("bad.com"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fate == Map(0L -> "kept", 1L -> "url_dedup", 2L -> "url_rules",
+      3L -> "c4", 4L -> "gopher", 5L -> "kept", 6L -> "exact",
+      7L -> "neardup", 8L -> "semantic"), s"got $fate")
+  }
+
   test("persisted IVF-PQ: frozen-codebook append equals build-from-scratch") {
     // codebooks + pivots train once on the base (ids < 300, which contains
     // the 16 smallest-id pivots and the < 64 train slice); the appended
