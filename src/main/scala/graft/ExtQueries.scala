@@ -1024,6 +1024,31 @@ object ExtQueries {
           nProbe = 4)
         .orderBy(col("qid"), col("rank"))
     },
+    // Johnson-Lindenstrauss two-stage ANN: deterministic ±1 sparse-sign
+    // projection to 16 dims (the matrix is a FORMULA — the oracle
+    // re-derives it), candidates by rounded projected L2, exact cosine
+    // re-rank of the 4·topK survivors.
+    "q139_jl_ann" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      graft.ext.Reduce.jlTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", outDim = 16, topK = 5, rerank = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // PCA projection under a model trained from ONE exact covariance
+    // aggregate (train slice < 200) and a deterministic driver-side
+    // Jacobi eigensolve; the frozen mean + components replay through
+    // OracleAux like q111's weights — the oracle recomputes every
+    // projection value from the literals.
+    "q140_pca_project" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val model = graft.ext.Reduce.pcaModel(
+        e.filter(col("vec_id") < 200), "vec_id", "embedding", k = 8)
+      OracleAux.write("q140_pca",
+        model.mean.mkString(" ") +: model.components.map(_.mkString(" ")).toSeq)
+      graft.ext.Reduce.pcaProject(e, "vec_id", "embedding", model)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"), col("comp"))
+    }),
     // The COMPOSED crawl pipeline (RefinedWeb order): URL dedup → URL
     // rules → C4 → Gopher → exact → MinHash near-dup → semantic, one
     // fate per input doc. Fixture synthesis (mirrored in the oracle):
@@ -1677,6 +1702,33 @@ object ExtQueries {
        |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** q139: the JL matrix re-derived from its LCG parity formula, projected
+    * distances ranked, then q112's exact-cosine re-rank chain. */
+  private val jlAnnSql: String =
+    s"""WITH $cosineCtes,
+       |jp AS (SELECT vec_id, list_transform(range(0, 16), j ->
+       |    list_sum(list_transform(range(0, 64), d ->
+       |      v[d+1] * (1.0 - 2.0 * CAST(((j*2654435761 + d*40503) % 1000003) % 2
+       |        AS DOUBLE)))) / sqrt(16.0)) AS y
+       |  FROM n),
+       |qj AS (SELECT vec_id AS qid, y AS qy FROM jp WHERE vec_id < 10),
+       |dd AS (SELECT qj.qid, jp.vec_id AS id,
+       |    round(list_sum(list_transform(range(1, 17),
+       |      k -> (qj.qy[k]-jp.y[k])*(qj.qy[k]-jp.y[k]))), 6) AS jl_d2
+       |  FROM jp JOIN qj ON jp.vec_id <> qj.qid),
+       |cd AS (SELECT qid, id FROM dd
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY jl_d2, id) <= 20),
+       |p2 AS (SELECT cd.qid, cd.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> q.v[k]*c.v[k])) / (q.nrm*c.nrm), 6) AS cos_sim
+       |  FROM cd JOIN n c ON cd.id = c.vec_id JOIN n q ON cd.qid = q.vec_id),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM p2)
+       |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   private val bruteCosineSql =
     s"""WITH $cosineCtes,
        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2050,6 +2102,7 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q42_ann_ivf" -> annIvfSql,
     "q112_binary_ann" -> binaryAnnSql,
+    "q139_jl_ann" -> jlAnnSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions
     // CAST to DOUBLE (the DuckDB bare-decimal gotcha)
@@ -4280,8 +4333,28 @@ object ExtQueries {
     scala.util.Try {
       q111OracleSql.map("q111_quality_classifier" -> _).toMap ++
         q123OracleSql.map("q123_bpe_train" -> _).toMap ++
-        q136OracleSql.map("q136_opq_pq_topk" -> _).toMap
+        q136OracleSql.map("q136_opq_pq_topk" -> _).toMap ++
+        q140OracleSql.map("q140_pca_project" -> _).toMap
     }.getOrElse(Map.empty)
+
+  /** q140's oracle: the FROZEN PCA model (mean + components) embedded as
+    * literal lists; every projection value recomputed as the identical
+    * in-dimension-order centered dot, rounded 6 dp. */
+  private def q140OracleSql: Option[String] =
+    OracleAux.read("q140_pca").map { lines =>
+      def dl(s: String) = s.trim.split(" ").mkString("[", ", ", "]")
+      val mu = dl(lines.head)
+      val cl = lines.tail.filter(_.nonEmpty).map(dl).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, unnest(range(0, ${lines.tail.count(_.nonEmpty)}))
+         |    AS comp, v FROM e)
+         |SELECT vec_id, CAST(comp AS INT) AS comp,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    d -> (v[d] - ($mu)[d]) * ($cl)[comp+1][d])), 6) AS y
+         |FROM p ORDER BY vec_id, comp""".stripMargin
+    }
 
   /** q136's oracle: the frozen OPQ permutation (64 1-based indices
     * embedded as a literal list) applied inside the `emb` CTE, then

@@ -200,7 +200,12 @@ object ScaleSlope {
       // url-key aggregate + rule scans + fingerprint shuffle + banded
       // pairs over survivors + cell-bounded cosine pairs + skinny fate
       // joins — every stage linear or survivor-bounded
-      "q138_crawl_pipeline")
+      "q138_crawl_pipeline",
+      // q139 (r13) = per-row formula projection + broadcast-query rank +
+      // candidate-sized exact re-rank (q112's shape, k-dim scan);
+      // q140 (r13) = one d² covariance aggregate (train slice) + per-row
+      // literal-matrix projection — both linear by construction
+      "q139_jl_ann", "q140_pca_project")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

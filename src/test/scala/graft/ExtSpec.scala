@@ -3786,6 +3786,55 @@ class ExtSpec extends AnyFunSuite {
     assert(twins == 3L, s"OPQ pqTopK lost planted twins: $twins/3")
   }
 
+  test("jlTopK: formula-matrix projection keeps planted-twin recall; bit-reproducible") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = Similarity.plantNearDups(e, "vec_id", "embedding",
+      offset = 1000000L, scale = 0.01)
+    val queries = corpus.filter(col("vec_id") < 100)
+    val top = Reduce.jlTopK(corpus, queries, "vec_id", "embedding",
+      outDim = 16, topK = 1, rerank = 4)
+    val hits = top.filter(col("rank") === 1 &&
+      col("neighbor_id") === col("qid") + 1000000L).count()
+    assert(hits >= 95, s"JL twin recall degraded: $hits/100")
+    val a = Reduce.jlProject(e.filter(col("vec_id") < 50), "vec_id",
+      "embedding", 16).collect().map(_.toSeq).toSeq
+    val b = Reduce.jlProject(e.filter(col("vec_id") < 50), "vec_id",
+      "embedding", 16).collect().map(_.toSeq).toSeq
+    assert(a == b, "JL projection not bit-reproducible")
+  }
+
+  test("pcaModel: planted direction recovered, orthonormal, reproducible") {
+    // points spread along u = 0.8·e0 + 0.6·e1 with 1% isotropic noise —
+    // the top component must align with u, the rest must be noise-sized
+    val c = spark.range(0, 400).toDF("id")
+      .withColumn("v", transform(sequence(lit(0), lit(63)), d => {
+        val t = (col("id") % 101).cast("double") / 101.0 * 2.0 - 1.0
+        val u = when(d === 0, 0.8).when(d === 1, 0.6).otherwise(0.0)
+        val noise = ((col("id") * 131L + d * 7919L) % 1000003L *
+          2654435761L % 2000003L - 1000001L).cast("double") / 1000001.0
+        t * u + noise * 0.01
+      })).localCheckpoint()
+    val m = Reduce.pcaModel(c, "id", "v", k = 4)
+    val u = Array(0.8, 0.6) ++ Array.fill(62)(0.0)
+    val cosU = m.components(0).zip(u).map { case (x, y) => x * y }.sum
+    assert(math.abs(cosU) > 0.99,
+      s"top component misses the planted direction: $cosU")
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val dot = m.components(i).zip(m.components(j))
+        .map { case (x, y) => x * y }.sum
+      if (i == j) assert(math.abs(dot - 1.0) < 1e-6, s"norm($i) = $dot")
+      else assert(math.abs(dot) < 1e-6, s"<$i,$j> = $dot")
+    }
+    val m2 = Reduce.pcaModel(c, "id", "v", k = 4)
+    assert(m2.mean.toSeq == m.mean.toSeq &&
+      m2.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq,
+      "PCA training not bit-reproducible")
+    val vars = Reduce.pcaProject(c, "id", "v", m)
+      .groupBy(col("comp")).agg(variance(col("y")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(vars(0) > vars(1) * 10, s"variance not concentrated on comp 0: $vars")
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
