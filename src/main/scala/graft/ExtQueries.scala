@@ -1049,6 +1049,24 @@ object ExtQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"), col("comp"))
     }),
+    // Embedding-space drift report: both snapshots routed through the OLD
+    // snapshot's frozen coarse geometry; per cell occupancy then/now +
+    // the L2 shift of the cell mean — the rebuild trigger for persisted
+    // vector indexes. Fixture: new snapshot drops every 7th vector, adds
+    // ids >= 400, and shifts every 3rd vector by +0.05 per component.
+    "q141_embedding_drift" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val oldSnap = e.filter(col("vec_id") < 400)
+      val newSnap = e.filter(col("vec_id") % 7 =!= 0)
+        .withColumn("embedding",
+          when(col("vec_id") % 3 === 0,
+            transform(col("embedding"),
+              x => (x.cast("double") + lit(0.05)).cast("float")))
+            .otherwise(col("embedding")))
+      graft.ext.Audit.embeddingDrift(oldSnap, newSnap, "vec_id",
+          "embedding", nCells = 16)
+        .orderBy(col("cell"))
+    }),
     // The COMPOSED crawl pipeline (RefinedWeb order): URL dedup → URL
     // rules → C4 → Gopher → exact → MinHash near-dup → semantic, one
     // fate per input doc. Fixture synthesis (mirrored in the oracle):
@@ -1729,6 +1747,60 @@ object ExtQueries {
        |SELECT qid, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** q141: both snapshots assigned to the OLD snapshot's smallest-id
+    * pivots by rounded L2, per-(cell, dim) 1e-6-grid integer sums →
+    * dimension-ordered mean lists, occupancy shares from 1-row totals,
+    * in-order L2 shift of the means at 6 dp. */
+  private val embeddingDriftSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |o AS (SELECT vec_id AS id, v FROM e WHERE vec_id < 400),
+       |nw AS (SELECT vec_id AS id,
+       |    CASE WHEN vec_id % 3 = 0
+       |      THEN list_transform(v, x -> CAST(CAST(x + 0.05 AS REAL) AS DOUBLE))
+       |      ELSE v END AS v
+       |  FROM e WHERE vec_id % 7 <> 0),
+       |piv AS (SELECT id AS pid, v AS pv FROM o ORDER BY id LIMIT 16),
+       |ao AS (SELECT o.id, o.v, pid FROM o CROSS JOIN piv
+       |  QUALIFY row_number() OVER (PARTITION BY o.id ORDER BY
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> (o.v[k]-pv[k])*(o.v[k]-pv[k]))), 6), pid) = 1),
+       |an AS (SELECT nw.id, nw.v, pid FROM nw CROSS JOIN piv
+       |  QUALIFY row_number() OVER (PARTITION BY nw.id ORDER BY
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> (nw.v[k]-pv[k])*(nw.v[k]-pv[k]))), 6), pid) = 1),
+       |mo1 AS (SELECT ao.pid AS cell, dd.d,
+       |    sum(CAST(floor(ao.v[dd.d]*1000000.0) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM ao CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+       |  GROUP BY 1, 2),
+       |mo AS (SELECT cell, max(n) AS n_old,
+       |    list(CAST(s AS DOUBLE)/1000000.0/n ORDER BY d) AS mv
+       |  FROM mo1 GROUP BY 1),
+       |mn1 AS (SELECT an.pid AS cell, dd.d,
+       |    sum(CAST(floor(an.v[dd.d]*1000000.0) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM an CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+       |  GROUP BY 1, 2),
+       |mn AS (SELECT cell, max(n) AS n_new,
+       |    list(CAST(s AS DOUBLE)/1000000.0/n ORDER BY d) AS mv
+       |  FROM mn1 GROUP BY 1),
+       |j AS (SELECT coalesce(mo.cell, mn.cell) AS cell,
+       |    coalesce(mo.n_old, 0) AS n_old, coalesce(mn.n_new, 0) AS n_new,
+       |    mo.mv AS mvo, mn.mv AS mvn
+       |  FROM mo FULL OUTER JOIN mn ON mo.cell = mn.cell),
+       |t AS (SELECT sum(n_old) AS tot_o, sum(n_new) AS tot_n FROM j)
+       |SELECT j.cell, CAST(j.n_old AS BIGINT) AS n_old,
+       |  CAST(j.n_new AS BIGINT) AS n_new,
+       |  CAST(j.n_old AS DOUBLE)/CAST(t.tot_o AS DOUBLE) AS share_old,
+       |  CAST(j.n_new AS DOUBLE)/CAST(t.tot_n AS DOUBLE) AS share_new,
+       |  CASE WHEN j.mvo IS NOT NULL AND j.mvn IS NOT NULL THEN
+       |    round(sqrt(list_sum(list_transform(range(1, 65),
+       |      k -> (j.mvo[k]-j.mvn[k])*(j.mvo[k]-j.mvn[k])))), 6)
+       |  END AS l2_shift
+       |FROM j CROSS JOIN t ORDER BY cell""".stripMargin
+
   private val bruteCosineSql =
     s"""WITH $cosineCtes,
        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2103,6 +2175,7 @@ object ExtQueries {
     "q42_ann_ivf" -> annIvfSql,
     "q112_binary_ann" -> binaryAnnSql,
     "q139_jl_ann" -> jlAnnSql,
+    "q141_embedding_drift" -> embeddingDriftSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions
     // CAST to DOUBLE (the DuckDB bare-decimal gotcha)

@@ -399,4 +399,82 @@ object Audit {
         col("quality_sum"), col("mean_quality"), col("term"),
         col("term_score"), col("rank"))
   }
+
+  /** Embedding-space DRIFT report between two corpus snapshots — the
+    * rebuild-trigger signal for every persisted vector index
+    * ([[Similarity.buildIvfIndex]], [[Quantize.buildIvfPqIndex]]): route
+    * BOTH snapshots through the OLD snapshot\u0027s coarse geometry
+    * (smallest-id pivots — the frozen pivots a serving index actually
+    * holds) and report, per cell, the occupancy then and now plus the L2
+    * shift of the cell\u0027s mean vector. A cell whose share collapsed,
+    * exploded, or whose centroid moved is a cell the frozen pivots no
+    * longer describe — rebuild under a new name when the drifted mass
+    * matters.
+    *
+    * Determinism: assignment is the rounded-L2 argmin (pid tiebreak, the
+    * IVF-PQ contract); per-(cell, dim) sums are exact 1e-6-grid integers;
+    * each cell\u0027s mean arrays assemble in dimension order (sorted
+    * collect over exactly dim rows) and the shift folds in order before
+    * one 6-dp round, so the report replays value-for-value in SQL (q141).
+    *
+    * Scale shape: one pivot broadcast + one linear assignment pass per
+    * snapshot, then (cell, dim)-keyed aggregates — model-sized state, no
+    * corpus self-join; shares come from a broadcast 1-row totals join,
+    * never a partitionless window. Output: (cell, n_old, n_new,
+    * share_old, share_new, l2_shift) — l2_shift null where either side
+    * left the cell empty. */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                     vecCol: String, nCells: Int = 16): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    val o = prep(oldDf); val nw = prep(newDf)
+    val piv = o.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("pid"), col("v").as("pv"))
+      .localCheckpoint()
+    def d2c(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    def cellsOf(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
+      df.crossJoin(broadcast(piv))
+        .select(col("id"), col("v"), col("pid"),
+          round(d2c(col("v"), col("pv")), 6).as("__dd"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("v"), col("pid").as("cell"))
+    }
+    // per-(cell, dim) exact integer sums + per-cell counts -> a
+    // dimension-ordered mean array per cell (bounded: nCells x dim rows)
+    def meansOf(df: DataFrame): DataFrame = cellsOf(df)
+      .select(col("cell"),
+        posexplode(transform(col("v"),
+          x => floor(x * 1000000.0).cast("long"))).as(Seq("d", "q")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("d"), col("s")))).as("__ss"))
+      .select(col("cell"), col("n"),
+        transform(col("__ss"),
+          e => e("s").cast("double") / 1000000.0 / col("n")).as("mean"))
+    val om = meansOf(o).select(col("cell"), col("n").as("n_old"),
+      col("mean").as("__mo"))
+    val nm = meansOf(nw).select(col("cell"), col("n").as("n_new"),
+      col("mean").as("__mn"))
+    val joined = om.join(nm, Seq("cell"), "full_outer")
+    val totals = joined.agg(
+      sum(coalesce(col("n_old"), lit(0L))).as("__to"),
+      sum(coalesce(col("n_new"), lit(0L))).as("__tn"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_old"), lit(0L)).cast("double") /
+          col("__to").cast("double")).as("share_old"),
+        (coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("__tn").cast("double")).as("share_new"),
+        when(col("__mo").isNotNull && col("__mn").isNotNull,
+          round(sqrt(d2c(col("__mo"), col("__mn"))), 6)).as("l2_shift"))
+  }
 }

@@ -105,6 +105,36 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fb_fp")
       .drop("__fb_fp")
 
+  /** Streaming CRAWL INGESTION first pass — the online slice of
+    * [[graft.ext.Crawl.refinedWebFate]]'s batch pipeline, same
+    * cheap-first order: canonical-URL dedup within the watermark horizon
+    * (the one STATEFUL step — crawl frontiers re-emit the same page under
+    * cosmetic URL variants within hours, exactly the regime a watermark
+    * bounds), then the STATELESS per-document gates — URL rules, C4
+    * clean+gate (the surviving text IS the cleaned text, the batch
+    * posture), Gopher — as pure projections/filters, streaming-compatible
+    * by construction. The content-dedup stages stay online-first-pass +
+    * periodic batch: [[dedupExact]]/[[dedupNear]] for the stream,
+    * [[graft.ext.Dedup.dedupCorpus]]/[[graft.ext.Similarity.semanticDedup]]
+    * for the scheduled terminal — a pair self-join has no bounded-state
+    * streaming form. State: one row per canonical URL inside the
+    * watermark. */
+  def crawlIngest(events: DataFrame, urlCol: String, textCol: String,
+                  tsCol: String, watermark: String,
+                  blockedDomains: Seq[String] = Nil,
+                  maxUrlLen: Int = 2048,
+                  maxDigitFrac: Double = 0.5): DataFrame = {
+    val urlDeduped = events
+      .withColumn("__fb_uc", graft.ext.Urls.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fb_uc")
+      .drop("__fb_uc")
+    val ruled = graft.ext.Urls.filterUrls(urlDeduped, urlCol,
+      blockedDomains, maxUrlLen, maxDigitFrac)
+    graft.ext.TextStats.gopherFilter(
+      graft.ext.TextStats.c4Filter(ruled, textCol), textCol)
+  }
+
   /** Streaming NEAR-dup suppression: keep the first event per content
     * SIGNATURE within the watermark horizon. The batch layer's signature
     * operators are per-document zero-shuffle codegen'd scalars

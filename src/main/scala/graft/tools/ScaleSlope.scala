@@ -205,7 +205,10 @@ object ScaleSlope {
       // candidate-sized exact re-rank (q112's shape, k-dim scan);
       // q140 (r13) = one d² covariance aggregate (train slice) + per-row
       // literal-matrix projection — both linear by construction
-      "q139_jl_ann", "q140_pca_project")
+      "q139_jl_ann", "q140_pca_project",
+      // q141 (r13) = two linear pivot assignments (broadcast pivots) +
+      // (cell, dim)-keyed aggregates — model-sized state on both sides
+      "q141_embedding_drift")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -3835,6 +3835,29 @@ class ExtSpec extends AnyFunSuite {
     assert(vars(0) > vars(1) * 10, s"variance not concentrated on comp 0: $vars")
   }
 
+  test("embeddingDrift: frozen old geometry, occupancy shares, empty-cell null") {
+    // pivots = old ids 0 (dim-0 axis) and 1 (dim-1 axis); the new snapshot
+    // concentrates on a shifted dim-0 cluster and abandons cell 1 entirely
+    def v(hot: Int, x: Double): Array[Float] = {
+      val a = new Array[Float](4); a(hot) = x.toFloat; a
+    }
+    val oldSnap = Seq((0L, v(0, 1.0)), (1L, v(1, 1.0)), (2L, v(0, 0.9)),
+      (4L, v(0, 1.1))).toDF("id", "emb")
+    val newSnap = Seq((10L, v(0, 1.2)), (11L, v(0, 1.1))).toDF("id", "emb")
+    val rep = Audit.embeddingDrift(oldSnap, newSnap, "id", "emb", nCells = 2)
+      .orderBy(col("cell")).collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val c0 = rep(0); val c1 = rep(1)
+    assert(c0.getLong(1) == 3L && c0.getLong(2) == 2L,
+      s"cell 0 occupancy: ${c0.toSeq}")
+    assert(math.abs(c0.getDouble(3) - 0.75) < 1e-12)
+    assert(math.abs(c0.getDouble(4) - 1.0) < 1e-12)
+    // mean 1.0 -> 1.15 along dim 0 (float/1e-6-grid rounding inside 1e-3)
+    assert(math.abs(c0.getDouble(5) - 0.15) < 1e-3, s"l2_shift ${c0.toSeq}")
+    assert(c1.getLong(1) == 1L && c1.getLong(2) == 0L && c1.isNullAt(5),
+      s"abandoned cell: ${c1.toSeq}")
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.

@@ -789,4 +789,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(got.toMap == want && got.size == 80)
   }
+
+  test("crawlIngest: watermark URL dedup + stateless quality gates online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    // same corpus recipe as the batch refinedWebFate spec: 8-word '.'
+    // lines + a stop-word-bearing closing sentence pass C4 and Gopher
+    def good(seed: Int): String = {
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu", "omega", "sigma",
+        "tau", "phi")
+      val toks = (0 until 64).map(w => vocab((seed * 7 + w * 3) % vocab.size))
+      toks.grouped(8).map(_.mkString(" ") + ".").mkString("\n") +
+        "\nthat is all we have with the data."
+    }
+    val stream = MemoryStream[(Long, String, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, "http://ok.com/p1", good(1), t(0)),
+      (2L, "https://www.ok.com/p1/", good(2), t(1)), // same canonical page
+      (3L, "http://bad.com/x", good(3), t(2)),       // blocked domain
+      (4L, "http://ok.com/p4", "too short to pass.", t(3)), // fails C4
+      (5L, "http://ok.com/p5", good(5), t(4))))
+    val out = Streaming.crawlIngest(
+      stream.toDF().toDF("id", "url", "text", "ts"),
+      "url", "text", "ts", watermark = "10 seconds",
+      blockedDomains = Seq("bad.com"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("crawl_out").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq(
+        // canonical repeat of p1 (case + fragment variant) inside the
+        // watermark horizon -> suppressed by streaming state
+        (6L, "HTTP://OK.com/p1#frag", good(6), t(6)),
+        (7L, "http://ok.com/p7", good(7), t(7))))
+      q.processAllAvailable()
+      val rows = spark.table("crawl_out").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 5L, 7L))
+      // survivors carry C4's CLEANED text (the batch posture): every
+      // surviving line ends in terminal punctuation
+      assert(rows.forall(_.getString(2).split("\n").forall(_.endsWith("."))))
+    } finally q.stop()
+  }
 }
