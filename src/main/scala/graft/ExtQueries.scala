@@ -1067,6 +1067,23 @@ object ExtQueries {
           "embedding", nCells = 16)
         .orderBy(col("cell"))
     }),
+    // Bounded-state distinct-token audit: q122's `types` per source from a
+    // 256-register deterministic HyperLogLog instead of a distinct-key
+    // shuffle — the 100 TB cardinality path. Registers are md5-exact
+    // integers, the harmonic sum is exactly representable (dyadic terms,
+    // 42 < 53 mantissa bits), so the estimate replays bit-for-bit.
+    "q142_hll_vocab" -> ((s, dir) =>
+      graft.ext.Sketch.approxDistinctTokens(docsPar(s, dir), "text",
+          "source", m = 256)
+        .orderBy(col("source"))),
+    // Heavy-hitter tokens by the two-pass count-min recipe: one bounded
+    // d×w sketch pass + deterministic doc-sample candidates + broadcast
+    // sketch lookup + skinny exact verification of the top k — q116's
+    // answer without the distinct-key shuffle.
+    "q143_cms_heavy_hitters" -> ((s, dir) =>
+      graft.ext.Sketch.cmsHeavyHitters(docsPar(s, dir), "text", k = 20,
+          d = 4, w = 1024, sampleFrac = 0.2)
+        .orderBy(col("rank"))),
     // The COMPOSED crawl pipeline (RefinedWeb order): URL dedup → URL
     // rules → C4 → Gopher → exact → MinHash near-dup → semantic, one
     // fate per input doc. Fixture synthesis (mirrored in the oracle):
@@ -1801,6 +1818,79 @@ object ExtQueries {
        |  END AS l2_shift
        |FROM j CROSS JOIN t ORDER BY cell""".stripMargin
 
+  /** q142: the full HLL replay — md5 register/rank words, string-arithmetic
+    * leading-zero rank (no float log), max per register, exact dyadic
+    * harmonic sum, α·m²/S with linear/large corrections, 6-dp round.
+    * α·m² folds as (α·256)·256 on the Spark side — ×2^8 twice is exact, so
+    * α·65536 here is the identical double. */
+  private val hllVocabSql: String =
+    s"""WITH t AS (SELECT source, unnest($docToksC) AS tok FROM documents),
+       |h AS (SELECT source, md5(tok || ':graft:hll') AS h FROM t),
+       |rw AS (SELECT source,
+       |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 256 AS reg,
+       |    length(regexp_extract(substr(h, 9, 8), '^0*')) AS z,
+       |    substr(h, 9, 8) AS w
+       |  FROM h),
+       |rk AS (SELECT source, reg,
+       |    CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+       |      (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+       |            WHEN v >= 2 THEN 2 ELSE 3 END) + 1 END AS rank
+       |  FROM (SELECT source, reg, z,
+       |      CASE WHEN z = 8 THEN 0
+       |           ELSE CAST(('0x' || substr(w, z + 1, 1)) AS BIGINT) END AS v
+       |    FROM rw)),
+       |m AS (SELECT source, reg, max(rank) AS maxr FROM rk GROUP BY 1, 2),
+       |g AS (SELECT source, count(*) AS filled,
+       |    sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << maxr) AS DOUBLE)) AS hs
+       |  FROM m GROUP BY 1),
+       |e AS (SELECT source, filled, 256 - filled AS zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+       |      * CAST(65536 AS DOUBLE)
+       |      / (hs + CAST(256 - filled AS DOUBLE)) AS eraw
+       |  FROM g)
+       |SELECT source, CAST(filled AS BIGINT) AS filled,
+       |  round(CASE
+       |    WHEN eraw <= CAST(640 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |    WHEN eraw > CAST(4294967296 AS DOUBLE) / CAST(30 AS DOUBLE)
+       |      THEN -CAST(4294967296 AS DOUBLE)
+       |        * ln(CAST(1 AS DOUBLE) - eraw / CAST(4294967296 AS DOUBLE))
+       |    ELSE eraw END, 6) AS est_distinct,
+       |  CASE WHEN eraw <= CAST(640 AS DOUBLE) AND zeros > 0 THEN 'linear'
+       |       WHEN eraw > CAST(4294967296 AS DOUBLE) / CAST(30 AS DOUBLE) THEN 'large'
+       |       ELSE 'raw' END AS regime
+       |FROM e ORDER BY source""".stripMargin
+
+  /** q143: the two-pass count-min replay — d×w cell counts (md5 salted per
+    * row), md5-threshold doc-sample candidates, min-over-rows estimates,
+    * (est desc, tok) top-k, exact verification join. */
+  private val cmsHeavyHittersSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($docToksC) AS tok FROM documents),
+       |sk AS (SELECT r.range AS row,
+       |    CAST(('0x' || substr(md5(tok || ':graft:cms:'
+       |      || CAST(r.range AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS cell,
+       |    count(*) AS c
+       |  FROM t CROSS JOIN range(0, 4) r GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT tok FROM t
+       |  WHERE CAST(('0x' || substr(md5(doc_id || ':graft:cms:sample'), 1, 8))
+       |    AS BIGINT) % 10000 < 2000),
+       |est AS (SELECT cand.tok, min(coalesce(sk.c, 0)) AS est_count
+       |  FROM cand CROSS JOIN range(0, 4) r
+       |  LEFT JOIN sk ON sk.row = r.range AND sk.cell =
+       |    CAST(('0x' || substr(md5(cand.tok || ':graft:cms:'
+       |      || CAST(r.range AS VARCHAR)), 1, 8)) AS BIGINT) % 1024
+       |  GROUP BY 1),
+       |top AS (SELECT tok, est_count FROM est
+       |  ORDER BY est_count DESC, tok LIMIT 20),
+       |ex AS (SELECT t.tok, count(*) AS exact_count
+       |  FROM t JOIN top ON t.tok = top.tok GROUP BY 1)
+       |SELECT row_number() OVER (ORDER BY top.est_count DESC, top.tok) AS rank,
+       |  top.tok, CAST(top.est_count AS BIGINT) AS est_count,
+       |  CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count
+       |FROM top LEFT JOIN ex ON top.tok = ex.tok
+       |ORDER BY rank""".stripMargin
+
   private val bruteCosineSql =
     s"""WITH $cosineCtes,
        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2176,6 +2266,8 @@ object ExtQueries {
     "q112_binary_ann" -> binaryAnnSql,
     "q139_jl_ann" -> jlAnnSql,
     "q141_embedding_drift" -> embeddingDriftSql,
+    "q142_hll_vocab" -> hllVocabSql,
+    "q143_cms_heavy_hitters" -> cmsHeavyHittersSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions
     // CAST to DOUBLE (the DuckDB bare-decimal gotcha)

@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-state, mergeable, DETERMINISTIC sketches — the audit primitives
+  * that survive 100 TB. Exact per-key aggregates (q116's top n-grams, q122's
+  * vocabulary report) shuffle one row per distinct key; at corpus scale the
+  * distinct-token/n-gram key space is billions of rows and the shuffle IS
+  * the job. A sketch caps the state at a constant chosen up front
+  * (HyperLogLog: m registers; count-min: d·w cells), is mergeable across
+  * shards/epochs by construction (max / sum of cells — associative and
+  * commutative), and — unlike library HLL implementations seeded per-run —
+  * is built here from the engine's md5 hash arithmetic, so the SAME sketch
+  * replays value-for-value in any engine with md5 (the q53/q93 oracle
+  * discipline; every register and cell is an exact integer, every estimate a
+  * short chain of IEEE ops on exact integers rounded once at 6 dp).
+  *
+  * (Beyond the reference surface; required by the build brief: "the
+  * operations a large-scale training-data pipeline would need".)
+  */
+object Sketch {
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007, AOFA) — distinct counting in m
+  // integer registers
+  // ---------------------------------------------------------------------
+
+  /** Register index + rank of one item, from ONE md5: hex chars 1-8 are the
+    * 32-bit register word, chars 9-16 the 32-bit rank word. The rank (1 +
+    * leading zeros of the rank word, 33 when the word is zero) is computed
+    * by STRING arithmetic on the hex — position of the first non-zero hex
+    * digit (4 leading zero bits per skipped '0') plus the digit's own
+    * leading zeros by integer threshold — so no float log is ever taken and
+    * any engine's md5 + substring reproduces the registers bit-for-bit. */
+  private def regAndRank(item: Column, m: Int, salt: String): (Column, Column) = {
+    val h = md5(concat(item.cast("string"), lit(":" + salt)))
+    val reg = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(m.toLong))
+    val w = substring(h, 9, 8)
+    val z = length(regexp_extract(w, "^0*", 0)) // leading '0' hex digits, 0..8
+    val v = conv(substring(w, z + 1, lit(1)), 16, 10).cast("int") // first non-zero digit
+    val lz = when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    val rank = when(z === 8, 33).otherwise(z * 4 + lz + 1)
+    (reg, rank)
+  }
+
+  /** Build the per-group HLL sketch of `itemCol`: (group…, reg, maxr) with
+    * at most m rows per group — THE persistable/mergeable artifact (write it
+    * per shard/epoch, [[hllMerge]] unions it, [[hllEstimate]] reads it; the
+    * registers are exact integers, so a merge of shard sketches equals the
+    * sketch of the union EXACTLY, not just approximately).
+    *
+    * Scale shape: one pass; partial max-per-(group, reg) combines map-side,
+    * so the shuffle carries at most groups·m rows per task regardless of
+    * item count. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+                m: Int = 256, salt: String = "graft:hll"): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val (reg, rank) = regAndRank(itemCol, m, salt)
+    df.select(groupCols.map(col) :+ reg.as("reg") :+ rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("rank")).as("maxr"))
+  }
+
+  /** Merge sketches (same m/salt): max per (group, reg). Associative and
+    * commutative — shard/epoch order never matters. */
+  def hllMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("maxr")).as("maxr"))
+
+  /** Bias-correction constant α_m (Flajolet et al. 2007 §4), built from the
+    * same arithmetic both engines fold identically. */
+  private def alpha(m: Int): Column = m match {
+    case 16 => lit(0.673)
+    case 32 => lit(0.697)
+    case 64 => lit(0.709)
+    case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+  }
+
+  /** Estimate distinct counts from a sketch: per group, the harmonic mean of
+    * 2^(−maxr) over all m registers (absent registers contribute 2^0 = 1)
+    * with the standard small-range (linear counting) and large-range (32-bit
+    * hash saturation) corrections, plus the regime that fired.
+    *
+    * Float reproducibility: each 2^(−maxr) term is an exact dyadic rational
+    * (1 / integer shift — no `pow`), and for m ≤ 2^20 the whole harmonic sum
+    * fits the 53-bit mantissa EXACTLY (terms span 2^0..2^−33), so `s` is
+    * order-independent and bit-identical in any IEEE engine; the estimate is
+    * then a handful of identical IEEE ops (one `ln` in the correction
+    * regimes, covered by the 6 dp round — the q90 discipline). */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0 && m <= (1 << 20),
+      s"m must be a power of two in [16, 2^20], got $m")
+    val term = lit(1.0) / expr("shiftleft(1L, maxr)").cast("double")
+    val grouped = sketch
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("filled"), sum(term).as("__hs"))
+    val s = col("__hs") + (lit(m.toLong) - col("filled")).cast("double")
+    val eRaw = alpha(m) * lit(m.toDouble) * lit(m.toDouble) / s
+    val zeros = lit(m.toLong) - col("filled")
+    val two32 = lit(4294967296.0)
+    val regime = when(eRaw <= lit(2.5 * m) && zeros > 0, "linear")
+      .when(eRaw > two32 / lit(30.0), "large")
+      .otherwise("raw")
+    val est = when(regime === "linear",
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .when(regime === "large", -two32 * log(lit(1.0) - eRaw / two32))
+      .otherwise(eRaw)
+    grouped.select(groupCols.map(col) :+ col("filled") :+
+      round(est, 6).as("est_distinct") :+ regime.as("regime"): _*)
+  }
+
+  /** Per-group approximate distinct TOKENS — q122's `types` column without
+    * its distinct-key shuffle: sketch + estimate in one call. Standard
+    * error ≈ 1.04/√m (6.5% at the default m = 256). */
+  def approxDistinctTokens(df: DataFrame, textCol: String, groupCol: String,
+                           m: Int = 256, salt: String = "graft:hll"): DataFrame = {
+    val toks = df.select(col(groupCol),
+        TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit("")))).as("__t"))
+      .select(col(groupCol), explode(col("__t")).as("tok"))
+    hllEstimate(hllSketch(toks, Seq(groupCol), col("tok"), m, salt),
+      Seq(groupCol), m)
+  }
+
+  // ---------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005, J. Algorithms) —
+  // frequency estimation in d·w integer cells
+  // ---------------------------------------------------------------------
+
+  /** Build the d×w count-min sketch of `itemCol`: (row, cell, c) with at
+    * most d·w rows total. Each item increments one cell per hash row
+    * (md5 salted `salt:row`); estimates read the MIN over rows, an upper
+    * bound on the true count that is exact for keys with no cell collision.
+    * Mergeable: cell-wise SUM across shard sketches equals the sketch of
+    * the union exactly. Scale shape: one pass, d cells per item pre-combine,
+    * partial sums cap the shuffle at d·w rows per task. */
+  def cmsSketch(df: DataFrame, itemCol: Column, d: Int = 4, w: Int = 1024,
+                salt: String = "graft:cms"): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1,16], got $d")
+    require(w >= 16, s"w must be >= 16, got $w")
+    cmsSketchOf(df, itemCol, d, w, salt)
+  }
+
+  /** Merge count-min sketches (same d/w/salt): cell-wise sum. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("cell")).agg(sum(col("c")).as("c"))
+
+  /** Point-estimate counts for a candidate column: min over the d rows of
+    * the candidate's cell — the sketch (d·w rows, bounded) is broadcast, so
+    * the lookup is candidate-sized work with no shuffle of the corpus. */
+  def cmsEstimate(candidates: DataFrame, itemCol: String, sketch: DataFrame,
+                  d: Int = 4, w: Int = 1024,
+                  salt: String = "graft:cms"): DataFrame = {
+    val expanded = candidates
+      .select(col(itemCol),
+        posexplode(cmsCells(col(itemCol), d, w, salt)).as(Seq("row", "cell")))
+    expanded.join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  /** The d cells of one item (row r uses salt `salt:r`). */
+  private def cmsCells(item: Column, d: Int, w: Int, salt: String): Column =
+    transform(sequence(lit(0), lit(d - 1)),
+      r => pmod(conv(substring(md5(concat(item.cast("string"),
+        lit(":" + salt + ":"), r.cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(w.toLong)).cast("int"))
+
+  /** Heavy-hitter TOKENS by the standard two-pass sketch recipe — q116's
+    * answer with bounded state instead of a distinct-key shuffle:
+    *   1. one corpus pass builds the d×w count-min sketch (bounded);
+    *   2. candidates = distinct tokens of a deterministic `sampleFrac`
+    *      document sample ([[Corpus.hashBucket]] threshold — any token with
+    *      corpus share ≥ ε appears in the sample w.h.p.);
+    *   3. candidates are ranked by their sketch estimate (broadcast lookup)
+    *      and the top `k` kept;
+    *   4. one skinny second pass verifies the winners EXACTLY (semi-join of
+    *      corpus tokens against k broadcast candidates → true counts).
+    * Output: (rank, tok, est_count, exact_count), est ≥ exact always (CMS
+    * one-sided error); rank by (est desc, tok) — fully deterministic. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int = 20,
+                      d: Int = 4, w: Int = 1024, sampleFrac: Double = 0.2,
+                      buckets: Int = 10000, idCol: String = "doc_id",
+                      salt: String = "graft:cms"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0,1], got $sampleFrac")
+    val toks = df.select(col(idCol),
+        TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit("")))).as("__t"))
+      .select(col(idCol), explode(col("__t")).as("tok"))
+    val sketch = cmsSketchOf(toks, col("tok"), d, w, salt)
+    val cut = math.round(sampleFrac * buckets)
+    val candidates = toks
+      .filter(Corpus.hashBucket(col(idCol), buckets, salt + ":sample") < cut)
+      .select(col("tok")).distinct()
+    val topK = cmsEstimate(candidates, "tok", sketch, d, w, salt)
+      .orderBy(col("est_count").desc, col("tok"))
+      .limit(k)
+    val winners = topK.select(col("tok"), col("est_count"))
+    val exact = toks.join(broadcast(winners.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+    winners.join(exact, Seq("tok"), "left")
+      .select(col("tok"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("est_count").desc, col("tok"))))
+      .select(col("rank"), col("tok"), col("est_count"), col("exact_count"))
+  }
+
+  /** [[cmsSketch]] over an already-exploded item frame (shared tokenization
+    * with the candidate/verify passes). */
+  def cmsSketchOf(items: DataFrame, itemCol: Column, d: Int, w: Int,
+                  salt: String): DataFrame =
+    items.select(itemCol.cast("string").as("__i"))
+      .select(TextStats.pinnedCol(cmsCells(col("__i"), d, w, salt)).as("__cs"))
+      .select(posexplode(col("__cs")).as(Seq("row", "cell")))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+}

@@ -208,7 +208,11 @@ object ScaleSlope {
       "q139_jl_ann", "q140_pca_project",
       // q141 (r13) = two linear pivot assignments (broadcast pivots) +
       // (cell, dim)-keyed aggregates — model-sized state on both sides
-      "q141_embedding_drift")
+      "q141_embedding_drift",
+      // q142 (r13) = one token pass into m-bounded registers; q143 (r13) =
+      // one token pass into d·w cells + sample-candidate lookup + skinny
+      // exact verify — both sketch-state-bounded by construction
+      "q142_hll_vocab", "q143_cms_heavy_hitters")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

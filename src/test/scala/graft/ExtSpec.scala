@@ -3858,6 +3858,59 @@ class ExtSpec extends AnyFunSuite {
       s"abandoned cell: ${c1.toSeq}")
   }
 
+  test("hllSketch: estimate within error bound, merge law exact, linear regime") {
+    // 10k distinct items: the raw-regime estimate must land within 3σ
+    // (σ = 1.04/√256 ≈ 6.5%); duplicates must not move a single register
+    val items = (0 until 10000).map(i => s"item$i")
+    val df = (items ++ items.take(500)).toDF("x") // 500 repeats, same distinct
+    val est = Sketch.hllEstimate(
+      Sketch.hllSketch(df.withColumn("g", lit("a")), Seq("g"), col("x")),
+      Seq("g"), 256).collect().head
+    val e = est.getDouble(2)
+    assert(math.abs(e - 10000) / 10000 < 0.20, s"estimate $e vs 10000")
+    assert(est.getString(3) == "raw")
+    // merge law: merged shard sketches == sketch of the union, EXACTLY
+    val a = items.take(6000).toDF("x").withColumn("g", lit("a"))
+    val b = items.drop(4000).toDF("x").withColumn("g", lit("a")) // overlap
+    val merged = Sketch.hllMerge(
+      Sketch.hllSketch(a, Seq("g"), col("x"))
+        .unionByName(Sketch.hllSketch(b, Seq("g"), col("x"))), Seq("g"))
+    val whole = Sketch.hllSketch(
+      a.unionByName(b).dropDuplicates("x"), Seq("g"), col("x"))
+    val mSet = merged.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val wSet = whole.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mSet == wSet)
+    // small cardinality -> linear-counting regime, near-exact
+    val tiny = (0 until 30).map(i => s"t$i").toDF("x").withColumn("g", lit("a"))
+    val lr = Sketch.hllEstimate(
+      Sketch.hllSketch(tiny, Seq("g"), col("x")), Seq("g"), 256).collect().head
+    assert(lr.getString(3) == "linear")
+    assert(math.abs(lr.getDouble(2) - 30) < 3, s"linear estimate ${lr.getDouble(2)}")
+  }
+
+  test("cmsHeavyHitters: one-sided error, planted hitter on top, merge law") {
+    // 40 docs of background vocab + 'pineapple' planted in every doc
+    val docs = (0L until 40L).map { i =>
+      val bg = (0 until 10).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      (i, s"pineapple $bg pineapple")
+    }.toDF("doc_id", "text")
+    val hh = Sketch.cmsHeavyHitters(docs, "text", k = 5, sampleFrac = 1.0)
+      .orderBy(col("rank")).collect()
+    assert(hh.head.getString(1) == "pineapple")
+    assert(hh.head.getLong(3) == 80L) // exact count verified
+    // CMS error is one-sided: est >= exact on every reported row
+    assert(hh.forall(r => r.getLong(2) >= r.getLong(3)), hh.mkString("; "))
+    // merge law: shard sketches cell-sum to the union sketch exactly
+    val toks = docs.select(explode(TextStats.tokens(col("text"))).as("tok"), col("doc_id"))
+    val sa = Sketch.cmsSketch(toks.filter(col("doc_id") < 20), col("tok"))
+    val sb = Sketch.cmsSketch(toks.filter(col("doc_id") >= 20), col("tok"))
+    val merged = Sketch.cmsMerge(sa.unionByName(sb))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val whole = Sketch.cmsSketch(toks, col("tok"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(merged == whole)
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
