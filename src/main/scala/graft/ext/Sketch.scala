@@ -110,6 +110,23 @@ object Sketch {
       round(est, 6).as("est_distinct") :+ regime.as("regime"): _*)
   }
 
+  /** Exploded (register, rank) rows of `textCol`'s tokens with every other
+    * input column carried through — the pre-aggregation projection shared
+    * by [[approxDistinctTokens]] and the STREAMING cardinality monitor
+    * ([[graft.streaming.Streaming.vocabCardinality]]), where the register
+    * max must fold inside the engine's own (windowed, stateful) aggregate.
+    * Stateless and generator-safe: the token array is pinned into its own
+    * projection before the explode. */
+  def explodedTokenRegisters(df: DataFrame, textCol: String, m: Int = 256,
+                             salt: String = "graft:hll"): DataFrame = {
+    val t = df.withColumn("__toks",
+      TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit("")))))
+    val e = t.select(t.columns.filterNot(_ == "__toks").map(col) :+
+      explode(col("__toks")).as("__tok"): _*)
+    val (reg, rank) = regAndRank(col("__tok"), m, salt)
+    e.withColumn("reg", reg).withColumn("rank", rank).drop("__tok")
+  }
+
   /** Per-group approximate distinct TOKENS — q122's `types` column without
     * its distinct-key shuffle: sketch + estimate in one call. Standard
     * error ≈ 1.04/√m (6.5% at the default m = 256). */

@@ -67,6 +67,27 @@ object Streaming {
         col("points_sum").cast("double") / col("docs").cast("double"))
       .withColumn("drift", col("mean_quality") - lit(baselineMean))
 
+  /** Streaming VOCABULARY-CARDINALITY monitor: per event-time window
+    * (optionally per source), the HyperLogLog register sketch of the
+    * distinct tokens — [[graft.ext.Sketch.hllSketch]]'s streaming form.
+    * The register max IS the windowed stateful aggregate, so state is
+    * capped at windows·keys·m rows no matter how many distinct tokens
+    * flow (an exact windowed `approx`-free distinct would grow state with
+    * the vocabulary); output rows are the same (reg, maxr) artifact the
+    * batch layer produces, so [[graft.ext.Sketch.hllEstimate]] turns the
+    * sink table into per-window estimates and [[graft.ext.Sketch.hllMerge]]
+    * unions stream windows with batch shard sketches EXACTLY — the
+    * vocabulary-collapse alarm (a souring scrape shows up as a falling
+    * per-window distinct count) with batch/stream parity bit-for-bit. */
+  def vocabCardinality(events: DataFrame, tsCol: String, textCol: String,
+                       watermark: Option[String], win: String,
+                       keys: Seq[String] = Nil, m: Int = 256,
+                       salt: String = "graft:hll"): DataFrame =
+    windowedAgg(
+      graft.ext.Sketch.explodedTokenRegisters(events, textCol, m, salt),
+      tsCol, watermark, win, keys = keys :+ "reg",
+      aggs = Seq(max(col("rank")).as("maxr")))
+
   /** Per-batch tabulation: run the (margin-producing) tabulation pipeline on
     * every micro-batch output. Margins over an unbounded stream are only
     * consistent within a batch snapshot, so `foreachBatch` is the correct

@@ -790,6 +790,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == want && got.size == 80)
   }
 
+  test("vocabCardinality: windowed HLL registers match batch, estimate tracks vocab") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    // window 1: rich vocab (120 distinct tokens); window 2: collapsed vocab
+    // (the alarm case — same doc volume, 12 distinct tokens)
+    val rich = (0 until 6).map(i =>
+      ((0 until 20).map(j => s"w${i * 20 + j}").mkString(" "), t(i)))
+    val poor = (0 until 6).map(i =>
+      ((0 until 20).map(j => s"p${j % 12}").mkString(" "), t(60 + i)))
+    val stream = MemoryStream[(String, Timestamp)]
+    stream.addData(rich ++ poor)
+    val sk = Streaming.vocabCardinality(
+      stream.toDF().toDF("text", "ts"), "ts", "text",
+      watermark = Some("1 minute"), win = "1 minute")
+    val q = Streaming.toMemorySink(sk, "vocab_sketch")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("vocab_sketch")
+        .select(col("window.start").as("w"), col("reg"), col("maxr"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2))).toSet
+      // batch parity: the SAME register artifact, bit-for-bit
+      val batch = graft.ext.Sketch.hllSketch(
+          (rich ++ poor).toDF("text", "ts")
+            .withColumn("w", window(col("ts"), "1 minute")("start"))
+            .withColumn("__toks", graft.ext.TextStats.tokens(col("text")))
+            .select(col("w"), explode(col("__toks")).as("tok")),
+          Seq("w"), col("tok"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the estimate over the sink table sees the collapse
+      val est = graft.ext.Sketch.hllEstimate(
+          spark.table("vocab_sketch").withColumn("w", col("window.start")),
+          Seq("w"), 256)
+        .collect().map(r => r.getTimestamp(0) -> r.getDouble(2)).toMap
+      val Seq(w1, w2) = est.keys.toSeq.sortBy(_.getTime)
+      assert(math.abs(est(w1) - 120) / 120 < 0.25, s"rich window: ${est(w1)}")
+      assert(math.abs(est(w2) - 12) < 3, s"collapsed window: ${est(w2)}")
+      assert(est(w2) < est(w1) / 3)
+    } finally q.stop()
+  }
+
   test("crawlIngest: watermark URL dedup + stateless quality gates online") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
