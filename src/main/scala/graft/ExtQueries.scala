@@ -1358,6 +1358,21 @@ object ExtQueries {
           array_join(col("bpe_tokens"), "\u001f").as("bpe_str"))
         .orderBy(col("doc_id"))
     },
+    // UNIGRAM-LM tokenizer (Kudo 2018) end-to-end: train piece scores on
+    // the corpus (capped word table + driver EM, the q123 posture), FREEZE
+    // the model through OracleAux, Viterbi-encode every document with the
+    // distributed encoder. The oracle replays the ENCODE under the frozen
+    // integer scores with a recursive-CTE DP -- identical tie-breaks -- so
+    // a single deviated segmentation anywhere in the corpus fails the
+    // row compare.
+    "q144_unigram_tokenize" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val model = graft.ext.Unigram.unigramTrain(docs, "text",
+        vocabSize = 64, maxPieceLen = 4, maxWords = 10000, iters = 2)
+      OracleAux.write("q144_model", model.map { case (p, sc) => s"$sc $p" })
+      graft.ext.Unigram.unigramEncode(docs, "doc_id", "text", model,
+        maxPieceLen = 4)
+    },
     // Per-source vocabulary health: exact type/token/hapax tallies and the
     // Zipf head. Two map-side-combined shuffles, vocabulary-sized output.
     "q122_vocab_report" -> ((s, dir) =>
@@ -4499,8 +4514,78 @@ object ExtQueries {
       q111OracleSql.map("q111_quality_classifier" -> _).toMap ++
         q123OracleSql.map("q123_bpe_train" -> _).toMap ++
         q136OracleSql.map("q136_opq_pq_topk" -> _).toMap ++
-        q140OracleSql.map("q140_pca_project" -> _).toMap
+        q140OracleSql.map("q140_pca_project" -> _).toMap ++
+        q144OracleSql.map("q144_unigram_tokenize" -> _).toMap
     }.getOrElse(Map.empty)
+
+  /** q144's oracle: the FROZEN unigram model (pieces + integer micro-nat
+    * scores as a VALUES list) replayed over the whole corpus — candidate
+    * substrings lateral-generated per DISTINCT word, UNK single chars
+    * coalesced to the engine's constant, the Viterbi forward pass as a
+    * recursive CTE carrying exact-integer score/backpointer lists (struct
+    * max = (cand desc, start asc), NULL-filtered so unreachable states
+    * never win), a recursive backtrace, and ordered per-document
+    * reassembly. Integer scores end-to-end: a single flipped tie anywhere
+    * changes a row and fails the driver compare. */
+  private def q144OracleSql: Option[String] =
+    OracleAux.read("q144_model").map { lines =>
+      val entries = lines.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(' ')
+        val sc = l.substring(0, i)
+        val piece = l.substring(i + 1).replace("'", "''")
+        s"('$piece', CAST($sc AS BIGINT))"
+      }.mkString(", ")
+      val pat = graft.ext.TextStats.BpePattern.replace("'", "''")
+      val unk = graft.ext.Unigram.UnkScore
+      s"""WITH RECURSIVE
+         |model(piece, s) AS (VALUES $entries),
+         |base AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '$pat') AS pts
+         |  FROM documents),
+         |e AS (SELECT doc_id, pts, unnest(range(1, len(pts)+1)) AS i FROM base),
+         |tok AS (SELECT doc_id, i, pts[i] AS w FROM e
+         |  WHERE NOT regexp_matches(pts[i], '^\\s+$$')),
+         |ws AS (SELECT DISTINCT w FROM tok),
+         |wst AS (SELECT w, unnest(range(0, length(w))) AS st FROM ws),
+         |cand AS (SELECT w, st, l.range AS ln,
+         |    substr(w, st + 1, l.range) AS piece
+         |  FROM wst CROSS JOIN range(1, 5) l
+         |  WHERE st + l.range <= length(w)),
+         |edges0 AS (SELECT c.w, c.st, c.st + c.ln AS en,
+         |    coalesce(m.s, CASE WHEN c.ln = 1 THEN CAST($unk AS BIGINT) END) AS sc
+         |  FROM cand c LEFT JOIN model m ON c.piece = m.piece
+         |  WHERE m.s IS NOT NULL OR c.ln = 1),
+         |elist AS (SELECT w, list({'en': en, 'st': st, 'sc': sc}
+         |      ORDER BY en, st) AS edges
+         |  FROM edges0 GROUP BY 1),
+         |dp AS (
+         |  SELECT w, edges, 0 AS k, [CAST(0 AS BIGINT)] AS sc,
+         |    [CAST(-1 AS INT)] AS bk, CAST(length(w) AS INT) AS len FROM elist
+         |  UNION ALL
+         |  SELECT w, edges, k + 1,
+         |    list_append(sc, struct_extract(best, 'c')),
+         |    list_append(bk, CAST(-struct_extract(best, 'ns') AS INT)), len
+         |  FROM (
+         |    SELECT *, list_aggregate(list_filter(
+         |        list_transform(list_filter(edges, e -> e.en = k + 1),
+         |          e -> {'c': sc[e.st + 1] + e.sc, 'ns': -e.st}),
+         |        x -> struct_extract(x, 'c') IS NOT NULL), 'max') AS best
+         |    FROM dp) WHERE k < len),
+         |fin AS (SELECT w, bk, len FROM dp WHERE k = len),
+         |bt AS (
+         |  SELECT w, bk, len AS pos, CAST([] AS VARCHAR[]) AS ps FROM fin
+         |  UNION ALL
+         |  SELECT w, bk, bk[pos + 1] AS pos,
+         |    list_prepend(substr(w, bk[pos + 1] + 1, pos - bk[pos + 1]), ps)
+         |  FROM bt WHERE pos > 0),
+         |seg AS (SELECT w, ps FROM bt WHERE pos = 0),
+         |f AS (SELECT tok.doc_id, flatten(list(seg.ps ORDER BY tok.i)) AS toks
+         |  FROM tok JOIN seg ON tok.w = seg.w GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(len(f.toks), 0) AS INT) AS uni_count,
+         |  coalesce(array_to_string(f.toks, chr(31)), '') AS uni_str
+         |FROM documents d LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
 
   /** q140's oracle: the FROZEN PCA model (mean + components) embedded as
     * literal lists; every projection value recomputed as the identical

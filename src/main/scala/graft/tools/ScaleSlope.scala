@@ -212,7 +212,10 @@ object ScaleSlope {
       // q142 (r13) = one token pass into m-bounded registers; q143 (r13) =
       // one token pass into d·w cells + sample-candidate lookup + skinny
       // exact verify — both sketch-state-bounded by construction
-      "q142_hll_vocab", "q143_cms_heavy_hitters")
+      "q142_hll_vocab", "q143_cms_heavy_hitters",
+      // q144 (r13) = capped-table train + distinct-word DP (bounded per
+      // word) + broadcast piece join + two skinny shuffles
+      "q144_unigram_tokenize")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

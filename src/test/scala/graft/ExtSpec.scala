@@ -3911,6 +3911,47 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("unigram viterbi: best segmentation, tie to longest last piece, UNK chars") {
+    val m = Map("ab" -> -100L, "abc" -> -120L, "c" -> -200L,
+      "a" -> -300L, "b" -> -300L)
+    // abc+ab (-220) beats ab+c+ab (-400) and char paths
+    assert(Unigram.viterbi("abcab", m, 3) == Seq("abc", "ab"))
+    // unknown char q falls back to UnkScore but stays segmentable
+    assert(Unigram.viterbi("abq", m, 3) == Seq("ab", "q"))
+    // tie-break: two equal-score splits -> smallest start (longest LAST piece)
+    val tied = Map("x" -> -100L, "xx" -> -200L)
+    assert(Unigram.viterbi("xxx", tied, 2) == Seq("x", "xx"))
+  }
+
+  test("unigramTrain learns the planted piece; encode matches driver viterbi") {
+    val docs = ((0L until 30L).map(i => (i, "abab abab ababab")) ++
+      Seq((100L, "zq wk abab"), (101L, ""))).toDF("doc_id", "text")
+    val model = Unigram.unigramTrain(docs, "text", vocabSize = 16,
+      maxPieceLen = 4, iters = 2)
+    val mm = model.toMap
+    assert(mm.contains("abab"), s"planted piece missing: $model")
+    // the planted 4-gram must actually WIN segmentation: one abab piece
+    // beats two ab pieces in log-prob
+    assert(Unigram.viterbi("abab", mm, 4) == Seq("abab"))
+    // training is deterministic: a second run is identical
+    assert(Unigram.unigramTrain(docs, "text", vocabSize = 16,
+      maxPieceLen = 4, iters = 2) == model)
+    // distributed encode == driver viterbi on every document, in order
+    val enc = Unigram.unigramEncode(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    def encodeRef(text: String): Seq[String] =
+      TextStats.BpePattern.r.findAllIn(text).toSeq
+        .filterNot(_.matches("^\\s+$"))
+        .flatMap(w => Unigram.viterbi(w, mm, 4))
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val expected = encodeRef(r.getString(1))
+      assert(enc(id) == ((expected.size, expected.mkString("\u001f"))),
+        s"doc $id: got ${enc(id)}, want $expected")
+    }
+    assert(enc(101L) == ((0, "")))
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
