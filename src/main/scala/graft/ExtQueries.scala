@@ -1373,6 +1373,27 @@ object ExtQueries {
       graft.ext.Unigram.unigramEncode(docs, "doc_id", "text", model,
         maxPieceLen = 4)
     },
+    // FUZZY benchmark decontamination: eval items paraphrased into the
+    // corpus share almost no exact 8-gram but sit at high shingle Jaccard.
+    // Fixture: every 10th doc spawns a bench item -- lightly edited
+    // (appended token, a near-dup the exact checks under-count) for
+    // doc_id % 20 == 0, token-reversed (clean) otherwise. Banded MinHash
+    // candidates + exact-Jaccard confirm; the oracle replays ground-truth
+    // all-pairs Jaccard, so an LSH miss fails the row compare (recall-1
+    // contract at J >= 0.8, the q119 settings).
+    "q145_fuzzy_contamination" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val toks = TextStats.tokens(col("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000).as("bench_id"),
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" "), toks.getItem(0)))
+            .otherwise(concat_ws(" ", reverse(toks))).as("bench_text"))
+      Corpus.contaminationNear(docs, bench, "doc_id", "text",
+          "bench_id", "bench_text", minJaccard = 0.8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
     // Per-source vocabulary health: exact type/token/hapax tallies and the
     // Zipf head. Two map-side-combined shuffles, vocabulary-sized output.
     "q122_vocab_report" -> ((s, dir) =>
@@ -2555,6 +2576,27 @@ object ExtQueries {
          |SELECT doc_id FROM arr
          |WHERE doc_id NOT IN (SELECT aid FROM hit)
          |ORDER BY doc_id""".stripMargin,
+    // ground-truth all-pairs exact Jaccard between the corpus and the
+    // synthesized bench items (recall-1 contract: the engine's banded
+    // candidates must find every pair the truth table contains)
+    "q145_fuzzy_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, text, $docToks AS t FROM documents),
+         |bench AS (
+         |  SELECT doc_id + 5000 AS doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN text || ' ' || t[1]
+         |         ELSE array_to_string(list_reverse(t), ' ') END AS text
+         |  FROM tk WHERE doc_id % 10 = 0),
+         |${shingleCtesOver("bench", 4, "b")},
+         |${shingleCtesOver("documents", 4, "s")},
+         |nb AS (SELECT doc_id, count(*) AS n FROM bd GROUP BY 1),
+         |ns AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
+         |co AS (SELECT s.doc_id AS did, b.doc_id AS bid, count(*) AS c
+         |       FROM sd s JOIN bd b ON s.g = b.g GROUP BY 1, 2)
+         |SELECT co.did AS doc_id, co.bid AS bench_id,
+         |  CAST(c AS DOUBLE)/(ns.n + nb.n - c) AS jaccard
+         |FROM co JOIN ns ON co.did = ns.doc_id JOIN nb ON co.bid = nb.doc_id
+         |WHERE CAST(c AS DOUBLE)/(ns.n + nb.n - c) >= 0.8
+         |ORDER BY doc_id, bench_id""".stripMargin,
     // identical md5-bucket arithmetic (q85's replay shape): floor copies
     // per source + one extra below the fractional cut, unnested 0..n-1
     "q118_repeat_mixture" ->

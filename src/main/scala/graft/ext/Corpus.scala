@@ -389,6 +389,79 @@ object Corpus {
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
   }
 
+  /** NEAR-DUP (fuzzy) benchmark contamination — the check the exact
+    * n-gram family ([[benchmarkContamination]]/[[contaminationByBenchmark]])
+    * cannot make: an eval item paraphrased or lightly edited into the
+    * corpus shares almost no exact 8-gram but sits at high shingle
+    * Jaccard. Candidates come from a band equi-join of MinHash signatures
+    * (the [[Dedup.incrementalMinhash]] machinery: the corpus NEVER
+    * self-joins, and the benchmark side is banded once), candidates are
+    * confirmed by EXACT shingle Jaccard, and the report is one row per
+    * (document, benchmark item) pair at `minJaccard` or above —
+    * (id, bench_id, jaccard), the ratio of exact integers. LSH settings
+    * give recall ≈ 1 at J ≥ 0.8 (miss probability (1−(1−J^rows)^bands)
+    * complement ≈ 5e-8 — the q119 contract), so the SQL oracle replays
+    * ground-truth all-pairs Jaccard and any missed pair fails the compare.
+    *
+    * Scale shape: per-row signatures on both sides, one band-key equi-join
+    * (bucket-capped), confirm joins are candidate-sized; benchmark tables
+    * are eval-sized but nothing here requires broadcasting them. */
+  def contaminationNear(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, benchIdCol: String,
+                        benchTextCol: String, minJaccard: Double = 0.8,
+                        numPerm: Int = 128, bands: Int = 32, k: Int = 4,
+                        maxBucketSize: Option[Int] = Some(Dedup.DefaultMaxBandBucket),
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    val m = CheckpointStrategy.materializer(checkpoint)
+    val corpusBk = m(Dedup.capBuckets(
+      Dedup.bandedSignatures(
+        Dedup.minhashSignatures(corpus, idCol, textCol, numPerm, k),
+        numPerm, bands),
+      maxBucketSize)
+      .select(col("id"), col("bk")))
+    val benchBk = m(Dedup.capBuckets(
+      Dedup.bandedSignatures(
+        Dedup.minhashSignatures(
+          bench.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__bt")),
+          "__bid", "__bt", numPerm, k),
+        numPerm, bands),
+      maxBucketSize)
+      .select(col("id").as("bench_id"), col("bk")))
+    val pairs = corpusBk.join(benchBk, Seq("bk"))
+      .select(col("id"), col("bench_id")).distinct()
+    val corpusSets = corpus
+      .select(col(idCol).as("id"),
+        TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col("id"), Dedup.shinglesOfTokens(col("__t"), k).as("g1"))
+      .join(pairs.select("id").distinct(), Seq("id"))
+    val benchSets = bench
+      .select(col(benchIdCol).as("bench_id"),
+        TextStats.tokens(coalesce(col(benchTextCol), lit(""))).as("__t"))
+      .select(col("bench_id"), Dedup.shinglesOfTokens(col("__t"), k).as("g2"))
+      .join(pairs.select("bench_id").distinct(), Seq("bench_id"))
+    pairs.join(corpusSets, Seq("id")).join(benchSets, Seq("bench_id"))
+      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard", col("__c").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id"), col("bench_id"), col("jaccard"))
+  }
+
+  /** [[contaminationNear]]'s terminal: the corpus minus every document
+    * with a near-dup benchmark match — one LEFT ANTI join against the
+    * skinny contaminated-id set. */
+  def dropContaminatedNear(corpus: DataFrame, bench: DataFrame, idCol: String,
+                           textCol: String, benchIdCol: String,
+                           benchTextCol: String, minJaccard: Double = 0.8,
+                           numPerm: Int = 128, bands: Int = 32, k: Int = 4): DataFrame = {
+    val bad = contaminationNear(corpus, bench, idCol, textCol, benchIdCol,
+      benchTextCol, minJaccard, numPerm, bands, k)
+      .select(col("id")).distinct()
+    corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
+  }
+
   /** [[benchmarkContamination]] resolved PER BENCHMARK: the bench table
     * carries a `benchCol` name and the report answers "which benchmark
     * leaked into which document, and how badly" — one row per contaminated

@@ -215,7 +215,10 @@ object ScaleSlope {
       "q142_hll_vocab", "q143_cms_heavy_hitters",
       // q144 (r13) = capped-table train + distinct-word DP (bounded per
       // word) + broadcast piece join + two skinny shuffles
-      "q144_unigram_tokenize")
+      "q144_unigram_tokenize",
+      // q145 (r13) = two signature scans + band equi-join + candidate-sized
+      // exact confirm (the q119 shape, bench side eval-sized)
+      "q145_fuzzy_contamination")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

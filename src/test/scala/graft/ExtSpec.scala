@@ -3952,6 +3952,23 @@ class ExtSpec extends AnyFunSuite {
     assert(enc(101L) == ((0, "")))
   }
 
+  test("contaminationNear: paraphrase-level leaks found, clean bench items pass") {
+    val bench = Seq(
+      (100L, base + " tail"), // near-dup of doc 0 (and its variants)
+      (101L, "entirely different benchmark question probing arithmetic skills today")
+    ).toDF("bid", "btext")
+    val rep = Corpus.contaminationNear(corpus, bench, "doc_id", "text",
+        "bid", "btext", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep.contains((0L, 100L)), s"exact-ish leak missed: $rep")
+    assert(rep.forall(_._2 == 100L), s"clean bench item flagged: $rep")
+    // the drop terminal removes exactly the flagged ids
+    val kept = Corpus.dropContaminatedNear(corpus, bench, "doc_id", "text",
+        "bid", "btext", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L to 4L).toSet -- rep.map(_._1))
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
