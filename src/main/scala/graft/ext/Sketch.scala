@@ -183,6 +183,22 @@ object Sketch {
         lit(":" + salt + ":"), r.cast("string"))), 1, 8), 16, 10)
         .cast("long"), lit(w.toLong)).cast("int"))
 
+  /** Exploded (row, cell) rows of `textCol`'s tokens with every other input
+    * column carried through — [[cmsSketch]]'s pre-aggregation projection,
+    * shared with the STREAMING frequency monitor
+    * ([[graft.streaming.Streaming.tokenFrequency]]), where the cell count
+    * folds inside the engine's windowed stateful aggregate. */
+  def explodedTokenCells(df: DataFrame, textCol: String, d: Int = 4,
+                         w: Int = 1024, salt: String = "graft:cms"): DataFrame = {
+    val t = df.withColumn("__toks",
+      TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit("")))))
+    val e = t.select(t.columns.filterNot(_ == "__toks").map(col) :+
+      explode(col("__toks")).as("__tok"): _*)
+    e.withColumn("__cs", TextStats.pinnedCol(cmsCells(col("__tok"), d, w, salt)))
+      .select(e.columns.filterNot(_ == "__tok").map(col) :+
+        posexplode(col("__cs")).as(Seq("row", "cell")): _*)
+  }
+
   /** Heavy-hitter TOKENS by the standard two-pass sketch recipe — q116's
     * answer with bounded state instead of a distinct-key shuffle:
     *   1. one corpus pass builds the d×w count-min sketch (bounded);

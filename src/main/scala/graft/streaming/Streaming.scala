@@ -88,6 +88,25 @@ object Streaming {
       tsCol, watermark, win, keys = keys :+ "reg",
       aggs = Seq(max(col("rank")).as("maxr")))
 
+  /** Streaming TOKEN-FREQUENCY monitor: per event-time window (optionally
+    * per source), the count-min cell counts of the token stream —
+    * [[graft.ext.Sketch.cmsSketch]]'s streaming form. State caps at
+    * windows·keys·d·w cells however many distinct tokens flow; sink rows
+    * are the batch (row, cell, c) artifact, so
+    * [[graft.ext.Sketch.cmsEstimate]] prices any candidate set per window
+    * and [[graft.ext.Sketch.cmsMerge]] folds stream windows into batch
+    * shard sketches EXACTLY — the heavy-hitter drift alarm (a template
+    * flood or boilerplate burst shows up as a cell group spiking across
+    * windows) with bit-for-bit batch/stream parity. */
+  def tokenFrequency(events: DataFrame, tsCol: String, textCol: String,
+                     watermark: Option[String], win: String,
+                     keys: Seq[String] = Nil, d: Int = 4, w: Int = 1024,
+                     salt: String = "graft:cms"): DataFrame =
+    windowedAgg(
+      graft.ext.Sketch.explodedTokenCells(events, textCol, d, w, salt),
+      tsCol, watermark, win, keys = keys ++ Seq("row", "cell"),
+      aggs = Seq(count(lit(1)).as("c")))
+
   /** Per-batch tabulation: run the (margin-producing) tabulation pipeline on
     * every micro-batch output. Margins over an unbounded stream are only
     * consistent within a batch snapshot, so `foreachBatch` is the correct

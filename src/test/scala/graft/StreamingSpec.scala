@@ -832,6 +832,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenFrequency: windowed CMS cells match batch, estimate sees the flood") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    // window 1: varied text; window 2: a boilerplate flood of 'spamtok'
+    val varied = (0 until 5).map(i =>
+      ((0 until 12).map(j => s"v${i * 12 + j}").mkString(" "), t(i)))
+    val flood = (0 until 5).map(i =>
+      (Seq.fill(12)("spamtok").mkString(" "), t(60 + i)))
+    val stream = MemoryStream[(String, Timestamp)]
+    stream.addData(varied ++ flood)
+    val sk = Streaming.tokenFrequency(
+      stream.toDF().toDF("text", "ts"), "ts", "text",
+      watermark = Some("1 minute"), win = "1 minute")
+    val q = Streaming.toMemorySink(sk, "freq_sketch")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("freq_sketch")
+        .select(col("window.start").as("w"), col("row"), col("cell"), col("c"))
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      // batch parity: per window slice, the batch cmsSketch artifact must
+      // equal the streamed cell rows bit-for-bit
+      val batch = Seq(varied, flood).flatMap { slice =>
+        val w0 = spark.table("freq_sketch")
+          .filter(col("window.start") <= lit(slice.head._2) &&
+            lit(slice.head._2) < col("window.end"))
+          .select(col("window.start")).head().getTimestamp(0)
+        graft.ext.Sketch.cmsSketch(
+            slice.toDF("text", "ts")
+              .select(explode(graft.ext.TextStats.tokens(col("text"))).as("tok")),
+            col("tok"))
+          .collect().map(r => (w0, r.getInt(0), r.getInt(1), r.getLong(2)))
+      }.toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the estimate over the flood window prices spamtok at its true count
+      val Seq(w1, w2) = spark.table("freq_sketch")
+        .select(col("window.start")).distinct()
+        .collect().map(_.getTimestamp(0)).sortBy(_.getTime).toSeq
+      val est = graft.ext.Sketch.cmsEstimate(
+          Seq("spamtok").toDF("tok"), "tok",
+          spark.table("freq_sketch").filter(col("window.start") === w2)
+            .select(col("row"), col("cell"), col("c")))
+        .collect().head.getLong(1)
+      assert(est >= 60L, s"flood under-counted: $est") // 5 docs x 12 tokens
+    } finally q.stop()
+  }
+
   test("crawlIngest: watermark URL dedup + stateless quality gates online") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
