@@ -462,7 +462,10 @@ object Audit {
       col("mean").as("__mo"))
     val nm = meansOf(nw).select(col("cell"), col("n").as("n_new"),
       col("mean").as("__mn"))
-    val joined = om.join(nm, Seq("cell"), "full_outer")
+    // nCells rows, but the lineage embeds both corpus assignment passes
+    // and feeds TWO consumers (the totals aggregate and the final select)
+    // — materialize so each snapshot is scanned once
+    val joined = om.join(nm, Seq("cell"), "full_outer").localCheckpoint()
     val totals = joined.agg(
       sum(coalesce(col("n_old"), lit(0L))).as("__to"),
       sum(coalesce(col("n_new"), lit(0L))).as("__tn"))

@@ -229,7 +229,10 @@ object Sketch {
     val topK = cmsEstimate(candidates, "tok", sketch, d, w, salt)
       .orderBy(col("est_count").desc, col("tok"))
       .limit(k)
-    val winners = topK.select(col("tok"), col("est_count"))
+    // k rows, but the lineage embeds the sketch + candidate passes and
+    // feeds TWO consumers (the exact semi-join and the final join) —
+    // materialize so the corpus pipeline runs once
+    val winners = topK.select(col("tok"), col("est_count")).localCheckpoint()
     val exact = toks.join(broadcast(winners.select(col("tok"))), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
     winners.join(exact, Seq("tok"), "left")
