@@ -878,6 +878,29 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("clf_prob"), col("clf_keep"))
         .orderBy(col("doc_id"))
     }),
+    // Calibration of the trained quality classifier on a HELD-OUT labeled
+    // slice (doc_id % 4 == 2 -- disjoint from q111's % 4 == 0 train slice,
+    // same qualityPoints == 10 labeling): reliability-diagram bins of
+    // clf_prob vs observed positive rate. Model trained in-query (fewer
+    // iters than q111 -- calibration shape, not accuracy, is under test),
+    // FROZEN through OracleAux; the oracle replays held-out scoring,
+    // labels, and the binning arithmetic.
+    "q146_clf_calibration" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val slice = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("__pts", TextStats.qualityPoints(col("text")))
+      val model = graft.ext.Classifier.train(
+        pos = slice.filter(col("__pts") === 10).drop("__pts"),
+        neg = slice.filter(col("__pts") < 10).drop("__pts"),
+        idCol = "doc_id", textCol = "text", iters = 6, lr = 300.0)
+      OracleAux.writeModel("q146_model", model)
+      val held = docs.filter(col("doc_id") % 4 === 2)
+        .withColumn("label",
+          (TextStats.qualityPoints(col("text")) === 10).cast("int"))
+      graft.ext.Classifier.calibrationReport(held, "doc_id", "text",
+          "label", model, bins = 10)
+        .orderBy(col("bin"))
+    },
     // Sentence-level language segmentation: per-segment q33 langid →
     // per-language segment counts, modal language, modal share — the
     // polyglot-page detector. Pure per-row column algebra, zero shuffles.
@@ -4557,8 +4580,61 @@ object ExtQueries {
         q123OracleSql.map("q123_bpe_train" -> _).toMap ++
         q136OracleSql.map("q136_opq_pq_topk" -> _).toMap ++
         q140OracleSql.map("q140_pca_project" -> _).toMap ++
-        q144OracleSql.map("q144_unigram_tokenize" -> _).toMap
+        q144OracleSql.map("q144_unigram_tokenize" -> _).toMap ++
+        q146OracleSql.map("q146_clf_calibration" -> _).toMap
     }.getOrElse(Map.empty)
+
+  /** q146's oracle: q111's frozen-model scoring replay scoped to the
+    * held-out slice (doc_id % 4 = 2), labels from the q87 quality-points
+    * fragment (== 10), then the binning arithmetic — exact integer
+    * micro-prob sums, identical double divisions. */
+  private def q146OracleSql: Option[String] =
+    OracleAux.readModel("q146_model").map { case (bias, ws0) =>
+      val ws = if (ws0.isEmpty) Seq((0, 0.0)) else ws0
+      val values = ws.map { case (b, w) => s"($b, $w)" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $docToksC AS toks FROM documents
+         |  WHERE doc_id % 4 = 2),
+         |lb AS (SELECT doc_id, CASE WHEN
+         |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+         |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+         |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / length(text) <= 0.1 THEN 2 ELSE 0 END) = 10
+         |    THEN 1 ELSE 0 END AS label FROM t),
+         |g AS (SELECT doc_id, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END) AS grams
+         |  FROM t),
+         |bk AS (SELECT doc_id, len(grams) AS n, list_transform(grams, x ->
+         |    CAST(CAST(('0x' || substr(md5(x || ':graft:clf'), 1, 8)) AS BIGINT)
+         |      % 4096 AS INT)) AS bks FROM g),
+         |e AS (SELECT doc_id, n, unnest(bks) AS bucket FROM bk),
+         |c AS (SELECT doc_id, n, bucket, count(*) AS cnt FROM e
+         |  GROUP BY 1, 2, 3),
+         |w(bucket, wt) AS (VALUES $values),
+         |m AS (SELECT c.doc_id,
+         |    sum(CAST((CAST(c.cnt AS DOUBLE) / CAST(c.n AS DOUBLE))
+         |      * coalesce(w.wt, 0.0) AS DECIMAL(38,18))) AS mm
+         |  FROM c LEFT JOIN w USING (bucket) GROUP BY 1),
+         |pr AS (SELECT m.doc_id,
+         |    round(1.0 / (1.0 + exp(-(CAST(mm AS DOUBLE) + ($bias)))), 6)
+         |      AS clf_prob
+         |  FROM m),
+         |bn AS (SELECT pr.doc_id, least(CAST(floor(clf_prob * 10) AS INT), 9)
+         |    AS bin, clf_prob, lb.label
+         |  FROM pr JOIN lb ON pr.doc_id = lb.doc_id),
+         |a AS (SELECT bin, count(*) AS n,
+         |    sum(CAST(round(clf_prob * 1e6) AS BIGINT)) AS pm,
+         |    sum(CAST(label AS BIGINT)) AS pos
+         |  FROM bn GROUP BY 1)
+         |SELECT bin, CAST(n AS BIGINT) AS n,
+         |  CAST(pm AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean_prob,
+         |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+         |  (CAST(pm AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+         |    - (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS cal_gap
+         |FROM a ORDER BY bin""".stripMargin
+    }
 
   /** q144's oracle: the FROZEN unigram model (pieces + integer micro-nat
     * scores as a VALUES list) replayed over the whole corpus — candidate

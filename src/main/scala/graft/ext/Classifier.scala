@@ -162,6 +162,40 @@ object Classifier {
       .withColumn("clf_keep", col("clf_prob") >= lit(threshold))
   }
 
+  /** CALIBRATION report of a trained model against a labeled held-out
+    * slice — the reliability diagram (DeGroot & Fienberg 1983; Guo et al.
+    * 2017's ECE input) as one aggregate: scores bin into `bins` equal-width
+    * probability buckets and each bin reports volume, mean predicted
+    * probability, and the observed positive rate. A well-calibrated
+    * quality model has `cal_gap` ≈ 0 everywhere; a sustained gap says the
+    * keep-threshold is mis-set for the corpus the model now sees.
+    *
+    * Determinism: `clf_prob` is 6-dp-rounded, so `round(prob·1e6)` is an
+    * exact integer in any engine — mean_prob folds exact integer
+    * micro-probs and divides identical doubles (the q90 discipline);
+    * frac_pos and cal_gap are ratios/differences of the same exact
+    * operands. Scale shape: one scoring pass (broadcast weights) + one
+    * bins-sized aggregate. Output: (bin, n, mean_prob, frac_pos, cal_gap),
+    * bins without a single scored doc are absent. */
+  def calibrationReport(df: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, model: LinearModel,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    score(df, idCol, textCol, model)
+      .withColumn("bin",
+        least(floor(col("clf_prob") * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("clf_prob") * 1e6).cast("long")).as("__pm"),
+        sum(col(labelCol).cast("long")).as("__pos"))
+      .select(col("bin"), col("n"),
+        (col("__pm").cast("double") / col("n").cast("double") / 1e6)
+          .as("mean_prob"),
+        (col("__pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+      .withColumn("cal_gap", col("mean_prob") - col("frac_pos"))
+  }
+
   /** Train-and-score in one call (the q111 shape): fit on the labeled
     * slices, score `df`. For repeated batches train once and reuse
     * [[score]] with the returned model. */

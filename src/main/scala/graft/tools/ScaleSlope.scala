@@ -218,7 +218,10 @@ object ScaleSlope {
       "q144_unigram_tokenize",
       // q145 (r13) = two signature scans + band equi-join + candidate-sized
       // exact confirm (the q119 shape, bench side eval-sized)
-      "q145_fuzzy_contamination")
+      "q145_fuzzy_contamination",
+      // q146 (r13) = bounded train (capped feature table, B-bounded
+      // iterations) + one broadcast scoring pass + bins-sized aggregate
+      "q146_clf_calibration")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -3969,6 +3969,36 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == (0L to 4L).toSet -- rep.map(_._1))
   }
 
+  test("calibrationReport: bins partition the slice, gap law, hand-binning parity") {
+    val good = "the data and the model are in the store for a while now " * 3
+    val junk = "!!! ??? *** ;;; :::"
+    val pos = (0L until 8L).map(i => (i, good + s" v$i")).toDF("doc_id", "text")
+    val neg = (10L until 18L).map(i => (i, junk + s" x$i")).toDF("doc_id", "text")
+    val model = Classifier.train(pos, neg, "doc_id", "text", iters = 4, lr = 50.0)
+    val held = (pos.withColumn("label", lit(1)))
+      .unionByName(neg.withColumn("label", lit(0)))
+    val rep = Classifier.calibrationReport(held, "doc_id", "text", "label", model)
+      .orderBy(col("bin")).collect()
+    assert(rep.map(_.getLong(1)).sum == 16L)
+    // cal_gap is EXACTLY mean_prob - frac_pos (same operands, one subtract)
+    rep.foreach { r =>
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3), r.toSeq) }
+    // parity with hand binning of the raw scores
+    val scored = Classifier.score(held, "doc_id", "text", model)
+      .select(col("clf_prob"), col("label")).collect()
+      .map(r => (math.min((r.getDouble(0) * 10).toInt, 9), r.getDouble(0), r.getInt(1)))
+    val hand = scored.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.size.toLong,
+        xs.map(x => math.round(x._2 * 1e6)).sum.toDouble / xs.size / 1e6,
+        xs.map(_._3).sum.toDouble / xs.size))
+    }
+    rep.foreach { r =>
+      val (n, mp, fp) = hand(r.getInt(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == mp && r.getDouble(3) == fp,
+        s"bin ${r.getInt(0)}: ${r.toSeq} vs ($n, $mp, $fp)")
+    }
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
