@@ -1099,6 +1099,14 @@ object ExtQueries {
       graft.ext.Sketch.approxDistinctTokens(docsPar(s, dir), "text",
           "source", m = 256)
         .orderBy(col("source"))),
+    // Pairwise inter-source vocabulary overlap by HLL inclusion-exclusion
+    // -- q127's audit with m-bounded per-source state: est(A) + est(B) -
+    // est(A UNION B) over register-wise-max union sketches. One token
+    // pass; pair work is register-table joins.
+    "q147_hll_source_overlap" -> ((s, dir) =>
+      graft.ext.Sketch.hllPairwiseOverlap(docsPar(s, dir), "text",
+          "source", m = 256)
+        .orderBy(col("src_a"), col("src_b"))),
     // Heavy-hitter tokens by the two-pass count-min recipe: one bounded
     // d×w sketch pass + deterministic doc-sample candidates + broadcast
     // sketch lookup + skinny exact verification of the top k — q116's
@@ -1921,6 +1929,76 @@ object ExtQueries {
        |       ELSE 'raw' END AS regime
        |FROM e ORDER BY source""".stripMargin
 
+  /** q147: q142's register machinery extended with pair algebra — the
+    * pair-scoped register-wise-max union sketches (UNION ALL + max — the
+    * engine's greatest/coalesce full-outer, identically), the same
+    * harmonic-sum/correction estimate for sources and unions, and the
+    * inclusion-exclusion arithmetic on the rounded 6-dp estimates. */
+  private val hllOverlapSql: String =
+    s"""WITH t AS (SELECT source, unnest($docToksC) AS tok FROM documents),
+       |h AS (SELECT source, md5(tok || ':graft:hll') AS h FROM t),
+       |rw AS (SELECT source,
+       |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 256 AS reg,
+       |    length(regexp_extract(substr(h, 9, 8), '^0*')) AS z,
+       |    substr(h, 9, 8) AS w
+       |  FROM h),
+       |rk AS (SELECT source, reg,
+       |    CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+       |      (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+       |            WHEN v >= 2 THEN 2 ELSE 3 END) + 1 END AS rank
+       |  FROM (SELECT source, reg, z,
+       |      CASE WHEN z = 8 THEN 0
+       |           ELSE CAST(('0x' || substr(w, z + 1, 1)) AS BIGINT) END AS v
+       |    FROM rw)),
+       |m AS (SELECT source, reg, max(rank) AS maxr FROM rk GROUP BY 1, 2),
+       |g AS (SELECT source, count(*) AS filled,
+       |    sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << maxr) AS DOUBLE)) AS hs
+       |  FROM m GROUP BY 1),
+       |e AS (SELECT source, 256 - filled AS zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+       |      * CAST(65536 AS DOUBLE)
+       |      / (hs + CAST(256 - filled AS DOUBLE)) AS eraw
+       |  FROM g),
+       |es AS (SELECT source, round(CASE
+       |    WHEN eraw <= CAST(640 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |    WHEN eraw > CAST(4294967296 AS DOUBLE) / CAST(30 AS DOUBLE)
+       |      THEN -CAST(4294967296 AS DOUBLE)
+       |        * ln(CAST(1 AS DOUBLE) - eraw / CAST(4294967296 AS DOUBLE))
+       |    ELSE eraw END, 6) AS v FROM e),
+       |pr AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM es a CROSS JOIN es b WHERE a.source < b.source),
+       |pu AS (SELECT sa, sb, reg, max(maxr) AS maxr FROM (
+       |    SELECT pr.sa, pr.sb, m.reg, m.maxr FROM pr JOIN m ON m.source = pr.sa
+       |    UNION ALL
+       |    SELECT pr.sa, pr.sb, m.reg, m.maxr FROM pr JOIN m ON m.source = pr.sb)
+       |  GROUP BY 1, 2, 3),
+       |gu AS (SELECT sa, sb, count(*) AS filled,
+       |    sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << maxr) AS DOUBLE)) AS hs
+       |  FROM pu GROUP BY 1, 2),
+       |eu AS (SELECT sa, sb, 256 - filled AS zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+       |      * CAST(65536 AS DOUBLE)
+       |      / (hs + CAST(256 - filled AS DOUBLE)) AS eraw
+       |  FROM gu),
+       |esu AS (SELECT sa, sb, round(CASE
+       |    WHEN eraw <= CAST(640 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |    WHEN eraw > CAST(4294967296 AS DOUBLE) / CAST(30 AS DOUBLE)
+       |      THEN -CAST(4294967296 AS DOUBLE)
+       |        * ln(CAST(1 AS DOUBLE) - eraw / CAST(4294967296 AS DOUBLE))
+       |    ELSE eraw END, 6) AS vu FROM eu)
+       |SELECT esu.sa AS src_a, esu.sb AS src_b,
+       |  ea.v AS est_a, eb.v AS est_b, esu.vu AS est_union,
+       |  round(ea.v + eb.v - esu.vu, 6) AS est_inter,
+       |  round(round(ea.v + eb.v - esu.vu, 6) / least(ea.v, eb.v), 6)
+       |    AS containment
+       |FROM esu JOIN es ea ON ea.source = esu.sa
+       |  JOIN es eb ON eb.source = esu.sb
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** q143: the two-pass count-min replay — d×w cell counts (md5 salted per
     * row), md5-threshold doc-sample candidates, min-over-rows estimates,
     * (est desc, tok) top-k, exact verification join. */
@@ -2326,6 +2404,7 @@ object ExtQueries {
     "q139_jl_ann" -> jlAnnSql,
     "q141_embedding_drift" -> embeddingDriftSql,
     "q142_hll_vocab" -> hllVocabSql,
+    "q147_hll_source_overlap" -> hllOverlapSql,
     "q143_cms_heavy_hitters" -> cmsHeavyHittersSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions

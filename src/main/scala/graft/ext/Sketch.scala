@@ -139,6 +139,56 @@ object Sketch {
       Seq(groupCol), m)
   }
 
+  /** Pairwise SOURCE-OVERLAP estimates by HLL inclusion-exclusion —
+    * q127's exact inter-source vocabulary overlap with m-bounded state per
+    * source: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate
+    * reads the register-wise max of the two sketches (exact sketch
+    * algebra, not an approximation of the merge). One token pass builds
+    * all per-group sketches; pair work is (groups² · m)-sized register
+    * joins — never a corpus join. Estimates are [[hllEstimate]]'s
+    * deterministic 6-dp values; the inclusion-exclusion arithmetic runs on
+    * those rounded doubles, so the report replays value-for-value.
+    * Output: (src_a, src_b, est_a, est_b, est_union, est_inter,
+    * containment = inter/min(a,b)) for src_a < src_b. Negative est_inter
+    * is reported raw (small-overlap noise floor — the standard HLL
+    * inclusion-exclusion caveat, documented not clamped). */
+  def hllPairwiseOverlap(df: DataFrame, textCol: String, groupCol: String,
+                         m: Int = 256, salt: String = "graft:hll"): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit("")))).as("__t"))
+      .select(col("g"), explode(col("__t")).as("tok"))
+    // groups·m rows; feeds per-group estimates AND every pair join
+    val sk = hllSketch(toks, Seq("g"), col("tok"), m, salt).localCheckpoint()
+    val est = hllEstimate(sk, Seq("g"), m)
+      .select(col("g"), col("est_distinct"))
+    val pairs = est.select(col("g").as("src_a")).distinct()
+      .crossJoin(est.select(col("g").as("src_b")).distinct())
+      .filter(col("src_a") < col("src_b"))
+    // BOTH sides pair-scoped before the register union: a bare full-outer
+    // against the per-group sketch would let one pair absorb another
+    // pair's unmatched registers
+    val left = pairs.join(sk.select(col("g").as("src_a"), col("reg"),
+      col("maxr").as("__ra")), Seq("src_a"))
+    val right = pairs.join(sk.select(col("g").as("src_b"), col("reg"),
+      col("maxr").as("__rb")), Seq("src_b"))
+    val merged = left.join(right, Seq("src_a", "src_b", "reg"), "full_outer")
+      .select(col("src_a"), col("src_b"), col("reg"),
+        greatest(coalesce(col("__ra"), lit(0)), coalesce(col("__rb"), lit(0)))
+          .as("maxr"))
+    val estU = hllEstimate(merged, Seq("src_a", "src_b"), m)
+      .select(col("src_a"), col("src_b"), col("est_distinct").as("est_union"))
+    estU
+      .join(est.select(col("g").as("src_a"), col("est_distinct").as("est_a")),
+        Seq("src_a"))
+      .join(est.select(col("g").as("src_b"), col("est_distinct").as("est_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6).as("est_inter"))
+      .withColumn("containment",
+        round(col("est_inter") / least(col("est_a"), col("est_b")), 6))
+  }
+
   // ---------------------------------------------------------------------
   // Count-min sketch (Cormode & Muthukrishnan 2005, J. Algorithms) —
   // frequency estimation in d·w integer cells

@@ -221,7 +221,10 @@ object ScaleSlope {
       "q145_fuzzy_contamination",
       // q146 (r13) = bounded train (capped feature table, B-bounded
       // iterations) + one broadcast scoring pass + bins-sized aggregate
-      "q146_clf_calibration")
+      "q146_clf_calibration",
+      // q147 (r13) = one token pass into per-source registers + register-
+      // table pair joins (sources^2 x m rows, corpus-independent)
+      "q147_hll_source_overlap")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -3999,6 +3999,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("hllPairwiseOverlap: inclusion-exclusion tracks true overlap per pair") {
+    // A = 1..1000, B = 501..1500 (true inter 500), C = 3000..4000 (inter 0);
+    // one doc per (source, token) so tokenization is trivial
+    def docs(g: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => (g, s"tok$i"))
+    val df = (docs("a", 1, 1000) ++ docs("b", 501, 1500) ++
+      docs("c", 3000, 4000)).toDF("src", "text")
+    val rep = Sketch.hllPairwiseOverlap(df, "text", "src", m = 256)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(5)))).toMap
+    // src_a < src_b; note select order is (src_a, src_b, ...) after joins
+    val keys = rep.keySet
+    assert(keys == Set(("a", "b"), ("a", "c"), ("b", "c")) ||
+      rep.keySet.map(_.swap) == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"pairs: $keys")
+    def inter(a: String, b: String): Double =
+      rep.getOrElse((a, b), rep((b, a)))._3
+    // m = 256 -> sigma ~ 6.5% of each 1000-element estimate; the
+    // inclusion-exclusion noise floor is a few sigma of the union
+    assert(math.abs(inter("a", "b") - 500) < 250, s"ab ${inter("a", "b")}")
+    assert(math.abs(inter("a", "c")) < 250, s"ac ${inter("a", "c")}")
+    assert(inter("a", "b") > inter("a", "c") + 100)
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
