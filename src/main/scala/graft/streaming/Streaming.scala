@@ -107,6 +107,37 @@ object Streaming {
       tsCol, watermark, win, keys = keys ++ Seq("row", "cell"),
       aggs = Seq(count(lit(1)).as("c")))
 
+  /** Streaming DECONTAMINATION against a FROZEN benchmark — the online
+    * form of [[graft.ext.Corpus.dropContaminatedNear]] (q145): each
+    * micro-batch drops every document at shingle Jaccard ≥ `minJaccard`
+    * with any benchmark item, via the same banded-MinHash candidates +
+    * exact-confirm machinery. The bench side is STATIC and eval-sized, so
+    * this is a stateless per-batch composition — `foreachBatch` is the
+    * honest posture (same reasoning as [[crawlIngest]]'s content-dedup
+    * split: nothing here needs watermarked state, and the pair machinery
+    * reuses the oracled batch operator verbatim, so stream and batch
+    * CANNOT drift). The bench frame is materialized once up front, not
+    * re-banded per batch on the driver's clock: pass a cached/checkpointed
+    * frame for long-running streams. `onClean` receives each batch's
+    * surviving rows with the batch id (at-most-once per batch). */
+  def decontaminateNear(events: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        benchIdCol: String, benchTextCol: String,
+                        onClean: (DataFrame, Long) => Unit,
+                        minJaccard: Double = 0.8,
+                        numPerm: Int = 128, bands: Int = 32, k: Int = 4,
+                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          onClean(graft.ext.Corpus.dropContaminatedNear(batch, bench,
+            idCol, textCol, benchIdCol, benchTextCol, minJaccard,
+            numPerm, bands, k), id)
+        ()
+      }
+
   /** Per-batch tabulation: run the (margin-producing) tabulation pipeline on
     * every micro-batch output. Margins over an unbounded stream are only
     * consistent within a batch snapshot, so `foreachBatch` is the correct

@@ -879,6 +879,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateNear: per-batch survivors equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base =
+      "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val bench = Seq((100L, base + " tail"),
+      (101L, "entirely different benchmark question probing arithmetic skills today")
+    ).toDF("bid", "btext")
+    // batch 1: doc 0 leaks (near-dup of bench 100), doc 3 clean;
+    // batch 2: doc 1 leaks (variant of base), doc 4 clean
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((0L, base), (3L, "completely different words describing a data processing engine built on spark")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = Streaming.decontaminateNear(
+      stream.toDF().toDF("doc_id", "text"), bench,
+      "doc_id", "text", "bid", "btext",
+      onClean = (clean, id) => {
+        got += ((id, clean.select("doc_id").collect().map(_.getLong(0)).toSet)); ()
+      },
+      minJaccard = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq((1L, base + " extra"), (4L, "yet another unrelated document about window functions and aggregation plans")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = got.flatMap(_._2).toSet
+    // parity with the batch operator over the union of both batches
+    val batchKept = graft.ext.Corpus.dropContaminatedNear(
+        Seq((0L, base),
+          (3L, "completely different words describing a data processing engine built on spark"),
+          (1L, base + " extra"),
+          (4L, "yet another unrelated document about window functions and aggregation plans"))
+          .toDF("doc_id", "text"),
+        bench, "doc_id", "text", "bid", "btext", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == batchKept, s"stream $survivors vs batch $batchKept")
+    assert(survivors.contains(3L) && survivors.contains(4L))
+    assert(!survivors.contains(0L))
+  }
+
   test("crawlIngest: watermark URL dedup + stateless quality gates online") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
