@@ -1099,6 +1099,22 @@ object ExtQueries {
       graft.ext.Sketch.approxDistinctTokens(docsPar(s, dir), "text",
           "source", m = 256)
         .orderBy(col("source"))),
+    // Tokenizer-fertility audit: per source, word/char volume + BOTH
+    // trained tokenizer families' token counts (q91's frozen BPE merges,
+    // a q144-style unigram model trained in-query and FROZEN) with
+    // tokens-per-word / chars-per-token ratios -- the tokenizer-selection
+    // report. Oracle composes the q91 merge-chain replay and the q144
+    // recursive-CTE Viterbi under the frozen model, then re-derives every
+    // aggregate and ratio.
+    "q148_tokenizer_fertility" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val model = graft.ext.Unigram.unigramTrain(docs, "text",
+        vocabSize = 64, maxPieceLen = 4, maxWords = 10000, iters = 2)
+      OracleAux.write("q148_model", model.map { case (p, sc) => s"$sc $p" })
+      graft.ext.Audit.tokenizerFertility(docs, "text", "source",
+          q91Merges.map { case (a, b) => s"$a $b" }, model)
+        .orderBy(col("source"))
+    },
     // Pairwise inter-source vocabulary overlap by HLL inclusion-exclusion
     // -- q127's audit with m-bounded per-source state: est(A) + est(B) -
     // est(A UNION B) over register-wise-max union sketches. One token
@@ -4660,8 +4676,99 @@ object ExtQueries {
         q136OracleSql.map("q136_opq_pq_topk" -> _).toMap ++
         q140OracleSql.map("q140_pca_project" -> _).toMap ++
         q144OracleSql.map("q144_unigram_tokenize" -> _).toMap ++
-        q146OracleSql.map("q146_clf_calibration" -> _).toMap
+        q146OracleSql.map("q146_clf_calibration" -> _).toMap ++
+        q148OracleSql.map("q148_tokenizer_fertility" -> _).toMap
     }.getOrElse(Map.empty)
+
+  /** q148's oracle: the q91 merge-chain BPE replay (b-prefixed CTEs) and
+    * the q144 recursive-CTE Viterbi under the FROZEN q148 unigram model,
+    * composed into per-source word/char/token sums and the fertility
+    * ratios — identical double divisions of the same exact longs. */
+  private def q148OracleSql: Option[String] =
+    OracleAux.read("q148_model").map { lines =>
+      val entries = lines.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(' ')
+        val sc = l.substring(0, i)
+        val piece = l.substring(i + 1).replace("'", "''")
+        s"('$piece', CAST($sc AS BIGINT))"
+      }.mkString(", ")
+      val pat = graft.ext.TextStats.BpePattern.replace("'", "''")
+      val unk = graft.ext.Unigram.UnkScore
+      s"""WITH RECURSIVE
+         |model(piece, s) AS (VALUES $entries),
+         |base AS (SELECT doc_id, source, text,
+         |    regexp_extract_all(coalesce(text, ''), '$pat') AS pts
+         |  FROM documents),
+         |e AS (SELECT doc_id, pts, unnest(range(1, len(pts)+1)) AS i FROM base),
+         |tok AS (SELECT doc_id, i, pts[i] AS w FROM e
+         |  WHERE NOT regexp_matches(pts[i], '^\\s+$$')),
+         |ws AS (SELECT DISTINCT w FROM tok),
+         |wst AS (SELECT w, unnest(range(0, length(w))) AS st FROM ws),
+         |cand AS (SELECT w, st, l.range AS ln,
+         |    substr(w, st + 1, l.range) AS piece
+         |  FROM wst CROSS JOIN range(1, 5) l
+         |  WHERE st + l.range <= length(w)),
+         |edges0 AS (SELECT c.w, c.st, c.st + c.ln AS en,
+         |    coalesce(m.s, CASE WHEN c.ln = 1 THEN CAST($unk AS BIGINT) END) AS sc
+         |  FROM cand c LEFT JOIN model m ON c.piece = m.piece
+         |  WHERE m.s IS NOT NULL OR c.ln = 1),
+         |elist AS (SELECT w, list({'en': en, 'st': st, 'sc': sc}
+         |      ORDER BY en, st) AS edges
+         |  FROM edges0 GROUP BY 1),
+         |dp AS (
+         |  SELECT w, edges, 0 AS k, [CAST(0 AS BIGINT)] AS sc,
+         |    [CAST(-1 AS INT)] AS bk, CAST(length(w) AS INT) AS len FROM elist
+         |  UNION ALL
+         |  SELECT w, edges, k + 1,
+         |    list_append(sc, struct_extract(best, 'c')),
+         |    list_append(bk, CAST(-struct_extract(best, 'ns') AS INT)), len
+         |  FROM (
+         |    SELECT *, list_aggregate(list_filter(
+         |        list_transform(list_filter(edges, e -> e.en = k + 1),
+         |          e -> {'c': sc[e.st + 1] + e.sc, 'ns': -e.st}),
+         |        x -> struct_extract(x, 'c') IS NOT NULL), 'max') AS best
+         |    FROM dp) WHERE k < len),
+         |fin AS (SELECT w, bk, len FROM dp WHERE k = len),
+         |bt AS (
+         |  SELECT w, bk, len AS pos, CAST(0 AS BIGINT) AS np FROM fin
+         |  UNION ALL
+         |  SELECT w, bk, bk[pos + 1] AS pos, np + 1
+         |  FROM bt WHERE pos > 0),
+         |useg AS (SELECT w, np FROM bt WHERE pos = 0),
+         |ucount AS (SELECT tok.doc_id, sum(useg.np) AS uni
+         |  FROM tok JOIN useg ON tok.w = useg.w GROUP BY 1),
+         |bwr AS (SELECT doc_id, i,
+         |    regexp_replace(w, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g') AS s0
+         |  FROM tok),
+         |bmg AS (SELECT doc_id, i,
+         |    string_split(trim(${q91MergedExpr("s0")}, chr(31)),
+         |      chr(31)||chr(31)) AS tl
+         |  FROM bwr),
+         |bcount AS (SELECT doc_id, sum(len(tl)) AS bpe FROM bmg GROUP BY 1),
+         |wcount AS (SELECT doc_id, count(*) AS words FROM tok GROUP BY 1),
+         |per AS (SELECT b.doc_id, b.source,
+         |    length(coalesce(b.text, '')) AS chars,
+         |    coalesce(wcount.words, 0) AS words,
+         |    coalesce(bcount.bpe, 0) AS bpe,
+         |    coalesce(ucount.uni, 0) AS uni
+         |  FROM base b
+         |  LEFT JOIN wcount ON b.doc_id = wcount.doc_id
+         |  LEFT JOIN bcount ON b.doc_id = bcount.doc_id
+         |  LEFT JOIN ucount ON b.doc_id = ucount.doc_id),
+         |agg AS (SELECT source, count(*) AS docs,
+         |    CAST(sum(words) AS BIGINT) AS words,
+         |    CAST(sum(chars) AS BIGINT) AS chars,
+         |    CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |    CAST(sum(uni) AS BIGINT) AS uni_pieces
+         |  FROM per GROUP BY 1)
+         |SELECT source, CAST(docs AS BIGINT) AS docs, words, chars,
+         |  bpe_tokens, uni_pieces,
+         |  CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE) AS bpe_per_word,
+         |  CAST(uni_pieces AS DOUBLE) / CAST(words AS DOUBLE) AS uni_per_word,
+         |  CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS chars_per_bpe,
+         |  CAST(chars AS DOUBLE) / CAST(uni_pieces AS DOUBLE) AS chars_per_uni
+         |FROM agg ORDER BY source""".stripMargin
+    }
 
   /** q146's oracle: q111's frozen-model scoring replay scoped to the
     * held-out slice (doc_id % 4 = 2), labels from the q87 quality-points

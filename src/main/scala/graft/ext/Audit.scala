@@ -400,6 +400,49 @@ object Audit {
         col("term_score"), col("rank"))
   }
 
+  /** TOKENIZER-FERTILITY audit: per source, how hard each tokenizer works
+    * on this corpus — pre-token word volume, character volume, and the
+    * token counts of BOTH trained tokenizer families (BPE merges, unigram
+    * pieces), with the standard fertility/compression ratios
+    * (tokens-per-word, chars-per-token). The tokenizer-selection report: a
+    * source whose fertility spikes under one tokenizer is a source that
+    * tokenizer fragments (cost and context-length both follow).
+    *
+    * Scale shape: the BPE side is a zero-shuffle codegen expression per
+    * row ([[TextStats.bpeStats]]); the unigram side is
+    * [[Unigram.unigramEncode]]'s distinct-word DP; one id join + one
+    * groupBy(source) aggregate of exact longs — every ratio divides
+    * identical exact integers. */
+  def tokenizerFertility(df: DataFrame, textCol: String, sourceCol: String,
+                         merges: Seq[String], uniModel: Seq[(String, Long)],
+                         maxPieceLen: Int = 4,
+                         idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val withB = TextStats.bpeStats(df, textCol, merges)
+      .withColumn("__words",
+        size(filter(TextStats.bpeTokens(t), x => !x.rlike("^\\s+$"))))
+      .withColumn("__chars", length(t).cast("long"))
+    val uni = Unigram.unigramEncode(df, idCol, textCol, uniModel, maxPieceLen)
+      .select(col(idCol), col("uni_count"))
+    withB.join(uni, Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("__words").cast("long")).as("words"),
+        sum(col("__chars")).as("chars"),
+        sum(col("bpe_count").cast("long")).as("bpe_tokens"),
+        sum(col("uni_count").cast("long")).as("uni_pieces"))
+      .select(col(sourceCol), col("docs"), col("words"), col("chars"),
+        col("bpe_tokens"), col("uni_pieces"),
+        (col("bpe_tokens").cast("double") / col("words").cast("double"))
+          .as("bpe_per_word"),
+        (col("uni_pieces").cast("double") / col("words").cast("double"))
+          .as("uni_per_word"),
+        (col("chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("chars_per_bpe"),
+        (col("chars").cast("double") / col("uni_pieces").cast("double"))
+          .as("chars_per_uni"))
+  }
+
   /** Embedding-space DRIFT report between two corpus snapshots — the
     * rebuild-trigger signal for every persisted vector index
     * ([[Similarity.buildIvfIndex]], [[Quantize.buildIvfPqIndex]]): route

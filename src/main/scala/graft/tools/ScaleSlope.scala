@@ -224,7 +224,10 @@ object ScaleSlope {
       "q146_clf_calibration",
       // q147 (r13) = one token pass into per-source registers + register-
       // table pair joins (sources^2 x m rows, corpus-independent)
-      "q147_hll_source_overlap")
+      "q147_hll_source_overlap",
+      // q148 (r13) = q144's train + distinct-word DP + q91's codegen BPE
+      // expression + one source aggregate
+      "q148_tokenizer_fertility")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

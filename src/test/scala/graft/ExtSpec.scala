@@ -4023,6 +4023,28 @@ class ExtSpec extends AnyFunSuite {
     assert(inter("a", "b") > inter("a", "c") + 100)
   }
 
+  test("tokenizerFertility: volumes exact, ratios consistent, per-source split") {
+    val docs = Seq(
+      (0L, "srcA", "abab abab abab"), (1L, "srcA", "abab cd"),
+      (2L, "srcB", "zq wk pf"), (3L, "srcB", "")).toDF("doc_id", "source", "text")
+    val uni = Unigram.unigramTrain(docs, "text", vocabSize = 12,
+      maxPieceLen = 4, iters = 1)
+    val rep = Audit.tokenizerFertility(docs, "text", "source",
+        merges = Seq("a b", "ab ab"), uniModel = uni)
+      .orderBy(col("source")).collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("srcA", "srcB"))
+    val a = rep(0); val b = rep(1)
+    assert(a.getLong(1) == 2L && b.getLong(1) == 2L) // docs incl. empty
+    assert(a.getLong(2) == 5L, s"srcA words ${a.toSeq}") // 4 abab + 1 cd
+    assert(b.getLong(2) == 3L && b.getLong(4) > 0L)
+    // srcA BPE: 'abab' -> a b -> ab, ab -> abab = 1 token each; variants
+    // with leading space differ -- just assert the ratio laws instead
+    rep.foreach { r =>
+      assert(r.getDouble(6) == r.getLong(4).toDouble / r.getLong(2), r.toSeq)
+      assert(r.getDouble(8) == r.getLong(3).toDouble / r.getLong(4), r.toSeq)
+    }
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
