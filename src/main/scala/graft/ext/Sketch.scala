@@ -294,6 +294,60 @@ object Sketch {
       .select(col("rank"), col("tok"), col("est_count"), col("exact_count"))
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted sketch store — the shard/epoch lifecycle
+  // ---------------------------------------------------------------------
+
+  /** Persist a sketch under a catalog name with its parameters frozen in a
+    * `<name>_meta` table (kind = "hll" | "cms", m/salt or d/w/salt) — the
+    * q63/q137 index posture applied to sketches: parameters are part of
+    * the artifact, so a reader can never probe a sketch with the wrong
+    * hash setup. The sketch tables are tiny (groups·m or d·w rows);
+    * `append` [[hllMerge]]s/[[cmsMerge]]s new shard sketches INTO the
+    * store — exact by sketch algebra, so "build from everything" and
+    * "append shard by shard" are indistinguishable. */
+  def writeSketchStore(sketch: DataFrame, name: String, kind: String,
+                       params: Map[String, String]): Unit = {
+    require(kind == "hll" || kind == "cms", s"kind must be hll|cms, got $kind")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    graft.sources.IO.dropOrphanedLocation(spark, s"${name}_meta")
+    graft.sources.IO.dropOrphanedLocation(spark, s"${name}_sketch")
+    (Seq("kind" -> kind) ++ params.toSeq.sortBy(_._1)).toDF("key", "value")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_meta")
+    sketch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_sketch")
+  }
+
+  /** Read back (kind, params, sketch rows). */
+  def readSketchStore(spark: org.apache.spark.sql.SparkSession,
+                      name: String): (String, Map[String, String], DataFrame) = {
+    val meta = spark.table(s"${name}_meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (meta("kind"), meta - "kind", spark.table(s"${name}_sketch"))
+  }
+
+  /** Fold a new shard's sketch into the store (register max / cell sum per
+    * the stored kind). The merged result replaces the sketch table; meta
+    * is untouched (parameters are frozen at build). Exactness: the merge
+    * IS the sketch of the union, so repeated appends never drift. */
+  def appendToSketchStore(shard: DataFrame, name: String,
+                          groupCols: Seq[String] = Nil): Unit = {
+    val spark = shard.sparkSession
+    val (kind, _, existing) = readSketchStore(spark, name)
+    val merged = kind match {
+      case "hll" => hllMerge(existing.unionByName(shard), groupCols)
+      case _     => cmsMerge(existing.unionByName(shard))
+    }
+    // materialize BEFORE overwriting: the merged plan reads the table it
+    // is about to replace
+    val out = merged.localCheckpoint()
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_sketch")
+  }
+
   /** [[cmsSketch]] over an already-exploded item frame (shared tokenization
     * with the candidate/verify passes). */
   def cmsSketchOf(items: DataFrame, itemCol: Column, d: Int, w: Int,

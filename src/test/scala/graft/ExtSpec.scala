@@ -4045,6 +4045,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch store: persisted params, shard appends equal build-from-union") {
+    val items = (0 until 4000).map(i => s"it$i")
+    def sk(xs: Seq[String]) = Sketch.hllSketch(
+      xs.toDF("x").withColumn("g", lit("a")), Seq("g"), col("x"))
+    // build from the first shard, append the second (overlapping)
+    Sketch.writeSketchStore(sk(items.take(2500)), "fb_test_skstore", "hll",
+      Map("m" -> "256", "salt" -> "graft:hll"))
+    Sketch.appendToSketchStore(sk(items.drop(1500)), "fb_test_skstore",
+      groupCols = Seq("g"))
+    val (kind, params, stored) = Sketch.readSketchStore(spark, "fb_test_skstore")
+    assert(kind == "hll" && params("m") == "256")
+    val got = stored.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = sk(items).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == whole) // append-by-shards == build-from-union, EXACTLY
+    // and the estimate read off the store matches the direct one
+    val ev = Sketch.hllEstimate(stored, Seq("g"), 256).collect().head.getDouble(2)
+    val dv = Sketch.hllEstimate(sk(items), Seq("g"), 256).collect().head.getDouble(2)
+    assert(ev == dv)
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.
