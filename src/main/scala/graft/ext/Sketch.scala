@@ -307,13 +307,19 @@ object Sketch {
     * store — exact by sketch algebra, so "build from everything" and
     * "append shard by shard" are indistinguishable. */
   def writeSketchStore(sketch: DataFrame, name: String, kind: String,
-                       params: Map[String, String]): Unit = {
+                       params: Map[String, String],
+                       groupCols: Seq[String] = Nil): Unit = {
     require(kind == "hll" || kind == "cms", s"kind must be hll|cms, got $kind")
+    require(groupCols.forall(c => !c.contains(",")),
+      s"group column names may not contain ',': $groupCols")
+    require(!params.contains("kind") && !params.contains("groupCols"),
+      "'kind' and 'groupCols' are reserved meta keys")
     val spark = sketch.sparkSession
     import spark.implicits._
     graft.sources.IO.dropOrphanedLocation(spark, s"${name}_meta")
     graft.sources.IO.dropOrphanedLocation(spark, s"${name}_sketch")
-    (Seq("kind" -> kind) ++ params.toSeq.sortBy(_._1)).toDF("key", "value")
+    (Seq("kind" -> kind, "groupCols" -> groupCols.mkString(",")) ++
+        params.toSeq.sortBy(_._1)).toDF("key", "value")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_meta")
@@ -332,20 +338,43 @@ object Sketch {
   /** Fold a new shard's sketch into the store (register max / cell sum per
     * the stored kind). The merged result replaces the sketch table; meta
     * is untouched (parameters are frozen at build). Exactness: the merge
-    * IS the sketch of the union, so repeated appends never drift. */
+    * IS the sketch of the union, so repeated appends never drift.
+    *
+    * `shardParams` are the parameters the SHARD sketch was built with
+    * (same map shape as [[writeSketchStore]]'s `params` — m/salt for HLL,
+    * d/w/salt for CMS); they must equal the frozen store meta exactly, or
+    * the merge would silently mix incompatible register/cell spaces. HLL
+    * group columns come from the store meta, never the caller — a grouped
+    * store can't be collapsed by an append that forgot them.
+    *
+    * Crash posture: the merged table is written under `<name>_sketch_tmp`
+    * first and then swapped in (drop + rename). The swap itself is not
+    * atomic — a failure between the drop and the rename leaves the store
+    * without `<name>_sketch`, but the FULL merged result survives in
+    * `<name>_sketch_tmp`; recovery is one `ALTER TABLE … RENAME`, never a
+    * rebuild (mirrors `buildIvfPqIndex`'s documented non-atomicity). */
   def appendToSketchStore(shard: DataFrame, name: String,
-                          groupCols: Seq[String] = Nil): Unit = {
+                          shardParams: Map[String, String]): Unit = {
     val spark = shard.sparkSession
-    val (kind, _, existing) = readSketchStore(spark, name)
+    val (kind, stored, existing) = readSketchStore(spark, name)
+    val frozen = stored - "groupCols"
+    require(shardParams == frozen,
+      s"shard sketch params $shardParams != frozen store meta $frozen for " +
+        s"'$name' — a sketch built with a different hash setup cannot be merged")
+    val groupCols = stored.get("groupCols").filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty[String])
     val merged = kind match {
       case "hll" => hllMerge(existing.unionByName(shard), groupCols)
       case _     => cmsMerge(existing.unionByName(shard))
     }
-    // materialize BEFORE overwriting: the merged plan reads the table it
-    // is about to replace
+    // materialize BEFORE touching the catalog: the merged plan reads the
+    // table it is about to replace
     val out = merged.localCheckpoint()
+    graft.sources.IO.dropOrphanedLocation(spark, s"${name}_sketch_tmp")
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${name}_sketch")
+      .saveAsTable(s"${name}_sketch_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_sketch")
+    spark.sql(s"ALTER TABLE ${name}_sketch_tmp RENAME TO ${name}_sketch")
   }
 
   /** [[cmsSketch]] over an already-exploded item frame (shared tokenization

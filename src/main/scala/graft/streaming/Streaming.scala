@@ -547,6 +547,10 @@ object Streaming {
     private var epochFp: DataFrame = null
     private var deltaFp: DataFrame = null
     private var batchesSinceRefresh = 0
+    private var filterSeq = 0 // next batch-filter FILE index; monotonic
+    // across reloads (never reset to an index with a live file), so a
+    // post-restart fold can never overwrite a pre-crash filter file and
+    // silently drop coverage of that batch's keys
     private var expectedRaw = 0L // history rows the persisted state covers
     private var releaseEpoch: () => Unit = noopRelease
     private var releaseDelta: () => Unit = noopRelease
@@ -568,6 +572,7 @@ object Streaming {
       epochBytes = keying.bloom(epochFp, Some(capacity), fpp)
       batchBytes = Nil
       batchesSinceRefresh = 0
+      filterSeq = 0 // safe: the persist below clears batch_filters/
       stateDir.foreach { dir =>
         expectedRaw = history.count()
         epochFp.write.mode("overwrite").parquet(s"$dir/epoch_fp")
@@ -602,11 +607,17 @@ object Streaming {
               deltaFp = d; releaseDelta = dr
             } else { deltaFp = null; releaseDelta = noopRelease }
             val bfPath = new org.apache.hadoop.fs.Path(s"$dir/batch_filters")
-            batchBytes =
-              if (fs.exists(bfPath))
-                fs.listStatus(bfPath).toList
-                  .map(st => readBytes(fs, st.getPath.toString))
-              else Nil
+            val bfStatuses =
+              if (fs.exists(bfPath)) fs.listStatus(bfPath).toList else Nil
+            batchBytes = bfStatuses.map(st => readBytes(fs, st.getPath.toString))
+            // resume the filter-file sequence PAST every live file: the
+            // pre-crash f0..fN must keep covering their batches' keys, so
+            // post-reload folds write fresh indices instead of overwriting
+            val FilterName = """f(\d+)\.bloom""".r
+            filterSeq = bfStatuses.map(_.getPath.getName).foldLeft(0) {
+              case (acc, FilterName(i)) => math.max(acc, i.toInt + 1)
+              case (acc, _)             => acc
+            }
             // a long pre-crash epoch can leave many small filter files;
             // collapse the probe list to one delta-sized filter (the
             // persisted covering set stays untouched)
@@ -700,8 +711,9 @@ object Streaming {
       stateDir.foreach { dir =>
         val fs = fsOf(fresh)
         acceptedFp.write.mode("append").parquet(s"$dir/delta_fp")
-        writeBytes(fs, s"$dir/batch_filters/f$batchesSinceRefresh.bloom",
+        writeBytes(fs, s"$dir/batch_filters/f$filterSeq.bloom",
           batchBytes.head)
+        filterSeq += 1
         expectedRaw += fresh.count()
         writeMeta(fs)
       }

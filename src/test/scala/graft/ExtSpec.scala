@@ -4049,13 +4049,22 @@ class ExtSpec extends AnyFunSuite {
     val items = (0 until 4000).map(i => s"it$i")
     def sk(xs: Seq[String]) = Sketch.hllSketch(
       xs.toDF("x").withColumn("g", lit("a")), Seq("g"), col("x"))
-    // build from the first shard, append the second (overlapping)
+    // build from the first shard, append the second (overlapping); the
+    // append states the shard's build params and inherits groupCols from
+    // the frozen meta (it cannot collapse a grouped store by omission)
+    val buildParams = Map("m" -> "256", "salt" -> "graft:hll")
     Sketch.writeSketchStore(sk(items.take(2500)), "fb_test_skstore", "hll",
-      Map("m" -> "256", "salt" -> "graft:hll"))
+      buildParams, groupCols = Seq("g"))
     Sketch.appendToSketchStore(sk(items.drop(1500)), "fb_test_skstore",
-      groupCols = Seq("g"))
+      buildParams)
     val (kind, params, stored) = Sketch.readSketchStore(spark, "fb_test_skstore")
-    assert(kind == "hll" && params("m") == "256")
+    assert(kind == "hll" && params("m") == "256" && params("groupCols") == "g")
+    // a shard built with a DIFFERENT hash setup must be refused, not merged
+    val mismatch = intercept[IllegalArgumentException] {
+      Sketch.appendToSketchStore(sk(items.take(10)), "fb_test_skstore",
+        Map("m" -> "512", "salt" -> "graft:hll"))
+    }
+    assert(mismatch.getMessage.contains("frozen store meta"))
     val got = stored.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     val whole = sk(items).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet

@@ -669,6 +669,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(!st.tryReload(history()))
   }
 
+  test("IngestEpochState: batch-filter files survive reload cycles (no index reuse)") {
+    // Regression: fold used to name filter files f<batchesSinceRefresh>,
+    // and tryReload reset that counter to 0 while pre-crash f0..fN stayed
+    // on disk — the first post-restart fold OVERWROTE f0.bloom, so after a
+    // SECOND restart the reloaded filter list no longer covered batch-0's
+    // keys and probeConfirm admitted their duplicates as definitely-fresh.
+    // The file index is now monotonic across reloads.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_filterseq")
+    val histDir = root.resolve("hist").toString
+    val stateDir = root.resolve("state").toString
+    Seq((0L, "the original history document"))
+      .toDF("doc_id", "text").write.parquet(histDir)
+    def history() = spark.read.parquet(histDir)
+    def appendHist(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select(col("doc_id"), col("text"))
+        .write.mode("append").parquet(histDir)
+
+    val s1 = new Streaming.IngestEpochState(0.01, 100L, Some(stateDir))
+    s1.refresh(history(), "text")
+    val b0 = Seq((10L, "first epoch batch zero keys")).toDF("doc_id", "text")
+    val f0 = s1.probe(b0, "doc_id", "text")
+    appendHist(f0); s1.fold(f0, "text")
+
+    // crash #1 → reload; the new state must resume PAST the live f0.bloom
+    val s2 = new Streaming.IngestEpochState(0.01, 100L, Some(stateDir))
+    assert(s2.tryReload(history()), "first reload should accept the state")
+    val b1 = Seq((11L, "second batch after the restart")).toDF("doc_id", "text")
+    val f1 = s2.probe(b1, "doc_id", "text")
+    appendHist(f1); s2.fold(f1, "text")
+    val bfDir = root.resolve("state").resolve("batch_filters").toFile
+    val bloomFiles = bfDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".bloom")).filterNot(_.startsWith(".")).toSet
+    assert(bloomFiles == Set("f0.bloom", "f1.bloom"),
+      "post-restart fold must write a fresh index, not overwrite f0")
+
+    // crash #2 → reload; batch-0's keys must STILL be covered: a dup of
+    // the pre-crash batch-0 doc may not come back as fresh
+    val s3 = new Streaming.IngestEpochState(0.01, 100L, Some(stateDir))
+    assert(s3.tryReload(history()), "second reload should accept the state")
+    val dupes = Seq((20L, "first epoch batch zero keys"),
+      (21L, "second batch after the restart"),
+      (22L, "a genuinely new arrival")).toDF("doc_id", "text")
+    val fresh = s3.probe(dupes, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(22L),
+      s"duplicates of pre-crash batches must be rejected, got fresh=$fresh")
+  }
+
   test("dedupIncrementalNear: persisted near state survives a restart without rescan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
