@@ -1131,6 +1131,51 @@ object ExtQueries {
       graft.ext.Sketch.cmsHeavyHitters(docsPar(s, dir), "text", k = 20,
           d = 4, w = 1024, sampleFrac = 0.2)
         .orderBy(col("rank"))),
+    // Per-source token-count quantiles (p50/p90/p99) from a log-linear
+    // histogram sketch (HdrHistogram buckets, rel. error <= 2^-5): bounded
+    // state however many documents flow. The sketch is built as a MERGE of
+    // two doc_id-parity shard sketches, so the oracled path exercises the
+    // exact merge algebra (bucket-count sum = sketch of the union).
+    "q149_length_quantiles" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      def shard(p: DataFrame) = graft.ext.Sketch.logHistSketch(p,
+        Seq("source"),
+        size(graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))),
+        subBits = 5)
+      graft.ext.Sketch.logHistQuantiles(
+          graft.ext.Sketch.logHistMerge(
+            shard(docs.filter(col("doc_id") % 2 === 0))
+              .unionByName(shard(docs.filter(col("doc_id") % 2 =!= 0))),
+            Seq("source")),
+          Seq("source"), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("source"), col("q"))
+    },
+    // Pairwise source token-set RESEMBLANCE (Jaccard) from bottom-k
+    // sketches — q147's overlap audit restated as the ratio near-dup
+    // scoping thresholds on, with k-bounded per-source state. The
+    // distinct-shuffle is guarded by a per-source HLL threshold (~5k
+    // expected survivors), never the full vocabulary.
+    "q150_bottomk_resemblance" -> ((s, dir) =>
+      graft.ext.Sketch.tokenResemblance(docsPar(s, dir), "text", "source",
+          k = 256)
+        .orderBy(col("src_a"), col("src_b"))),
+    // Moore-Lewis cross-entropy difference selection: nll under the
+    // in-domain model (English docs of src0-src3) minus nll under the
+    // general model (whole corpus); keep the lowest 25% — the classic
+    // in-domain selection the plain perplexity filter (q90) can't express.
+    // Same histogram-CDF cut + boundary tie-fill as q94 (equivalent to
+    // rank by (ml_score ASC, doc_id) <= ceil(0.25 n_scored), which is what
+    // the oracle replays as one window).
+    "q151_crossentropy_select" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      graft.ext.Perplexity.crossEntropySelect(docs, "doc_id", "text",
+          inDomain = docs.filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2", "src3")),
+          general = docs, keepFrac = 0.25)
+        .select(col("doc_id"), col("lang"), col("ml_grams"), col("nll_in"),
+          col("nll_gen"), col("ml_score"), col("selected"))
+        .orderBy(col("doc_id"))
+    }),
     // The COMPOSED crawl pipeline (RefinedWeb order): URL dedup → URL
     // rules → C4 → Gopher → exact → MinHash near-dup → semantic, one
     // fate per input doc. Fixture synthesis (mirrored in the oracle):
@@ -1615,38 +1660,53 @@ object ExtQueries {
   private val docToksC =
     """string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"""
 
-  /** Shared q90/q95 perplexity replay CTEs: bigram add-1 model trained on
-    * the English slice, per-document mean NLL summed in DOCUMENT ORDER —
-    * ends at `f` = (doc_id, lm_grams, lm_oov, s). */
-  private def pplCtes: String =
-    s"""WITH t AS (SELECT doc_id, lang, $docToks AS toks FROM documents),
-       |r AS (SELECT toks FROM t WHERE lang = 'en'),
-       |rg AS (SELECT unnest(CASE WHEN len(toks) >= 2
-       |    THEN list_transform(range(1, len(toks)),
-       |      i -> concat_ws(' ', toks[i], toks[i+1]))
-       |    ELSE [] END) AS gram FROM r),
-       |gc AS (SELECT gram, count(*) AS c FROM rg GROUP BY 1
-       |  QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 1048576),
-       |ru AS (SELECT unnest(toks) AS u FROM r),
-       |uc AS (SELECT u, count(*) AS c FROM ru GROUP BY 1
-       |  QUALIFY row_number() OVER (ORDER BY c DESC, u) <= 1048576),
-       |vv AS (SELECT count(*) + 1 AS v FROM uc),
+  /** Shared perplexity-replay header: tokenized documents (`t`) and the
+    * per-document scored-bigram stream (`dg`/`sc`) — the REF-INDEPENDENT
+    * half of the q90 machinery, shared by every model [[pplModelCtes]]
+    * stacks on top (q151 scores the same stream under TWO models). */
+  private def pplHeaderCtes: String =
+    s"""WITH t AS (SELECT doc_id, lang, source, $docToks AS toks FROM documents),
        |dg AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
        |  FROM t WHERE len(toks) >= 2),
        |sc AS (SELECT doc_id, i AS pos,
        |    concat_ws(' ', toks[i], toks[i+1]) AS gram, toks[i] AS ctx
-       |  FROM dg),
-       |j AS (SELECT sc.doc_id, sc.pos, gc.c AS cg, uc.c AS cc
-       |  FROM sc LEFT JOIN gc ON sc.gram = gc.gram
-       |    LEFT JOIN uc ON sc.ctx = uc.u),
-       |nl AS (SELECT doc_id, pos, cg IS NULL AS oov,
+       |  FROM dg)""".stripMargin
+
+  /** One bigram add-1 model + scoring pass, parametric over the reference
+    * slice (`refWhere` over `t`) and a CTE prefix `p` (so two models can
+    * share one WITH list): trains capped gram/unigram counts, scores the
+    * shared `sc` stream, folds per-document NLLs in DOCUMENT ORDER — ends
+    * at `${p}f` = (doc_id, lm_grams, lm_oov, s). */
+  private def pplModelCtes(refWhere: String, p: String): String =
+    s"""${p}r AS (SELECT toks FROM t WHERE $refWhere),
+       |${p}rg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1]))
+       |    ELSE [] END) AS gram FROM ${p}r),
+       |${p}gc AS (SELECT gram, count(*) AS c FROM ${p}rg GROUP BY 1
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 1048576),
+       |${p}ru AS (SELECT unnest(toks) AS u FROM ${p}r),
+       |${p}uc AS (SELECT u, count(*) AS c FROM ${p}ru GROUP BY 1
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, u) <= 1048576),
+       |${p}vv AS (SELECT count(*) + 1 AS v FROM ${p}uc),
+       |${p}j AS (SELECT sc.doc_id, sc.pos, ${p}gc.c AS cg, ${p}uc.c AS cc
+       |  FROM sc LEFT JOIN ${p}gc ON sc.gram = ${p}gc.gram
+       |    LEFT JOIN ${p}uc ON sc.ctx = ${p}uc.u),
+       |${p}nl AS (SELECT doc_id, pos, cg IS NULL AS oov,
        |    -ln(CAST(coalesce(cg, 0) + 1 AS DOUBLE) /
-       |        CAST(coalesce(cc, 0) + (SELECT v FROM vv) AS DOUBLE)) AS nll
-       |  FROM j),
-       |f AS (SELECT doc_id, count(*) AS lm_grams,
+       |        CAST(coalesce(cc, 0) + (SELECT v FROM ${p}vv) AS DOUBLE)) AS nll
+       |  FROM ${p}j),
+       |${p}f AS (SELECT doc_id, count(*) AS lm_grams,
        |    count(*) FILTER (WHERE oov) AS lm_oov,
        |    list_sum(list(nll ORDER BY pos)) AS s
-       |  FROM nl GROUP BY 1)""".stripMargin
+       |  FROM ${p}nl GROUP BY 1)""".stripMargin
+
+  /** Shared q90/q95 perplexity replay CTEs: bigram add-1 model trained on
+    * the English slice, per-document mean NLL summed in DOCUMENT ORDER —
+    * ends at `f` = (doc_id, lm_grams, lm_oov, s). */
+  private def pplCtes: String =
+    s"""$pplHeaderCtes,
+       |${pplModelCtes("lang = 'en'", "")}""".stripMargin
 
   /** Shared q93/q94 DSIR replay CTEs: hashed uni+bigram buckets (q53's md5
     * arithmetic, salt "graft:dsir", B = 10000), bucket-count models on the
@@ -2044,6 +2104,123 @@ object ExtQueries {
        |FROM top LEFT JOIN ex ON top.tok = ex.tok
        |ORDER BY rank""".stripMargin
 
+  /** q149: the log-histogram replay — integer bucket arithmetic
+    * (floor(log2 v) as binary digit count − 1, shift-down/shift-up bucket
+    * floors), per-source bucket counts (the shard merge is a count sum, so
+    * building from all documents replays the merged shards exactly),
+    * partitioned cumulative window, ceil(q·n) target pick. */
+  private val lengthQuantilesSql: String =
+    s"""WITH t AS (SELECT source, len($docToksC) AS v FROM documents),
+       |b AS (SELECT source, v, greatest(length(bin(v)) - 6, 0) AS sh FROM t),
+       |bk AS (SELECT source, (v >> sh) << sh AS lo,
+       |    (CAST(1 AS BIGINT) << sh) AS w FROM b),
+       |sk AS (SELECT source, lo, w, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+       |cm AS (SELECT source, lo, w, c,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY lo) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM sk),
+       |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+       |    CAST(0.99 AS DOUBLE)]) AS q)
+       |SELECT source, q, n, lo AS est_lo, lo + w - 1 AS est_hi,
+       |  CAST(lo + lo + w - 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS est_mid
+       |FROM cm CROSS JOIN qs
+       |WHERE cum >= greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+       |  AND cum - c < greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+       |ORDER BY source, q""".stripMargin
+
+  /** q150: the bottom-k replay — q142's register machinery under the guard
+    * salt for the per-source distinct estimate, the identical IEEE
+    * threshold chain on the 6-dp estimate, hash-word filter + distinct +
+    * per-source rank ≤ k, then the pair-scoped union rank and Broder's
+    * |S ∩ A ∩ B| / |S| estimator. */
+  private val bottomkResemblanceSql: String =
+    s"""WITH t AS (SELECT source, unnest($docToksC) AS tok FROM documents),
+       |h AS (SELECT source, md5(tok || ':graft:bk:guard') AS h FROM t),
+       |rw AS (SELECT source,
+       |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 256 AS reg,
+       |    length(regexp_extract(substr(h, 9, 8), '^0*')) AS z,
+       |    substr(h, 9, 8) AS w
+       |  FROM h),
+       |rk AS (SELECT source, reg,
+       |    CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+       |      (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+       |            WHEN v >= 2 THEN 2 ELSE 3 END) + 1 END AS rank
+       |  FROM (SELECT source, reg, z,
+       |      CASE WHEN z = 8 THEN 0
+       |           ELSE CAST(('0x' || substr(w, z + 1, 1)) AS BIGINT) END AS v
+       |    FROM rw)),
+       |m AS (SELECT source, reg, max(rank) AS maxr FROM rk GROUP BY 1, 2),
+       |g AS (SELECT source, count(*) AS filled,
+       |    sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << maxr) AS DOUBLE)) AS hs
+       |  FROM m GROUP BY 1),
+       |e AS (SELECT source, 256 - filled AS zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+       |      * CAST(65536 AS DOUBLE)
+       |      / (hs + CAST(256 - filled AS DOUBLE)) AS eraw
+       |  FROM g),
+       |es AS (SELECT source, round(CASE
+       |    WHEN eraw <= CAST(640 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |    WHEN eraw > CAST(4294967296 AS DOUBLE) / CAST(30 AS DOUBLE)
+       |      THEN -CAST(4294967296 AS DOUBLE)
+       |        * ln(CAST(1 AS DOUBLE) - eraw / CAST(4294967296 AS DOUBLE))
+       |    ELSE eraw END, 6) AS est FROM e),
+       |thr AS (SELECT source, CAST(ceil(least(CAST(1 AS DOUBLE),
+       |      CAST(1024 AS DOUBLE) / greatest(est * CAST(0.8 AS DOUBLE),
+       |        CAST(1 AS DOUBLE)))
+       |    * CAST(4294967296 AS DOUBLE)) AS BIGINT) AS thr FROM es),
+       |hv AS (SELECT DISTINCT source, md5(tok || ':graft:bk') AS hv FROM t),
+       |sv AS (SELECT hv.source, hv.hv FROM hv JOIN thr USING (source)
+       |  WHERE CAST(('0x' || substr(hv.hv, 1, 8)) AS BIGINT) < thr.thr),
+       |sk AS (SELECT source, hv FROM (SELECT source, hv,
+       |    row_number() OVER (PARTITION BY source ORDER BY hv) AS r FROM sv)
+       |  WHERE r <= 256),
+       |gs AS (SELECT DISTINCT source FROM sk),
+       |pr AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM gs a CROSS JOIN gs b WHERE a.source < b.source),
+       |au AS (SELECT pr.sa, pr.sb, sk.hv, CAST(1 AS BIGINT) AS ina
+       |  FROM pr JOIN sk ON sk.source = pr.sa),
+       |bu AS (SELECT pr.sa, pr.sb, sk.hv, CAST(1 AS BIGINT) AS inb
+       |  FROM pr JOIN sk ON sk.source = pr.sb),
+       |u AS (SELECT sa, sb, hv, coalesce(ina, 0) AS ina, coalesce(inb, 0) AS inb
+       |  FROM au FULL JOIN bu USING (sa, sb, hv)),
+       |r AS (SELECT sa, sb, ina, inb,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rk FROM u)
+       |SELECT sa AS src_a, sb AS src_b, count(*) AS union_k,
+       |  CAST(sum(ina * inb) AS BIGINT) AS shared,
+       |  round(CAST(sum(ina * inb) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS est_jaccard
+       |FROM r WHERE rk <= 256 GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+
+  /** q151: the Moore-Lewis replay — q90's header CTEs scored under TWO
+    * models ([[pplModelCtes]] with prefixes a/b: in-domain = English docs
+    * of src0-src3, general = the whole corpus), per-doc 6-dp means, the
+    * 6-dp score difference, and the selection cut as one
+    * (ml_score ASC, doc_id) rank window over the scorable docs —
+    * equivalent to the engine's histogram-CDF cutoff + boundary tie-fill
+    * (the q94 argument, ascending). */
+  private val crossEntropySelectSql: String =
+    s"""$pplHeaderCtes,
+       |${pplModelCtes("lang = 'en' AND source IN ('src0','src1','src2','src3')", "a")},
+       |${pplModelCtes("TRUE", "b")},
+       |sc2 AS (SELECT d.doc_id, d.lang,
+       |    CAST(coalesce(af.lm_grams, 0) AS BIGINT) AS ml_grams,
+       |    CASE WHEN af.lm_grams > 0 THEN round(af.s / af.lm_grams, 6) END AS nll_in,
+       |    CASE WHEN bf.lm_grams > 0 THEN round(bf.s / bf.lm_grams, 6) END AS nll_gen
+       |  FROM documents d LEFT JOIN af ON af.doc_id = d.doc_id
+       |    LEFT JOIN bf ON bf.doc_id = d.doc_id),
+       |ml AS (SELECT *, round(nll_in - nll_gen, 6) AS ml_score FROM sc2),
+       |ns AS (SELECT count(*) AS n FROM ml WHERE ml_score IS NOT NULL),
+       |rnk AS (SELECT doc_id, row_number() OVER (ORDER BY ml_score, doc_id) AS r
+       |  FROM ml WHERE ml_score IS NOT NULL)
+       |SELECT ml.doc_id, ml.lang, ml.ml_grams, ml.nll_in, ml.nll_gen, ml.ml_score,
+       |  coalesce(rnk.r <= CAST(ceil(CAST(0.25 AS DOUBLE) * CAST(ns.n AS DOUBLE))
+       |    AS BIGINT), FALSE) AS selected
+       |FROM ml LEFT JOIN rnk USING (doc_id) CROSS JOIN ns
+       |ORDER BY doc_id""".stripMargin
+
   private val bruteCosineSql =
     s"""WITH $cosineCtes,
        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2422,6 +2599,9 @@ object ExtQueries {
     "q142_hll_vocab" -> hllVocabSql,
     "q147_hll_source_overlap" -> hllOverlapSql,
     "q143_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "q149_length_quantiles" -> lengthQuantilesSql,
+    "q150_bottomk_resemblance" -> bottomkResemblanceSql,
+    "q151_crossentropy_select" -> crossEntropySelectSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions
     // CAST to DOUBLE (the DuckDB bare-decimal gotcha)

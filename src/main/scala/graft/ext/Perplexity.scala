@@ -286,6 +286,85 @@ object Perplexity {
       .withColumn("sb_hits", coalesce(col("sb_hits"), lit(0L)))
   }
 
+  /** Moore-Lewis cross-entropy difference selection (Moore & Lewis 2010,
+    * ACL, "Intelligent Selection of Language Model Training Data" — the
+    * public recipe behind in-domain data selection): score each document
+    * by H_in(doc) − H_gen(doc), its per-gram NLL under a model trained on
+    * a trusted IN-DOMAIN slice minus its NLL under a model trained on the
+    * GENERAL corpus. Subtracting the general score cancels "this document
+    * is just easy/hard text" — a document ranks high only if the in-domain
+    * model specifically likes it MORE than the general model does, which a
+    * plain perplexity filter ([[perplexityScore]]) cannot distinguish.
+    * Lower score = more in-domain-like; selection keeps the lowest
+    * fraction.
+    *
+    * Appends `ml_grams` (scored n-grams), `nll_in`, `nll_gen` (each 6 dp,
+    * null for docs shorter than n) and `ml_score` = round(nll_in −
+    * nll_gen, 6). Scale shape: exactly two [[perplexityScore]] passes —
+    * two capped broadcast models over the same exploded gram stream; the
+    * corpus never shuffles beyond the two skinny per-doc folds. */
+  def crossEntropyDiffScore(df: DataFrame, idCol: String, textCol: String,
+                            inDomain: DataFrame, general: DataFrame,
+                            n: Int = 2, k: Long = 1L, maxVocab: Int = 1 << 20,
+                            tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    val in = perplexityScore(df, idCol, textCol, inDomain, n, k, maxVocab,
+        tokenizer)
+      .withColumnRenamed("nll_mean", "nll_in")
+      .withColumnRenamed("lm_oov", "oov_in")
+      .drop("lm_grams")
+    perplexityScore(in, idCol, textCol, general, n, k, maxVocab, tokenizer)
+      .withColumnRenamed("nll_mean", "nll_gen")
+      .withColumnRenamed("lm_oov", "oov_gen")
+      .withColumnRenamed("lm_grams", "ml_grams")
+      .withColumn("ml_score", round(col("nll_in") - col("nll_gen"), 6))
+  }
+
+  /** [[crossEntropyDiffScore]] + the selection terminal: flag the
+    * `keepFrac` LOWEST-scoring documents (most in-domain-like) as
+    * `selected`. Same histogram-CDF cut as [[graft.ext.Dsir.dsirSelect]]
+    * — a score-value histogram, the two-phase distributed prefix sum
+    * (never a global-order window), a driver-side cutoff (bounded: one
+    * row), and a boundary tie-fill by `idCol` via distributed
+    * orderBy/limit — equivalent to rank by (ml_score ASC, id ASC) ≤
+    * ceil(keepFrac·n_scored), which is what the oracle replays as one
+    * window. Unscorable documents (shorter than the LM order) are never
+    * selected and don't count toward n_scored. */
+  def crossEntropySelect(df: DataFrame, idCol: String, textCol: String,
+                         inDomain: DataFrame, general: DataFrame,
+                         keepFrac: Double, n: Int = 2, k: Long = 1L,
+                         maxVocab: Int = 1 << 20,
+                         tokenizer: Column => Column = TextStats.tokens,
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    // the scored relation feeds the histogram, the tie scan and the final
+    // projection — materialized once (the double-model scoring pipeline is
+    // the dominant cost; see perplexityBuckets' measurement)
+    val scored = CheckpointStrategy.materializer(checkpoint)(
+      crossEntropyDiffScore(df, idCol, textCol, inDomain, general, n, k,
+        maxVocab, tokenizer))
+    val hist = scored.filter(col("ml_score").isNotNull)
+      .groupBy(col("ml_score")).agg(count(lit(1)).as("__c"))
+    val cum = Corpus.prefixSum(hist, "ml_score", "__c", "__cum", checkpoint)
+      .localCheckpoint()
+    if (cum.isEmpty) // nothing scorable: nothing selected
+      return scored.withColumn("selected", lit(false))
+    val nScored = cum.agg(max(col("__cum"))).head().getLong(0)
+    val keep = math.ceil(keepFrac * nScored).toLong
+    val boundary = cum.filter(col("__cum") >= keep)
+      .orderBy(col("ml_score")).limit(1).head()
+    val cutoff = boundary.getAs[Double]("ml_score")
+    val tieFill =
+      (keep - (boundary.getAs[Long]("__cum") - boundary.getAs[Long]("__c"))).toInt
+    val tieKeep = scored.filter(col("ml_score") === lit(cutoff))
+      .select(col(idCol)).orderBy(col(idCol)).limit(tieFill)
+      .withColumn("__tie", lit(true))
+    scored.join(tieKeep, Seq(idCol), "left")
+      .withColumn("selected", col("ml_score").isNotNull &&
+        (col("ml_score") < lit(cutoff) || coalesce(col("__tie"), lit(false))))
+      .drop("__tie")
+  }
+
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2019, §4.3):
     * label each document by which perplexity tercile it falls in — `head`
     * (lowest NLL, most reference-like), `middle`, `tail`. Most public

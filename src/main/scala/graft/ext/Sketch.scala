@@ -295,11 +295,222 @@ object Sketch {
   }
 
   // ---------------------------------------------------------------------
+  // Log-linear histogram sketch (the HdrHistogram bucket design, Gil Tene,
+  // github.com/HdrHistogram — public; same posture as DDSketch, Masson et
+  // al. 2019 VLDB) — quantiles of a non-negative integer metric in
+  // bounded-relative-error buckets
+  // ---------------------------------------------------------------------
+
+  /** Bucket of one non-negative long `v` at `subBits` sub-buckets per
+    * octave: values below 2^(subBits+1) get unit-width buckets (exact);
+    * above, the bucket holding v ∈ [2^e, 2^(e+1)) has width 2^(e−subBits),
+    * so the relative error of any in-bucket representative is ≤ 2^−subBits.
+    * All INTEGER arithmetic — floor(log2 v) is the binary digit count − 1
+    * (string length of `conv(v, 10, 2)`, no float log), the bucket floor a
+    * shift-down/shift-up — so any engine with integer shifts reproduces
+    * the bucket ids bit-for-bit (the q142 register discipline applied to
+    * histograms). Negative inputs clamp to 0 (callers feed counts/lengths;
+    * the clamp is documented, not silent: a negative metric is a caller
+    * bug, not a value this sketch can represent). Appends `lo` (bucket
+    * floor) and `w` (bucket width; hi = lo + w − 1); all other columns are
+    * carried through — the pre-aggregation projection shared with the
+    * STREAMING quantile monitor
+    * ([[graft.streaming.Streaming.lengthQuantiles]]). */
+  def logHistBuckets(df: DataFrame, valueCol: Column,
+                     subBits: Int = 5): DataFrame = {
+    require(subBits >= 0 && subBits <= 16,
+      s"subBits must be in [0,16], got $subBits")
+    df.withColumn("__v", greatest(valueCol.cast("long"), lit(0L)))
+      .withColumn("__sh",
+        greatest(length(conv(col("__v"), 10, 2)) - lit(1 + subBits), lit(0)))
+      .withColumn("lo", expr("shiftleft(shiftright(__v, __sh), __sh)"))
+      .withColumn("w", expr("shiftleft(1L, __sh)"))
+      .drop("__v", "__sh")
+  }
+
+  /** Build the per-group log-histogram sketch of `valueCol`: (group…, lo,
+    * w, c) with at most ~(64 − subBits)·2^subBits rows per group however
+    * many values flow — bounded state, map-side-combined shuffle (the
+    * HLL/CMS scale shape for quantiles). The counts are exact integers, so
+    * a merge of shard sketches equals the sketch of the union EXACTLY. */
+  def logHistSketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                    subBits: Int = 5): DataFrame =
+    logHistBuckets(
+        df.select(groupCols.map(col) :+ valueCol.cast("long").as("__m"): _*),
+        col("__m"), subBits)
+      .groupBy(groupCols.map(col) :+ col("lo") :+ col("w"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge log-histogram sketches (same subBits): count sum per bucket.
+    * Associative and commutative — shard/epoch order never matters. */
+  def logHistMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col) :+ col("lo") :+ col("w"): _*)
+      .agg(sum(col("c")).as("c"))
+
+  /** Quantile estimates from a log-histogram sketch: for each group and
+    * each q in `qs`, the bucket holding the ceil(q·n)-th smallest value —
+    * (group…, q, n, est_lo, est_hi, est_mid), where est_mid = (lo + hi)/2
+    * (an exact dyadic half, bit-identical in any IEEE engine) and the true
+    * quantile lies in [est_lo, est_hi] with relative width ≤ 2^−subBits.
+    *
+    * Scale shape: the cumulative window is PARTITIONED by group (bounded
+    * rows per group by construction), never a global sort; the q list is a
+    * broadcast literal. `groupCols` must be non-empty — for corpus-global
+    * quantiles pass a constant group so the window stays partitioned. */
+  def logHistQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                       qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "logHistQuantiles needs >= 1 group column (use a constant group for " +
+        "global quantiles — keeps the cumulative window partitioned)")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("__cum", sum(col("c")).over(wg.orderBy(col("lo"))))
+      .withColumn("__n", sum(col("c")).over(wg))
+    // ceil(q·n) runs on IEEE doubles in both engines (the q95 lesson: the
+    // oracle CASTs its q literal to DOUBLE); exactly one bucket satisfies
+    // cum >= target > cum − c
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("__t", greatest(lit(1L),
+        ceil(col("q") * col("__n").cast("double")).cast("long")))
+      .filter(col("__cum") >= col("__t") &&
+        col("__cum") - col("c") < col("__t"))
+      .select(groupCols.map(col) :+ col("q") :+ col("__n").as("n") :+
+        col("lo").as("est_lo") :+ (col("lo") + col("w") - 1).as("est_hi") :+
+        ((col("lo") + col("lo") + col("w") - 1).cast("double") / lit(2.0))
+          .as("est_mid"): _*)
+  }
+
+  /** Per-group TOKEN-COUNT quantiles — document-length audit (packing
+    * budgets, truncation policy) with bounded state: bucket each doc's
+    * token count, sketch, estimate. */
+  def tokenCountQuantiles(df: DataFrame, textCol: String, groupCol: String,
+                          qs: Seq[Double], subBits: Int = 5): DataFrame =
+    logHistQuantiles(
+      logHistSketch(df, Seq(groupCol),
+        size(TextStats.tokens(coalesce(col(textCol), lit("")))), subBits),
+      Seq(groupCol), qs)
+
+  // ---------------------------------------------------------------------
+  // Bottom-k (KMV) resemblance sketch (Broder 1997, SEQUENCES; Beyer et
+  // al. 2007, SIGMOD; Cohen & Kaplan 2007) — the k smallest distinct item
+  // hashes per group; Jaccard resemblance between groups from sketches
+  // alone
+  // ---------------------------------------------------------------------
+
+  /** Build the per-group bottom-k sketch of `itemCol`: the k
+    * lexicographically smallest DISTINCT md5 values of the group's items —
+    * (group…, hv, rk). Because every group hashes items with the SAME
+    * salt, the k smallest of a UNION of sketches is the union's true
+    * bottom-k, so sketches compose: [[bottomKMerge]] is exact sketch
+    * algebra and [[bottomKResemblance]] estimates Jaccard from sketches
+    * alone.
+    *
+    * Scale shape — a naive "distinct then rank" would shuffle one row per
+    * distinct item per group (the distinct-key shuffle sketches exist to
+    * avoid) and rank it in one window partition per group. Instead, a
+    * bounded HLL pass (m = 256) estimates each group's distinct count D̂
+    * and sets a per-group hash threshold admitting ≈ 4k/0.8 ≈ 5k expected
+    * distinct survivors (f = min(1, 4k / max(0.8·D̂, 1)) of hash space);
+    * only survivors are distinct-shuffled and ranked, so per-group window
+    * work is O(k), not O(D). Miss bound: survivors ~ Binomial(D, f); with
+    * D̂ within the HLL ±3σ ≈ ±20% envelope at m = 256 the mean is ≥ 4k,
+    * and P[fewer than k survive] ≤ exp(−k·(3/4)²/2) < 10⁻²⁰ at the default
+    * k = 256 (Chernoff) — and a shortfall is DETECTABLE, not silent: the
+    * group yields < k rows while est ≥ k. The threshold arithmetic is a
+    * short chain of identical IEEE ops on the 6-dp-rounded estimate, so
+    * any engine replays the same integer cut (the q142 discipline). */
+  def bottomKSketch(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+                    k: Int = 256, salt: String = "graft:bk"): DataFrame = {
+    require(k >= 16, s"k must be >= 16 for the estimator to be usable, got $k")
+    require(groupCols.nonEmpty, "bottomKSketch needs >= 1 group column")
+    val est = hllEstimate(
+      hllSketch(df, groupCols, itemCol, 256, salt + ":guard"), groupCols, 256)
+    val thr = est.select(groupCols.map(col) :+
+      ceil(least(lit(1.0),
+          lit(4.0 * k) / greatest(col("est_distinct") * lit(0.8), lit(1.0)))
+        * lit(4294967296.0)).cast("long").as("__t"): _*)
+    val hv = md5(concat(itemCol.cast("string"), lit(":" + salt)))
+    val surv = df.select(groupCols.map(col) :+ hv.as("hv"): _*)
+      .join(broadcast(thr), groupCols)
+      .filter(conv(substring(col("hv"), 1, 8), 16, 10).cast("long") < col("__t"))
+      .select(groupCols.map(col) :+ col("hv"): _*)
+      .distinct()
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("hv"))
+    surv.withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+  }
+
+  /** Merge bottom-k sketches (same k/salt): distinct union, re-rank, keep
+    * k — EXACTLY the bottom-k of the union (each of the union's k smallest
+    * hashes is necessarily in its own group's k smallest). */
+  def bottomKMerge(sketches: DataFrame, groupCols: Seq[String],
+                   k: Int): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("hv"))
+    sketches.select(groupCols.map(col) :+ col("hv"): _*).distinct()
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+  }
+
+  /** Pairwise Jaccard resemblance between groups from their bottom-k
+    * sketches alone (Broder's estimator): for each pair, S = the k
+    * smallest distinct hashes of the sketch union (= the union's true
+    * bottom-k), Ĵ = |S ∩ A_k ∩ B_k| / |S|. Output (src_a, src_b, union_k,
+    * shared, est_jaccard) for src_a < src_b; est rounded to 6 dp. Pair
+    * work is k-bounded joins over the sketches (never a corpus join), the
+    * ranking window is partitioned per pair over ≤ 2k rows. */
+  def bottomKResemblance(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val gs = sk.select(col(groupCol).as("g")).distinct()
+    val pairs = gs.select(col("g").as("src_a"))
+      .crossJoin(broadcast(gs.select(col("g").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    // BOTH sides pair-scoped before the union rank (the q147 discipline)
+    val a = pairs.join(
+      sk.select(col(groupCol).as("src_a"), col("hv"), lit(1L).as("__ina")),
+      Seq("src_a"))
+    val b = pairs.join(
+      sk.select(col(groupCol).as("src_b"), col("hv"), lit(1L).as("__inb")),
+      Seq("src_b"))
+    val u = a.join(b, Seq("src_a", "src_b", "hv"), "full_outer")
+      .select(col("src_a"), col("src_b"), col("hv"),
+        coalesce(col("__ina"), lit(0L)).as("ina"),
+        coalesce(col("__inb"), lit(0L)).as("inb"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_a"), col("src_b")).orderBy(col("hv"))
+    u.withColumn("__rk", row_number().over(wp)).filter(col("__rk") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("union_k"),
+        sum(col("ina") * col("inb")).as("shared"))
+      .withColumn("est_jaccard",
+        round(col("shared").cast("double") / col("union_k").cast("double"), 6))
+  }
+
+  /** Pairwise SOURCE token-set resemblance — q147's overlap audit restated
+    * as Jaccard from k-bounded sketches: one token pass builds every
+    * per-source bottom-k, pair work is sketch-sized. Complements the HLL
+    * inclusion-exclusion (which estimates |A∩B|) with the resemblance
+    * ratio LSH-style dedup scoping actually thresholds on. */
+  def tokenResemblance(df: DataFrame, textCol: String, groupCol: String,
+                       k: Int = 256, salt: String = "graft:bk"): DataFrame = {
+    val toks = df.select(col(groupCol),
+        TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit(""))))
+          .as("__t"))
+      .select(col(groupCol), explode(col("__t")).as("tok"))
+    bottomKResemblance(
+      bottomKSketch(toks, Seq(groupCol), col("tok"), k, salt), groupCol, k)
+  }
+
+  // ---------------------------------------------------------------------
   // Persisted sketch store — the shard/epoch lifecycle
   // ---------------------------------------------------------------------
 
   /** Persist a sketch under a catalog name with its parameters frozen in a
-    * `<name>_meta` table (kind = "hll" | "cms", m/salt or d/w/salt) — the
+    * `<name>_meta` table (kind = "hll" | "cms" | "loghist" | "bottomk";
+    * m/salt, d/w/salt, subBits, or k/salt respectively) — the
     * q63/q137 index posture applied to sketches: parameters are part of
     * the artifact, so a reader can never probe a sketch with the wrong
     * hash setup. The sketch tables are tiny (groups·m or d·w rows);
@@ -309,7 +520,8 @@ object Sketch {
   def writeSketchStore(sketch: DataFrame, name: String, kind: String,
                        params: Map[String, String],
                        groupCols: Seq[String] = Nil): Unit = {
-    require(kind == "hll" || kind == "cms", s"kind must be hll|cms, got $kind")
+    require(Set("hll", "cms", "loghist", "bottomk")(kind),
+      s"kind must be hll|cms|loghist|bottomk, got $kind")
     require(groupCols.forall(c => !c.contains(",")),
       s"group column names may not contain ',': $groupCols")
     require(!params.contains("kind") && !params.contains("groupCols"),
@@ -364,8 +576,11 @@ object Sketch {
     val groupCols = stored.get("groupCols").filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty[String])
     val merged = kind match {
-      case "hll" => hllMerge(existing.unionByName(shard), groupCols)
-      case _     => cmsMerge(existing.unionByName(shard))
+      case "hll"     => hllMerge(existing.unionByName(shard), groupCols)
+      case "loghist" => logHistMerge(existing.unionByName(shard), groupCols)
+      case "bottomk" => bottomKMerge(existing.unionByName(shard), groupCols,
+        stored("k").toInt)
+      case _         => cmsMerge(existing.unionByName(shard))
     }
     // materialize BEFORE touching the catalog: the merged plan reads the
     // table it is about to replace

@@ -107,6 +107,28 @@ object Streaming {
       tsCol, watermark, win, keys = keys ++ Seq("row", "cell"),
       aggs = Seq(count(lit(1)).as("c")))
 
+  /** Streaming LENGTH-QUANTILE monitor: per event-time window (optionally
+    * per source), the log-histogram bucket counts of the document
+    * token-count distribution — [[graft.ext.Sketch.logHistSketch]]'s
+    * streaming form. State caps at windows·keys·buckets rows (each bucket
+    * set is ≤ ~(64−subBits)·2^subBits) however many documents flow; sink
+    * rows are the batch (lo, w, c) artifact, so
+    * [[graft.ext.Sketch.logHistQuantiles]] prices p50/p90/p99 per window
+    * and [[graft.ext.Sketch.logHistMerge]] folds stream windows into batch
+    * shard sketches EXACTLY — the length-drift alarm (a boilerplate flood
+    * or truncation bug moves the tail quantiles window-over-window) with
+    * bit-for-bit batch/stream parity. */
+  def lengthQuantiles(events: DataFrame, tsCol: String, textCol: String,
+                      watermark: Option[String], win: String,
+                      keys: Seq[String] = Nil, subBits: Int = 5): DataFrame =
+    windowedAgg(
+      graft.ext.Sketch.logHistBuckets(
+        events.withColumn("__len", size(graft.ext.TextStats.tokens(
+          coalesce(col(textCol), lit(""))))),
+        col("__len"), subBits).drop("__len"),
+      tsCol, watermark, win, keys = keys ++ Seq("lo", "w"),
+      aggs = Seq(count(lit(1)).as("c")))
+
   /** Streaming DECONTAMINATION against a FROZEN benchmark — the online
     * form of [[graft.ext.Corpus.dropContaminatedNear]] (q145): each
     * micro-batch drops every document at shingle Jaccard ≥ `minJaccard`

@@ -4075,6 +4075,119 @@ class ExtSpec extends AnyFunSuite {
     assert(ev == dv)
   }
 
+  test("logHistSketch: bucket law, exact merge, quantile bounds at 2^-5") {
+    val vals = (1 to 200).map(_.toLong) ++ Seq(1000L, 2000L, 4096L, 100000L)
+    val df = vals.map(v => ("a", v)).toDF("g", "v")
+    val sk = Sketch.logHistSketch(df, Seq("g"), col("v"), subBits = 5)
+    // bucket law: lo is a multiple of w; w = 2^(floor(log2 lo) - 5) above
+    // the exact range, 1 inside it
+    sk.collect().foreach { r =>
+      val lo = r.getAs[Long]("lo"); val w = r.getAs[Long]("w")
+      assert(lo % w == 0, s"lo=$lo w=$w")
+      if (lo >= 64) assert(w == (java.lang.Long.highestOneBit(lo) >> 5), s"lo=$lo w=$w")
+      else assert(w == 1L, s"lo=$lo w=$w")
+    }
+    // merge law: shard sketches sum EXACTLY to the union sketch
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("lo"),
+        r.getAs[Long]("w"), r.getAs[Long]("c"))).toSet
+    val s1 = Sketch.logHistSketch(df.filter(col("v") % 2 === 0), Seq("g"), col("v"), 5)
+    val s2 = Sketch.logHistSketch(df.filter(col("v") % 2 =!= 0), Seq("g"), col("v"), 5)
+    assert(rows(Sketch.logHistMerge(s1.unionByName(s2), Seq("g"))) == rows(sk))
+    // quantile bounds: the exact q-quantile lies in [est_lo, est_hi] and
+    // the bucket width honors the 2^-5 relative-error budget
+    val sorted = vals.sorted
+    Sketch.logHistQuantiles(sk, Seq("g"), Seq(0.5, 0.9, 0.99)).collect()
+      .foreach { r =>
+        val q = r.getAs[Double]("q")
+        val lo = r.getAs[Long]("est_lo"); val hi = r.getAs[Long]("est_hi")
+        val exact = sorted(math.max(math.ceil(q * sorted.size).toInt, 1) - 1)
+        assert(lo <= exact && exact <= hi, s"q=$q exact=$exact not in [$lo,$hi]")
+        assert((hi - lo).toDouble <= lo.toDouble / 32, s"q=$q width at lo=$lo hi=$hi")
+        assert(r.getAs[Long]("n") == vals.size)
+      }
+    // the store merges loghist shards exactly
+    val lp = Map("subBits" -> "5")
+    graft.sources.IO.dropOrphanedLocation(spark, "fb_test_lhstore_meta")
+    graft.sources.IO.dropOrphanedLocation(spark, "fb_test_lhstore_sketch")
+    Sketch.writeSketchStore(s1, "fb_test_lhstore", "loghist", lp, Seq("g"))
+    Sketch.appendToSketchStore(s2, "fb_test_lhstore", lp)
+    val (_, _, stored) = Sketch.readSketchStore(spark, "fb_test_lhstore")
+    assert(rows(stored) == rows(sk))
+  }
+
+  test("bottomK: guarded survivors, exact merge law, resemblance tracks Jaccard") {
+    // engineered overlap: A = tok0..2999, B = tok1500..4499 → J = 1/3
+    val a = (0 until 3000).map(i => ("A", s"tok$i"))
+    val b = (1500 until 4500).map(i => ("B", s"tok$i"))
+    val df = (a ++ b).toDF("g", "tok")
+    val sk = Sketch.bottomKSketch(df, Seq("g"), col("tok"), k = 256)
+      .localCheckpoint()
+    val perGroup = sk.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the HLL-guarded prefilter produced FULL sketches (a shortfall would
+    // surface here as < k rows for a group with thousands of distincts)
+    assert(perGroup == Map("A" -> 256L, "B" -> 256L), perGroup.toString)
+    // merge law: the merged sketches ARE the union's true bottom-256
+    val trueUnion = df.select(
+        md5(concat(col("tok"), lit(":graft:bk"))).as("hv")).distinct()
+      .orderBy(col("hv")).limit(256).collect().map(_.getString(0)).toSet
+    val merged = Sketch.bottomKMerge(sk.withColumn("g", lit("u")), Seq("g"), 256)
+      .collect().map(_.getAs[String]("hv")).toSet
+    assert(merged == trueUnion)
+    // resemblance: Ĵ within the k=256 sampling envelope of 1/3
+    val res = Sketch.bottomKResemblance(sk, "g", 256).collect()
+    assert(res.length == 1)
+    val r0 = res.head
+    assert(r0.getAs[String]("src_a") == "A" && r0.getAs[String]("src_b") == "B")
+    assert(r0.getAs[Long]("union_k") == 256L)
+    val j = r0.getAs[Double]("est_jaccard")
+    assert(math.abs(j - 1.0 / 3) < 0.1, s"est_jaccard $j vs 1/3")
+    // the store appends bottom-k shards exactly: half of A, then the rest
+    val h1 = (0 until 3000 by 2).map(i => ("A", s"tok$i")).toDF("g", "tok")
+    val h2 = (1 until 3000 by 2).map(i => ("A", s"tok$i")).toDF("g", "tok")
+    val bp = Map("k" -> "256", "salt" -> "graft:bk")
+    graft.sources.IO.dropOrphanedLocation(spark, "fb_test_bkstore_meta")
+    graft.sources.IO.dropOrphanedLocation(spark, "fb_test_bkstore_sketch")
+    Sketch.writeSketchStore(
+      Sketch.bottomKSketch(h1, Seq("g"), col("tok"), 256), "fb_test_bkstore",
+      "bottomk", bp, Seq("g"))
+    Sketch.appendToSketchStore(
+      Sketch.bottomKSketch(h2, Seq("g"), col("tok"), 256), "fb_test_bkstore", bp)
+    val (_, _, st) = Sketch.readSketchStore(spark, "fb_test_bkstore")
+    val trueA = a.toDF("g", "tok").select(
+        md5(concat(col("tok"), lit(":graft:bk"))).as("hv")).distinct()
+      .orderBy(col("hv")).limit(256).collect().map(_.getString(0)).toSet
+    assert(st.collect().map(_.getAs[String]("hv")).toSet == trueA)
+  }
+
+  test("crossEntropySelect: in-domain ranks first, cut exact, short docs excluded") {
+    def inDoc(i: Int) = (0 until 30).map(j => s"in${(i + j) % 8}").mkString(" ")
+    def outDoc(i: Int) = (0 until 30).map(j => s"out${(i * 3 + j) % 40}").mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, inDoc(i))) ++
+      (20 until 40).map(i => (i.toLong, outDoc(i))) :+ (40L, "solo"))
+      .toDF("id", "text")
+    val sel = Perplexity.crossEntropySelect(docs, "id", "text",
+      inDomain = docs.filter(col("id") < 10), general = docs, keepFrac = 0.25)
+    val rows = sel.collect()
+    val selected = rows.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("id")).toSet
+    // n_scored = 40 (the 1-token doc has no bigram) → keep = ceil(10) = 10,
+    // and every winner speaks the in-domain vocabulary
+    assert(selected.size == 10, s"selected $selected")
+    assert(selected.forall(_ < 20), s"selected $selected")
+    // the cross-entropy DIFFERENCE separates the domains strictly
+    def ms(p: Long => Boolean) = rows
+      .filter(r => p(r.getAs[Long]("id")) && !r.isNullAt(r.fieldIndex("ml_score")))
+      .map(_.getAs[Double]("ml_score"))
+    assert(ms(i => i < 20).max < ms(i => i >= 20 && i < 40).min)
+    // unscorable docs carry null scores and are never selected
+    val solo = rows.find(_.getAs[Long]("id") == 40L).get
+    assert(solo.isNullAt(solo.fieldIndex("ml_score")))
+    assert(!solo.getAs[Boolean]("selected"))
+    assert(solo.getAs[Long]("ml_grams") == 0L)
+  }
+
   test("refinedWebFate: the first responsible stage claims each drop") {
     // one handcrafted doc per fate: every stage of the composed pipeline
     // must claim exactly the doc built to die there, and nothing else.

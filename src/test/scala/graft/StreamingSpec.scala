@@ -928,6 +928,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lengthQuantiles: windowed buckets match batch, tail shift surfaces") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    def doc(pfx: String, len: Int) = (0 until len).map(j => s"$pfx$j").mkString(" ")
+    // window 1: uniform 16-token docs; window 2: same median but a heavy
+    // tail (two 600-token outliers — the truncation-bug alarm case)
+    val even = (0 until 8).map(i => (doc("a", 16), t(i)))
+    val tail = (0 until 6).map(i => (doc("b", 16), t(60 + i))) ++
+      (0 until 2).map(i => (doc("c", 600), t(70 + i)))
+    val stream = MemoryStream[(String, Timestamp)]
+    stream.addData(even ++ tail)
+    val sk = Streaming.lengthQuantiles(
+      stream.toDF().toDF("text", "ts"), "ts", "text",
+      watermark = Some("1 minute"), win = "1 minute")
+    val q = Streaming.toMemorySink(sk, "len_sketch")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("len_sketch")
+        .select(col("window.start").as("win"), col("lo"), col("w"), col("c"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch parity: the SAME bucket artifact, bit-for-bit
+      val batch = graft.ext.Sketch.logHistSketch(
+          (even ++ tail).toDF("text", "ts")
+            .withColumn("win", window(col("ts"), "1 minute")("start")),
+          Seq("win"),
+          size(graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // quantiles off the sink rows: p50 steady, p99 jumps with the tail
+      val est = graft.ext.Sketch.logHistQuantiles(
+          spark.table("len_sketch").withColumn("win", col("window.start")),
+          Seq("win"), Seq(0.5, 0.99))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1)) -> r.getAs[Long]("est_hi"))
+        .toMap
+      val Seq(w1, w2) = est.keys.map(_._1).toSeq.distinct.sortBy(_.getTime)
+      assert(est((w1, 0.5)) == est((w2, 0.5)),
+        s"median moved: ${est((w1, 0.5))} vs ${est((w2, 0.5))}")
+      assert(est((w1, 0.99)) < 32 && est((w2, 0.99)) >= 600,
+        s"tail not surfaced: ${est((w1, 0.99))} vs ${est((w2, 0.99))}")
+    } finally q.stop()
+  }
+
   test("decontaminateNear: per-batch survivors equal the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
