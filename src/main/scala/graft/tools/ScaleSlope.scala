@@ -227,7 +227,17 @@ object ScaleSlope {
       "q147_hll_source_overlap",
       // q148 (r13) = q144's train + distinct-word DP + q91's codegen BPE
       // expression + one source aggregate
-      "q148_tokenizer_fertility")
+      "q148_tokenizer_fertility",
+      // q149 (r14) = one map-side-combined bucket aggregate (bounded per
+      // source) + partitioned cumulative window over bucket rows only
+      "q149_length_quantiles",
+      // q150 (r14) = one token pass into guard registers + thresholded
+      // distinct (≈5k survivors/source however big the vocabulary) +
+      // k-bounded pair joins
+      "q150_bottomk_resemblance",
+      // q151 (r14) = two q90-shaped model builds + broadcast-scored folds
+      // + histogram-CDF cut (joins the median[min] protocol: model-heavy)
+      "q151_crossentropy_select")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
@@ -243,7 +253,9 @@ object ScaleSlope {
       // r11 heavies: model build + broadcast-scored folds
       "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets",
       // r13: the composed crawl terminal stacks three dedup machineries
-      "q138_crawl_pipeline")
+      "q138_crawl_pipeline",
+      // r14: double-model scoring terminal
+      "q151_crossentropy_select")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
