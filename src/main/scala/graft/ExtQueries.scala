@@ -1150,6 +1150,16 @@ object ExtQueries {
           Seq("source"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("source"), col("q"))
     },
+    // Length-outlier trim terminal: keep docs inside [p5, p95] of their
+    // OWN source's token-count distribution, cutoffs from the bounded
+    // log-histogram sketch (outer bucket edges) — two linear passes, the
+    // cutoff table broadcast.
+    "q152_length_trim" -> ((s, dir) =>
+      graft.ext.Sketch.trimByLengthQuantiles(docsPar(s, dir), "text",
+          "source", loQ = 0.05, hiQ = 0.95)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("lo_cut"), col("hi_cut"))
+        .orderBy(col("doc_id"))),
     // Pairwise source token-set RESEMBLANCE (Jaccard) from bottom-k
     // sketches — q147's overlap audit restated as the ratio near-dup
     // scoping thresholds on, with k-bounded per-source state. The
@@ -2128,6 +2138,31 @@ object ExtQueries {
        |  AND cum - c < greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
        |ORDER BY source, q""".stripMargin
 
+  /** q152: q149's bucket/cumsum machinery at (0.05, 0.95), outer-edge
+    * cutoffs per source, then the broadcast-join filter pass. */
+  private val lengthTrimSql: String =
+    s"""WITH t AS (SELECT doc_id, source, len($docToksC) AS v FROM documents),
+       |b AS (SELECT source, v, greatest(length(bin(v)) - 6, 0) AS sh FROM t),
+       |bk AS (SELECT source, (v >> sh) << sh AS lo,
+       |    (CAST(1 AS BIGINT) << sh) AS w FROM b),
+       |sk AS (SELECT source, lo, w, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+       |cm AS (SELECT source, lo, w, c,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY lo) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM sk),
+       |qs AS (SELECT unnest([CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q),
+       |sel AS (SELECT source, q, lo, w FROM cm CROSS JOIN qs
+       |  WHERE cum >= greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+       |    AND cum - c < greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))),
+       |cuts AS (SELECT source,
+       |    min(CASE WHEN q = CAST(0.05 AS DOUBLE) THEN lo END) AS lo_cut,
+       |    min(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN lo + w - 1 END) AS hi_cut
+       |  FROM sel GROUP BY 1)
+       |SELECT t.doc_id, t.source, t.v AS n_tokens, cuts.lo_cut, cuts.hi_cut
+       |FROM t JOIN cuts USING (source)
+       |WHERE t.v >= cuts.lo_cut AND t.v <= cuts.hi_cut
+       |ORDER BY doc_id""".stripMargin
+
   /** q150: the bottom-k replay — q142's register machinery under the guard
     * salt for the per-source distinct estimate, the identical IEEE
     * threshold chain on the 6-dp estimate, hash-word filter + distinct +
@@ -2600,6 +2635,7 @@ object ExtQueries {
     "q147_hll_source_overlap" -> hllOverlapSql,
     "q143_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "q149_length_quantiles" -> lengthQuantilesSql,
+    "q152_length_trim" -> lengthTrimSql,
     "q150_bottomk_resemblance" -> bottomkResemblanceSql,
     "q151_crossentropy_select" -> crossEntropySelectSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then

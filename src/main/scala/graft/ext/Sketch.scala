@@ -395,6 +395,37 @@ object Sketch {
         size(TextStats.tokens(coalesce(col(textCol), lit("")))), subBits),
       Seq(groupCol), qs)
 
+  /** Length-outlier TRIM terminal — the standard cleaning stage (drop the
+    * truncated stubs and the run-on monsters) with per-group cutoffs
+    * learned from the data instead of hand-picked constants: keep
+    * documents whose token count lies in [est_lo(loQ), est_hi(hiQ)] of
+    * their OWN group's length distribution. Cutoffs come from the bounded
+    * log-histogram sketch (outer bucket edges, so the kept mass is ≥ the
+    * nominal hiQ − loQ — trimming never overshoots by more than one
+    * 2^−subBits bucket per side). Appends `n_tokens`, `lo_cut`, `hi_cut`.
+    *
+    * Scale shape: two linear passes — one (group, count) bucket aggregate
+    * (bounded state) to learn the cutoffs, one filter pass with the
+    * groups-sized cutoff table broadcast. A single-pass exact version
+    * would need a global per-group sort; this is the sketch trade. */
+  def trimByLengthQuantiles(df: DataFrame, textCol: String, groupCol: String,
+                            loQ: Double = 0.01, hiQ: Double = 0.99,
+                            subBits: Int = 5): DataFrame = {
+    require(loQ > 0.0 && hiQ <= 1.0 && loQ < hiQ,
+      s"need 0 < loQ < hiQ <= 1, got loQ=$loQ hiQ=$hiQ")
+    val v = size(TextStats.tokens(coalesce(col(textCol), lit("")))).cast("long")
+    val qs = logHistQuantiles(
+      logHistSketch(df, Seq(groupCol), v, subBits), Seq(groupCol),
+      Seq(loQ, hiQ))
+    val cuts = qs.groupBy(col(groupCol)).agg(
+      min(when(col("q") === lit(loQ), col("est_lo"))).as("lo_cut"),
+      min(when(col("q") === lit(hiQ), col("est_hi"))).as("hi_cut"))
+    df.withColumn("n_tokens", v)
+      .join(broadcast(cuts), Seq(groupCol))
+      .filter(col("n_tokens") >= col("lo_cut") &&
+        col("n_tokens") <= col("hi_cut"))
+  }
+
   // ---------------------------------------------------------------------
   // Bottom-k (KMV) resemblance sketch (Broder 1997, SEQUENCES; Beyer et
   // al. 2007, SIGMOD; Cohen & Kaplan 2007) — the k smallest distinct item

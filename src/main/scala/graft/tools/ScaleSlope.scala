@@ -237,7 +237,10 @@ object ScaleSlope {
       "q150_bottomk_resemblance",
       // q151 (r14) = two q90-shaped model builds + broadcast-scored folds
       // + histogram-CDF cut (joins the median[min] protocol: model-heavy)
-      "q151_crossentropy_select")
+      "q151_crossentropy_select",
+      // q152 (r14) = q149's bounded bucket pass + one broadcast-cutoff
+      // filter pass — two linear scans by design
+      "q152_length_trim")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -4161,6 +4161,39 @@ class ExtSpec extends AnyFunSuite {
     assert(st.collect().map(_.getAs[String]("hv")).toSet == trueA)
   }
 
+  test("trimByLengthQuantiles: planted outliers cut, bulk kept, cut law exact") {
+    def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    // bulk at 90-110 tokens, one stub (3) and one monster (5000) per group
+    val rows = (0 until 40).map(i => (i.toLong, "g1", doc(90 + i % 21))) ++
+      Seq((100L, "g1", doc(3)), (101L, "g1", doc(5000)))
+    val df = rows.toDF("id", "g", "text")
+    val kept = Sketch.trimByLengthQuantiles(df, "text", "g",
+      loQ = 0.05, hiQ = 0.95).collect()
+    val ids = kept.map(_.getAs[Long]("id")).toSet
+    assert(!ids.contains(100L) && !ids.contains(101L),
+      s"outliers survived: $ids")
+    assert(ids.size >= 36, s"over-trimmed: ${ids.size}") // >= 90% of the bulk
+    // cut law: every kept count inside [lo_cut, hi_cut]; cuts equal the
+    // driver-side replay of the bucket arithmetic at ceil(q·n)
+    val n = rows.size
+    def bucket(v: Long) = {
+      val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(v) - 6, 0)
+      ((v >> sh) << sh, 1L << sh)
+    }
+    val sorted = rows.map(_._3.split(" ").length.toLong).sorted
+    def cut(q: Double, hi: Boolean) = {
+      val t = math.max(math.ceil(q * n).toLong, 1L)
+      val (lo, w) = bucket(sorted(t.toInt - 1))
+      if (hi) lo + w - 1 else lo
+    }
+    kept.foreach { r =>
+      assert(r.getAs[Long]("lo_cut") == cut(0.05, hi = false), r.toSeq)
+      assert(r.getAs[Long]("hi_cut") == cut(0.95, hi = true), r.toSeq)
+      val v = r.getAs[Long]("n_tokens")
+      assert(v >= r.getAs[Long]("lo_cut") && v <= r.getAs[Long]("hi_cut"))
+    }
+  }
+
   test("crossEntropySelect: in-domain ranks first, cut exact, short docs excluded") {
     def inDoc(i: Int) = (0 until 30).map(j => s"in${(i + j) % 8}").mkString(" ")
     def outDoc(i: Int) = (0 until 30).map(j => s"out${(i * 3 + j) % 40}").mkString(" ")

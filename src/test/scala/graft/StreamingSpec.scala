@@ -976,6 +976,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch store: streamed windows append as shards, equal the batch build") {
+    // the operational loop the store exists for: a streaming monitor's
+    // per-window sink rows are real sketch shards — fold each window into
+    // the persisted store and the store equals one batch build over
+    // everything the stream saw (exact sketch algebra, no drift)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp((86400 + sec) * 1000L)
+    val w1 = (0 until 5).map(i =>
+      ((0 until 15).map(j => s"a${i * 15 + j}").mkString(" "), t(i)))
+    val w2 = (0 until 5).map(i =>
+      ((0 until 15).map(j => s"b${i * 15 + j}").mkString(" "), t(60 + i)))
+    val stream = MemoryStream[(String, Timestamp)]
+    stream.addData(w1 ++ w2)
+    val sk = Streaming.vocabCardinality(
+      stream.toDF().toDF("text", "ts"), "ts", "text",
+      watermark = Some("1 minute"), win = "1 minute")
+    val q = Streaming.toMemorySink(sk, "store_feed")
+    try {
+      q.processAllAvailable()
+      val sink = spark.table("store_feed")
+        .select(col("window.start").as("ws"), col("reg"), col("maxr"))
+        .localCheckpoint()
+      val Seq(ws1, ws2) = sink.select(col("ws")).distinct()
+        .collect().map(_.getTimestamp(0)).sortBy(_.getTime).toSeq
+      def shard(ws: Timestamp) =
+        sink.filter(col("ws") === ws).select(col("reg"), col("maxr"))
+      val params = Map("m" -> "256", "salt" -> "graft:hll")
+      graft.sources.IO.dropOrphanedLocation(spark, "fb_test_streamstore_meta")
+      graft.sources.IO.dropOrphanedLocation(spark, "fb_test_streamstore_sketch")
+      graft.ext.Sketch.writeSketchStore(shard(ws1), "fb_test_streamstore",
+        "hll", params) // global vocab: no group columns
+      graft.ext.Sketch.appendToSketchStore(shard(ws2), "fb_test_streamstore",
+        params)
+      val (_, _, stored) = graft.ext.Sketch.readSketchStore(spark,
+        "fb_test_streamstore")
+      val batch = graft.ext.Sketch.hllSketch(
+        (w1 ++ w2).toDF("text", "ts")
+          .select(explode(graft.ext.TextStats.tokens(col("text"))).as("tok")),
+        Nil, col("tok"))
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getAs[Long]("reg"), r.getAs[Int]("maxr"))).toSet
+      assert(rows(stored) == rows(batch) && rows(stored).nonEmpty)
+    } finally q.stop()
+  }
+
   test("decontaminateNear: per-batch survivors equal the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
