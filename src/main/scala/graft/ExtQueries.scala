@@ -1169,6 +1169,38 @@ object ExtQueries {
       graft.ext.Sketch.tokenResemblance(docsPar(s, dir), "text", "source",
           k = 256)
         .orderBy(col("src_a"), col("src_b"))),
+    // Source-onboarding report: the incoming feed (src19) audited against
+    // every held source FROM THE PERSISTED SKETCH STORES — HLL vocabulary
+    // overlap, bottom-k Jaccard, length-quantile shift — without
+    // rescanning the existing corpus. The query prices build+serve (the
+    // q81/q137 posture); at steady state the stores are appended shards
+    // and only the one-pass incoming probe runs.
+    "q153_onboarding_report" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val existing = docs.filter(col("source") =!= "src19")
+      val incoming = docs.filter(col("source") === "src19")
+      val toks = existing.select(col("source"),
+          graft.ext.TextStats.pinnedCol(graft.ext.TextStats.tokens(
+            coalesce(col("text"), lit("")))).as("__t"))
+        .select(col("source"), explode(col("__t")).as("tok"))
+        .localCheckpoint() // feeds three store builds
+      graft.ext.Sketch.writeSketchStore(
+        graft.ext.Sketch.hllSketch(toks, Seq("source"), col("tok")),
+        "fb_onboard_hll", "hll",
+        Map("m" -> "256", "salt" -> "graft:hll"), Seq("source"))
+      graft.ext.Sketch.writeSketchStore(
+        graft.ext.Sketch.bottomKSketch(toks, Seq("source"), col("tok"), 256),
+        "fb_onboard_bk", "bottomk",
+        Map("k" -> "256", "salt" -> "graft:bk"), Seq("source"))
+      graft.ext.Sketch.writeSketchStore(
+        graft.ext.Sketch.logHistSketch(existing, Seq("source"),
+          size(graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))),
+          subBits = 5),
+        "fb_onboard_lh", "loghist", Map("subBits" -> "5"), Seq("source"))
+      graft.ext.Sketch.onboardingReport(s, "fb_onboard_hll", "fb_onboard_bk",
+          "fb_onboard_lh", incoming, "text")
+        .orderBy(col("source"))
+    },
     // Moore-Lewis cross-entropy difference selection: nll under the
     // in-domain model (English docs of src0-src3) minus nll under the
     // general model (whole corpus); keep the lowest 25% — the classic
@@ -2229,6 +2261,133 @@ object ExtQueries {
        |FROM r WHERE rk <= 256 GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** q153 helper: one HLL register chain over `rel` (columns (g, tok)),
+    * salted `salt` — ends at `${p}m(g, reg, maxr)`. Same arithmetic as the
+    * q142 replay, folded to one chain so q153 can instantiate it four
+    * times (vocab/guard × existing/incoming). */
+  private def hllRegChainSql(rel: String, salt: String, p: String): String =
+    s"""${p}h AS (SELECT g, md5(tok || ':$salt') AS h FROM $rel),
+       |${p}rw AS (SELECT g,
+       |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 256 AS reg,
+       |    length(regexp_extract(substr(h, 9, 8), '^0*')) AS z,
+       |    substr(h, 9, 8) AS hw
+       |  FROM ${p}h),
+       |${p}m AS (SELECT g, reg, max(CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+       |      (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2
+       |            ELSE 3 END) + 1 END) AS maxr
+       |  FROM (SELECT g, reg, z, CASE WHEN z = 8 THEN 0
+       |      ELSE CAST(('0x' || substr(hw, z + 1, 1)) AS BIGINT) END AS v
+       |    FROM ${p}rw)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q153 helper: the HLL estimate over a (g, reg, maxr) relation — ends
+    * at `${p}s(g, v)` (6-dp rounded, linear/large corrections). */
+  private def hllEstSql(rel: String, p: String): String =
+    s"""${p}g AS (SELECT g, count(*) AS filled,
+       |    sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << maxr) AS DOUBLE)) AS hs
+       |  FROM $rel GROUP BY 1),
+       |${p}e AS (SELECT g, 256 - filled AS zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+       |      * CAST(65536 AS DOUBLE)
+       |      / (hs + CAST(256 - filled AS DOUBLE)) AS eraw
+       |  FROM ${p}g),
+       |${p}s AS (SELECT g, round(CASE
+       |    WHEN eraw <= CAST(640 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |    WHEN eraw > CAST(4294967296 AS DOUBLE) / CAST(30 AS DOUBLE)
+       |      THEN -CAST(4294967296 AS DOUBLE)
+       |        * ln(CAST(1 AS DOUBLE) - eraw / CAST(4294967296 AS DOUBLE))
+       |    ELSE eraw END, 6) AS v FROM ${p}e)""".stripMargin
+
+  /** q153 helper: the guarded bottom-k sketch over `rel` (columns
+    * (g, tok)) with per-g thresholds from `estRel` (`(g, v)`) — ends at
+    * `${p}k(g, hv)`, the k = 256 smallest distinct salted hashes. */
+  private def bkChainSql(rel: String, estRel: String, p: String): String =
+    s"""${p}t AS (SELECT g, CAST(ceil(least(CAST(1 AS DOUBLE),
+       |      CAST(1024 AS DOUBLE) / greatest(v * CAST(0.8 AS DOUBLE),
+       |        CAST(1 AS DOUBLE)))
+       |    * CAST(4294967296 AS DOUBLE)) AS BIGINT) AS thr FROM $estRel),
+       |${p}v AS (SELECT DISTINCT $rel.g, md5(tok || ':graft:bk') AS hv
+       |  FROM $rel JOIN ${p}t ON ${p}t.g = $rel.g
+       |  WHERE CAST(('0x' || substr(md5(tok || ':graft:bk'), 1, 8)) AS BIGINT)
+       |    < ${p}t.thr),
+       |${p}k AS (SELECT g, hv FROM (SELECT g, hv,
+       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM ${p}v)
+       |  WHERE rk <= 256)""".stripMargin
+
+  /** q153 helper: log-histogram p50/p90 midpoints over `rel` (columns
+    * (g, v)) — ends at `${p}q(g, p50, p90)` (q149's bucket machinery). */
+  private def lhQuantSql(rel: String, p: String): String =
+    s"""${p}b AS (SELECT g, v, greatest(length(bin(v)) - 6, 0) AS sh FROM $rel),
+       |${p}k AS (SELECT g, (v >> sh) << sh AS lo,
+       |    (CAST(1 AS BIGINT) << sh) AS w FROM ${p}b),
+       |${p}sk AS (SELECT g, lo, w, count(*) AS c FROM ${p}k GROUP BY 1, 2, 3),
+       |${p}cm AS (SELECT g, lo, w, c,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY lo) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM ${p}sk),
+       |${p}sel AS (SELECT g, q,
+       |    CAST(lo + lo + w - 1 AS DOUBLE) / CAST(2 AS DOUBLE) AS mid
+       |  FROM ${p}cm CROSS JOIN
+       |    (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q) qq
+       |  WHERE cum >= greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+       |    AND cum - c < greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))),
+       |${p}q AS (SELECT g,
+       |    min(CASE WHEN q = CAST(0.5 AS DOUBLE) THEN mid END) AS p50,
+       |    min(CASE WHEN q = CAST(0.9 AS DOUBLE) THEN mid END) AS p90
+       |  FROM ${p}sel GROUP BY 1)""".stripMargin
+
+  /** q153: the onboarding replay — the four HLL chains (vocab + guard ×
+    * existing/incoming), the union-register estimate per source, the
+    * guarded bottom-k pair rank, and the length-quantile pivots, joined
+    * into one report row per held source. */
+  private val onboardingSql: String =
+    s"""WITH ex AS (SELECT source AS g, unnest($docToksC) AS tok
+       |  FROM documents WHERE source <> 'src19'),
+       |nw AS (SELECT 'new' AS g, unnest($docToksC) AS tok
+       |  FROM documents WHERE source = 'src19'),
+       |${hllRegChainSql("ex", "graft:hll", "x")},
+       |${hllEstSql("xm", "xe")},
+       |${hllRegChainSql("nw", "graft:hll", "n")},
+       |${hllEstSql("nm", "ne")},
+       |um AS (SELECT g, reg, max(maxr) AS maxr FROM (
+       |    SELECT g, reg, maxr FROM xm
+       |    UNION ALL
+       |    SELECT sg.g, nm.reg, nm.maxr
+       |    FROM (SELECT DISTINCT g FROM xm) sg CROSS JOIN nm)
+       |  GROUP BY 1, 2),
+       |${hllEstSql("um", "ue")},
+       |vocab AS (SELECT xes.g, xes.v AS est_vocab_src,
+       |    (SELECT v FROM nes) AS est_vocab_new,
+       |    round(xes.v + (SELECT v FROM nes) - ues.v, 6) AS est_inter
+       |  FROM xes JOIN ues USING (g)),
+       |${hllRegChainSql("ex", "graft:bk:guard", "gx")},
+       |${hllEstSql("gxm", "gxe")},
+       |${hllRegChainSql("nw", "graft:bk:guard", "gn")},
+       |${hllEstSql("gnm", "gne")},
+       |${bkChainSql("ex", "gxes", "bx")},
+       |${bkChainSql("nw", "gnes", "bn")},
+       |pu AS (SELECT g, hv, coalesce(ina, 0) AS ina, coalesce(inb, 0) AS inb
+       |  FROM (SELECT g, hv, CAST(1 AS BIGINT) AS ina FROM bxk) a
+       |  FULL JOIN (SELECT sg.g, bnk.hv, CAST(1 AS BIGINT) AS inb
+       |    FROM (SELECT DISTINCT g FROM bxk) sg CROSS JOIN bnk) b
+       |  USING (g, hv)),
+       |jac AS (SELECT g, round(CAST(sum(ina * inb) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS est_jaccard
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+       |    FROM pu) WHERE rk <= 256 GROUP BY 1),
+       |lex AS (SELECT source AS g, len($docToksC) AS v
+       |  FROM documents WHERE source <> 'src19'),
+       |lnw AS (SELECT 'new' AS g, len($docToksC) AS v
+       |  FROM documents WHERE source = 'src19'),
+       |${lhQuantSql("lex", "qx")},
+       |${lhQuantSql("lnw", "qn")}
+       |SELECT vocab.g AS source, est_vocab_src, est_vocab_new, est_inter,
+       |  jac.est_jaccard, qxq.p50 AS p50_src, qxq.p90 AS p90_src,
+       |  (SELECT p50 FROM qnq) AS p50_new, (SELECT p90 FROM qnq) AS p90_new
+       |FROM vocab JOIN jac USING (g) JOIN qxq USING (g)
+       |ORDER BY source""".stripMargin
+
   /** q151: the Moore-Lewis replay — q90's header CTEs scored under TWO
     * models ([[pplModelCtes]] with prefixes a/b: in-domain = English docs
     * of src0-src3, general = the whole corpus), per-doc 6-dp means, the
@@ -2637,6 +2796,7 @@ object ExtQueries {
     "q149_length_quantiles" -> lengthQuantilesSql,
     "q152_length_trim" -> lengthTrimSql,
     "q150_bottomk_resemblance" -> bottomkResemblanceSql,
+    "q153_onboarding_report" -> onboardingSql,
     "q151_crossentropy_select" -> crossEntropySelectSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions

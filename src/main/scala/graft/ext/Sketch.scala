@@ -623,6 +623,103 @@ object Sketch {
     spark.sql(s"ALTER TABLE ${name}_sketch_tmp RENAME TO ${name}_sketch")
   }
 
+  /** Source-ONBOARDING audit — "what is this new feed, relative to every
+    * source we already hold?" answered from the persisted sketch stores
+    * plus ONE pass over the incoming batch; the existing corpus is never
+    * rescanned (the serving posture the store exists for: per-source HLL /
+    * bottom-k / log-histogram sketches are built or appended as shards
+    * land, and priced here). For each stored source:
+    *   - `est_vocab_src`, `est_vocab_new`, `est_inter` — HLL vocabulary
+    *     sizes and the inclusion-exclusion intersection against the
+    *     incoming batch (q147's pair algebra with the store as one side);
+    *   - `est_jaccard` — bottom-k resemblance (q150's estimator);
+    *   - `p50_src`/`p90_src`/`p50_new`/`p90_new` — token-count quantile
+    *     midpoints then vs now (q149's buckets).
+    * All three probes are sketch-sized joins; the incoming side costs one
+    * tokenize pass + bounded aggregates. Store parameters come from the
+    * frozen meta — a probe can never use the wrong hash setup. */
+  def onboardingReport(spark: org.apache.spark.sql.SparkSession,
+                       hllStore: String, bkStore: String, lhStore: String,
+                       incoming: DataFrame, textCol: String): DataFrame = {
+    val (_, hp, hllSk) = readSketchStore(spark, hllStore)
+    val (_, bp, bkSk) = readSketchStore(spark, bkStore)
+    val (_, lp, lhSk) = readSketchStore(spark, lhStore)
+    val m = hp("m").toInt
+    val k = bp("k").toInt
+    val subBits = lp("subBits").toInt
+    val srcCol = hp("groupCols") // single group column on all three stores
+    require(srcCol.nonEmpty && srcCol == bp("groupCols") &&
+      srcCol == lp("groupCols"),
+      s"stores must share one group column, got '$srcCol'/" +
+        s"'${bp("groupCols")}'/'${lp("groupCols")}'")
+
+    val toks = incoming.select(
+        TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit(""))))
+          .as("__t"))
+      .select(explode(col("__t")).as("tok"))
+      .localCheckpoint() // feeds the HLL, guard and bottom-k passes
+
+    // ---- HLL vocabulary: store registers vs one incoming sketch --------
+    val newHll = hllSketch(toks.withColumn("__g", lit("new")), Seq("__g"),
+      col("tok"), m, hp("salt")).drop("__g").localCheckpoint()
+    val estSrc = hllEstimate(hllSk, Seq(srcCol), m)
+      .select(col(srcCol), col("est_distinct").as("est_vocab_src"))
+      .localCheckpoint() // sources-sized; feeds scoping joins below
+    val estNew = hllEstimate(newHll.withColumn("__g", lit("new")), Seq("__g"), m)
+      .select(col("est_distinct").as("est_vocab_new"))
+    val srcs = estSrc.select(col(srcCol))
+    val uni = srcs
+      .crossJoin(broadcast(newHll.select(col("reg"), col("maxr").as("__mn"))))
+      .join(hllSk.withColumnRenamed("maxr", "__ms"), Seq(srcCol, "reg"),
+        "full_outer")
+      .select(col(srcCol), col("reg"),
+        greatest(coalesce(col("__ms"), lit(0)), coalesce(col("__mn"), lit(0)))
+          .as("maxr"))
+    val estUni = hllEstimate(uni, Seq(srcCol), m)
+      .select(col(srcCol), col("est_distinct").as("__eu"))
+    val vocab = estSrc.join(estUni, Seq(srcCol))
+      .crossJoin(broadcast(estNew))
+      .select(col(srcCol), col("est_vocab_src"), col("est_vocab_new"),
+        round(col("est_vocab_src") + col("est_vocab_new") - col("__eu"), 6)
+          .as("est_inter"))
+
+    // ---- bottom-k resemblance: store sketches vs one incoming sketch ---
+    val newBk = bottomKSketch(toks.withColumn("__g", lit("new")), Seq("__g"),
+      col("tok"), k, bp("salt")).drop("__g").localCheckpoint()
+    val pairU = srcs
+      .crossJoin(broadcast(newBk.select(col("hv"), lit(1L).as("__inb"))))
+      .join(bkSk.select(col(srcCol), col("hv"), lit(1L).as("__ina")),
+        Seq(srcCol, "hv"), "full_outer")
+      .select(col(srcCol), col("hv"),
+        coalesce(col("__ina"), lit(0L)).as("ina"),
+        coalesce(col("__inb"), lit(0L)).as("inb"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("hv"))
+    val jac = pairU.withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= k)
+      .groupBy(col(srcCol))
+      .agg(round(sum(col("ina") * col("inb")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("est_jaccard"))
+
+    // ---- token-count quantiles: store buckets vs one incoming sketch ---
+    val qSrc = logHistQuantiles(lhSk, Seq(srcCol), Seq(0.5, 0.9))
+      .groupBy(col(srcCol))
+      .agg(min(when(col("q") === lit(0.5), col("est_mid"))).as("p50_src"),
+        min(when(col("q") === lit(0.9), col("est_mid"))).as("p90_src"))
+    val newLh = logHistSketch(incoming.withColumn("__g", lit("new")),
+      Seq("__g"),
+      size(TextStats.tokens(coalesce(col(textCol), lit("")))), subBits)
+    val qNew = logHistQuantiles(newLh, Seq("__g"), Seq(0.5, 0.9))
+      .groupBy(col("__g"))
+      .agg(min(when(col("q") === lit(0.5), col("est_mid"))).as("p50_new"),
+        min(when(col("q") === lit(0.9), col("est_mid"))).as("p90_new"))
+      .drop("__g")
+
+    vocab.join(jac, Seq(srcCol))
+      .join(qSrc, Seq(srcCol))
+      .crossJoin(broadcast(qNew))
+  }
+
   /** [[cmsSketch]] over an already-exploded item frame (shared tokenization
     * with the candidate/verify passes). */
   def cmsSketchOf(items: DataFrame, itemCol: Column, d: Int, w: Int,

@@ -493,7 +493,7 @@ object TextStats {
     * on q90: 7.2 s → 0.7 s at sf0.1 for the explode stage alone). The
     * always-true nondeterministic guard makes the alias non-inlinable
     * while evaluating to exactly `c`. */
-  private[ext] def pinnedCol(c: Column): Column =
+  private[graft] def pinnedCol(c: Column): Column =
     when(spark_partition_id() >= 0, c)
 
   /** [[gopherStats]] as a terminal filter: rows passing all seven rules,

@@ -240,7 +240,10 @@ object ScaleSlope {
       "q151_crossentropy_select",
       // q152 (r14) = q149's bounded bucket pass + one broadcast-cutoff
       // filter pass — two linear scans by design
-      "q152_length_trim")
+      "q152_length_trim",
+      // q153 (r14) = three store builds over the held corpus (linear,
+      // bounded state) + one incoming tokenize pass + sketch-sized joins
+      "q153_onboarding_report")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

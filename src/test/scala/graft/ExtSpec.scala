@@ -4194,6 +4194,50 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("onboardingReport: the incoming feed points at its own source") {
+    def doc(pfx: String, i: Int, n: Int = 40) =
+      (0 until n).map(j => s"$pfx${(i * 17 + j) % 300}").mkString(" ")
+    // two disjoint-vocabulary held sources; the incoming feed speaks sA's
+    // vocabulary plus a few novel tokens
+    val existing = ((0 until 30).map(i => ("sA", doc("a", i))) ++
+      (0 until 30).map(i => ("sB", doc("b", i)))).toDF("source", "text")
+    val incoming = (0 until 10).map(i => ("new", doc("a", i) + s" novel$i"))
+      .toDF("source", "text")
+    val toks = existing.select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    Seq("fb_test_onb_hll", "fb_test_onb_bk", "fb_test_onb_lh").foreach { n =>
+      graft.sources.IO.dropOrphanedLocation(spark, s"${n}_meta")
+      graft.sources.IO.dropOrphanedLocation(spark, s"${n}_sketch")
+    }
+    Sketch.writeSketchStore(Sketch.hllSketch(toks, Seq("source"), col("tok")),
+      "fb_test_onb_hll", "hll", Map("m" -> "256", "salt" -> "graft:hll"),
+      Seq("source"))
+    Sketch.writeSketchStore(
+      Sketch.bottomKSketch(toks, Seq("source"), col("tok"), 256),
+      "fb_test_onb_bk", "bottomk", Map("k" -> "256", "salt" -> "graft:bk"),
+      Seq("source"))
+    Sketch.writeSketchStore(
+      Sketch.logHistSketch(existing, Seq("source"),
+        size(TextStats.tokens(col("text"))), 5),
+      "fb_test_onb_lh", "loghist", Map("subBits" -> "5"), Seq("source"))
+    val rep = Sketch.onboardingReport(spark, "fb_test_onb_hll",
+        "fb_test_onb_bk", "fb_test_onb_lh", incoming, "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rep.keySet == Set("sA", "sB"))
+    // resemblance and overlap both point at sA, not sB
+    assert(rep("sA").getAs[Double]("est_jaccard") > 0.3,
+      rep("sA").toSeq.toString)
+    assert(rep("sB").getAs[Double]("est_jaccard") < 0.05,
+      rep("sB").toSeq.toString)
+    assert(rep("sA").getAs[Double]("est_inter") >
+      rep("sB").getAs[Double]("est_inter"))
+    // length quantiles: held docs are 40 tokens, incoming 41 — both exact
+    // (inside the unit-width bucket range at subBits = 5)
+    assert(rep("sA").getAs[Double]("p50_src") == 40.0)
+    assert(rep("sA").getAs[Double]("p50_new") == 41.0)
+  }
+
   test("crossEntropySelect: in-domain ranks first, cut exact, short docs excluded") {
     def inDoc(i: Int) = (0 until 30).map(j => s"in${(i + j) % 8}").mkString(" ")
     def outDoc(i: Int) = (0 until 30).map(j => s"out${(i * 3 + j) % 40}").mkString(" ")
