@@ -684,8 +684,23 @@ object Sketch {
           .as("est_inter"))
 
     // ---- bottom-k resemblance: store sketches vs one incoming sketch ---
-    val newBk = bottomKSketch(toks.withColumn("__g", lit("new")), Seq("__g"),
-      col("tok"), k, bp("salt")).drop("__g").localCheckpoint()
+    // single-group bottom-k: a constant-group rank window would fold to a
+    // partitionless WindowExec, so the incoming sketch uses the guarded
+    // threshold + distributed orderBy/limit (TakeOrdered) instead — same
+    // result as bottomKSketch, no global window. The guard estimate and
+    // threshold are ONE collected row (bounded driver state), the same
+    // IEEE chain as bottomKSketch's column arithmetic.
+    val gEst = hllEstimate(
+        hllSketch(toks.withColumn("__g", lit("new")), Seq("__g"), col("tok"),
+          256, bp("salt") + ":guard"), Seq("__g"), 256)
+      .select(col("est_distinct")).head().getDouble(0)
+    val thr = math.ceil(math.min(1.0,
+      4.0 * k / math.max(gEst * 0.8, 1.0)) * 4294967296.0).toLong
+    val newBk = toks
+      .select(md5(concat(col("tok"), lit(":" + bp("salt")))).as("hv"))
+      .filter(conv(substring(col("hv"), 1, 8), 16, 10).cast("long") < thr)
+      .distinct().orderBy(col("hv")).limit(k)
+      .localCheckpoint()
     val pairU = srcs
       .crossJoin(broadcast(newBk.select(col("hv"), lit(1L).as("__inb"))))
       .join(bkSk.select(col(srcCol), col("hv"), lit(1L).as("__ina")),
@@ -706,18 +721,30 @@ object Sketch {
       .groupBy(col(srcCol))
       .agg(min(when(col("q") === lit(0.5), col("est_mid"))).as("p50_src"),
         min(when(col("q") === lit(0.9), col("est_mid"))).as("p90_src"))
-    val newLh = logHistSketch(incoming.withColumn("__g", lit("new")),
-      Seq("__g"),
-      size(TextStats.tokens(coalesce(col(textCol), lit("")))), subBits)
-    val qNew = logHistQuantiles(newLh, Seq("__g"), Seq(0.5, 0.9))
-      .groupBy(col("__g"))
-      .agg(min(when(col("q") === lit(0.5), col("est_mid"))).as("p50_new"),
-        min(when(col("q") === lit(0.9), col("est_mid"))).as("p90_new"))
-      .drop("__g")
+    // single-group quantiles: the incoming bucket table is bounded BY
+    // CONSTRUCTION (≤ ~(64−subBits)·2^subBits rows), so the cumulative
+    // pick runs driver-side on the collected buckets — no constant-group
+    // window (which would fold partitionless); same arithmetic as
+    // logHistQuantiles, so the oracle's SQL replay is unchanged
+    val newBuckets = logHistSketch(
+        incoming.withColumn("__g", lit("new")), Seq("__g"),
+        size(TextStats.tokens(coalesce(col(textCol), lit("")))), subBits)
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("w"), r.getAs[Long]("c")))
+      .sortBy(_._1)
+    require(newBuckets.nonEmpty, "onboardingReport: incoming batch is empty")
+    val nNew = newBuckets.map(_._3).sum
+    def midAt(q: Double): Double = {
+      val t = math.max(1L, math.ceil(q * nNew.toDouble).toLong)
+      var cum = 0L
+      val b = newBuckets.find { case (_, _, c) => cum += c; cum >= t }.get
+      (b._1 + b._1 + b._2 - 1).toDouble / 2.0
+    }
 
     vocab.join(jac, Seq(srcCol))
       .join(qSrc, Seq(srcCol))
-      .crossJoin(broadcast(qNew))
+      .withColumn("p50_new", lit(midAt(0.5)))
+      .withColumn("p90_new", lit(midAt(0.9)))
   }
 
   /** [[cmsSketch]] over an already-exploded item frame (shared tokenization
