@@ -62,6 +62,43 @@ object Perplexity {
     counts.orderBy(col("c").desc, col("gram")).limit(maxVocab)
       .localCheckpoint()
 
+  /** A FROZEN order-`n` add-`k` model: the capped gram/context count
+    * tables (already materialized model-sized via [[capVocab]]) plus the
+    * vocabulary constants — train once on a static reference slice, then
+    * score any frame, or every arriving micro-batch, under the SAME
+    * counts (the [[graft.ext.Classifier.LinearModel]] posture for LMs:
+    * continuous ingestion reuses the batch scorer unchanged, so stream
+    * and batch scores CANNOT drift). */
+  case class BigramModel(gramC: DataFrame, ctxC: DataFrame, vocab: Long,
+                         nTotal: Long, n: Int, k: Long)
+
+  /** Train the frozen model of [[perplexityScore]] — see there for the
+    * probability form and determinism discipline. */
+  def trainBigramModel(ref: DataFrame, textCol: String, n: Int = 2,
+                       k: Long = 1L, maxVocab: Int = 1 << 20,
+                       tokenizer: Column => Column = TextStats.tokens): BigramModel = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1L, s"add-k smoothing needs k >= 1, got $k")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val gramC = capVocab(ngramCounts(ref, textCol, n, tokenizer), maxVocab)
+    // context table: (n-1)-grams; for a unigram model the context is the
+    // whole corpus — one total-token count, carried as a constant
+    val ctxC =
+      if (n > 1) capVocab(ngramCounts(ref, textCol, n - 1, tokenizer), maxVocab)
+      else null
+    // V is a bounded collect (one long) over the CAPPED unigram table (cut
+    // grams score as unseen, so the capped table IS the vocabulary); an
+    // already-built capped table is reused when the order allows
+    val uni =
+      if (n == 1) gramC
+      else if (n == 2) ctxC
+      else capVocab(ngramCounts(ref, textCol, 1, tokenizer), maxVocab)
+    val vocab = uni.select(count(lit(1))).head().getLong(0) + 1L
+    val nTotal: Long =
+      if (n == 1) uni.agg(sum(col("c"))).head().getLong(0) else 0L
+    BigramModel(gramC, ctxC, vocab, nTotal, n, k)
+  }
+
   /** Per-document LM score under an order-`n` add-`k` model trained on
     * `ref`: appends to `df`
     *   - `lm_grams` — number of scored n-grams (0 for docs shorter than n)
@@ -79,9 +116,16 @@ object Perplexity {
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
                       ref: DataFrame, n: Int = 2, k: Long = 1L,
                       maxVocab: Int = 1 << 20,
-                      tokenizer: Column => Column = TextStats.tokens): DataFrame = {
-    val (withCtx, nll) =
-      scoredGrams(df, idCol, textCol, ref, n, k, maxVocab, tokenizer)
+                      tokenizer: Column => Column = TextStats.tokens): DataFrame =
+    perplexityScoreWithModel(df, idCol, textCol,
+      trainBigramModel(ref, textCol, n, k, maxVocab, tokenizer), tokenizer)
+
+  /** [[perplexityScore]] under a FROZEN [[BigramModel]] — the serving /
+    * streaming form (score micro-batches under counts trained once). */
+  def perplexityScoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                               model: BigramModel,
+                               tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    val (withCtx, nll) = scoredGramsWithModel(df, idCol, textCol, model, tokenizer)
     // fold the per-gram NLLs in DOCUMENT ORDER: collect, sort by pos,
     // sequential fold — a shuffle-ordered SUM(double) would differ between
     // engines (and between runs) in the last bits
@@ -107,28 +151,15 @@ object Perplexity {
     * per-gram NLL column over it. */
   private def scoredGrams(df: DataFrame, idCol: String, textCol: String,
                           ref: DataFrame, n: Int, k: Long, maxVocab: Int,
-                          tokenizer: Column => Column): (DataFrame, Column) = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    require(k >= 1L, s"add-k smoothing needs k >= 1, got $k")
-    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
-    val refTextCol = textCol // same column name expected on the ref slice
-    val gramC = capVocab(ngramCounts(ref, refTextCol, n, tokenizer), maxVocab)
-    // context table: (n-1)-grams; for a unigram model the context is the
-    // whole corpus — one total-token count, handled as a literal below
-    val ctxC =
-      if (n > 1) capVocab(ngramCounts(ref, refTextCol, n - 1, tokenizer), maxVocab)
-      else null
-    // V is a bounded collect (one long) over the CAPPED unigram table (cut
-    // grams score as unseen, so the capped table IS the vocabulary); an
-    // already-built capped table is reused when the order allows
-    val uni =
-      if (n == 1) gramC
-      else if (n == 2) ctxC
-      else capVocab(ngramCounts(ref, refTextCol, 1, tokenizer), maxVocab)
-    val vocab = uni.select(count(lit(1))).head().getLong(0) + 1L
-    val nTotal: Long =
-      if (n == 1) uni.agg(sum(col("c"))).head().getLong(0) else 0L
+                          tokenizer: Column => Column): (DataFrame, Column) =
+    scoredGramsWithModel(df, idCol, textCol,
+      trainBigramModel(ref, textCol, n, k, maxVocab, tokenizer), tokenizer)
 
+  /** The scoring half of [[scoredGrams]], under a frozen model. */
+  private def scoredGramsWithModel(df: DataFrame, idCol: String,
+                                   textCol: String, model: BigramModel,
+                                   tokenizer: Column => Column): (DataFrame, Column) = {
+    val BigramModel(gramC, ctxC, vocab, nTotal, n, k) = model
     val toks = tokenizer(coalesce(col(textCol), lit("")))
     val grams = TextStats.ngramsOfTokens(toks, n)
     val ctxs = if (n > 1) TextStats.ngramsOfTokens(toks, n - 1) else lit(null)
@@ -306,13 +337,26 @@ object Perplexity {
   def crossEntropyDiffScore(df: DataFrame, idCol: String, textCol: String,
                             inDomain: DataFrame, general: DataFrame,
                             n: Int = 2, k: Long = 1L, maxVocab: Int = 1 << 20,
-                            tokenizer: Column => Column = TextStats.tokens): DataFrame = {
-    val in = perplexityScore(df, idCol, textCol, inDomain, n, k, maxVocab,
-        tokenizer)
+                            tokenizer: Column => Column = TextStats.tokens): DataFrame =
+    crossEntropyDiffScoreWithModels(df, idCol, textCol,
+      trainBigramModel(inDomain, textCol, n, k, maxVocab, tokenizer),
+      trainBigramModel(general, textCol, n, k, maxVocab, tokenizer),
+      tokenizer)
+
+  /** [[crossEntropyDiffScore]] under two FROZEN [[BigramModel]]s — the
+    * serving / streaming form: both models train once on static slices
+    * and every arriving micro-batch scores under the same counts
+    * (scoring is per-document, so per-batch results equal the batch
+    * operator's on the same rows — spec-pinned). */
+  def crossEntropyDiffScoreWithModels(df: DataFrame, idCol: String,
+                                      textCol: String, inModel: BigramModel,
+                                      genModel: BigramModel,
+                                      tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+    val in = perplexityScoreWithModel(df, idCol, textCol, inModel, tokenizer)
       .withColumnRenamed("nll_mean", "nll_in")
       .withColumnRenamed("lm_oov", "oov_in")
       .drop("lm_grams")
-    perplexityScore(in, idCol, textCol, general, n, k, maxVocab, tokenizer)
+    perplexityScoreWithModel(in, idCol, textCol, genModel, tokenizer)
       .withColumnRenamed("nll_mean", "nll_gen")
       .withColumnRenamed("lm_oov", "oov_gen")
       .withColumnRenamed("lm_grams", "ml_grams")

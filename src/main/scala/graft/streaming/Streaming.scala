@@ -160,6 +160,59 @@ object Streaming {
         ()
       }
 
+  /** Streaming Moore-Lewis gate — the online form of
+    * [[graft.ext.Perplexity.crossEntropySelect]] (q151): score each
+    * micro-batch under two FROZEN [[graft.ext.Perplexity.BigramModel]]s
+    * and keep rows with `ml_score` ≤ `cutoff`. The selection FRACTION is
+    * corpus-global, so the online gate applies a cutoff learned by a
+    * batch run (or set by policy) — it never re-derives one per batch;
+    * rows tied exactly AT the cutoff are all admitted (the batch
+    * terminal's id-tie-fill needs global state a stateless gate doesn't
+    * have — documented semantics, spec-pinned). Stateless foreachBatch
+    * composition of the oracled batch scorer, so stream and batch scores
+    * cannot drift. `onKept` receives each batch's admitted rows (scored)
+    * with the batch id, at-most-once per batch. */
+  def crossEntropyGate(events: DataFrame, idCol: String, textCol: String,
+                       inModel: graft.ext.Perplexity.BigramModel,
+                       genModel: graft.ext.Perplexity.BigramModel,
+                       cutoff: Double,
+                       onKept: (DataFrame, Long) => Unit,
+                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          onKept(graft.ext.Perplexity.crossEntropyDiffScoreWithModels(
+              batch, idCol, textCol, inModel, genModel)
+            .filter(col("ml_score").isNotNull &&
+              col("ml_score") <= lit(cutoff)), id)
+        ()
+      }
+
+  /** Streaming ONBOARDING monitor — q153's store-served audit run on
+    * every micro-batch of a candidate feed before any pipeline spend:
+    * vocabulary overlap, bottom-k resemblance, and length-quantile shift
+    * against every held source, from the persisted sketch stores alone.
+    * The stores are static within a run (appends happen on the batch
+    * side), so this is a stateless foreachBatch composition of the
+    * oracled batch operator verbatim — per-batch reports equal the batch
+    * operator on the same rows. `onReport` gets each batch's report with
+    * the batch id, at-most-once per batch. */
+  def onboardingMonitor(events: DataFrame, hllStore: String, bkStore: String,
+                        lhStore: String, textCol: String,
+                        onReport: (DataFrame, Long) => Unit,
+                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          onReport(graft.ext.Sketch.onboardingReport(batch.sparkSession,
+            hllStore, bkStore, lhStore, batch, textCol), id)
+        ()
+      }
+
   /** Per-batch tabulation: run the (margin-producing) tabulation pipeline on
     * every micro-batch output. Margins over an unbounded stream are only
     * consistent within a batch snapshot, so `foreachBatch` is the correct

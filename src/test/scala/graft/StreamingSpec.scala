@@ -839,6 +839,120 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == want && got.size == 80)
   }
 
+  test("crossEntropyGate: frozen two-model scoring admits the batch-selected set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hash-scrambled tokens and varying lengths so every score is distinct
+    // (the gate admits all boundary ties; a tied fixture would compare
+    // apples to the batch terminal's id-tie-fill oranges)
+    def tok(i: Int, j: Int, m: Int, pfx: String) = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"$pfx:$i:$j")
+      s"$pfx${math.floorMod(h, m)}"
+    }
+    def inDoc(i: Int) =
+      (0 until (24 + i % 7)).map(j => tok(i, j, 8, "in")).mkString(" ")
+    def outDoc(i: Int) =
+      (0 until (24 + i % 7)).map(j => tok(i, j, 40, "out")).mkString(" ")
+    val docs = (0 until 20).map(i => (i.toLong, inDoc(i))) ++
+      (20 until 40).map(i => (i.toLong, outDoc(i)))
+    val staticDf = docs.toDF("id", "text")
+    val inModel = graft.ext.Perplexity.trainBigramModel(
+      staticDf.filter(col("id") < 10), "text")
+    val genModel = graft.ext.Perplexity.trainBigramModel(staticDf, "text")
+    // batch run: the selection terminal; its boundary score is the frozen
+    // cutoff the online gate applies
+    val batchSel = graft.ext.Perplexity.crossEntropySelect(staticDf, "id",
+        "text", inDomain = staticDf.filter(col("id") < 10),
+        general = staticDf, keepFrac = 0.25)
+      .select(col("id"), col("ml_score"), col("selected")).collect()
+    val selected = batchSel.filter(_.getAs[Boolean]("selected"))
+    val cutoff = selected.map(_.getAs[Double]("ml_score")).max
+    // fixture sanity: no unselected doc ties the boundary score (the gate
+    // admits all ties — with a tie this test would be comparing apples
+    // to the tie-fill's oranges)
+    assert(!batchSel.exists(r => !r.getAs[Boolean]("selected") &&
+      !r.isNullAt(r.fieldIndex("ml_score")) &&
+      r.getAs[Double]("ml_score") == cutoff),
+      batchSel.sortBy(r => Option(r.getAs[java.lang.Double]("ml_score"))
+          .map(_.doubleValue).getOrElse(99.0))
+        .map(r => s"${r.getAs[Long]("id")}:${r.getAs[Any]("ml_score")}:" +
+          s"${r.getAs[Boolean]("selected")}").mkString(" "))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[Long, Double]()
+    val q = Streaming.crossEntropyGate(
+      stream.toDF().toDF("id", "text"), "id", "text", inModel, genModel,
+      cutoff,
+      onKept = (kept, _) => kept.select(col("id"), col("ml_score")).collect()
+        .foreach(r => got += r.getLong(0) -> r.getDouble(1)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(docs.take(25)); q.processAllAvailable()
+      stream.addData(docs.drop(25)); q.processAllAvailable()
+    } finally q.stop()
+    // the gate admits exactly the batch-selected set, with identical scores
+    val want = selected.map(r => r.getAs[Long]("id") -> r.getAs[Double]("ml_score")).toMap
+    assert(got.toMap == want, s"got ${got.keySet.toSeq.sorted} want ${want.keySet.toSeq.sorted}")
+  }
+
+  test("onboardingMonitor: per-batch store-served reports equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(pfx: String, i: Int) =
+      (0 until 40).map(j => s"$pfx${(i * 17 + j) % 300}").mkString(" ")
+    val existing = ((0 until 20).map(i => ("sA", doc("a", i))) ++
+      (0 until 20).map(i => ("sB", doc("b", i)))).toDF("source", "text")
+    val toks = existing.select(col("source"),
+        explode(graft.ext.TextStats.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    Seq("fb_test_onbm_hll", "fb_test_onbm_bk", "fb_test_onbm_lh").foreach { n =>
+      graft.sources.IO.dropOrphanedLocation(spark, s"${n}_meta")
+      graft.sources.IO.dropOrphanedLocation(spark, s"${n}_sketch")
+    }
+    graft.ext.Sketch.writeSketchStore(
+      graft.ext.Sketch.hllSketch(toks, Seq("source"), col("tok")),
+      "fb_test_onbm_hll", "hll", Map("m" -> "256", "salt" -> "graft:hll"),
+      Seq("source"))
+    graft.ext.Sketch.writeSketchStore(
+      graft.ext.Sketch.bottomKSketch(toks, Seq("source"), col("tok"), 256),
+      "fb_test_onbm_bk", "bottomk", Map("k" -> "256", "salt" -> "graft:bk"),
+      Seq("source"))
+    graft.ext.Sketch.writeSketchStore(
+      graft.ext.Sketch.logHistSketch(existing, Seq("source"),
+        size(graft.ext.TextStats.tokens(col("text"))), 5),
+      "fb_test_onbm_lh", "loghist", Map("subBits" -> "5"), Seq("source"))
+    // two feed batches with different profiles (sA-flavored, then alien)
+    val b1 = (0 until 6).map(i => (doc("a", i), i))
+    val b2 = (0 until 6).map(i => (doc("z", i), 100 + i))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("est_inter"), r.getAs[Double]("p50_new"))
+    def batchReport(rows: Seq[(String, Int)]) =
+      graft.ext.Sketch.onboardingReport(spark, "fb_test_onbm_hll",
+          "fb_test_onbm_bk", "fb_test_onbm_lh",
+          rows.toDF("text", "seq"), "text")
+        .collect().map(key).toSet
+    val got = scala.collection.mutable.Map[Long, Set[(String, Double, Double, Double)]]()
+    val stream = MemoryStream[(String, Int)]
+    val q = Streaming.onboardingMonitor(
+      stream.toDF().toDF("text", "seq"),
+      "fb_test_onbm_hll", "fb_test_onbm_bk", "fb_test_onbm_lh", "text",
+      onReport = (rep, id) => got(id) = rep.collect().map(key).toSet,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    val Seq(id1, id2) = got.keys.toSeq.sorted
+    assert(got(id1) == batchReport(b1), "batch-1 report drifted")
+    assert(got(id2) == batchReport(b2), "batch-2 report drifted")
+    // and the alarm points the right way: the sA-flavored batch resembles
+    // sA, the alien batch resembles nothing
+    val jA1 = got(id1).find(_._1 == "sA").get._2
+    assert(jA1 > 0.2, s"sA-flavored batch: $jA1")
+    assert(got(id2).forall(_._2 < 0.05), got(id2).toString)
+  }
+
   test("vocabCardinality: windowed HLL registers match batch, estimate tracks vocab") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
