@@ -260,8 +260,9 @@ object ScaleSlope {
       "q93_dsir_weights", "q94_dsir_select", "q95_perplexity_buckets",
       // r13: the composed crawl terminal stacks three dedup machineries
       "q138_crawl_pipeline",
-      // r14: double-model scoring terminal
-      "q151_crossentropy_select")
+      // r14: double-model scoring terminal; q150's guard+distinct pass
+      // showed single-sample wobble (t_big < t_small) — median it
+      "q150_bottomk_resemblance", "q151_crossentropy_select")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
