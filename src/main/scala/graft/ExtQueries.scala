@@ -1169,6 +1169,14 @@ object ExtQueries {
       graft.ext.Sketch.tokenResemblance(docsPar(s, dir), "text", "source",
           k = 256)
         .orderBy(col("src_a"), col("src_b"))),
+    // Winnowing match report (Schleimer et al. 2003, the MOSS algorithm):
+    // rightmost-minimum fingerprints at density 2/(w+1) with the
+    // t = w+k-1 shared-substring guarantee — q72's posting lists at
+    // fingerprint cost. Pairs sharing >= 2 distinct fingerprints.
+    "q154_winnow_matches" -> ((s, dir) =>
+      graft.ext.Spans.winnowMatches(docsPar(s, dir), "doc_id", "text",
+          k = 4, w = 4, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))),
     // Source-onboarding report: the incoming feed (src19) audited against
     // every held source FROM THE PERSISTED SKETCH STORES — HLL vocabulary
     // overlap, bottom-k Jaccard, length-quantile shift — without
@@ -2261,6 +2269,30 @@ object ExtQueries {
        |FROM r WHERE rk <= 256 GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** q154: the winnowing replay — 4-gram md5-word hashes, the packed
+    * (hash·2^22 + reversed-pos) rightmost-minimum over a 4-row frame,
+    * full windows only, distinct per-doc fingerprints, df cap, pair join.
+    * Shift/pack arithmetic is BIGINT-exact in both engines. */
+  private val winnowMatchesSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |    CAST(('0x' || substr(md5(concat_ws(' ',
+       |      toks[i], toks[i+1], toks[i+2], toks[i+3])), 1, 8)) AS BIGINT) AS hv
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+       |    FROM t WHERE len(toks) >= 4)),
+       |s0 AS (SELECT doc_id, pos,
+       |    min(hv * 4194304 + (4194303 - pos)) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selk
+       |  FROM g),
+       |fps AS (SELECT DISTINCT doc_id, selk >> 22 AS fp FROM s0 WHERE pos >= 3),
+       |keep AS (SELECT fp FROM (SELECT fp, count(*) AS d FROM fps GROUP BY 1)
+       |  WHERE d <= 1000),
+       |kf AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+       |FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** q153 helper: one HLL register chain over `rel` (columns (g, tok)),
     * salted `salt` — ends at `${p}m(g, reg, maxr)`. Same arithmetic as the
     * q142 replay, folded to one chain so q153 can instantiate it four
@@ -2797,6 +2829,7 @@ object ExtQueries {
     "q152_length_trim" -> lengthTrimSql,
     "q150_bottomk_resemblance" -> bottomkResemblanceSql,
     "q153_onboarding_report" -> onboardingSql,
+    "q154_winnow_matches" -> winnowMatchesSql,
     "q151_crossentropy_select" -> crossEntropySelectSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions

@@ -106,4 +106,80 @@ object Spans {
           .as(outCol),
         coalesce(size(col("__cov")), lit(0)).as("n_tokens_removed"))
   }
+
+  /** Max tokens per document the winnowing key packing supports (pos and
+    * hash share one BIGINT so a single `min` window selects the
+    * rightmost-minimum — see [[winnowFingerprints]]). 4M tokens is far
+    * beyond any training document; longer ones should be chunked first
+    * ([[Corpus]] chunking). */
+  val WinnowMaxPos: Int = 1 << 22
+
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003, SIGMOD —
+    * the MOSS algorithm): hash every k-token gram, then in each window of
+    * `w` consecutive gram positions keep the MINIMUM hash, rightmost
+    * occurrence on ties (the paper's robust rule — reselecting the same
+    * occurrence across overlapping windows keeps density low). Guarantees
+    * (the paper's): any substring match of at least t = w + k − 1 tokens
+    * between two documents yields at least one SHARED fingerprint, and
+    * the expected fingerprint density is 2/(w+1) of positions — this is
+    * [[duplicateSpans]]'s scale path: the posting-list shuffle carries
+    * ~2/(w+1) skinny (id, pos, hash) rows instead of every window.
+    *
+    * Determinism/replayability: the gram hash is the md5 32-bit word (the
+    * q142 register discipline); rightmost-minimum selection packs
+    * (hash, reversed pos) into ONE long — hash·2^22 + (2^22−1−pos) — so a
+    * plain `min` over a (doc-PARTITIONED, pos-ordered, w-row) frame picks
+    * it with no nested windows, in any engine with frames. Only FULL
+    * windows select (pos ≥ w−1 after the frame), matching the paper.
+    * Output: (id, pos, fp) — the distinct selected fingerprints. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 2, s"a gram is multi-token, got k=$k")
+    require(w >= 2, s"a window is multiple positions, got w=$w")
+    val grams = spanWindows(df, idCol, textCol, k)
+      .filter(col("pos") < WinnowMaxPos)
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("span")), 1, 8), 16, 10).cast("long").as("__hv"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    // pack/unpack with shifts only — a long `/` would run as double
+    // division and a 54-bit quotient can round across the integer boundary
+    val key = expr("shiftleft(__hv, 22)") +
+      (lit((WinnowMaxPos - 1).toLong) - col("pos"))
+    grams.withColumn("__sel", min(key).over(frame))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col(idCol),
+        (lit((WinnowMaxPos - 1).toLong) -
+          col("__sel").bitwiseAND(lit((WinnowMaxPos - 1).toLong))).as("pos"),
+        expr("shiftright(__sel, 22)").as("fp"))
+      .distinct()
+  }
+
+  /** Cross-document MATCH report from winnowing fingerprints: pairs of
+    * documents sharing at least `minShared` distinct fingerprints, with
+    * the shared count — the plagiarism/near-verbatim-overlap audit at
+    * fingerprint (not full posting) cost. Fingerprints present in more
+    * than `maxDocFreq` documents are dropped first (boilerplate grams —
+    * the [[Dedup]] stop-gram discipline; a hot fingerprint would square
+    * the pair join). Scale shape: one fingerprint equi-join over the
+    * density-bounded sets; candidates are genuine near-verbatim overlaps
+    * by the t-guarantee, never an all-pairs comparison. */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 4, minShared: Int = 2,
+                    maxDocFreq: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+      .localCheckpoint() // feeds the df cap AND both join sides
+    val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxDocFreq).select(col("fp"))
+    val kept = fp.join(keep, Seq("fp"), "left_semi")
+    kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -243,7 +243,10 @@ object ScaleSlope {
       "q152_length_trim",
       // q153 (r14) = three store builds over the held corpus (linear,
       // bounded state) + one incoming tokenize pass + sketch-sized joins
-      "q153_onboarding_report")
+      "q153_onboarding_report",
+      // q154 (r14) = gram hash pass + per-doc frame window + df-capped
+      // fingerprint equi-join at 2/(w+1) density
+      "q154_winnow_matches")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -4194,6 +4194,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: t-guarantee, disjoint isolation, density bound, match report") {
+    // the paper's guarantee: a shared run of t = w + k - 1 = 7 tokens
+    // yields at least one shared fingerprint (one full window sits wholly
+    // inside the run in both docs)
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (0L, "one two three four five " + shared + " six seven eight nine"),
+      (1L, "uno dos tres cuatro cinco " + shared + " seis siete ocho nueve"),
+      (2L, "wholly unrelated content talking about completely different things entirely"))
+      .toDF("doc_id", "text")
+    val fp = Spans.winnowFingerprints(df, "doc_id", "text")
+    def fps(id: Long) = fp.filter(col("doc_id") === id)
+      .select("fp").collect().map(_.getLong(0)).toSet
+    val (f0, f1, f2) = (fps(0), fps(1), fps(2))
+    assert((f0 & f1).nonEmpty, "t-token shared run produced no shared fingerprint")
+    assert((f0 & f2).isEmpty && (f1 & f2).isEmpty, "disjoint docs share fingerprints")
+    // density: expected 2/(w+1) = 0.4 of positions on hash-scrambled text
+    val longText = (0 until 500).map(j =>
+      s"z${math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"d:$j"), 97)}")
+      .mkString(" ")
+    val nPos = 500 - 4 + 1
+    val nFp = Spans.winnowFingerprints(
+      Seq((9L, longText)).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(nFp <= (0.55 * nPos).toLong, s"density too high: $nFp / $nPos")
+    assert(nFp >= (0.25 * nPos).toLong, s"density too low: $nFp / $nPos")
+    // the match report pairs exactly the overlapping docs
+    val m = Spans.winnowMatches(df, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((0L, 1L)), m.toString)
+  }
+
   test("onboardingReport: the incoming feed points at its own source") {
     def doc(pfx: String, i: Int, n: Int = 40) =
       (0 until n).map(j => s"$pfx${(i * 17 + j) % 300}").mkString(" ")
