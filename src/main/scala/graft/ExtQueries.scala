@@ -1169,6 +1169,16 @@ object ExtQueries {
       graft.ext.Sketch.tokenResemblance(docsPar(s, dir), "text", "source",
           k = 256)
         .orderBy(col("src_a"), col("src_b"))),
+    // Weighted exact-size sampling (Efraimidis-Spirakis A-ES): 5 docs per
+    // source, weight = qualityPoints + 1 — the exact-k complement of
+    // q87's per-row Bernoulli. md5 draws, 6-dp log keys, id tiebreak.
+    "q155_weighted_sample" -> ((s, dir) =>
+      graft.ext.Corpus.weightedSample(
+          docsPar(s, dir).withColumn("weight",
+            graft.ext.TextStats.qualityPoints(col("text")) + 1),
+          "doc_id", "source", col("weight"), k = 5)
+        .select(col("doc_id"), col("source"), col("weight"), col("ws_key"))
+        .orderBy(col("doc_id"))),
     // Winnowing match report (Schleimer et al. 2003, the MOSS algorithm):
     // rightmost-minimum fingerprints at density 2/(w+1) with the
     // t = w+k-1 shared-substring guarantee — q72's posting lists at
@@ -2269,6 +2279,29 @@ object ExtQueries {
        |FROM r WHERE rk <= 256 GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** q155: the A-ES replay — q87's quality points + 1 as the weight, the
+    * 52-bit md5 draw, the 6-dp log key, the per-source rank window with
+    * id tiebreak. */
+  private val weightedSampleSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $docToks AS toks FROM documents),
+       |p AS (SELECT doc_id, source,
+       |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
+       |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+       |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+       |      / len(toks) >= 0.05 THEN 3 ELSE 0 END)
+       |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |      / length(text) <= 0.1 THEN 2 ELSE 0 END) + 1 AS w
+       |  FROM t),
+       |k AS (SELECT doc_id, source, w,
+       |    round(ln((CAST(('0x' || substr(md5(doc_id || ':graft:wsample'), 1, 13))
+       |        AS BIGINT) + 1) / CAST(4503599627370497 AS DOUBLE))
+       |      / CAST(w AS DOUBLE), 6) AS ws_key
+       |  FROM p WHERE w > 0)
+       |SELECT doc_id, source, CAST(w AS INT) AS weight, ws_key FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY ws_key DESC, doc_id) AS r FROM k)
+       |WHERE r <= 5 ORDER BY doc_id""".stripMargin
+
   /** q154: the winnowing replay — 4-gram md5-word hashes, the packed
     * (hash·2^22 + reversed-pos) rightmost-minimum over a 4-row frame,
     * full windows only, distinct per-doc fingerprints, df cap, pair join.
@@ -2830,6 +2863,7 @@ object ExtQueries {
     "q150_bottomk_resemblance" -> bottomkResemblanceSql,
     "q153_onboarding_report" -> onboardingSql,
     "q154_winnow_matches" -> winnowMatchesSql,
+    "q155_weighted_sample" -> weightedSampleSql,
     "q151_crossentropy_select" -> crossEntropySelectSql,
     // sequential-fold norm (array order both engines) rounded 6 dp, then
     // the q95 histogram-CDF cut replayed per value block; drop fractions

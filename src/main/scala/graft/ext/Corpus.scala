@@ -209,6 +209,45 @@ object Corpus {
       floor(f * buckets + 0.5).cast("int"))
   }
 
+  /** Weighted EXACT-SIZE sample without replacement, per group (Efraimidis
+    * & Spirakis 2006, IPL, "Weighted random sampling with a reservoir" —
+    * algorithm A-ES): each row draws u ∈ (0, 1] and is keyed u^(1/w); the
+    * k largest keys per group ARE a weighted sample without replacement.
+    * This is the exact-k complement of [[sampleByFraction]] (per-row
+    * Bernoulli → binomial sample size): curation budgets are usually "5 000
+    * docs per source", not "roughly score/10 of each".
+    *
+    * Determinism: u is an md5 draw, not an RNG — 13 hex digits give a
+    * 52-bit integer, u = (x+1)/(2^52+1) ∈ (0, 1] exactly representable —
+    * so membership is reproducible and stable per (id, salt), the
+    * [[hashBucket]] discipline. The key compares in log form ln(u)/w
+    * (monotone in u^(1/w)), ROUNDED to 6 dp before ranking with an id
+    * tiebreak — the suite's cross-engine float rule (`ln` differs sub-ulp
+    * between engines; a rank can only flip inside the rounding quantum,
+    * where the id tiebreak decides identically everywhere). Rows with
+    * null or non-positive weight are never sampled (excluded, not
+    * zero-keyed). Appends `ws_key`.
+    *
+    * Scale shape: one codegen key projection + one rank window
+    * PARTITIONED by group (the distributed per-group top-k — never a
+    * global sort); groups with fewer than k positive-weight rows return
+    * them all. */
+  def weightedSample(df: DataFrame, keyCol: String, groupCol: String,
+                     weightCol: Column, k: Int,
+                     salt: String = "graft:wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + salt))), 1, 13), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4503599627370497.0) // 2^52 + 1
+    val w = weightCol.cast("double")
+    val keyed = df.filter(w.isNotNull && w > 0.0)
+      .withColumn("ws_key", round(log(u) / w, 6))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("ws_key").desc, col(keyCol))
+    keyed.withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Temperature-based mixture (the multilingual α-sampling of mT5 / XLM-R:
     * sample sources toward p(s) ∝ n(s)^α): downsample so realized per-source
     * counts are EXACTLY proportional to `count^alpha`, keeping as much data

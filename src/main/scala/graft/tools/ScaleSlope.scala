@@ -246,7 +246,9 @@ object ScaleSlope {
       "q153_onboarding_report",
       // q154 (r14) = gram hash pass + per-doc frame window + df-capped
       // fingerprint equi-join at 2/(w+1) density
-      "q154_winnow_matches")
+      "q154_winnow_matches",
+      // q155 (r14) = one codegen key projection + per-group rank window
+      "q155_weighted_sample")
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —

@@ -4194,6 +4194,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: exact k per group, weight bias, non-positive excluded") {
+    val rows = (0 until 200).map(i => (i.toLong, "g", 1)) ++
+      Seq((999L, "g", 10000), (998L, "g", 0), (997L, "g", -5))
+    val df = rows.toDF("id", "g", "w")
+    val got = Corpus.weightedSample(df, "id", "g", col("w"), k = 5).collect()
+    assert(got.length == 5)
+    val ids = got.map(_.getAs[Long]("id")).toSet
+    // a 10000x weight makes the heavy row's key ~0 — top-5 w.h.p. (P[miss]
+    // needs 5 of 200 unit draws above u = 0.996; deterministic md5 draws,
+    // so this either holds forever or never)
+    assert(ids.contains(999L), ids.toString)
+    assert(!ids.contains(998L) && !ids.contains(997L),
+      "non-positive weights must be excluded")
+    // a group smaller than k returns all its positive-weight rows
+    val small = Seq((1L, "h", 2), (2L, "h", 3)).toDF("id", "g", "w")
+    assert(Corpus.weightedSample(small, "id", "g", col("w"), 5).count() == 2)
+    // reproducible membership (md5 draws, not an RNG stream)
+    val again = Corpus.weightedSample(df, "id", "g", col("w"), k = 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == ids)
+  }
+
   test("winnowing: t-guarantee, disjoint isolation, density bound, match report") {
     // the paper's guarantee: a shared run of t = w + k - 1 = 7 tokens
     // yields at least one shared fingerprint (one full window sits wholly
