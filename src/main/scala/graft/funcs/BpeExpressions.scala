@@ -215,22 +215,33 @@ object BpeFunctions {
           s"$what must be an array<string> literal, got $other")
     }
 
+  /** (name, builder) pairs — shared by [[register]] and the
+    * session-extensions route ([[graft.GraftExtensions]]). */
+  private[funcs] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    EncodeName -> ((exprs: Seq[Expression]) => BpeEncode(exprs.head,
+      new BpeCodec(stringArrayLit(exprs(1), "merges"), Array.empty))),
+    IdsName -> ((exprs: Seq[Expression]) => BpeEncodeIds(exprs.head,
+      new BpeCodec(stringArrayLit(exprs(1), "merges"),
+        stringArrayLit(exprs(2), "vocab")))))
+
   /** Register the BPE expressions (idempotent); merges/vocab arrive as
     * array<string> LITERALS and are folded into the expression's codec at
     * resolution, so executors get one deserialized table per task binary —
     * never a per-row argument. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      EncodeName, exprs => BpeEncode(exprs.head,
-        new BpeCodec(stringArrayLit(exprs(1), "merges"), Array.empty)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      IdsName, exprs => BpeEncodeIds(exprs.head,
-        new BpeCodec(stringArrayLit(exprs(1), "merges"),
-          stringArrayLit(exprs(2), "vocab"))),
-      "built-in")
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in")
+    }
   }
+
+  /** Session-extensions injection (see `VectorFunctions.injectInto`). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (n, b) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.funcs.BpeFunctions", n), b))
+    }
 
   /** Column API: BPE tokens under `merges` (GPT-2 `"left right"` lines,
     * rank order). Requires [[register]] on the active session. */

@@ -518,51 +518,45 @@ object VectorFunctions {
   private val RollName = "graft_rolling_hash"
   private val BloomName = "graft_bloom_might_contain"
 
-  /** Register the expressions in the session's function registry (idempotent);
-    * the registry + `call_function` is the public route from Column to a
-    * custom Catalyst expression. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      Name, exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+  /** (name, builder) for every graft vector expression — ONE builder list
+    * shared by the per-session [[register]] and the session-extensions
+    * route ([[graft.GraftExtensions]] / [[injectInto]]), so the two ways
+    * of wiring the functions can never drift. */
+  private[funcs] def builders: Seq[(String, Seq[Expression] => Expression)] = {
     def longArrayLit(e: Expression): Seq[Long] = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData, ArrayType(LongType, _)) =>
         d.toLongArray().toSeq
       case other =>
         throw new IllegalArgumentException(s"expected an array<long> literal, got $other")
     }
-    reg.createOrReplaceTempFunction(
-      SigName, exprs => {
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
-          case other =>
-            throw new IllegalArgumentException(s"$what must be an int literal, got $other")
-        }
-        def boolLit(e: Expression, what: String): Boolean = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
-          case other =>
-            throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
-        }
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    def boolLit(e: Expression, what: String): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+      case other =>
+        throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+    }
+    Seq(
+      Name -> ((exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))),
+      SigName -> ((exprs: Seq[Expression]) => {
         val off = if (exprs.size > 2) intLit(exprs(2), "offset") else 0
         val mix = if (exprs.size > 3) boolLit(exprs(3), "mix") else false
         val thr = if (exprs.size > 4) longArrayLit(exprs(4)) else Nil
         LshSignatureFloat(exprs.head, intLit(exprs(1), "bits"), off, mix, thr)
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      MinHashName, exprs =>
-        MinHashSignature(exprs.head, longArrayLit(exprs(1)), longArrayLit(exprs(2))),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      SimHashName, exprs => exprs(1) match {
+      }),
+      MinHashName -> ((exprs: Seq[Expression]) =>
+        MinHashSignature(exprs.head, longArrayLit(exprs(1)), longArrayLit(exprs(2)))),
+      SimHashName -> ((exprs: Seq[Expression]) => exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) =>
           SimHashSignature(exprs.head, b)
         case other =>
           throw new IllegalArgumentException(s"useMd5 must be a boolean literal, got $other")
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      RollName, exprs => RollingHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      BloomName, exprs => {
+      }),
+      RollName -> ((exprs: Seq[Expression]) => RollingHash(exprs.head)),
+      BloomName -> ((exprs: Seq[Expression]) => {
         if (exprs.size != 2)
           throw new IllegalArgumentException(
             s"$BloomName takes (probe: bigint, filter: binary literal), " +
@@ -574,8 +568,28 @@ object VectorFunctions {
             throw new IllegalArgumentException(
               s"filter must be a binary literal, got $other")
         }
-      }, "built-in")
+      }))
   }
+
+  /** Register the expressions in the session's function registry (idempotent);
+    * the registry + `call_function` is the public route from Column to a
+    * custom Catalyst expression. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in")
+    }
+  }
+
+  /** Session-extensions injection — the `spark.sql.extensions` deployment
+    * route ([[graft.GraftExtensions]]): the same builders land in every
+    * session's registry at session-build time, no register() call. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (n, b) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.funcs.VectorFunctions", n), b))
+    }
 
   /** Column API for the codegen'd float-array dot product; requires
     * [[register]] on the active session (Similarity does this on entry). */
