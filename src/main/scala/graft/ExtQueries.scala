@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Similarity, TextStats, Urls}
+import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Retrieval, Similarity, TextStats, Urls}
 import graft.Tables.read
 
 /** Training-data-pipeline operator queries (dedup, similarity search, text
@@ -41,6 +41,11 @@ object ExtQueries {
   /** SF dir the q66 serve-only index was built for — rebuilt on change so
     * a run over a different SF can never serve a stale index. */
   private val serveIndexFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** SF dir the q157 postings store was built for — same rebuild-on-change
+    * discipline as [[serveIndexFor]]. */
+  private val bm25StoreFor =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Shared q46/q49 pipeline: media → byte-bigram embedStub → mean-centered
@@ -1179,6 +1184,77 @@ object ExtQueries {
           "doc_id", "source", col("weight"), k = 5)
         .select(col("doc_id"), col("source"), col("weight"), col("ws_key"))
         .orderBy(col("doc_id"))),
+    // BM25 top-k lexical retrieval (Robertson & Zaragoza 2009, Lucene's
+    // non-negative idf): every 37th doc queries the whole corpus with its
+    // own distinct tokens — the "more-like-this" decontamination probe.
+    // One postings shuffle, query terms broadcast as the inverted-index
+    // probe, df from the probed rows, per-term contributions floored onto
+    // the 1e-6 grid so the per-pair score is an exact integer sum.
+    "q156_bm25_topk" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      // maxDfFrac = 1.0: the fixture's vocabulary is CLOSED (31 words, 30
+      // of them in >75% of documents), so the production stopword cap
+      // (default 0.5) would prune every term and score nothing here; the
+      // cap's pruning behavior is spec-pinned in ExtSpec instead
+      Retrieval.bm25TopK(docs, docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", "doc_id", "text", topK = 10, maxDfFrac = 1.0)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // BM25 served from the PERSISTED postings store: build on doc_id % 3
+    // != 0, append the % 3 == 0 shard (a pure INSERT — new ids mean
+    // disjoint postings rows, O(shard) not O(corpus)), then serve every
+    // 41st doc as a query. The oracle replays BM25 over the UNION corpus,
+    // so "append then serve" must be indistinguishable from a
+    // from-scratch build (the q81/q137 store posture for text).
+    "q157_bm25_indexed" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      if (bm25StoreFor.get != dir) {
+        Retrieval.buildPostingsStore(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+          "graft_q157")
+        Retrieval.appendToPostingsStore(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          "graft_q157")
+        bm25StoreFor.set(dir)
+      }
+      Retrieval.bm25Serve(s, "graft_q157",
+          read(s, dir, "documents").filter(col("doc_id") % 41 === 0),
+          "doc_id", "text", topK = 10, maxDfFrac = 1.0)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // Per-source quantile normalization of a quality signal (stop-word
+    // ratio): q_norm = within-source CUME_DIST computed via the bounded
+    // histogram-CDF (one (source, score6) aggregate + a window over THAT,
+    // never a per-document window), kept = top half of each source by its
+    // OWN distribution — the cross-source calibration step before any
+    // global quality threshold.
+    "q158_qnorm_by_source" -> { (s, dir) =>
+      val scored = TextStats.analyze(docsPar(s, dir), "text")
+      Corpus.quantileNormalizeScores(scored, "source",
+          col("stop_ratio"), keepTopFrac = 0.5)
+        .select(col("doc_id"), col("source"),
+          round(col("stop_ratio"), 6).as("stop_r6"), col("q_norm"),
+          col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    // Hybrid retrieval: reciprocal-rank fusion (RRF, c = 60) of the BM25
+    // top-20 over documents.text and the dense cosine top-20 over
+    // embeddings for the same query ids — purely rank-based, so the two
+    // scorers need no calibration against each other; fused cut at 10.
+    "q159_hybrid_rrf" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val e = read(s, dir, "embeddings")
+      val sparse = Retrieval.bm25TopK(docs,
+          docs.filter(col("doc_id") % 53 === 0), "doc_id", "text",
+          "doc_id", "text", topK = 20, maxDfFrac = 1.0)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val dense = Similarity.annTopK(e,
+          e.filter(col("vec_id") % 53 === 0), "vec_id", "embedding",
+          topK = 20)
+        .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), topK = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
     // Winnowing match report (Schleimer et al. 2003, the MOSS algorithm):
     // rightmost-minimum fingerprints at density 2/(w+1) with the
     // t = w+k-1 shared-substring guarantee — q72's posting lists at
@@ -2850,7 +2926,117 @@ object ExtQueries {
     s"""WITH RECURSIVE $jaccardClosureCtes
        |SELECT id, min(x) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** BM25 replay (q156/q157 and q159's sparse half): postings as one
+    * grouped unnest, df from the query-term-filtered postings under the
+    * queries' maxDfFrac = 1.0 cap (the fixture's 31-word vocabulary is
+    * closed — see the q156 comment), Lucene idf over exact integers, tf
+    * normalization
+    * with the corpus statistics (n, sum_len) — every double division
+    * written in the Spark side's association order — contributions folded
+    * in TERM ORDER, 6-dp round before the rank window. `queryWhere`
+    * selects the query documents; emits CTEs ending at `${p}r` =
+    * (qid, doc_id, n_terms, score, rnk). */
+  private def bm25Ctes(queryWhere: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |${p}po AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS len,
+       |    term, count(*) AS tf
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM ${p}t)
+       |  GROUP BY 1, 2, 3),
+       |${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(len(toks)) AS BIGINT) AS sl FROM ${p}t),
+       |${p}qt AS (SELECT DISTINCT doc_id AS qid, unnest(toks) AS term
+       |  FROM ${p}t WHERE $queryWhere),
+       |${p}hit AS (SELECT * FROM ${p}po
+       |  WHERE term IN (SELECT DISTINCT term FROM ${p}qt)),
+       |${p}dfa AS (SELECT term, count(*) AS df FROM ${p}hit GROUP BY 1),
+       |${p}dfc AS (SELECT term, df FROM ${p}dfa, ${p}nn
+       |  WHERE df <= greatest(CAST(1 AS BIGINT),
+       |    CAST(trunc(CAST(1.0 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))),
+       |${p}sc AS (SELECT qt.qid, h.id, h.term,
+       |    CAST(floor(ln(CAST(1 AS DOUBLE) +
+       |       (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * (CAST(h.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
+       |       (CAST(h.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |        ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+       |         CAST(0.75 AS DOUBLE) * CAST(h.len AS DOUBLE) /
+       |         (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)))))
+       |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c6
+       |  FROM ${p}hit h JOIN ${p}dfc USING (term) JOIN ${p}qt qt USING (term),
+       |    ${p}nn),
+       |${p}ag AS (SELECT qid, id AS doc_id, count(*) AS n_terms,
+       |    CAST(sum(c6) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS score
+       |  FROM ${p}sc GROUP BY 1, 2),
+       |${p}r AS (SELECT qid, doc_id, n_terms, score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |  FROM ${p}ag)""".stripMargin
+
+  private def bm25TopkSql: String =
+    s"""WITH ${bm25Ctes("doc_id % 37 = 0", "")}
+       |SELECT qid, doc_id, n_terms, score, rnk AS "rank" FROM r
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  // the store replay: build(2/3) + append(1/3) must equal from-scratch
+  // over the union, so the oracle IS plain BM25 over all of documents
+  private def bm25IndexedSql: String =
+    s"""WITH ${bm25Ctes("doc_id % 41 = 0", "")}
+       |SELECT qid, doc_id, n_terms, score, rnk AS "rank" FROM r
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  // CUME_DIST is tie-invariant (fraction of rows <= this value), so the
+  // plain window replay equals the Spark side's histogram-CDF exactly:
+  // same integer counts, same single double division
+  private def qnormBySourceSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+       |s AS (SELECT doc_id, source,
+       |    round(CAST(len(list_filter(toks, x -> list_contains(
+       |      ['the','and','of','to','a','is','in','for','on','with'], x))) AS DOUBLE)
+       |      / len(toks), 6) AS s6 FROM t),
+       |c AS (SELECT doc_id, source, s6,
+       |    cume_dist() OVER (PARTITION BY source ORDER BY s6) AS q_norm
+       |  FROM s)
+       |SELECT doc_id, source, s6 AS stop_r6, q_norm,
+       |  q_norm > (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // full hybrid replay: BM25 CTEs (b-prefixed) + the q38 dense cosine
+  // CTEs + the RRF sum over 1e-6-grid addends (exact integers)
+  private def hybridRrfSql: String =
+    s"""WITH ${bm25Ctes("doc_id % 53 = 0", "b")},
+       |$cosineCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+       |  WHERE vec_id % 53 = 0),
+       |dp AS (SELECT q.qid, n.vec_id AS doc_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      k -> q.qv[k]*n.v[k])) / (q.qnrm*n.nrm), 6) AS cos_sim
+       |  FROM n, q WHERE n.vec_id <> q.qid),
+       |dr AS (SELECT qid, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, doc_id) AS INT) AS rnk
+       |  FROM dp),
+       |fu AS (
+       |  SELECT qid, doc_id, rnk FROM br WHERE rnk <= 20
+       |  UNION ALL
+       |  SELECT qid, doc_id, rnk FROM dr WHERE rnk <= 20),
+       |fa AS (SELECT qid, doc_id, count(*) AS n_lists,
+       |    CAST(sum(CAST(floor(CAST(1 AS DOUBLE) /
+       |      (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+       |      / CAST(1000000 AS DOUBLE) AS rrf_score
+       |  FROM fu GROUP BY 1, 2),
+       |fr AS (SELECT qid, doc_id, n_lists, rrf_score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rnk
+       |  FROM fa)
+       |SELECT qid, doc_id, n_lists, rrf_score, rnk AS "rank" FROM fr
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q156_bm25_topk" -> bm25TopkSql,
+    "q157_bm25_indexed" -> bm25IndexedSql,
+    "q158_qnorm_by_source" -> qnormBySourceSql,
+    "q159_hybrid_rrf" -> hybridRrfSql,
     "q42_ann_ivf" -> annIvfSql,
     "q112_binary_ann" -> binaryAnnSql,
     "q139_jl_ann" -> jlAnnSql,
@@ -5110,6 +5296,17 @@ object ExtQueries {
   // the time DuckDB executes it. Absent artifacts (a dev subset run that
   // skipped the query) simply omit the entry — the driver then records the
   // weaker rows-only check instead of failing the whole dump.
+
+  /** Names whose oracle SQL exists only AFTER the query has frozen its
+    * trained artifacts through [[OracleAux]]. In a fresh JVM (EntrySpec)
+    * these keys are legitimately absent from `oracleSql`; the driver always
+    * receives them because Verify dumps the SQL after running every query.
+    * Kept as a static set so the contract spec is deterministic instead of
+    * depending on which suite happened to run the trainer first. */
+  val dynamicOracleNames: Set[String] = Set(
+    "q111_quality_classifier", "q123_bpe_train", "q136_opq_pq_topk",
+    "q140_pca_project", "q144_unigram_tokenize", "q146_clf_calibration",
+    "q148_tokenizer_fertility")
 
   /** Oracle entries whose SQL depends on what the query run just trained. */
   def dynamicOracle: Map[String, String] =

@@ -641,6 +641,55 @@ object Corpus {
       .drop("__pid", "__off")
   }
 
+  /** Per-group quantile normalization of a score column: `q_norm` =
+    * CUME_DIST of the 6 dp-rounded score within its own group (fraction of
+    * the group's rows with score ≤ this row's, in (0, 1]) — the
+    * cross-source calibration step before any global threshold touches
+    * per-source quality scores. A 0.7 from a lenient scorer and a 0.7 from
+    * a strict one are not the same signal; their within-source quantiles
+    * are. `kept` marks q_norm > 1 − keepTopFrac — keeping the top
+    * `keepTopFrac` of every source by its OWN distribution, so no source
+    * is starved by another's score scale (ties at the boundary keep
+    * everything at that exact quantile; both engines agree because
+    * CUME_DIST is tie-invariant).
+    *
+    * Scale shape: NOT a per-document window — a window partitioned by
+    * source still sorts one source's billions of rows in one task. The
+    * histogram-CDF form instead (the q94/q95 discipline): one (group,
+    * score6) count aggregate (map-side combined; rows per group = distinct
+    * 6 dp score values, orders of magnitude below the row count), the
+    * cumulative window over THAT bounded histogram, and one join back on
+    * (group, score6). Integer counts make the CDF exact and fold-order
+    * free; the single double division (cum/n) is identical in any IEEE
+    * engine. */
+  def quantileNormalizeScores(df: DataFrame, groupCol: String,
+                              scoreCol: Column, keepTopFrac: Double = 0.5,
+                              checkpoint: CheckpointStrategy =
+                                CheckpointStrategy.Local): DataFrame = {
+    require(keepTopFrac > 0.0 && keepTopFrac <= 1.0,
+      s"keepTopFrac must be in (0,1], got $keepTopFrac")
+    requireFresh(df, "quantileNormalizeScores", "__s6", "q_norm", "kept")
+    // the rounded score feeds the histogram AND the join back — one
+    // materialization
+    val scored = CheckpointStrategy.materializer(checkpoint)(
+      df.withColumn("__s6", round(scoreCol, 6)))
+    val hist = scored.groupBy(col(groupCol), col("__s6"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s6"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cdf = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col(groupCol), col("__s6"),
+        (col("__cum").cast("double") / col("__n").cast("double")).as("q_norm"))
+    scored.join(cdf, Seq(groupCol, "__s6"))
+      .withColumn("kept", col("q_norm") > lit(1.0) - lit(keepTopFrac))
+      .drop("__s6")
+  }
+
   /** Sequence packing for training: concatenate documents in `orderCol`
     * order and cut every `capacity` tokens — each document is assigned the
     * chunk its FIRST token lands in: `chunk = floor((cumsum − tokens) /

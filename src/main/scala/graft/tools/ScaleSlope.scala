@@ -248,7 +248,47 @@ object ScaleSlope {
       // fingerprint equi-join at 2/(w+1) density
       "q154_winnow_matches",
       // q155 (r14) = one codegen key projection + per-group rank window
-      "q155_weighted_sample")
+      "q155_weighted_sample",
+      // r14: q158 = one (source, score6) count aggregate + a window over
+      // that bounded histogram + one join back — linear by construction
+      "q158_qnorm_by_source",
+      // r14 retrieval rows (custom runners below): measured at the
+      // PRODUCTION stopword cap (0.5). The oracle fixture must disable the
+      // cap — the fixture vocabulary is closed (31 words, every df >
+      // 0.5·N) so capped scoring is empty — but at cap = 1.0 on a closed
+      // vocabulary every query matches every document: quadratic BY
+      // CONSTRUCTION, the regime the cap exists to prevent. On this 10×
+      // corpus the cap prunes the global common terms and each copy's
+      // spliced marker tokens (df ≈ n/10) keep every probe scoped to its
+      // own copy — the production linear path. q159's dense side is NOT
+      // swept: brute-force cosine is quadratic by definition (the scale
+      // path is the q63 IVF row), and rrfFuse itself is top-k-sized.
+      "q156_bm25_prodcap", "q157_bm25_store_prodcap")
+    val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
+      def docs(s: SparkSession, dir: String) =
+        s.read.parquet(s"$dir/documents.parquet")
+          .repartition(s.sparkContext.defaultParallelism)
+      Map(
+        "q156_bm25_prodcap" -> ((s, dir) => {
+          val d = docs(s, dir)
+          graft.ext.Retrieval.bm25TopK(d,
+            d.filter(col("doc_id") % 37 === 0),
+            "doc_id", "text", "doc_id", "text", topK = 10, maxDfFrac = 0.5)
+        }),
+        // prices build + append + serve each run (the q81 posture)
+        "q157_bm25_store_prodcap" -> ((s, dir) => {
+          val d = docs(s, dir)
+          graft.ext.Retrieval.buildPostingsStore(
+            d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+            "graft_slope_bm25")
+          graft.ext.Retrieval.appendToPostingsStore(
+            d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            "graft_slope_bm25")
+          graft.ext.Retrieval.bm25Serve(s, "graft_slope_bm25",
+            d.filter(col("doc_id") % 41 === 0),
+            "doc_id", "text", topK = 10, maxDfFrac = 0.5)
+        }))
+    }
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
     // single-sample 10x slopes wobble ±70% (COVERAGE noise appendix), too
     // loose to catch a real 2x asymptote drift on the heavy terminals —
@@ -271,7 +311,7 @@ object ScaleSlope {
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val df = customRunners.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
       // row count via an observed metric on the SAME noop write — a second
       // action (df.count()) would re-execute the whole pipeline outside the
       // timed region and double the harness's wall-clock

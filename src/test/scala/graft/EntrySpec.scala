@@ -25,16 +25,23 @@ class EntrySpec extends AnyFunSuite {
     qs.foreach(n => assert(n.matches("q\\d+_[a-z0-9_]+"), s"bad query name: $n"))
   }
 
-  test("queries without an oracle are the known non-SQL-expressible set") {
+  test("queries without an oracle are the known dynamic-oracle set") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Anything newly added here must be a deliberate rows-only check —
-    // extend the allowlist in the same commit that adds the query.
-    // q111: iterative engine-side GD training — no SQL replay exists;
-    // separation + bit-reproducibility are spec-pinned in ExtSpec instead.
-    // q123: iterative BPE merge induction — same no-SQL-replay class; the
-    // merge loop is pinned against a hand-computed fixture in ExtSpec.
-    val allowed = Set("q111_quality_classifier", "q123_bpe_train")
+    // The only queries allowed to lack an oracle in a FRESH JVM are the
+    // frozen-model trainers (ExtQueries.dynamicOracleNames): their replay
+    // SQL is built from artifacts the query run itself trains, so it is
+    // absent until the query executes — but Verify dumps oracle_sql.json
+    // AFTER running every query, so the driver always receives them.
+    // Depending on suite order, some trainers may already have run in this
+    // JVM (populating OracleAux), so `noOracle` is a SUBSET of the dynamic
+    // set, not necessarily equal to it. Anything newly added to the dynamic
+    // set must be a deliberate trained-artifact replay — extend
+    // dynamicOracleNames in the same commit that adds the query.
+    val allowed = ExtQueries.dynamicOracleNames
     assert((noOracle -- allowed).isEmpty,
       s"queries recorded rows-only (no oracle) — intended? ${noOracle -- allowed}")
+    val orphanDynamic = allowed -- SparkEntry.queries.keySet
+    assert(orphanDynamic.isEmpty,
+      s"dynamicOracleNames without a query impl: $orphanDynamic")
   }
 }
