@@ -1237,6 +1237,28 @@ object ExtQueries {
           col("kept"))
         .orderBy(col("doc_id"))
     },
+    // Cluster-integral split: every doc gets the split of its >= 0.8-
+    // Jaccard near-dup cluster representative (component min id), so a
+    // near-dup group can never straddle train/test — the FIX for the leak
+    // q125 audits. Singletons reduce to q53's plain hash split.
+    "q160_leakfree_split" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Corpus.leakFreeSplit(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
+        .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    // Host-graph PageRank (crawl prioritization): 3 damped power-iteration
+    // rounds over a deterministic 40-host link graph synthesized from doc
+    // ids. All-integer micro-rank arithmetic (div floors), so the oracle
+    // unrolls the three rounds as exact BIGINT algebra.
+    "q161_host_rank" -> { (s, dir) =>
+      val edges = read(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 3) % 40).cast("string")).as("dst"))
+      Urls.hostRank(edges, iters = 3)
+        .orderBy(col("host"))
+    },
     // Hybrid retrieval: reciprocal-rank fusion (RRF, c = 60) of the BM25
     // top-20 over documents.text and the dense cosine top-20 over
     // embeddings for the same query ids — purely rank-based, so the two
@@ -2932,8 +2954,9 @@ object ExtQueries {
     * closed — see the q156 comment), Lucene idf over exact integers, tf
     * normalization
     * with the corpus statistics (n, sum_len) — every double division
-    * written in the Spark side's association order — contributions folded
-    * in TERM ORDER, 6-dp round before the rank window. `queryWhere`
+    * written in the Spark side's association order — each contribution
+    * floored onto the 1e-6 integer grid, so the per-(qid, doc) score is an
+    * exact BIGINT sum surfaced as sum/10⁶. `queryWhere`
     * selects the query documents; emits CTEs ending at `${p}r` =
     * (qid, doc_id, n_terms, score, rnk). */
   private def bm25Ctes(queryWhere: String, p: String): String =
@@ -3032,7 +3055,56 @@ object ExtQueries {
        |SELECT qid, doc_id, n_lists, rrf_score, rnk AS "rank" FROM fr
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  // q44's recursive closure feeding the q53 md5-bucket split keyed by the
+  // cluster representative; singletons coalesce to their own id
+  private def leakFreeSplitSql: String =
+    s"""WITH RECURSIVE $jaccardClosureCtes,
+       |cl AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+       |w AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+       |b AS (SELECT doc_id, cluster,
+       |    CAST(CAST(('0x' || substr(md5(cluster || ':graft:split'), 1, 8))
+       |      AS BIGINT) % 10000 AS INT) AS bucket FROM w)
+       |SELECT doc_id, cluster, bucket,
+       |  CASE WHEN bucket < 8000 THEN 'train'
+       |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** The three power-iteration rounds unrolled: all-BIGINT micro-rank
+    * algebra (`//` floors exactly like Spark's `div`), dangling mass and
+    * the base term re-derived per round from the same node count. */
+  private def hostRankSql: String = {
+    def round(i: Int): String =
+      s"""d$i AS (SELECT coalesce(sum(r6), 0) AS dang FROM r$i WHERE outdeg = 0),
+         |c$i AS (SELECT e.dst AS host, sum(r.r6 // r.outdeg) AS in6
+         |  FROM r$i r JOIN e ON r.host = e.src WHERE r.outdeg > 0 GROUP BY 1),
+         |r${i + 1} AS (SELECT r.host, r.outdeg,
+         |    (SELECT ((100 - 85) * 10000) // n FROM nn)
+         |    + (85 * (coalesce(c.in6, 0)
+         |        + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS r6
+         |  FROM r$i r LEFT JOIN c$i c ON r.host = c.host)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT
+       |    'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+       |    'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst
+       |  FROM documents),
+       |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |od AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY 1),
+       |r0 AS (SELECT nodes.host, coalesce(od.outdeg, 0) AS outdeg,
+       |    (SELECT CAST(1000000 AS BIGINT) // n FROM nn) AS r6
+       |  FROM nodes LEFT JOIN od ON nodes.host = od.host),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)}
+       |SELECT host, outdeg,
+       |  CAST(r6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS rank
+       |FROM r3 ORDER BY host""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q160_leakfree_split" -> leakFreeSplitSql,
+    "q161_host_rank" -> hostRankSql,
     "q156_bm25_topk" -> bm25TopkSql,
     "q157_bm25_indexed" -> bm25IndexedSql,
     "q158_qnorm_by_source" -> qnormBySourceSql,

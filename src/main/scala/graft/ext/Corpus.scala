@@ -68,6 +68,40 @@ object Corpus {
     df.withColumn("bucket", b).withColumn("split", assign)
   }
 
+  /** Cluster-integral train/val/test split — the FIX for the leakage
+    * [[splitLeakReport]] (q125) audits: every document is assigned the
+    * split of its near-dup cluster REPRESENTATIVE (the connected
+    * component's smallest id), so a near-dup group can never straddle
+    * train and test. `pairs` is any (id1, id2) near-dup pair list —
+    * n-gram Jaccard, MinHash, SimHash, semantic — whichever notion of
+    * "same document" the eval hygiene policy uses; documents in no pair
+    * split by their own id, which reduces to plain [[hashSplit]].
+    *
+    * Adds `cluster` (the representative id) plus hashSplit's
+    * `bucket`/`split`. Membership depends only on (representative, salt):
+    * stable as the corpus grows, and adding a NEW near-dup of an existing
+    * document routes it to the existing document's split (min-id reps are
+    * stable under growth as long as ids grow monotonically).
+    *
+    * Scale shape: connected components run over the PAIR GRAPH only
+    * ([[Dedup.nearDupClusters]], O(log diameter) rounds of host-keyed
+    * joins), one LEFT join of the corpus against the pairs-sized cluster
+    * table, then the zero-shuffle hash-split projection on the
+    * representative key. */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    weights: Seq[(String, Double)] =
+                      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                    buckets: Int = 10000, salt: String = "graft:split",
+                    checkpoint: CheckpointStrategy =
+                      CheckpointStrategy.Local): DataFrame = {
+    requireFresh(df, "leakFreeSplit", "cluster", "bucket", "split")
+    val clusters = Dedup.nearDupClusters(pairs, checkpoint = checkpoint)
+      .withColumnRenamed("id", idCol)
+    val withRep = df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    hashSplit(withRep, "cluster", weights, buckets, salt)
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its hash bucket falls
     * under its stratum's fraction (strata not in `fractions` use `default`).
     * The hash-threshold form of stratified sampling — zero shuffle, exactly

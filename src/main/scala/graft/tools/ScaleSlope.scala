@@ -263,7 +263,14 @@ object ScaleSlope {
       // own copy — the production linear path. q159's dense side is NOT
       // swept: brute-force cosine is quadratic by definition (the scale
       // path is the q63 IVF row), and rrfFuse itself is top-k-sized.
-      "q156_bm25_prodcap", "q157_bm25_store_prodcap")
+      "q156_bm25_prodcap", "q157_bm25_store_prodcap",
+      // r14: q160 = q44's pair graph + connected components + one left
+      // join + the zero-shuffle split projection (the CC rounds dominate,
+      // exactly like q44); q161 = one per-row edge projection + distinct,
+      // then 3 host-keyed join rounds over the FIXED 40-host fixture graph
+      // (the rank table is constant-sized — the slope prices the edge
+      // distinct over 10× documents)
+      "q160_leakfree_split", "q161_host_rank")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

@@ -4411,4 +4411,45 @@ class ExtSpec extends AnyFunSuite {
       dropLowFrac = 0.2, dropHighFrac = 0.2)
     assert(kept.collect().map(_.getLong(0)).sorted.toSeq == (2L to 7L))
   }
+
+  test("leakFreeSplit: a near-dup cluster never straddles splits; singletons reduce to hashSplit") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = Corpus.leakFreeSplit(docs, "doc_id", pairs)
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // components: {1,2,3} -> rep 1, {5,6} -> rep 5; 4 is a singleton
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(5L)._1 == 5L && out(6L)._1 == 5L && out(4L)._1 == 4L)
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    assert(out(5L)._2 == out(6L)._2)
+    // cluster members get the REPRESENTATIVE's plain-hashSplit assignment;
+    // the singleton gets its own
+    val plain = Corpus.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L)._2 == plain(1L) && out(6L)._2 == plain(5L))
+    assert(out(4L)._2 == plain(4L))
+  }
+
+  test("hostRank: hand-computed single damped round; duplicate edges collapse") {
+    // A -> B, B -> A, B -> C (C dangling). N = 3, r0 = 333333 micro-units;
+    // one duplicated edge must not double B's contribution to A.
+    val g = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("B", "A"))
+      .toDF("src", "dst")
+    val r1 = Urls.hostRank(g, iters = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // dang = r(C) = 333333, redis = 111111; base = (15*10000)/3 = 50000;
+    // B fans 333333 div 2 = 166666 to each of A and C; A sends B 333333
+    def exp(in: Long) = (50000L + (85L * (in + 111111L)) / 100L).toDouble / 1e6
+    assert(r1("A") == ((1L, exp(166666L))))
+    assert(r1("B") == ((2L, exp(333333L))))
+    assert(r1("C") == ((0L, exp(166666L))))
+    // 3 rounds: the doubly-linked hub B stays on top; mass stays bounded
+    val r3 = Urls.hostRank(g, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r3("B") > r3("A") && r3("B") > r3("C"))
+    assert(r3.values.sum > 0.9 && r3.values.sum <= 1.000001)
+    assert(r3 == Urls.hostRank(g.repartition(5), iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap)
+  }
 }
