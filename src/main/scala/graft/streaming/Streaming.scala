@@ -190,6 +190,34 @@ object Streaming {
         ()
       }
 
+  /** Streaming RETRIEVAL probe — each micro-batch of incoming documents
+    * queries the persisted BM25 postings store ([[graft.ext.Retrieval]])
+    * for its top-k lexical matches in the held corpus: the online
+    * near-verbatim triage / decontamination gate ("does this arrival
+    * retrieve something we already hold, and how hard?"). The store is
+    * static within a run (appends happen on the batch side), so this is a
+    * stateless foreachBatch composition of the oracled batch operator
+    * verbatim — per-batch hit tables equal [[graft.ext.Retrieval.bm25Serve]]
+    * on the same rows (StreamingSpec pins the parity). `onHits` receives
+    * each batch's (qid, doc_id, n_terms, score, rank) hits with the batch
+    * id, at-most-once per batch; arrivals whose every term is df-capped
+    * (or that match nothing) simply emit no rows. */
+  def retrievalProbe(events: DataFrame, storeName: String, idCol: String,
+                     textCol: String, topK: Int,
+                     onHits: (DataFrame, Long) => Unit,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     maxDfFrac: Double = 0.5, analyzer: String = "ws-lower",
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          onHits(graft.ext.Retrieval.bm25Serve(batch.sparkSession, storeName,
+            batch, idCol, textCol, topK, k1, b, maxDfFrac, analyzer), id)
+        ()
+      }
+
   /** Streaming ONBOARDING monitor — q153's store-served audit run on
     * every micro-batch of a candidate feed before any pipeline spend:
     * vocabulary overlap, bottom-k resemblance, and length-quantile shift

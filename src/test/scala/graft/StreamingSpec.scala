@@ -953,6 +953,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(id2).forall(_._2 < 0.05), got(id2).toString)
   }
 
+  test("retrievalProbe: per-batch store-served BM25 hits equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // held corpus: doc 0 contains the rare term; all docs share "common"
+    val corpus = Seq(
+      (0L, "rare common alpha beta"),
+      (1L, "common alpha alpha beta beta gamma"),
+      (2L, "common gamma delta"),
+      (3L, "common delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    graft.ext.Retrieval.buildPostingsStore(corpus, "doc_id", "text",
+      "rtest_stream_store")
+    // two arrival batches: one retrieves doc 0 hard ("rare"), one matches
+    // nothing under the production df cap (every term universal)
+    val b1 = Seq((100L, "rare alpha"))
+    val b2 = Seq((200L, "common"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))
+    def batchHits(rows: Seq[(Long, String)]) =
+      graft.ext.Retrieval.bm25Serve(spark, "rtest_stream_store",
+          rows.toDF("id", "text"), "id", "text", topK = 3)
+        .collect().map(key).toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Double, Int)]]()
+    val stream = MemoryStream[(Long, String)]
+    val q = Streaming.retrievalProbe(
+      stream.toDF().toDF("id", "text"), "rtest_stream_store", "id", "text",
+      topK = 3,
+      onHits = (hits, id) => got(id) = hits.collect().map(key).toSet,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    val Seq(id1, id2) = got.keys.toSeq.sorted
+    assert(got(id1) == batchHits(b1), "batch-1 hits drifted")
+    assert(got(id2) == batchHits(b2), "batch-2 hits drifted")
+    // the alarm points the right way: the near-verbatim arrival retrieves
+    // doc 0 at rank 1; the all-stopword arrival emits nothing
+    assert(got(id1).exists(h => h._2 == 0L && h._4 == 1))
+    assert(got(id2).isEmpty)
+  }
+
   test("vocabCardinality: windowed HLL registers match batch, estimate tracks vocab") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
