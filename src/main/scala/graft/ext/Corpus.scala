@@ -695,7 +695,10 @@ object Corpus {
     * cumulative window over THAT bounded histogram, and one join back on
     * (group, score6). Integer counts make the CDF exact and fold-order
     * free; the single double division (cum/n) is identical in any IEEE
-    * engine. */
+    * engine. NULL scores form their own histogram bucket whose ORDER
+    * position is engine-specific (Spark sorts nulls first, most SQL
+    * engines last) — coalesce the score upstream if the input can be
+    * null. */
   def quantileNormalizeScores(df: DataFrame, groupCol: String,
                               scoreCol: Column, keepTopFrac: Double = 0.5,
                               checkpoint: CheckpointStrategy =

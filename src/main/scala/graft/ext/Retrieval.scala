@@ -78,7 +78,10 @@ object Retrieval {
                        queries: DataFrame, qidCol: String, qtextCol: String,
                        topK: Int, k1: Double = 1.2, b: Double = 0.75,
                        maxDfFrac: Double = 0.5,
-                       tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+                       tokenizer: Column => Column = TextStats.tokens,
+                       checkpoint: CheckpointStrategy =
+                         CheckpointStrategy.Local): DataFrame = {
+    val cp = CheckpointStrategy.materializer(checkpoint)
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(nDocs >= 1, s"BM25 needs a non-empty corpus, got nDocs=$nDocs")
     require(k1 >= 0.0 && b >= 0.0 && b <= 1.0,
@@ -91,12 +94,14 @@ object Retrieval {
         explode(TextStats.pinnedCol(
           tokenizer(coalesce(col(qtextCol), lit(""))))).as("term"))
       .distinct()
-      .localCheckpoint()
-    val qterms = qt.select(col("term")).distinct()
+    val qtM = cp(qt)
+    val qterms = qtM.select(col("term")).distinct()
     // the inverted-index probe: only postings rows for query terms survive;
     // feeds the df aggregate AND the scoring join — one materialization
-    // (sized by the probed postings, the operator's true working set)
-    val hit = post.join(broadcast(qterms), Seq("term")).localCheckpoint()
+    // (sized by the probed postings, the operator's true working set; on a
+    // cluster pass CheckpointStrategy.Reliable so the blocks survive
+    // executor loss — the bulk-probe regime can make this corpus-scale)
+    val hit = cp(post.join(broadcast(qterms), Seq("term")))
     // stopword pruning: a term in more than maxDfFrac of the corpus scores
     // ~0 idf but costs O(N) postings rows — drop it before the fan-out
     val dfCap = math.max(1L, (maxDfFrac * nDocs.toDouble).toLong)
@@ -114,7 +119,7 @@ object Retrieval {
     // whole-stage codegen (no per-group array). Magnitudes are tiny:
     // idf ≤ ln(1 + 2N), tfn < k1 + 1 → contrib·10⁶ ≪ 2^63.
     val scored = hit.join(broadcast(dfT), Seq("term"))
-      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(qtM), Seq("term"))
       .select(col("qid"), col("id"),
         floor(idf * tfn * lit(1000000.0)).cast("long").as("__c6"))
     val agg = scored.groupBy(col("qid"), col("id"))
@@ -134,10 +139,13 @@ object Retrieval {
                textCol: String, qidCol: String, qtextCol: String,
                topK: Int, k1: Double = 1.2, b: Double = 0.75,
                maxDfFrac: Double = 0.5,
-               tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+               tokenizer: Column => Column = TextStats.tokens,
+               checkpoint: CheckpointStrategy =
+                 CheckpointStrategy.Local): DataFrame = {
     val (n, sl) = corpusStats(corpus, textCol, tokenizer)
     bm25FromPostings(postings(corpus, idCol, textCol, tokenizer), n, sl,
-      queries, qidCol, qtextCol, topK, k1, b, maxDfFrac, tokenizer)
+      queries, qidCol, qtextCol, topK, k1, b, maxDfFrac, tokenizer,
+      checkpoint)
   }
 
   // ---------------------------------------------------------------------
@@ -238,14 +246,17 @@ object Retrieval {
                 qidCol: String, qtextCol: String, topK: Int,
                 k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 0.5,
                 analyzer: String = "ws-lower",
-                tokenizer: Column => Column = TextStats.tokens): DataFrame = {
+                tokenizer: Column => Column = TextStats.tokens,
+                checkpoint: CheckpointStrategy =
+                  CheckpointStrategy.Local): DataFrame = {
     val meta = readPostingsMeta(spark, name)
     require(meta("analyzer") == analyzer,
       s"probe analyzer '$analyzer' != frozen store analyzer " +
         s"'${meta("analyzer")}' for '$name'")
     bm25FromPostings(spark.table(s"${name}_postings"),
       meta("n_docs").toLong, meta("sum_len").toLong,
-      queries, qidCol, qtextCol, topK, k1, b, maxDfFrac, tokenizer)
+      queries, qidCol, qtextCol, topK, k1, b, maxDfFrac, tokenizer,
+      checkpoint)
   }
 
   // ---------------------------------------------------------------------

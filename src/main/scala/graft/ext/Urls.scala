@@ -215,6 +215,7 @@ object Urls {
         coalesce(col("outdeg"), lit(0L)).cast("long").as("outdeg"),
         lit(0L).as("r6")))
     val n = ranks.count()
+    require(n > 0, "hostRank needs a non-empty edge list")
     val base = ((100L - dampingPct) * 10000L) / n // (1−d)/N in micro-units
     ranks = cp(ranks.withColumn("r6", lit(1000000L / n)))
     for (_ <- 1 to iters) {
