@@ -1248,6 +1248,25 @@ object ExtQueries {
         .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     },
+    // HTML extraction (the crawl front-end ahead of q96/q70): documents
+    // wrapped in a deterministic page shell — title/style head, h1,
+    // paragraph tags, an HTML comment, entity escapes, a script tail —
+    // then extracted back; recovered = "Doc N <text> \"tail\" <x> &amp;".
+    // Pure codegen regex chain, replayed verbatim by the oracle.
+    "q162_html_extract" -> { (s, dir) =>
+      val html = docsPar(s, dir).select(col("doc_id"),
+        concat(lit("<html><head><title>d"), col("doc_id").cast("string"),
+          lit("</title><style>p{color:red}</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- boilerplate --><p>"), col("text"),
+          lit("</p><p>&quot;tail&quot; &lt;x&gt; &amp;amp;</p>" +
+            "<script>var z = \"<p>not text</p>\";</script></body></html>"))
+          .as("html"))
+      html.select(col("doc_id"),
+          Corpus.htmlToText(col("html")).as("extracted"))
+        .withColumn("n_chars_out", length(col("extracted")))
+        .orderBy(col("doc_id"))
+    },
     // Host-graph PageRank (crawl prioritization): 3 damped power-iteration
     // rounds over a deterministic 40-host link graph synthesized from doc
     // ids. All-integer micro-rank arithmetic (div floors), so the oracle
@@ -3102,7 +3121,38 @@ object ExtQueries {
        |FROM r3 ORDER BY host""".stripMargin
   }
 
+  // the page shell rebuilt with || concatenation, then the extractor chain
+  // verbatim: script/style/comment subtrees, tag strip, entity decode in
+  // the Spark side's order (&amp; last), whitespace collapse
+  private def htmlExtractSql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |    '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>p{color:red}</style></head><body><h1>Doc ' ||
+       |    CAST(doc_id AS VARCHAR) ||
+       |    '</h1><!-- boilerplate --><p>' || text ||
+       |    '</p><p>&quot;tail&quot; &lt;x&gt; &amp;amp;</p>' ||
+       |    '<script>var z = "<p>not text</p>";</script></body></html>' AS html
+       |  FROM documents),
+       |x AS (SELECT doc_id,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(html,
+       |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |            '(?s)<!--.*?-->', ' ', 'g'),
+       |          '<[^>]*>', ' ', 'g'),
+       |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |        '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+       |      '\\s+', ' ', 'g')) AS extracted
+       |  FROM h)
+       |SELECT doc_id, extracted, CAST(length(extracted) AS INT) AS n_chars_out
+       |FROM x ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q162_html_extract" -> htmlExtractSql,
     "q160_leakfree_split" -> leakFreeSplitSql,
     "q161_host_rank" -> hostRankSql,
     "q156_bm25_topk" -> bm25TopkSql,

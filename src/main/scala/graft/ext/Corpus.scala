@@ -903,6 +903,30 @@ object Corpus {
     * case/accents/digits/punctuation" is the identity you want — e.g.
     * `Dedup.exact` on a pre-normalized column, or [[paragraphKey]]'s
     * stricter letters-only cousin. */
+  /** HTML → text extraction — the crawl FRONT-END stage ahead of
+    * [[removeBoilerplateLines]]/[[ccnetNormalize]]: drop `<script>`/`<style>`
+    * subtrees and HTML comments, strip every remaining tag, decode the
+    * seven entities that dominate web text (`&amp;` LAST, the one-pass
+    * convention: `&amp;lt;` decodes to the literal `&lt;`, not `<`),
+    * collapse whitespace. A regex-chain extractor in the C4 lineage — NOT
+    * a DOM parser: malformed markup degrades to extra whitespace, never an
+    * exception, and a plain-text `<...>` run is treated as a tag (the
+    * documented trade of tag-blind extraction). Pure codegen'd column
+    * expression (four `regexp_replace` + literal `replace`s, zero shuffle,
+    * no UDF); every pattern is RE2-safe (inline `(?is)` + non-greedy, no
+    * lookahead) so an ANSI-SQL engine replays it verbatim. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(coalesce(html, lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def ccnetNormalize(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(

@@ -270,7 +270,10 @@ object ScaleSlope {
       // then 3 host-keyed join rounds over the FIXED 40-host fixture graph
       // (the rank table is constant-sized — the slope prices the edge
       // distinct over 10× documents)
-      "q160_leakfree_split", "q161_host_rank")
+      "q160_leakfree_split", "q161_host_rank",
+      // r14: q162 = pure per-row codegen regex chain (shell synthesis +
+      // extraction) — a CPU throughput rail like the codec rows
+      "q162_html_extract")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

@@ -4431,6 +4431,23 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L)._2 == plain(4L))
   }
 
+  test("htmlToText: script/style/comment subtrees, one-pass entity order, null") {
+    val rows = Seq(
+      (1L, "<html><body><p>a&amp;b</p><script>var x=\"<p>no</p>\";</script></body></html>"),
+      (2L, "<style>p{}</style>Hello <b>world</b><!-- hidden -->"),
+      (3L, "&amp;lt; stays"), // &amp; decodes LAST: never double-decodes to <
+      (4L, "plain text, no markup"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "html")
+    val out = rows.select(col("id"), Corpus.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a&b")
+    assert(out(2L) == "Hello world")
+    assert(out(3L) == "&lt; stays")
+    assert(out(4L) == "plain text, no markup")
+    assert(out(5L) == "")
+  }
+
   test("hostRank: hand-computed single damped round; duplicate edges collapse") {
     // A -> B, B -> A, B -> C (C dangling). N = 3, r0 = 333333 micro-units;
     // one duplicated edge must not double B's contribution to A.
