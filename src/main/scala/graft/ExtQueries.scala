@@ -1267,6 +1267,16 @@ object ExtQueries {
         .withColumn("n_chars_out", length(col("extracted")))
         .orderBy(col("doc_id"))
     },
+    // Soft dedup: near-dup clusters downweighted to unit mass (weight =
+    // 1/n_copies) instead of dropped — the mixing-stage alternative to
+    // q50's hard removal; same >= 0.8-Jaccard pair policy as q44/q160.
+    "q163_softdedup_weights" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Dedup.softDedupWeights(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
+        .select(col("doc_id"), col("cluster"), col("n_copies"), col("weight"))
+        .orderBy(col("doc_id"))
+    },
     // Host-graph PageRank (crawl prioritization): 3 damped power-iteration
     // rounds over a deterministic 40-host link graph synthesized from doc
     // ids. All-integer micro-rank arithmetic (div floors), so the oracle
@@ -3151,7 +3161,20 @@ object ExtQueries {
        |SELECT doc_id, extracted, CAST(length(extracted) AS INT) AS n_chars_out
        |FROM x ORDER BY doc_id""".stripMargin
 
+  // q44's closure + a (cluster, n) count + the 1/n division rounded 6 dp
+  private def softDedupWeightsSql: String =
+    s"""WITH RECURSIVE $jaccardClosureCtes,
+       |cl AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+       |w AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+       |csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_copies
+       |  FROM w GROUP BY 1)
+       |SELECT doc_id, cluster, n_copies,
+       |  round(CAST(1 AS DOUBLE) / CAST(n_copies AS DOUBLE), 6) AS weight
+       |FROM w JOIN csz USING (cluster) ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q163_softdedup_weights" -> softDedupWeightsSql,
     "q162_html_extract" -> htmlExtractSql,
     "q160_leakfree_split" -> leakFreeSplitSql,
     "q161_host_rank" -> hostRankSql,

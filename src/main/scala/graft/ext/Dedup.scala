@@ -514,6 +514,38 @@ object Dedup {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
+  /** SOFT dedup: keep every document but DOWNWEIGHT near-dup clusters to
+    * unit total mass — `weight` = 1/n_copies, so a group of n near-copies
+    * contributes the sampling mass of one document instead of n (and
+    * instead of zero for all but one, [[removeNearDups]]'s hard policy).
+    * The standard soft alternative when exact members differ in ways the
+    * pair policy ignores (formatting, boilerplate tails) and dropping
+    * would lose the variation; feed `weight` to
+    * [[graft.ext.Corpus.weightedSample]] or a mixture stage. Adds
+    * `cluster` (representative id), `n_copies`, `weight` (1/n rounded to
+    * 6 dp — one double division of exact longs, engine-stable).
+    *
+    * Scale shape: connected components over the PAIR GRAPH only, one
+    * pairs-sized (cluster, n) aggregate, two joins back (AQE broadcasts
+    * the skinny sides when they fit); documents in no cluster take
+    * n_copies = 1 without touching the cluster table. */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+                       maxIters: Int = 20,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val clash = Seq("cluster", "n_copies", "weight").filter(df.columns.contains)
+    require(clash.isEmpty, s"softDedupWeights reserves column name(s) " +
+      s"${clash.mkString(", ")}; rename the input column(s) first")
+    val clusters = nearDupClusters(pairs, maxIters, checkpoint)
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_copies"))
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .join(sizes, Seq("cluster"), "left")
+      .withColumn("n_copies", coalesce(col("n_copies"), lit(1L)))
+      .withColumn("weight",
+        round(lit(1.0) / col("n_copies").cast("double"), 6))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   // 31-bit Mersenne prime: keeps a*h + b within 63 bits (ANSI-safe, no

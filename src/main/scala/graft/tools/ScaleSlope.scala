@@ -273,7 +273,10 @@ object ScaleSlope {
       "q160_leakfree_split", "q161_host_rank",
       // r14: q162 = pure per-row codegen regex chain (shell synthesis +
       // extraction) — a CPU throughput rail like the codec rows
-      "q162_html_extract")
+      "q162_html_extract",
+      // r14: q163 = q44's pair graph + CC + a pairs-sized count + two
+      // joins back — the CC rounds dominate, like q44/q160
+      "q163_softdedup_weights")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

@@ -4431,6 +4431,23 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L)._2 == plain(4L))
   }
 
+  test("softDedupWeights: clusters downweight to unit mass, singletons keep 1.0") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("n_copies"),
+          r.getAs[Double]("weight")))).toMap
+    assert(out(1L) == ((1L, 3L, 0.333333)) && out(2L) == ((1L, 3L, 0.333333))
+      && out(3L) == ((1L, 3L, 0.333333)))
+    assert(out(4L) == ((4L, 1L, 1.0)))
+    assert(out(5L) == ((5L, 2L, 0.5)) && out(6L) == ((5L, 2L, 0.5)))
+    // every cluster's total mass is exactly one document (up to rounding)
+    val mass = out.values.groupBy(_._1).map(_._2.map(_._3).sum)
+    assert(mass.forall(m => math.abs(m - 1.0) < 1e-5))
+  }
+
   test("htmlToText: script/style/comment subtrees, one-pass entity order, null") {
     val rows = Seq(
       (1L, "<html><body><p>a&amp;b</p><script>var x=\"<p>no</p>\";</script></body></html>"),
