@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Retrieval, Similarity, TextStats, Urls}
-import graft.Tables.read
+import graft.Tables.{read, PresentBy}
 
 /** Training-data-pipeline operator queries (dedup, similarity search, text
   * analysis, multimodal plumbing) with DuckDB oracles. Floating-point rule:
@@ -69,19 +69,19 @@ object ExtQueries {
       read(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"),
           TextStats.rollingHash(col("text")).as("rolling_hash"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     "q31_dedup_exact" -> ((s, dir) =>
       Dedup.exact(read(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     "q32_text_stats" -> ((s, dir) =>
       TextStats.analyze(read(s, dir, "documents"), "text")
         .select(col("doc_id"), col("token_count"), col("n_chars_calc"),
           col("punct_ratio"), col("stop_ratio"), col("quality"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     "q33_langid" -> ((s, dir) =>
       read(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // stop-gram cap active by default (Dedup.DefaultMaxDocFreq = 1000); the
     // oracle carries no cap — provably equivalent at sf<=0.01 where every
     // document-frequency is bounded by the 500-doc corpus size, and spec-
@@ -89,39 +89,39 @@ object ExtQueries {
     "q34_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsPar(s, dir), "doc_id", "text",
           minJaccard = 0.8)
-        .orderBy(col("id1"), col("id2"))),
+        .presentBy(col("id1"), col("id2"))),
     "q35_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedupPairs(docsPar(s, dir), "doc_id", "text",
           minJaccard = 0.8)
-        .orderBy(col("id1"), col("id2"))),
+        .presentBy(col("id1"), col("id2"))),
     "q36_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPar(s, dir), "doc_id", "text",
           maxDist = 3, hasher = Dedup.Hasher.Md5)
-        .orderBy(col("id1"), col("id2"))),
+        .presentBy(col("id1"), col("id2"))),
     // exact pairs via the grid-blocked self-join — the scale-shaped exact
     // plan (no full-corpus broadcast); the brute-force SQL is the oracle.
     "q37_embed_cosine" -> ((s, dir) =>
       Similarity.cosinePairsBlocked(read(s, dir, "embeddings"), "vec_id",
           "embedding", minCos = 0.4)
-        .orderBy(col("id1"), col("id2"))),
+        .presentBy(col("id1"), col("id2"))),
     "q38_ann_topk" -> { (s, dir) =>
       val e = read(s, dir, "embeddings")
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
           topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     "q39_ann_lsh" -> { (s, dir) =>
       val e = read(s, dir, "embeddings")
       Similarity.annLshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
           "embedding", topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     "q40_multimodal_decode" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal
         .withFakeMedia(read(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaRow]
-      Multimodal.decodeMeta(media).toDF().orderBy(col("id"))
+      Multimodal.decodeMeta(media).toDF().presentBy(col("id"))
     },
     // IVF-ANN: deterministic coarse pivots -> nearest-cell assignment ->
     // nProbe probed cells -> exact re-rank; the whole pipeline is mirrored
@@ -130,7 +130,7 @@ object ExtQueries {
       val e = read(s, dir, "embeddings")
       Similarity.annIvfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
           "embedding", topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // D4-style prototypicality pruning: per semantic cell, drop the 25%
     // most-pivot-similar members, keep the diverse tail. nCells pinned to 16
@@ -138,14 +138,14 @@ object ExtQueries {
     "q83_proto_prune" -> ((s, dir) =>
       Similarity.prototypicalityPrune(read(s, dir, "embeddings"), "vec_id",
           "embedding", keepFrac = 0.75, nCells = 16)
-        .orderBy(col("vec_id"))),
+        .presentBy(col("vec_id"))),
     // dedup endgame: pairs -> connected components -> representative per
     // cluster (min id); oracled by a recursive transitive closure in DuckDB
     "q44_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
           Dedup.ngramJaccardPairs(docsPar(s, dir), "doc_id", "text",
             minJaccard = 0.8))
-        .orderBy(col("id"))),
+        .presentBy(col("id"))),
     // the deduped-CORPUS terminal: documents minus non-representative
     // near-dup cluster members (LEFT ANTI against the closure clusters);
     // oracle = q44's recursive closure feeding an anti-join
@@ -154,7 +154,7 @@ object ExtQueries {
       Dedup.removeNearDups(docs, "doc_id",
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // collection/json scalar-function breadth (SURVEY §2.6): array ops, a
     // map lookup, and json build+extract, all codegen'd built-ins; the
@@ -171,14 +171,14 @@ object ExtQueries {
           get_json_object(
             concat(lit("{\"n\":"), length(col("text")).cast("string"), lit("}")),
             "$.n").cast("int").as("n_from_json"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // token accounting at both granularities: whitespace + BPE pre-tokenizer
     "q43_bpe_tokens" -> ((s, dir) =>
       read(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.bpeTokenCount(col("text")).as("bpe_tokens"),
           TextStats.tokenCount(col("text")).as("ws_tokens"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Embedding near-dup dedup in the regime LSH is FOR: the corpus gets one
     // deterministic planted near-dup per vector (cos ≈ 0.999, reproducible
     // in SQL), and AUTO-SIZED LSH banding (bits = 0 → autoSignatureBits
@@ -195,7 +195,7 @@ object ExtQueries {
         "vec_id", "embedding", offset = 1000000L, scale = 0.01)
       Similarity.cosineLshPairs(corpus, "vec_id", "embedding", minCos = 0.95,
           bits = 0, bands = 16)
-        .orderBy(col("id1"), col("id2"))
+        .presentBy(col("id1"), col("id2"))
     },
     // The multimodal path END-TO-END under the oracle (VERDICT r2 #7):
     // text → binary media column → per-partition feature extraction
@@ -210,14 +210,14 @@ object ExtQueries {
     // SQL-recomputed embeddings remains a valid oracle for the whole
     // pipeline. Re-ranking uses raw vectors, so output rows are identical.
     "q46_media_embed_dedup" -> ((s, dir) =>
-      mediaEmbedPairs(s, dir).orderBy(col("id1"), col("id2"))),
+      mediaEmbedPairs(s, dir).presentBy(col("id1"), col("id2"))),
     // The embedding-dedup ENDGAME: q46's media → embed → centered-LSH pair
     // pipeline composed into connected components (min-label propagation) —
     // one representative per near-dup media cluster. Oracled end-to-end: the
     // DuckDB SQL recomputes the embeddings, the exact pair graph at 0.99,
     // and a recursive transitive closure (q44's pattern over q46's graph).
     "q49_embed_dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(mediaEmbedPairs(s, dir)).orderBy(col("id"))),
+      Dedup.nearDupClusters(mediaEmbedPairs(s, dir)).presentBy(col("id"))),
     // The full text-dedup terminal (exact collapse → MinHash-LSH near-dup
     // pairs over representatives → anti-join): closes the band-bucket cap's
     // oversized-identical-group corner structurally (ExtSpec pins that
@@ -228,7 +228,7 @@ object ExtQueries {
     "q51_dedup_corpus_terminal" -> { (s, dir) =>
       Dedup.dedupCorpus(docsPar(s, dir), "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Benchmark decontamination: per-document distinct-8-gram overlap against
     // an eval set (here: every 20th doc) — 8 is the operator default (the
@@ -241,7 +241,7 @@ object ExtQueries {
           docs.filter(col("doc_id") % 20 =!= 0),
           docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Deterministic train/val/test assignment from the md5 of the doc id —
     // zero shuffle, stable as the corpus grows (no re-split leakage). The
@@ -249,7 +249,7 @@ object ExtQueries {
     "q53_hash_split" -> ((s, dir) =>
       Corpus.hashSplit(read(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("bucket"), col("split"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Gopher-style repetition metrics: duplicate-word / top-bigram /
     // duplicate-trigram fractions, all per-row integer-ratio arithmetic.
     // docsPar: the CPU-heavy per-row n-gram work must not run in the single
@@ -258,14 +258,14 @@ object ExtQueries {
       TextStats.repetitionStats(docsPar(s, dir), "text")
         .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"),
           col("dup_trigram_frac"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Repetition gates as a terminal: thresholds chosen to make all three
     // rules bite on the fixture distribution (medians 0.54/0.033/0.0).
     "q89_repetition_filter" -> ((s, dir) =>
       TextStats.repetitionFilter(docsPar(s, dir), "text",
           maxDupWord = 0.55, maxTopBigram = 0.05, maxDupTrigram = 0.03)
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Gopher quality rules (Rae et al. 2021, table A1): seven per-document
     // verdict columns plus the conjunction, all pure per-row expressions —
     // integer counts and one double division each, so the DuckDB oracle
@@ -278,7 +278,7 @@ object ExtQueries {
         "gopher_pass")
       TextStats.gopherStats(docsPar(s, dir), "text")
         .select(col("doc_id") +: rules.map(r => col(r).cast("int").as(r)): _*)
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // C4 page cleaning over a synthesized line-structured corpus (the
     // fixture docs are single-line; q70's trick): 8-token lines, with line
@@ -305,7 +305,7 @@ object ExtQueries {
           col("n_sentences"), col("has_lorem").cast("int").as("has_lorem"),
           col("has_brace").cast("int").as("has_brace"), col("blocked_hits"),
           col("c4_keep").cast("int").as("c4_keep"), col("clean_text"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Source-level quality gate: keep docs whose source's mean integer
     // quality points clear the bar (7.8 keeps 11/20 fixture sources). The
@@ -315,7 +315,7 @@ object ExtQueries {
       Corpus.sourceQualityGate(read(s, dir, "documents"), "source", "text",
           minAvgPoints = 7.8)
         .select(col("doc_id"), col("source"), col("src_docs"), col("avg_points"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // ANN over int8-quantized embeddings: ranking by quantized cosine, whose
     // dots/norms are exact integer arithmetic — the 4×-narrower scan path for
     // candidate generation at corpus scale. The oracle mirrors the whole
@@ -324,7 +324,7 @@ object ExtQueries {
       val e = read(s, dir, "embeddings")
       Quantize.annTopKQuantized(e, e.filter(col("vec_id") < 10), "vec_id",
           "embedding", topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Deterministic stratified sampling by language: hash-threshold per
     // stratum (en 50%, zh 100%, default 10%) — reproducible across runs and
@@ -333,7 +333,7 @@ object ExtQueries {
       Corpus.stratifiedSample(read(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 0.5, "zh" -> 1.0), default = 0.1, salt = "sample1")
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // The decontamination TERMINAL: q52's overlap feeding an anti-join —
     // the corpus with eval-set leaks removed.
     "q58_decontaminated" -> { (s, dir) =>
@@ -343,7 +343,7 @@ object ExtQueries {
           docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
           maxOverlap = 0.5)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Sequence packing: distributed prefix sum of token counts in doc order,
     // chunk = the 1024-token training sequence the doc's first token lands
@@ -354,7 +354,7 @@ object ExtQueries {
         .select(col("doc_id"), TextStats.tokenCount(col("text")).as("tokens"))
       Corpus.packSequences(docs, "doc_id", "tokens", capacity = 1024)
         .select(col("doc_id"), col("tokens"), col("cum_tokens"), col("chunk"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Incremental ingestion dedup: a constructed arrival batch — the first
     // 100 docs UPPERCASED under new ids (exact dups modulo the fingerprint's
@@ -372,7 +372,7 @@ object ExtQueries {
             concat(col("text"), lit(" zqfreshx")).as("text")))
       Dedup.incrementalExact(arrivals, docs, "doc_id", "text")
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // REAL image decode under the oracle: deterministic synthetic PNGs
     // (pixel channels are affine-mod functions of (doc_id, x, y); dims
@@ -387,7 +387,7 @@ object ExtQueries {
       Multimodal.imageStats(
           Multimodal.syntheticImages(docsPar(s, dir), "doc_id"))
         .toDF().withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // REAL audio decode under the oracle — q61's pattern for sound:
     // deterministic 16-bit PCM WAVs (sample i of clip id is
@@ -400,7 +400,7 @@ object ExtQueries {
       Multimodal.audioStats(
           Multimodal.syntheticAudio(docsPar(s, dir), "doc_id"))
         .toDF().withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // REAL COMPRESSED audio decode under the oracle (r9): deterministic
     // G.711 μ-law WAVs (code byte i of clip id is (id·13 + i·17) % 256,
@@ -417,7 +417,7 @@ object ExtQueries {
       Multimodal.audioStats(
           Multimodal.syntheticCompressedAudio(docsPar(s, dir), "doc_id"))
         .toDF().withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // q77's A-law sibling (r9): G.711 A-law is the OTHER half of the
     // telephony codec pair — different companding curve (13-segment,
@@ -431,7 +431,7 @@ object ExtQueries {
       Multimodal.audioStats(
           Multimodal.syntheticAlawAudio(docsPar(s, dir), "doc_id"))
         .toDF().withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // SemDeDup under the oracle (r9): the q41 planted-near-dup corpus
     // (every vector gets a cos ≈ 0.999 twin at id + 1e6) run through the
@@ -449,7 +449,7 @@ object ExtQueries {
       Similarity.semanticDedup(corpus, "vec_id", "embedding",
           minCos = 0.95, nCells = 16)
         .select(col("vec_id"))
-        .orderBy(col("vec_id"))
+        .presentBy(col("vec_id"))
     },
     // q79's PERSISTED-INDEX sibling (r10): the SAME planted corpus and the
     // SAME 16 first-id pivots, but the cell assignment is built once into
@@ -467,7 +467,7 @@ object ExtQueries {
       Similarity.semanticDedupIndexed(s, "graft_q81_sem", corpus, "vec_id",
           minCos = 0.95)
         .select(col("vec_id"))
-        .orderBy(col("vec_id"))
+        .presentBy(col("vec_id"))
     },
     // Incremental EMBEDDING dedup under the oracle (r10): history = the
     // even-id originals, arrivals = the odd-id originals (fresh — no
@@ -486,7 +486,7 @@ object ExtQueries {
       Similarity.incrementalCosine(arrivals, seen, "vec_id", "embedding",
           minCos = 0.95, bits = 256, bands = 16)
         .select(col("vec_id"))
-        .orderBy(col("vec_id"))
+        .presentBy(col("vec_id"))
     },
     // The persisted-index serving path under the oracle: build the IVF
     // index (centroids + cell-bucketed vectors as catalog tables — the
@@ -505,7 +505,7 @@ object ExtQueries {
         nCells = 16, buckets = 8)
       Similarity.annIvfTopKIndexed(s, "graft_q63_ivf",
           e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // q63's SERVE-ONLY companion: the index is built once per SF dir (the
     // guard below) and every later invocation only serves from the
@@ -523,7 +523,7 @@ object ExtQueries {
       }
       Similarity.annIvfTopKIndexed(s, "graft_q66_ivf",
           e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // k-means IVF under the hash oracle: centroid updates are fixed-point
     // (unit directions quantized to the 1e-6 grid before the per-dimension
@@ -534,7 +534,7 @@ object ExtQueries {
       val e = read(s, dir, "embeddings")
       Similarity.annIvfKMeansTopK(e, e.filter(col("vec_id") < 10), "vec_id",
           "embedding", topK = 5, nCells = 8, nProbe = 2, iters = 2)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Incremental NEAR-dup ingestion dedup (q60's signature-space sibling):
     // arrivals are the first 100 docs with their own FIRST TOKEN appended —
@@ -556,7 +556,7 @@ object ExtQueries {
       Dedup.incrementalNear(arrivals, docs, "doc_id", "text",
           k = 1, hasher = Dedup.Hasher.Md5)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Hamming ≤ 3 incremental near-dup (the pigeonhole extension of q64):
     // arrivals are small REAL EDITS — the first 100 docs with one novel
@@ -579,7 +579,7 @@ object ExtQueries {
       Dedup.incrementalNear(arrivals, docs, "doc_id", "text",
           k = 1, hasher = Dedup.Hasher.Md5, maxDist = 3)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // REAL multi-frame decode under the oracle (q61's pattern for video):
     // deterministic animated GIFs (frame f of clip id: gray
@@ -596,7 +596,7 @@ object ExtQueries {
       Multimodal.frameStats(
           Multimodal.syntheticVideos(docsPar(s, dir), "doc_id"), stride = 2)
         .toDF().withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("frame_idx"))
+        .presentBy(col("doc_id"), col("frame_idx"))
     },
     // The SECOND real video container under the SAME oracle pattern (r9):
     // deterministic uncompressed-DIB AVIs (frame f of clip id: gray
@@ -614,7 +614,7 @@ object ExtQueries {
       Multimodal.frameStats(
           Multimodal.syntheticAviVideos(docsPar(s, dir), "doc_id"), stride = 2)
         .toDF().withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("frame_idx"))
+        .presentBy(col("doc_id"), col("frame_idx"))
     },
     // Incremental index maintenance under the oracle: the index is built on
     // a 400-vector PREFIX of the corpus (which contains the 16 pivot ids,
@@ -631,7 +631,7 @@ object ExtQueries {
         e.filter(col("vec_id") >= 400), "vec_id", "embedding")
       Similarity.annIvfTopKIndexed(s, "graft_q71_ivf",
           e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // PII redaction over a deterministic PII-bearing fixture (the corpus
     // text carries no PII, so the query plants an email — two for every
@@ -655,7 +655,7 @@ object ExtQueries {
       Corpus.redactPii(pii, "text")
         .select(col("doc_id"), col("text_redacted"),
           col("n_emails"), col("n_ips"), col("n_phones"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // C4-style boilerplate line removal: documents are reshaped into lines
     // (header line carrying the source, body = 10-token lines, shared
@@ -677,25 +677,25 @@ object ExtQueries {
             array_join(col("__lines"), "\n"),
             lit("copyright footer all rights reserved")).as("text"))
       Corpus.removeBoilerplateLines(withLines, "doc_id", "text", minDocs = 10)
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Exact substring (8-token-window) duplication report — the
     // span-granular dedup of Lee et al. 2022 as posting lists. docsPar:
     // the window explode is the CPU stage before the first shuffle.
     "q72_duplicate_spans" -> ((s, dir) =>
       graft.ext.Spans.duplicateSpans(docsPar(s, dir), "doc_id", "text", w = 8)
-        .orderBy(col("span"))),
+        .presentBy(col("span"))),
     // The removal terminal: same spans, rewritten documents. Output text is
     // whitespace-normalized lowercase by the operator's contract.
     "q73_drop_duplicate_spans" -> ((s, dir) =>
       graft.ext.Spans.dropDuplicateSpans(docsPar(s, dir), "doc_id", "text", w = 8)
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Frequency capping: at most 20 docs per source, ranked by salted md5
     // of the id — deterministic, so the oracle replays the exact ranking.
     "q74_cap_per_source" -> ((s, dir) =>
       Corpus.capPerKey(read(s, dir, "documents"), "source", "doc_id", cap = 20)
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Mixture targeting: sample down to a 50/30/20 mix of three sources
     // (everything else dropped). At the uniform fixture counts the LARGEST
     // weight is the limiting source, so src0 is kept whole and the other
@@ -707,13 +707,13 @@ object ExtQueries {
       Corpus.targetMixture(read(s, dir, "documents"), "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Sliding-window chunking at 8 tokens / stride 4 (50% overlap, the
     // retrieval-index shape); tail chunks shorter by design.
     "q88_chunk_documents" -> ((s, dir) =>
       Corpus.chunkDocuments(read(s, dir, "documents"), "doc_id", "text",
           chunkTokens = 8, stride = 4)
-        .orderBy(col("doc_id"), col("chunk_idx"))),
+        .presentBy(col("doc_id"), col("chunk_idx"))),
     // Quality-weighted retention: keep probability = qualityPoints/10 —
     // the soft alternative to a hard quality cutoff. Integer points (not the
     // double score) so the per-row cut is bit-replayable in the oracle.
@@ -723,7 +723,7 @@ object ExtQueries {
         .withColumn("frac", col("pts").cast("double") / 10.0)
       Corpus.sampleByFraction(scored, "doc_id", "frac")
         .select(col("doc_id"), col("pts"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // URL hygiene over synthesized per-doc URLs (fixture has no URL column):
     // scheme by doc_id%2, www by %3, host = source + suffix by %7 (two
@@ -749,7 +749,7 @@ object ExtQueries {
           col("url_len"), col("digit_frac"),
           col("blocked").cast("int").as("blocked"),
           col("url_ok").cast("int").as("url_ok"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // α-sampling at the mT5 default α=0.5: realized counts ∝ sqrt(n) per
     // source, limiting source kept whole. sqrt (unlike pow) is correctly
@@ -765,7 +765,7 @@ object ExtQueries {
               col("doc_id") % 4 === 0),
           "doc_id", "source", alpha = 0.5)
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // CCNet-style corpus-wide paragraph dedup over q70's synthesized
     // multi-line docs (per-source headers + a global footer plant repeats;
     // body lines are 10-token slices). First occurrence in (doc_id, idx)
@@ -787,7 +787,7 @@ object ExtQueries {
       Corpus.dedupParagraphs(withLines, "doc_id", "text")
         .select(col("doc_id"), col("text_dedup"), col("para_total"),
           col("para_kept"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // REAL BPE apply (custom codegen'd expression, graft_bpe_encode): a
     // small well-formed merges table so the oracle can replay the merge
@@ -802,7 +802,7 @@ object ExtQueries {
           array_join(col("bpe_tokens"), "\u001f").as("bpe_str"),
           array_join(transform(col("bpe_ids"), _.cast("string")), " ")
             .as("bpe_ids_str"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // CCNet-style LM quality score: bigram add-1 model trained on the
     // English slice, every document scored by mean NLL — non-English docs
     // surface as the high-NLL tail, the exact separation CCNet buckets on.
@@ -818,7 +818,7 @@ object ExtQueries {
           ref = docsParEn(s, dir))
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("lm_oov"),
           col("nll_mean"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // DSIR (Xie et al. 2023): hashed uni+bigram bag models, target = the
     // English slice vs raw = the whole corpus; per-doc log importance
     // weight = document-order sum of per-bucket log count-ratios. Same
@@ -829,7 +829,7 @@ object ExtQueries {
           docsPar(s, dir), "doc_id", "text",
           target = docsParEn(s, dir))
         .select(col("doc_id"), col("lang"), col("ds_grams"), col("ds_logw"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // DSIR selection terminal: keep the top 25% by log weight via the
     // histogram-CDF cutoff + boundary tie-fill (equivalent to rank by
     // (ds_logw DESC, doc_id) <= ceil(0.25 n), which is what the oracle
@@ -840,7 +840,7 @@ object ExtQueries {
           target = docsParEn(s, dir),
           keepFrac = 0.25)
         .select(col("doc_id"), col("ds_logw"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // CCNet head/middle/tail on q90's scores: histogram-CDF terciles over
     // the rounded NLL values, ties land in one bucket as a block.
     "q95_perplexity_buckets" -> ((s, dir) =>
@@ -849,7 +849,7 @@ object ExtQueries {
             docsPar(s, dir), "doc_id", "text",
             ref = docsParEn(s, dir)))
         .select(col("doc_id"), col("nll_mean"), col("ppl_bucket"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Stupid Backoff bigram score (Brants et al. 2007): seen bigrams score
     // c(bg)/c(ctx), unseen back off to alpha * unigram with a +1/+V floor;
     // same capped-broadcast model + document-order fold shape as q90.
@@ -859,7 +859,7 @@ object ExtQueries {
           ref = docsParEn(s, dir))
         .select(col("doc_id"), col("lang"), col("sb_grams"), col("sb_hits"),
           col("sb_logscore"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Trainable quality classifier (fastText-recipe logistic regression
     // over hashed uni+bigram features), DISTILLING the heuristic gate:
     // labels come from qualityPoints on every 4th doc (pos = full marks),
@@ -881,7 +881,7 @@ object ExtQueries {
       OracleAux.writeModel("q111_model", model)
       graft.ext.Classifier.score(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("lang"), col("clf_prob"), col("clf_keep"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     }),
     // Calibration of the trained quality classifier on a HELD-OUT labeled
     // slice (doc_id % 4 == 2 -- disjoint from q111's % 4 == 0 train slice,
@@ -904,7 +904,7 @@ object ExtQueries {
           (TextStats.qualityPoints(col("text")) === 10).cast("int"))
       graft.ext.Classifier.calibrationReport(held, "doc_id", "text",
           "label", model, bins = 10)
-        .orderBy(col("bin"))
+        .presentBy(col("bin"))
     },
     // Sentence-level language segmentation: per-segment q33 langid →
     // per-language segment counts, modal language, modal share — the
@@ -913,7 +913,7 @@ object ExtQueries {
       TextStats.segmentLangStats(read(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_segments"), col("seg_en"), col("seg_de"),
           col("seg_fr"), col("seg_es"), col("lang_major"), col("lang_major_frac"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // CCNet text normalization as a column op: lower → 1:1 accent fold →
     // digits→0 → strip non-letter/digit/space → collapse whitespace; the
     // md5 of the result is the normalized-identity dedup key. Pure per-row
@@ -922,20 +922,20 @@ object ExtQueries {
       read(s, dir, "documents")
         .select(col("doc_id"), Corpus.ccnetNormalize(col("text")).as("text_norm"))
         .select(col("doc_id"), col("text_norm"), md5(col("text_norm")).as("norm_fp"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Quality-aware exact dedup: each duplicate group keeps its highest-
     // n_chars member (id tiebreak) instead of the minimum id — one
     // fingerprint shuffle, argmax as min(struct(-score, id)).
     "q97_dedup_keep_best" -> ((s, dir) =>
       graft.ext.Dedup.exactKeepBest(
           read(s, dir, "documents"), "doc_id", "text", "n_chars")
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Per-doc top-5 terms by tf-idf: capped-broadcast df table, one
     // (id, term) shuffle, per-doc rank window; score rounded to 6 dp
     // BEFORE the rank decision, term tiebreak.
     "q98_tfidf_topterms" -> ((s, dir) =>
       graft.ext.Keywords.tfidfTopTerms(docsPar(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"), col("rank")))
+        .presentBy(col("doc_id"), col("rank")))
     ,
     // Product-quantization ADC top-k (Jégou et al. 2011): 8 subspaces x
     // 16-code codebooks trained on the vec_id < 64 slice by TWO
@@ -948,7 +948,7 @@ object ExtQueries {
       graft.ext.Quantize.pqTopK(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", m = 8, ksub = 16, topK = 5,
           train = e.filter(col("vec_id") < 64), kmeansIters = 2)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Snapshot diff: old = ids not divisible by 10, new = ids not
     // divisible by 9 with every 7th doc's text edited — all four statuses
@@ -962,7 +962,7 @@ object ExtQueries {
               concat(col("text"), lit(" edited v2"))).otherwise(col("text"))),
           "doc_id", "text")
         .select(col("doc_id"), col("status"), col("fp_old"), col("fp_new"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Per-benchmark contamination report over q52's split, bench names
     // b0/b1/b2 from doc_id % 3 — which benchmark leaked where. k=4 (not
@@ -977,7 +977,7 @@ object ExtQueries {
               concat(lit("b"), (col("doc_id") % 3).cast("string"))),
           "doc_id", "text", "bench", k = 4)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("bench"))
+        .presentBy(col("doc_id"), col("bench"))
     },
     // IVF-PQ (IVFADC): smallest-id L2 cells route each query to 4 of 16
     // cells via an equi-join; ADC re-rank reads codes only. Same
@@ -988,7 +988,7 @@ object ExtQueries {
           "vec_id", "embedding", topK = 5, nCells = 16, nProbe = 4,
           m = 8, ksub = 16, train = e.filter(col("vec_id") < 64),
           kmeansIters = 2)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // RESIDUAL IVF-PQ (the paper's true IVFADC): codes quantize
     // v − centroid(cell) instead of v, queries probe with their own
@@ -1001,7 +1001,7 @@ object ExtQueries {
           "vec_id", "embedding", topK = 5, nCells = 16, nProbe = 4,
           m = 8, ksub = 16, train = e.filter(col("vec_id") < 64),
           kmeansIters = 2, residual = true)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Min-K% Prob (Shi et al. 2023): membership-inference / memorization
     // probe — mean NLL of only the 20% most surprising bigrams per doc
@@ -1013,7 +1013,7 @@ object ExtQueries {
           ref = docsParEn(s, dir), kFrac = 0.2)
         .select(col("doc_id"), col("lang"), col("lm_grams"), col("mk_k"),
           col("mink_nll"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // OPQ-rotated PQ (Ge et al. 2013, the parametric principle): a learned
     // dimension permutation balances per-subspace variance before the
     // split. The permutation (trained on the < 64 slice, deterministic)
@@ -1029,7 +1029,7 @@ object ExtQueries {
       graft.ext.Quantize.pqTopK(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", m = 8, ksub = 16, topK = 5,
           train = train, kmeansIters = 2, opq = true)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Frozen-codebook IVF-PQ append (the serving reality: codebooks train
     // once, shards append): build the persisted residual index on
@@ -1050,7 +1050,7 @@ object ExtQueries {
       graft.ext.Quantize.ivfPqTopKIndexed(s, "graft_q137_ivfpq",
           e.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 5,
           nProbe = 4)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Johnson-Lindenstrauss two-stage ANN: deterministic ±1 sparse-sign
     // projection to 16 dims (the matrix is a FORMULA — the oracle
@@ -1060,7 +1060,7 @@ object ExtQueries {
       val e = read(s, dir, "embeddings")
       graft.ext.Reduce.jlTopK(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", outDim = 16, topK = 5, rerank = 4)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     }),
     // PCA projection under a model trained from ONE exact covariance
     // aggregate (train slice < 200) and a deterministic driver-side
@@ -1075,7 +1075,7 @@ object ExtQueries {
         model.mean.mkString(" ") +: model.components.map(_.mkString(" ")).toSeq)
       graft.ext.Reduce.pcaProject(e, "vec_id", "embedding", model)
         .withColumnRenamed("id", "vec_id")
-        .orderBy(col("vec_id"), col("comp"))
+        .presentBy(col("vec_id"), col("comp"))
     }),
     // Embedding-space drift report: both snapshots routed through the OLD
     // snapshot's frozen coarse geometry; per cell occupancy then/now +
@@ -1093,7 +1093,7 @@ object ExtQueries {
             .otherwise(col("embedding")))
       graft.ext.Audit.embeddingDrift(oldSnap, newSnap, "vec_id",
           "embedding", nCells = 16)
-        .orderBy(col("cell"))
+        .presentBy(col("cell"))
     }),
     // Bounded-state distinct-token audit: q122's `types` per source from a
     // 256-register deterministic HyperLogLog instead of a distinct-key
@@ -1103,7 +1103,7 @@ object ExtQueries {
     "q142_hll_vocab" -> ((s, dir) =>
       graft.ext.Sketch.approxDistinctTokens(docsPar(s, dir), "text",
           "source", m = 256)
-        .orderBy(col("source"))),
+        .presentBy(col("source"))),
     // Tokenizer-fertility audit: per source, word/char volume + BOTH
     // trained tokenizer families' token counts (q91's frozen BPE merges,
     // a q144-style unigram model trained in-query and FROZEN) with
@@ -1118,7 +1118,7 @@ object ExtQueries {
       OracleAux.write("q148_model", model.map { case (p, sc) => s"$sc $p" })
       graft.ext.Audit.tokenizerFertility(docs, "text", "source",
           q91Merges.map { case (a, b) => s"$a $b" }, model)
-        .orderBy(col("source"))
+        .presentBy(col("source"))
     },
     // Pairwise inter-source vocabulary overlap by HLL inclusion-exclusion
     // -- q127's audit with m-bounded per-source state: est(A) + est(B) -
@@ -1127,7 +1127,7 @@ object ExtQueries {
     "q147_hll_source_overlap" -> ((s, dir) =>
       graft.ext.Sketch.hllPairwiseOverlap(docsPar(s, dir), "text",
           "source", m = 256)
-        .orderBy(col("src_a"), col("src_b"))),
+        .presentBy(col("src_a"), col("src_b"))),
     // Heavy-hitter tokens by the two-pass count-min recipe: one bounded
     // d×w sketch pass + deterministic doc-sample candidates + broadcast
     // sketch lookup + skinny exact verification of the top k — q116's
@@ -1135,7 +1135,7 @@ object ExtQueries {
     "q143_cms_heavy_hitters" -> ((s, dir) =>
       graft.ext.Sketch.cmsHeavyHitters(docsPar(s, dir), "text", k = 20,
           d = 4, w = 1024, sampleFrac = 0.2)
-        .orderBy(col("rank"))),
+        .presentBy(col("rank"))),
     // Per-source token-count quantiles (p50/p90/p99) from a log-linear
     // histogram sketch (HdrHistogram buckets, rel. error <= 2^-5): bounded
     // state however many documents flow. The sketch is built as a MERGE of
@@ -1153,7 +1153,7 @@ object ExtQueries {
               .unionByName(shard(docs.filter(col("doc_id") % 2 =!= 0))),
             Seq("source")),
           Seq("source"), Seq(0.5, 0.9, 0.99))
-        .orderBy(col("source"), col("q"))
+        .presentBy(col("source"), col("q"))
     },
     // Length-outlier trim terminal: keep docs inside [p5, p95] of their
     // OWN source's token-count distribution, cutoffs from the bounded
@@ -1164,7 +1164,7 @@ object ExtQueries {
           "source", loQ = 0.05, hiQ = 0.95)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("lo_cut"), col("hi_cut"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Pairwise source token-set RESEMBLANCE (Jaccard) from bottom-k
     // sketches — q147's overlap audit restated as the ratio near-dup
     // scoping thresholds on, with k-bounded per-source state. The
@@ -1173,7 +1173,7 @@ object ExtQueries {
     "q150_bottomk_resemblance" -> ((s, dir) =>
       graft.ext.Sketch.tokenResemblance(docsPar(s, dir), "text", "source",
           k = 256)
-        .orderBy(col("src_a"), col("src_b"))),
+        .presentBy(col("src_a"), col("src_b"))),
     // Weighted exact-size sampling (Efraimidis-Spirakis A-ES): 5 docs per
     // source, weight = qualityPoints + 1 — the exact-k complement of
     // q87's per-row Bernoulli. md5 draws, 6-dp log keys, id tiebreak.
@@ -1183,7 +1183,7 @@ object ExtQueries {
             graft.ext.TextStats.qualityPoints(col("text")) + 1),
           "doc_id", "source", col("weight"), k = 5)
         .select(col("doc_id"), col("source"), col("weight"), col("ws_key"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // BM25 top-k lexical retrieval (Robertson & Zaragoza 2009, Lucene's
     // non-negative idf): every 37th doc queries the whole corpus with its
     // own distinct tokens — the "more-like-this" decontamination probe.
@@ -1198,7 +1198,7 @@ object ExtQueries {
       // cap's pruning behavior is spec-pinned in ExtSpec instead
       Retrieval.bm25TopK(docs, docs.filter(col("doc_id") % 37 === 0),
           "doc_id", "text", "doc_id", "text", topK = 10, maxDfFrac = 1.0)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // BM25 served from the PERSISTED postings store: build on doc_id % 3
     // != 0, append the % 3 == 0 shard (a pure INSERT — new ids mean
@@ -1220,7 +1220,7 @@ object ExtQueries {
       Retrieval.bm25Serve(s, "graft_q157",
           read(s, dir, "documents").filter(col("doc_id") % 41 === 0),
           "doc_id", "text", topK = 10, maxDfFrac = 1.0)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Per-source quantile normalization of a quality signal (stop-word
     // ratio): q_norm = within-source CUME_DIST computed via the bounded
@@ -1235,7 +1235,7 @@ object ExtQueries {
         .select(col("doc_id"), col("source"),
           round(col("stop_ratio"), 6).as("stop_r6"), col("q_norm"),
           col("kept"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Cluster-integral split: every doc gets the split of its >= 0.8-
     // Jaccard near-dup cluster representative (component min id), so a
@@ -1246,7 +1246,7 @@ object ExtQueries {
       Corpus.leakFreeSplit(docs, "doc_id",
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
         .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // HTML extraction (the crawl front-end ahead of q96/q70): documents
     // wrapped in a deterministic page shell — title/style head, h1,
@@ -1265,7 +1265,7 @@ object ExtQueries {
       html.select(col("doc_id"),
           Corpus.htmlToText(col("html")).as("extracted"))
         .withColumn("n_chars_out", length(col("extracted")))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Soft dedup: near-dup clusters downweighted to unit mass (weight =
     // 1/n_copies) instead of dropped — the mixing-stage alternative to
@@ -1275,7 +1275,43 @@ object ExtQueries {
       Dedup.softDedupWeights(docs, "doc_id",
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8))
         .select(col("doc_id"), col("cluster"), col("n_copies"), col("weight"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
+    },
+    // Training-shard export under the oracle (VERDICT r14 #4): writeShards
+    // cuts a SORTED single partition into 64-row files, so shard contents
+    // are fully determined — shard i holds sorted rows [64i, 64i+63] — and
+    // DuckDB replays the whole manifest as a row_number()//64 grouping.
+    // Checks BOTH manifest paths (parquet footer counts, JSONL line
+    // counts) against the rows actually read back, per shard: manifest
+    // `rows`, read-back `rows_read`, content min/max ids, and a positive
+    // byte size. File names carry task UUIDs, so shards are keyed by their
+    // name-sorted ordinal (single writer task → cNNN suffixes sort in row
+    // order).
+    "q164_write_shards" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = read(s, dir, "documents").select(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+      def side(format: String): DataFrame = {
+        val path = Queries.scratchDir + s"/q164_$format"
+        val manifest =
+          graft.sources.IO.writeShards(base, path, 64, format = format)
+        val back = (if (format == "json")
+            s.read.schema("doc_id LONG").json(path)
+          else s.read.parquet(path))
+          .select(col("doc_id"),
+            element_at(split(input_file_name(), "/"), -1).as("file"))
+          .groupBy(col("file"))
+          .agg(count(lit(1)).as("rows_read"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+        manifest.join(back, Seq("file"))
+          .withColumn("shard_idx",
+            (row_number().over(Window.orderBy(col("file"))) - 1).cast("long"))
+          .select(lit(format).as("format"), col("shard_idx"), col("rows"),
+            col("rows_read"), col("min_id"), col("max_id"),
+            (col("bytes") > 0).as("bytes_pos"))
+      }
+      side("parquet").unionByName(side("json"))
+        .presentBy(col("format"), col("shard_idx"))
     },
     // Host-graph PageRank (crawl prioritization): 3 damped power-iteration
     // rounds over a deterministic 40-host link graph synthesized from doc
@@ -1286,7 +1322,7 @@ object ExtQueries {
         concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
         concat(lit("h"), ((col("doc_id") * 7 + 3) % 40).cast("string")).as("dst"))
       Urls.hostRank(edges, iters = 3)
-        .orderBy(col("host"))
+        .presentBy(col("host"))
     },
     // Hybrid retrieval: reciprocal-rank fusion (RRF, c = 60) of the BM25
     // top-20 over documents.text and the dense cosine top-20 over
@@ -1304,7 +1340,7 @@ object ExtQueries {
           topK = 20)
         .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(sparse, dense), topK = 10)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Winnowing match report (Schleimer et al. 2003, the MOSS algorithm):
     // rightmost-minimum fingerprints at density 2/(w+1) with the
@@ -1313,7 +1349,7 @@ object ExtQueries {
     "q154_winnow_matches" -> ((s, dir) =>
       graft.ext.Spans.winnowMatches(docsPar(s, dir), "doc_id", "text",
           k = 4, w = 4, minShared = 2)
-        .orderBy(col("id_a"), col("id_b"))),
+        .presentBy(col("id_a"), col("id_b"))),
     // Source-onboarding report: the incoming feed (src19) audited against
     // every held source FROM THE PERSISTED SKETCH STORES — HLL vocabulary
     // overlap, bottom-k Jaccard, length-quantile shift — without
@@ -1344,7 +1380,7 @@ object ExtQueries {
         "fb_onboard_lh", "loghist", Map("subBits" -> "5"), Seq("source"))
       graft.ext.Sketch.onboardingReport(s, "fb_onboard_hll", "fb_onboard_bk",
           "fb_onboard_lh", incoming, "text")
-        .orderBy(col("source"))
+        .presentBy(col("source"))
     },
     // Moore-Lewis cross-entropy difference selection: nll under the
     // in-domain model (English docs of src0-src3) minus nll under the
@@ -1361,7 +1397,7 @@ object ExtQueries {
           general = docs, keepFrac = 0.25)
         .select(col("doc_id"), col("lang"), col("ml_grams"), col("nll_in"),
           col("nll_gen"), col("ml_score"), col("selected"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     }),
     // The COMPOSED crawl pipeline (RefinedWeb order): URL dedup → URL
     // rules → C4 → Gopher → exact → MinHash near-dup → semantic, one
@@ -1430,7 +1466,7 @@ object ExtQueries {
         .repartition(s.sparkContext.defaultParallelism)
       graft.ext.Crawl.refinedWebFate(fixture, "doc_id", "url", "text2",
           "n_chars", "emb", blockedDomains = Seq("example3.com"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // URL-level dedup (the RefinedWeb first pass): synthesized URLs where
     // the host+path identity is the PAGE (doc_id % 200) and per-doc
@@ -1453,7 +1489,7 @@ object ExtQueries {
       graft.ext.Urls.dedupByUrl(docs.withColumn("url", url),
           "doc_id", "url", scoreCol = "n_chars")
         .select(col("doc_id"), col("url_canon"), col("n_url_copies"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Near-dup source matrix: q34's pair graph bucketed by the unordered
     // source pair — within-source boilerplate vs cross-source overlap.
@@ -1461,7 +1497,7 @@ object ExtQueries {
     "q133_dup_source_matrix" -> ((s, dir) =>
       graft.ext.Audit.nearDupSourceMatrix(docsPar(s, dir), "doc_id", "text",
           "source", minJaccard = 0.8)
-        .orderBy(col("source1"), col("source2"))),
+        .presentBy(col("source1"), col("source2"))),
     // Duplication-structure histogram over a corpus with BOTH duplication
     // modes realized (fixture has no exact dups): every 10th doc gets an
     // exact copy, every 7th an appended-marker near-dup; exact groups
@@ -1477,7 +1513,7 @@ object ExtQueries {
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" near dup tail")).as("text")))
       graft.ext.Audit.dupClusterHistogram(corpus, "doc_id", "text")
-        .orderBy(col("cluster_size"))
+        .presentBy(col("cluster_size"))
     },
     // Semantic corpus atlas: IVF cells over the embedding space, each
     // described by exact per-cell stats + its most DISCRIMINATIVE terms
@@ -1488,14 +1524,14 @@ object ExtQueries {
       graft.ext.Audit.semanticAtlas(
           read(s, dir, "documents"), read(s, dir, "embeddings"),
           "doc_id", "text", "vec_id", "embedding", nCells = 16, topTerms = 5)
-        .orderBy(col("cell"), col("rank"))),
+        .presentBy(col("cell"), col("rank"))),
     // Quality-aware corpus dedup terminal: q51's exact→LSH→CC pipeline
     // with keep-BEST representatives (n_chars score, id tiebreak) at both
     // the exact and the cluster stage, instead of first-wins.
     "q113_dedup_keep_best_corpus" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(docsPar(s, dir), "doc_id", "text", "n_chars")
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Binary quantization ANN: one bit per dimension (above/below the
     // corpus mean, integer micro-unit cross-multiplied — no division),
     // packed 32 bits/word; Hamming ranks 20 candidates per query, exact
@@ -1504,7 +1540,7 @@ object ExtQueries {
       val e = read(s, dir, "embeddings")
       graft.ext.Quantize.binaryTopK(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", topK = 5, rerank = 4)
-        .orderBy(col("qid"), col("rank"))
+        .presentBy(col("qid"), col("rank"))
     },
     // Embedding-norm hygiene: drop the 10% lowest- and 10% highest-norm
     // value blocks via the histogram-CDF pattern (q94/q95) — the pre-index
@@ -1519,7 +1555,7 @@ object ExtQueries {
       Similarity.filterByNormBand(scaled, "vec_id", "embedding",
           dropLowFrac = 0.1, dropHighFrac = 0.1)
         .select(col("vec_id"), col("vec_norm"))
-        .orderBy(col("vec_id"))
+        .presentBy(col("vec_id"))
     }),
     // Per-source token-length histogram: the length-distribution audit
     // behind truncation/mixture decisions — one groupBy scan, exact
@@ -1527,14 +1563,14 @@ object ExtQueries {
     "q115_length_histogram" -> ((s, dir) =>
       graft.ext.Audit.lengthHistogram(read(s, dir, "documents"),
           "text", "source", bucketWidth = 20)
-        .orderBy(col("source"), col("len_bucket"))),
+        .presentBy(col("source"), col("len_bucket"))),
     // Corpus-wide most-frequent trigrams: the boilerplate radar behind
     // stop-gram lists and repeated-passage analysis. Two map-side-combined
     // shuffles (per-doc gram counts, then gram totals), TakeOrdered top-K.
     "q116_top_ngrams" -> ((s, dir) =>
       graft.ext.Audit.topNgrams(docsPar(s, dir), "doc_id", "text",
           n = 3, topK = 50, minDocFreq = 2)
-        .orderBy(col("rank"))),
+        .presentBy(col("rank"))),
     // Epoch-repeat mixture: src0 upsampled 2.5x, src1 dropped, src2 kept at
     // 0.25, everything else 1 epoch. Zero-shuffle generator; copy counts
     // are exact-integer floors plus a deterministic md5-bucket draw.
@@ -1543,7 +1579,7 @@ object ExtQueries {
           factors = Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.25),
           default = 1.0)
         .select(col("doc_id"), col("source"), col("copy_idx"))
-        .orderBy(col("doc_id"), col("copy_idx"))),
+        .presentBy(col("doc_id"), col("copy_idx"))),
     // Incremental audio dedup vs a frozen media corpus: arrivals are 100
     // byte-identical re-uploads (same synthetic PCM, new ids — fingerprint
     // distance 0) + 50 genuinely new clips (kept unless their energy
@@ -1569,7 +1605,7 @@ object ExtQueries {
         .toDF().select(col("id"), col("afp").as("sig"))
       Dedup.incrementalHamming(arrSigs, seen, maxDist = 1)
         .select(col("id").as("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // WET-style HTML text extraction over synthesized pages (fixture has
     // no HTML column): script/style/comment blocks dropped, tags stripped,
@@ -1585,7 +1621,7 @@ object ExtQueries {
       read(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.extractHtmlText(page).as("clean_text"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Inter-source overlap matrix: cross-corpus duplication audit for
     // mixture design. Gram-keyed self-join bounded by source cardinality
@@ -1593,7 +1629,7 @@ object ExtQueries {
     "q127_source_overlap" -> ((s, dir) =>
       graft.ext.Audit.sourceOverlapMatrix(docsPar(s, dir), "text", "source",
           k = 8)
-        .orderBy(col("source1"), col("source2"))),
+        .presentBy(col("source1"), col("source2"))),
     // Clip-level perceptual hash over the REAL multi-frame decode:
     // synthetic GIFs → composited frames → per-frame dHash → per-bit
     // majority fold. The oracle replays frames, grid, bits and the
@@ -1604,19 +1640,19 @@ object ExtQueries {
         .toDF()
         .select(col("id").as("doc_id"), col("n_frames"),
           col("sig_hi"), col("sig_lo"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Split-leakage integrity check: near-dup pairs straddling the
     // train/val/test boundary — the leak a per-document hash split cannot
     // prevent. Near-dup machinery's shape + two label joins.
     "q125_split_leak" -> ((s, dir) =>
       Corpus.splitLeakReport(docsPar(s, dir), "doc_id", "text")
-        .orderBy(col("id1"), col("id2"))),
+        .presentBy(col("id1"), col("id2"))),
     // Per-document novelty (memorization-risk audit): fraction of a doc's
     // distinct 8-shingles appearing in no other document. Inverted-index
     // shape: postings → gram doc-freq → one gram equi-join → per-doc rollup.
     "q124_novelty_score" -> ((s, dir) =>
       graft.ext.Audit.noveltyScore(docsPar(s, dir), "doc_id", "text", k = 8)
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // BPE TRAINING end-to-end: induce 20 merges from the corpus itself
     // (distributed word-count table + bounded driver merge loop), then
     // tokenize the corpus with them. The learned merges are FROZEN through
@@ -1635,7 +1671,7 @@ object ExtQueries {
       TextStats.bpeStats(docs, "text", m, v)
         .select(col("doc_id"), col("bpe_count"),
           array_join(col("bpe_tokens"), "\u001f").as("bpe_str"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // UNIGRAM-LM tokenizer (Kudo 2018) end-to-end: train piece scores on
     // the corpus (capped word table + driver EM, the q123 posture), FREEZE
@@ -1671,13 +1707,13 @@ object ExtQueries {
       Corpus.contaminationNear(docs, bench, "doc_id", "text",
           "bench_id", "bench_text", minJaccard = 0.8)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("bench_id"))
+        .presentBy(col("doc_id"), col("bench_id"))
     },
     // Per-source vocabulary health: exact type/token/hapax tallies and the
     // Zipf head. Two map-side-combined shuffles, vocabulary-sized output.
     "q122_vocab_report" -> ((s, dir) =>
       graft.ext.Audit.vocabularyReport(docsPar(s, dir), "text", "source")
-        .orderBy(col("source"))),
+        .presentBy(col("source"))),
     // Acoustic fingerprinting over the REAL audio decode: synthetic PCM16
     // WAVs → direct RIFF parse → 65-frame energy contour → 64-bit
     // signature. The oracle replays samples, framing, energies and bit
@@ -1687,7 +1723,7 @@ object ExtQueries {
           Multimodal.syntheticAudio(docsPar(s, dir), "doc_id"))
         .toDF()
         .select(col("id").as("doc_id"), col("sig_hi"), col("sig_lo"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Perceptual image hashing over the REAL decode path: synthetic PNGs →
     // ImageIO decode → 9×8 nearest-grid dHash. The oracle recomputes every
     // sampled pixel analytically (q61's losslessness argument), so a
@@ -1698,7 +1734,7 @@ object ExtQueries {
           Multimodal.syntheticImages(docsPar(s, dir), "doc_id"))
         .toDF()
         .select(col("id").as("doc_id"), col("sig_hi"), col("sig_lo"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Incremental MinHash near-dup vs the frozen corpus: arrivals are 100
     // appended-token near-dups (Jaccard ≈ (n-3)/(n-2), high) + 50
     // token-reversed rewrites (shingle sets ≈ disjoint). Probe-confirm:
@@ -1716,7 +1752,7 @@ object ExtQueries {
       Dedup.incrementalMinhash(arrivals, docs, "doc_id", "text",
           minJaccard = 0.8)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Per-registrable-domain corpus report over q86's synthesized URLs:
     // the blocklist-candidate audit (flag = high dup rate OR low mean
@@ -1734,21 +1770,21 @@ object ExtQueries {
           read(s, dir, "documents").select(col("doc_id"), col("text"), url.as("url")),
           "url", "text", shortTokens = 30, maxDupRate = 0.05,
           minAvgQuality = 5.0)
-        .orderBy(col("domain"))
+        .presentBy(col("domain"))
     },
     // Per-source corpus audit in one scan: volume, exact-distinct dup
     // rate, short-doc and integer-quality tallies — the before/after
     // report of every curation stage.
     "q101_corpus_report" -> ((s, dir) =>
       graft.ext.Audit.corpusReport(read(s, dir, "documents"), "text", "source")
-        .orderBy(col("source"))),
+        .presentBy(col("source"))),
     // Deterministic epoch shuffle: reproducible (part, key) placement from
     // the md5 of (id, epoch) — the RNG-free training-order primitive.
     "q102_epoch_shuffle" -> ((s, dir) =>
       graft.ext.Audit.epochShuffle(read(s, dir, "documents"), "doc_id",
           epoch = 1, numParts = 32)
         .select(col("doc_id"), col("shuffle_part"), col("shuffle_key"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // Greedy token-budget curation: top up a 10k-token budget by quality
     // points (doc_id tiebreak) via the two-phase distributed prefix sum —
     // the keep set is the maximal affordable prefix.
@@ -1760,7 +1796,7 @@ object ExtQueries {
               TextStats.tokenCount(col("text")).as("tokens")),
           "doc_id", "tokens", "quality", budget = 10000L)
         .select(col("doc_id"), col("quality"), col("tokens"), col("cum_tokens"))
-        .orderBy(col("doc_id"))),
+        .presentBy(col("doc_id"))),
     // GPT-3-style span decontamination over q52's corpus/bench split:
     // colliding 8-grams plus a 2-token margin are cut out, the rest of the
     // document survives (contrast q58, which drops whole documents).
@@ -1772,7 +1808,7 @@ object ExtQueries {
           k = 8, margin = 2)
         .select(col("doc_id"), col("text_clean"), col("spans_hit"),
           col("tokens_total"), col("tokens_masked"))
-        .orderBy(col("doc_id"))
+        .presentBy(col("doc_id"))
     },
     // Backward as-of join (merge_asof semantics): every click matched to
     // the user's latest purchase at-or-before it. Union + one user_id
@@ -1790,7 +1826,7 @@ object ExtQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
           date_format(col("ts_matched"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
           col("value").as("purchase_value"))
-        .orderBy(col("event_id"))
+        .presentBy(col("event_id"))
     },
     // Bucketized point-in-interval range join: clicks inside the 2-hour
     // window after each error, per user — intervals replicate to their
@@ -1810,7 +1846,7 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_clicks"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
             .cast("double").as("sum_value"))
-        .orderBy(col("err_id"))
+        .presentBy(col("err_id"))
     }
   )
 
@@ -3173,7 +3209,24 @@ object ExtQueries {
        |  round(CAST(1 AS DOUBLE) / CAST(n_copies AS DOUBLE), 6) AS weight
        |FROM w JOIN csz USING (cluster) ORDER BY doc_id""".stripMargin
 
+  // q164: the sorted single-partition write makes shard membership pure
+  // arithmetic — shard i of the manifest IS rows [64i, 64i+63] of the
+  // doc_id order, for both the parquet (footer-count) and JSONL
+  // (line-count) manifest paths.
+  private val writeShardsSql =
+    """WITH d AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+      |g AS (SELECT rn // 64 AS shard_idx, CAST(count(*) AS BIGINT) AS "rows",
+      |    min(doc_id) AS min_id, max(doc_id) AS max_id
+      |  FROM d GROUP BY 1),
+      |f AS (SELECT 'parquet' AS format, * FROM g
+      |  UNION ALL SELECT 'json' AS format, * FROM g)
+      |SELECT format, shard_idx, "rows", "rows" AS rows_read, min_id, max_id,
+      |  TRUE AS bytes_pos
+      |FROM f ORDER BY format, shard_idx""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q164_write_shards" -> writeShardsSql,
     "q163_softdedup_weights" -> softDedupWeightsSql,
     "q162_html_extract" -> htmlExtractSql,
     "q160_leakfree_split" -> leakFreeSplitSql,

@@ -27,7 +27,7 @@ object Queries {
   /** Per-JVM scratch root for queries that round-trip through storage (q47):
     * one temp dir per run, recursively deleted on exit, so repeated
     * bench/verify invocations leave nothing behind under /tmp. */
-  private lazy val scratchDir: String = {
+  private[graft] lazy val scratchDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
@@ -205,7 +205,7 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("c_mktsegment"), col("rn"))
+        .presentBy(col("c_mktsegment"), col("rn"))
     },
     "q19_rollup" -> { (s, dir) =>
       read(s, dir, "lineitem")
@@ -216,7 +216,7 @@ object Queries {
           when(col("g1") === 1, "All").otherwise(col("l_returnflag")).as("l_returnflag"),
           when(col("g2") === 1, "All").otherwise(col("l_linestatus")).as("l_linestatus"),
           col("n"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .presentBy(col("l_returnflag"), col("l_linestatus"))
     },
     "q20_setops" -> { (s, dir) =>
       val o = read(s, dir, "orders")
@@ -224,7 +224,7 @@ object Queries {
         o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
       custs("O").except(custs("P"))
         .intersect(custs("F"))
-        .orderBy(col("o_custkey"))
+        .presentBy(col("o_custkey"))
     },
     "q21_scalar_funcs" -> { (s, dir) =>
       read(s, dir, "part").select(
@@ -234,13 +234,13 @@ object Queries {
         concat_ws("/", col("p_brand"), col("p_type")).as("bt"),
         (col("p_size") % 7).as("szmod"),
         sqrt(col("p_retailprice")).as("sq")
-      ).orderBy(col("p_partkey"))
+      ).presentBy(col("p_partkey"))
     },
     "q22_topk" -> ((s, dir) =>
       read(s, dir, "part")
         .orderBy(col("p_retailprice").desc, col("p_partkey")).limit(10)
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
-        .orderBy(col("p_retailprice").desc, col("p_partkey"))),
+        .presentBy(col("p_retailprice").desc, col("p_partkey"))),
     "q23_tumbling_window" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -248,7 +248,7 @@ object Queries {
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("hour_start"), col("event_type"))
+        .presentBy(col("hour_start"), col("event_type"))
     },
     "q24_sessionize" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -259,7 +259,7 @@ object Queries {
             .otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
-        .orderBy(col("user_id"))
+        .presentBy(col("user_id"))
     }
   )
 

@@ -12,6 +12,22 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Presentation ordering for RESULT-SIZED outputs — the trailing sort
+    * every oracle query ends with. A single-partition sortWithinPartitions
+    * yields the same total order as `orderBy` without the
+    * RangePartitioner's extra boundary-sampling job (a whole separate Spark
+    * job per query: measured ~0.15 s of the ~0.37 s total of a sub-second
+    * bench query, tools/SortCost.scala). Only for final extracts that are
+    * small by construction — aggregates, top-k lists, per-group reports —
+    * where one task sorting the result is cheaper than scheduling a
+    * distributed sort; NEVER for mid-plan sorts or corpus-sized outputs
+    * (those keep `orderBy`, whose range-partitioned sort is the
+    * distributed-scale tool). */
+  implicit class PresentBy(private val df: DataFrame) extends AnyVal {
+    def presentBy(keys: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(keys: _*)
+  }
+
   /** events.parquet's `ts` physical type has varied across driver testdata
     * generations: INT64 TIMESTAMP(NANOS) (which Spark's reader rejects
     * without the legacy flag), plain micros TIMESTAMP, or micros without

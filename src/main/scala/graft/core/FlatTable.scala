@@ -61,7 +61,11 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
           if (k.ascending) col(k.column).asc else col(k.column).desc)
         (marginFlag +: explicit) ++ meta.indexLevels.map(col)
       }
-    df.orderBy(keys: _*).select(cols: _*)
+    // single-partition sort, not `orderBy`: a FlatTable is a DISPLAY table
+    // (pivoted, margin-bearing — result-sized by construction), and the
+    // one-task sort gives the same total order without the
+    // RangePartitioner's boundary-sampling job (see Tables.PresentBy).
+    df.repartition(1).sortWithinPartitions(keys: _*).select(cols: _*)
   }
 
   // ---- fluent operator surface (delegates to transforms) ----------------

@@ -695,10 +695,11 @@ object Corpus {
     * cumulative window over THAT bounded histogram, and one join back on
     * (group, score6). Integer counts make the CDF exact and fold-order
     * free; the single double division (cum/n) is identical in any IEEE
-    * engine. NULL scores form their own histogram bucket whose ORDER
-    * position is engine-specific (Spark sorts nulls first, most SQL
-    * engines last) — coalesce the score upstream if the input can be
-    * null. */
+    * engine. NULL scores form their own histogram bucket (the join back
+    * is null-safe, so the rows survive with that bucket's q_norm) — but
+    * the bucket's ORDER position is engine-specific (Spark sorts nulls
+    * first, most SQL engines last), so coalesce the score upstream if
+    * the input can be null and cross-engine q_norm parity matters. */
   def quantileNormalizeScores(df: DataFrame, groupCol: String,
                               scoreCol: Column, keepTopFrac: Double = 0.5,
                               checkpoint: CheckpointStrategy =
@@ -722,9 +723,14 @@ object Corpus {
       .withColumn("__n", sum(col("__c")).over(wAll))
       .select(col(groupCol), col("__s6"),
         (col("__cum").cast("double") / col("__n").cast("double")).as("q_norm"))
-    scored.join(cdf, Seq(groupCol, "__s6"))
+    // null-safe keys: a NULL score (or NULL group) row must find its own
+    // histogram bucket, not silently vanish from an equi-join
+    val cdfR = cdf.withColumnRenamed(groupCol, "__g2")
+      .withColumnRenamed("__s6", "__s6b")
+    scored.join(cdfR,
+        col(groupCol) <=> col("__g2") && col("__s6") <=> col("__s6b"))
       .withColumn("kept", col("q_norm") > lit(1.0) - lit(keepTopFrac))
-      .drop("__s6")
+      .drop("__g2", "__s6b", "__s6")
   }
 
   /** Sequence packing for training: concatenate documents in `orderCol`

@@ -525,17 +525,27 @@ object Dedup {
     * `cluster` (representative id), `n_copies`, `weight` (1/n rounded to
     * 6 dp — one double division of exact longs, engine-stable).
     *
+    * `pairs` may reference ids absent from `df` (a filtered subset of the
+    * corpus that produced the pairs is a normal composition): cluster
+    * membership is semi-joined against `df`'s ids before the size
+    * aggregate, so `n_copies` counts only rows actually present and the
+    * unit-total-mass invariant holds over `df` itself.
+    *
     * Scale shape: connected components over the PAIR GRAPH only, one
-    * pairs-sized (cluster, n) aggregate, two joins back (AQE broadcasts
-    * the skinny sides when they fit); documents in no cluster take
-    * n_copies = 1 without touching the cluster table. */
+    * id-keyed semi-join (skinny both sides), one pairs-sized (cluster, n)
+    * aggregate, two joins back (AQE broadcasts the skinny sides when they
+    * fit); documents in no cluster take n_copies = 1 without touching the
+    * cluster table. */
   def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
                        maxIters: Int = 20,
                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val clash = Seq("cluster", "n_copies", "weight").filter(df.columns.contains)
     require(clash.isEmpty, s"softDedupWeights reserves column name(s) " +
       s"${clash.mkString(", ")}; rename the input column(s) first")
+    // only members present in df count toward n_copies — pairs may come
+    // from a superset corpus, and absent members must not dilute weights
     val clusters = nearDupClusters(pairs, maxIters, checkpoint)
+      .join(df.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val sizes = clusters.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_copies"))
     df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * classic Salton/Sparck-Jones statistic, used in curation pipelines for
   * topic tagging, cluster labeling, and per-source vocabulary audits.
   *
-  * Scale shape: the document-frequency table is ONE aggregate over
-  * per-doc DISTINCT tokens, capped to `maxVocab` rows by deterministic
-  * top-K (df desc, term asc — `orderBy.limit`, the distributed exact
-  * top-K) and BROADCAST into scoring; the corpus pays one (id, term)
-  * shuffle for the term-frequency counts and one per-document window
-  * (hash-partitioned by id, never global) for the rank cut. Bounded
-  * driver state: the document count.
+  * Scale shape: the corpus is TOKENIZED ONCE into the (id, term, tf)
+  * postings table (one shuffle), materialized and reused by both
+  * consumers — the document-frequency table is a postings-sized
+  * `groupBy(term)` (df = distinct docs per term ≡ postings rows per term,
+  * ids being unique), and scoring joins the BROADCAST df table back onto
+  * the same postings. The `maxVocab` cap sorts the VOCABULARY only when
+  * it actually binds (vocab > maxVocab, checked with one count on the
+  * already-materialized table); the common uncapped case pays no global
+  * sort at all. One per-document window (hash-partitioned by id, never
+  * global) for the rank cut. Bounded driver state: two counts.
   *
   * Float discipline (the q90 rules): idf = ln((N+1)/(df+1)) is a ratio of
   * exact integers, the score rounds to 6 dp BEFORE the rank decision, and
@@ -45,18 +48,28 @@ object Keywords {
                     tokenizer: Column => Column = TextStats.tokens): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
-    // capped deterministic vocabulary, model-sized with two consumers
-    // (count for nothing — only the broadcast) — keep one materialization
-    val dfT = docFreq(df, textCol, tokenizer)
-      .orderBy(col("df").desc, col("term")).limit(maxVocab)
-      .localCheckpoint()
-    val n = df.count()
-    // term-frequency counts: the corpus's one (id, term) shuffle
+    // term-frequency postings: the corpus's ONE tokenize + (id, term)
+    // shuffle, materialized for its two consumers (df table, scoring)
     val tf = df
       .select(col(idCol).as("__id"), TextStats.pinnedCol(
         tokenizer(coalesce(col(textCol), lit("")))).as("__t"))
       .select(col("__id"), explode(col("__t")).as("term"))
       .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // df ≡ docFreq: postings rows are distinct (id, term), so rows-per-term
+    // IS the distinct-document count (assumes unique ids, the [[docFreq]]
+    // contract either way)
+    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // cap: sort the vocabulary only when it binds — the deterministic
+    // top-K (df desc, term asc) is unchanged, the common uncapped case
+    // skips the global sort
+    val dfT =
+      if (dfAll.count() <= maxVocab) dfAll
+      else dfAll.orderBy(col("df").desc, col("term")).limit(maxVocab)
+        .localCheckpoint()
+    // column-pruned: the row count never needs the text
+    val n = df.select(col(idCol)).count()
     val idf = log((lit(n) + lit(1L)).cast("double") /
       (coalesce(col("df"), lit(1L)) + lit(1L)).cast("double"))
     val scored = tf.join(broadcast(dfT), Seq("term"), "left")

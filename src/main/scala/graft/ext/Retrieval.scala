@@ -207,7 +207,16 @@ object Retrieval {
     * complete but the statistics stale by one shard — scores skew
     * slightly, no posting is lost or duplicated. Recovery is
     * [[repairPostingsStoreMeta]] (one aggregate over the postings), never
-    * a rebuild. */
+    * a rebuild.
+    *
+    * Concurrency contract: appends are SINGLE-WRITER, like the
+    * disjoint-ids rule above. The meta rewrite is a read-modify-write; two
+    * concurrent appends would both read the old stats and the second
+    * overwrite silently drops the first shard's n_docs/sum_len (postings
+    * rows are fine — only the BM25 statistics skew). Serialize appends in
+    * the ingestion driver; if a race did happen,
+    * [[repairPostingsStoreMeta]] recovers this case too, since it
+    * recomputes the stats from the postings themselves. */
   def appendToPostingsStore(shard: DataFrame, idCol: String, textCol: String,
                             name: String, analyzer: String = "ws-lower",
                             tokenizer: Column => Column = TextStats.tokens): Unit = {
