@@ -243,17 +243,26 @@ object TextStats {
     *   - `bpe_ids`    — vocabulary ids when `vocab` is non-empty
     *     (id = index in `vocab`, unknown → -1)
     * One codegen'd expression call per row, zero shuffles; the merges
-    * table ships once per executor inside the expression, never per row. */
+    * table ships once per executor inside the expression, never per row.
+    *
+    * `byteLevel = true` runs a PRODUCTION byte-level tokenizer verbatim
+    * from its released artifacts — load `(merges, vocab)` with
+    * [[graft.funcs.BpeFiles]] from the public GPT-2-format `merges.txt` /
+    * `vocab.json` pair; see [[graft.funcs.BpeCodec]] for the exact
+    * discipline (GPT-2 pre-tokenizer regex, whitespace runs kept,
+    * bytes→unicode base symbols). */
   def bpeStats(df: DataFrame, textCol: String,
-               merges: Seq[String], vocab: Seq[String] = Nil): DataFrame = {
+               merges: Seq[String], vocab: Seq[String] = Nil,
+               byteLevel: Boolean = false): DataFrame = {
     graft.funcs.BpeFunctions.register(df.sparkSession)
     val t = coalesce(col(textCol), lit(""))
     val base = df
-      .withColumn("bpe_tokens", graft.funcs.BpeFunctions.bpeEncode(t, merges))
+      .withColumn("bpe_tokens",
+        graft.funcs.BpeFunctions.bpeEncode(t, merges, byteLevel))
       .withColumn("bpe_count", size(col("bpe_tokens")))
     if (vocab.isEmpty) base
     else base.withColumn("bpe_ids",
-      graft.funcs.BpeFunctions.bpeIds(t, merges, vocab))
+      graft.funcs.BpeFunctions.bpeIds(t, merges, vocab, byteLevel))
   }
 
   /** BPE TRAINING (Sennrich et al. 2016) — induce the merges ranking

@@ -33,9 +33,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * table produced by BPE training is) the min-rank loop is equivalent to
   * applying merges one rank at a time, left-to-right — which is how the
   * q91 oracle replays it in SQL with nested `replace` passes.
+  *
+  * `byteLevel = true` runs the PRODUCTION GPT-2 discipline byte-for-byte
+  * (tables loaded via [[BpeFiles]] from the public `merges.txt` /
+  * `vocab.json` formats): the exact GPT-2 pre-tokenizer regex (including
+  * its `\s+(?!\S)` trailing-whitespace split, which the default
+  * pre-tokenizer approximates), whitespace runs KEPT as mergeable
+  * pre-tokens (that's where `Ġ`/`Ċ` tokens come from), and each
+  * pre-token's UTF-8 BYTES remapped through the public bytes→unicode
+  * stand-in alphabet before the merge loop — so base symbols are bytes,
+  * exactly as the released tables expect.
   */
-final class BpeCodec(val merges: Array[String], val vocab: Array[String])
+final class BpeCodec(val merges: Array[String], val vocab: Array[String],
+                     val byteLevel: Boolean)
     extends Serializable {
+
+  def this(merges: Array[String], vocab: Array[String]) =
+    this(merges, vocab, false)
 
   // rank lookup keyed "left\u0000right"; first occurrence wins on duplicates
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
@@ -61,7 +75,8 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String])
   }
 
   @transient private lazy val preTok =
-    java.util.regex.Pattern.compile(graft.ext.TextStats.BpePattern)
+    java.util.regex.Pattern.compile(
+      if (byteLevel) BpeCodec.Gpt2Pattern else graft.ext.TextStats.BpePattern)
   @transient private lazy val ws = java.util.regex.Pattern.compile("^\\s+$")
 
   // bounded per-JVM memo (word -> merged tokens); cleared rather than
@@ -126,7 +141,8 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String])
     val m = preTok.matcher(text)
     while (m.find()) {
       val pt = m.group()
-      if (!ws.matcher(pt).matches()) out ++= bpeWord(pt)
+      if (byteLevel) out ++= bpeWord(BpeCodec.byteLevelEncode(pt))
+      else if (!ws.matcher(pt).matches()) out ++= bpeWord(pt)
     }
     out.toArray
   }
@@ -152,17 +168,58 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String])
   // value equality on the tables, digest-cached (expressions embedding the
   // codec get sane equals/semanticEquals without hashing megabytes per call)
   @transient private lazy val digest: Int =
-    31 * java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]]) +
-      java.util.Arrays.hashCode(vocab.asInstanceOf[Array[AnyRef]])
+    31 * (31 * java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.hashCode(vocab.asInstanceOf[Array[AnyRef]])) +
+      (if (byteLevel) 1 else 0)
   override def equals(other: Any): Boolean = other match {
     case c: BpeCodec =>
-      java.util.Arrays.equals(merges.asInstanceOf[Array[AnyRef]],
-        c.merges.asInstanceOf[Array[AnyRef]]) &&
+      byteLevel == c.byteLevel &&
+        java.util.Arrays.equals(merges.asInstanceOf[Array[AnyRef]],
+          c.merges.asInstanceOf[Array[AnyRef]]) &&
         java.util.Arrays.equals(vocab.asInstanceOf[Array[AnyRef]],
           c.vocab.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int = digest
+}
+
+object BpeCodec {
+
+  /** The GPT-2 pre-tokenizer regex, verbatim (Radford et al. 2019,
+    * encoder.py). Differs from [[graft.ext.TextStats.BpePattern]] only in
+    * the `\s+(?!\S)` alternative: a whitespace run followed by more text
+    * keeps its LAST space attached to the next token. */
+  val Gpt2Pattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** The public GPT-2 bytes→unicode stand-in alphabet (encoder.py
+    * `bytes_to_unicode`): printable latin bytes map to themselves, the
+    * rest take 256+k in increasing byte order — 0x20 ' ' → U+0120 'Ġ',
+    * 0x0A '\n' → U+010A 'Ċ', etc. Total 256 distinct single-char symbols,
+    * so byte-level base symbols survive any text channel. */
+  val ByteToChar: Array[Char] = {
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val keep = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (keep) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** Remap a pre-token's UTF-8 bytes into the stand-in alphabet (one char
+    * per byte) — the form the released GPT-2 tables merge over. */
+  def byteLevelEncode(preToken: String): String = {
+    val bytes = preToken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = ByteToChar(bytes(i) & 0xff); i += 1 }
+    new String(out)
+  }
 }
 
 /** BPE tokens of a text column: `array<string>`. */
@@ -215,14 +272,23 @@ object BpeFunctions {
           s"$what must be an array<string> literal, got $other")
     }
 
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, BooleanType) => b
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   /** (name, builder) pairs — shared by [[register]] and the
-    * session-extensions route ([[graft.GraftExtensions]]). */
+    * session-extensions route ([[graft.GraftExtensions]]). The optional
+    * trailing boolean literal selects the byte-level GPT-2 discipline. */
   private[funcs] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     EncodeName -> ((exprs: Seq[Expression]) => BpeEncode(exprs.head,
-      new BpeCodec(stringArrayLit(exprs(1), "merges"), Array.empty))),
+      new BpeCodec(stringArrayLit(exprs(1), "merges"), Array.empty,
+        exprs.length > 2 && boolLit(exprs(2), "byteLevel")))),
     IdsName -> ((exprs: Seq[Expression]) => BpeEncodeIds(exprs.head,
       new BpeCodec(stringArrayLit(exprs(1), "merges"),
-        stringArrayLit(exprs(2), "vocab")))))
+        stringArrayLit(exprs(2), "vocab"),
+        exprs.length > 3 && boolLit(exprs(3), "byteLevel")))))
 
   /** Register the BPE expressions (idempotent); merges/vocab arrive as
     * array<string> LITERALS and are folded into the expression's codec at
@@ -244,14 +310,64 @@ object BpeFunctions {
     }
 
   /** Column API: BPE tokens under `merges` (GPT-2 `"left right"` lines,
-    * rank order). Requires [[register]] on the active session. */
-  def bpeEncode(text: Column, merges: Seq[String]): Column =
+    * rank order). Requires [[register]] on the active session.
+    * `byteLevel = true` runs the production GPT-2 byte-level discipline
+    * (see [[BpeCodec]]) — pair with tables from [[BpeFiles]]. */
+  def bpeEncode(text: Column, merges: Seq[String],
+                byteLevel: Boolean = false): Column =
     org.apache.spark.sql.functions.call_function(EncodeName, text,
-      org.apache.spark.sql.functions.lit(merges.toArray))
+      org.apache.spark.sql.functions.lit(merges.toArray),
+      org.apache.spark.sql.functions.lit(byteLevel))
 
   /** Column API: BPE vocabulary ids (id = index in `vocab`, unknown -1). */
-  def bpeIds(text: Column, merges: Seq[String], vocab: Seq[String]): Column =
+  def bpeIds(text: Column, merges: Seq[String], vocab: Seq[String],
+             byteLevel: Boolean = false): Column =
     org.apache.spark.sql.functions.call_function(IdsName, text,
       org.apache.spark.sql.functions.lit(merges.toArray),
-      org.apache.spark.sql.functions.lit(vocab.toArray))
+      org.apache.spark.sql.functions.lit(vocab.toArray),
+      org.apache.spark.sql.functions.lit(byteLevel))
+}
+
+/** Loaders for the PUBLIC GPT-2 tokenizer file formats — so a production
+  * tokenizer runs on this engine byte-for-byte from its released artifacts
+  * (Radford et al. 2019; the same `merges.txt` + `vocab.json` pair ships
+  * with GPT-2, RoBERTa, and every HF "byte-level BPE" tokenizer).
+  * File reads are DRIVER-side (the tables are model-sized); the parsed
+  * arrays then ride to executors inside the expression like every other
+  * codec table. */
+object BpeFiles {
+
+  /** Parse `merges.txt` content: one `"left right"` pair per line in rank
+    * order; the `#version:` header and blank lines are skipped. */
+  def parseMerges(content: String): Seq[String] =
+    content.linesIterator.map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  /** Parse `vocab.json` content (one JSON object, token → id) into the
+    * dense rank-ordered vocabulary array [[BpeCodec]] indexes — ids must
+    * be exactly 0..n-1, each once (the released files are). Uses the
+    * Jackson shipped on the Spark classpath; JSON escapes (`Ġ` and
+    * friends) decode exactly as the reference loaders do. */
+  def parseVocabJson(content: String): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
+    require(node.isObject, "vocab json must be one token -> id object")
+    val n = node.size()
+    val arr = new Array[String](n)
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val id = if (e.getValue.isInt) e.getValue.asInt() else -1
+      require(id >= 0 && id < n && arr(id) == null,
+        s"vocab ids must be dense 0..${n - 1}, each exactly once " +
+          s"(token '${e.getKey}' -> ${e.getValue})")
+      arr(id) = e.getKey
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+  }
+
+  def loadMerges(path: String): Seq[String] =
+    parseMerges(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def loadVocab(path: String): Seq[String] =
+    parseVocabJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }

@@ -2488,6 +2488,58 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*bpeencode""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("byte-level BPE: public GPT-2-format tables run byte-for-byte") {
+    // VERDICT r14 #8 — a production byte-level tokenizer from its released
+    // artifacts: merges.txt (with header + blank line) and vocab.json
+    // (with JSON \uXXXX escapes), loaded through BpeFiles.
+    import graft.funcs.{BpeFiles, BpeCodec}
+    // Ġ = U+0120 (byte 0x20), Ċ = U+010A (byte 0x0A), é = bytes C3 A9 → Ã©
+    val mergesTxt = Seq(
+      "#version: 0.2",
+      "",
+      "\u0120 h", "\u0120h e", "h e", "l l",
+      "\u0120he ll", "he ll", "\u0120hell o", "hell o",
+      "\u00c3 \u00a9").mkString("\n")
+    val vocabJson =
+      "{\"hello\": 0, \"\\u0120hello\": 1, \"\\u010A\": 2, \"\\u00C3\\u00A9\": 3}"
+    val dir = java.nio.file.Files.createTempDirectory("gpt2fix")
+    val mp = dir.resolve("merges.txt"); val vp = dir.resolve("vocab.json")
+    java.nio.file.Files.writeString(mp, mergesTxt)
+    java.nio.file.Files.writeString(vp, vocabJson)
+    val merges = BpeFiles.loadMerges(mp.toString)
+    val vocab = BpeFiles.loadVocab(vp.toString)
+    assert(merges.size == 9 && merges.head == "\u0120 h",
+      "header and blank lines must be skipped, rank order kept")
+    assert(vocab == Seq("hello", "\u0120hello", "\u010a", "\u00c3\u00a9"),
+      "vocab.json ids order the array; JSON escapes decode")
+    // the stand-in alphabet is the published map
+    assert(BpeCodec.byteLevelEncode(" hello") == "\u0120hello")
+    assert(BpeCodec.byteLevelEncode("\n") == "\u010a")
+    assert(BpeCodec.byteLevelEncode("\u00e9") == "\u00c3\u00a9")
+    val r = TextStats.bpeStats(
+        Seq((0L, "hello hello\n\u00e9")).toDF("doc_id", "text"),
+        "text", merges, vocab, byteLevel = true)
+      .collect().head
+    // pre-tokens [hello][ hello][\n][é]; the \n run is KEPT (Ċ), the
+    // leading space merges into Ġhello exactly as the released tables do
+    assert(r.getSeq[String](r.fieldIndex("bpe_tokens")) ==
+      Seq("hello", "\u0120hello", "\u010a", "\u00c3\u00a9"))
+    assert(r.getSeq[Int](r.fieldIndex("bpe_ids")) == Seq(0, 1, 2, 3))
+    assert(r.getInt(r.fieldIndex("bpe_count")) == 4)
+    // GPT-2's \s+(?!\S) split: in a multi-space run the LAST space stays
+    // attached to the following word ("a  b" → [a][ ][ b])
+    val multi = TextStats.bpeStats(
+        Seq((0L, "a  b")).toDF("doc_id", "text"), "text", merges,
+        byteLevel = true)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(multi == Seq("a", "\u0120", "\u0120", "b"))
+    // non-dense vocab ids must be refused, not silently misindexed
+    val bad = intercept[IllegalArgumentException] {
+      BpeFiles.parseVocabJson("{\"a\": 0, \"b\": 2}")
+    }
+    assert(bad.getMessage.contains("dense"))
+  }
+
   test("perplexityScore: hand-computed add-1 bigram NLL, OOV, short docs, vocab cap") {
     val ref = Seq((0L, "the cat sat"), (1L, "the cat ran")).toDF("doc_id", "text")
     // model: gc = {the cat: 2, cat sat: 1, cat ran: 1}; uc = {the: 2,
@@ -4073,6 +4125,54 @@ class ExtSpec extends AnyFunSuite {
     val ev = Sketch.hllEstimate(stored, Seq("g"), 256).collect().head.getDouble(2)
     val dv = Sketch.hllEstimate(sk(items), Seq("g"), 256).collect().head.getDouble(2)
     assert(ev == dv)
+  }
+
+  test("sketch store append: both crash windows of the tmp-write+swap recover") {
+    // VERDICT r14 #5 — drive the append's two documented crash windows
+    // end-to-end against readSketchStore, not just the happy path.
+    val items = (0 until 3000).map(i => s"cw$i")
+    def sk(xs: Seq[String]) = Sketch.hllSketch(
+      xs.toDF("x").withColumn("g", lit("a")), Seq("g"), col("x"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val buildParams = Map("m" -> "256", "salt" -> "graft:hll")
+    Sketch.writeSketchStore(sk(items.take(2000)), "fb_test_skcrash", "hll",
+      buildParams, groupCols = Seq("g"))
+    val oldEpoch = rows(Sketch.readSketchStore(spark, "fb_test_skcrash")._3)
+
+    // CRASH WINDOW 1 — killed between the tmp write and the swap:
+    // replicate the append's steps up to (and including) the tmp table,
+    // then stop. The store must still serve the PRE-append epoch.
+    val shard2 = sk(items.drop(1000))
+    val merged = Sketch.hllMerge(
+        spark.table("fb_test_skcrash_sketch").unionByName(shard2), Seq("g"))
+      .localCheckpoint()
+    graft.sources.IO.dropOrphanedLocation(spark, "fb_test_skcrash_sketch_tmp")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("fb_test_skcrash_sketch_tmp")
+    assert(rows(Sketch.readSketchStore(spark, "fb_test_skcrash")._3) == oldEpoch,
+      "a crash before the swap must leave the old epoch serving")
+    // ... and RETRYING the append over the orphaned tmp table succeeds
+    // (dropOrphanedLocation clears it) and lands exactly the union sketch
+    Sketch.appendToSketchStore(shard2, "fb_test_skcrash", buildParams)
+    assert(rows(Sketch.readSketchStore(spark, "fb_test_skcrash")._3) ==
+      rows(sk(items)), "retried append must equal build-from-union")
+
+    // CRASH WINDOW 2 — killed between the DROP and the RENAME: the store
+    // has no <name>_sketch but the full merged result survives in tmp;
+    // the documented recovery is ONE rename, never a rebuild.
+    val epoch2 = rows(Sketch.readSketchStore(spark, "fb_test_skcrash")._3)
+    spark.table("fb_test_skcrash_sketch").localCheckpoint()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("fb_test_skcrash_sketch_tmp")
+    spark.sql("DROP TABLE fb_test_skcrash_sketch")
+    intercept[Exception] { // the window is observable, not silent
+      Sketch.readSketchStore(spark, "fb_test_skcrash")._3.collect()
+    }
+    spark.sql(
+      "ALTER TABLE fb_test_skcrash_sketch_tmp RENAME TO fb_test_skcrash_sketch")
+    assert(rows(Sketch.readSketchStore(spark, "fb_test_skcrash")._3) == epoch2,
+      "the one-rename recovery must serve the merged epoch unchanged")
   }
 
   test("logHistSketch: bucket law, exact merge, quantile bounds at 2^-5") {

@@ -34,7 +34,11 @@ class PlansSpec extends AnyFunSuite {
     "q07_value_counts", "q09_pct_colwise", "q10_pct_grand", "q11_add_pct",
     "q12_apportioned", "q47_meta_roundtrip", "q48_pct_base_default",
     // rank attached to an already-LIMIT-topK result (<= topK rows)
-    "q116_top_ngrams", "q143_cms_heavy_hitters"
+    "q116_top_ngrams", "q143_cms_heavy_hitters",
+    // shard ordinals over the MANIFEST (one row per written file —
+    // shard-count-sized, never the corpus; the corpus-side counting is a
+    // file-keyed groupBy)
+    "q164_write_shards"
   )
 
   test("no query plans a CartesianProduct") {
