@@ -1778,6 +1778,16 @@ object ExtQueries {
     "q101_corpus_report" -> ((s, dir) =>
       graft.ext.Audit.corpusReport(read(s, dir, "documents"), "text", "source")
         .presentBy(col("source"))),
+    // Token-coverage curve (vocabulary sizing): fraction of token
+    // occurrences covered by the top-k types, computed from the
+    // COUNT-VALUE histogram (no vocabulary sort, no per-term rank — ties
+    // are interchangeable mass by construction). The k list straddles the
+    // fixture's 31-word closed vocabulary, so the k > |V| clamp is
+    // exercised (coverage 1.0 at k = 100).
+    "q165_vocab_coverage" -> ((s, dir) =>
+      graft.ext.Audit.vocabCoverage(docsPar(s, dir), "text",
+          Seq(1L, 5L, 10L, 31L, 100L))
+        .presentBy(col("k"))),
     // Deterministic epoch shuffle: reproducible (part, key) placement from
     // the md5 of (id, epoch) — the RNG-free training-order primitive.
     "q102_epoch_shuffle" -> ((s, dir) =>
@@ -3225,7 +3235,40 @@ object ExtQueries {
       |  TRUE AS bytes_pos
       |FROM f ORDER BY format, shard_idx""".stripMargin
 
+  // q165: blocks of equal-count types are interchangeable mass, so the
+  // coverage at rank k is exact window algebra over the count-value
+  // histogram — the same block arithmetic the Spark side runs via
+  // prefixSum (integer sums: fold-order-free in both engines).
+  private val vocabCoverageSql =
+    """WITH toks AS (SELECT
+      |    unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS term
+      |  FROM documents),
+      |hist AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+      |blocks AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+      |    c * CAST(count(*) AS BIGINT) AS toks_in FROM hist GROUP BY 1),
+      |cum AS (SELECT c, n_types, toks_in,
+      |    CAST(sum(n_types) OVER w AS BIGINT) AS cum_types,
+      |    CAST(sum(toks_in) OVER w AS BIGINT) AS cum_toks
+      |  FROM blocks
+      |  WINDOW w AS (ORDER BY c DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT max(cum_types) AS types_total,
+      |    max(cum_toks) AS tokens_total FROM cum),
+      |kk AS (SELECT CAST(unnest([1, 5, 10, 31, 100]) AS BIGINT) AS k)
+      |SELECT k, LEAST(k, types_total) AS types_used,
+      |  (cum_toks - toks_in)
+      |    + (LEAST(k, types_total) - (cum_types - n_types)) * c AS cum_tokens,
+      |  tokens_total,
+      |  round(CAST((cum_toks - toks_in)
+      |      + (LEAST(k, types_total) - (cum_types - n_types)) * c AS DOUBLE)
+      |    / CAST(tokens_total AS DOUBLE), 6) AS coverage
+      |FROM kk, tot, cum
+      |WHERE (cum_types - n_types) < LEAST(k, types_total)
+      |  AND LEAST(k, types_total) <= cum_types
+      |ORDER BY k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q165_vocab_coverage" -> vocabCoverageSql,
     "q164_write_shards" -> writeShardsSql,
     "q163_softdedup_weights" -> softDedupWeightsSql,
     "q162_html_extract" -> htmlExtractSql,

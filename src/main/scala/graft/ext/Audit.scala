@@ -144,6 +144,65 @@ object Audit {
         col("hapax").cast("double") / col("types").cast("double"))
   }
 
+  /** Token-coverage curve — the vocabulary-sizing audit: for each k in
+    * `ks`, what fraction of corpus token OCCURRENCES the k most frequent
+    * types cover ("is a 32k or a 64k vocabulary enough for this
+    * corpus?"). Boundary ties are deterministic by construction: all
+    * types sharing one count are interchangeable mass, so the curve needs
+    * no tiebreak at all. Output per k: `types_used` (= min(k, distinct
+    * types)), `cum_tokens`, `tokens_total`, `coverage` = round(cum/total,
+    * 6) — exact integers everywhere but the final division.
+    *
+    * Scale shape — coverage needs NO per-term rank and NO vocabulary
+    * sort: it is computed from the COUNT-VALUE histogram (distinct count
+    * values — O(√total-tokens) rows however large the vocabulary, since
+    * distinct positive integers summing to N number at most ~√(2N)): one
+    * term-count aggregate, one (count → n_types) rollup, two
+    * [[Corpus.prefixSum]] passes over that bounded table (two-phase, no
+    * global-order window), and one broadcast join of the k list against
+    * the block straddling rank k: cum_tokens(k) = tokens_above +
+    * (k − types_above)·count. */
+  def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Long],
+                    tokenizer: Column => Column = TextStats.tokens,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1L),
+      s"ks must be non-empty and >= 1, got $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(TextStats.pinnedCol(
+        tokenizer(coalesce(col(textCol), lit("")))).as("__t"))
+      .select(explode(col("__t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val blocks = hist.groupBy(col("__c"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("toks_in", col("__c") * col("n_types"))
+      // unique descending-count order key for the two-phase cumsum
+      .withColumn("__ord", struct((-col("__c")).as("c")))
+    val cum = Corpus.prefixSum(
+        Corpus.prefixSum(blocks, "__ord", "n_types", "cum_types", checkpoint),
+        "__ord", "toks_in", "cum_toks", checkpoint)
+      .withColumn("types_above", col("cum_types") - col("n_types"))
+      .withColumn("tokens_above", col("cum_toks") - col("toks_in"))
+    // two consumers (totals + the k join) — one materialization
+    val cumM = CheckpointStrategy.materializer(checkpoint)(cum)
+    val tot = cumM.agg(max(col("cum_types")).as("types_total"),
+      max(col("cum_toks")).as("tokens_total"))
+    val kj = ks.toDF("k").crossJoin(broadcast(tot))
+      .withColumn("types_used", least(col("k"), col("types_total")))
+    // tiny broadcast side + a range predicate: each k matches exactly the
+    // one block whose type-rank interval contains it
+    cumM.join(broadcast(kj),
+        col("types_above") < col("types_used") &&
+          col("types_used") <= col("cum_types"))
+      .withColumn("cum_tokens",
+        col("tokens_above") +
+          (col("types_used") - col("types_above")) * col("__c"))
+      .select(col("k"), col("types_used"), col("cum_tokens"),
+        col("tokens_total"),
+        round(col("cum_tokens").cast("double") /
+          col("tokens_total").cast("double"), 6).as("coverage"))
+  }
+
   /** Per-document novelty score — the memorization-risk audit: what
     * fraction of a document's distinct k-shingles appear in NO other
     * document. Low-novelty documents are recombinations of corpus-common

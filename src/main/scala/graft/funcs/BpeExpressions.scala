@@ -152,6 +152,30 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String],
     new GenericArrayData(
       encode(text.toString).map(t => UTF8String.fromString(t): Any))
 
+  /** Decode vocabulary ids back to text — the inverse of
+    * [[encodeIdsToArrayData]] for known ids: tokens concatenate directly
+    * (pre-tokens carry their own leading spaces), and in byte-level mode
+    * the stand-in alphabet maps back to UTF-8 bytes, so
+    * `decode(encode(text)) == text` whenever every token is in-vocabulary.
+    * Invalid ids (out of range, e.g. the -1 unknown marker) contribute
+    * nothing — a lossy-by-contract placeholder policy, stated rather than
+    * thrown: a per-row exception is the wrong failure mode at corpus
+    * scale. Non-byte-level round-trips are whitespace-lossy (the default
+    * encoder drops pure-whitespace runs). */
+  def decodeIds(ids0: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = ids0.numElements()
+    while (i < n) {
+      val id = ids0.getInt(i)
+      if (id >= 0 && id < vocab.length) sb.append(vocab(id))
+      i += 1
+    }
+    val s = sb.toString
+    UTF8String.fromString(
+      if (byteLevel) BpeCodec.byteLevelDecode(s) else s)
+  }
+
   /** Codegen entry: vocabulary ids (index into `vocab`; unknown → -1). */
   def encodeIdsToArrayData(text: UTF8String): ArrayData = {
     val toks = encode(text.toString)
@@ -220,6 +244,36 @@ object BpeCodec {
     while (i < bytes.length) { out(i) = ByteToChar(bytes(i) & 0xff); i += 1 }
     new String(out)
   }
+
+  /** Inverse of [[ByteToChar]]: stand-in char → original byte, −1 for
+    * chars outside the 256-symbol alphabet. */
+  private val CharToByte: Array[Int] = {
+    val arr = Array.fill(324)(-1) // max stand-in is 256 + 67 = 323
+    var b = 0
+    while (b < 256) { arr(ByteToChar(b)) = b; b += 1 }
+    arr
+  }
+
+  /** Map stand-in text back to the UTF-8 string it encodes — the decode
+    * half of the byte-level discipline. Chars outside the alphabet (never
+    * produced by [[byteLevelEncode]] or a well-formed vocab) pass through
+    * as their own UTF-8 bytes rather than corrupting the stream. */
+  def byteLevelDecode(standIn: String): String = {
+    val buf = new java.io.ByteArrayOutputStream(standIn.length)
+    var i = 0
+    while (i < standIn.length) {
+      val c = standIn.charAt(i)
+      val b = if (c < 324) CharToByte(c) else -1
+      if (b >= 0) buf.write(b)
+      else {
+        val raw = String.valueOf(c)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        buf.write(raw, 0, raw.length)
+      }
+      i += 1
+    }
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 /** BPE tokens of a text column: `array<string>`. */
@@ -258,10 +312,30 @@ case class BpeEncodeIds(child: Expression, codec: BpeCodec)
     copy(child = newChild)
 }
 
+/** Text back from BPE vocabulary ids: `string` (see [[BpeCodec.decodeIds]]
+  * for the invalid-id and byte-level semantics). */
+case class BpeDecodeIds(child: Expression, codec: BpeCodec)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    codec.decodeIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.decodeIds($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
 
   private val EncodeName = "graft_bpe_encode"
   private val IdsName = "graft_bpe_ids"
+  private val DecodeName = "graft_bpe_decode"
 
   private def stringArrayLit(e: Expression, what: String): Array[String] =
     e match {
@@ -288,7 +362,10 @@ object BpeFunctions {
     IdsName -> ((exprs: Seq[Expression]) => BpeEncodeIds(exprs.head,
       new BpeCodec(stringArrayLit(exprs(1), "merges"),
         stringArrayLit(exprs(2), "vocab"),
-        exprs.length > 3 && boolLit(exprs(3), "byteLevel")))))
+        exprs.length > 3 && boolLit(exprs(3), "byteLevel")))),
+    DecodeName -> ((exprs: Seq[Expression]) => BpeDecodeIds(exprs.head,
+      new BpeCodec(Array.empty, stringArrayLit(exprs(1), "vocab"),
+        exprs.length > 2 && boolLit(exprs(2), "byteLevel")))))
 
   /** Register the BPE expressions (idempotent); merges/vocab arrive as
     * array<string> LITERALS and are folded into the expression's codec at
@@ -324,6 +401,15 @@ object BpeFunctions {
              byteLevel: Boolean = false): Column =
     org.apache.spark.sql.functions.call_function(IdsName, text,
       org.apache.spark.sql.functions.lit(merges.toArray),
+      org.apache.spark.sql.functions.lit(vocab.toArray),
+      org.apache.spark.sql.functions.lit(byteLevel))
+
+  /** Column API: text back from an `array<int>` of vocabulary ids — the
+    * decode half of the round-trip (exact in byte-level mode when every
+    * token is known; see [[BpeCodec.decodeIds]]). */
+  def bpeDecode(ids: Column, vocab: Seq[String],
+                byteLevel: Boolean = false): Column =
+    org.apache.spark.sql.functions.call_function(DecodeName, ids,
       org.apache.spark.sql.functions.lit(vocab.toArray),
       org.apache.spark.sql.functions.lit(byteLevel))
 }

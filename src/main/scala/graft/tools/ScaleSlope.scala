@@ -276,7 +276,15 @@ object ScaleSlope {
       "q162_html_extract",
       // r14: q163 = q44's pair graph + CC + a pairs-sized count + two
       // joins back — the CC rounds dominate, like q44/q160
-      "q163_softdedup_weights")
+      "q163_softdedup_weights",
+      // r15: q164 = two shard writes (parquet + JSONL) + footer/line-count
+      // manifest passes — IO-bound, linear in rows; the single-writer sort
+      // is the presentation-sized manifest discipline, not a corpus sort
+      "q164_write_shards",
+      // r15: q165 = one token aggregate + a count-value-histogram rollup
+      // (O(√tokens) rows) + two prefixSums over it + a broadcast k join —
+      // the token aggregate is the only corpus-sized stage
+      "q165_vocab_coverage")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

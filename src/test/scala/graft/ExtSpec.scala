@@ -2538,6 +2538,21 @@ class ExtSpec extends AnyFunSuite {
       BpeFiles.parseVocabJson("{\"a\": 0, \"b\": 2}")
     }
     assert(bad.getMessage.contains("dense"))
+    // decode closes the round trip: byte-level decode(encode(text)) == text
+    // when every token is in-vocabulary (Ċ carries the newline back)
+    val rt = TextStats.bpeStats(
+        Seq((0L, "hello hello\né")).toDF("doc_id", "text"),
+        "text", merges, vocab, byteLevel = true)
+      .select(graft.funcs.BpeFunctions
+        .bpeDecode(col("bpe_ids"), vocab, byteLevel = true).as("back"))
+      .as[String].head()
+    assert(rt == "hello hello\né")
+    // invalid ids (the -1 unknown marker) drop, by contract
+    val dropped = spark.range(1)
+      .select(graft.funcs.BpeFunctions.bpeDecode(
+        typedLit(Seq(0, -1, 99)), vocab, byteLevel = true).as("t"))
+      .as[String].head()
+    assert(dropped == "hello")
   }
 
   test("perplexityScore: hand-computed add-1 bigram NLL, OOV, short docs, vocab cap") {
@@ -4125,6 +4140,22 @@ class ExtSpec extends AnyFunSuite {
     val ev = Sketch.hllEstimate(stored, Seq("g"), 256).collect().head.getDouble(2)
     val dv = Sketch.hllEstimate(sk(items), Seq("g"), 256).collect().head.getDouble(2)
     assert(ev == dv)
+  }
+
+  test("vocabCoverage: hand-computed curve, tie blocks, k > |V| clamp") {
+    // corpus: a×3, b×1, c×1 → blocks (c=3: 1 type, 3 toks), (c=1: 2, 2)
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val r = graft.ext.Audit.vocabCoverage(docs, "text", Seq(1L, 2L, 3L, 10L))
+      .orderBy(col("k"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r(0) == ((1L, 1L, 3L, 5L, 0.6)))
+    // k=2 lands in the tied c=1 block: one of {b, c} — interchangeable
+    // mass, so the curve is deterministic with NO tiebreak
+    assert(r(1) == ((2L, 2L, 4L, 5L, 0.8)))
+    assert(r(2) == ((3L, 3L, 5L, 5L, 1.0)))
+    // k beyond the vocabulary clamps to |V|
+    assert(r(3) == ((10L, 3L, 5L, 5L, 1.0)))
   }
 
   test("sketch store append: both crash windows of the tmp-write+swap recover") {
