@@ -1778,6 +1778,27 @@ object ExtQueries {
     "q101_corpus_report" -> ((s, dir) =>
       graft.ext.Audit.corpusReport(read(s, dir, "documents"), "text", "source")
         .presentBy(col("source"))),
+    // Unicode normalization ahead of dedup (UAX #15): canonically
+    // equivalent strings with different code-point sequences (NFC "é" vs
+    // NFD "e"+COMBINING ACUTE) hash differently and defeat every
+    // fingerprint-based dedup stage. The fixture corpus is ASCII, so the
+    // query PLANTS the hazard — each doc spawns an NFC twin (… "café")
+    // and an NFD twin (… "cafe"+U+0301): raw fingerprints must differ,
+    // normalized fingerprints must collapse, and the oracle recomputes
+    // BOTH through DuckDB's independent nfc_normalize implementation.
+    "q166_nfc_dedup" -> { (s, dir) =>
+      graft.funcs.TextFunctions.register(s)
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val twins = d.select((col("doc_id") * 2).as("doc_id"),
+          concat(col("text"), lit(" caf\u00e9")).as("text"))
+        .unionByName(d.select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text")))
+      twins.select(col("doc_id"),
+          md5(col("text")).as("fp_raw"),
+          md5(graft.funcs.TextFunctions.unicodeNormalize(col("text")))
+            .as("fp_nfc"))
+        .presentBy(col("doc_id"))
+    },
     // Token-coverage curve (vocabulary sizing): fraction of token
     // occurrences covered by the top-k types, computed from the
     // COUNT-VALUE histogram (no vocabulary sort, no per-term rank — ties
@@ -3267,7 +3288,21 @@ object ExtQueries {
       |  AND LEAST(k, types_total) <= cum_types
       |ORDER BY k""".stripMargin
 
+  // q166: chr(233) = é (NFC), chr(769) = COMBINING ACUTE (the NFD tail);
+  // DuckDB's utf8proc NFC and the JDK Normalizer agree on these (both
+  // implement UAX #15), so the fp_nfc twins collapse in both engines.
+  private val nfcDedupSql =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |tw AS (SELECT doc_id * 2 AS doc_id, text || ' caf' || chr(233) AS text
+      |    FROM d
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, text || ' cafe' || chr(769) FROM d)
+      |SELECT doc_id, md5(text) AS fp_raw,
+      |  md5(nfc_normalize(text)) AS fp_nfc
+      |FROM tw ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q166_nfc_dedup" -> nfcDedupSql,
     "q165_vocab_coverage" -> vocabCoverageSql,
     "q164_write_shards" -> writeShardsSql,
     "q163_softdedup_weights" -> softDedupWeightsSql,

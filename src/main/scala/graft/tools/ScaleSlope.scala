@@ -284,7 +284,10 @@ object ScaleSlope {
       // r15: q165 = one token aggregate + a count-value-histogram rollup
       // (O(√tokens) rows) + two prefixSums over it + a broadcast k join —
       // the token aggregate is the only corpus-sized stage
-      "q165_vocab_coverage")
+      "q165_vocab_coverage",
+      // r15: q166 = pure per-row codegen normalize + md5 projections (a
+      // CPU throughput rail like q162); rows double by the twin synthesis
+      "q166_nfc_dedup")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

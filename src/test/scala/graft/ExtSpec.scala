@@ -4142,6 +4142,32 @@ class ExtSpec extends AnyFunSuite {
     assert(ev == dv)
   }
 
+  test("unicodeNormalize: forms, ligature folding, null, codegen survives") {
+    graft.funcs.TextFunctions.register(spark)
+    import graft.funcs.TextFunctions.unicodeNormalize
+    val df = Seq((0L, "café"), (1L, "café"), (2L, "ﬁsh"),
+        (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val r = df.select(col("id"),
+        unicodeNormalize(col("t")).as("nfc"),
+        unicodeNormalize(col("t"), "NFD").as("nfd"),
+        unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getString(1) == "caf\u00e9")  // NFD composes to NFC
+    assert(r(1L).getString(2) == "café") // NFC decomposes to NFD
+    assert(r(2L).getString(3) == "fish")       // NFKC folds the fi ligature
+    assert(r(2L).getString(1) == "\ufb01sh")   // NFC keeps compatibility chars
+    assert(r(3L).isNullAt(1))
+    // a bad form name fails at resolution, not per-row
+    intercept[Exception] {
+      df.select(unicodeNormalize(col("t"), "NFX")).collect()
+    }
+    // stays inside whole-stage codegen (the bpeencode plan discipline)
+    val q = df.repartition(2).select(unicodeNormalize(col("t")).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*unicodenormalize""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("vocabCoverage: hand-computed curve, tie blocks, k > |V| clamp") {
     // corpus: a×3, b×1, c×1 → blocks (c=3: 1 type, 3 toks), (c=1: 2, 2)
     val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
