@@ -1799,6 +1799,20 @@ object ExtQueries {
             .as("fp_nfc"))
         .presentBy(col("doc_id"))
     },
+    // Accent folding (the CCNet normalize stage after q166's NFC): NFD +
+    // combining-mark strip, replayed through DuckDB's INDEPENDENT
+    // strip_accents (utf8proc) — the fixture is ASCII, so the accents are
+    // planted; ASCII text must pass through identical (fast-path law).
+    "q167_accent_fold" -> { (s, dir) =>
+      graft.funcs.TextFunctions.register(s)
+      val planted = concat(col("text"),
+        lit(" crème brûlée déjà vu naïve " +
+          "façade niño über açaí"))
+      docsPar(s, dir).select(col("doc_id"),
+          graft.funcs.TextFunctions.stripAccents(planted).as("folded"))
+        .withColumn("fp", md5(col("folded")))
+        .presentBy(col("doc_id"))
+    },
     // Token-coverage curve (vocabulary sizing): fraction of token
     // occurrences covered by the top-k types, computed from the
     // COUNT-VALUE histogram (no vocabulary sort, no per-term rank — ties
@@ -3301,7 +3315,19 @@ object ExtQueries {
       |  md5(nfc_normalize(text)) AS fp_nfc
       |FROM tw ORDER BY doc_id""".stripMargin
 
+  // q167: DuckDB's strip_accents (utf8proc) vs the Spark side's
+  // NFD+\p{Mn}-strip — two independent implementations of the same fold;
+  // the planted literal is NFC-composed in both (the md5 would catch a
+  // byte-level drift between the two query texts).
+  private val accentFoldSql =
+    """WITH f AS (SELECT doc_id, strip_accents(text ||
+      |    ' crème brûlée déjà vu naïve façade niño über açaí') AS folded
+      |  FROM documents)
+      |SELECT doc_id, folded, md5(folded) AS fp
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q167_accent_fold" -> accentFoldSql,
     "q166_nfc_dedup" -> nfcDedupSql,
     "q165_vocab_coverage" -> vocabCoverageSql,
     "q164_write_shards" -> writeShardsSql,

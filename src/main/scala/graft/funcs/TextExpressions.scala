@@ -97,4 +97,15 @@ object TextFunctions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.functions.call_function(NormName, text,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Accent folding (the CCNet-lineage normalize stage): NFD-decompose,
+    * then drop combining marks (Unicode category Mn) — "crème brûlée" →
+    * "creme brulee". Composition of [[unicodeNormalize]] and a codegen'd
+    * regexp_replace, so it stays a zero-shuffle projection; replays in
+    * DuckDB as `strip_accents` (q167 pins the parity). Letters that are
+    * NOT base+mark compositions (ø, đ, ł) pass through unchanged in BOTH
+    * engines — folding those is transliteration, not normalization. */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      unicodeNormalize(text, "NFD"), "\\p{Mn}", "")
 }

@@ -287,7 +287,9 @@ object ScaleSlope {
       "q165_vocab_coverage",
       // r15: q166 = pure per-row codegen normalize + md5 projections (a
       // CPU throughput rail like q162); rows double by the twin synthesis
-      "q166_nfc_dedup")
+      "q166_nfc_dedup",
+      // r15: q167 = per-row NFD + mark-strip regex + md5 — same rail
+      "q167_accent_fold")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

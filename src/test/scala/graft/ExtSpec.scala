@@ -4168,6 +4168,21 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*unicodenormalize""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("stripAccents: folds base+mark compositions, keeps non-decomposables") {
+    graft.funcs.TextFunctions.register(spark)
+    import graft.funcs.TextFunctions.stripAccents
+    val df = Seq("crème brûlée", "ascii text",
+        "ø đ ł", null.asInstanceOf[String]).toDF("t")
+    val r = df.select(stripAccents(col("t")).as("f")).collect()
+      .map(x => if (x.isNullAt(0)) null else x.getString(0))
+    assert(r(0) == "creme brulee")
+    assert(r(1) == "ascii text") // fast path: already-ASCII is untouched
+    // ø/đ/ł are letters, not base+mark compositions: folding them is
+    // transliteration, out of scope — and DuckDB strip_accents agrees
+    assert(r(2) == "ø đ ł")
+    assert(r(3) == null)
+  }
+
   test("vocabCoverage: hand-computed curve, tie blocks, k > |V| clamp") {
     // corpus: a×3, b×1, c×1 → blocks (c=3: 1 type, 3 toks), (c=1: 2, 2)
     val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
