@@ -1799,6 +1799,28 @@ object ExtQueries {
             .as("fp_nfc"))
         .presentBy(col("doc_id"))
     },
+    // SymSpell deletion-neighborhood typo pairs over a SHORT field: the
+    // near-dup regime shingles/SimHash can't serve (one typo in a 20-char
+    // title destroys most 4-grams; its delete-variant key matches
+    // exactly, recall 1.0 by invariant, confirmed by the exact DP
+    // distance). Titles are salted with the doc id so the only planted
+    // structure is the per-doc deletion twin and substitution twin; the
+    // oracle replays variants, frequency cap, candidate join and
+    // levenshtein confirm verbatim.
+    "q168_typo_pairs" -> { (s, dir) =>
+      val base = docsPar(s, dir).select(col("doc_id"),
+        concat(substring(col("text"), 1, 16), lit("-"),
+          col("doc_id")).as("title"))
+      val all = base
+        .select((col("doc_id") * 3).as("doc_id"), col("title"))
+        .unionByName(base.select((col("doc_id") * 3 + 1).as("doc_id"),
+          concat(substring(col("title"), 1, 1),
+            substring(col("title"), 3, 100)).as("title")))
+        .unionByName(base.select((col("doc_id") * 3 + 2).as("doc_id"),
+          concat(lit("z"), substring(col("title"), 2, 100)).as("title")))
+      Dedup.deletionNeighborPairs(all, "doc_id", "title", maxDist = 1)
+        .presentBy(col("id1"), col("id2"))
+    },
     // Accent folding (the CCNet normalize stage after q166's NFC): NFD +
     // combining-mark strip, replayed through DuckDB's INDEPENDENT
     // strip_accents (utf8proc) — the fixture is ASCII, so the accents are
@@ -3326,7 +3348,38 @@ object ExtQueries {
       |SELECT doc_id, folded, md5(folded) AS fp
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // q168: the full SymSpell replay — delete-variant generation (distinct
+  // per row, like the Spark side's array_distinct), the 1000-key
+  // frequency cap, the variant equi-join, and the exact levenshtein
+  // confirm. Both engines implement the same classic DP, so `dist`
+  // matches bit-for-bit.
+  private val typoPairsSql =
+    """WITH base AS (SELECT doc_id,
+      |    substr(text, 1, 16) || '-' || doc_id AS title FROM documents),
+      |al AS (
+      |  SELECT doc_id * 3 AS id, title FROM base
+      |  UNION ALL SELECT doc_id * 3 + 1,
+      |    substr(title, 1, 1) || substr(title, 3, 100) FROM base
+      |  UNION ALL SELECT doc_id * 3 + 2,
+      |    'z' || substr(title, 2, 100) FROM base),
+      |vars AS (SELECT DISTINCT id, title, k FROM (
+      |  SELECT id, title,
+      |    unnest(list_prepend(title,
+      |      list_transform(range(1, len(title) + 1),
+      |        i -> substr(title, 1, CAST(i - 1 AS INT))
+      |          || substr(title, CAST(i + 1 AS INT), 100)))) AS k
+      |  FROM al)),
+      |keep AS (SELECT k FROM vars GROUP BY 1 HAVING count(*) <= 1000),
+      |v2 AS (SELECT id, title, k FROM vars JOIN keep USING (k)),
+      |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+      |    a.title AS t1, b.title AS t2
+      |  FROM v2 a JOIN v2 b USING (k) WHERE a.id < b.id)
+      |SELECT id1, id2, CAST(levenshtein(t1, t2) AS INT) AS dist
+      |FROM cand WHERE levenshtein(t1, t2) <= 1
+      |ORDER BY id1, id2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q168_typo_pairs" -> typoPairsSql,
     "q167_accent_fold" -> accentFoldSql,
     "q166_nfc_dedup" -> nfcDedupSql,
     "q165_vocab_coverage" -> vocabCoverageSql,

@@ -556,6 +556,66 @@ object Dedup {
         round(lit(1.0) / col("n_copies").cast("double"), 6))
   }
 
+  /** SymSpell-style typo pairs over SHORT string fields (titles, names,
+    * canonical URLs): all pairs within Levenshtein distance `maxDist`
+    * (1 or 2), found via the DELETION NEIGHBORHOOD — if
+    * `lev(a, b) <= d`, then some string obtainable by deleting <= d chars
+    * from `a` equals one obtainable by deleting <= d chars from `b`
+    * (Garbe's SymSpell invariant), so an EQUI-join on delete-variants has
+    * recall 1.0 by construction, not by tuning. This is the near-dup tool
+    * the shingle/SimHash family can't serve: on a 20-char title a single
+    * typo destroys most 4-grams, but its delete-neighborhood key survives
+    * exactly. Returns (id1, id2, dist) with id1 < id2, confirmed by the
+    * exact DP distance.
+    *
+    * Scale shape: variants explode each row into len+1 (d=1) or
+    * O(len²/2) (d=2) skinny (variant, id, s) postings — short-field
+    * discipline, the generator is linear in corpus characters; the pair
+    * join is variant-keyed with the stop-gram frequency cap
+    * (`maxKeyFreq`) guarding hot keys exactly like [[ngramJaccardPairs]]
+    * — collapse EXACT duplicates first (the terminals' rule): a key
+    * shared by an exact-dup cluster is quadratic by semantics, not by
+    * plan. Candidates dedupe on (id1, id2) before the single codegen'd
+    * `levenshtein` confirm. */
+  def deletionNeighborPairs(df: DataFrame, idCol: String, strCol: String,
+                            maxDist: Int = 1,
+                            maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
+    // guard len = 0: Spark's sequence(1, 0) auto-steps BACKWARD ([1, 0])
+    // instead of returning empty
+    def dels(c: Column): Column =
+      concat(array(c),
+        when(length(c) >= 1, transform(sequence(lit(1), length(c)),
+            i => concat(substr(c, lit(1), i - 1),
+              substr(c, i + 1, length(c)))))
+          .otherwise(array().cast("array<string>")))
+    val s0 = coalesce(col(strCol), lit(""))
+    val v1 = df.select(col(idCol).as("__id"), s0.as("__s"))
+      // pinned: HOF lambdas get no CSE and d=2 re-derives from d=1
+      .withColumn("__v1", TextStats.pinnedCol(array_distinct(dels(col("__s")))))
+    val vars =
+      if (maxDist == 1) v1.withColumn("__v", col("__v1"))
+      else v1.withColumn("__v",
+        array_distinct(flatten(transform(col("__v1"), v => dels(v)))))
+    val post0 = vars.select(col("__id"), col("__s"),
+      explode(col("__v")).as("__k"))
+    val post = maxKeyFreq match {
+      case Some(m) =>
+        val keep = post0.groupBy(col("__k"))
+          .agg(count(lit(1)).as("__kf")).filter(col("__kf") <= m)
+        post0.join(keep.select(col("__k")), Seq("__k"))
+      case None => post0
+    }
+    val a = post.select(col("__k"), col("__id").as("id1"), col("__s").as("__s1"))
+    val b = post.select(col("__k"), col("__id").as("id2"), col("__s").as("__s2"))
+    a.join(b, Seq("__k")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("__s1"), col("__s2")).distinct()
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   // 31-bit Mersenne prime: keeps a*h + b within 63 bits (ANSI-safe, no

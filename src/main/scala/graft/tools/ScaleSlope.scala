@@ -289,7 +289,11 @@ object ScaleSlope {
       // CPU throughput rail like q162); rows double by the twin synthesis
       "q166_nfc_dedup",
       // r15: q167 = per-row NFD + mark-strip regex + md5 — same rail
-      "q167_accent_fold")
+      "q167_accent_fold",
+      // r15: q168 = len+1-way variant explode (skinny postings) + capped
+      // variant equi-join + per-candidate DP confirm; titles are
+      // id-salted, so candidates are the planted twins — linear
+      "q168_typo_pairs")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

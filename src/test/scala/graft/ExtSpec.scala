@@ -4168,6 +4168,37 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*unicodenormalize""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("deletionNeighborPairs: SymSpell invariant at d=1/d=2, cap, empties") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "kitte"), // deletion: lev 1
+      (3L, "zitten"),                // substitution vs kitten: lev 1
+      (4L, "kixtten"),               // insertion vs kitten: lev 1
+      (5L, "iktten"),                // transposition vs kitten: lev 2
+      (6L, ""), (7L, ""),            // empty twins: lev 0
+      (8L, "unrelated")
+    ).toDF("id", "s")
+    def run(d: Int, cap: Option[Int] = Some(Dedup.DefaultMaxDocFreq)) =
+      Dedup.deletionNeighborPairs(df, "id", "s", maxDist = d, maxKeyFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p1 = run(1)
+    assert(p1((1L, 2L, 1)) && p1((1L, 3L, 1)) && p1((1L, 4L, 1)))
+    assert(p1((6L, 7L, 0)))
+    // the transposition SHARES a d=1 delete variant ("itten") — the exact
+    // confirm must kill it, because lev(kitten, iktten) = 2
+    assert(!p1.exists(p => p._1 == 5L || p._2 == 5L), p1.toString)
+    assert(!p1.exists(p => p._1 == 8L || p._2 == 8L))
+    // d=2 admits the transposition and two-edit chains (kitte→zitten)
+    val p2 = run(2)
+    assert(p2((1L, 5L, 2)) && p2((2L, 3L, 2)))
+    // the key-frequency cap drops a hot key's pairs (observable, the
+    // stop-gram discipline) — exact-dup clusters are the terminals' job
+    val hot = (0 until 12).map(i => (100L + i, "same")).toDF("id", "s")
+    assert(Dedup.deletionNeighborPairs(hot, "id", "s",
+      maxKeyFreq = Some(11)).count() == 0L)
+    assert(Dedup.deletionNeighborPairs(hot, "id", "s",
+      maxKeyFreq = None).count() == 66L) // C(12,2), all dist 0
+  }
+
   test("stripAccents: folds base+mark compositions, keeps non-decomposables") {
     graft.funcs.TextFunctions.register(spark)
     import graft.funcs.TextFunctions.stripAccents
