@@ -501,8 +501,9 @@ object Dedup {
     * "give me the deduped corpus" terminal a training-data pipeline actually
     * consumes — `pairs` comes from any of the pair operators
     * ([[ngramJaccardPairs]], [[minhashDedupPairs]], [[simhashPairs]],
-    * [[graft.ext.Similarity.cosineLshPairs]]), so the policy (exact, Jaccard,
-    * SimHash, embedding cosine) is the caller's choice. One LEFT ANTI join
+    * [[deletionNeighborPairs]], [[graft.ext.Similarity.cosineLshPairs]]),
+    * so the policy (exact, Jaccard, SimHash, edit distance, embedding
+    * cosine) is the caller's choice. One LEFT ANTI join
     * against the drop set — an id-only skinny side that AQE broadcasts when
     * it fits and shuffles on the key otherwise (at real dup rates the drop
     * set is a large fraction of the corpus, so no broadcast is forced). */
