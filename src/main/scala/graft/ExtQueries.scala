@@ -1821,6 +1821,26 @@ object ExtQueries {
       Dedup.deletionNeighborPairs(all, "doc_id", "title", maxDist = 1)
         .presentBy(col("id1"), col("id2"))
     },
+    // Incremental typo dedup (q168's key space in q60's incremental
+    // shape): arrivals whose short title sits within Levenshtein 1 of the
+    // HELD catalog drop at ingestion — Bloom over the catalog's
+    // delete-variant keys, variant equi-join confirm, exact DP decision.
+    // Arrivals = the non-catalog docs plus one planted deletion twin per
+    // catalog title; the oracle replays membership as a NOT EXISTS over
+    // the exact distance (the Bloom/variant machinery is recall-1.0 by
+    // the SymSpell invariant, so the confirm IS the semantics).
+    "q169_incremental_typo" -> { (s, dir) =>
+      val base = docsPar(s, dir).select(col("doc_id"),
+        concat(substring(col("text"), 1, 16), lit("-"),
+          col("doc_id")).as("title"))
+      val seen = base.filter(col("doc_id") % 3 === 0)
+      val arrivals = base.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(seen.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("title"), 1, 1),
+            substring(col("title"), 3, 100)).as("title")))
+      Dedup.incrementalTypo(arrivals, seen, "doc_id", "title", maxDist = 1)
+        .presentBy(col("doc_id"))
+    },
     // Accent folding (the CCNet normalize stage after q166's NFC): NFD +
     // combining-mark strip, replayed through DuckDB's INDEPENDENT
     // strip_accents (utf8proc) — the fixture is ASCII, so the accents are
@@ -3378,7 +3398,24 @@ object ExtQueries {
       |FROM cand WHERE levenshtein(t1, t2) <= 1
       |ORDER BY id1, id2""".stripMargin
 
+  // q169: survivors = arrivals with no catalog title within distance 1 —
+  // the Bloom prefilter and variant join are recall-1.0 plumbing (SymSpell
+  // invariant), so the exact-distance NOT EXISTS replays the semantics.
+  private val incrementalTypoSql =
+    """WITH base AS (SELECT doc_id,
+      |    substr(text, 1, 16) || '-' || doc_id AS title FROM documents),
+      |seen AS (SELECT title FROM base WHERE doc_id % 3 = 0),
+      |arr AS (SELECT doc_id, title FROM base WHERE doc_id % 3 <> 0
+      |  UNION ALL SELECT doc_id + 1000000,
+      |    substr(title, 1, 1) || substr(title, 3, 100)
+      |  FROM base WHERE doc_id % 3 = 0)
+      |SELECT doc_id, title FROM arr a
+      |WHERE NOT EXISTS (SELECT 1 FROM seen s
+      |  WHERE levenshtein(a.title, s.title) <= 1)
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q169_incremental_typo" -> incrementalTypoSql,
     "q168_typo_pairs" -> typoPairsSql,
     "q167_accent_fold" -> accentFoldSql,
     "q166_nfc_dedup" -> nfcDedupSql,

@@ -583,6 +583,28 @@ object Dedup {
                             maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
+    val post0 = deleteVariantPostings(df, idCol, strCol, maxDist)
+    val post = maxKeyFreq match {
+      case Some(m) =>
+        val keep = post0.groupBy(col("__k"))
+          .agg(count(lit(1)).as("__kf")).filter(col("__kf") <= m)
+        post0.join(keep.select(col("__k")), Seq("__k"))
+      case None => post0
+    }
+    val a = post.select(col("__k"), col("__id").as("id1"), col("__s").as("__s1"))
+    val b = post.select(col("__k"), col("__id").as("id2"), col("__s").as("__s2"))
+    a.join(b, Seq("__k")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("__s1"), col("__s2")).distinct()
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  /** Shared SymSpell key space: (__id, __s, __k) postings where __k ranges
+    * over every string obtainable by deleting <= maxDist characters
+    * (including the string itself), distinct per row. */
+  private def deleteVariantPostings(df: DataFrame, idCol: String,
+                                    strCol: String, maxDist: Int): DataFrame = {
     // guard len = 0: Spark's sequence(1, 0) auto-steps BACKWARD ([1, 0])
     // instead of returning empty
     def dels(c: Column): Column =
@@ -599,22 +621,48 @@ object Dedup {
       if (maxDist == 1) v1.withColumn("__v", col("__v1"))
       else v1.withColumn("__v",
         array_distinct(flatten(transform(col("__v1"), v => dels(v)))))
-    val post0 = vars.select(col("__id"), col("__s"),
-      explode(col("__v")).as("__k"))
-    val post = maxKeyFreq match {
-      case Some(m) =>
-        val keep = post0.groupBy(col("__k"))
-          .agg(count(lit(1)).as("__kf")).filter(col("__kf") <= m)
-        post0.join(keep.select(col("__k")), Seq("__k"))
-      case None => post0
-    }
-    val a = post.select(col("__k"), col("__id").as("id1"), col("__s").as("__s1"))
-    val b = post.select(col("__k"), col("__id").as("id2"), col("__s").as("__s2"))
-    a.join(b, Seq("__k")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("__s1"), col("__s2")).distinct()
-      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist"))
+    vars.select(col("__id"), col("__s"), explode(col("__v")).as("__k"))
+  }
+
+  /** Incremental SHORT-FIELD typo dedup — [[incrementalExact]]'s
+    * edit-distance sibling over [[deletionNeighborPairs]]'s key space:
+    * drop from `newDf` every arrival whose `strCol` is within Levenshtein
+    * `maxDist` (1 or 2) of a SEEN row's. Same Bloom-prefilter +
+    * exact-confirm shape: the filter is built over the seen side's
+    * delete-variant keys (capacity auto-sizes from their measured distinct
+    * count, the [[incrementalExact]] discipline); an arrival's skinny
+    * variant postings probe it inside whole-stage codegen, and only the
+    * might-be-seen fraction pays the variant-keyed equi-join against the
+    * seen variants (never a cross join), confirmed by the exact codegen'd
+    * `levenshtein`. Recall 1.0 by the SymSpell invariant; Bloom false
+    * positives and variant collisions cost confirm rows, never
+    * correctness. Dedup WITHIN the batch is [[deletionNeighborPairs]] +
+    * a cluster terminal's job — this drops arrivals against history. */
+  def incrementalTypo(newDf: DataFrame, seenDf: DataFrame, idCol: String,
+                      strCol: String, maxDist: Int = 1,
+                      expectedSeen: Option[Long] = None, fpp: Double = 0.01,
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
+    val mat = CheckpointStrategy.materializer(checkpoint)
+    // seen variant keys feed the Bloom build (+ sizing count) and the
+    // confirm join — one materialization, on DISTINCT strings (a seen
+    // exact-dup cluster must not multiply confirm rows)
+    val seenVars = mat(deleteVariantPostings(
+        seenDf.select(col(strCol)).distinct(), strCol, strCol, maxDist)
+      .select(col("__k"), col("__s").as("__s2")).distinct())
+    val bytes = serializedBloom(buildLongBloom(
+      seenVars.select(xxhash64(col("__k")).as("__h")), "__h",
+      expectedSeen, fpp))
+    val newVars = mat(deleteVariantPostings(newDf, idCol, strCol, maxDist))
+    val confirmed = mat(newVars
+      .filter(graft.funcs.VectorFunctions.bloomMightContain(
+        xxhash64(col("__k")), bytes))
+      .join(seenVars, Seq("__k"))
+      .filter(levenshtein(col("__s"), col("__s2")) <= maxDist)
+      .select(col("__id").as(idCol)).distinct())
+    newDf.join(confirmed, Seq(idCol), "left_anti")
   }
 
   // ---- MinHash + LSH ----------------------------------------------------

@@ -293,7 +293,11 @@ object ScaleSlope {
       // r15: q168 = len+1-way variant explode (skinny postings) + capped
       // variant equi-join + per-candidate DP confirm; titles are
       // id-salted, so candidates are the planted twins — linear
-      "q168_typo_pairs")
+      "q168_typo_pairs",
+      // r15: q169 = Bloom over catalog variant keys + candidate-only
+      // variant equi-join + DP confirm (the q60 incremental shape in the
+      // SymSpell key space) — both sides' variant generators are linear
+      "q169_incremental_typo")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")

@@ -4199,6 +4199,22 @@ class ExtSpec extends AnyFunSuite {
       maxKeyFreq = None).count() == 66L) // C(12,2), all dist 0
   }
 
+  test("incrementalTypo: arrivals within lev<=d of the catalog drop, fresh pass") {
+    val seen = Seq((1L, "kitten"), (2L, "orange")).toDF("id", "s")
+    val arr = Seq(
+      (10L, "kitte"),   // deletion of a catalog title: drop
+      (11L, "zitten"),  // substitution: drop
+      (12L, "oranges"), // insertion: drop
+      (13L, "iktten"),  // transposition = lev 2: must SURVIVE at d=1
+      (14L, "banana")   // fresh
+    ).toDF("id", "s")
+    def ids(d: Int) = Dedup.incrementalTypo(arr, seen, "id", "s", maxDist = d)
+      .select("id").as[Long].collect().toSet
+    assert(ids(1) == Set(13L, 14L))
+    // d=2 admits the transposition into the drop set
+    assert(ids(2) == Set(14L))
+  }
+
   test("stripAccents: folds base+mark compositions, keeps non-decomposables") {
     graft.funcs.TextFunctions.register(spark)
     import graft.funcs.TextFunctions.stripAccents
