@@ -14,11 +14,19 @@ object CheckpointStrategy {
   case object Local extends CheckpointStrategy
   final case class Reliable(dir: String) extends CheckpointStrategy
 
+  /** No materialization — for callers whose input is ALREADY materialized
+    * (a foreachBatch micro-batch source) where per-call checkpoint blocks
+    * would linger until RDD GC; see the streaming epoch loop's identity
+    * note. Multi-consumer plans re-execute their lineage under this
+    * strategy — only correct when that lineage is a materialized source. */
+  case object Passthrough extends CheckpointStrategy
+
   /** The materialization function a strategy denotes — shared by every
     * iterative/multi-consumer operator that truncates lineage. */
   private[ext] def materializer(s: CheckpointStrategy): DataFrame => DataFrame =
     s match {
       case Local => _.localCheckpoint()
+      case Passthrough => identity
       case Reliable(dir) =>
         df => {
           val sc = df.sparkSession.sparkContext
@@ -641,26 +649,53 @@ object Dedup {
   def incrementalTypo(newDf: DataFrame, seenDf: DataFrame, idCol: String,
                       strCol: String, maxDist: Int = 1,
                       expectedSeen: Option[Long] = None, fpp: Double = 0.01,
-                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
+    dropSeenTypos(newDf, idCol, strCol,
+      prepareTypoCatalog(seenDf, strCol, maxDist, expectedSeen, fpp,
+        checkpoint), checkpoint)
+
+  /** Frozen catalog state for typo ingestion dedup: the catalog's
+    * distinct delete-variant postings (materialized once) plus their
+    * Bloom filter bytes. Build ONCE per ingestion epoch and probe every
+    * arriving batch with [[dropSeenTypos]] — the frozen-model discipline
+    * every streaming probe in this engine follows; [[incrementalTypo]] is
+    * the one-shot composition for batch callers. */
+  final case class TypoCatalog private[ext] (maxDist: Int,
+                                             seenVars: DataFrame,
+                                             filterBytes: Array[Byte])
+
+  /** Build a [[TypoCatalog]]: the seen side's distinct delete-variant
+    * postings feed the Bloom build (+ its sizing count) and the confirm
+    * join — one materialization, on DISTINCT strings (a seen exact-dup
+    * cluster must not multiply confirm rows). */
+  def prepareTypoCatalog(seenDf: DataFrame, strCol: String, maxDist: Int = 1,
+                         expectedSeen: Option[Long] = None, fpp: Double = 0.01,
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): TypoCatalog = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
-    graft.funcs.VectorFunctions.register(newDf.sparkSession)
-    val mat = CheckpointStrategy.materializer(checkpoint)
-    // seen variant keys feed the Bloom build (+ sizing count) and the
-    // confirm join — one materialization, on DISTINCT strings (a seen
-    // exact-dup cluster must not multiply confirm rows)
-    val seenVars = mat(deleteVariantPostings(
-        seenDf.select(col(strCol)).distinct(), strCol, strCol, maxDist)
-      .select(col("__k"), col("__s").as("__s2")).distinct())
+    val seenVars = CheckpointStrategy.materializer(checkpoint)(
+      deleteVariantPostings(
+          seenDf.select(col(strCol)).distinct(), strCol, strCol, maxDist)
+        .select(col("__k"), col("__s").as("__s2")).distinct())
     val bytes = serializedBloom(buildLongBloom(
       seenVars.select(xxhash64(col("__k")).as("__h")), "__h",
       expectedSeen, fpp))
-    val newVars = mat(deleteVariantPostings(newDf, idCol, strCol, maxDist))
+    TypoCatalog(maxDist, seenVars, bytes)
+  }
+
+  /** Drop from `newDf` every arrival within Levenshtein `cat.maxDist` of
+    * the prepared catalog (see [[incrementalTypo]] for the shape). */
+  def dropSeenTypos(newDf: DataFrame, idCol: String, strCol: String,
+                    cat: TypoCatalog,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    graft.funcs.VectorFunctions.register(newDf.sparkSession)
+    val mat = CheckpointStrategy.materializer(checkpoint)
+    val newVars = mat(deleteVariantPostings(newDf, idCol, strCol, cat.maxDist))
     val confirmed = mat(newVars
       .filter(graft.funcs.VectorFunctions.bloomMightContain(
-        xxhash64(col("__k")), bytes))
-      .join(seenVars, Seq("__k"))
-      .filter(levenshtein(col("__s"), col("__s2")) <= maxDist)
+        xxhash64(col("__k")), cat.filterBytes))
+      .join(cat.seenVars, Seq("__k"))
+      .filter(levenshtein(col("__s"), col("__s2")) <= cat.maxDist)
       .select(col("__id").as(idCol)).distinct())
     newDf.join(confirmed, Seq(idCol), "left_anti")
   }

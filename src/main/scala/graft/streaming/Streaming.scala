@@ -218,6 +218,34 @@ object Streaming {
         ()
       }
 
+  /** Streaming SHORT-FIELD typo dedup against a FROZEN catalog — q169's
+    * operator run on every micro-batch: arrivals whose `strCol` sits
+    * within Levenshtein `cat.maxDist` of a catalog title drop; survivors
+    * go to `onFresh` with the batch id. The catalog state
+    * ([[graft.ext.Dedup.prepareTypoCatalog]]: materialized delete-variant
+    * postings + their Bloom) is built ONCE before the stream starts and
+    * probed by every batch — the frozen-model discipline
+    * ([[retrievalProbe]], [[onboardingMonitor]]); per-batch survivors
+    * equal [[graft.ext.Dedup.incrementalTypo]] on the same rows
+    * (StreamingSpec pins the parity). Catalog growth happens on the batch
+    * side between runs — rebuild the catalog and restart the stream, the
+    * q60 epoch pattern. */
+  def typoDedupProbe(events: DataFrame, cat: graft.ext.Dedup.TypoCatalog,
+                     idCol: String, strCol: String,
+                     onFresh: (DataFrame, Long) => Unit,
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          // identity materializer: the micro-batch source is already
+          // materialized, and per-batch checkpoint blocks would linger
+          onFresh(graft.ext.Dedup.dropSeenTypos(batch, idCol, strCol, cat,
+            graft.ext.CheckpointStrategy.Passthrough), id)
+        ()
+      }
+
   /** Streaming ONBOARDING monitor — q153's store-served audit run on
     * every micro-batch of a candidate feed before any pipeline spend:
     * vocabulary overlap, bottom-k resemblance, and length-quantile shift

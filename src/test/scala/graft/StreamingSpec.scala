@@ -997,6 +997,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(id2).isEmpty)
   }
 
+  test("typoDedupProbe: per-batch survivors equal incrementalTypo; twins drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val catalogDf = Seq((1L, "kitten"), (2L, "orange")).toDF("id", "s")
+    val cat = graft.ext.Dedup.prepareTypoCatalog(catalogDf, "s", maxDist = 1)
+    // batch 1: a deletion twin (drop) + fresh; batch 2: a substitution
+    // twin (drop) + a lev-2 transposition (SURVIVES at d=1)
+    val b1 = Seq((10L, "kitte"), (11L, "banana"))
+    val b2 = Seq((20L, "zitten"), (21L, "iktten"))
+    def batchIds(rows: Seq[(Long, String)]) =
+      graft.ext.Dedup.incrementalTypo(rows.toDF("id", "s"), catalogDf,
+        "id", "s", maxDist = 1).select("id").as[Long].collect().toSet
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val stream = MemoryStream[(Long, String)]
+    val q = Streaming.typoDedupProbe(
+      stream.toDF().toDF("id", "s"), cat, "id", "s",
+      onFresh = (fresh, id) =>
+        got(id) = fresh.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().toSet,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    val Seq(id1, id2) = got.keys.toSeq.sorted
+    assert(got(id1) == batchIds(b1) && got(id1) == Set(11L))
+    assert(got(id2) == batchIds(b2) && got(id2) == Set(21L))
+  }
+
   test("vocabCardinality: windowed HLL registers match batch, estimate tracks vocab") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
