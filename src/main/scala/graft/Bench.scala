@@ -116,8 +116,13 @@ object Bench {
     // loadavg is recorded into the artifact (remeasure_detail) so a row
     // that stays over the gate is interpretable — a genuine regression
     // shows high medians at LOW load, a contended host shows the load.
+    // detail per flagged query: rounds run, per-round loadavg, the ORIGINAL
+    // 3-sample median, and the kept (best) value — so a cross-round reader
+    // can tell a plain 3-sample median from a best-of-up-to-12 selection
+    // (ADVICE r15: the extended path is a selection bias; the artifact must
+    // say which rows took it and what the unextended median was)
     val remeasureDetail = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Int, Vector[Double])]
+      .empty[String, (Int, Vector[Double], Double, Double)]
     if (flagged.nonEmpty) {
       val byName = selected.toMap
       results = results.map { case (name, med) =>
@@ -129,7 +134,7 @@ object Bench {
             val fresh = Vector.fill(3)(runOnce(name, byName(name), timed = true))
             best = math.min(best, median(fresh)); rounds += 1
           }
-          remeasureDetail(name) = (rounds, loads)
+          remeasureDetail(name) = (rounds, loads, med, best)
           name -> best
         }
       }
@@ -140,9 +145,10 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val remeasured = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val remDetail = remeasureDetail.map { case (n, (rounds, loads)) =>
+    val remDetail = remeasureDetail.map { case (n, (rounds, loads, orig, kept)) =>
       s"\"" + n + "\":{\"rounds\":" + rounds + ",\"load\":" +
-        loads.mkString("[", ",", "]") + "}"
+        loads.mkString("[", ",", "]") +
+        ",\"median3\":" + orig + ",\"kept\":" + kept + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "metric"/"value" lead the line and "total_sec" repeats the headline at

@@ -12,17 +12,24 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Presentation ordering for RESULT-SIZED outputs — the trailing sort
-    * every oracle query ends with. A single-partition sortWithinPartitions
+  /** Presentation ordering for FINAL EXTRACTS — the trailing sort every
+    * oracle/bench query ends with. A single-partition sortWithinPartitions
     * yields the same total order as `orderBy` without the
     * RangePartitioner's extra boundary-sampling job (a whole separate Spark
     * job per query: measured ~0.15 s of the ~0.37 s total of a sub-second
-    * bench query, tools/SortCost.scala). Only for final extracts that are
-    * small by construction — aggregates, top-k lists, per-group reports —
-    * where one task sorting the result is cheaper than scheduling a
-    * distributed sort; NEVER for mid-plan sorts or corpus-sized outputs
-    * (those keep `orderBy`, whose range-partitioned sort is the
-    * distributed-scale tool). */
+    * bench query, tools/SortCost.scala).
+    *
+    * Contract (precise, per ADVICE r15): presentBy covers any output that
+    * is about to be SINGLE-FILE-COLLECTED anyway — the oracle harness
+    * writes each result as one parquet file and DuckDB replays it sorted,
+    * so per-document extracts (q30-style full-corpus projections) funnel
+    * through one task either way; presentBy just removes the sampling job
+    * from that inevitable funnel. In a production pipeline the same
+    * operator would NOT end in presentBy: corpus-sized outputs keep
+    * `orderBy` (range-partitioned, distributed) or skip the total order
+    * entirely and let the sink shard. NEVER use presentBy for a mid-plan
+    * sort or for an output that stays distributed downstream —
+    * GlobalWindowGuard exists to catch exactly that misuse. */
   implicit class PresentBy(private val df: DataFrame) extends AnyVal {
     def presentBy(keys: org.apache.spark.sql.Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(keys: _*)

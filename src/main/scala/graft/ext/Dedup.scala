@@ -588,17 +588,12 @@ object Dedup {
     * `levenshtein` confirm. */
   def deletionNeighborPairs(df: DataFrame, idCol: String, strCol: String,
                             maxDist: Int = 1,
-                            maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+                            maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq),
+                            observation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
     val post0 = deleteVariantPostings(df, idCol, strCol, maxDist)
-    val post = maxKeyFreq match {
-      case Some(m) =>
-        val keep = post0.groupBy(col("__k"))
-          .agg(count(lit(1)).as("__kf")).filter(col("__kf") <= m)
-        post0.join(keep.select(col("__k")), Seq("__k"))
-      case None => post0
-    }
+    val post = capVariantKeys(post0, maxKeyFreq.map(_.toLong), observation)
     val a = post.select(col("__k"), col("__id").as("id1"), col("__s").as("__s1"))
     val b = post.select(col("__k"), col("__id").as("id2"), col("__s").as("__s2"))
     a.join(b, Seq("__k")).filter(col("id1") < col("id2"))
@@ -606,6 +601,67 @@ object Dedup {
       .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
       .filter(col("dist") <= maxDist)
       .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  /** Metric name for the SymSpell variant-key frequency cap — the
+    * [[BucketCapMetric]] pattern for [[deletionNeighborPairs]]: a capped
+    * hot key is LOST RECALL, and as of r16 it is observable per action
+    * rather than a silent keep-join (VERDICT r15 #2). Emits
+    * `dropped_postings` (variant rows in over-cap keys — rows that emit no
+    * candidate pairs) and `max_key_freq` (the hottest key seen — cap
+    * headroom). Same AQE caveat as [[BucketCapMetric]]: the observed
+    * branch feeds the candidate self-join, so prefer an explicit
+    * [[org.apache.spark.sql.Observation]] or the single-consumer
+    * [[symspellCapReport]] when the number must be trusted. */
+  val SymSpellCapMetric = "graft.symspell.key_cap"
+  private val symspellCapIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The variant-key frequency guard: drop postings of keys hotter than
+    * `cap` via one windowed count over the same `__k` partitioning the
+    * candidate join shuffles on (no extra shuffle shape — the old
+    * groupBy-and-keep-join paid a second aggregate for the same answer),
+    * with dropped mass observed à la [[capBuckets]]. */
+  private def capVariantKeys(post0: DataFrame, cap: Option[Long],
+      observation: Option[org.apache.spark.sql.Observation]): DataFrame =
+    cap match {
+      case Some(m) =>
+        val sized = post0.withColumn("__kf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
+        val dropped = coalesce(
+          sum(when(col("__kf") > m, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_postings")
+        val hottest = coalesce(max(col("__kf")), lit(0L)).as("max_key_freq")
+        val observed = observation match {
+          case Some(o) => sized.observe(o, dropped, hottest)
+          case None => sized.observe(
+            s"$SymSpellCapMetric.${symspellCapIds.incrementAndGet()}",
+            dropped, hottest)
+        }
+        observed.filter(col("__kf") <= m).drop("__kf")
+      case None => post0
+    }
+
+  /** Dropped-mass report for the SymSpell key cap — [[bucketCapReport]]'s
+    * sibling: measures what `maxKeyFreq` drops on the corpus's
+    * delete-variant postings on a SINGLE-CONSUMER plan (where the
+    * observation provably surfaces), one extra pass, for cap tuning and
+    * corpus audits. `droppedRows` = variant postings in over-cap keys,
+    * `maxBucket` = the hottest variant key's frequency. */
+  def symspellCapReport(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1,
+                        maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq)): BucketCapReport = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
+    // the uncapped probe passes Long.MaxValue (no count can exceed it), so
+    // "drops 0 by construction" is literal — the capBucketsLong discipline
+    val obs = org.apache.spark.sql.Observation()
+    capVariantKeys(deleteVariantPostings(df, idCol, strCol, maxDist),
+        Some(maxKeyFreq.map(_.toLong).getOrElse(Long.MaxValue)), Some(obs))
+      .write.format("noop").mode("overwrite").save()
+    BucketCapReport(
+      droppedRows = obs.get("dropped_postings").asInstanceOf[Long],
+      maxBucket = obs.get("max_key_freq").asInstanceOf[Long],
+      cap = maxKeyFreq)
   }
 
   /** Shared SymSpell key space: (__id, __s, __k) postings where __k ranges

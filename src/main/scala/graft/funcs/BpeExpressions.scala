@@ -74,9 +74,16 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String],
     m
   }
 
+  // Byte-level mode must match the reference pre-tokenizer, which uses a
+  // Unicode-aware \s (Python `regex`): compile with UNICODE_CHARACTER_CLASS
+  // so NBSP/U+2028 etc. classify as whitespace, not punctuation. The
+  // non-byte-level TextStats.BpePattern keeps JDK defaults — it is shared
+  // with the corpus-stats operators whose oracles pin ASCII-\s semantics.
   @transient private lazy val preTok =
-    java.util.regex.Pattern.compile(
-      if (byteLevel) BpeCodec.Gpt2Pattern else graft.ext.TextStats.BpePattern)
+    if (byteLevel)
+      java.util.regex.Pattern.compile(BpeCodec.Gpt2Pattern,
+        java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    else java.util.regex.Pattern.compile(graft.ext.TextStats.BpePattern)
   @transient private lazy val ws = java.util.regex.Pattern.compile("^\\s+$")
 
   // bounded per-JVM memo (word -> merged tokens); cleared rather than
@@ -167,8 +174,12 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String],
     var i = 0
     val n = ids0.numElements()
     while (i < n) {
-      val id = ids0.getInt(i)
-      if (id >= 0 && id < vocab.length) sb.append(vocab(id))
+      // a null element is treated like the -1 unknown marker (skipped),
+      // never read as id 0
+      if (!ids0.isNullAt(i)) {
+        val id = ids0.getInt(i)
+        if (id >= 0 && id < vocab.length) sb.append(vocab(id))
+      }
       i += 1
     }
     val s = sb.toString
@@ -424,10 +435,14 @@ object BpeFunctions {
 object BpeFiles {
 
   /** Parse `merges.txt` content: one `"left right"` pair per line in rank
-    * order; the `#version:` header and blank lines are skipped. */
+    * order; the `#version:` header and blank lines are skipped. ONLY the
+    * version header is treated as a comment — released merges.txt files
+    * contain genuine merge lines whose left token starts with '#'
+    * (e.g. `# #`, `## #`: how the `##`/`###` vocab tokens are built), and
+    * the reference loaders skip exactly the header line, nothing else. */
   def parseMerges(content: String): Seq[String] =
     content.linesIterator.map(_.stripLineEnd)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#version")).toSeq
 
   /** Parse `vocab.json` content (one JSON object, token → id) into the
     * dense rank-ordered vocabulary array [[BpeCodec]] indexes — ids must

@@ -2555,6 +2555,44 @@ class ExtSpec extends AnyFunSuite {
     assert(dropped == "hello")
   }
 
+  test("byte-level BPE: '#'-token merges, Unicode whitespace, null ids (ADVICE r15)") {
+    import graft.funcs.{BpeFiles, BpeCodec}
+    // (1) real merges.txt files contain merge lines whose LEFT token starts
+    // with '#' ('# #', '## #' build the '##'/'###' vocab tokens) — only the
+    // '#version' header line is a comment
+    val merges = BpeFiles.parseMerges(
+      Seq("#version: 0.2", "", "# #", "## #").mkString("\n"))
+    assert(merges == Seq("# #", "## #"),
+      "'#'-leading merge lines must be kept; only the #version header skips")
+    val hashToks = TextStats.bpeStats(
+        Seq((0L, "###")).toDF("doc_id", "text"), "text", merges,
+        byteLevel = true)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(hashToks == Seq("###"), "'# #' then '## #' must merge '###'")
+    // (2) Unicode whitespace: NBSP (U+00A0) must classify as \s in the
+    // byte-level pre-tokenizer (UNICODE_CHARACTER_CLASS), splitting
+    // '. .' into three pre-tokens — under ASCII-\s defaults the NBSP
+    // would ride the punctuation branch as one pre-token '. .' and the
+    // '. Â' merge below would fire across it (NBSP bytes C2 A0 → 'Âł')
+    val nbspToks = TextStats.bpeStats(
+        Seq((0L, ".\u00a0.")).toDF("doc_id", "text"), "text",
+        Seq(". Â"), byteLevel = true)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(nbspToks == Seq(".", "Â", "ł", "."),
+      s"NBSP must pre-tokenize as whitespace, got $nbspToks")
+    // round trip still closes across the Unicode-whitespace pre-token
+    assert(BpeCodec.byteLevelDecode(nbspToks.mkString) == ".\u00a0.")
+    // (3) a NULL element in the id array skips like the -1 marker — it must
+    // never read as vocab id 0
+    val vocab = Seq("hello", "Ġhello", "Ċ", "Ã©")
+    val withNull = spark.range(1)
+      .select(graft.funcs.BpeFunctions.bpeDecode(
+        expr("array(0, cast(null as int), 3)"), vocab,
+        byteLevel = true).as("t"))
+      .as[String].head()
+    assert(withNull == "helloé", s"null id must skip, got '$withNull'")
+  }
+
   test("perplexityScore: hand-computed add-1 bigram NLL, OOV, short docs, vocab cap") {
     val ref = Seq((0L, "the cat sat"), (1L, "the cat ran")).toDF("doc_id", "text")
     // model: gc = {the cat: 2, cat sat: 1, cat ran: 1}; uc = {the: 2,
@@ -4197,6 +4235,35 @@ class ExtSpec extends AnyFunSuite {
       maxKeyFreq = Some(11)).count() == 0L)
     assert(Dedup.deletionNeighborPairs(hot, "id", "s",
       maxKeyFreq = None).count() == 66L) // C(12,2), all dist 0
+  }
+
+  test("SymSpell key cap is observable: dropped postings counted (VERDICT r15 #2)") {
+    // hot key fixture: 12 copies of "same" (every delete variant shared by
+    // all 12) plus one near-pair that must SURVIVE the cap
+    val df = ((0 until 12).map(i => (100L + i, "same")) ++
+      Seq((1L, "kitten"), (2L, "kitte"))).toDF("id", "s")
+    // single-consumer report: trustworthy numbers (the capBuckets caveat —
+    // in-pipeline observation can be swallowed by AQE inside the self-join)
+    val r = Dedup.symspellCapReport(df, "id", "s", maxDist = 1,
+      maxKeyFreq = Some(11))
+    // "same" yields 5 variants (itself + 4 distinct deletions: "ame" "sme"
+    // "sae" "sam"), each with freq 12 > 11 → 12 rows × 5 keys dropped
+    assert(r.droppedRows == 60L, r.toString)
+    assert(r.maxBucket == 12L, r.toString)
+    assert(r.cap.contains(11))
+    // uncapped probe: drops 0 by construction, still measures the hot key
+    val u = Dedup.symspellCapReport(df, "id", "s", maxKeyFreq = None)
+    assert(u.droppedRows == 0L && u.maxBucket == 12L && u.cap.isEmpty)
+    // the capped pair set keeps the cold pair and loses the hot cluster
+    val obs = org.apache.spark.sql.Observation()
+    val pairs = Dedup.deletionNeighborPairs(df, "id", "s", maxDist = 1,
+        maxKeyFreq = Some(11), observation = Some(obs))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // the explicit Observation surfaces the same counts from the real
+    // pair-generating plan (best-effort under AQE; green on 4.1.2 local)
+    assert(obs.get("dropped_postings").asInstanceOf[Long] == 60L)
+    assert(obs.get("max_key_freq").asInstanceOf[Long] == 12L)
   }
 
   test("incrementalTypo: arrivals within lev<=d of the catalog drop, fresh pass") {
