@@ -88,13 +88,18 @@ object Classifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0.0, s"lr must be positive, got $lr")
     val spark = pos.sparkSession
-    // the feature table feeds every iteration twice — materialize once.
-    // Training slices are labeled samples (thousands of rows), so a handful
-    // of partitions minimizes per-iteration task-scheduling overhead; at a
-    // genuinely large slice, raise spark.sql.shuffle.partitions instead.
+    // the feature table feeds every iteration twice — materialize once,
+    // HASH-PARTITIONED BY __key: the per-iteration margin groupBy(__key)
+    // and the err⋈feats equi-join on __key then both reuse the checkpoint's
+    // partitioning (zero exchanges inside the GD loop; only the ≤ B+1-row
+    // bucket gradient aggregate shuffles). Training slices are labeled
+    // samples (thousands of rows), so a handful of partitions minimizes
+    // per-iteration task-scheduling overhead; at a genuinely large slice,
+    // raise spark.sql.shuffle.partitions instead.
     val feats = featureRows(pos, idCol, textCol, 1.0, buckets, salt)
       .unionAll(featureRows(neg, idCol, textCol, 0.0, buckets, salt))
-      .repartition(math.max(2, pos.sparkSession.sparkContext.defaultParallelism / 8))
+      .repartition(math.max(2, pos.sparkSession.sparkContext.defaultParallelism / 8),
+        col("__key"))
       .localCheckpoint()
     val n = feats.select(countDistinct(col("__key"))).head().getLong(0)
     require(n > 0, "training slices produced no feature rows")
