@@ -1807,6 +1807,29 @@ object ExtQueries {
     // structure is the per-doc deletion twin and substitution twin; the
     // oracle replays variants, frequency cap, candidate join and
     // levenshtein confirm verbatim.
+    // BYTE-LEVEL BPE under the oracle (VERDICT r15 #4): the production
+    // GPT-2 discipline — pre-tokenize with the lookahead pattern, remap
+    // each pre-token's UTF-8 bytes into the published bytes→unicode
+    // stand-in alphabet, merge with a well-formed byte-level table, ids
+    // from the vocab — replayed INDEPENDENTLY by DuckDB (hex-decoded byte
+    // remap, rank-order replace loop, RS-split lookahead emulation). The
+    // synthesized prefix/suffix plant every path the corpus text lacks:
+    // capitalized word, multi-byte é, contraction 's, a 3-space run (the
+    // \s+(?!\S) split + the ĠĠ whitespace merge), an interior newline
+    // (Ċ), and a trailing whitespace run.
+    "q170_byte_bpe" -> ((s, dir) =>
+      TextStats.bpeStats(
+          docsPar(s, dir).select(col("doc_id"),
+            concat(lit("The r\u00e9sum\u00e9, it's here   and "),
+              coalesce(col("text"), lit("")),
+              lit("\n the end  ")).as("text2")),
+          "text2", q170Merges.map { case (a, b) => s"$a $b" }, q170Vocab,
+          byteLevel = true)
+        .select(col("doc_id"), col("bpe_count"),
+          array_join(col("bpe_tokens"), "\u001f").as("bpe_str"),
+          array_join(transform(col("bpe_ids"), _.cast("string")), " ")
+            .as("bpe_ids_str"))
+        .presentBy(col("doc_id"))),
     "q168_typo_pairs" -> { (s, dir) =>
       val base = docsPar(s, dir).select(col("doc_id"),
         concat(substring(col("text"), 1, 16), lit("-"),
@@ -1953,11 +1976,36 @@ object ExtQueries {
     * non-overlapping scan IS the all-occurrences merge pass, and the
     * double-separator boundary (`␟a␟␟b␟` → `␟ab␟`) keeps adjacency intact
     * while making cross-token substring matches impossible. */
-  private def q91MergedExpr(src: String): String =
-    q91Merges.foldLeft(src) { case (acc, (a, b)) =>
+  private def mergedExpr(merges: Seq[(String, String)], src: String): String =
+    merges.foldLeft(src) { case (acc, (a0, b0)) =>
+      val a = a0.replace("'", "''"); val b = b0.replace("'", "''")
       s"replace($acc, chr(31)||'$a'||chr(31)||chr(31)||'$b'||chr(31), " +
         s"chr(31)||'$a$b'||chr(31))"
     }
+
+  private def q91MergedExpr(src: String): String = mergedExpr(q91Merges, src)
+
+  /** q170's BYTE-LEVEL merges, in the GPT-2 stand-in alphabet
+    * (Ġ = U+0120 is byte 0x20 ' ', Ċ = U+010A is 0x0A '\n', Ã/© are the
+    * self-mapped bytes 0xC3/0xA9 — é's UTF-8 pair). WELL-FORMED like
+    * [[q91Merges]] (each side a base symbol or an earlier output), which
+    * licenses the oracle's rank-order replay; the table deliberately
+    * covers a space-prefixed word chain (Ġt→Ġthe), a capitalized word
+    * (The), a contraction ('s), a multi-byte character (Ã©), and a
+    * whitespace-run merge (ĠĠ). */
+  private def q170Merges: Seq[(String, String)] = Seq(
+    ("\u0120", "t"), ("h", "e"), ("i", "n"), ("\u0120", "a"),
+    ("\u0120t", "he"), ("a", "n"), ("\u0120a", "n"), ("\u0120an", "d"),
+    ("e", "r"), ("T", "he"), ("'", "s"), ("\u00c3", "\u00a9"),
+    ("\u0120", "\u0120"), ("o", "r"), ("o", "n"))
+
+  /** q170's vocab: merged tokens + a subset of base symbols — symbols NOT
+    * listed (u, m, digits, …) exercise the −1 unknown-id path. */
+  private def q170Vocab: Seq[String] = Seq(
+    "\u0120the", "\u0120and", "The", "\u0120t", "\u0120a", "\u0120an",
+    "he", "in", "an", "er", "or", "on", "'s", "\u00c3\u00a9",
+    "\u0120", "\u0120\u0120", "\u010a", "a", "d", "e", "h", "i", "n",
+    "o", "r", "s", "t", ".", ",")
 
   private val docToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
@@ -3414,7 +3462,68 @@ object ExtQueries {
       |  WHERE levenshtein(a.title, s.title) <= 1)
       |ORDER BY doc_id""".stripMargin
 
+  // q170: the byte-level pipeline replayed END TO END by DuckDB —
+  // (1) the \s+(?!\S) lookahead (RE2 has no lookahead) is EMULATED by
+  //     inserting an RS (chr 30) break before the last whitespace char of
+  //     every run that precedes non-whitespace, then pre-tokenizing each
+  //     RS-segment with the lookahead-free pattern: the break encodes
+  //     exactly the split the lookahead would make, and no pre-token can
+  //     span it (the segment after a break starts with the single space
+  //     the ` ?X` alternatives attach);
+  // (2) each pre-token's UTF-8 bytes are recovered via hex(encode(..)) and
+  //     remapped through the published bytes→unicode stand-in alphabet
+  //     (a 256-element list literal generated from the SAME table the
+  //     Spark expression ships — the mapping is public constants, the
+  //     MERGE ARITHMETIC is what the replay verifies independently);
+  // (3) the q91 rank-order replace loop merges inside chr(31) wrapping;
+  //     whitespace pre-tokens are KEPT (byte-level discipline).
+  private val byteBpeSql: String = {
+    val pat = graft.ext.TextStats.BpePattern.replace("'", "''")
+    val btcSql = graft.funcs.BpeCodec.ByteToChar.map(c =>
+      "'" + (if (c == '\'') "''" else c.toString) + "'")
+      .mkString("[", ", ", "]")
+    val vocabSql = q170Vocab.map(v => s"'${v.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id,
+       |    'The r' || chr(233) || 'sum' || chr(233) || ', it''s here   and '
+       |      || coalesce(text, '') || chr(10) || ' the end  ' AS t2
+       |  FROM documents),
+       |seg AS (SELECT doc_id,
+       |    string_split(regexp_replace(t2, '(\\s)(\\S)', chr(30) || '\\1\\2',
+       |      'g'), chr(30)) AS segs
+       |  FROM base),
+       |e1 AS (SELECT doc_id, segs, unnest(range(1, len(segs)+1)) AS si
+       |  FROM seg),
+       |e2 AS (SELECT doc_id, si,
+       |    regexp_extract_all(segs[si], '$pat') AS pts FROM e1),
+       |e3 AS (SELECT doc_id, si, pts, unnest(range(1, len(pts)+1)) AS pi
+       |  FROM e2),
+       |w AS (SELECT doc_id, si, pi,
+       |    array_to_string(list_transform(
+       |      regexp_extract_all(hex(encode(pts[pi])), '..'),
+       |      p -> chr(31) || ($btcSql)[
+       |          (strpos('0123456789ABCDEF', p[1]) - 1) * 16
+       |            + strpos('0123456789ABCDEF', p[2])]
+       |        || chr(31)), '') AS s0
+       |  FROM e3),
+       |mg AS (SELECT doc_id, si, pi,
+       |    string_split(trim(${mergedExpr(q170Merges, "s0")}, chr(31)),
+       |      chr(31)||chr(31)) AS tl
+       |  FROM w),
+       |f AS (SELECT doc_id, flatten(list(tl ORDER BY si, pi)) AS toks
+       |  FROM mg GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(f.toks), 0) AS INT) AS bpe_count,
+       |  coalesce(array_to_string(f.toks, chr(31)), '') AS bpe_str,
+       |  coalesce(array_to_string(list_transform(f.toks,
+       |    t -> CAST(coalesce(list_position($vocabSql, t) - 1, -1)
+       |           AS VARCHAR)), ' '), '') AS bpe_ids_str
+       |FROM documents d LEFT JOIN f USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q170_byte_bpe" -> byteBpeSql,
     "q169_incremental_typo" -> incrementalTypoSql,
     "q168_typo_pairs" -> typoPairsSql,
     "q167_accent_fold" -> accentFoldSql,

@@ -228,8 +228,12 @@ object Streaming {
     * ([[retrievalProbe]], [[onboardingMonitor]]); per-batch survivors
     * equal [[graft.ext.Dedup.incrementalTypo]] on the same rows
     * (StreamingSpec pins the parity). Catalog growth happens on the batch
-    * side between runs — rebuild the catalog and restart the stream, the
-    * q60 epoch pattern. */
+    * side between runs — append the epoch's survivors to the PERSISTED
+    * catalog ([[graft.ext.Dedup.appendToTypoCatalog]]) and restart the
+    * stream from [[graft.ext.Dedup.readTypoCatalog]], the q60 epoch
+    * pattern; with a file-source checkpoint the restart resumes past
+    * every processed batch (StreamingSpec runs the two-cycle
+    * kill-and-restart). */
   def typoDedupProbe(events: DataFrame, cat: graft.ext.Dedup.TypoCatalog,
                      idCol: String, strCol: String,
                      onFresh: (DataFrame, Long) => Unit,

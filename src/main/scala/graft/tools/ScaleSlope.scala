@@ -297,7 +297,16 @@ object ScaleSlope {
       // r15: q169 = Bloom over catalog variant keys + candidate-only
       // variant equi-join + DP confirm (the q60 incremental shape in the
       // SymSpell key space) — both sides' variant generators are linear
-      "q169_incremental_typo")
+      "q169_incremental_typo",
+      // r16: q170 = pure per-row codegen byte-level BPE (a CPU throughput
+      // rail like q91/q162 — no shuffle)
+      "q170_byte_bpe",
+      // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
+      // sweep — per-iteration cost is ONE pass over the key-partitioned
+      // feature checkpoint plus a ≤ buckets+1-row gradient collect, and
+      // the iteration count is fixed, so the slope prices the feature
+      // build + 20 broadcast-scored passes; model-heavy, so median[min]
+      "q111_quality_classifier")
     val customRunners: Map[String, (SparkSession, String) => DataFrame] = {
       def docs(s: SparkSession, dir: String) =
         s.read.parquet(s"$dir/documents.parquet")
@@ -341,7 +350,10 @@ object ScaleSlope {
       "q138_crawl_pipeline",
       // r14: double-model scoring terminal; q150's guard+distinct pass
       // showed single-sample wobble (t_big < t_small) — median it
-      "q150_bottomk_resemblance", "q151_crossentropy_select")
+      "q150_bottomk_resemblance", "q151_crossentropy_select",
+      // r16: GD-loop terminal — driver-loop latency is constant in corpus
+      // size but large relative to the per-pass work at sf0.1
+      "q111_quality_classifier")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()

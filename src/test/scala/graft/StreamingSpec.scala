@@ -1027,6 +1027,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(id2) == batchIds(b2) && got(id2) == Set(21L))
   }
 
+  test("typoDedupProbe: two kill-and-restart cycles over the persisted catalog") {
+    // VERDICT r15 #5 + #8: the frozen-catalog probe must survive a
+    // kill-and-restart with the catalog reloaded from the persisted store
+    // (no rebuild scan of the admitted corpus), and the file-source
+    // checkpoint must resume PAST every processed batch. Each cycle is a
+    // full stream lifecycle: readTypoCatalog -> AvailableNow run ->
+    // terminate ("crash"); survivors join the store via
+    // appendToTypoCatalog between batches — the q60 epoch pattern.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_typo_crash")
+    val inDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val store = "graft_spec_typocrash"
+    graft.ext.Dedup.writeTypoCatalog(
+      graft.ext.Dedup.prepareTypoCatalog(
+        Seq("kitten", "orange").toDF("s"), "s", maxDist = 1,
+        expectedSeen = Some(1000L)), store)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("s", "string")
+    @volatile var got = Vector.empty[Set[Long]]
+    def addFile(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "s").coalesce(1).write.mode("append").json(inDir)
+    def runCycle(): Unit = {
+      val cat = graft.ext.Dedup.readTypoCatalog(spark, store)
+      val q = Streaming.typoDedupProbe(
+        spark.readStream.schema(schema).json(inDir), cat, "id", "s",
+        onFresh = (fresh, _) => {
+          got :+= fresh.select("id").collect().map(_.getLong(0)).toSet
+          val survivors = fresh.select(col("s")).collect().map(_.getString(0))
+          if (survivors.nonEmpty)
+            graft.ext.Dedup.appendToTypoCatalog(
+              survivors.toSeq.toDF("s"), "s", store)
+          ()
+        })
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    // cycle 1: a deletion twin of a seed title drops, one fresh survivor
+    addFile(Seq((10L, "kitte"), (11L, "banana")))
+    runCycle()
+    // cycle 2 (after "crash"): "banan" twins the ADMITTED survivor — only
+    // a catalog reloaded from the persisted store can know it; "zitten"
+    // twins a seed; "cherry" is fresh. Batch 1's file must NOT reprocess.
+    addFile(Seq((20L, "banan"), (21L, "zitten"), (22L, "cherry")))
+    runCycle()
+    // cycle 3: a twin of cycle 2's survivor drops across the SECOND restart
+    addFile(Seq((30L, "cherr"), (31L, "mango")))
+    runCycle()
+    assert(got == Vector(Set(11L), Set(22L), Set(31L)),
+      s"per-cycle survivors $got != Vector(Set(11), Set(22), Set(31)) — " +
+        "either a processed batch replayed or a persisted append was lost")
+  }
+
   test("vocabCardinality: windowed HLL registers match batch, estimate tracks vocab") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
