@@ -38,7 +38,10 @@ object Aggregation {
                         ignoreKeys: Seq[String], fill: String, kind: String): FlatTable = {
     val meta = ft.meta
     requireNoKeyCollision(meta, lab)
-    val data = ft.df.filter(MarginMask.isData(meta, ignoreKeys))
+    // fork point: base and aggregate both consume the table — read the
+    // persisted fork (FlatTable.forked) so the upstream plan runs once
+    val src = ft.forked
+    val data = src.filter(MarginMask.isData(meta, ignoreKeys))
     val aggExprs = meta.valueCols.map(c => AggFuncs(aggfunc)(col(c)).as(c))
     val aggRow = data.agg(aggExprs.head, aggExprs.tail: _*)
     // margin key: (label, fill, fill, ...) across the index levels
@@ -47,7 +50,7 @@ object Aggregation {
       (if (i == 0) lit(lab) else lit(fill)).as(l)
     }
     val newRow = aggRow.select(keyCols ++ meta.valueCols.map(col): _*)
-    val (base, row) = unifyForUnion(ft.df, newRow, meta)
+    val (base, row) = unifyForUnion(src, newRow, meta)
     FlatTable(base.unionByName(row), meta.withMargin(kind, lab))
   }
 
@@ -78,7 +81,8 @@ object Aggregation {
     requireNoKeyCollision(meta, lab)
 
     val groupCols = meta.indexLevels.take(k + 1)
-    val data = ft.df.filter(MarginMask.isData(meta, ignoreKeys))
+    val src = ft.forked  // fork point, see addAggRow
+    val data = src.filter(MarginMask.isData(meta, ignoreKeys))
     val aggExprs = meta.valueCols.map(c => AggFuncs(aggfunc)(col(c)).as(c)) :+
       count(lit(1)).as("__fb_group_n")
     val grouped = data.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
@@ -94,7 +98,7 @@ object Aggregation {
         Seq(labelExpr.as(meta.indexLevels(k + 1))) ++
         meta.indexLevels.drop(k + 2).map(l => lit(fill).as(l))
     val newRows = kept.select(keyCols ++ meta.valueCols.map(col): _*)
-    val (base, rows) = unifyForUnion(ft.df, newRows, meta)
+    val (base, rows) = unifyForUnion(src, newRows, meta)
     FlatTable(base.unionByName(rows), meta.withMargin(kind, lab))
   }
 
