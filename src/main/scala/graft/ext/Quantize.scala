@@ -418,13 +418,28 @@ object Quantize {
     * IVF routing step of the PQ family. Input/output carry (id, v[, pv]). */
   private def nearestCellsPq(df: DataFrame, piv: DataFrame,
                              keep: Int): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
-    df.crossJoin(broadcast(piv))
+    val scored = df.crossJoin(broadcast(piv))
       .select(col("id"), col("v"), col("pid"),
         round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= keep)
-      .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
+    if (keep == 1)
+      // corpus-side coarse assignment: min_by with map-side partial
+      // combine shuffles n winner rows instead of the window's full n·K
+      // cross-product (see Similarity.assignCellsProto) — ordering key
+      // (__dd, pid) IS the window's (__dd ASC, pid ASC) tie-break
+      scored.groupBy(col("id"))
+        .agg(min_by(struct(col("v"), col("pid"), col("pv")),
+          struct(col("__dd"), col("pid"))).as("__w"))
+        .select(col("id"), col("__w.v").as("v"), col("__w.pid").as("cell"),
+          col("__w.pv").as("pv"))
+    else {
+      // query-side probing keeps several cells — stays a rank window over
+      // the (small) query batch
+      val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
+    }
   }
 
   private def residualOf(df: DataFrame, out: String): DataFrame =

@@ -284,14 +284,20 @@ object Similarity {
   private[graft] def assignCellsProto(c: DataFrame, pv: DataFrame): DataFrame = {
     val pcos = round(graft.funcs.VectorFunctions.dotF(col("v"), col("pv")) /
       (col("nrm") * col("pnrm")), 6)
-    val byCell = Window.partitionBy(col("id"))
-      .orderBy(col("pcos").desc, col("pid"))
+    // argmin via max_by, not a row_number window: the window formulation
+    // shuffled the full n·K cross-product (every corpus vector K times);
+    // the aggregate gets map-side partial combine, so only n winner rows
+    // reach the exchange — K× less shuffle IO, the difference that
+    // matters when n is the corpus. Ordering key (pcos, -pid) reproduces
+    // the window's (pcos DESC, pid ASC) tie-break exactly.
     c.crossJoin(broadcast(pv))
       .select(col("id"), col("v"), col("nrm"), col("pid"), pcos.as("pcos"))
-      .withColumn("rn", row_number().over(byCell))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("pid").as("cell"),
-        col("pcos").as("proto"))
+      .groupBy(col("id"))
+      .agg(max_by(
+        struct(col("v"), col("nrm"), col("pid"), col("pcos")),
+        struct(col("pcos"), (-col("pid")).as("np"))).as("__w"))
+      .select(col("id"), col("__w.v").as("v"), col("__w.nrm").as("nrm"),
+        col("__w.pid").as("cell"), col("__w.pcos").as("proto"))
   }
 
   /** The query half of IVF: nProbe nearest cells per query, then exact
