@@ -1830,6 +1830,29 @@ object ExtQueries {
           array_join(transform(col("bpe_ids"), _.cast("string")), " ")
             .as("bpe_ids_str"))
         .presentBy(col("doc_id"))),
+    // Cross-table fuzzy key join (entity resolution): left = the catalog
+    // slice's titles, right = the other documents' titles (non-matching
+    // mass) plus one planted deletion twin per catalog title — each left
+    // key matches exactly its twin at distance 1. The oracle is a plain
+    // exact-levenshtein theta-join in DuckDB (a genuinely independent
+    // plan; the variant machinery is recall-1.0 by the SymSpell
+    // invariant, so the exact join IS the semantics).
+    "q171_typo_join" -> { (s, dir) =>
+      val base = docsPar(s, dir).select(col("doc_id"),
+        concat(substring(col("text"), 1, 16), lit("-"),
+          col("doc_id")).as("title"))
+      val leftT = base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("left_id"), col("title").as("lkey"))
+      val rightT = base.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("right_id"), col("title").as("rkey"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("right_id"),
+            concat(substring(col("title"), 1, 1),
+              substring(col("title"), 3, 100)).as("rkey")))
+      Dedup.typoJoin(leftT, rightT, "left_id", "lkey", "right_id", "rkey",
+          maxDist = 1)
+        .presentBy(col("left_id"), col("right_id"))
+    },
     "q168_typo_pairs" -> { (s, dir) =>
       val base = docsPar(s, dir).select(col("doc_id"),
         concat(substring(col("text"), 1, 16), lit("-"),
@@ -3522,7 +3545,27 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // q171: the fuzzy join replayed as DuckDB's exact-levenshtein
+  // theta-join — no variant machinery on the oracle side at all, the
+  // strongest possible independence (recall 1.0 is the operator's claim;
+  // the exact join is the definition it must match).
+  private val typoJoinSql =
+    """WITH base AS (SELECT doc_id,
+      |    substr(text, 1, 16) || '-' || doc_id AS title FROM documents),
+      |l AS (SELECT doc_id AS left_id, title AS lkey FROM base
+      |  WHERE doc_id % 3 = 0),
+      |r AS (SELECT doc_id AS right_id, title AS rkey FROM base
+      |  WHERE doc_id % 3 <> 0
+      |  UNION ALL SELECT doc_id + 1000000,
+      |    substr(title, 1, 1) || substr(title, 3, 100)
+      |  FROM base WHERE doc_id % 3 = 0)
+      |SELECT l.left_id, r.right_id,
+      |  CAST(levenshtein(l.lkey, r.rkey) AS INT) AS dist
+      |FROM l, r WHERE levenshtein(l.lkey, r.rkey) <= 1
+      |ORDER BY left_id, right_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q171_typo_join" -> typoJoinSql,
     "q170_byte_bpe" -> byteBpeSql,
     "q169_incremental_typo" -> incrementalTypoSql,
     "q168_typo_pairs" -> typoPairsSql,

@@ -603,6 +603,46 @@ object Dedup {
       .select(col("id1"), col("id2"), col("dist"))
   }
 
+  /** Fuzzy key JOIN across two tables — entity resolution's workhorse:
+    * every (left, right) row pair whose SHORT string keys sit within
+    * Levenshtein `maxDist` (1 or 2), found through the same SymSpell
+    * deletion-neighborhood key space as [[deletionNeighborPairs]] — an
+    * EQUI-join on delete-variants with recall 1.0 by Garbe's invariant,
+    * never a cross join — and confirmed by the exact codegen'd
+    * `levenshtein`. Exact matches surface as dist 0 (a fuzzy join
+    * subsumes the exact one), and unlike the self-pair operator there is
+    * no `id1 < id2` mask: left and right are different relations.
+    * Output: (`leftId`, `rightId`, dist).
+    *
+    * Scale shape: each side explodes into skinny linear variant postings;
+    * `maxKeyFreq` caps hot variant keys PER SIDE (a key over-cap on
+    * either side emits no pairs — lost recall, observable through the
+    * auto-named `graft.symspell.key_cap` observations or measured with
+    * [[symspellCapReport]] on each input). Collapse exact duplicates per
+    * side first, the terminals' rule. */
+  def typoJoin(left: DataFrame, right: DataFrame,
+               leftId: String, leftKey: String,
+               rightId: String, rightKey: String,
+               maxDist: Int = 1,
+               maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
+    require(leftId != rightId,
+      s"output id columns must have distinct names, both are '$leftId'")
+    val cap = maxKeyFreq.map(_.toLong)
+    val lp = capVariantKeys(
+        deleteVariantPostings(left, leftId, leftKey, maxDist), cap, None)
+      .select(col("__k"), col("__id").as("__lid"), col("__s").as("__ls"))
+    val rp = capVariantKeys(
+        deleteVariantPostings(right, rightId, rightKey, maxDist), cap, None)
+      .select(col("__k"), col("__id").as("__rid"), col("__s").as("__rs"))
+    lp.join(rp, Seq("__k"))
+      .select(col("__lid"), col("__rid"), col("__ls"), col("__rs")).distinct()
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId), col("dist"))
+  }
+
   /** Metric name for the SymSpell variant-key frequency cap — the
     * [[BucketCapMetric]] pattern for [[deletionNeighborPairs]]: a capped
     * hot key is LOST RECALL, and as of r16 it is observable per action

@@ -301,6 +301,10 @@ object ScaleSlope {
       // r16: q170 = pure per-row codegen byte-level BPE (a CPU throughput
       // rail like q91/q162 — no shuffle)
       "q170_byte_bpe",
+      // r16: q171 = two linear variant generators + a variant equi-join +
+      // DP confirm across tables (q168's shape without the self-pair
+      // mask); id-salted keys keep candidates = the planted twins
+      "q171_typo_join",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

@@ -4282,6 +4282,30 @@ class ExtSpec extends AnyFunSuite {
     assert(ids(2) == Set(14L))
   }
 
+  test("typoJoin: cross-table fuzzy key join, exact matches at dist 0, d=2 widens") {
+    val left = Seq((1L, "kitten"), (2L, "orange"), (3L, "apple"))
+      .toDF("lid", "lkey")
+    val right = Seq(
+      (10L, "kitte"),   // deletion twin of kitten -> dist 1
+      (11L, "orange"),  // exact -> dist 0
+      (12L, "aple"),    // deletion twin of apple -> dist 1
+      (13L, "iktten"),  // transposition of kitten = lev 2: out at d=1
+      (14L, "banana")   // no match
+    ).toDF("rid", "rkey")
+    def pairs(d: Int) =
+      Dedup.typoJoin(left, right, "lid", "lkey", "rid", "rkey", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(1) == Set((1L, 10L, 1), (2L, 11L, 0), (3L, 12L, 1)))
+    // d=2 admits the transposition
+    assert(pairs(2) == Set((1L, 10L, 1), (2L, 11L, 0), (3L, 12L, 1),
+      (1L, 13L, 2)))
+    // identical output id names are a contract violation, not a silent clash
+    intercept[IllegalArgumentException] {
+      Dedup.typoJoin(left, right, "id", "lkey", "id", "rkey")
+    }
+    ()
+  }
+
   test("typo catalog store: write/read/append round-trip + stale-bloom repair") {
     // VERDICT r15 #8 — the persisted TypoCatalog lifecycle: a reloaded
     // catalog serves byte-identical drops, an append equals a from-scratch
