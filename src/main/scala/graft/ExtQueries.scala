@@ -1830,6 +1830,27 @@ object ExtQueries {
           array_join(transform(col("bpe_ids"), _.cast("string")), " ")
             .as("bpe_ids_str"))
         .presentBy(col("doc_id"))),
+    // WORDPIECE tokenization (BERT, Devlin et al. 2019) under the oracle:
+    // greedy longest-match-first with ## continuations, whole-word [UNK]
+    // on any unmatched position, uncased lowercase, per-char punctuation
+    // split. DuckDB replays the greedy loop INDEPENDENTLY as a recursive
+    // CTE over the distinct-word table (cursor state machine: longest
+    // matching vocabulary piece per step via list_filter + list_reduce).
+    // The planted suffix exercises greedy-beats-composition ("the" whole,
+    // not th+##e), multi-piece words, digits, punctuation splits,
+    // contractions, and a guaranteed-[UNK] word (ø has no vocab entry).
+    "q172_wordpiece" -> { (s, dir) =>
+      TextStats.wordPieceStats(
+          docsPar(s, dir).select(col("doc_id"),
+            concat(coalesce(col("text"), lit("")),
+              lit(" The theming ending 1234 don't re-do \u00f8yen")).as("text2")),
+          "text2", q172Vocab)
+        .select(col("doc_id"), col("wp_count"),
+          array_join(col("wp_tokens"), "\u001f").as("wp_str"),
+          array_join(transform(col("wp_ids"), _.cast("string")), " ")
+            .as("wp_ids_str"))
+        .presentBy(col("doc_id"))
+    },
     // Cross-table fuzzy key join (entity resolution): left = the catalog
     // slice's titles, right = the other documents' titles (non-matching
     // mass) plus one planted deletion twin per catalog title — each left
@@ -2029,6 +2050,19 @@ object ExtQueries {
     "he", "in", "an", "er", "or", "on", "'s", "\u00c3\u00a9",
     "\u0120", "\u0120\u0120", "\u010a", "a", "d", "e", "h", "i", "n",
     "o", "r", "s", "t", ".", ",")
+
+  /** q172's WordPiece vocabulary: [UNK] + a few multi-char pieces that
+    * exercise the greedy longest-match rule against their own prefixes
+    * and continuations, plus full single-char coverage of [a-z0-9] (word
+    * and ## forms) and the four punctuation marks the planted suffix
+    * uses — anything else (e.g. ø) is a whole-word [UNK] in BOTH
+    * engines. */
+  private def q172Vocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    Seq("[UNK]", "the", "th", "end", "##ing", "don", "do", "re", "an",
+      "##nd", "##en") ++ singles ++ singles.map("##" + _) ++
+      Seq(".", ",", "'", "-")
+  }
 
   private val docToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
@@ -3564,7 +3598,70 @@ object ExtQueries {
       |FROM l, r WHERE levenshtein(l.lkey, r.rkey) <= 1
       |ORDER BY left_id, right_id""".stripMargin
 
+  // q172: the greedy WordPiece loop replayed INDEPENDENTLY by DuckDB as a
+  // recursive cursor state machine over the distinct-word table — per
+  // step, the LONGEST vocabulary piece matching at the cursor
+  // (list_filter for the matches, list_reduce for the argmax-by-length;
+  // ties impossible: two same-length pieces matching the same position
+  // are the same string), whole-word [UNK] when no piece matches or the
+  // word exceeds 100 chars. Pre-tokenizer = lower + letter runs / digit
+  // runs / single punctuation chars, BERT's split.
+  private val wordPieceSql: String = {
+    val vocabSql = q172Vocab.map(v => s"'${v.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE base AS (SELECT doc_id,
+       |    lower(coalesce(text, '')
+       |      || ' The theming ending 1234 don''t re-do \u00f8yen') AS t
+       |  FROM documents),
+       |pt AS (SELECT doc_id,
+       |    regexp_extract_all(t, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]') AS pts
+       |  FROM base),
+       |e AS (SELECT doc_id, pts, unnest(range(1, len(pts)+1)) AS i FROM pt),
+       |wpos AS (SELECT doc_id, i, pts[i] AS w FROM e),
+       |words AS (SELECT DISTINCT w FROM wpos),
+       |r AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks,
+       |    (len(w) > 100) AS bad
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + CASE WHEN pos = 0 THEN len(best) ELSE len(best) - 2 END,
+       |    list_append(toks, best),
+       |    best IS NULL
+       |  FROM (
+       |    SELECT w, pos, toks,
+       |      CASE WHEN len(cands) = 0 THEN NULL
+       |        ELSE list_reduce(cands,
+       |          (a, b) -> CASE WHEN len(b) > len(a) THEN b ELSE a END)
+       |        END AS best
+       |    FROM (
+       |      SELECT w, pos, toks,
+       |        list_filter($vocabSql, v ->
+       |          CASE WHEN pos = 0
+       |            THEN NOT starts_with(v, '##')
+       |              AND v = substr(w, 1, CAST(len(v) AS INT))
+       |            ELSE starts_with(v, '##') AND len(v) > 2
+       |              AND substr(v, 3) = substr(w, CAST(pos + 1 AS INT),
+       |                CAST(len(v) - 2 AS INT)) END) AS cands
+       |      FROM r WHERE NOT bad AND pos < len(w)) c0) c1
+       |),
+       |fin AS (SELECT w,
+       |    CASE WHEN bad THEN ['[UNK]'] ELSE toks END AS toks
+       |  FROM r WHERE bad OR pos >= len(w)),
+       |f AS (SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
+       |  FROM wpos JOIN fin USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(f.toks), 0) AS INT) AS wp_count,
+       |  coalesce(array_to_string(f.toks, chr(31)), '') AS wp_str,
+       |  coalesce(array_to_string(list_transform(f.toks,
+       |    t -> CAST(coalesce(list_position($vocabSql, t) - 1, -1)
+       |           AS VARCHAR)), ' '), '') AS wp_ids_str
+       |FROM documents d LEFT JOIN f USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q172_wordpiece" -> wordPieceSql,
     "q171_typo_join" -> typoJoinSql,
     "q170_byte_bpe" -> byteBpeSql,
     "q169_incremental_typo" -> incrementalTypoSql,

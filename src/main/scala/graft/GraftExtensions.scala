@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.funcs.VectorFunctions.injectInto(ext)
     graft.funcs.BpeFunctions.injectInto(ext)
+    graft.funcs.WordPieceFunctions.injectInto(ext)
     graft.funcs.TextFunctions.injectInto(ext)
     ext.injectOptimizerRule(_ => GlobalWindowGuard)
   }

@@ -265,6 +265,33 @@ object TextStats {
       graft.funcs.BpeFunctions.bpeIds(t, merges, vocab, byteLevel))
   }
 
+  /** WORDPIECE tokenization terminal (Devlin et al. 2019, BERT) — the
+    * greedy longest-match sibling of [[bpeStats]]: appends
+    *   - `wp_tokens` — the WordPiece tokens (`array<string>`, `##`
+    *     continuations; a word with any unmatched position is WHOLLY the
+    *     `unk` token, BERT's is_bad rule)
+    *   - `wp_count`  — their number
+    *   - `wp_ids`    — vocabulary ids (id = index in `vocab`)
+    * One codegen'd expression call per row, zero shuffles; the vocabulary
+    * ships once per executor inside the expression
+    * ([[graft.funcs.WordPieceCodec]] — uncased lowercase + BERT's
+    * per-char punctuation split; compose with
+    * [[graft.funcs.TextFunctions.stripAccents]] for accent-stripped
+    * vocabularies). */
+  def wordPieceStats(df: DataFrame, textCol: String, vocab: Seq[String],
+                     unk: String = "[UNK]", maxWordLen: Int = 100,
+                     lower: Boolean = true): DataFrame = {
+    graft.funcs.WordPieceFunctions.register(df.sparkSession)
+    val t = coalesce(col(textCol), lit(""))
+    df.withColumn("wp_tokens",
+        graft.funcs.WordPieceFunctions.wordPieceEncode(t, vocab, unk,
+          maxWordLen, lower))
+      .withColumn("wp_count", size(col("wp_tokens")))
+      .withColumn("wp_ids",
+        graft.funcs.WordPieceFunctions.wordPieceIds(t, vocab, unk,
+          maxWordLen, lower))
+  }
+
   /** BPE TRAINING (Sennrich et al. 2016) — induce the merges ranking
     * [[bpeStats]] applies, from the corpus itself. The corpus-scale step is
     * distributed: one pre-token frequency aggregate (the same

@@ -305,6 +305,8 @@ object ScaleSlope {
       // DP confirm across tables (q168's shape without the self-pair
       // mask); id-salted keys keep candidates = the planted twins
       "q171_typo_join",
+      // r16: q172 = pure per-row codegen WordPiece (the q91/q170 rail)
+      "q172_wordpiece",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

@@ -2488,6 +2488,60 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*bpeencode""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("wordPieceStats: greedy longest-match, is_bad whole-word UNK, decode") {
+    import graft.funcs.WordPieceFunctions
+    val vocab = Seq("[UNK]", "the", "th", "##e", "##eme", "##m", "##me",
+      "un", "##able", "##affable", "aff", "a", "b", "l", "e", "##a",
+      "##b", "##l", "##f", "'", "t", "##n", "d", "o", "##o", "##9", "9")
+    def wp(texts: (Long, String)*) =
+      TextStats.wordPieceStats(texts.toSeq.toDF("doc_id", "text"), "text",
+          vocab)
+        .select(col("doc_id"), col("wp_tokens"), col("wp_ids"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[String](1), r.getSeq[Int](2))).toMap
+    val r = wp(
+      (0L, "the theme"),     // greedy: "the" whole (beats th+##e); theme =
+                             // the + ##me (##me len4 beats ##m len3)
+      (1L, "unaffable"),     // BERT's canonical example shape:
+                             // un + ##affable (longest continuation wins)
+      (2L, "THE"),           // uncased: lowercases before matching
+      (3L, "xyz the"),       // x has no piece -> whole word [UNK]; the
+                             // NEXT word still tokenizes (per-word is_bad)
+      (4L, "don't"),         // punctuation splits: d+##o+##n / ' / t
+      (5L, "a9"))            // letter-run and digit-run are SEPARATE words
+    assert(r(0L)._1 == Seq("the", "the", "##me"))
+    assert(r(1L)._1 == Seq("un", "##affable"))
+    assert(r(2L)._1 == Seq("the"))
+    assert(r(3L)._1 == Seq("[UNK]", "the"))
+    assert(r(4L)._1 == Seq("d", "##o", "##n", "'", "t"))
+    // the digit run is its OWN pre-token, so 9 matches word-initial
+    assert(r(5L)._1 == Seq("a", "9"))
+    // ids are vocabulary positions; [UNK] maps to its own id, never -1
+    assert(r(3L)._2 == Seq(vocab.indexOf("[UNK]"), vocab.indexOf("the")))
+    // maxChars: an over-long word is [UNK] outright; exactly 100 passes
+    val long = "a" * 101
+    val r2 = TextStats.wordPieceStats(
+      Seq((0L, long), (1L, "a" * 100)).toDF("doc_id", "text"), "text", vocab)
+      .select(col("doc_id"), col("wp_tokens")).collect()
+      .map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r2(0L) == Seq("[UNK]"))
+    assert(r2(1L).head == "a" && r2(1L).size == 100)
+    // decode: word-initial pieces space-join, continuations fuse
+    graft.funcs.WordPieceFunctions.register(spark)
+    val back = Seq((0L, "the theme unaffable")).toDF("doc_id", "text")
+      .select(WordPieceFunctions.wordPieceDecode(
+        WordPieceFunctions.wordPieceIds(col("text"), vocab), vocab).as("t"))
+      .as[String].head()
+    assert(back == "the theme unaffable")
+    // whole-stage codegen must survive the expression (no fallback)
+    val q = TextStats.wordPieceStats(
+      Seq((0L, "the theme")).toDF("doc_id", "text").repartition(2), "text",
+      vocab)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*wordpieceencode""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("byte-level BPE: public GPT-2-format tables run byte-for-byte") {
     // VERDICT r14 #8 — a production byte-level tokenizer from its released
     // artifacts: merges.txt (with header + blank line) and vocab.json

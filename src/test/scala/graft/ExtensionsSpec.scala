@@ -33,6 +33,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.funcs.BpeFunctions.bpeEncode(lit("ab ab"), Seq("a b")).as("t"))
       .head().getSeq[String](0)
     assert(bpe == Seq("ab", " ", "ab"))
+    // WordPiece rides the same injection route (r16)
+    val wp = s2.range(1)
+      .select(graft.funcs.WordPieceFunctions.wordPieceEncode(
+        lit("abc"), Seq("[UNK]", "ab", "##c")).as("t"))
+      .head().getSeq[String](0)
+    assert(wp == Seq("ab", "##c"))
   }
 
   test("GlobalWindowGuard: opt-in flag fails partitionless windows, spares partitioned ones") {
