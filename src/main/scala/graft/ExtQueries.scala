@@ -1839,6 +1839,30 @@ object ExtQueries {
     // The planted suffix exercises greedy-beats-composition ("the" whole,
     // not th+##e), multi-piece words, digits, punctuation splits,
     // contractions, and a guaranteed-[UNK] word (ø has no vocab entry).
+    // WORDPIECE TRAINING end-to-end (Schuster & Nakajima 2012; the HF
+    // trainer's likelihood scoring): induce 20 merges on the corpus —
+    // each iteration takes the admissible pair maximizing
+    // count(pair)/(count(a)*count(b)) under EXACT integer
+    // cross-multiplication — FREEZE the merges and vocabulary through
+    // OracleAux, then greedy-tokenize every document with the trained
+    // vocabulary. The oracle re-derives EVERY merge selection inductively
+    // (word table from scratch, merges 1..k-1 applied, score argmax via a
+    // HUGEINT dominance join with the same lexicographic tie-break and
+    // minPairCount floor) and replays the greedy tokenization under the
+    // frozen vocabulary, gated on all selections matching.
+    "q173_wordpiece_train" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val (m, v) = TextStats.wordPieceTrainFull(docs, "text",
+        numMerges = 20, maxWords = 10000)
+      OracleAux.write("q173_merges", m.map { case (a, b) => s"$a $b" })
+      OracleAux.write("q173_vocab", v)
+      TextStats.wordPieceStats(docs, "text", v)
+        .select(col("doc_id"), col("wp_count"),
+          array_join(col("wp_tokens"), "\u001f").as("wp_str"),
+          array_join(transform(col("wp_ids"), _.cast("string")), " ")
+            .as("wp_ids_str"))
+        .presentBy(col("doc_id"))
+    },
     "q172_wordpiece" -> { (s, dir) =>
       TextStats.wordPieceStats(
           docsPar(s, dir).select(col("doc_id"),
@@ -3606,12 +3630,15 @@ object ExtQueries {
   // are the same string), whole-word [UNK] when no piece matches or the
   // word exceeds 100 chars. Pre-tokenizer = lower + letter runs / digit
   // runs / single punctuation chars, BERT's split.
-  private val wordPieceSql: String = {
-    val vocabSql = q172Vocab.map(v => s"'${v.replace("'", "''")}'")
-      .mkString("[", ", ", "]")
-    s"""WITH RECURSIVE base AS (SELECT doc_id,
-       |    lower(coalesce(text, '')
-       |      || ' The theming ending 1234 don''t re-do \u00f8yen') AS t
+  /** Shared greedy-replay generator: q172 runs it with a fixed vocab and
+    * the planted suffix, q173 with the TRAINED vocab plus `extraCtes`
+    * (comma-terminated model-replay CTEs) and a selection `gateExpr` that
+    * must hold for any row to surface. */
+  private def wpGreedySql(vocabSql: String, tExpr: String,
+                          extraCtes: String = "",
+                          gateExpr: String = "TRUE"): String =
+    s"""WITH RECURSIVE ${extraCtes}base AS (SELECT doc_id,
+       |    $tExpr AS t
        |  FROM documents),
        |pt AS (SELECT doc_id,
        |    regexp_extract_all(t, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]') AS pts
@@ -3657,8 +3684,16 @@ object ExtQueries {
        |    t -> CAST(coalesce(list_position($vocabSql, t) - 1, -1)
        |           AS VARCHAR)), ' '), '') AS wp_ids_str
        |FROM documents d LEFT JOIN f USING (doc_id)
+       |WHERE $gateExpr
        |ORDER BY doc_id""".stripMargin
-  }
+
+  private val wordPieceSql: String =
+    wpGreedySql(
+      q172Vocab.map(v => s"'${v.replace("'", "''")}'")
+        .mkString("[", ", ", "]"),
+      // single line: a multi-line tExpr would collide with stripMargin
+      "lower(coalesce(text, '') || " +
+        "' The theming ending 1234 don''t re-do \u00f8yen')")
 
   val oracle: Map[String, String] = Map(
     "q172_wordpiece" -> wordPieceSql,
@@ -5947,7 +5982,7 @@ object ExtQueries {
   val dynamicOracleNames: Set[String] = Set(
     "q111_quality_classifier", "q123_bpe_train", "q136_opq_pq_topk",
     "q140_pca_project", "q144_unigram_tokenize", "q146_clf_calibration",
-    "q148_tokenizer_fertility")
+    "q148_tokenizer_fertility", "q173_wordpiece_train")
 
   /** Oracle entries whose SQL depends on what the query run just trained. */
   def dynamicOracle: Map[String, String] =
@@ -5958,7 +5993,8 @@ object ExtQueries {
         q140OracleSql.map("q140_pca_project" -> _).toMap ++
         q144OracleSql.map("q144_unigram_tokenize" -> _).toMap ++
         q146OracleSql.map("q146_clf_calibration" -> _).toMap ++
-        q148OracleSql.map("q148_tokenizer_fertility" -> _).toMap
+        q148OracleSql.map("q148_tokenizer_fertility" -> _).toMap ++
+        q173OracleSql.map("q173_wordpiece_train" -> _).toMap
     }.getOrElse(Map.empty)
 
   /** q148's oracle: the q91 merge-chain BPE replay (b-prefixed CTEs) and
@@ -6251,6 +6287,82 @@ object ExtQueries {
     * early it additionally checks no further merge was possible. All checks
     * GATE the output rows (WHERE ok), so a single deviated selection
     * empties the oracle and fails the driver's row compare. */
+  /** q173's oracle: inductive WordPiece-training replay + greedy
+    * tokenization under the frozen vocabulary. Per rank k the SQL
+    * rebuilds the capped word table from scratch, applies merges 1..k-1
+    * as rank-order replace passes over ␟-wrapped [c1, ##c2, ...] rep
+    * strings, recounts pairs and symbols, and re-derives the selection as
+    * the score-dominance survivor — s beats r when
+    * `s.c·r.ca·r.cb > r.c·s.ca·s.cb` (HUGEINT, exact) or on the
+    * lexicographic (a, b) tie — restricted to pairs with count >=
+    * minPairCount; on early stop one extra rank must produce NO
+    * candidate. All selections gate the output rows. */
+  private def q173OracleSql: Option[String] =
+    for {
+      mergeLines <- OracleAux.read("q173_merges")
+      vocab <- OracleAux.read("q173_vocab")
+    } yield {
+      val merges = mergeLines.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(' '); (l.substring(0, i), l.substring(i + 1))
+      }
+      val numMerges = 20 // must mirror the q173 call above
+      def sq(x: String) = x.replace("'", "''")
+      def strip(x: String) = if (x.startsWith("##")) x.substring(2) else x
+      def wpMergedExpr(src: String, k: Int): String =
+        merges.take(k).foldLeft(src) { case (acc, (a, b)) =>
+          s"replace($acc, chr(31)||'${sq(a)}'||chr(31)||chr(31)||'${sq(b)}'||chr(31), " +
+            s"chr(31)||'${sq(a + strip(b))}'||chr(31))"
+        }
+      val ranks = merges.indices.map(_ + 1) ++
+        (if (merges.length < numMerges) Seq(merges.length + 1) else Nil)
+      val rankCtes = ranks.map { k =>
+        s"""s$k AS (SELECT string_split(trim(${wpMergedExpr("s0", k - 1)}, chr(31)),
+           |    chr(31)||chr(31)) AS syms, n FROM wr0),
+           |e$k AS (SELECT syms, n, unnest(range(1, len(syms))) AS i FROM s$k),
+           |p$k AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(n) AS c FROM e$k
+           |  GROUP BY 1, 2),
+           |y$k AS (SELECT sym, sum(cn) AS sc FROM (
+           |    SELECT unnest(syms) AS sym, n AS cn FROM s$k) u$k GROUP BY 1),
+           |sc$k AS (SELECT p.a, p.b, p.c, ya.sc AS ca, yb.sc AS cb
+           |  FROM p$k p JOIN y$k ya ON p.a = ya.sym
+           |    JOIN y$k yb ON p.b = yb.sym
+           |  WHERE p.c >= 2),
+           |m$k AS (SELECT a || ' ' || b AS mrg FROM sc$k r
+           |  WHERE NOT EXISTS (SELECT 1 FROM sc$k s WHERE
+           |    CAST(s.c AS HUGEINT) * r.ca * r.cb
+           |      > CAST(r.c AS HUGEINT) * s.ca * s.cb
+           |    OR (CAST(s.c AS HUGEINT) * r.ca * r.cb
+           |          = CAST(r.c AS HUGEINT) * s.ca * s.cb
+           |        AND (s.a < r.a OR (s.a = r.a AND s.b < r.b)))))""".stripMargin
+      }.mkString(",\n")
+      val checks = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"coalesce((SELECT mrg FROM m${i + 1}) = '${sq(s"$a $b")}', FALSE)"
+      } ++ (if (merges.length < numMerges)
+        Seq(s"(SELECT count(*) FROM m${merges.length + 1}) = 0") else Nil)
+      val ok = if (checks.isEmpty) "TRUE" else checks.mkString("\n  AND ")
+      val trainCtes =
+        s"""wt AS (SELECT w, count(*) AS n FROM (
+           |    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+           |      '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')) AS w
+           |    FROM documents) u0
+           |  GROUP BY 1
+           |  QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 10000),
+           |wr0 AS (SELECT chr(31) || w[1] || chr(31) ||
+           |    coalesce(array_to_string(list_transform(
+           |      range(2, len(w) + 1),
+           |      i -> chr(31) || '##' || w[CAST(i AS INT)] || chr(31)), ''), '')
+           |      AS s0, n
+           |  FROM wt),
+           |$rankCtes,
+           |chk AS (SELECT $ok AS ok),
+           |""".stripMargin
+      wpGreedySql(
+        vocab.map(v => s"'${sq(v)}'").mkString("[", ", ", "]"),
+        "lower(coalesce(text, ''))",
+        extraCtes = trainCtes,
+        gateExpr = "(SELECT ok FROM chk)")
+    }
+
   private def q123OracleSql: Option[String] =
     OracleAux.read("q123_merges").map { lines =>
       val merges = lines.filter(_.nonEmpty).map { l =>

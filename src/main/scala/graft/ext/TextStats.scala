@@ -292,6 +292,153 @@ object TextStats {
           maxWordLen, lower))
   }
 
+  /** The WordPiece pre-tokenizer as a Column (lowercased letter runs /
+    * digit runs / single punctuation chars — BERT's split; must mirror
+    * [[graft.funcs.WordPieceCodec]]'s `preTok` exactly so training and
+    * tokenization share one word space). */
+  private[graft] def wordPiecePreTokens(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0))
+
+  /** WORDPIECE TRAINING — the likelihood-scored merge induction behind
+    * BERT's vocabulary (Schuster & Nakajima 2012; the HF `tokenizers`
+    * WordPiece trainer): like [[bpeTrain]]'s Sennrich loop, but each
+    * iteration selects the admissible pair maximizing
+    * `count(pair) / (count(a) · count(b))` — the exact pair-vs-parts
+    * likelihood-gain ratio — instead of the raw pair count, and the
+    * merged symbol keeps WordPiece's word-internal `##` marking
+    * (`a + strip##(b)`, so `un + ##af → unaf`, `##a + ##b → ##ab`).
+    *
+    * Distribution shape is [[bpeTrain]]'s verbatim: ONE word-frequency
+    * aggregate capped to the `maxWords` most frequent under the
+    * deterministic (freq desc, word) order, one UNCAPPED distinct-chars
+    * aggregate (so out-of-cap characters still get vocabulary entries —
+    * the r12 discipline), and a driver merge loop over the bounded table
+    * with incremental pair/symbol counts and pair→word postings — O(words
+    * containing the pair) per merge. Scores compare EXACTLY via BigInt
+    * cross-multiplication (`c₁·a₂·b₂ vs c₂·a₁·b₁` — no double division,
+    * so training is bit-reproducible and the DuckDB oracle can replay
+    * every selection with HUGEINT arithmetic), ties break on (a, b)
+    * lexicographic; only pairs with `count >= minPairCount` are
+    * candidates, and training stops early when none remain.
+    *
+    * Returns the vocabulary [[wordPieceStats]] consumes directly:
+    * `unk` +: base chars (sorted, word-initial forms) ++ their `##`
+    * continuation forms ++ merge outputs in selection order —
+    * `wordPieceStats(df, c, wordPieceTrain(df, c, k))` is the full
+    * train→tokenize pipeline. Note the WordPiece design splits here:
+    * training is merge-based, tokenization is greedy longest-match over
+    * the resulting vocabulary (not a merge replay). */
+  def wordPieceTrain(df: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 100000, minPairCount: Long = 2L,
+                     unk: String = "[UNK]"): Seq[String] =
+    wordPieceTrainFull(df, textCol, numMerges, maxWords, minPairCount, unk)._2
+
+  /** [[wordPieceTrain]] returning BOTH artifacts: (merge pairs in
+    * selection order, vocabulary) — the pairs feed the oracle's inductive
+    * selection replay and training audits. */
+  def wordPieceTrainFull(df: DataFrame, textCol: String, numMerges: Int,
+                         maxWords: Int = 100000, minPairCount: Long = 2L,
+                         unk: String = "[UNK]"): (Seq[(String, String)], Seq[String]) = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val wordsDf = df.select(explode(wordPiecePreTokens(col(textCol))).as("w"))
+    val words = wordsDf
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val baseChars = wordsDf
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted
+    def strip(s: String) = if (s.startsWith("##")) s.substring(2) else s
+    // reps split by CODE POINTS: [c1, ##c2, ##c3, ...]
+    def repOf(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < w.length) {
+        val cc = Character.charCount(w.codePointAt(ci))
+        val c = w.substring(ci, ci + cc)
+        out += (if (ci == 0) c else "##" + c)
+        ci += cc
+      }
+      out.toArray
+    }
+    def mergeAll(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + strip(b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    val reps = words.map { case (w, n) => (repOf(w), n) }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def bump[K](m: scala.collection.mutable.HashMap[K, Long], k: K, d: Long): Unit = {
+      val nv = m.getOrElse(k, 0L) + d
+      if (nv == 0L) m.remove(k) else m.update(k, nv)
+      ()
+    }
+    def add(idx: Int, syms: Array[String], n: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length) {
+        bump(symCounts, syms(i), sign * n)
+        if (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          bump(counts, k, sign * n)
+          // postings track CONTAINMENT: the subtract pass strips every old
+          // pair of this word, the re-add pass restores the current ones
+          if (sign > 0)
+            where.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += idx
+          else where.get(k).foreach(_.remove(idx))
+        }
+        i += 1
+      }
+    }
+    reps.zipWithIndex.foreach { case ((syms, n), i) => add(i, syms, n, 1L) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (merges.length < numMerges && !stop) {
+      // argmax of c/(ca·cb) over pairs with c >= minPairCount — exact
+      // BigInt cross-multiplication, (a, b) lexicographic tie-break
+      val cands = counts.iterator.filter(_._2 >= minPairCount)
+      var best: ((String, String), Long, BigInt) = null
+      cands.foreach { case (k @ (a, b), c) =>
+        val denom = BigInt(symCounts(a)) * BigInt(symCounts(b))
+        if (best == null) best = (k, c, denom)
+        else {
+          val l = BigInt(c) * best._3
+          val r = BigInt(best._2) * denom
+          if (l > r || (l == r &&
+              (a < best._1._1 || (a == best._1._1 && b < best._1._2))))
+            best = (k, c, denom)
+        }
+      }
+      if (best == null) stop = true
+      else {
+        val (a, b) = best._1
+        merges += ((a, b))
+        val affected = where.getOrElse((a, b), Nil).toArray
+        affected.foreach { i =>
+          val (syms, n) = reps(i)
+          add(i, syms, n, -1L)
+          val merged = mergeAll(syms, a, b)
+          reps(i) = (merged, n)
+          add(i, merged, n, 1L)
+        }
+      }
+    }
+    (merges.toSeq,
+      (unk +: (baseChars ++ baseChars.map("##" + _))) ++
+        merges.map { case (a, b) => a + strip(b) })
+  }
+
   /** BPE TRAINING (Sennrich et al. 2016) — induce the merges ranking
     * [[bpeStats]] applies, from the corpus itself. The corpus-scale step is
     * distributed: one pre-token frequency aggregate (the same

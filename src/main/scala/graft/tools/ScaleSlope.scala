@@ -307,6 +307,9 @@ object ScaleSlope {
       "q171_typo_join",
       // r16: q172 = pure per-row codegen WordPiece (the q91/q170 rail)
       "q172_wordpiece",
+      // r16: q173 = one capped word-count aggregate + bounded driver merge
+      // loop + codegen greedy apply scan — the q123 trainer shape
+      "q173_wordpiece_train",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

@@ -2542,6 +2542,94 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*wordpieceencode""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("wordPieceTrain: likelihood scoring, tie-break, early stop, naive equivalence") {
+    import graft.ext.TextStats.{wordPieceTrainFull, wordPieceStats}
+    // corpus: "aab"×10, "xy"×3. Raw-count BPE would take (a,##a) (count 10,
+    // lexicographic over the tie with (##a,##b)); WordPiece's
+    // count/(count(a)·count(b)) picks (x,##y) first — 3/(3·3) beats
+    // 10/(10·10) — the scoring difference this trainer exists for.
+    val docs = ((1 to 10).map(i => (i.toLong, "aab")) ++
+      (11 to 13).map(i => (i.toLong, "xy"))).toDF("doc_id", "text")
+    val (m, v) = wordPieceTrainFull(docs, "text", numMerges = 10)
+    assert(m == Seq(("x", "##y"), ("##a", "##b"), ("a", "##ab")),
+      s"merge selections $m")
+    // early stop: after 3 merges every word is a single symbol — no pairs
+    assert(m.length == 3)
+    // vocab: [UNK] + sorted base chars + ## forms + outputs in rank order
+    assert(v == Seq("[UNK]", "a", "b", "x", "y", "##a", "##b", "##x", "##y",
+      "xy", "##ab", "aab"))
+    // the trained vocabulary greedy-tokenizes its own corpus to whole words
+    val toks = wordPieceStats(Seq((0L, "aab xy")).toDF("doc_id", "text"),
+      "text", v).select("wp_tokens").as[Seq[String]].head()
+    assert(toks == Seq("aab", "xy"))
+    // minPairCount: a floor of 4 excludes the count-3 pair entirely
+    val (m2, _) = wordPieceTrainFull(docs, "text", numMerges = 10,
+      minPairCount = 4L)
+    assert(m2 == Seq(("##a", "##b"), ("a", "##ab")))
+
+    // INCREMENTAL == NAIVE recount (the bpeTrain equivalence law): the
+    // maintained pair/symbol counts are additively identical to a
+    // from-scratch recount, so selections must match exactly on real text
+    val real = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val (mi, _) = wordPieceTrainFull(real, "text", numMerges = 30,
+      maxWords = 2000)
+    def naive(words: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      def strip(x: String) = if (x.startsWith("##")) x.substring(2) else x
+      var reps = words.map { case (w, n) =>
+        (w.map(_.toString).zipWithIndex
+          .map { case (c, i) => if (i == 0) c else "##" + c }.toArray, n)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var stop = false
+      while (out.length < numMerges && !stop) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        val sc = scala.collection.mutable.HashMap.empty[String, Long]
+        reps.foreach { case (syms, n) =>
+          syms.foreach(x => sc.update(x, sc.getOrElse(x, 0L) + n))
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            val k = (p(0), p(1)); pc.update(k, pc.getOrElse(k, 0L) + n)
+          }
+        }
+        val cands = pc.filter(_._2 >= 2L)
+        if (cands.isEmpty) stop = true
+        else {
+          // exact score argmax: maximize c/(ca·cb) by BigInt
+          // cross-multiplication, (a, b) lexicographic tie-break
+          var bk: ((String, String), Long, BigInt) = null
+          cands.foreach { case (k @ (a, b), c) =>
+            val d = BigInt(sc(a)) * BigInt(sc(b))
+            if (bk == null) bk = (k, c, d)
+            else {
+              val l = BigInt(c) * bk._3; val r = BigInt(bk._2) * d
+              if (l > r || (l == r && (a < bk._1._1 ||
+                  (a == bk._1._1 && b < bk._1._2)))) bk = (k, c, d)
+            }
+          }
+          val (a, b) = bk._1
+          out += ((a, b))
+          reps = reps.map { case (syms, n) =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                o += a + strip(b); i += 2
+              } else { o += syms(i); i += 1 }
+            }
+            (o.toArray, n)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val words = real
+      .select(explode(graft.ext.TextStats.wordPiecePreTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mi == naive(words, 30),
+      "incremental trainer must equal the from-scratch recount")
+  }
+
   test("byte-level BPE: public GPT-2-format tables run byte-for-byte") {
     // VERDICT r14 #8 — a production byte-level tokenizer from its released
     // artifacts: merges.txt (with header + blank line) and vocab.json
