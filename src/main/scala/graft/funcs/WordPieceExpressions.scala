@@ -205,6 +205,26 @@ case class WordPieceDecodeIds(child: Expression, codec: WordPieceCodec)
     copy(child = newChild)
 }
 
+/** Loader for the released WordPiece artifact — BERT's `vocab.txt`
+  * format: ONE TOKEN PER LINE, id = 0-based line number. That is the
+  * whole format; there is no header, and a blank line (should one occur)
+  * is a real empty-string token slot whose POSITION must be preserved or
+  * every later id shifts — so nothing is filtered, only the trailing
+  * newline's phantom last line is dropped. Pair with
+  * [[graft.ext.TextStats.wordPieceStats]] (`unk` must name the file's
+  * [UNK] entry) to run a released BERT vocabulary verbatim. */
+object WordPieceFiles {
+
+  def parseVocabTxt(content: String): Seq[String] = {
+    // split preserving empty lines; linesIterator drops a trailing "\n"'s
+    // phantom line already, but not interior empties — which is correct
+    content.linesIterator.map(_.stripLineEnd).toSeq
+  }
+
+  def loadVocab(path: String): Seq[String] =
+    parseVocabTxt(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+}
+
 object WordPieceFunctions {
 
   private val EncodeName = "graft_wordpiece_encode"

@@ -2542,6 +2542,26 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*wordpieceencode""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("WordPieceFiles: vocab.txt line-number ids, interior empty slots preserved") {
+    import graft.funcs.{WordPieceFiles, WordPieceFunctions}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_vocab")
+    val p = dir.resolve("vocab.txt")
+    // BERT format: one token per line, id = line number; an interior empty
+    // slot must keep its position or every later id shifts
+    java.nio.file.Files.writeString(p,
+      "[PAD]\n[UNK]\nthe\n\n##e\nth\n")
+    val v = WordPieceFiles.loadVocab(p.toString)
+    assert(v == Seq("[PAD]", "[UNK]", "the", "", "##e", "th"))
+    assert(v.indexOf("##e") == 4, "interior empty line must hold its id slot")
+    // the loaded table runs through the tokenizer with its own [UNK]
+    WordPieceFunctions.register(spark)
+    val ids = Seq((0L, "the zap")).toDF("doc_id", "text")
+      .select(WordPieceFunctions.wordPieceIds(col("text"), v,
+        unk = "[UNK]").as("ids"))
+      .as[Seq[Int]].head()
+    assert(ids == Seq(2, 1), "the -> id 2; unmatched word -> [UNK] id 1")
+  }
+
   test("wordPieceTrain: likelihood scoring, tie-break, early stop, naive equivalence") {
     import graft.ext.TextStats.{wordPieceTrainFull, wordPieceStats}
     // corpus: "aab"×10, "xy"×3. Raw-count BPE would take (a,##a) (count 10,
