@@ -1839,6 +1839,21 @@ object ExtQueries {
     // The planted suffix exercises greedy-beats-composition ("the" whole,
     // not th+##e), multi-piece words, digits, punctuation splits,
     // contractions, and a guaranteed-[UNK] word (ø has no vocab entry).
+    // TOKENIZE-AND-PACK terminal: WordPiece tokens (q172's fixed vocab,
+    // no planted suffix) concatenated in doc_id order and cut every 512
+    // tokens — one row per training sequence, documents spanning chunk
+    // boundaries. The oracle replays the greedy tokenization AND the
+    // packing (global token rank over (doc_id, position) -> rn//512
+    // chunks) — a boundary off by one token anywhere in the corpus
+    // shifts every later chunk and fails the hash.
+    "q174_pack_token_ids" -> { (s, dir) =>
+      val toks = TextStats.wordPieceStats(docsPar(s, dir), "text", q172Vocab)
+        .select(col("doc_id"), col("wp_tokens"))
+      Corpus.packTokenArrays(toks, "doc_id", "wp_tokens", capacity = 512)
+        .select(col("chunk"), col("n_ids"),
+          array_join(col("ids"), "\u001f").as("ids_str"))
+        .presentBy(col("chunk"))
+    },
     // WORDPIECE TRAINING end-to-end (Schuster & Nakajima 2012; the HF
     // trainer's likelihood scoring): induce 20 merges on the corpus —
     // each iteration takes the admissible pair maximizing
@@ -3636,7 +3651,8 @@ object ExtQueries {
     * must hold for any row to surface. */
   private def wpGreedySql(vocabSql: String, tExpr: String,
                           extraCtes: String = "",
-                          gateExpr: String = "TRUE"): String =
+                          gateExpr: String = "TRUE",
+                          tailSql: Option[String] = None): String =
     s"""WITH RECURSIVE ${extraCtes}base AS (SELECT doc_id,
        |    $tExpr AS t
        |  FROM documents),
@@ -3677,7 +3693,7 @@ object ExtQueries {
        |  FROM r WHERE bad OR pos >= len(w)),
        |f AS (SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
        |  FROM wpos JOIN fin USING (w) GROUP BY 1)
-       |SELECT d.doc_id,
+       |${tailSql.getOrElse(s"""SELECT d.doc_id,
        |  CAST(coalesce(len(f.toks), 0) AS INT) AS wp_count,
        |  coalesce(array_to_string(f.toks, chr(31)), '') AS wp_str,
        |  coalesce(array_to_string(list_transform(f.toks,
@@ -3685,7 +3701,7 @@ object ExtQueries {
        |           AS VARCHAR)), ' '), '') AS wp_ids_str
        |FROM documents d LEFT JOIN f USING (doc_id)
        |WHERE $gateExpr
-       |ORDER BY doc_id""".stripMargin
+       |ORDER BY doc_id""")}""".stripMargin
 
   private val wordPieceSql: String =
     wpGreedySql(
@@ -3695,7 +3711,30 @@ object ExtQueries {
       "lower(coalesce(text, '') || " +
         "' The theming ending 1234 don''t re-do \u00f8yen')")
 
+  // q174: greedy replay (f) + the PACKING replayed — global token rank
+  // over (doc_id, in-doc position), chunk = rn // 512, per-chunk ordered
+  // reassembly. DuckDB's global window is the oracle's privilege; the
+  // Spark side uses the two-phase prefix sum.
+  private val packTokenIdsSql: String = {
+    val vocabSql = q172Vocab.map(v => s"'${v.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    val tail =
+      """,
+        |u AS (SELECT doc_id, unnest(toks) AS t,
+        |    unnest(range(1, len(toks)+1)) AS ti FROM f),
+        |g AS (SELECT t, row_number() OVER (ORDER BY doc_id, ti) - 1 AS rn
+        |  FROM u),
+        |c AS (SELECT rn // 512 AS chunk, list(t ORDER BY rn) AS ids FROM g
+        |  GROUP BY 1)
+        |SELECT CAST(chunk AS BIGINT) AS chunk,
+        |  CAST(len(ids) AS INT) AS n_ids,
+        |  array_to_string(ids, chr(31)) AS ids_str
+        |FROM c ORDER BY chunk""".stripMargin
+    wpGreedySql(vocabSql, "lower(coalesce(text, ''))", tailSql = Some(tail))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q174_pack_token_ids" -> packTokenIdsSql,
     "q172_wordpiece" -> wordPieceSql,
     "q171_typo_join" -> typoJoinSql,
     "q170_byte_bpe" -> byteBpeSql,

@@ -748,6 +748,52 @@ object Corpus {
         floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
   }
 
+  /** TOKENIZE-AND-PACK terminal — the sequence layout a trainer actually
+    * consumes: concatenate every document's token array in `orderCol`
+    * order and cut the global stream every `capacity` tokens, emitting
+    * one row per chunk with its tokens in order (every chunk exactly
+    * `capacity` long except the final partial; documents SPAN chunk
+    * boundaries — this is the packed-stream sibling of [[packSequences]],
+    * which only labels each document with its starting chunk).
+    *
+    * Scale shape: per-document global offsets come from [[prefixSum]]
+    * (two-phase, no global-order window); each document then slices its
+    * own array across the ≤ len/capacity + 1 chunks it touches (pure
+    * per-row arithmetic), and chunks reassemble with one groupBy(chunk)
+    * + offset-sorted flatten — the one shuffle is the corpus token
+    * stream itself, which IS the output being materialized. Empty
+    * documents contribute nothing (and an all-empty tail creates no
+    * phantom chunk). Output: (chunk, ids, n_ids). */
+  def packTokenArrays(df: DataFrame, orderCol: String, idsCol: String,
+                      capacity: Long,
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    requireFresh(df, "packTokenArrays", "chunk", "ids", "n_ids")
+    val withLen = df.withColumn("__n", size(col(idsCol)).cast("long"))
+    val off = prefixSum(withLen, orderCol, "__n", "__cum", checkpoint)
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("__ids", col(idsCol))
+    val sliced = off.select(col("__start"),
+        explode(expr(
+          s"""transform(
+             |  sequence(CAST(__start DIV ${capacity}L AS BIGINT),
+             |    CAST((__start + greatest(size(__ids) - 1, 0)) DIV ${capacity}L AS BIGINT)),
+             |  c -> struct(c AS chunk,
+             |    slice(__ids,
+             |      CAST(greatest(c * ${capacity}L - __start, 0) + 1 AS INT),
+             |      CAST(least((c + 1) * ${capacity}L - __start, size(__ids))
+             |        - greatest(c * ${capacity}L - __start, 0) AS INT)) AS part))"""
+            .stripMargin)).as("__e"))
+      .select(col("__e.chunk").as("chunk"), col("__start"),
+        col("__e.part").as("part"))
+      .filter(size(col("part")) > 0)
+    sliced.groupBy(col("chunk"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__start"), col("part")))),
+        x => x.getField("part"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+  }
+
   /** Greedy token-budget selection: fill a training budget with the
     * best-scored documents first — order by (`scoreCol` desc, `idCol` asc),
     * keep the maximal prefix whose cumulative `tokenCol` stays within

@@ -310,6 +310,9 @@ object ScaleSlope {
       // r16: q173 = one capped word-count aggregate + bounded driver merge
       // loop + codegen greedy apply scan — the q123 trainer shape
       "q173_wordpiece_train",
+      // r16: q174 = tokenize scan + prefix-sum offsets + slice explode +
+      // one chunk-key shuffle (the output stream itself) — linear
+      "q174_pack_token_ids",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

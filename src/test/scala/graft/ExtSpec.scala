@@ -2542,6 +2542,38 @@ class ExtSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*wordpieceencode""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("packTokenArrays: boundary-spanning docs, exact fits, empty docs, partial tail") {
+    import graft.ext.Corpus
+    // capacity 4; docs (in doc_id order): 3 tokens, 3 tokens (spans the
+    // chunk-0/1 boundary), 0 tokens, 2 tokens (exact fit to chunk 1),
+    // 1 token (partial tail); global stream = a..i
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d", "e", "f")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("g", "h")),
+      (5L, Seq("i"))
+    ).toDF("doc_id", "toks")
+    val r = Corpus.packTokenArrays(docs, "doc_id", "toks", capacity = 4)
+      .orderBy("chunk")
+      .collect().map(x => (x.getLong(0), x.getSeq[String](1), x.getInt(2)))
+    assert(r.toSeq == Seq(
+      (0L, Seq("a", "b", "c", "d"), 4),  // doc 2 spans into chunk 0
+      (1L, Seq("e", "f", "g", "h"), 4),  // doc 3 (empty) contributes nothing
+      (2L, Seq("i"), 1)))                // final partial chunk
+    // an all-empty corpus creates no phantom chunks
+    val none = Corpus.packTokenArrays(
+      Seq((1L, Seq.empty[String])).toDF("doc_id", "toks"),
+      "doc_id", "toks", capacity = 4)
+    assert(none.count() == 0)
+    // a document longer than capacity spans several whole chunks
+    val big = Corpus.packTokenArrays(
+      Seq((1L, (0 until 10).map(i => s"t$i"))).toDF("doc_id", "toks"),
+      "doc_id", "toks", capacity = 4)
+      .orderBy("chunk").collect().map(x => (x.getLong(0), x.getInt(2)))
+    assert(big.toSeq == Seq((0L, 4), (1L, 4), (2L, 2)))
+  }
+
   test("WordPieceFiles: vocab.txt line-number ids, interior empty slots preserved") {
     import graft.funcs.{WordPieceFiles, WordPieceFunctions}
     val dir = java.nio.file.Files.createTempDirectory("graft_wp_vocab")
