@@ -763,7 +763,10 @@ object Corpus {
     * + offset-sorted flatten — the one shuffle is the corpus token
     * stream itself, which IS the output being materialized. Empty
     * documents contribute nothing (and an all-empty tail creates no
-    * phantom chunk). Output: (chunk, ids, n_ids). */
+    * phantom chunk). Document-separator tokens (the GPT-2 <|endoftext|>
+    * convention) are the caller's one-liner: append the separator to each
+    * document's array upstream (`concat(ids, array(lit(sep)))`) and it
+    * packs like any other token. Output: (chunk, ids, n_ids). */
   def packTokenArrays(df: DataFrame, orderCol: String, idsCol: String,
                       capacity: Long,
                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
