@@ -30,18 +30,28 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
   /** Data rows only (margins removed). */
   def dataRows(extraIgnore: Seq[String] = Nil): DataFrame = df.filter(isData(extraIgnore))
 
-  /** `df` with the upstream plan persisted at its first action (LAZY
-    * localCheckpoint — nothing runs at construction, preserving the
-    * class contract above). Margin transforms FORK the table into
-    * (base, aggregate-over-base) branches, and without a materialization
-    * point every branch re-executes the entire upstream pipeline — q05's
-    * two-margin chain scanned lineitem three times (one full scan +
-    * pivot per branch). A FlatTable is a DISPLAY table, result-sized by
-    * construction, so the persisted blocks are bounded however large the
-    * source corpus: at 100 TB this turns an N-margin chain from N+1 full
-    * corpus scans into ONE scan plus N reads of a pivot-sized block.
-    * Lazy per-instance cache, so back-to-back margin ops on the same
-    * table share one checkpoint; blocks are freed by the ContextCleaner
+  /** `df` with the upstream plan persisted at its first action (lazy —
+    * nothing runs at construction, preserving the class contract above).
+    * Margin transforms FORK the table into (base, aggregate-over-base)
+    * branches, and without a materialization point every branch
+    * re-executes the entire upstream pipeline — q05's two-margin chain
+    * scanned lineitem three times (one full scan + pivot per branch). A
+    * FlatTable is a DISPLAY table, result-sized by construction, so the
+    * persisted blocks are bounded however large the source corpus: at
+    * 100 TB this turns an N-margin chain from N+1 full corpus scans into
+    * ONE scan plus N reads of a pivot-sized block.
+    *
+    * `localCheckpoint(eager = false)`, NOT `Dataset.persist`: persist
+    * registers the plan in the session CacheManager, which silently
+    * serves EVERY later identical sub-plan session-wide — surprising
+    * memory/staleness semantics for an implicit internal device (and it
+    * let a benchmark's timed run serve its own warmup's cache, measured
+    * and rejected in r16). The checkpoint's known trade is executor-local
+    * blocks: on a real cluster a lost executor fails the one presentation
+    * query, which re-runs — the `CheckpointStrategy.Local` posture, and
+    * display-layer queries are the cheapest in the engine to retry. Lazy
+    * per-instance cache, so back-to-back margin ops on the same table
+    * share one materialization; blocks are freed by the ContextCleaner
     * when the table is garbage-collected. */
   @transient lazy val forked: DataFrame = df.localCheckpoint(eager = false)
 
