@@ -766,17 +766,34 @@ object Corpus {
     * phantom chunk). Document-separator tokens (the GPT-2 <|endoftext|>
     * convention) are the caller's one-liner: append the separator to each
     * document's array upstream (`concat(ids, array(lit(sep)))`) and it
-    * packs like any other token. Output: (chunk, ids, n_ids). */
+    * packs like any other token.
+    *
+    * Output: (chunk, ids, n_ids, doc_spans). `doc_spans` is the
+    * document-boundary metadata every packed-sequence trainer needs to
+    * mask cross-document attention/loss: one `(doc, off, len)` struct per
+    * document SEGMENT in the chunk, ordered by `off` — `doc` is the
+    * document's `orderCol` value, `off` its segment's 0-based start
+    * offset inside the chunk's `ids`, `len` the segment length; segments
+    * tile the chunk exactly (offs/lens are contiguous and sum to
+    * `n_ids`). A boundary-spanning document appears in every chunk it
+    * touches, once per chunk. The spans ride the same slice rows the ids
+    * reassemble from (the offsets already exist in the slicing stage), so
+    * the column costs no extra shuffle. `docCol` overrides the span `doc`
+    * identity when the ORDER key is synthetic (the streaming packer
+    * orders by a (remainder, batch-key) struct but spans must name the
+    * original document). */
   def packTokenArrays(df: DataFrame, orderCol: String, idsCol: String,
                       capacity: Long,
-                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                      docCol: Option[String] = None): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    requireFresh(df, "packTokenArrays", "chunk", "ids", "n_ids")
+    requireFresh(df, "packTokenArrays", "chunk", "ids", "n_ids", "doc_spans")
     val withLen = df.withColumn("__n", size(col(idsCol)).cast("long"))
     val off = prefixSum(withLen, orderCol, "__n", "__cum", checkpoint)
       .withColumn("__start", col("__cum") - col("__n"))
       .withColumn("__ids", col(idsCol))
     val sliced = off.select(col("__start"),
+        col(docCol.getOrElse(orderCol)).as("__doc"),
         explode(expr(
           s"""transform(
              |  sequence(CAST(__start DIV ${capacity}L AS BIGINT),
@@ -787,14 +804,25 @@ object Corpus {
              |      CAST(least((c + 1) * ${capacity}L - __start, size(__ids))
              |        - greatest(c * ${capacity}L - __start, 0) AS INT)) AS part))"""
             .stripMargin)).as("__e"))
-      .select(col("__e.chunk").as("chunk"), col("__start"),
+      .select(col("__e.chunk").as("chunk"), col("__start"), col("__doc"),
         col("__e.part").as("part"))
       .filter(size(col("part")) > 0)
+    // __start is unique per document (strict prefix-sum offsets) and a
+    // document contributes at most one segment per chunk, so the struct
+    // sort never reaches the later fields — both aggregates read the SAME
+    // collect_list (Catalyst collapses the equal aggregate expressions)
+    def sorted = array_sort(collect_list(
+      struct(col("__start"), col("__doc"), col("part"))))
     sliced.groupBy(col("chunk"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__start"), col("part")))),
-        x => x.getField("part"))).as("ids"))
+      .agg(
+        flatten(transform(sorted, x => x.getField("part"))).as("ids"),
+        transform(sorted, x => struct(
+          x.getField("__doc").as("doc"),
+          greatest(x.getField("__start") - col("chunk") * lit(capacity),
+            lit(0L)).as("off"),
+          size(x.getField("part")).cast("long").as("len"))).as("doc_spans"))
       .withColumn("n_ids", size(col("ids")))
+      .select(col("chunk"), col("ids"), col("n_ids"), col("doc_spans"))
   }
 
   /** Greedy token-budget selection: fill a training budget with the

@@ -273,6 +273,166 @@ object Streaming {
         ()
       }
 
+  /** Streaming TOKENIZE-AND-PACK — [[graft.ext.Corpus.packTokenArrays]]'s
+    * continuous sibling (VERDICT r16 #4), completing the terminal-family
+    * pattern (dedup/quality/retrieval/typo all have streaming forms): each
+    * micro-batch's token arrays are appended to the global packed stream,
+    * FULL `capacity`-sized chunks are delivered to `onChunks` (with
+    * `doc_spans` boundary metadata, globally-numbered `chunk` ids), and
+    * the partial last chunk is carried as a REMAINDER BUFFER into the next
+    * batch — so the concatenation of every delivered chunk plus the final
+    * remainder equals the batch operator on the concatenated input,
+    * bit-for-bit (StreamingSpec pins the parity and runs the two-cycle
+    * kill-and-restart).
+    *
+    * State (at `stateDir`, tiny by construction): per applied batch, the
+    * remainder's per-document segments (< `capacity` tokens total, with
+    * their original doc keys so spans stay truthful across the boundary)
+    * as `rem_<batchId>` parquet plus a `meta_<batchId>` file carrying the
+    * emitted-chunk count — meta written LAST (tmp + rename), the
+    * write-last discipline of the epoch stores. Crash semantics: a batch
+    * REPLAYED by the checkpoint after a crash reloads the state of batch
+    * N−1 and reproduces byte-identical chunks (at-least-once delivery of
+    * idempotent content); a crash between delivery and the state write
+    * re-delivers, never skips or corrupts. Chunk ids and packing are
+    * deterministic because order is (batch arrival, `orderCol` within the
+    * batch) — the stream's definition of corpus order.
+    *
+    * Scale shape per batch: the batch operator's verbatim (prefix-sum
+    * offsets, per-row slicing, one chunk-key shuffle of the output
+    * stream); the remainder read is one < capacity-token parquet scan,
+    * and the prefix-sum checkpoint's blocks are released before the batch
+    * returns ([[checkpointReleasable]]'s unpersist-by-leaf discipline).
+    * Use [[packStreamRemainder]] after the stream stops to flush the tail
+    * partial chunk. */
+  def tokenPackStream(events: DataFrame, orderCol: String, idsCol: String,
+                      capacity: Long, stateDir: String,
+                      onChunks: (DataFrame, Long) => Unit,
+                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) packOneBatch(batch, id, orderCol, idsCol,
+          capacity, stateDir, onChunks)
+        ()
+      }
+  }
+
+  /** The remainder segments after the last applied batch at `stateDir`:
+    * (seg, doc, part) rows in stream order — concatenate the parts for
+    * the final partial chunk's ids, or feed them to a follow-up run.
+    * Empty frame (never a missing-path error) when no batch has applied. */
+  def packStreamRemainder(spark: org.apache.spark.sql.SparkSession,
+                          stateDir: String): DataFrame =
+    loadPackState(spark, stateDir, Long.MaxValue) match {
+      case Some((_, rem)) => rem
+      case None =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          StructType(Seq(StructField("seg", LongType),
+            StructField("doc", LongType), StructField("part",
+              ArrayType(StringType)))))
+    }
+
+  /** Emitted-chunk count after the last applied batch (0 when none). */
+  def packStreamChunkCount(spark: org.apache.spark.sql.SparkSession,
+                           stateDir: String): Long =
+    loadPackState(spark, stateDir, Long.MaxValue).map(_._1).getOrElse(0L)
+
+  private def packFs(spark: org.apache.spark.sql.SparkSession, stateDir: String) =
+    org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(stateDir),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Latest applied state with batch id ≤ `upTo`: (chunksEmitted,
+    * remainder segments). None = cold start. The meta file is written
+    * last, so a listed meta always has a readable remainder next to it. */
+  private def loadPackState(spark: org.apache.spark.sql.SparkSession,
+                            stateDir: String,
+                            upTo: Long): Option[(Long, DataFrame)] = {
+    val fs = packFs(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("meta_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("meta_").toLong).toOption)
+      .filter(_ <= upTo).toSeq
+    if (ids.isEmpty) return None
+    val id = ids.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$stateDir/meta_$id"))
+    val chunks = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    Some((chunks, spark.read.parquet(s"$stateDir/rem_$id")))
+  }
+
+  private def packOneBatch(batch: DataFrame, batchId: Long,
+                           orderCol: String, idsCol: String, capacity: Long,
+                           stateDir: String,
+                           onChunks: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val keyType = batch.schema(orderCol).dataType
+    val prior = loadPackState(spark, stateDir, batchId - 1)
+    val chunksEmitted = prior.map(_._1).getOrElse(0L)
+    // feed = remainder segments (order key (0, seg, -)) then the batch
+    // (order key (1, -, orderCol)): the struct's first field decides
+    // across the boundary, so the null filler key is never compared
+    val batchFeed = batch.select(
+      struct(lit(1).as("b"), lit(0L).as("r"), col(orderCol).as("k"))
+        .as("__ford"),
+      col(orderCol).as("__doc"), col(idsCol).as("__ids"))
+    val feed = prior match {
+      case Some((_, rem)) => rem.select(
+          struct(lit(0).as("b"), col("seg").as("r"),
+            lit(null).cast(keyType).as("k")).as("__ford"),
+          col("doc").as("__doc"), col("part").as("__ids"))
+        .unionByName(batchFeed)
+      case None => batchFeed
+    }
+    val packed = graft.ext.Corpus.packTokenArrays(feed, "__ford", "__ids",
+        capacity, docCol = Some("__doc"))
+      .withColumn("chunk", col("chunk") + lit(chunksEmitted))
+    // one materialization, three consumers (deliver, count, remainder);
+    // blocks released before the batch returns
+    val (mat, release) = checkpointReleasable(packed)
+    try {
+      val fullCount = mat.filter(col("n_ids") === capacity).count()
+      onChunks(mat.filter(col("n_ids") === capacity), batchId)
+      // the partial tail (≤ 1 row, < capacity tokens) becomes the next
+      // batch's remainder, split back into per-document segments via its
+      // own doc_spans so boundary metadata survives the carry
+      val partial = mat.filter(col("n_ids") < capacity)
+        .select(col("ids"), col("doc_spans")).collect()
+      val segRows: Seq[Row] = partial.toSeq.flatMap { r =>
+        val ids = r.getSeq[Any](0)
+        r.getSeq[Row](1).zipWithIndex.map { case (sp, i) =>
+          val off = sp.getLong(1).toInt
+          val len = sp.getLong(2).toInt
+          Row(i.toLong, sp.get(0), ids.slice(off, off + len))
+        }
+      }
+      import org.apache.spark.sql.types._
+      val partType = batch.schema(idsCol).dataType
+      val segSchema = StructType(Seq(StructField("seg", LongType),
+        StructField("doc", keyType), StructField("part", partType)))
+      val segDf = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(segRows).asJava, segSchema)
+      segDf.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/rem_$batchId")
+      // meta LAST: a crash before this line leaves batch N-1's state as
+      // the newest meta, and the checkpoint replays this batch verbatim
+      val fs = packFs(spark, stateDir)
+      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/meta_$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((chunksEmitted + fullCount).toString.getBytes("UTF-8"))
+      finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(s"$stateDir/meta_$batchId")
+      fs.delete(dst, false)
+      fs.rename(tmp, dst)
+      ()
+    } finally release()
+  }
+
   /** Per-batch tabulation: run the (margin-producing) tabulation pipeline on
     * every micro-batch output. Margins over an unbounded stream are only
     * consistent within a batch snapshot, so `foreachBatch` is the correct

@@ -1346,4 +1346,104 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.forall(_.getString(2).split("\n").forall(_.endsWith("."))))
     } finally q.stop()
   }
+
+  test("tokenPackStream: chunk/span parity with packTokenArrays across two kill-and-restart cycles") {
+    // VERDICT r16 #4 — the tokenize-and-pack terminal's streaming sibling:
+    // full chunks stream out with globally-numbered ids and doc_spans, the
+    // partial tail carries as a remainder buffer, and the concatenation of
+    // everything emitted plus the final remainder equals the batch
+    // operator on the concatenated input bit-for-bit. Each cycle is a full
+    // stream lifecycle (start -> AvailableNow -> terminate = "crash"); the
+    // file-source checkpoint must resume past processed batches and the
+    // persisted remainder state must survive the restart.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pack_stream")
+    val inDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val state = root.resolve("state").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("toks", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    @volatile var emitted =
+      Vector.empty[(Long, Seq[String], Int, Seq[(Long, Long, Long)])]
+    def addFile(rows: Seq[(Long, Seq[String])]): Unit =
+      rows.toDF("doc_id", "toks").coalesce(1).write.mode("append").json(inDir)
+    def runCycle(): Unit = {
+      val q = Streaming.tokenPackStream(
+        spark.readStream.schema(schema).json(inDir), "doc_id", "toks",
+        capacity = 4, stateDir = state,
+        onChunks = (chunks, _) => {
+          emitted ++= chunks.orderBy("chunk").collect().map { r =>
+            (r.getAs[Long]("chunk"), r.getSeq[String](r.fieldIndex("ids")),
+              r.getAs[Int]("n_ids"),
+              r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+                .map(sp => (sp.getLong(0), sp.getLong(1), sp.getLong(2))))
+          }
+          ()
+        })
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    // cycle 1: 6 tokens -> one full chunk, remainder (doc 2: e f)
+    val b1 = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d", "e", "f")))
+    addFile(b1); runCycle()
+    assert(emitted.map(_._1) == Vector(0L))
+    // cycle 2 (after "crash"): remainder + empty doc + 3 tokens -> one
+    // full chunk SPANNING the restart (doc 2's tail + doc 4), remainder
+    // (doc 5: i). Batch 1's file must not reprocess.
+    val b2 = Seq((3L, Seq.empty[String]), (4L, Seq("g", "h")), (5L, Seq("i")))
+    addFile(b2); runCycle()
+    // cycle 3: remainder + 3 tokens -> an exact-fit full chunk, empty tail
+    val b3 = Seq((6L, Seq("j", "k", "l")))
+    addFile(b3); runCycle()
+    // parity: the batch operator on the concatenated input
+    val batch = graft.ext.Corpus.packTokenArrays(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "toks"), "doc_id", "toks",
+        capacity = 4)
+      .orderBy("chunk").collect().map { r =>
+        (r.getAs[Long]("chunk"), r.getSeq[String](r.fieldIndex("ids")),
+          r.getAs[Int]("n_ids"),
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+            .map(sp => (sp.getLong(0), sp.getLong(1), sp.getLong(2))))
+      }.toVector
+    assert(emitted == batch,
+      s"streamed chunks/spans drifted from the batch layout:\n$emitted\n$batch")
+    assert(emitted.map(_._4) == Vector(
+      Seq((1L, 0L, 3L), (2L, 3L, 1L)),
+      Seq((2L, 0L, 2L), (4L, 2L, 2L)),   // doc 2's tail crossed the restart
+      Seq((5L, 0L, 1L), (6L, 1L, 3L))))
+    // the final remainder is EMPTY (12 tokens = 3 exact chunks) and the
+    // chunk counter survived both restarts
+    assert(Streaming.packStreamRemainder(spark, state).count() == 0L)
+    assert(Streaming.packStreamChunkCount(spark, state) == 3L)
+  }
+
+  test("tokenPackStream: non-exact tail stays in the remainder, never emits early") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pack_tail")
+    val inDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val state = root.resolve("state").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("toks", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    @volatile var n = 0
+    Seq((1L, Seq("a", "b", "c", "d", "e", "f", "g")))
+      .toDF("doc_id", "toks").coalesce(1).write.mode("append").json(inDir)
+    val q = Streaming.tokenPackStream(
+      spark.readStream.schema(schema).json(inDir), "doc_id", "toks",
+      capacity = 4, stateDir = state,
+      onChunks = (chunks, _) => { n += chunks.collect().length; () })
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    assert(n == 1) // 7 tokens -> one full chunk; 3 carried, not emitted
+    val rem = Streaming.packStreamRemainder(spark, state)
+      .orderBy("seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSeq
+    assert(rem == Seq((0L, 1L, Seq("e", "f", "g"))))
+    assert(Streaming.packStreamChunkCount(spark, state) == 1L)
+  }
 }
+
