@@ -614,27 +614,42 @@ object Dedup {
     * no `id1 < id2` mask: left and right are different relations.
     * Output: (`leftId`, `rightId`, dist).
     *
+    * NULL keys match NOTHING, on either side — the SQL comparison
+    * semantics (`levenshtein(NULL, x) IS NULL`), which is what the q171
+    * oracle's exact theta-join computes. Rows with a NULL key are
+    * filtered before the variant explode; a caller who wants
+    * NULL-as-empty-string semantics (every NULL pairing with every key of
+    * length ≤ maxDist) should `coalesce` the key upstream, explicitly.
+    *
     * Scale shape: each side explodes into skinny linear variant postings;
     * `maxKeyFreq` caps hot variant keys PER SIDE (a key over-cap on
-    * either side emits no pairs — lost recall, observable through the
-    * auto-named `graft.symspell.key_cap` observations or measured with
-    * [[symspellCapReport]] on each input). Collapse exact duplicates per
-    * side first, the terminals' rule. */
+    * either side emits no pairs — lost recall). Pass `leftObservation` /
+    * `rightObservation` to read each side's dropped mass
+    * (`dropped_postings`, `max_key_freq`) off this very action — the
+    * [[deletionNeighborPairs]] observation surface; without them the
+    * auto-named `graft.symspell.key_cap` observations still fire, or
+    * measure with [[symspellCapReport]] on each input (same AQE caveat
+    * as [[SymSpellCapMetric]]). Collapse exact duplicates per side
+    * first, the terminals' rule. */
   def typoJoin(left: DataFrame, right: DataFrame,
                leftId: String, leftKey: String,
                rightId: String, rightKey: String,
                maxDist: Int = 1,
-               maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+               maxKeyFreq: Option[Int] = Some(DefaultMaxDocFreq),
+               leftObservation: Option[org.apache.spark.sql.Observation] = None,
+               rightObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
     require(leftId != rightId,
       s"output id columns must have distinct names, both are '$leftId'")
     val cap = maxKeyFreq.map(_.toLong)
     val lp = capVariantKeys(
-        deleteVariantPostings(left, leftId, leftKey, maxDist), cap, None)
+        deleteVariantPostings(left.filter(col(leftKey).isNotNull),
+          leftId, leftKey, maxDist), cap, leftObservation)
       .select(col("__k"), col("__id").as("__lid"), col("__s").as("__ls"))
     val rp = capVariantKeys(
-        deleteVariantPostings(right, rightId, rightKey, maxDist), cap, None)
+        deleteVariantPostings(right.filter(col(rightKey).isNotNull),
+          rightId, rightKey, maxDist), cap, rightObservation)
       .select(col("__k"), col("__id").as("__rid"), col("__s").as("__rs"))
     lp.join(rp, Seq("__k"))
       .select(col("__lid"), col("__rid"), col("__ls"), col("__rs")).distinct()

@@ -125,7 +125,11 @@ final class WordPieceCodec(val vocab: Array[String], val unk: String,
         val id = ids0.getInt(i)
         if (id >= 0 && id < vocab.length) {
           val t = vocab(id)
-          if (t.length > 2 && t.startsWith("##")) sb.append(t, 2, t.length)
+          // any ##-prefixed piece is a continuation — including a
+          // degenerate "##" vocab entry (empty suffix), which must NOT
+          // render as a word-initial '##': the encoder treats every
+          // ##-prefixed piece as a continuation, and decode mirrors it
+          if (t.startsWith("##")) sb.append(t, 2, t.length)
           else {
             if (sb.length() > 0) sb.append(' ')
             sb.append(t)
