@@ -52,8 +52,33 @@ final case class FlatTable(df: DataFrame, meta: TableMeta) {
     * display-layer queries are the cheapest in the engine to retry. Lazy
     * per-instance cache, so back-to-back margin ops on the same table
     * share one materialization; blocks are freed by the ContextCleaner
-    * when the table is garbage-collected. */
-  @transient lazy val forked: DataFrame = df.localCheckpoint(eager = false)
+    * when the table is garbage-collected — and chained margin ops
+    * checkpoint each intermediate, so a LONG-LIVED interactive session
+    * building many display tables accumulates executor-local blocks
+    * until the GC runs. [[releaseForked]] is the explicit path for such
+    * sessions: call it when a table (and everything derived from its
+    * margins) is done being read. */
+  @transient @volatile private var forkedCreated = false
+  @transient lazy val forked: DataFrame = {
+    forkedCreated = true
+    df.localCheckpoint(eager = false)
+  }
+
+  /** Explicitly free [[forked]]'s executor-local checkpoint blocks
+    * without waiting for the ContextCleaner (the long-interactive-session
+    * memory profile; a no-op when the fork was never materialized).
+    * IRREVERSIBLE for this instance: a local checkpoint truncates
+    * lineage, so a later action on a DataFrame derived from [[forked]]
+    * cannot recompute the freed blocks — release only when done reading
+    * the table and its margin descendants. */
+  def releaseForked(blocking: Boolean = false): Unit =
+    if (forkedCreated) {
+      forked.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking); ()
+        case _ => ()
+      }
+    }
 
   // ---- canonical ordering ----------------------------------------------
 

@@ -156,4 +156,24 @@ class TotalsSpec extends AnyFunSuite {
     assert(math.abs(mean.getDouble(1) - c0.sum.toDouble / c0.size) < 1e-12)
     assert(mx.getDouble(1) == c0.max.toDouble)
   }
+
+  test("releaseForked frees the margin fork's checkpoint blocks explicitly") {
+    // ADVICE r16: chained margin ops checkpoint each intermediate union;
+    // a long interactive session needs a release path that doesn't wait
+    // for the ContextCleaner. Before release the checkpoint RDD must be
+    // registered as persistent; after, gone. A never-materialized fork is
+    // a no-op (releaseForked must not CREATE the checkpoint to free it).
+    val sc = spark.sparkContext
+    val fresh = f1
+    val before = sc.getPersistentRDDs.keySet
+    fresh.releaseForked(blocking = true) // not materialized: no-op
+    assert(sc.getPersistentRDDs.keySet == before)
+    val ft = fresh.addTotals(Axis.Rows)
+    ft.ordered.collect() // materializes fresh.forked
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "margin chain should have registered a local checkpoint")
+    fresh.releaseForked(blocking = true)
+    assert((sc.getPersistentRDDs.keySet & added).isEmpty,
+      "explicit release must drop the fork's blocks without waiting for GC")
+  }
 }
