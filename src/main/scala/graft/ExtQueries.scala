@@ -1665,8 +1665,8 @@ object ExtQueries {
     // pinned against a hand-computed fixture in ExtSpec.
     "q123_bpe_train" -> { (s, dir) =>
       val docs = docsPar(s, dir)
-      val (m, v) = TextStats.bpeTrain(docs, "text", numMerges = 20,
-        maxWords = 10000)
+      val (m, v) = TextStats.bpeTrain(docs, "text",
+        numMerges = TrainNumMerges, maxWords = TrainMaxWords)
       OracleAux.write("q123_merges", m)
       TextStats.bpeStats(docs, "text", m, v)
         .select(col("doc_id"), col("bpe_count"),
@@ -1816,12 +1816,21 @@ object ExtQueries {
     // synthesized prefix/suffix plant every path the corpus text lacks:
     // capitalized word, multi-byte é, contraction 's, a 3-space run (the
     // \s+(?!\S) split + the ĠĠ whitespace merge), an interior newline
-    // (Ċ), and a trailing whitespace run.
+    // (Ċ), and a trailing whitespace run. The planted text NORMALIZES
+    // non-RE2 whitespace to ' ' on BOTH sides (the same class literal in
+    // the oracle's base CTE): the engine's pre-tokenizer classifies \s
+    // with UNICODE_CHARACTER_CLASS (the reference discipline —
+    // BpeExpressions preTok), the oracle replay runs under RE2's
+    // ASCII-only \s, and the two classes differ exactly on
+    // [\x0B U+0085 U+00A0 U+1680 U+2000-200A U+2028 U+2029 U+202F
+    // U+205F U+3000] — so the replayed split is provable only over the
+    // shared ASCII whitespace set, which the normalization pins.
     "q170_byte_bpe" -> ((s, dir) =>
       TextStats.bpeStats(
           docsPar(s, dir).select(col("doc_id"),
             concat(lit("The r\u00e9sum\u00e9, it's here   and "),
-              coalesce(col("text"), lit("")),
+              regexp_replace(coalesce(col("text"), lit("")),
+                NonRe2WhitespaceJava, " "),
               lit("\n the end  ")).as("text2")),
           "text2", q170Merges.map { case (a, b) => s"$a $b" }, q170Vocab,
           byteLevel = true)
@@ -1842,16 +1851,23 @@ object ExtQueries {
     // TOKENIZE-AND-PACK terminal: WordPiece tokens (q172's fixed vocab,
     // no planted suffix) concatenated in doc_id order and cut every 512
     // tokens — one row per training sequence, documents spanning chunk
-    // boundaries. The oracle replays the greedy tokenization AND the
-    // packing (global token rank over (doc_id, position) -> rn//512
-    // chunks) — a boundary off by one token anywhere in the corpus
-    // shifts every later chunk and fails the hash.
+    // boundaries, plus the per-chunk document-boundary spans
+    // (doc_id:off:len per segment — the attention/loss-mask metadata
+    // packed-sequence trainers require). The oracle replays the greedy
+    // tokenization AND the packing AND the spans from one global token
+    // rank over (doc_id, position): chunk = rn//512, per-(chunk, doc)
+    // offset = min(rn) % 512, length = count — a boundary off by one
+    // token anywhere in the corpus shifts every later chunk and fails
+    // the hash.
     "q174_pack_token_ids" -> { (s, dir) =>
       val toks = TextStats.wordPieceStats(docsPar(s, dir), "text", q172Vocab)
         .select(col("doc_id"), col("wp_tokens"))
       Corpus.packTokenArrays(toks, "doc_id", "wp_tokens", capacity = 512)
         .select(col("chunk"), col("n_ids"),
-          array_join(col("ids"), "\u001f").as("ids_str"))
+          array_join(col("ids"), "\u001f").as("ids_str"),
+          array_join(transform(col("doc_spans"), x =>
+            concat_ws(":", x.getField("doc"), x.getField("off"),
+              x.getField("len"))), " ").as("spans_str"))
         .presentBy(col("chunk"))
     },
     // WORDPIECE TRAINING end-to-end (Schuster & Nakajima 2012; the HF
@@ -1868,7 +1884,8 @@ object ExtQueries {
     "q173_wordpiece_train" -> { (s, dir) =>
       val docs = docsPar(s, dir)
       val (m, v) = TextStats.wordPieceTrainFull(docs, "text",
-        numMerges = 20, maxWords = 10000)
+        numMerges = TrainNumMerges, maxWords = TrainMaxWords,
+        minPairCount = Q173MinPairCount)
       OracleAux.write("q173_merges", m.map { case (a, b) => s"$a $b" })
       OracleAux.write("q173_vocab", v)
       TextStats.wordPieceStats(docs, "text", v)
@@ -2067,6 +2084,30 @@ object ExtQueries {
     }
 
   private def q91MergedExpr(src: String): String = mergedExpr(q91Merges, src)
+
+  /** q123/q173 trainer parameters — ONE definition feeding both the query
+    * lambda and the oracle generator (ADVICE r16): the oracle GATES its
+    * rows on replaying every selection under these exact values, so a
+    * silent drift between the two sides would empty the oracle and fail
+    * the driver compare with no hint at the cause. */
+  private val TrainNumMerges = 20
+  private val TrainMaxWords = 10000
+  private val Q173MinPairCount = 2L
+
+  /** The whitespace set Java's UNICODE_CHARACTER_CLASS `\s` matches and
+    * RE2's ASCII `\s` does not (Unicode White_Space minus `[\t\n\f\r ]`).
+    * q170's planted text normalizes these to ' ' on BOTH engines (ADVICE
+    * r16): the Spark byte-level pre-tokenizer runs the reference's
+    * Unicode `\s`, the DuckDB replay runs RE2's ASCII `\s`, and any
+    * corpus document containing one of these characters would
+    * pre-tokenize differently on the two sides — a false oracle failure,
+    * not silent wrongness. Two spellings of ONE class: Java regex for
+    * the Spark side, RE2 `\x{...}` for the oracle side. */
+  private val NonRe2WhitespaceJava =
+    "[\\x0B\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+  private val NonRe2WhitespaceRe2 =
+    "[\\x{000B}\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
 
   /** q170's BYTE-LEVEL merges, in the GPT-2 stand-in alphabet
     * (Ġ = U+0120 is byte 0x20 ' ', Ċ = U+010A is 0x0A '\n', Ã/© are the
@@ -3582,7 +3623,9 @@ object ExtQueries {
       .mkString("[", ", ", "]")
     s"""WITH base AS (SELECT doc_id,
        |    'The r' || chr(233) || 'sum' || chr(233) || ', it''s here   and '
-       |      || coalesce(text, '') || chr(10) || ' the end  ' AS t2
+       |      || regexp_replace(coalesce(text, ''),
+       |           '$NonRe2WhitespaceRe2', ' ', 'g')
+       |      || chr(10) || ' the end  ' AS t2
        |  FROM documents),
        |seg AS (SELECT doc_id,
        |    string_split(regexp_replace(t2, '(\\s)(\\S)', chr(30) || '\\1\\2',
@@ -3722,14 +3765,22 @@ object ExtQueries {
       """,
         |u AS (SELECT doc_id, unnest(toks) AS t,
         |    unnest(range(1, len(toks)+1)) AS ti FROM f),
-        |g AS (SELECT t, row_number() OVER (ORDER BY doc_id, ti) - 1 AS rn
+        |g AS (SELECT doc_id, t,
+        |    row_number() OVER (ORDER BY doc_id, ti) - 1 AS rn
         |  FROM u),
         |c AS (SELECT rn // 512 AS chunk, list(t ORDER BY rn) AS ids FROM g
-        |  GROUP BY 1)
-        |SELECT CAST(chunk AS BIGINT) AS chunk,
+        |  GROUP BY 1),
+        |sp AS (SELECT rn // 512 AS chunk, doc_id, min(rn) % 512 AS off,
+        |    count(*) AS len FROM g GROUP BY 1, 2),
+        |sps AS (SELECT chunk, array_to_string(list(
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' ||
+        |    CAST(len AS VARCHAR) ORDER BY off), ' ') AS spans_str
+        |  FROM sp GROUP BY 1)
+        |SELECT CAST(c.chunk AS BIGINT) AS chunk,
         |  CAST(len(ids) AS INT) AS n_ids,
-        |  array_to_string(ids, chr(31)) AS ids_str
-        |FROM c ORDER BY chunk""".stripMargin
+        |  array_to_string(ids, chr(31)) AS ids_str,
+        |  sps.spans_str
+        |FROM c JOIN sps USING (chunk) ORDER BY chunk""".stripMargin
     wpGreedySql(vocabSql, "lower(coalesce(text, ''))", tailSql = Some(tail))
   }
 
@@ -6344,7 +6395,7 @@ object ExtQueries {
       val merges = mergeLines.filter(_.nonEmpty).map { l =>
         val i = l.indexOf(' '); (l.substring(0, i), l.substring(i + 1))
       }
-      val numMerges = 20 // must mirror the q173 call above
+      val numMerges = TrainNumMerges
       def sq(x: String) = x.replace("'", "''")
       def strip(x: String) = if (x.startsWith("##")) x.substring(2) else x
       def wpMergedExpr(src: String, k: Int): String =
@@ -6365,7 +6416,7 @@ object ExtQueries {
            |sc$k AS (SELECT p.a, p.b, p.c, ya.sc AS ca, yb.sc AS cb
            |  FROM p$k p JOIN y$k ya ON p.a = ya.sym
            |    JOIN y$k yb ON p.b = yb.sym
-           |  WHERE p.c >= 2),
+           |  WHERE p.c >= $Q173MinPairCount),
            |m$k AS (SELECT a || ' ' || b AS mrg FROM sc$k r
            |  WHERE NOT EXISTS (SELECT 1 FROM sc$k s WHERE
            |    CAST(s.c AS HUGEINT) * r.ca * r.cb
@@ -6385,7 +6436,7 @@ object ExtQueries {
            |      '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')) AS w
            |    FROM documents) u0
            |  GROUP BY 1
-           |  QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 10000),
+           |  QUALIFY row_number() OVER (ORDER BY n DESC, w) <= $TrainMaxWords),
            |wr0 AS (SELECT chr(31) || w[1] || chr(31) ||
            |    coalesce(array_to_string(list_transform(
            |      range(2, len(w) + 1),
@@ -6407,7 +6458,7 @@ object ExtQueries {
       val merges = lines.filter(_.nonEmpty).map { l =>
         val i = l.indexOf(' '); (l.substring(0, i), l.substring(i + 1))
       }
-      val numMerges = 20 // must mirror the q123 call above
+      val numMerges = TrainNumMerges
       def sq(s: String) = s.replace("'", "''")
       def mergedExpr(src: String, k: Int): String =
         merges.take(k).foldLeft(src) { case (acc, (a, b)) =>
@@ -6442,7 +6493,7 @@ object ExtQueries {
          |    SELECT unnest(pts) AS w FROM base) u
          |  WHERE NOT regexp_matches(w, '^\\s+$$')
          |  GROUP BY 1
-         |  QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 10000),
+         |  QUALIFY row_number() OVER (ORDER BY n DESC, w) <= $TrainMaxWords),
          |wr0 AS (SELECT regexp_replace(w, '(?s)(.)',
          |    chr(31)||'\\1'||chr(31), 'g') AS s0, n FROM wt),
          |$rankCtes,

@@ -2554,13 +2554,21 @@ class ExtSpec extends AnyFunSuite {
       (4L, Seq("g", "h")),
       (5L, Seq("i"))
     ).toDF("doc_id", "toks")
-    val r = Corpus.packTokenArrays(docs, "doc_id", "toks", capacity = 4)
-      .orderBy("chunk")
-      .collect().map(x => (x.getLong(0), x.getSeq[String](1), x.getInt(2)))
+    val rows = Corpus.packTokenArrays(docs, "doc_id", "toks", capacity = 4)
+      .orderBy("chunk").collect()
+    val r = rows.map(x => (x.getLong(0), x.getSeq[String](1), x.getInt(2)))
     assert(r.toSeq == Seq(
       (0L, Seq("a", "b", "c", "d"), 4),  // doc 2 spans into chunk 0
       (1L, Seq("e", "f", "g", "h"), 4),  // doc 3 (empty) contributes nothing
       (2L, Seq("i"), 1)))                // final partial chunk
+    // doc_spans: (doc, off, len) per document segment, ordered by off,
+    // tiling each chunk exactly — the attention/loss-mask metadata
+    val spans = rows.map(_.getSeq[org.apache.spark.sql.Row](3)
+      .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))))
+    assert(spans.toSeq == Seq(
+      Seq((1L, 0L, 3L), (2L, 3L, 1L)),   // doc 2's head closes chunk 0
+      Seq((2L, 0L, 2L), (4L, 2L, 2L)),   // doc 2's tail opens chunk 1
+      Seq((5L, 0L, 1L))))
     // an all-empty corpus creates no phantom chunks
     val none = Corpus.packTokenArrays(
       Seq((1L, Seq.empty[String])).toDF("doc_id", "toks"),
@@ -2572,6 +2580,46 @@ class ExtSpec extends AnyFunSuite {
       "doc_id", "toks", capacity = 4)
       .orderBy("chunk").collect().map(x => (x.getLong(0), x.getInt(2)))
     assert(big.toSeq == Seq((0L, 4), (1L, 4), (2L, 2)))
+  }
+
+  test("WordPiece: committed vocab.txt fixture runs end-to-end, golden-checked (VERDICT r16 #7)") {
+    // the released-artifact integration path pinned on an IN-TREE file
+    // (src/test/resources/fixtures/mini_vocab.txt): the file-format rules
+    // (one token per line, id = line number, an INTERIOR empty line is a
+    // real empty-string slot whose position must hold, the trailing
+    // newline's phantom last line drops) flow through loadVocab ->
+    // wordPieceStats and land on hand-computed tokens AND ids
+    import graft.funcs.WordPieceFiles
+    val path = getClass.getResource("/fixtures/mini_vocab.txt").getPath
+    val v = WordPieceFiles.loadVocab(path)
+    assert(v.size == 20, s"trailing newline must not add a phantom slot: $v")
+    assert(v(8) == "", "the interior empty line is a real id-8 slot")
+    assert(v(9) == "1234", "ids after the empty slot must not shift")
+    val r = TextStats.wordPieceStats(
+        Seq((0L, "The theme, 1234 don't unbreakable ø"))
+          .toDF("doc_id", "text"), "text", v)
+      .collect().head
+    // the: whole-word greedy beats th+##e; theme: greedy takes "the",
+    // strands "me" -> whole word [UNK]; don -> do+##n; unbreakable -> the
+    // 3-piece chain; ø has no entry -> [UNK]
+    assert(r.getSeq[String](r.fieldIndex("wp_tokens")) == Seq(
+      "the", "[UNK]", ",", "1234", "do", "##n", "'", "t",
+      "un", "##break", "##able", "[UNK]"))
+    assert(r.getSeq[Int](r.fieldIndex("wp_ids")) ==
+      Seq(4, 1, 12, 9, 15, 16, 13, 14, 17, 18, 19, 1))
+    // decode closes the loop (BERT's convert_tokens_to_string contract:
+    // spaces at word starts, ## concatenates) — and a degenerate "##"
+    // vocab entry is a continuation on BOTH sides, never a literal '##'
+    // (ADVICE r16)
+    import graft.funcs.WordPieceCodec
+    val codec = new WordPieceCodec(v.toArray, "[UNK]", 100, lower = true)
+    assert(codec.decodeIds(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(4, 15, 16))).toString == "the don")
+    val codec2 = new WordPieceCodec(Array("a", "##"), "[UNK]", 100, lower = true)
+    assert(codec2.decodeIds(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(0, 1, 0))).toString == "a a",
+      "a '##' entry must render as an empty continuation, not a word-initial '##'")
+    ()
   }
 
   test("WordPieceFiles: vocab.txt line-number ids, interior empty slots preserved") {
@@ -4251,6 +4299,41 @@ class ExtSpec extends AnyFunSuite {
     assert(enc(101L) == ((0, "")))
   }
 
+  test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {
+    // the SentencePiece-shaped plain-text (piece, score) pair completes
+    // the tokenizer triad's artifact story (BPE: merges.txt/vocab.json;
+    // WordPiece: vocab.txt). Scores are integer micro-nats, so the loaded
+    // model is EXACTLY the trained one and q144's Viterbi arithmetic is
+    // pinned on the loaded path, not merely approximated.
+    val docs = (0L until 6L).map(i => (i, "abab abc the cab " + ("ab" * (i.toInt % 3))))
+      .toDF("doc_id", "text")
+    val model = Unigram.unigramTrain(docs, "text", vocabSize = 16,
+      maxPieceLen = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_model")
+    val p = dir.resolve("unigram.model.txt").toString
+    Unigram.writeModel(p, model)
+    val loaded = Unigram.loadModel(p)
+    assert(loaded == model.sortBy(_._1),
+      "write -> load must reproduce the trained model exactly")
+    // q144's arithmetic on the LOADED path: distributed encode under the
+    // loaded model equals encode under the in-memory model, bit-for-bit
+    def encAll(m: Seq[(String, Long)]) =
+      Unigram.unigramEncode(docs, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(encAll(loaded) == encAll(model))
+    // escape coverage: pieces carrying the format's own characters (a
+    // GPT-2-pattern leading space stays raw; tab/newline/backslash escape)
+    val tricky = Seq((" the", -123L), ("a\tb", -1L), ("c\nd", -2L),
+      ("e\\f", -3L), ("g", 0L))
+    assert(Unigram.parseModelTxt(Unigram.renderModelTxt(tricky))
+      == tricky.sortBy(_._1))
+    // malformed lines fail loudly
+    intercept[IllegalArgumentException] {
+      Unigram.parseModelTxt("notabhere\n")
+    }
+    ()
+  }
+
   test("contaminationNear: paraphrase-level leaks found, clean bench items pass") {
     val bench = Seq(
       (100L, base + " tail"), // near-dup of doc 0 (and its variants)
@@ -4498,6 +4581,41 @@ class ExtSpec extends AnyFunSuite {
       Dedup.typoJoin(left, right, "id", "lkey", "id", "rkey")
     }
     ()
+  }
+
+  test("typoJoin: per-side cap observations on a hot key; NULL keys match nothing") {
+    // VERDICT r16 #5 — the deletionNeighborPairs observation surface,
+    // mirrored per side: a hot LEFT key fixture (12 copies of "same",
+    // every delete variant freq 12 > cap 11) alongside one cold pair that
+    // must survive; the right side is under-cap everywhere
+    val left = ((0 until 12).map(i => (100L + i, "same")) :+ (1L, "kitten"))
+      .toDF("lid", "lkey")
+    val right = Seq((10L, "kitte"), (11L, "same")).toDF("rid", "rkey")
+    val lo = org.apache.spark.sql.Observation()
+    val ro = org.apache.spark.sql.Observation()
+    val pairs = Dedup.typoJoin(left, right, "lid", "lkey", "rid", "rkey",
+        maxDist = 1, maxKeyFreq = Some(11),
+        leftObservation = Some(lo), rightObservation = Some(ro))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 10L, 1)), pairs.toString)
+    // "same" yields 5 variant keys (itself + 4 distinct deletions), each
+    // freq 12 over the cap → 60 left postings dropped; the right side's
+    // hottest key is under the cap, so it reports zero drops — capped
+    // recall on EITHER relation is now trustable in one action
+    assert(lo.get("dropped_postings").asInstanceOf[Long] == 60L)
+    assert(lo.get("max_key_freq").asInstanceOf[Long] == 12L)
+    assert(ro.get("dropped_postings").asInstanceOf[Long] == 0L)
+    assert(ro.get("max_key_freq").asInstanceOf[Long] <= 11L)
+    // NULL keys match NOTHING (levenshtein(NULL, x) IS NULL — the oracle's
+    // theta-join semantics): neither the length-1 key nor the right NULL
+    // pairs with the left NULL
+    val ln = Seq((1L, null.asInstanceOf[String]), (2L, "ab"))
+      .toDF("lid", "lkey")
+    val rn = Seq((10L, "a"), (11L, null.asInstanceOf[String]), (12L, "ab"))
+      .toDF("rid", "rkey")
+    val np = Dedup.typoJoin(ln, rn, "lid", "lkey", "rid", "rkey", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(np == Set((2L, 10L), (2L, 12L)), np.toString)
   }
 
   test("typo catalog store: write/read/append round-trip + stale-bloom repair") {
