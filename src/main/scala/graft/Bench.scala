@@ -187,6 +187,10 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","load":{"before":$loadBefore,"after":$loadAfter},"n_queries":${results.size},"queries":${compactQs._1},"queries_elided":${results.size - compactQs._2},"full":"bench_last.json","errors":$errs,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
+    // mechanical round-artifact tracking (VERDICT r16 #1): bench_last.json
+    // (just written, same numbers as the driver's BENCH_rN.json) plus any
+    // driver-written CORRECTNESS/BENCH/LEAKCHECK files present by now
+    graft.tools.RoundArtifacts.commit()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} errored: ${errors.keys.mkString(", ")}")
       sys.exit(1)

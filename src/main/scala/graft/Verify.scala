@@ -45,5 +45,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // mechanical round-artifact tracking (VERDICT r16 #1): sweep up any
+    // driver-written artifacts from the PREVIOUS invocation (this run's
+    // CORRECTNESS_rN.json is written by the driver after we exit; Bench's
+    // exit hook catches it)
+    graft.tools.RoundArtifacts.commit()
   }
 }
