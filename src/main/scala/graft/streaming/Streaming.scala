@@ -366,7 +366,9 @@ object Streaming {
     Some((chunks, spark.read.parquet(s"$stateDir/rem_$id")))
   }
 
-  private def packOneBatch(batch: DataFrame, batchId: Long,
+  // private[graft] so the spec can drive a crash REPLAY directly (same
+  // batchId applied twice must reproduce byte-identical chunks and state)
+  private[graft] def packOneBatch(batch: DataFrame, batchId: Long,
                            orderCol: String, idsCol: String, capacity: Long,
                            stateDir: String,
                            onChunks: (DataFrame, Long) => Unit): Unit = {
