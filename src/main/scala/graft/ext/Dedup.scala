@@ -678,8 +678,16 @@ object Dedup {
     * with dropped mass observed à la [[capBuckets]]. */
   private def capVariantKeys(post0: DataFrame, cap: Option[Long],
       observation: Option[org.apache.spark.sql.Observation]): DataFrame =
-    cap match {
-      case Some(m) =>
+    (cap, observation) match {
+      // uncapped and unobserved: no window pass at all
+      case (None, None) => post0
+      case _ =>
+        // uncapped-but-OBSERVED still runs the window so the passed
+        // Observation is attached to a real plan — otherwise obs.get()
+        // would block forever on a metric that never fires; the
+        // Long.MaxValue cap drops 0 by construction (the
+        // symspellCapReport discipline) while max_key_freq stays real
+        val m = cap.getOrElse(Long.MaxValue)
         val sized = post0.withColumn("__kf", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
         val dropped = coalesce(
@@ -693,7 +701,6 @@ object Dedup {
             dropped, hottest)
         }
         observed.filter(col("__kf") <= m).drop("__kf")
-      case None => post0
     }
 
   /** Dropped-mass report for the SymSpell key cap — [[bucketCapReport]]'s

@@ -285,12 +285,15 @@ object Streaming {
     * bit-for-bit (StreamingSpec pins the parity and runs the two-cycle
     * kill-and-restart).
     *
-    * State (at `stateDir`, tiny by construction): per applied batch, the
+    * State (at `stateDir`, tiny AND bounded): per applied batch, the
     * remainder's per-document segments (< `capacity` tokens total, with
     * their original doc keys so spans stay truthful across the boundary)
     * as `rem_<batchId>` parquet plus a `meta_<batchId>` file carrying the
     * emitted-chunk count — meta written LAST (tmp + rename), the
-    * write-last discipline of the epoch stores. Crash semantics: a batch
+    * write-last discipline of the epoch stores; states older than the
+    * one-batch replay window (ids ≤ N−2) are pruned after every write,
+    * so a continuous stream holds at most two state pairs however long
+    * it runs. Crash semantics: a batch
     * REPLAYED by the checkpoint after a crash reloads the state of batch
     * N−1 and reproduces byte-identical chunks (at-least-once delivery of
     * idempotent content); a crash between delivery and the state write
@@ -323,18 +326,13 @@ object Streaming {
   /** The remainder segments after the last applied batch at `stateDir`:
     * (seg, doc, part) rows in stream order — concatenate the parts for
     * the final partial chunk's ids, or feed them to a follow-up run.
-    * Empty frame (never a missing-path error) when no batch has applied. */
+    * None when no batch has applied yet: the segment schema (doc key
+    * type, token element type) comes from the stream, so a cold state
+    * has no honest schema to fabricate — a placeholder frame would union
+    * or cast incompatibly exactly when stateDir is empty. */
   def packStreamRemainder(spark: org.apache.spark.sql.SparkSession,
-                          stateDir: String): DataFrame =
-    loadPackState(spark, stateDir, Long.MaxValue) match {
-      case Some((_, rem)) => rem
-      case None =>
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          StructType(Seq(StructField("seg", LongType),
-            StructField("doc", LongType), StructField("part",
-              ArrayType(StringType)))))
-    }
+                          stateDir: String): Option[DataFrame] =
+    loadPackState(spark, stateDir, Long.MaxValue).map(_._2)
 
   /** Emitted-chunk count after the last applied batch (0 when none). */
   def packStreamChunkCount(spark: org.apache.spark.sql.SparkSession,
@@ -419,18 +417,37 @@ object Streaming {
         StructField("doc", keyType), StructField("part", partType)))
       val segDf = spark.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(segRows).asJava, segSchema)
+      val fs = packFs(spark, stateDir)
+      val dst = new org.apache.hadoop.fs.Path(s"$stateDir/meta_$batchId")
+      // on a REPLAY of this batch, retract meta_batchId BEFORE the rem
+      // overwrite deletes its parquet: a crash mid-rewrite must leave the
+      // newest meta pointing at batch N-1's intact remainder (the
+      // meta-written-last invariant), never at a missing/partial rem
+      fs.delete(dst, false)
       segDf.coalesce(1).write.mode("overwrite")
         .parquet(s"$stateDir/rem_$batchId")
       // meta LAST: a crash before this line leaves batch N-1's state as
       // the newest meta, and the checkpoint replays this batch verbatim
-      val fs = packFs(spark, stateDir)
       val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/meta_$batchId.tmp")
       val out = fs.create(tmp, true)
       try out.write((chunksEmitted + fullCount).toString.getBytes("UTF-8"))
       finally out.close()
-      val dst = new org.apache.hadoop.fs.Path(s"$stateDir/meta_$batchId")
-      fs.delete(dst, false)
       fs.rename(tmp, dst)
+      // prune states older than the replay window: Structured Streaming
+      // can only replay the last uncommitted batch, so N-1 is the oldest
+      // state a restart can ask for — older pairs would otherwise
+      // accumulate one parquet dir + meta per micro-batch forever (and
+      // loadPackState lists the whole directory every batch). Meta
+      // deleted FIRST so no listing ever sees a meta without its rem.
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("meta_"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("meta_").toLong).toOption)
+        .filter(_ <= batchId - 2)
+        .foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/meta_$id"), false)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/rem_$id"), true)
+        }
       ()
     } finally release()
   }

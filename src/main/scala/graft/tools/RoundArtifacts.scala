@@ -55,11 +55,16 @@ object RoundArtifacts {
     if (tracked.isEmpty) return
     val (addRc, addOut) = run(dir, ("git" +: "add" +: "--" +: tracked): _*)
     if (addRc != 0) { System.err.println(s"[artifacts] git add failed: $addOut"); return }
-    // anything staged? (diff --cached --quiet exits 1 when yes)
-    val (diffRc, _) = run(dir, "git", "diff", "--cached", "--quiet")
+    // anything staged AMONG THE ARTIFACT FILES? — both the guard and the
+    // commit are pathspec-limited so a user's pre-staged source edits are
+    // neither the trigger nor swept into the artifact commit
+    val (diffRc, _) = run(dir,
+      ("git" +: "diff" +: "--cached" +: "--quiet" +: "--" +: tracked): _*)
     if (diffRc == 0) return
-    val (cRc, cOut) = run(dir, "git", "commit",
-      "-m", "Track round artifacts (bench/verify/leakcheck outputs)")
+    val (cRc, cOut) = run(dir,
+      ("git" +: "commit" +:
+        "-m" +: "Track round artifacts (bench/verify/leakcheck outputs)" +:
+        "--" +: tracked): _*)
     if (cRc != 0) System.err.println(s"[artifacts] git commit failed: $cOut")
     else println(s"[artifacts] committed: ${tracked.mkString(", ")}")
   } catch {

@@ -1415,7 +1415,7 @@ class StreamingSpec extends AnyFunSuite {
       Seq((5L, 0L, 1L), (6L, 1L, 3L))))
     // the final remainder is EMPTY (12 tokens = 3 exact chunks) and the
     // chunk counter survived both restarts
-    assert(Streaming.packStreamRemainder(spark, state).count() == 0L)
+    assert(Streaming.packStreamRemainder(spark, state).get.count() == 0L)
     assert(Streaming.packStreamChunkCount(spark, state) == 3L)
   }
 
@@ -1430,6 +1430,8 @@ class StreamingSpec extends AnyFunSuite {
       .add("toks", org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))
     @volatile var n = 0
+    // cold start: no batch applied yet -> no state, not a fabricated schema
+    assert(Streaming.packStreamRemainder(spark, state).isEmpty)
     Seq((1L, Seq("a", "b", "c", "d", "e", "f", "g")))
       .toDF("doc_id", "toks").coalesce(1).write.mode("append").json(inDir)
     val q = Streaming.tokenPackStream(
@@ -1439,7 +1441,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt).start()
     q.awaitTermination()
     assert(n == 1) // 7 tokens -> one full chunk; 3 carried, not emitted
-    val rem = Streaming.packStreamRemainder(spark, state)
+    val rem = Streaming.packStreamRemainder(spark, state).get
       .orderBy("seg").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSeq
     assert(rem == Seq((0L, 1L, Seq("e", "f", "g"))))
@@ -1471,7 +1473,7 @@ class StreamingSpec extends AnyFunSuite {
       got.toVector
     }
     def remState() = (Streaming.packStreamChunkCount(spark, state),
-      Streaming.packStreamRemainder(spark, state).orderBy("seg").collect()
+      Streaming.packStreamRemainder(spark, state).get.orderBy("seg").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSeq)
     val b0 = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d", "e")))
     val b1 = Seq((3L, Seq("f", "g", "h", "i", "j")))
