@@ -1854,11 +1854,12 @@ object ExtQueries {
     // boundaries, plus the per-chunk document-boundary spans
     // (doc_id:off:len per segment — the attention/loss-mask metadata
     // packed-sequence trainers require). The oracle replays the greedy
-    // tokenization AND the packing AND the spans from one global token
-    // rank over (doc_id, position): chunk = rn//512, per-(chunk, doc)
-    // offset = min(rn) % 512, length = count — a boundary off by one
-    // token anywhere in the corpus shifts every later chunk and fails
-    // the hash.
+    // tokenization AND the packing AND the spans AND the per-doc-restart
+    // position_ids from one global token rank over (doc_id, position):
+    // chunk = rn//512, per-(chunk, doc) offset = min(rn) % 512, length =
+    // count, position = rn − min(rn) over (chunk, doc) — a boundary off
+    // by one token anywhere in the corpus shifts every later chunk and
+    // fails the hash.
     "q174_pack_token_ids" -> { (s, dir) =>
       val toks = TextStats.wordPieceStats(docsPar(s, dir), "text", q172Vocab)
         .select(col("doc_id"), col("wp_tokens"))
@@ -1867,7 +1868,10 @@ object ExtQueries {
           array_join(col("ids"), "\u001f").as("ids_str"),
           array_join(transform(col("doc_spans"), x =>
             concat_ws(":", x.getField("doc"), x.getField("off"),
-              x.getField("len"))), " ").as("spans_str"))
+              x.getField("len"))), " ").as("spans_str"),
+          array_join(transform(
+            Corpus.packedPositionIds(col("doc_spans")), _.cast("string")),
+            " ").as("pos_str"))
         .presentBy(col("chunk"))
     },
     // WORDPIECE TRAINING end-to-end (Schuster & Nakajima 2012; the HF
@@ -3775,12 +3779,19 @@ object ExtQueries {
         |sps AS (SELECT chunk, array_to_string(list(
         |    CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' ||
         |    CAST(len AS VARCHAR) ORDER BY off), ' ') AS spans_str
-        |  FROM sp GROUP BY 1)
+        |  FROM sp GROUP BY 1),
+        |gp AS (SELECT rn // 512 AS chunk, rn,
+        |    rn - min(rn) OVER (PARTITION BY rn // 512, doc_id) AS pos
+        |  FROM g),
+        |ps AS (SELECT chunk, array_to_string(list(
+        |    CAST(pos AS VARCHAR) ORDER BY rn), ' ') AS pos_str
+        |  FROM gp GROUP BY 1)
         |SELECT CAST(c.chunk AS BIGINT) AS chunk,
         |  CAST(len(ids) AS INT) AS n_ids,
         |  array_to_string(ids, chr(31)) AS ids_str,
-        |  sps.spans_str
-        |FROM c JOIN sps USING (chunk) ORDER BY chunk""".stripMargin
+        |  sps.spans_str, ps.pos_str
+        |FROM c JOIN sps USING (chunk) JOIN ps USING (chunk)
+        |ORDER BY chunk""".stripMargin
     wpGreedySql(vocabSql, "lower(coalesce(text, ''))", tailSql = Some(tail))
   }
 

@@ -825,6 +825,17 @@ object Corpus {
       .select(col("chunk"), col("ids"), col("n_ids"), col("doc_spans"))
   }
 
+  /** Per-chunk `position_ids` for a packed sequence — the standard
+    * companion to [[packTokenArrays]]'s `doc_spans`: positions restart at
+    * 0 for every document segment (0..len−1 per span, concatenated in
+    * span order), which is what packed-attention trainers feed RoPE /
+    * learned position embeddings so a document's positions don't depend
+    * on where in the chunk it landed. Pure per-row arithmetic over the
+    * spans column (the spans tile the chunk), no shuffle. */
+  def packedPositionIds(spansCol: Column): Column =
+    flatten(transform(spansCol,
+      sp => sequence(lit(0L), sp.getField("len") - 1)))
+
   /** Greedy token-budget selection: fill a training budget with the
     * best-scored documents first — order by (`scoreCol` desc, `idCol` asc),
     * keep the maximal prefix whose cumulative `tokenCol` stays within

@@ -2569,6 +2569,14 @@ class ExtSpec extends AnyFunSuite {
       Seq((1L, 0L, 3L), (2L, 3L, 1L)),   // doc 2's head closes chunk 0
       Seq((2L, 0L, 2L), (4L, 2L, 2L)),   // doc 2's tail opens chunk 1
       Seq((5L, 0L, 1L))))
+    // position_ids restart at 0 per document segment (the packed-attention
+    // companion column) and tile each chunk like the spans do
+    val pos = Corpus.packTokenArrays(docs, "doc_id", "toks", capacity = 4)
+      .orderBy("chunk")
+      .select(Corpus.packedPositionIds(col("doc_spans")))
+      .collect().map(_.getSeq[Long](0))
+    assert(pos.toSeq == Seq(
+      Seq(0L, 1L, 2L, 0L), Seq(0L, 1L, 0L, 1L), Seq(0L)))
     // an all-empty corpus creates no phantom chunks
     val none = Corpus.packTokenArrays(
       Seq((1L, Seq.empty[String])).toDF("doc_id", "toks"),
