@@ -278,7 +278,9 @@ object Streaming {
     * pattern (dedup/quality/retrieval/typo all have streaming forms): each
     * micro-batch's token arrays are appended to the global packed stream,
     * FULL `capacity`-sized chunks are delivered to `onChunks` (with
-    * `doc_spans` boundary metadata, globally-numbered `chunk` ids), and
+    * `doc_spans` boundary metadata, globally-numbered `chunk` ids;
+    * consume the frame INSIDE the callback — its checkpoint blocks are
+    * released when the batch returns), and
     * the partial last chunk is carried as a REMAINDER BUFFER into the next
     * batch — so the concatenation of every delivered chunk plus the final
     * remainder equals the batch operator on the concatenated input,
