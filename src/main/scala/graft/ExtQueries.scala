@@ -1860,6 +1860,25 @@ object ExtQueries {
     // count, position = rn − min(rn) over (chunk, doc) — a boundary off
     // by one token anywhere in the corpus shifts every later chunk and
     // fails the hash.
+    // FILL-IN-THE-MIDDLE training prep (Bavarian et al. 2022): a
+    // deterministic half of the corpus is re-serialized for infilling in
+    // BOTH published orderings (PSM and suffix-first SPM) with
+    // StarCoder-style sentinels; gate and cut points are md5 draws, so
+    // DuckDB replays the exact transform — gate/cuts from the same hex
+    // arithmetic, three substrs, sentinel concat. The two modes share
+    // one gate and one (lo, hi) pair, so psm/spm must contain the SAME
+    // pieces; any drift in the draw, the split arithmetic, or the
+    // serialization order fails the hash.
+    "q175_fim" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val psm = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 0.5)
+        .withColumnRenamed("fim_text", "psm_text")
+        .withColumnRenamed("fim_applied", "was_applied")
+      Corpus.fimTransform(psm, "doc_id", "text", fimFrac = 0.5, spm = true)
+        .select(col("doc_id"), col("fim_applied"),
+          col("psm_text"), col("fim_text").as("spm_text"))
+        .presentBy(col("doc_id"))
+    },
     "q174_pack_token_ids" -> { (s, dir) =>
       val toks = TextStats.wordPieceStats(docsPar(s, dir), "text", q172Vocab)
         .select(col("doc_id"), col("wp_tokens"))
@@ -3795,7 +3814,35 @@ object ExtQueries {
     wpGreedySql(vocabSql, "lower(coalesce(text, ''))", tailSql = Some(tail))
   }
 
+  // q175: the FIM transform replayed — md5 gate (first 13 hex digits as
+  // a 52-bit integer, mod 10000 < 5000), two cut draws mod (len+1),
+  // least/greatest, three code-point substrs, sentinel concat in both
+  // the PSM and SPM orderings.
+  private val fimSql: String = {
+    def drw(tag: String) =
+      s"CAST(('0x' || substr(md5(doc_id || ':graft:fim:$tag'), 1, 13)) AS BIGINT)"
+    s"""WITH x AS (SELECT doc_id, text, length(text) AS L,
+       |    ${drw("gate")} % 10000 < 5000 AND text IS NOT NULL AS app,
+       |    ${drw("p1")} % (length(text) + 1) AS p1,
+       |    ${drw("p2")} % (length(text) + 1) AS p2
+       |  FROM documents),
+       |y AS (SELECT doc_id, text, L, app,
+       |    least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM x),
+       |z AS (SELECT doc_id, app,
+       |    substr(text, 1, CAST(lo AS INT)) AS pre,
+       |    substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS mid,
+       |    substr(text, CAST(hi + 1 AS INT), CAST(L - hi AS INT)) AS suf,
+       |    text FROM y)
+       |SELECT doc_id, app AS fim_applied,
+       |  CASE WHEN app THEN '<fim_prefix>' || pre || '<fim_suffix>' || suf
+       |    || '<fim_middle>' || mid ELSE text END AS psm_text,
+       |  CASE WHEN app THEN '<fim_suffix>' || suf || '<fim_prefix>' || pre
+       |    || '<fim_middle>' || mid ELSE text END AS spm_text
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q175_fim" -> fimSql,
     "q174_pack_token_ids" -> packTokenIdsSql,
     "q172_wordpiece" -> wordPieceSql,
     "q171_typo_join" -> typoJoinSql,

@@ -825,6 +825,60 @@ object Corpus {
       .select(col("chunk"), col("ids"), col("n_ids"), col("doc_spans"))
   }
 
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
+    * code-model training prep): for a deterministic `fimFrac` share of
+    * documents, pick two deterministic CHARACTER positions, split the
+    * text into (prefix, middle, suffix), and re-serialize with sentinel
+    * tokens — PSM `⟨pre⟩P⟨suf⟩S⟨mid⟩M` (default) or the suffix-first SPM
+    * ordering `⟨suf⟩S⟨pre⟩P⟨mid⟩M`. Training on the mix teaches
+    * infilling without hurting left-to-right modeling (the paper's
+    * FIM-for-free result); sentinel defaults are the published
+    * StarCoder-style names and should each be ONE token in the target
+    * tokenizer (compose with the BPE/WordPiece vocab upstream).
+    *
+    * Determinism: the gate and both cut points are md5 draws keyed by
+    * (id, salt) — the [[hashBucket]]/[[weightedSample]] discipline — so
+    * membership and cuts are reproducible row-by-row and replay exactly
+    * in SQL (52-bit draw mod (len+1); the modulo bias at document
+    * lengths is ≤ len/2⁵², irrelevant next to exact replayability).
+    * Positions are code-point offsets (both engines' substring/length
+    * semantics); cut points may coincide or sit at the ends, so empty
+    * prefix/middle/suffix all occur — the paper keeps them. NULL text
+    * passes through untransformed. Zero shuffle: pure codegen
+    * projections, rides any scan at 100 TB.
+    * Output: `fim_text`, `fim_applied`. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   fimFrac: Double = 0.5, spm: Boolean = false,
+                   preTok: String = "<fim_prefix>",
+                   midTok: String = "<fim_middle>",
+                   sufTok: String = "<fim_suffix>",
+                   salt: String = "graft:fim"): DataFrame = {
+    require(fimFrac >= 0.0 && fimFrac <= 1.0,
+      s"fimFrac must be in [0,1], got $fimFrac")
+    requireFresh(df, "fimTransform", "fim_text", "fim_applied")
+    def draw(tag: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s":$salt:$tag"))), 1, 13), 16, 10).cast("long")
+    val t = col(textCol)
+    val len = length(t).cast("long")
+    val gate = draw("gate") % 10000L < lit(math.round(fimFrac * 10000).toInt)
+    val p1 = draw("p1") % (len + 1L)
+    val p2 = draw("p2") % (len + 1L)
+    val lo = least(p1, p2)
+    val hi = greatest(p1, p2)
+    val prefix = t.substr(lit(1), lo.cast("int"))
+    val middle = t.substr((lo + 1L).cast("int"), (hi - lo).cast("int"))
+    val suffix = t.substr((hi + 1L).cast("int"), (len - hi).cast("int"))
+    val fim =
+      if (spm) concat(lit(sufTok), suffix, lit(preTok), prefix,
+        lit(midTok), middle)
+      else concat(lit(preTok), prefix, lit(sufTok), suffix,
+        lit(midTok), middle)
+    val applied = t.isNotNull && gate
+    df.withColumn("fim_applied", applied)
+      .withColumn("fim_text", when(applied, fim).otherwise(t))
+  }
+
   /** Per-chunk `position_ids` for a packed sequence — the standard
     * companion to [[packTokenArrays]]'s `doc_spans`: positions restart at
     * 0 for every document segment (0..len−1 per span, concatenated in

@@ -313,6 +313,9 @@ object ScaleSlope {
       // r16: q174 = tokenize scan + prefix-sum offsets + slice explode +
       // one chunk-key shuffle (the output stream itself) — linear
       "q174_pack_token_ids",
+      // r17: q175 = pure per-row md5-draw + substring/concat projections
+      // (a codegen rail like q162/q170 — no shuffle)
+      "q175_fim",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

@@ -4307,6 +4307,62 @@ class ExtSpec extends AnyFunSuite {
     assert(enc(101L) == ((0, "")))
   }
 
+  test("fimTransform: reassembly law, mode-piece agreement, gate bounds, null passthrough") {
+    import graft.ext.Corpus
+    val docs = (0L until 40L).map(i => (i, s"line$i alpha beta gamma delta " * 3))
+      .toDF("doc_id", "text")
+    // fimFrac 0 -> nothing transforms; 1 -> everything does
+    val none = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 0.0)
+    assert(none.filter(col("fim_applied")).count() == 0L)
+    assert(none.filter(col("fim_text") =!= col("text")).count() == 0L)
+    val all = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 1.0)
+    assert(all.filter(!col("fim_applied")).count() == 0L)
+    // REASSEMBLY LAW on every transformed row: parsing the sentinels back
+    // out and re-concatenating prefix+middle+suffix reproduces the
+    // original text exactly — cuts lose nothing, duplicate nothing
+    def parsePsm(s: String): (String, String, String) = {
+      val pre = s.stripPrefix("<fim_prefix>")
+      val Array(p, rest) = pre.split("<fim_suffix>", 2)
+      val Array(suf, mid) = rest.split("<fim_middle>", 2)
+      (p, mid, suf)
+    }
+    val rows = all.select("text", "fim_text").collect()
+    rows.foreach { r =>
+      val (p, m, sfx) = parsePsm(r.getString(1))
+      assert(p + m + sfx == r.getString(0), s"reassembly broke: ${r.getString(1)}")
+    }
+    // SPM carries the SAME pieces (same gate, same cuts), reordered
+    val spm = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 1.0,
+        spm = true)
+      .select(col("doc_id"), col("fim_text").as("s"))
+    val psmById = all.select(col("doc_id"), col("fim_text")).collect()
+      .map(r => r.getLong(0) -> parsePsm(r.getString(1))).toMap
+    spm.collect().foreach { r =>
+      val s = r.getString(1).stripPrefix("<fim_suffix>")
+      val Array(sfx, rest) = s.split("<fim_prefix>", 2)
+      val Array(p, m) = rest.split("<fim_middle>", 2)
+      assert((p, m, sfx) == psmById(r.getLong(0)),
+        "spm must reorder the exact psm pieces")
+    }
+    // the md5 gate lands near fimFrac (deterministic, so this is a fixed
+    // fact about these 40 ids, not a flaky sample)
+    val half = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 0.5)
+      .filter(col("fim_applied")).count()
+    assert(half > 8 && half < 32, s"gate landed at $half/40")
+    // determinism: same inputs, same outputs
+    val again = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 0.5)
+      .filter(col("fim_applied")).count()
+    assert(again == half)
+    // null text passes through untransformed even at fimFrac 1
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val n2 = Corpus.fimTransform(withNull, "doc_id", "text", fimFrac = 1.0)
+      .orderBy("doc_id").collect()
+    assert(!n2(0).getBoolean(n2(0).fieldIndex("fim_applied"))
+      && n2(0).isNullAt(n2(0).fieldIndex("fim_text")))
+    assert(n2(1).getBoolean(n2(1).fieldIndex("fim_applied")))
+  }
+
   test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {
     // the SentencePiece-shaped plain-text (piece, score) pair completes
     // the tokenizer triad's artifact story (BPE: merges.txt/vocab.json;
