@@ -1869,6 +1869,21 @@ object ExtQueries {
     // one gate and one (lo, hi) pair, so psm/spm must contain the SAME
     // pieces; any drift in the draw, the split arithmetic, or the
     // serialization order fails the hash.
+    // T5 SPAN CORRUPTION (Raffel et al. 2020): one md5-placed span per
+    // full 20-token window masked behind an ordinal sentinel; corrupted
+    // input + sentinel-delimited targets emitted as the training pair.
+    // The oracle replays the hex draw, every slice boundary, the
+    // sentinel ordinals and the final closing sentinel — an off-by-one
+    // in any window of any document fails the hash.
+    "q176_span_corrupt" -> { (s, dir) =>
+      val toks = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      Corpus.spanCorrupt(toks, "doc_id", "toks")
+        .select(col("doc_id"), col("n_masked"),
+          array_join(col("corrupted"), "\u001f").as("corrupted_str"),
+          array_join(col("targets"), "\u001f").as("targets_str"))
+        .presentBy(col("doc_id"))
+    },
     "q175_fim" -> { (s, dir) =>
       val docs = docsPar(s, dir)
       val psm = Corpus.fimTransform(docs, "doc_id", "text", fimFrac = 0.5)
@@ -3841,7 +3856,42 @@ object ExtQueries {
        |FROM z ORDER BY doc_id""".stripMargin
   }
 
+  // q176: span corruption replayed — per full 20-token window the 52-bit
+  // hex draw mod 18 places the 3-token span; corrupted = pre-slice +
+  // sentinel + post-slice per window (ordered) + unmasked tail; targets =
+  // sentinel + span per window + the closing sentinel. list_slice is
+  // INCLUSIVE-stop (not length), hence the +s / +s+4 bounds.
+  private val spanCorruptSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) // 20 AS nw FROM t),
+       |w AS (SELECT doc_id, toks, nw, unnest(range(0, nw)) AS w FROM b
+       |  WHERE nw >= 1),
+       |sp AS (SELECT doc_id, toks, w,
+       |    CAST(CAST(('0x' || substr(md5(doc_id || ':' || w ||
+       |        ':graft:span'), 1, 13)) AS BIGINT) % 18 AS INT) AS s
+       |  FROM w),
+       |cor AS (SELECT doc_id,
+       |    flatten(list(
+       |      list_slice(toks, w*20 + 1, w*20 + s)
+       |      || ['<extra_id_' || w || '>']
+       |      || list_slice(toks, w*20 + s + 4, (w+1)*20) ORDER BY w))
+       |      AS cfrag,
+       |    flatten(list(
+       |      ['<extra_id_' || w || '>']
+       |      || list_slice(toks, w*20 + s + 1, w*20 + s + 3) ORDER BY w))
+       |      AS tfrag
+       |  FROM sp GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.nw * 3 AS INT) AS n_masked,
+       |  coalesce(array_to_string(coalesce(cor.cfrag, CAST([] AS VARCHAR[]))
+       |    || list_slice(b.toks, b.nw*20 + 1, len(b.toks)), chr(31)), '')
+       |    AS corrupted_str,
+       |  coalesce(array_to_string(CASE WHEN b.nw >= 1
+       |    THEN cor.tfrag || ['<extra_id_' || b.nw || '>']
+       |    ELSE CAST([] AS VARCHAR[]) END, chr(31)), '') AS targets_str
+       |FROM b LEFT JOIN cor USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q176_span_corrupt" -> spanCorruptSql,
     "q175_fim" -> fimSql,
     "q174_pack_token_ids" -> packTokenIdsSql,
     "q172_wordpiece" -> wordPieceSql,

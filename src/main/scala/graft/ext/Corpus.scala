@@ -825,6 +825,70 @@ object Corpus {
       .select(col("chunk"), col("ids"), col("n_ids"), col("doc_spans"))
   }
 
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 — the denoising
+    * objective's data prep): mask one token span per full `window`-token
+    * window, replacing it with an ordinal sentinel (`<extra_id_k>`), and
+    * emit the training pair — `corrupted` (the input sequence with
+    * sentinels in place of spans) and `targets` (each sentinel followed
+    * by its masked tokens, closed by one final sentinel, the T5 target
+    * format). Corruption rate = `spanLen`/`window` (the paper's 15% at
+    * the 3/20 default) with mean span length `spanLen`.
+    *
+    * Deterministic variant, deliberately: T5 samples span positions with
+    * an RNG; here each full window masks exactly one span whose start is
+    * an md5 draw keyed (id, window ordinal, salt) — the
+    * [[fimTransform]]/[[hashBucket]] discipline — so the corruption
+    * replays row-by-row in SQL and across reruns (data determinism is
+    * what makes corpus hashes, resume, and the oracle possible; the
+    * within-window draw keeps placement varied). The trailing partial
+    * window is left unmasked; a document shorter than one window passes
+    * through with empty `targets`. Zero shuffle — pure higher-order
+    * projections over the token array.
+    * Output: `corrupted`, `targets`, `n_masked`. */
+  def spanCorrupt(df: DataFrame, idCol: String, tokensCol: String,
+                  window: Int = 20, spanLen: Int = 3,
+                  sentinelPrefix: String = "<extra_id_",
+                  sentinelSuffix: String = ">",
+                  salt: String = "graft:span"): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    require(window > spanLen,
+      s"window must exceed spanLen, got window=$window spanLen=$spanLen")
+    requireFresh(df, "spanCorrupt", "corrupted", "targets", "n_masked")
+    val toks = col(tokensCol)
+    val n = size(toks)
+    val nw = (n.cast("long") / window).cast("int") // full windows
+    def sentinel(k: Column): Column =
+      concat(lit(sentinelPrefix), k.cast("string"), lit(sentinelSuffix))
+    def startOf(w: Column): Column =
+      (conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        w.cast("string"), lit(s":$salt"))), 1, 13), 16, 10).cast("long")
+        % lit((window - spanLen + 1).toLong)).cast("int")
+    val emptyArr = array().cast("array<string>")
+    // sequence(0, nw-1) auto-descends when nw = 0 (the Spark gotcha) —
+    // guard every windowed expression behind nw >= 1
+    def overWindows(frag: (Column, Column) => Column): Column =
+      when(nw >= 1, flatten(transform(sequence(lit(0), nw - 1),
+        w => frag(w, startOf(w))))).otherwise(emptyArr)
+    val corrupted = concat(
+      overWindows { (w, s) =>
+        val base = w * window
+        concat(slice(toks, base + 1, s),
+          array(sentinel(w)),
+          slice(toks, base + s + spanLen + 1, lit(window) - s - spanLen))
+      },
+      slice(toks, nw * window + 1, n - nw * window))
+    val targets = when(nw >= 1, concat(
+        overWindows { (w, s) =>
+          concat(array(sentinel(w)),
+            slice(toks, w * window + s + 1, lit(spanLen)))
+        },
+        array(sentinel(nw))))
+      .otherwise(emptyArr)
+    df.withColumn("corrupted", corrupted)
+      .withColumn("targets", targets)
+      .withColumn("n_masked", (nw * spanLen).cast("int"))
+  }
+
   /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
     * code-model training prep): for a deterministic `fimFrac` share of
     * documents, pick two deterministic CHARACTER positions, split the

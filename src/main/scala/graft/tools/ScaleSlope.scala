@@ -316,6 +316,9 @@ object ScaleSlope {
       // r17: q175 = pure per-row md5-draw + substring/concat projections
       // (a codegen rail like q162/q170 — no shuffle)
       "q175_fim",
+      // r17: q176 = per-row windowed HOF projections over the token array
+      // (md5 draws + slices + flatten — no shuffle)
+      "q176_span_corrupt",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

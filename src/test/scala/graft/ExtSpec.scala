@@ -4307,6 +4307,55 @@ class ExtSpec extends AnyFunSuite {
     assert(enc(101L) == ((0, "")))
   }
 
+  test("spanCorrupt: substitution law, target format, short-doc passthrough, determinism") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, (0 until 45).map(i => s"t$i")),   // 2 full windows + 5-token tail
+      (2L, (0 until 20).map(i => s"u$i")),   // exactly one window, no tail
+      (3L, (0 until 19).map(i => s"v$i")),   // short: passthrough
+      (4L, Seq.empty[String])                // empty: passthrough
+    ).toDF("doc_id", "toks")
+    val r = Corpus.spanCorrupt(docs, "doc_id", "toks")
+      .orderBy("doc_id").collect()
+    def seqs(row: org.apache.spark.sql.Row) =
+      (row.getSeq[String](row.fieldIndex("toks")),
+        row.getSeq[String](row.fieldIndex("corrupted")),
+        row.getSeq[String](row.fieldIndex("targets")),
+        row.getInt(row.fieldIndex("n_masked")))
+    // SUBSTITUTION LAW: expanding each sentinel in `corrupted` with its
+    // span from `targets` reproduces the original token stream exactly
+    def reassemble(cor: Seq[String], tgt: Seq[String]): Seq[String] = {
+      val spans = scala.collection.mutable.Map.empty[String, Seq[String]]
+      var cur: Option[String] = None
+      var acc = Vector.empty[String]
+      tgt.foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur.foreach(k => spans(k) = acc); cur = Some(t); acc = Vector.empty
+        } else acc :+= t
+      }
+      cur.foreach(k => spans(k) = acc)
+      cor.flatMap(t => if (t.startsWith("<extra_id_")) spans(t) else Seq(t))
+    }
+    val (t1, c1, g1, m1) = seqs(r(0))
+    assert(m1 == 6 && reassemble(c1, g1) == t1)
+    // target format: sentinels 0..nw-1 each followed by exactly spanLen
+    // tokens, closed by sentinel nw
+    assert(g1.count(_.startsWith("<extra_id_")) == 3 && g1.size == 9)
+    assert(g1.head == "<extra_id_0>" && g1.last == "<extra_id_2>")
+    // the 5-token tail is never masked: corrupted ends with t40..t44
+    assert(c1.takeRight(5) == (40 until 45).map(i => s"t$i"))
+    val (t2, c2, g2, m2) = seqs(r(1))
+    assert(m2 == 3 && reassemble(c2, g2) == t2 && g2.last == "<extra_id_1>")
+    val (t3, c3, g3, m3) = seqs(r(2))
+    assert(m3 == 0 && c3 == t3 && g3.isEmpty)
+    val (t4, c4, g4, m4) = seqs(r(3))
+    assert(m4 == 0 && c4 == t4 && g4.isEmpty)
+    // determinism: a second run produces the identical corruption
+    val again = Corpus.spanCorrupt(docs, "doc_id", "toks")
+      .orderBy("doc_id").collect().map(x => seqs(x))
+    assert(again.toSeq == r.toSeq.map(x => seqs(x)))
+  }
+
   test("fimTransform: reassembly law, mode-piece agreement, gate bounds, null passthrough") {
     import graft.ext.Corpus
     val docs = (0L until 40L).map(i => (i, s"line$i alpha beta gamma delta " * 3))
