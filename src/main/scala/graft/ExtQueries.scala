@@ -3830,14 +3830,14 @@ object ExtQueries {
   }
 
   // q175: the FIM transform replayed — md5 gate (first 13 hex digits as
-  // a 52-bit integer, mod 10000 < 5000), two cut draws mod (len+1),
+  // a 52-bit integer, < round(0.5 * 2^52) = 2^51), two cut draws mod (len+1),
   // least/greatest, three code-point substrs, sentinel concat in both
   // the PSM and SPM orderings.
   private val fimSql: String = {
     def drw(tag: String) =
       s"CAST(('0x' || substr(md5(doc_id || ':graft:fim:$tag'), 1, 13)) AS BIGINT)"
     s"""WITH x AS (SELECT doc_id, text, length(text) AS L,
-       |    ${drw("gate")} % 10000 < 5000 AND text IS NOT NULL AS app,
+       |    ${drw("gate")} < 2251799813685248 AND text IS NOT NULL AS app,
        |    ${drw("p1")} % (length(text) + 1) AS p1,
        |    ${drw("p2")} % (length(text) + 1) AS p2
        |  FROM documents),

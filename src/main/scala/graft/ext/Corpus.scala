@@ -903,8 +903,11 @@ object Corpus {
     * Determinism: the gate and both cut points are md5 draws keyed by
     * (id, salt) — the [[hashBucket]]/[[weightedSample]] discipline — so
     * membership and cuts are reproducible row-by-row and replay exactly
-    * in SQL (52-bit draw mod (len+1); the modulo bias at document
-    * lengths is ≤ len/2⁵², irrelevant next to exact replayability).
+    * in SQL. The gate compares the raw 52-bit draw against
+    * round(fimFrac·2⁵²) — granularity 2⁻⁵², so even a 1e-8 share
+    * transforms its slice; the cut draws are mod (len+1), whose modulo
+    * bias at document lengths is ≤ len/2⁵², irrelevant next to exact
+    * replayability.
     * Positions are code-point offsets (both engines' substring/length
     * semantics); cut points may coincide or sit at the ends, so empty
     * prefix/middle/suffix all occur — the paper keeps them. NULL text
@@ -925,7 +928,8 @@ object Corpus {
         lit(s":$salt:$tag"))), 1, 13), 16, 10).cast("long")
     val t = col(textCol)
     val len = length(t).cast("long")
-    val gate = draw("gate") % 10000L < lit(math.round(fimFrac * 10000).toInt)
+    // 2^52 = the draw's exclusive upper bound (13 hex digits)
+    val gate = draw("gate") < lit(math.round(fimFrac * 4503599627370496.0))
     val p1 = draw("p1") % (len + 1L)
     val p2 = draw("p2") % (len + 1L)
     val lo = least(p1, p2)
@@ -952,7 +956,13 @@ object Corpus {
     * spans column (the spans tile the chunk), no shuffle. */
   def packedPositionIds(spansCol: Column): Column =
     flatten(transform(spansCol,
-      sp => sequence(lit(0L), sp.getField("len") - 1)))
+      // guard len = 0: sequence(0, -1) auto-descends to [0, -1] (the
+      // Spark gotcha) — packTokenArrays never emits empty segments, but
+      // hand-built spans must degrade to an empty segment, not corrupt
+      // positions
+      sp => when(sp.getField("len") >= 1L,
+          sequence(lit(0L), sp.getField("len") - 1))
+        .otherwise(array().cast("array<bigint>"))))
 
   /** Greedy token-budget selection: fill a training budget with the
     * best-scored documents first — order by (`scoreCol` desc, `idCol` asc),
