@@ -13,18 +13,32 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-  /** Known-idle sf0.1 per-query reference times (seconds), used to flag
-    * contention outliers for re-measurement. Built from COVERAGE.md's
-    * slope-table medians plus the best prior-round artifacts (min across
-    * sources). Optional: absent file (or non-sf0.1 run) disables the
-    * outlier pass.
-    */
-  private def referenceTimes(sfDir: String): Map[String, Double] = {
+  /** Known-idle sf0.1 per-query reference times (seconds): `min` is the
+    * best-ever quiet-run minimum (used to flag contention outliers for
+    * re-measurement), `median` the per-query median over recorded quiet
+    * full-suite runs (VERDICT r17 #5 — minima are positively biased by
+    * construction, so round-over-round comparisons should quote the
+    * median ratio; sub-second rows read 1.4–1.6× vs a minimum on a quiet
+    * machine). Accepts both the nested `{"q..": {"min": m, "median": d}}`
+    * form and the legacy flat `{"q..": m}` (median absent). Optional:
+    * absent file (or non-sf0.1 run) disables the outlier pass and the
+    * ratio keys. */
+  private def referenceTimes(sfDir: String): Map[String, (Double, Option[Double])] = {
     val p = java.nio.file.Paths.get("bench_ref.json")
     if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p)) return Map.empty
     val txt = java.nio.file.Files.readString(p)
-    "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val nested =
+      "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*\\{([^}]*)\\}".r
+        .findAllMatchIn(txt).map { m =>
+          def field(k: String): Option[Double] =
+            ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r
+              .findFirstMatchIn(m.group(2)).map(_.group(1).toDouble)
+          m.group(1) -> (field("min"), field("median"))
+        }.collect { case (n, (Some(mn), md)) => n -> (mn, md) }.toMap
+    if (nested.nonEmpty) nested
+    else "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> (m.group(2).toDouble, Option.empty[Double])).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,7 +115,8 @@ object Bench {
     // the better median. A genuine regression stays high across both rounds
     // of sampling; a contention artifact does not survive six samples spread
     // over the whole run.
-    val ref = referenceTimes(sfDir)
+    val refAll = referenceTimes(sfDir)
+    val ref = refAll.map { case (n, (mn, _)) => n -> mn }
     // trigger BELOW the 2× gate (1.6×): r14 shipped six queries at
     // 1.95–1.99× that were pure scheduling noise (quiet-machine replays sit
     // at 1.3–1.7×) but one noisy sample away from failing the round — give
@@ -151,12 +166,29 @@ object Bench {
         ",\"median3\":" + orig + ",\"kept\":" + kept + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // suite-level ratios against BOTH reference roles (VERDICT r17 #5):
+    // ratio_min vs best-ever minima (structurally >= 1 after each round's
+    // tightening — the noise-floor argument), ratio_median vs quiet-run
+    // medians (the round-over-round comparison that doesn't argue with
+    // the floor). Each is sum(this run)/sum(ref) over the queries the ref
+    // covers, plus the worst single-query ratio under that ref.
+    def ratioJson(sel: ((Double, Option[Double])) => Option[Double]): String = {
+      val pairs = results.flatMap { case (n, v) =>
+        refAll.get(n).flatMap(sel).map(r => (n, v, r)) }
+      if (pairs.isEmpty) "null" else {
+        val overall = pairs.map(_._2).sum / pairs.map(_._3).sum
+        val (wq, wr) = pairs.map { case (n, v, r) => (n, v / r) }.maxBy(_._2)
+        s"""{"overall":${math.rint(overall * 1000) / 1000},"n":${pairs.size},"worst_q":"$wq","worst":${math.rint(wr * 1000) / 1000}}"""
+      }
+    }
+    val ratioMin = ratioJson { case (mn, _) => Some(mn) }
+    val ratioMedian = ratioJson { case (_, md) => md }
     // "metric"/"value" lead the line and "total_sec" repeats the headline at
     // its END, so a log capture that keeps only the head OR only the tail of
     // a long line still carries the total (r6's round artifact lost it to
     // tail truncation); the FULL line is additionally written to
     // bench_last.json, which never depends on log-tail length
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":{"before":$loadBefore,"after":$loadAfter},"remeasured":$remeasured,"remeasure_detail":$remDetail,"queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":{"before":$loadBefore,"after":$loadAfter},"ratio_min":$ratioMin,"ratio_median":$ratioMedian,"remeasured":$remeasured,"remeasure_detail":$remDetail,"queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
@@ -185,12 +217,19 @@ object Bench {
       }
       (sb.append('}').toString, taken)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load":{"before":$loadBefore,"after":$loadAfter},"n_queries":${results.size},"queries":${compactQs._1},"queries_elided":${results.size - compactQs._2},"full":"bench_last.json","errors":$errs,"sf":"$sfDir","total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":{"before":$loadBefore,"after":$loadAfter},"ratio_min":$ratioMin,"ratio_median":$ratioMedian,"n_queries":${results.size},"queries":${compactQs._1},"queries_elided":${results.size - compactQs._2},"full":"bench_last.json","errors":$errs,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
     // mechanical round-artifact tracking (VERDICT r16 #1): bench_last.json
     // (just written, same numbers as the driver's BENCH_rN.json) plus any
-    // driver-written CORRECTNESS/BENCH/LEAKCHECK files present by now
-    graft.tools.RoundArtifacts.commit()
+    // driver-written CORRECTNESS/BENCH/LEAKCHECK files present by now. A
+    // FAILED run commits with an explicit failure marker (ADVICE r17) so
+    // a broken run's numbers are never mistaken for round evidence, and
+    // the detached watcher catches the files the driver writes AFTER this
+    // JVM exits (VERDICT r17 #1).
+    graft.tools.RoundArtifacts.commit(message =
+      if (errors.isEmpty) "Track round artifacts (bench/verify/leakcheck outputs)"
+      else s"Track round artifacts (bench FAILED: ${errors.size} errored: ${errors.keys.toSeq.sorted.mkString(", ").take(120)})")
+    graft.tools.RoundArtifacts.spawnDelayedWatcher()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} errored: ${errors.keys.mkString(", ")}")
       sys.exit(1)

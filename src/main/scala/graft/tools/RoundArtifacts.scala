@@ -10,11 +10,11 @@ package graft.tools
   *
   * Each main calls [[commit]] on exit; since the driver writes
   * `BENCH_rN.json`/`CORRECTNESS_rN.json` AFTER the main that produced
-  * them returns, the commit naturally catches the PREVIOUS invocation's
-  * files too (Verify's exit hook picks up the prior round's bench
-  * artifact, Bench's picks up this round's correctness artifact), and
-  * `bench_last.json` — written by Bench itself, carrying the same
-  * numbers as `BENCH_rN.json` — is always committed in-round.
+  * them returns, the exit-time commit catches the PREVIOUS invocation's
+  * files, `bench_last.json` (written by Bench itself, same numbers as
+  * `BENCH_rN.json`) is always committed in-round, and the round's LAST
+  * driver-written files — unreachable from any exit hook — are caught by
+  * [[spawnDelayedWatcher]]'s detached 40-minute poll (VERDICT r17 #1).
   *
   * Strictly best-effort: any failure (no git, no repo, nothing matched)
   * logs one line and never breaks the run. Only the named artifact files
@@ -37,8 +37,12 @@ object RoundArtifacts {
   }
 
   /** Stage and commit any changed round artifacts in `repoDir` (the sbt
-    * fork working directory is the repo root, so the default is "."). */
-  def commit(repoDir: String = "."): Unit = try {
+    * fork working directory is the repo root, so the default is ".").
+    * `message` defaults to the standard artifact line; a FAILED bench run
+    * passes a failure-marked message so a broken run's numbers are never
+    * indistinguishable in history from a passing round's (ADVICE r17). */
+  def commit(repoDir: String = ".",
+             message: String = "Track round artifacts (bench/verify/leakcheck outputs)"): Unit = try {
     val dir = new java.io.File(repoDir).getCanonicalFile
     if (!new java.io.File(dir, ".git").exists()) return
     val names = dir.listFiles() match {
@@ -62,13 +66,58 @@ object RoundArtifacts {
       ("git" +: "diff" +: "--cached" +: "--quiet" +: "--" +: tracked): _*)
     if (diffRc == 0) return
     val (cRc, cOut) = run(dir,
-      ("git" +: "commit" +:
-        "-m" +: "Track round artifacts (bench/verify/leakcheck outputs)" +:
-        "--" +: tracked): _*)
+      ("git" +: "commit" +: "-m" +: message +: "--" +: tracked): _*)
     if (cRc != 0) System.err.println(s"[artifacts] git commit failed: $cOut")
     else println(s"[artifacts] committed: ${tracked.mkString(", ")}")
   } catch {
     case scala.util.control.NonFatal(e) =>
       System.err.println(s"[artifacts] skipped: ${e.getMessage}")
+  }
+
+  /** Close the artifact-commit RACE (VERDICT r17 #1): the driver writes
+    * `BENCH_rN.json` ~1 s after the bench main exits and regenerates
+    * `LEAKCHECK.json` ~15 min later, so an exit-time [[commit]] can never
+    * catch the round's LAST driver-written files — and at round end there
+    * is no next invocation to pick them up. This spawns ONE detached
+    * watcher (setsid; survives the JVM) that re-runs the same
+    * pathspec-limited add/commit every 30 s for 40 minutes, so the
+    * driver-written artifacts land in the log within a poll of appearing
+    * and the judge arrives at a clean tree.
+    *
+    * Single-instance via `flock` on a lockfile (a second bench/verify run
+    * inside the window exits immediately); the loop is the exact shell
+    * mirror of [[commit]] — per-file check-ignore, pathspec-limited diff
+    * and commit — so it can never stage source edits. Strictly
+    * best-effort: any failure (no setsid/flock, no git) is silent and
+    * the next real [[commit]] still behaves as before. */
+  def spawnDelayedWatcher(repoDir: String = "."): Unit = try {
+    val dir = new java.io.File(repoDir).getCanonicalFile
+    if (!new java.io.File(dir, ".git").exists()) return
+    val script =
+      """exec 9>"/tmp/graft_artifact_watch.lock" || exit 0
+        |flock -n 9 || exit 0
+        |i=0
+        |while [ $i -lt 80 ]; do
+        |  i=$((i+1)); sleep 30
+        |  files=""
+        |  for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json bench_last.json; do
+        |    [ -e "$f" ] || continue
+        |    git check-ignore -q "$f" 2>/dev/null && continue
+        |    git add -- "$f" >/dev/null 2>&1
+        |    files="$files $f"
+        |  done
+        |  [ -n "$files" ] || continue
+        |  git diff --cached --quiet -- $files 2>/dev/null && continue
+        |  git commit -m "Track round artifacts (bench/verify/leakcheck outputs)" -- $files >/dev/null 2>&1
+        |done""".stripMargin
+    val pb = new ProcessBuilder("setsid", "sh", "-c", script)
+    pb.directory(dir)
+    pb.redirectOutput(new java.io.File("/dev/null"))
+    pb.redirectError(new java.io.File("/dev/null"))
+    pb.start()
+    println("[artifacts] delayed watcher spawned (40 min, 30 s poll)")
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[artifacts] watcher skipped: ${e.getMessage}")
   }
 }

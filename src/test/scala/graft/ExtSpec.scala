@@ -4412,6 +4412,140 @@ class ExtSpec extends AnyFunSuite {
     assert(n2(1).getBoolean(n2(1).fieldIndex("fim_applied")))
   }
 
+  test("chatTemplate: span reassembly law, masking scope, null handling (VERDICT r17 #4)") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, Seq(("user", "hello there"), ("assistant", "hi! how can I help"),
+        ("user", "pack my corpus"), ("assistant", "done"))),
+      (2L, Seq(("system", "be terse"), ("user", "q"), ("assistant", ""))),
+      (3L, Seq(("user", "no reply yet"))),
+      (4L, Seq.empty[(String, String)])
+    ).toDF("doc_id", "raw")
+      .withColumn("turns", transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))))
+      .drop("raw")
+    val r = Corpus.chatTemplate(docs, "turns").orderBy("doc_id").collect()
+    // REASSEMBLY LAW: substring(chat_text, off+1, len) == content+endTok
+    // for every span, spans in turn order, assistant turns only
+    val expect = Map(
+      1L -> Seq("hi! how can I help<|im_end|>", "done<|im_end|>"),
+      2L -> Seq("<|im_end|>"), 3L -> Seq(), 4L -> Seq())
+    r.foreach { row =>
+      val text = row.getString(row.fieldIndex("chat_text"))
+      val spans = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("loss_spans"))
+      val cut = spans.map { sp =>
+        text.substring(sp.getLong(0).toInt, sp.getLong(0).toInt + sp.getLong(1).toInt) }
+      assert(cut == expect(row.getLong(0)),
+        s"doc ${row.getLong(0)}: got $cut")
+      // spans never cover a header: the char before each span ends a
+      // "\n" (the role header's terminator)
+      spans.foreach { sp =>
+        assert(text.charAt(sp.getLong(0).toInt - 1) == '\n') }
+      // in order, non-overlapping
+      spans.sliding(2).foreach {
+        case Seq(a, b) => assert(a.getLong(0) + a.getLong(1) <= b.getLong(0))
+        case _ => ()
+      }
+    }
+    // full serialization pinned for the 2-turn-role doc
+    val d2 = r.find(_.getLong(0) == 2L).get
+    assert(d2.getString(d2.fieldIndex("chat_text")) ==
+      "<|im_start|>system\nbe terse<|im_end|>\n<|im_start|>user\nq<|im_end|>\n" +
+        "<|im_start|>assistant\n<|im_end|>\n")
+    assert(r.map(row => row.getInt(row.fieldIndex("n_turns"))).toSeq ==
+      Seq(4, 3, 1, 0))
+    // NULL turns array degrades to '' + no spans, not null-poison
+    val nulls = Seq(Tuple1(9L)).toDF("doc_id")
+      .withColumn("turns",
+        lit(null).cast("array<struct<role:string,content:string>>"))
+    val n1 = Corpus.chatTemplate(nulls, "turns").collect()(0)
+    assert(n1.getString(n1.fieldIndex("chat_text")) == "")
+    assert(n1.getSeq[Any](n1.fieldIndex("loss_spans")).isEmpty)
+  }
+
+  test("lengthBucketBatches: bucket/padding laws, full batches, oversize isolation (VERDICT r17 #6)") {
+    import graft.ext.Corpus
+    // lengths spanning several width-8 buckets + a 0 + an oversize (> cap)
+    val rows = Seq(1, 3, 7, 8, 9, 12, 15, 16, 17, 20, 23, 24, 25, 31, 33,
+      40, 64, 0, 5, 6).zipWithIndex.map { case (len, i) => (i.toLong, len) }
+    val df = rows.toDF("doc_id", "n_tok")
+    val r = Corpus.lengthBucketBatches(df, "doc_id", "n_tok",
+      bucketWidth = 8, capacity = 32).collect()
+      .map(x => (x.getLong(x.fieldIndex("doc_id")),
+        x.getInt(x.fieldIndex("n_tok")),
+        x.getInt(x.fieldIndex("bucket")),
+        x.getLong(x.fieldIndex("padded_len")),
+        x.getLong(x.fieldIndex("batch_in_bucket")),
+        x.getInt(x.fieldIndex("seq_in_batch"))))
+    // padding laws: padded >= len, padded - len < width (len >= 1);
+    // len 0 rides bucket 1
+    r.foreach { case (id, len, b, pad, _, _) =>
+      assert(pad >= len && b >= 1, s"doc $id")
+      if (len >= 1) assert(pad - len < 8, s"doc $id waste ${pad - len}")
+      else assert(b == 1 && pad == 8)
+    }
+    // within each bucket: ranks are doc_id-ordered and dense; every batch
+    // except the last is exactly full at floor(cap / padded) seats
+    r.groupBy(_._3).foreach { case (b, docs) =>
+      val sorted = docs.sortBy(_._1)
+      val seats = math.max(32L / sorted.head._4, 1L)
+      sorted.zipWithIndex.foreach { case ((id, _, _, _, bat, seq), rk) =>
+        assert(bat == rk / seats && seq == rk % seats,
+          s"doc $id in bucket $b: ($bat,$seq) at rank $rk")
+      }
+      val byBatch = sorted.groupBy(_._5).toSeq.sortBy(_._1)
+      byBatch.dropRight(1).foreach { case (bat, members) =>
+        assert(members.size.toLong == seats, s"bucket $b batch $bat not full")
+      }
+    }
+    // the 64-token doc (padded 64 > cap 32) still gets a seat — alone
+    val big = r.find(_._2 == 64).get
+    assert(big._6 == 0 && r.count(x => x._3 == big._3 && x._5 == big._5) == 1)
+    // agreement with a single-partition reference (the two-phase rank is
+    // an implementation detail, not a semantics change)
+    val one = Corpus.lengthBucketBatches(df.coalesce(1), "doc_id", "n_tok",
+      bucketWidth = 8, capacity = 32).collect()
+      .map(x => (x.getLong(x.fieldIndex("doc_id")),
+        x.getLong(x.fieldIndex("batch_in_bucket")),
+        x.getInt(x.fieldIndex("seq_in_batch")))).sortBy(_._1)
+    assert(one.toSeq == r.map(x => (x._1, x._5, x._6)).sortBy(_._1).toSeq)
+  }
+
+  test("parseMp3Meta: committed fixture, generator agreement, ID3 skip, strictness (VERDICT r17 #7)") {
+    import graft.ext.Multimodal
+    // the committed fixture pins the byte layout on disk; the generator
+    // must reproduce it bit-for-bit (same discipline as the WordPiece
+    // vocab fixture)
+    val fixture = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/tiny.mp3").toURI))
+    assert(java.util.Arrays.equals(fixture, Multimodal.syntheticMp3(7L, 5, id3Pad = 16)),
+      "generator drifted from the committed fixture")
+    val Some((rate, ch, frames, ms, kbps, vbr)) = Multimodal.parseMp3Meta(fixture)
+    assert(rate == 44100 && ch == 2 && frames == 5 && ms == 130L && vbr)
+    assert(math.abs(kbps - 204.8) < 1e-9) // (192+256+128+192+256)/5
+    // no ID3, single frame -> CBR
+    val one = Multimodal.syntheticMp3(3L, 1)
+    val Some((_, _, f1, _, _, v1)) = Multimodal.parseMp3Meta(one)
+    assert(f1 == 1 && !v1)
+    // strictness: garbage, truncation, and a corrupted mid-stream header
+    // all return None rather than a silently-short duration
+    assert(Multimodal.parseMp3Meta("not an mp3 at all".getBytes).isEmpty)
+    assert(Multimodal.parseMp3Meta(fixture.dropRight(10)).isEmpty)
+    val corrupt = fixture.clone()
+    corrupt(10 + 16 + 627) = 0x00 // first byte of frame 1's header region
+    assert(Multimodal.parseMp3Meta(corrupt).isEmpty)
+    // trailing ID3v1 TAG block is tolerated
+    val tagged = one ++ ("TAG" + "x" * 125).getBytes
+    assert(Multimodal.parseMp3Meta(tagged).exists(_._3 == 1))
+    // dataset path: undecodable rows drop, metadata rides the stub shape
+    val media = Seq(
+      Multimodal.MediaRow(7L, fixture),
+      Multimodal.MediaRow(8L, "junk".getBytes)).toDS()
+    val metas = Multimodal.mp3Meta(media).collect()
+    assert(metas.length == 1 && metas(0).id == 7L &&
+      metas(0).duration_ms == 130L && metas(0).vbr)
+  }
+
   test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {
     // the SentencePiece-shaped plain-text (piece, score) pair completes
     // the tokenizer triad's artifact story (BPE: merges.txt/vocab.json;

@@ -1493,5 +1493,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay0 == first0)
     val _ = st0
   }
+
+  test("packOneBatch: non-contiguous batch ids keep the previous applied state (ADVICE r17)") {
+    // empty micro-batches are SKIPPED while batchId advances, so the
+    // previous applied state can be batch N-k (k >= 2). The old
+    // "id <= batchId - 2" prune deleted it as batch N committed; a
+    // replay of N then cold-started — chunk ids renumbered from 0 and
+    // the carried remainder vanished. Rank-based pruning (keep the two
+    // newest applied ids) must make the replay byte-identical instead.
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_pack_gap")
+      .resolve("st").toString
+    def apply(rows: Seq[(Long, Seq[String])], id: Long) = {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[String])]
+      Streaming.packOneBatch(rows.toDF("doc_id", "toks"), id, "doc_id",
+        "toks", capacity = 4, state,
+        onChunks = (c, _) => {
+          got ++= c.orderBy("chunk").collect().map { r =>
+            (r.getAs[Long]("chunk"), r.getSeq[String](r.fieldIndex("ids")))
+          }
+          ()
+        })
+      got.toVector
+    }
+    // batch 0 applies (1 full chunk + remainder), then batches 1-4 are
+    // empty (skipped by the foreachBatch guard — never applied), then
+    // batch 5 applies and prunes
+    val b0 = Seq((1L, Seq("a", "b", "c", "d", "e")))
+    val b5 = Seq((2L, Seq("f", "g", "h")))
+    apply(b0, 0L)
+    val first5 = apply(b5, 5L)
+    // the previous applied state (batch 0) must SURVIVE batch 5's prune
+    // so a crash-replay of batch 5 reloads it instead of cold-starting
+    val replay5 = apply(b5, 5L)
+    assert(replay5 == first5,
+      s"replay after a batch-id gap cold-started: $replay5 vs $first5")
+    assert(replay5.head._1 == 1L,
+      "chunk numbering must continue from batch 0's count, not restart at 0")
+    assert(Streaming.packStreamChunkCount(spark, state) == 2L)
+  }
+
+  test("tokenPackStreamToPath: on-disk shards equal the batch operator across two kill-and-restart cycles, no dupes (VERDICT r17 #2)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pack_sink")
+    val inDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val state = root.resolve("state").toString
+    val outPath = root.resolve("shards").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("toks", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    def addFile(rows: Seq[(Long, Seq[String])]): Unit =
+      rows.toDF("doc_id", "toks").coalesce(1).write.mode("append").json(inDir)
+    def runCycle(): Unit = {
+      val q = Streaming.tokenPackStreamToPath(
+        spark.readStream.schema(schema).json(inDir), "doc_id", "toks",
+        capacity = 4, stateDir = state, outPath = outPath)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val b1 = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d", "e", "f")))
+    val b2 = Seq((3L, Seq("g", "h")), (4L, Seq("i", "j", "k", "l")))
+    addFile(b1); runCycle() // cycle 1, then "crash"
+    addFile(b2); runCycle() // cycle 2 resumes past batch 0
+    def readShards() = spark.read.parquet(outPath)
+      .orderBy("chunk").collect().map { r =>
+        (r.getAs[Long]("chunk"), r.getSeq[String](r.fieldIndex("ids")),
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+            .map(sp => (sp.getLong(0), sp.getLong(1), sp.getLong(2))))
+      }.toVector
+    val batch = graft.ext.Corpus.packTokenArrays(
+        (b1 ++ b2).toDF("doc_id", "toks"), "doc_id", "toks", capacity = 4)
+      .filter(col("n_ids") === 4)
+      .orderBy("chunk").collect().map { r =>
+        (r.getAs[Long]("chunk"), r.getSeq[String](r.fieldIndex("ids")),
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+            .map(sp => (sp.getLong(0), sp.getLong(1), sp.getLong(2))))
+      }.toVector
+    val got = readShards()
+    assert(got == batch,
+      s"shards on disk drifted from the batch operator:\n$got\n$batch")
+    assert(got.map(_._1).distinct.size == got.size, "duplicate chunk ids")
+    // a crash-REPLAY of the last batch overwrites its own shard dir
+    // idempotently: same chunk ids, same bytes, still no dupes
+    Streaming.packOneBatch(b2.toDF("doc_id", "toks"), 1L, "doc_id", "toks",
+      capacity = 4, state,
+      onChunks = (chunks, batchId) => chunks.write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outPath/batch_id=$batchId"))
+    assert(readShards() == batch, "replayed shard write was not idempotent")
+  }
 }
 
