@@ -1875,6 +1875,23 @@ object ExtQueries {
     // The oracle replays the hex draw, every slice boundary, the
     // sentinel ordinals and the final closing sentinel — an off-by-one
     // in any window of any document fails the hash.
+    // MP3 METADATA over the frame-header walker: one synthetic MPEG-1
+    // Layer III clip per document (1 + id%4 frames, bitrate cycling
+    // 128/192/256 by (id+i)%3 — every header field is id-arithmetic), so
+    // DuckDB replays frame count, duration and average bitrate with no
+    // codec on its side. Parse runs on the executors per row — the stub
+    // path's shape with a real header walk in the decode slot; the
+    // 1-frame clips pin the CBR (vbr = false) branch.
+    "q179_mp3_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = docsPar(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRow(id,
+          Multimodal.syntheticMp3(id, (1 + id % 4).toInt))))
+      Multimodal.mp3Meta(media).toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"), col("avg_kbps"), col("vbr"))
+        .presentBy(col("doc_id"))
+    },
     // INSTRUCTION-TUNING (SFT) CHAT-TEMPLATE serializer: each document's
     // whitespace tokens are cut into 8-token turns alternating
     // user/assistant, serialized through the ChatML-shaped template, and
@@ -3904,6 +3921,26 @@ object ExtQueries {
        |FROM z ORDER BY doc_id""".stripMargin
   }
 
+  // q179: MP3 metadata replayed arithmetically — the synthetic clip's
+  // header fields are all id-derived (frame count 1 + id%4, bitrate
+  // index cycling by (id+i)%3, fixed 44.1 kHz joint stereo), so the
+  // oracle recomputes what the frame walker reads: duration = frames ·
+  // 1152 / rate in integer ms, avg bitrate as an exact-int division
+  // (both engines round the same double), VBR = more than one distinct
+  // frame bitrate.
+  private val mp3MetaSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS nf
+       |  FROM documents),
+       |f AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM d),
+       |k AS (SELECT doc_id, nf, CASE CAST((doc_id + i) % 3 AS INT)
+       |    WHEN 0 THEN 128 WHEN 1 THEN 192 ELSE 256 END AS kbps FROM f),
+       |g AS (SELECT doc_id, any_value(nf) AS nf, sum(kbps) AS sk,
+       |    count(DISTINCT kbps) AS nd FROM k GROUP BY doc_id)
+       |SELECT doc_id, 44100 AS sample_rate, 2 AS channels, nf AS n_frames,
+       |  CAST(nf * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+       |  CAST(sk AS DOUBLE) / nf AS avg_kbps, nd > 1 AS vbr
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // q177: the chat template replayed — per-turn piece length is fully
   // determined by role/content lengths (12 = len('<|im_start|>'), 10 =
   // len('<|im_end|>'), +1s are the newlines), so span offsets are window
@@ -3991,6 +4028,7 @@ object ExtQueries {
        |FROM b LEFT JOIN cor USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,
     "q177_chat_sft" -> chatSftSql,
     "q176_span_corrupt" -> spanCorruptSql,
