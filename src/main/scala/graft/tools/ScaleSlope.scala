@@ -319,6 +319,16 @@ object ScaleSlope {
       // r17: q176 = per-row windowed HOF projections over the token array
       // (md5 draws + slices + flatten — no shuffle)
       "q176_span_corrupt",
+      // r18: q177 = tokenize + one aggregate HOF per row (template concat
+      // + span arithmetic — the q175/q176 codegen rail, no shuffle)
+      "q177_chat_sft",
+      // r18: q178 = token-count scan + the two-phase per-bucket rank
+      // (range repartition + (pid,bucket)-sized driver offsets + window)
+      // — prefixSum's shape with a bucket key
+      "q178_length_buckets",
+      // r18: q179 = per-row synthetic-MP3 encode + frame-header walk (a
+      // codec throughput rail like q121/q126 — no shuffle)
+      "q179_mp3_meta",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and
