@@ -974,34 +974,43 @@ object Corpus {
                    lossRole: String = "assistant",
                    startTok: String = "<|im_start|>",
                    endTok: String = "<|im_end|>"): DataFrame = {
-    requireFresh(df, "chatTemplate", "chat_text", "loss_spans", "n_turns")
+    requireFresh(df, "chatTemplate", "chat_text", "loss_spans", "n_turns",
+      "__turns")
     val spanType = "array<struct<off:bigint,len:bigint>>"
-    val turns = coalesce(col(turnsCol),
-      expr(s"CAST(array() AS ${df.schema(turnsCol).dataType.sql})"))
-    val zero = struct(lit("").cast("string").as("s"),
-      array().cast(spanType).as("spans"))
+    def role(t: Column): Column =
+      coalesce(t.getField("role").cast("string"), lit(""))
+    def content(t: Column): Column =
+      coalesce(t.getField("content").cast("string"), lit(""))
+    // text as transform + array_join (O(total chars)) and spans as a
+    // LENGTH-ONLY fold — an acc that carried the accumulated string
+    // would copy it per turn, O(n²) chars on a many-turn conversation;
+    // the length is the only thing the span offsets need
+    val turns = col("__turns")
+    val text = array_join(transform(turns, t =>
+      concat(lit(startTok), role(t), lit("\n"), content(t),
+        lit(endTok), lit("\n"))), "")
+    val zero = struct(lit(0L).as("len"), array().cast(spanType).as("spans"))
     val acc = aggregate(turns, zero, (a, t) => {
-      val role = coalesce(t.getField("role").cast("string"), lit(""))
-      val content = coalesce(t.getField("content").cast("string"), lit(""))
-      val piece = concat(lit(startTok), role, lit("\n"), content,
-        lit(endTok), lit("\n"))
       // 0-based content start = every char before it: the accumulated
-      // text, then this turn's startTok + role + "\n" header; the span
+      // length, then this turn's startTok + role + "\n" header; the span
       // keeps the closing endTok but not the trailing newline
-      val off = (length(a.getField("s")) + lit(startTok.length) +
-        length(role) + lit(1)).cast("long")
+      val off = a.getField("len") + lit(startTok.length.toLong) +
+        length(role(t)) + 1L
       val span = struct(off.as("off"),
-        (length(content) + lit(endTok.length)).cast("long").as("len"))
-      struct(concat(a.getField("s"), piece).as("s"),
-        when(role === lit(lossRole),
+        (length(content(t)) + lit(endTok.length)).cast("long").as("len"))
+      val plen = lit((startTok.length + endTok.length + 2).toLong) +
+        length(role(t)) + length(content(t))
+      struct((a.getField("len") + plen).as("len"),
+        when(role(t) === lit(lossRole),
             concat(a.getField("spans"), array(span)))
           .otherwise(a.getField("spans")).as("spans"))
     })
-    df.withColumn("__chat", acc)
-      .withColumn("chat_text", col("__chat").getField("s"))
-      .withColumn("loss_spans", col("__chat").getField("spans"))
+    df.withColumn("__turns", coalesce(col(turnsCol),
+        expr(s"CAST(array() AS ${df.schema(turnsCol).dataType.sql})")))
+      .withColumn("chat_text", text)
+      .withColumn("loss_spans", acc.getField("spans"))
       .withColumn("n_turns", size(turns).cast("int"))
-      .drop("__chat")
+      .drop("__turns")
   }
 
   /** SEQUENCE-LENGTH BUCKETING for non-packed (padded) SFT batches — the
