@@ -38,6 +38,24 @@ object ExtQueries {
     read(s, dir, "documents").filter(col("lang") === "en")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Shared q177/q180 conversation fixture: each document's whitespace
+    * tokens cut into 8-token turns alternating user/assistant — the
+    * deterministic turn-array the SFT operators serialize. (size ≥ 1
+    * always: split of '' yields [''], so nt ≥ 1 and sequence never
+    * descends.) */
+  private def sftTurns(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir)
+      .select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .withColumn("__nt", expr("CAST((size(toks) + 7) DIV 8 AS INT)"))
+      .withColumn("turns", transform(sequence(lit(0), col("__nt") - 1),
+        w => struct(
+          when(w % 2 === 0, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          array_join(slice(col("toks"), w * 8 + 1, lit(8)), " ")
+            .as("content"))))
+      .select(col("doc_id"), col("turns"))
+
   /** SF dir the q66 serve-only index was built for — rebuilt on change so
     * a run over a different SF can never serve a stale index. */
   private val serveIndexFor =
@@ -1901,22 +1919,29 @@ object ExtQueries {
     // concat AND every span via window prefix-sums over per-turn piece
     // lengths; one span off by one character anywhere fails the hash.
     "q177_chat_sft" -> { (s, dir) =>
-      val turns = docsPar(s, dir)
-        .select(col("doc_id"),
-          TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
-        .withColumn("__nt", expr("CAST((size(toks) + 7) DIV 8 AS INT)"))
-        .withColumn("turns", transform(sequence(lit(0), col("__nt") - 1),
-          w => struct(
-            when(w % 2 === 0, lit("user")).otherwise(lit("assistant"))
-              .as("role"),
-            array_join(slice(col("toks"), w * 8 + 1, lit(8)), " ")
-              .as("content"))))
-        .select(col("doc_id"), col("turns"))
-      Corpus.chatTemplate(turns, "turns")
+      Corpus.chatTemplate(sftTurns(s, dir), "turns")
         .select(col("doc_id"), col("n_turns"), col("chat_text"),
           array_join(transform(col("loss_spans"), x =>
             concat_ws(":", x.getField("off"), x.getField("len"))), " ")
             .as("spans_str"))
+        .presentBy(col("doc_id"))
+    },
+    // TOKEN-ALIGNED LOSS MASK: q177's character spans converted to the
+    // per-token 0/1 mask a trainer feeds the loss — single-char
+    // separator tokenization makes token offsets exact prefix
+    // arithmetic on both engines; a token straddling a span boundary
+    // (endTok glued to the last content token) masks 1, whole-token
+    // granularity. The oracle rebuilds text + spans, re-derives every
+    // token offset with a window prefix-sum and replays the overlap
+    // test per token — one mask bit wrong anywhere fails the hash.
+    "q180_sft_token_mask" -> { (s, dir) =>
+      val chat = Corpus.chatTemplate(sftTurns(s, dir), "turns")
+        .select(col("doc_id"), col("chat_text"), col("loss_spans"))
+      Corpus.tokenLossMask(chat, "doc_id", "chat_text", "loss_spans")
+        .select(col("doc_id"),
+          array_join(col("mask_tokens"), "\u001f").as("toks_str"),
+          array_join(transform(col("loss_mask"), _.cast("string")), "")
+            .as("mask_str"))
         .presentBy(col("doc_id"))
     },
     // SEQUENCE-LENGTH BUCKETING for padded SFT batches: token counts →
@@ -3993,6 +4018,58 @@ object ExtQueries {
        |  CAST(rk % perb AS INT) AS seq_in_batch
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // q180: the token mask replayed — rebuild q177's text and spans, then
+  // re-derive every token offset independently: single-char separators
+  // make token k's start sum(len+1 over j<k) (one window prefix-sum over
+  // the unnested-with-ordinality token stream), and the mask bit is the
+  // interval-overlap EXISTS against the per-doc span set. '[\n ]' is a
+  // literal newline-or-space class in BOTH engines (RE2 interprets \n in
+  // a single-quoted literal; Java the same in the Scala string).
+  private val sftTokenMaskSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, toks, unnest(range(0, nt)) AS w FROM n),
+       |p AS (SELECT doc_id, w,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |q AS (SELECT doc_id, w, role, content,
+       |    12 + length(role) + 1 + length(content) + 10 + 1 AS plen FROM p),
+       |o AS (SELECT doc_id, w, role, content,
+       |    coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+       |  FROM q),
+       |g AS (SELECT doc_id,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS chat_text
+       |  FROM o GROUP BY doc_id),
+       |sp AS (SELECT doc_id, poff + 12 + length(role) + 1 AS soff,
+       |    length(content) + 10 AS slen FROM o WHERE role = 'assistant'),
+       |ts AS (SELECT doc_id,
+       |    string_split_regex(chat_text, '[\n ]') AS tl FROM g),
+       |tn AS (SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS ord
+       |  FROM ts),
+       |tok AS (SELECT doc_id, ord, tl[ord] AS tok FROM tn),
+       |off AS (SELECT doc_id, tok, ord,
+       |    coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id
+       |      ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+       |      PRECEDING), 0) AS toff
+       |  FROM tok),
+       |m AS (SELECT f.doc_id, f.ord, f.tok,
+       |    CASE WHEN EXISTS (SELECT 1 FROM sp
+       |        WHERE sp.doc_id = f.doc_id
+       |          AND f.toff < sp.soff + sp.slen
+       |          AND f.toff + length(f.tok) > sp.soff)
+       |      THEN 1 ELSE 0 END AS mk
+       |  FROM off f)
+       |SELECT doc_id,
+       |  array_to_string(list(tok ORDER BY ord), chr(31)) AS toks_str,
+       |  array_to_string(list(CAST(mk AS VARCHAR) ORDER BY ord), '')
+       |    AS mask_str
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // q176: span corruption replayed — per full 20-token window the 52-bit
   // hex draw mod 18 places the 3-token span; corrupted = pre-slice +
   // sentinel + post-slice per window (ordered) + unmasked tail; targets =
@@ -4028,6 +4105,7 @@ object ExtQueries {
        |FROM b LEFT JOIN cor USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,
     "q177_chat_sft" -> chatSftSql,

@@ -1013,6 +1013,55 @@ object Corpus {
       .drop("__turns")
   }
 
+  /** TOKEN-ALIGNED LOSS MASK — the bridge from [[chatTemplate]]'s
+    * character spans to what a trainer actually feeds the loss: tokenize
+    * the serialized text and mark each token 1 iff its character range
+    * overlaps any loss span (0 otherwise). Whole-token granularity means
+    * a token straddling a span boundary (the template glues `endTok`
+    * onto the last content token under whitespace tokenization) masks as
+    * 1 — the standard resolution; every span character lands inside a
+    * masked token.
+    *
+    * Tokenization is a SINGLE-CHARACTER separator class (`sepClass`,
+    * default `[\n ]` — exactly the two separators [[chatTemplate]]
+    * emits), which is what makes per-token offsets exact arithmetic on
+    * both engines: token k starts at sum(len(tok_j) + 1 for j < k).
+    * A text ENDING in a separator yields one trailing empty token on
+    * both engines; an empty token can never mask (its range is empty).
+    *
+    * Scale shape: one per-document window (offsets; partitioned by
+    * `idCol`, no global order), one reassembly groupBy, one id join back
+    * — token-stream-sized shuffles, the q174 discipline; the span
+    * overlap test is a per-row `exists` over the (small) spans array.
+    * Output: input + `mask_tokens` (array<string>) and `loss_mask`
+    * (array<int>, same length). */
+  def tokenLossMask(df: DataFrame, idCol: String, textCol: String,
+                    spansCol: String, sepClass: String = "[\\n ]"): DataFrame = {
+    requireFresh(df, "tokenLossMask", "mask_tokens", "loss_mask",
+      "__tok", "__pos", "__toff", "__m", "__arr")
+    val toks = split(coalesce(col(textCol), lit("")), sepClass)
+    val exploded = df
+      .select(col(idCol), col(spansCol).as("__spans"),
+        posexplode(toks).as(Seq("__pos", "__tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val masked = exploded
+      .withColumn("__toff",
+        coalesce(sum(length(col("__tok")) + 1).over(w), lit(0L)))
+      .withColumn("__m", when(exists(col("__spans"), sp =>
+          col("__toff") < sp.getField("off") + sp.getField("len") &&
+            col("__toff") + length(col("__tok")) > sp.getField("off")),
+        lit(1)).otherwise(lit(0)))
+    val agg = masked.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("__pos"), col("__tok"), col("__m")))).as("__arr"))
+      .select(col(idCol),
+        transform(col("__arr"), x => x.getField("__tok")).as("mask_tokens"),
+        transform(col("__arr"), x => x.getField("__m")).as("loss_mask"))
+    df.join(agg, Seq(idCol))
+  }
+
   /** SEQUENCE-LENGTH BUCKETING for non-packed (padded) SFT batches — the
     * companion to [[packTokenArrays]] for trainers that keep documents
     * whole: group documents into buckets of similar token length, pad

@@ -329,6 +329,10 @@ object ScaleSlope {
       // r18: q179 = per-row synthetic-MP3 encode + frame-header walk (a
       // codec throughput rail like q121/q126 — no shuffle)
       "q179_mp3_meta",
+      // r18: q180 = q177's serialization + posexplode + per-DOC offset
+      // window + reassembly groupBy + id join — token-stream-sized
+      // shuffles partitioned by doc (the q174 discipline)
+      "q180_sft_token_mask",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and

@@ -4463,6 +4463,64 @@ class ExtSpec extends AnyFunSuite {
     assert(n1.getSeq[Any](n1.fieldIndex("loss_spans")).isEmpty)
   }
 
+  test("tokenLossMask: token-aligned mask covers exactly the span-overlapping tokens") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, Seq(("user", "hello there"), ("assistant", "hi friend"),
+        ("user", "more work"), ("assistant", "ok"))),
+      (3L, Seq(("user", "no reply")))
+    ).toDF("doc_id", "raw")
+      .withColumn("turns", transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))))
+      .drop("raw")
+    val chat = Corpus.chatTemplate(docs, "turns")
+      .select(col("doc_id"), col("chat_text"), col("loss_spans"))
+    val r = Corpus.tokenLossMask(chat, "doc_id", "chat_text", "loss_spans")
+      .orderBy("doc_id").collect()
+    r.foreach { row =>
+      val text = row.getString(row.fieldIndex("chat_text"))
+      val toks = row.getSeq[String](row.fieldIndex("mask_tokens"))
+      val mask = row.getSeq[Int](row.fieldIndex("loss_mask"))
+      val spans = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("loss_spans"))
+        .map(sp => (sp.getLong(0), sp.getLong(1)))
+      // tokens reassemble the text (single-char separators), mask aligned
+      assert(mask.size == toks.size)
+      assert(toks.mkString("x").length == text.length,
+        "single-char separators: joined length must equal text length")
+      // independent reference: recompute each token's range and overlap
+      var off = 0L
+      toks.zip(mask).foreach { case (tok, m) =>
+        val expected = if (spans.exists { case (so, sl) =>
+          off < so + sl && off + tok.length > so }) 1 else 0
+        assert(m == expected, s"token '$tok' at $off: got $m")
+        off += tok.length + 1
+      }
+      // every NON-SEPARATOR span character lands inside a masked token
+      // (separator chars — the space inside multi-token content — belong
+      // to no token by construction; a trainer's loss runs on tokens)
+      spans.foreach { case (so, sl) =>
+        var o = 0L
+        val covered = toks.zip(mask).flatMap { case (tok, m) =>
+          val r = if (m == 1) (o until o + tok.length) else Seq.empty
+          o += tok.length + 1; r
+        }.toSet
+        (so until so + sl)
+          .filterNot(c => text(c.toInt) == ' ' || text(c.toInt) == '\n')
+          .foreach(c => assert(covered.contains(c),
+            s"span char $c uncovered"))
+      }
+    }
+    // the masked-token content of doc 1: assistant turns glued with endTok
+    val d1 = r.find(_.getLong(0) == 1L).get
+    val kept = d1.getSeq[String](d1.fieldIndex("mask_tokens"))
+      .zip(d1.getSeq[Int](d1.fieldIndex("loss_mask")))
+      .collect { case (t, 1) => t }
+    assert(kept == Seq("hi", "friend<|im_end|>", "ok<|im_end|>"))
+    // no-assistant doc: all zeros
+    val d3 = r.find(_.getLong(0) == 3L).get
+    assert(d3.getSeq[Int](d3.fieldIndex("loss_mask")).forall(_ == 0))
+  }
+
   test("lengthBucketBatches: bucket/padding laws, full batches, oversize isolation (VERDICT r17 #6)") {
     import graft.ext.Corpus
     // lengths spanning several width-8 buckets + a 0 + an oversize (> cap)
