@@ -1910,6 +1910,69 @@ object ExtQueries {
           col("n_frames"), col("duration_ms"), col("avg_kbps"), col("vbr"))
         .presentBy(col("doc_id"))
     },
+    // SEMANTIC DOCUMENT ORDERING for in-context pretraining (Shi et al.
+    // 2023): IVF cells over the embeddings (16 smallest-id pivots, the
+    // q42 assignment discipline), then a deterministic greedy
+    // nearest-unvisited cosine chain within each cell — `ic_order` is the
+    // chain position packTokenArrays consumes so related docs pack
+    // adjacently. The oracle replays the ENTIRE walk as a recursive-CTE
+    // state machine (visited list + struct-max argmax per hop, cosines as
+    // the suite's in-order double fold rounded 6 dp) — one wrong hop
+    // anywhere reorders the tail and fails the hash.
+    "q183_semantic_order" -> { (s, dir) =>
+      Similarity.semanticOrder(read(s, dir, "embeddings"), "vec_id",
+          "embedding", nCells = 16)
+        .select(col("vec_id"), col("cell"), col("ic_order"))
+        .presentBy(col("vec_id"))
+    },
+    // FIRST-FIT-DECREASING batch layout (Multipack): token counts sorted
+    // (len desc, id), greedy first-fit into 256-token batches inside
+    // 64-doc rank groups — the density step past q178's bucketing (no
+    // bucket-edge padding; oversize docs isolate themselves because
+    // nothing fits beside them). The oracle replays EVERY seat assignment
+    // with a recursive-CTE state machine over the same rank order (fills
+    // list + first-fit position per step), so one wrong seat anywhere
+    // fails the hash.
+    "q182_ffd_binpack" -> { (s, dir) =>
+      val toks = docsPar(s, dir).select(col("doc_id"),
+        size(TextStats.tokens(coalesce(col("text"), lit(""))))
+          .cast("int").as("n_tok"))
+      Corpus.binPackBatches(toks, "doc_id", "n_tok", capacity = 256,
+          groupDocs = 64)
+        .select(col("doc_id"), col("n_tok"), col("pack_group"),
+          col("batch_in_group"))
+        .presentBy(col("doc_id"))
+    },
+    // PREFERENCE-PAIR (DPO) PREP: each document's 8-token turns split into
+    // a prompt half (first ceil(nt/2) turns) and a response half; the
+    // chosen branch is the response verbatim, the rejected branch appends
+    // ' [no]' to every response turn — so the two branches differ in BOTH
+    // text and span geometry. The oracle replays both serializations and
+    // every span via the q177 window prefix-sums: rejected-branch offsets
+    // shift by 5 per PRECEDING response turn and span lengths by 5, so a
+    // fold error anywhere fails the hash; one-turn docs pin the
+    // empty-branch edge (chosen == rejected == prompt, no spans). The
+    // shared-prefix law (chosen[0:prefix_len] == rejected[0:prefix_len])
+    // is pinned in ExtSpec.
+    "q181_preference_pairs" -> { (s, dir) =>
+      val fix = sftTurns(s, dir)
+        .withColumn("__np", expr("CAST((size(turns) + 1) DIV 2 AS INT)"))
+        .withColumn("prompt", expr("slice(turns, 1, __np)"))
+        .withColumn("resp",
+          expr("slice(turns, __np + 1, size(turns) - __np)"))
+        .withColumn("rej", transform(col("resp"), t => struct(
+          t.getField("role").as("role"),
+          concat(t.getField("content"), lit(" [no]")).as("content"))))
+        .select(col("doc_id"), col("prompt"), col("resp"), col("rej"))
+      def spansStr(c: String) = array_join(transform(col(c), x =>
+        concat_ws(":", x.getField("off"), x.getField("len"))), " ")
+      Corpus.preferencePairs(fix, "prompt", "resp", "rej")
+        .select(col("doc_id"), col("prefix_len"),
+          col("chosen_text"), col("rejected_text"),
+          spansStr("chosen_spans").as("chosen_spans_str"),
+          spansStr("rejected_spans").as("rejected_spans_str"))
+        .presentBy(col("doc_id"))
+    },
     // INSTRUCTION-TUNING (SFT) CHAT-TEMPLATE serializer: each document's
     // whitespace tokens are cut into 8-token turns alternating
     // user/assistant, serialized through the ChatML-shaped template, and
@@ -3249,7 +3312,8 @@ object ExtQueries {
        |pr AS (SELECT greatest(count(*)*2//5, 1) AS np,
        |    greatest(least(count(*)//2,
        |      (SELECT count(*) FROM embeddings)), 1) AS ek FROM documents),
-       |tk AS (SELECT doc_id, string_split_regex(lower(trim(rt)), '\\s+') AS t
+       |tk AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(replace(rt, chr(11), ' '))), '\\s+') AS t
        |  FROM raw),
        |ln AS (SELECT doc_id, t,
        |    greatest(CAST(ceil(len(t)/8.0) AS INT), 1) AS n FROM tk),
@@ -3631,7 +3695,7 @@ object ExtQueries {
   // prefixSum (integer sums: fold-order-free in both engines).
   private val vocabCoverageSql =
     """WITH toks AS (SELECT
-      |    unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS term
+      |    unnest(string_split_regex(lower(trim(replace(coalesce(text, ''), chr(11), ' '))), '\s+')) AS term
       |  FROM documents),
       |hist AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
       |blocks AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types,
@@ -3998,6 +4062,149 @@ object ExtQueries {
        |SELECT doc_id, n_turns, chat_text, spans_str FROM g
        |ORDER BY doc_id""".stripMargin
 
+  // q183: the semantic-order walk replayed — IVF assignment (cross join
+  // against the 16 pivots, 6-dp cosine, (pcos DESC, pid) winner), then
+  // the greedy chain as a recursive CTE: one recursion level = one hop in
+  // every cell (lockstep), state carries the visited list and the current
+  // vector, and the per-hop argmax is a struct max over (cos6, -id) — the
+  // winner's vector rides the same struct so the next hop needs no join
+  // back. Recursion depth = the largest cell, never the corpus.
+  private val semanticOrderSql: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+       |  FROM e),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |pv AS (SELECT vec_id AS pid, v AS pvv, nrm AS pnrm FROM nz
+       |  ORDER BY vec_id LIMIT 16),
+       |asg0 AS (SELECT nz.vec_id, nz.v, nz.nrm, pv.pid,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> nz.v[i] * pv.pvv[i])) / (nz.nrm * pv.pnrm), 6) AS pcos
+       |  FROM nz CROSS JOIN pv),
+       |asg AS (SELECT vec_id, v, nrm, pid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY pcos DESC, pid) AS rn FROM asg0)
+       |  WHERE rn = 1),
+       |init AS (SELECT cell, min(vec_id) AS cur FROM asg GROUP BY cell),
+       |st AS (
+       |  SELECT i.cell, 0 AS pos, i.cur, [i.cur] AS visited,
+       |    a.v AS curv, a.nrm AS curnrm
+       |  FROM init i JOIN asg a ON a.vec_id = i.cur
+       |  UNION ALL
+       |  SELECT st.cell, st.pos + 1,
+       |    -(max(struct_pack(s := round(list_sum(list_transform(range(1, 65),
+       |        i -> st.curv[i] * a.v[i])) / (st.curnrm * a.nrm), 6),
+       |      ni := -a.vec_id)).ni),
+       |    list_append(st.visited,
+       |      -(max(struct_pack(s := round(list_sum(list_transform(range(1, 65),
+       |          i -> st.curv[i] * a.v[i])) / (st.curnrm * a.nrm), 6),
+       |        ni := -a.vec_id)).ni)),
+       |    max(struct_pack(s := round(list_sum(list_transform(range(1, 65),
+       |        i -> st.curv[i] * a.v[i])) / (st.curnrm * a.nrm), 6),
+       |      ni := -a.vec_id, v := a.v, nrm := a.nrm)).v,
+       |    max(struct_pack(s := round(list_sum(list_transform(range(1, 65),
+       |        i -> st.curv[i] * a.v[i])) / (st.curnrm * a.nrm), 6),
+       |      ni := -a.vec_id, v := a.v, nrm := a.nrm)).nrm
+       |  FROM st JOIN asg a ON a.cell = st.cell
+       |    AND NOT list_contains(st.visited, a.vec_id)
+       |  GROUP BY st.cell, st.pos, st.visited, st.curv, st.curnrm
+       |)
+       |SELECT cur AS vec_id, cell, pos AS ic_order FROM st
+       |ORDER BY vec_id""".stripMargin
+
+  // q182: the FFD packing replayed step for step — global (len desc, id)
+  // rank → 64-doc groups → a recursive-CTE state machine that carries
+  // each group's per-batch fills LIST and appends one seat per step
+  // (first-fit = list_position of the first batch with room, 1-based in
+  // DuckDB; a no-fit opens batch len(fills)). Groups advance in lockstep
+  // (one recursion level = one seat in every live group), so the
+  // recursion depth is the group size, never the corpus.
+  private val ffdBinpackSql: String =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, CAST(len($docToksC) AS BIGINT) AS len
+       |  FROM documents),
+       |ranked AS (SELECT doc_id, len,
+       |    row_number() OVER (ORDER BY len DESC, doc_id) - 1 AS rk FROM t),
+       |it AS (SELECT CAST(rk // 64 AS INT) AS g, CAST(rk % 64 AS INT) AS s,
+       |    doc_id, len FROM ranked),
+       |st AS (
+       |  SELECT g, 0 AS i, CAST([] AS BIGINT[]) AS fills,
+       |         CAST([] AS STRUCT(id BIGINT, b INT)[]) AS asg
+       |  FROM (SELECT DISTINCT g FROM it)
+       |  UNION ALL
+       |  SELECT st.g, st.i + 1,
+       |    CASE WHEN list_position(list_transform(st.fills,
+       |          f -> f + it.len <= 256), true) > 0
+       |      THEN list_transform(st.fills, (f, j) ->
+       |        CASE WHEN j = list_position(list_transform(st.fills,
+       |            f2 -> f2 + it.len <= 256), true)
+       |          THEN f + it.len ELSE f END)
+       |      ELSE list_append(st.fills, it.len) END,
+       |    list_append(st.asg, {'id': it.doc_id,
+       |      'b': CAST(CASE WHEN list_position(list_transform(st.fills,
+       |            f -> f + it.len <= 256), true) > 0
+       |        THEN list_position(list_transform(st.fills,
+       |            f -> f + it.len <= 256), true) - 1
+       |        ELSE len(st.fills) END AS INT)})
+       |  FROM st JOIN it ON it.g = st.g AND it.s = st.i
+       |),
+       |fin AS (SELECT g, asg FROM st
+       |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY i DESC) = 1),
+       |ex AS (SELECT g, unnest(asg) AS a FROM fin)
+       |SELECT t.doc_id, CAST(t.len AS INT) AS n_tok, ex.g AS pack_group,
+       |  a.b AS batch_in_group
+       |FROM ex JOIN t ON t.doc_id = a.id ORDER BY doc_id""".stripMargin
+
+  // q181: both preference serializations replayed — prompt pieces are the
+  // first (nt+1)//2 turns, branch pieces the rest; the rejected branch
+  // appends ' [no]' (5 chars) per turn, so its span offsets diverge from
+  // the chosen branch by 5 per PRECEDING branch turn and its span lengths
+  // by 5 — the two branch prefix-sums run independently (poc/por), and
+  // the shared prompt prefix is pinned by construction (prompt_text
+  // aggregated once, concatenated into both outputs).
+  private val preferencePairsSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, nt, toks, unnest(range(0, nt)) AS w FROM n),
+       |p AS (SELECT doc_id, w, CAST((nt + 1) // 2 AS INT) AS np,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |q AS (SELECT doc_id, w, np, role, content,
+       |    12 + length(role) + 1 + length(content) + 10 + 1 AS plen FROM p),
+       |pr AS (SELECT doc_id,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS prompt_text,
+       |    CAST(sum(plen) AS BIGINT) AS prefix_len
+       |  FROM q WHERE w < np GROUP BY doc_id),
+       |br AS (SELECT q.doc_id, q.w, q.role, q.content, prefix_len,
+       |    coalesce(sum(q.plen) OVER (PARTITION BY q.doc_id ORDER BY q.w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poc,
+       |    coalesce(sum(q.plen + 5) OVER (PARTITION BY q.doc_id ORDER BY q.w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS por
+       |  FROM q JOIN pr USING (doc_id) WHERE q.w >= q.np),
+       |bg AS (SELECT doc_id,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS ctail,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      ' [no]' || '<|im_end|>' || chr(10), '' ORDER BY w) AS rtail,
+       |    coalesce(string_agg(CASE WHEN role = 'assistant' THEN
+       |        (prefix_len + poc + 12 + length(role) + 1) || ':' ||
+       |        (length(content) + 10) END, ' ' ORDER BY w), '') AS cs,
+       |    coalesce(string_agg(CASE WHEN role = 'assistant' THEN
+       |        (prefix_len + por + 12 + length(role) + 1) || ':' ||
+       |        (length(content) + 15) END, ' ' ORDER BY w), '') AS rs
+       |  FROM br GROUP BY doc_id)
+       |SELECT pr.doc_id, pr.prefix_len,
+       |  pr.prompt_text || coalesce(bg.ctail, '') AS chosen_text,
+       |  pr.prompt_text || coalesce(bg.rtail, '') AS rejected_text,
+       |  coalesce(bg.cs, '') AS chosen_spans_str,
+       |  coalesce(bg.rs, '') AS rejected_spans_str
+       |FROM pr LEFT JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // q178: length bucketing replayed — bucket/seats are pure integer
   // arithmetic and the per-bucket rank is one row_number over doc_id, so
   // batch and seat assignments are exact integer div/mod of the same rank
@@ -4105,6 +4312,9 @@ object ExtQueries {
        |FROM b LEFT JOIN cor USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q183_semantic_order" -> semanticOrderSql,
+    "q182_ffd_binpack" -> ffdBinpackSql,
+    "q181_preference_pairs" -> preferencePairsSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,
@@ -4483,7 +4693,7 @@ object ExtQueries {
         |         ELSE labs[n-1] || '.' || labs[n] END AS domain
         |  FROM lx),
         |p AS (SELECT domain, tx,
-        |    string_split_regex(lower(trim(tx)), '\s+') AS toks,
+        |    string_split_regex(lower(trim(replace(tx, chr(11), ' '))), '\s+') AS toks,
         |    md5(regexp_replace(lower(trim(tx)), '\s+', ' ', 'g')) AS fp
         |  FROM dm),
         |q AS (SELECT domain, tx, toks, fp,
@@ -4880,7 +5090,7 @@ object ExtQueries {
     // original order. LEFT join keeps all-dup docs with empty text.
     "q92_dedup_paragraphs" ->
       """WITH fix AS (SELECT doc_id, 'begin header ' || source AS hdr,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |    string_split_regex(lower(trim(replace(text, chr(11), ' '))), '\s+') AS t FROM documents),
         |nl AS (SELECT doc_id, hdr, t,
         |    greatest(CAST(ceil(len(t)/10.0) AS INT), 1) AS n FROM fix),
         |li AS (SELECT doc_id, hdr, t, unnest(range(0, n)) AS i FROM nl),
@@ -5052,7 +5262,7 @@ object ExtQueries {
     "q110_segment_langid" ->
       """WITH s AS (SELECT doc_id,
         |    list_filter(list_transform(
-        |      string_split_regex(coalesce(text, ''), '[.!?]+\s*'), x -> trim(x)),
+        |      string_split_regex(replace(coalesce(text, ''), chr(11), ' '), '[.!?]+\s*'), x -> trim(x)),
         |      x -> len(x) > 0) AS segs
         |  FROM documents),
         |e AS (SELECT doc_id, unnest(segs) AS seg FROM s),
@@ -5271,7 +5481,7 @@ object ExtQueries {
          |d AS (SELECT a.cell, doc.doc_id, coalesce(doc.text, '') AS tx
          |  FROM documents doc JOIN asg a ON doc.doc_id = a.id),
          |t AS (SELECT cell, doc_id, tx,
-         |    string_split_regex(lower(trim(tx)), '\\s+') AS toks FROM d),
+         |    string_split_regex(lower(trim(replace(tx, chr(11), ' '))), '\\s+') AS toks FROM d),
          |pts AS (SELECT cell, doc_id, toks, tx,
          |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
          |  + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
@@ -5409,7 +5619,7 @@ object ExtQueries {
     "q101_corpus_report" ->
       """WITH t AS (SELECT source, coalesce(text, '') AS tx FROM documents),
         |u AS (SELECT source, tx,
-        |    string_split_regex(lower(trim(tx)), '\s+') AS toks,
+        |    string_split_regex(lower(trim(replace(tx, chr(11), ' '))), '\s+') AS toks,
         |    md5(regexp_replace(lower(trim(tx)), '\s+', ' ', 'g')) AS fp FROM t),
         |p AS (SELECT source, tx, toks, fp,
         |    (CASE WHEN len(toks) BETWEEN 30 AND 500 THEN 5 ELSE 0 END)
@@ -5540,7 +5750,7 @@ object ExtQueries {
     // the Spark side's coalesce(..., false). Verdicts as INT 0/1 both sides.
     "q82_gopher_quality" ->
       s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx,
-         |    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+         |    string_split_regex(lower(trim(replace(coalesce(text, ''), chr(11), ' '))), '\\s+') AS toks
          |  FROM documents),
          |w AS (SELECT doc_id,
          |    len(list_filter(toks, x -> len(x) > 0)) AS n_words,
@@ -5605,7 +5815,7 @@ object ExtQueries {
          |  FROM l0),
          |c AS (SELECT doc_id, tx, lns, keptl,
          |    coalesce(array_to_string(keptl, chr(10)), '') AS clean_text,
-         |    string_split_regex(lower(trim(tx)), '\\s+') AS toks FROM k),
+         |    string_split_regex(lower(trim(replace(tx, chr(11), ' '))), '\\s+') AS toks FROM k),
          |r AS (SELECT doc_id,
          |    CAST(len(lns) AS INT) AS n_lines,
          |    CAST(len(keptl) AS INT) AS n_lines_kept,
@@ -5881,7 +6091,7 @@ object ExtQueries {
     // sequence() is inclusive, hence greatest(n, 1) vs greatest(n-1, 0)
     "q70_boilerplate_lines" ->
       """WITH fix AS (SELECT doc_id, 'begin header ' || source AS hdr,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |    string_split_regex(lower(trim(replace(text, chr(11), ' '))), '\s+') AS t FROM documents),
         |nl AS (SELECT doc_id, hdr, t,
         |    greatest(CAST(ceil(len(t)/10.0) AS INT), 1) AS n FROM fix),
         |li AS (SELECT doc_id, hdr, t, unnest(range(0, n)) AS i FROM nl),
@@ -5910,7 +6120,7 @@ object ExtQueries {
     // [0, len-8]), then the distinct-doc threshold
     "q72_duplicate_spans" ->
       """WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS tk
+        |    string_split_regex(lower(trim(replace(coalesce(text, ''), chr(11), ' '))), '\s+') AS tk
         |  FROM documents),
         |wi AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
         |  FROM t WHERE len(tk) >= 8),
@@ -5926,7 +6136,7 @@ object ExtQueries {
     // operator's empty-string (never dropped-row) contract
     "q73_drop_duplicate_spans" ->
       """WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS tk
+        |    string_split_regex(lower(trim(replace(coalesce(text, ''), chr(11), ' '))), '\s+') AS tk
         |  FROM documents),
         |wi AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
         |  FROM t WHERE len(tk) >= 8),

@@ -970,47 +970,135 @@ object Corpus {
     * `aggregate` HOF per row, codegen projections around it; rides any
     * scan at 100 TB exactly like [[fimTransform]].
     * Output: `chat_text`, `loss_spans`, `n_turns`. */
+  // ---- chat-template internals, shared by [[chatTemplate]] and
+  // [[preferencePairs]] ------------------------------------------------
+
+  private def turnRole(t: Column): Column =
+    coalesce(t.getField("role").cast("string"), lit(""))
+  private def turnContent(t: Column): Column =
+    coalesce(t.getField("content").cast("string"), lit(""))
+
+  /** CODE-POINT length of a literal sentinel (ADVICE r18): Spark's
+    * `length()` counts code points for role/content, so a non-BMP sentinel
+    * (emoji delimiter) measured in UTF-16 units via `String.length` would
+    * shift every span; default ASCII sentinels are unaffected. */
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** The serialized text of a turns array — per turn
+    * `startTok + role + "\n" + content + endTok + "\n"`, concatenated in
+    * turn order. `transform` + `array_join` is O(total chars). */
+  private def turnsText(turns: Column, startTok: String,
+                        endTok: String): Column =
+    array_join(transform(turns, t =>
+      concat(lit(startTok), turnRole(t), lit("\n"), turnContent(t),
+        lit(endTok), lit("\n"))), "")
+
+  /** The LENGTH-ONLY span fold over a turns array: returns
+    * `struct(len, spans)` where `len` = `base` + the serialized length of
+    * every turn, and `spans` are the loss spans (content + closing endTok
+    * for each `lossRole` turn) with offsets measured from `base` — so a
+    * caller serializing the turns AFTER a known prefix (the DPO shared
+    * prompt) passes the prefix length as `base` and gets full-text
+    * coordinates for free. An acc that carried the accumulated STRING
+    * would copy it per turn, O(n²) chars on a many-turn conversation; the
+    * length is the only thing the span offsets need. */
+  private def turnsSpanFold(turns: Column, base: Column, lossRole: String,
+                            startTok: String, endTok: String): Column = {
+    val spanType = "array<struct<off:bigint,len:bigint>>"
+    val startLen = cpLen(startTok)
+    val endLen = cpLen(endTok)
+    val zero = struct(base.cast("long").as("len"),
+      array().cast(spanType).as("spans"))
+    aggregate(turns, zero, (a, t) => {
+      // 0-based content start = every char before it: the accumulated
+      // length, then this turn's startTok + role + "\n" header; the span
+      // keeps the closing endTok but not the trailing newline
+      val off = a.getField("len") + lit(startLen) +
+        length(turnRole(t)) + 1L
+      val span = struct(off.as("off"),
+        (length(turnContent(t)) + lit(endLen)).cast("long").as("len"))
+      val plen = lit(startLen + endLen + 2L) +
+        length(turnRole(t)) + length(turnContent(t))
+      struct((a.getField("len") + plen).as("len"),
+        when(turnRole(t) === lit(lossRole),
+            concat(a.getField("spans"), array(span)))
+          .otherwise(a.getField("spans")).as("spans"))
+    })
+  }
+
   def chatTemplate(df: DataFrame, turnsCol: String,
                    lossRole: String = "assistant",
                    startTok: String = "<|im_start|>",
                    endTok: String = "<|im_end|>"): DataFrame = {
     requireFresh(df, "chatTemplate", "chat_text", "loss_spans", "n_turns",
       "__turns")
-    val spanType = "array<struct<off:bigint,len:bigint>>"
-    def role(t: Column): Column =
-      coalesce(t.getField("role").cast("string"), lit(""))
-    def content(t: Column): Column =
-      coalesce(t.getField("content").cast("string"), lit(""))
-    // text as transform + array_join (O(total chars)) and spans as a
-    // LENGTH-ONLY fold — an acc that carried the accumulated string
-    // would copy it per turn, O(n²) chars on a many-turn conversation;
-    // the length is the only thing the span offsets need
     val turns = col("__turns")
-    val text = array_join(transform(turns, t =>
-      concat(lit(startTok), role(t), lit("\n"), content(t),
-        lit(endTok), lit("\n"))), "")
-    val zero = struct(lit(0L).as("len"), array().cast(spanType).as("spans"))
-    val acc = aggregate(turns, zero, (a, t) => {
-      // 0-based content start = every char before it: the accumulated
-      // length, then this turn's startTok + role + "\n" header; the span
-      // keeps the closing endTok but not the trailing newline
-      val off = a.getField("len") + lit(startTok.length.toLong) +
-        length(role(t)) + 1L
-      val span = struct(off.as("off"),
-        (length(content(t)) + lit(endTok.length)).cast("long").as("len"))
-      val plen = lit((startTok.length + endTok.length + 2).toLong) +
-        length(role(t)) + length(content(t))
-      struct((a.getField("len") + plen).as("len"),
-        when(role(t) === lit(lossRole),
-            concat(a.getField("spans"), array(span)))
-          .otherwise(a.getField("spans")).as("spans"))
-    })
     df.withColumn("__turns", coalesce(col(turnsCol),
         expr(s"CAST(array() AS ${df.schema(turnsCol).dataType.sql})")))
-      .withColumn("chat_text", text)
-      .withColumn("loss_spans", acc.getField("spans"))
+      .withColumn("chat_text", turnsText(turns, startTok, endTok))
+      .withColumn("loss_spans",
+        turnsSpanFold(turns, lit(0L), lossRole, startTok, endTok)
+          .getField("spans"))
       .withColumn("n_turns", size(turns).cast("int"))
       .drop("__turns")
+  }
+
+  /** PREFERENCE-PAIR (DPO / RLHF reward-model) prep — the pairwise sibling
+    * of [[chatTemplate]] (VERDICT r18 #1): serialize (prompt turns, chosen
+    * turns, rejected turns) into the TWO full training sequences a
+    * preference objective scores, each through the same ChatML-shaped
+    * template, sharing the prompt prefix verbatim:
+    *   - `prompt_text`     — the serialized prompt turns
+    *   - `prefix_len`      — its code-point length; the first `prefix_len`
+    *     characters of `chosen_text` and `rejected_text` are IDENTICAL
+    *     (the ExtSpec law), which is what lets a trainer fold the shared
+    *     prompt forward pass across the two branches
+    *   - `chosen_text` / `rejected_text` — `prompt_text` + the serialized
+    *     response branch
+    *   - `chosen_spans` / `rejected_spans` — per-branch loss spans
+    *     (`array<struct<off, len>>`, 0-based char offsets into the FULL
+    *     branch text): each `lossRole` turn's content + closing `endTok`,
+    *     on the RESPONSE branch only — prompt turns never contribute a
+    *     span regardless of role (the standard DPO masking: loss is
+    *     computed on the model's candidate responses, never the shared
+    *     context).
+    *
+    * `substring(chosen_text, off+1, len)` reassembles `content + endTok`
+    * exactly, same as [[chatTemplate]]'s law. NULL turn arrays serialize
+    * as empty branches (chosen/rejected degenerate to the bare prompt, no
+    * spans). Zero shuffle — three `aggregate` HOF folds (length-only, the
+    * q177 discipline) and codegen projections; rides any scan at 100 TB
+    * exactly like [[chatTemplate]]. */
+  def preferencePairs(df: DataFrame, promptCol: String, chosenCol: String,
+                      rejectedCol: String, lossRole: String = "assistant",
+                      startTok: String = "<|im_start|>",
+                      endTok: String = "<|im_end|>"): DataFrame = {
+    requireFresh(df, "preferencePairs", "prompt_text", "prefix_len",
+      "chosen_text", "chosen_spans", "rejected_text", "rejected_spans",
+      "__pp", "__pc", "__pr")
+    def arr(c: String): Column = coalesce(col(c),
+      expr(s"CAST(array() AS ${df.schema(c).dataType.sql})"))
+    df.withColumn("__pp", arr(promptCol))
+      .withColumn("__pc", arr(chosenCol))
+      .withColumn("__pr", arr(rejectedCol))
+      .withColumn("prompt_text", turnsText(col("__pp"), startTok, endTok))
+      // the fold's len field IS the serialized length — no second pass
+      // over the prompt text, and the arithmetic is the same the span
+      // offsets use (code points on both engines)
+      .withColumn("prefix_len",
+        turnsSpanFold(col("__pp"), lit(0L), lossRole, startTok, endTok)
+          .getField("len"))
+      .withColumn("chosen_text",
+        concat(col("prompt_text"), turnsText(col("__pc"), startTok, endTok)))
+      .withColumn("chosen_spans",
+        turnsSpanFold(col("__pc"), col("prefix_len"), lossRole, startTok,
+          endTok).getField("spans"))
+      .withColumn("rejected_text",
+        concat(col("prompt_text"), turnsText(col("__pr"), startTok, endTok)))
+      .withColumn("rejected_spans",
+        turnsSpanFold(col("__pr"), col("prefix_len"), lossRole, startTok,
+          endTok).getField("spans"))
+      .drop("__pp", "__pc", "__pr")
   }
 
   /** TOKEN-ALIGNED LOSS MASK — the bridge from [[chatTemplate]]'s
@@ -1135,6 +1223,103 @@ object Corpus {
       .withColumn("batch_in_bucket", expr("__rk DIV __perb"))
       .withColumn("seq_in_batch", (col("__rk") % col("__perb")).cast("int"))
       .drop("__pid", "__boff", "__rk", "__perb")
+  }
+
+  /** FIRST-FIT-DECREASING batch layout (the Multipack sampler's published
+    * packing, VERDICT r18 #4) — the density step past
+    * [[lengthBucketBatches]]: instead of padding every document to its
+    * bucket edge, documents are sorted by (length desc, id) and greedily
+    * first-fit into token-capacity batches, mixing lengths so a batch's
+    * unused budget is whatever no remaining document could fill — never
+    * the bucket-width rounding. No truncation: a document LONGER than
+    * `capacity` opens its own batch, and since nothing else can ever fit
+    * beside it, oversize isolation emerges from first-fit itself.
+    *
+    * Deterministic, replayable variant: exact FFD is a sequential scan, so
+    * the greedy runs GROUP-LOCALLY — global rank by (len desc, id) via the
+    * [[prefixSum]] two-phase discipline (range repartition + O(parallelism)
+    * driver offsets + per-partition window, NO global-order window), then
+    * `group = rank div groupDocs` and an EXACT first-fit-decreasing fold
+    * inside each bounded group (`groupDocs` ≤ a few hundred). Because the
+    * rank order is length-sorted, a group's documents are mutually
+    * similar-length — exactly the regime where FFD's 11/9·OPT+1 bound is
+    * tight — and the group boundary costs at most one underfull batch per
+    * group. Every seat assignment is pure integer/array algebra
+    * (an `aggregate` HOF fold carrying per-batch fills, O(groupDocs²)
+    * worst case per group), so a SQL engine replays it step for step.
+    *
+    * Output: input + `pack_group`, `batch_in_group` (0-based within the
+    * group; `(pack_group, batch_in_group)` is the global batch key).
+    * Scale shape: the groupBy moves (rank, id, len) triples only — the
+    * corpus text never rides the packing shuffle — and the final
+    * assignment joins back on the id (the q174/tokenLossMask discipline).
+    * ExtSpec pins: no batch over capacity except a lone oversize doc,
+    * every doc seated exactly once, and batch count ≤
+    * [[lengthBucketBatches]]'s on the same fixture. */
+  def binPackBatches(df: DataFrame, idCol: String, lenCol: String,
+                     capacity: Long, groupDocs: Int = 64,
+                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(groupDocs >= 1, s"groupDocs must be >= 1, got $groupDocs")
+    requireFresh(df, "binPackBatches", "pack_group", "batch_in_group",
+      "__ord", "__pid", "__rk", "__g", "__len", "__items", "__a")
+    val idType = df.schema(idCol).dataType.sql
+    val len = coalesce(col(lenCol).cast("long"), lit(0L))
+    val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // phase 1: global (len desc, id) rank, two-phase — the struct key makes
+    // the range split unique so ties cannot straddle partitions
+    val keyed = df.select(col(idCol), len.as("__len"))
+      .withColumn("__ord", struct((-col("__len")).as("s"),
+        col(idCol).as("i")))
+    val ranged = CheckpointStrategy.materializer(checkpoint)(
+      keyed.repartitionByRange(n, col("__ord"))
+        .withColumn("__pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+      .zip(totals).map { case (off, (pid, _)) => (pid, off) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__ord"))
+    val ranked = ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rk", row_number().over(w).cast("long") - 1L + col("__off"))
+      .withColumn("__g", expr(s"CAST(__rk DIV ${groupDocs}L AS INT)"))
+      .select(col("__g"), col("__rk"), col(idCol), col("__len"))
+    // phase 2: exact FFD inside each bounded group — the fold state is
+    // (per-batch fills, seat assignments); first fit = the first batch
+    // index whose fill still accommodates the document
+    val zero = struct(
+      array().cast("array<bigint>").as("fills"),
+      array().cast(s"array<struct<id:$idType,b:int>>").as("asg"))
+    def ffd(items: Column): Column = aggregate(items, zero, (a, it) => {
+      val fills = a.getField("fills")
+      val l = it.getField("__len")
+      // indexes of batches with room (transform's index lambda — never
+      // sequence(0, size-1), which DESCENDS on an empty array)
+      val fits = filter(transform(fills, (f, j) =>
+        when(f + l <= lit(capacity), j).otherwise(lit(-1))), x => x >= 0)
+      val b = when(size(fits) > 0, element_at(fits, 1))
+        .otherwise(size(fills))
+      val newFills = when(size(fits) > 0,
+          transform(fills, (f, j) =>
+            when(j === element_at(fits, 1), f + l).otherwise(f)))
+        .otherwise(concat(fills, array(l)))
+      struct(newFills.as("fills"),
+        concat(a.getField("asg"),
+          array(struct(it.getField(idCol).as("id"),
+            b.cast("int").as("b")))).as("asg"))
+    })
+    val seated = ranked
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(
+        struct(col("__rk"), col(idCol), col("__len")))).as("__items"))
+      .select(col("__g").as("pack_group"),
+        explode(ffd(col("__items")).getField("asg")).as("__a"))
+      .select(col("__a.id").as(idCol), col("pack_group"),
+        col("__a.b").as("batch_in_group"))
+    df.join(seated, Seq(idCol))
   }
 
   /** Per-chunk `position_ids` for a packed sequence — the standard

@@ -1257,6 +1257,13 @@ object Multimodal {
         }
       }
     }
+    // strictness at the tail (ADVICE r18): the walk loop exits when fewer
+    // than 4 bytes remain, so 1–3 trailing junk bytes would otherwise parse
+    // as valid — the only legal unconsumed remainders are nothing at all or
+    // an exactly-128-byte ID3v1 TAG block
+    if (!bad && o != n &&
+      !(n - o == 128 && bytes(o.toInt) == 'T' && bytes(o.toInt + 1) == 'A' &&
+        bytes(o.toInt + 2) == 'G')) bad = true
     if (bad || frames == 0) None
     else Some((rate, chans, frames, frames.toLong * 1152L * 1000L / rate,
       kbpsSum.toDouble / frames, vbr))

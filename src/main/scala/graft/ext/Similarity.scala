@@ -415,6 +415,111 @@ object Similarity {
     spark.table(s"${name}_vectors")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
 
+  /** SEMANTIC DOCUMENT ORDERING for in-context pretraining (Shi et al.
+    * 2023, "In-Context Pretraining: Language Modeling Beyond Document
+    * Boundaries" — language modeling over RELATED documents in one context
+    * window beats random packing; VERDICT r18 #5): assign every document's
+    * embedding to an IVF cell (the [[buildIvfIndex]] machinery —
+    * deterministic smallest-id pivots, or k-means when `kmeansIters` is
+    * set), then walk each cell with a deterministic greedy
+    * NEAREST-UNVISITED chain: start at the cell's smallest id, repeatedly
+    * hop to the unvisited member with the highest 6-dp-rounded cosine to
+    * the CURRENT document (smallest id on ties), so adjacent documents in
+    * the emitted order are semantically close. Output: input + `cell`,
+    * `ic_order` (0-based chain position within the cell) and `ic_key`
+    * (`struct(cell, ic_order)`) — feed `ic_key` to
+    * [[Corpus.packTokenArrays]] as the order column and related documents
+    * land in the same packed chunks.
+    *
+    * Scale shape: assignment is the one broadcast-pivot pass; the chain is
+    * sequential PER CELL (`groupByKey(cell).flatMapGroups` — a greedy walk
+    * is genuinely imperative, the one shape where column algebra doesn't
+    * fit, the MP3-codec-boundary rule), O(m²·dim) per cell, never
+    * corpus-global — size `nCells` to bound the largest cell (≈ √n cells
+    * of √n docs is the classic balance; k-means pivots keep cells from
+    * skewing). The only shuffles are the vector-stream-sized groupBy and
+    * the id join back. Cosines replicate [[graft.funcs.DotProductFloat]]'s
+    * in-order double fold and Spark's HALF_UP 6-dp round bit for bit, and
+    * the carried norm is the one `prepared` computed — so every hop
+    * replays in SQL (the q183 oracle re-runs the whole walk as a
+    * recursive-CTE state machine). Zero/NULL-norm vectors are EXCLUDED
+    * (no cosine direction to chain on) — the
+    * [[Corpus.weightedSample]] posture. Ids must be integral (cast to
+    * long for the chain state). */
+  def semanticOrder(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16,
+                    kmeansIters: Option[Int] = None): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    val clash = Seq("cell", "ic_order", "ic_key", "__sid")
+      .filter(corpus.columns.contains)
+    require(clash.isEmpty, s"semanticOrder adds ${clash.mkString(", ")} — " +
+      "rename the existing column(s) first")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = prepared(corpus, idCol, vecCol).filter(col("nrm") > 0.0)
+    val c = if (kmeansIters.isDefined) c0.localCheckpoint() else c0
+    val pv = kmeansIters match {
+      case Some(iters) =>
+        kmeansLloyd(c, nCells, iters).toDF("pid", "pv")
+          .withColumn("pnrm",
+            sqrt(graft.funcs.VectorFunctions.dotF(col("pv"), col("pv"))))
+      case None => firstIdPivots(c, nCells)
+    }
+    val assigned = assignCells(c, pv)
+      .select(col("cell").cast("long").as("cell"),
+        col("id").cast("long").as("id"), col("v"), col("nrm"))
+      .as[(Long, Long, Array[Float], Double)]
+    val chained = assigned
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Float], Double)]) =>
+        val m = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        val n = m.length
+        val used = new Array[Boolean](n)
+        val out = new Array[(Long, Long, Int)](n)
+        // DotProductFloat's fold exactly: in-order double accumulation of
+        // float products, then Spark's HALF_UP 6-dp round (Round on
+        // DoubleType goes through BigDecimal.valueOf — toString-based,
+        // same as scala.math.BigDecimal(Double))
+        def cos(a: Int, b: Int): Double = {
+          val x = m(a)._2; val y = m(b)._2
+          val k = math.min(x.length, y.length)
+          var s = 0.0; var i = 0
+          while (i < k) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+          BigDecimal(s / (m(a)._3 * m(b)._3))
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        if (n > 0) {
+          var cur = 0
+          used(0) = true
+          out(0) = (m(0)._1, cell, 0)
+          var p = 1
+          while (p < n) {
+            var best = -1
+            var bestCos = Double.NegativeInfinity
+            var j = 0
+            while (j < n) {
+              if (!used(j)) {
+                val cs = cos(cur, j)
+                // ascending-id scan + strict > == highest cosine wins,
+                // smallest id on ties
+                if (best == -1 || cs > bestCos) { best = j; bestCos = cs }
+              }
+              j += 1
+            }
+            used(best) = true
+            out(p) = (m(best)._1, cell, p)
+            cur = best
+            p += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("__sid", "cell", "ic_order")
+    corpus.join(chained, corpus(idCol) === col("__sid"))
+      .drop("__sid")
+      .withColumn("ic_key", struct(col("cell"), col("ic_order")))
+  }
+
   /** Serve ANN top-k from a PERSISTED [[buildIvfIndex]] index: no cell
     * reassignment, no pivot recomputation — the corpus side is a bucketed
     * scan joined on its own bucket key. Results are identical to the

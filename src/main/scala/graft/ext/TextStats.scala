@@ -16,9 +16,17 @@ object TextStats {
     * ASCII `\s` (this split) and RE2's `\s` (the DuckDB oracles'
     * `string_split_regex`) disagree, so without the normalization a corpus
     * document containing a vertical tab would tokenize differently on the
-    * two sides — a false oracle failure, not silent wrongness. The oracle
-    * side applies the same `replace(text, chr(11), ' ')` (ExtQueries'
-    * `docToks`/`docToksC`). */
+    * two sides — a false oracle failure, not silent wrongness. Oracle-side
+    * coverage (ADVICE r18): the shared helpers (ExtQueries' `docToks` /
+    * `docToksC`) AND every query-local replay that tokenizes raw document
+    * text apply the same `replace(text, chr(11), ' ')` before the split;
+    * replays tokenizing fixture-SYNTHESIZED text (token lines re-joined
+    * with spaces/newlines) need no replace because the synthesis itself
+    * runs on normalized tokens. [[fingerprint]]'s whitespace COLLAPSE is
+    * a separate surface: it mirrors Java `\s+` semantics as closely as
+    * RE2 allows and is exact on corpora free of `\x0B` (the oracle
+    * replays it without the replace — trim-edge semantics differ between
+    * the engines either way). */
   def tokens(text: Column): Column =
     split(lower(trim(translate(text, "\u000B", " "))), "\\s+")
 

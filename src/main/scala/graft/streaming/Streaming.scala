@@ -383,6 +383,72 @@ object Streaming {
                            stateDir: String): Long =
     loadPackState(spark, stateDir, Long.MaxValue).map(_._1).getOrElse(0L)
 
+  /** Flush the FINAL PARTIAL CHUNK of a stopped [[tokenPackStreamToPath]]
+    * stream to the same delivery tree (VERDICT r18 #8) — the one-call
+    * replacement for the packStreamRemainder → hand-pack dance: the
+    * remainder segments reassemble into one chunk (global id = the
+    * emitted-chunk count, `doc_spans` rebuilt from the carried per-doc
+    * segments) written `mode(Overwrite)` to `outPath/batch_id=final/`,
+    * same format and schema as the streamed shards — so shards ∪ flush
+    * equals the BATCH operator's output on the concatenated input
+    * including its partial tail (StreamingSpec pins the parity).
+    * Idempotent like the per-batch shards: a re-run overwrites its own
+    * directory. Returns the number of chunks written (1, or 0 when the
+    * state is cold or the stream ended chunk-aligned — an empty `final`
+    * directory is still written when state EXISTS, so a reader never
+    * distinguishes "flushed empty" from "not flushed" by error).
+    *
+    * NOTE on the partition column: the streamed shards' `batch_id=<n>`
+    * values parse numeric; adding `batch_id=final` makes partition
+    * inference type the column STRING for whole-tree reads — filter on
+    * the string value (`batch_id = 'final'`) or read shard dirs directly
+    * if the numeric type matters downstream. */
+  def flushPackRemainderToPath(spark: org.apache.spark.sql.SparkSession,
+                               stateDir: String, outPath: String,
+                               format: String = "parquet"): Long = {
+    require(format == "parquet" || format == "json",
+      s"format must be parquet or json, got $format")
+    loadPackState(spark, stateDir, Long.MaxValue) match {
+      case None => 0L // cold state: no schema to write honestly
+      case Some((chunksEmitted, rem)) =>
+        val keyType = rem.schema("doc").dataType.sql
+        // one chunk from all segments in seg order; spans via the
+        // length-only fold (the chatTemplate discipline — offsets need
+        // only the running length, never the accumulated ids)
+        val zero = struct(lit(0L).as("off"),
+          array().cast(s"array<struct<doc:$keyType,off:bigint,len:bigint>>")
+            .as("spans"))
+        val spansOf = (segs: org.apache.spark.sql.Column) =>
+          aggregate(segs, zero, (a, x) => struct(
+            (a.getField("off") + size(x.getField("part")).cast("long"))
+              .as("off"),
+            concat(a.getField("spans"), array(struct(
+              x.getField("doc").as("doc"),
+              a.getField("off").as("off"),
+              size(x.getField("part")).cast("long").as("len"))))
+              .as("spans"))).getField("spans")
+        val one = rem
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("seg"), col("doc"),
+            col("part")))).as("__segs"))
+          .select(lit(chunksEmitted).as("chunk"),
+            flatten(transform(col("__segs"), x => x.getField("part")))
+              .as("ids"),
+            spansOf(col("__segs")).as("doc_spans"))
+          .withColumn("n_ids", size(col("ids")))
+          .select(col("chunk"), col("ids"), col("n_ids"), col("doc_spans"))
+          .filter(col("n_ids") > 0)
+        val w = one.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        val dir = s"$outPath/batch_id=final"
+        format match {
+          case "json" => w.json(dir)
+          case _ => w.parquet(dir)
+        }
+        spark.read.format(if (format == "json") "json" else "parquet")
+          .schema(one.schema).load(dir).count()
+    }
+  }
+
   private def packFs(spark: org.apache.spark.sql.SparkSession, stateDir: String) =
     org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(stateDir),
       spark.sparkContext.hadoopConfiguration)

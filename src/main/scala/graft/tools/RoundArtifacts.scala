@@ -78,27 +78,72 @@ object RoundArtifacts {
     * `BENCH_rN.json` ~1 s after the bench main exits and regenerates
     * `LEAKCHECK.json` ~15 min later, so an exit-time [[commit]] can never
     * catch the round's LAST driver-written files — and at round end there
-    * is no next invocation to pick them up. This spawns ONE detached
-    * watcher (setsid; survives the JVM) that re-runs the same
-    * pathspec-limited add/commit every 30 s for 40 minutes, so the
-    * driver-written artifacts land in the log within a poll of appearing
-    * and the judge arrives at a clean tree.
+    * is no next invocation to pick them up. This keeps ONE detached
+    * watcher alive that re-runs the same pathspec-limited add/commit every
+    * 30 s, so the driver-written artifacts land in the log within a poll
+    * of appearing and the judge arrives at a clean tree.
     *
-    * Single-instance via `flock` on a lockfile (a second bench/verify run
-    * inside the window exits immediately); the loop is the exact shell
-    * mirror of [[commit]] — per-file check-ignore, pathspec-limited diff
-    * and commit — so it can never stage source edits. Strictly
-    * best-effort: any failure (no setsid/flock, no git) is silent and
-    * the next real [[commit]] still behaves as before. */
+    * Lifetime is a DEADLINE FILE, not a fixed loop count (VERDICT r18 #3:
+    * two rounds running, the watcher was dead before the final LEAKCHECK
+    * regen — a second spawn inside the window exited on `flock -n` while
+    * the FIRST watcher's fixed 40-minute window lapsed, so the coverage
+    * window never actually extended). Every spawn writes
+    * `.git/graft_artifact_watch_deadline` = now + 40 min BEFORE trying the
+    * lock; the running watcher re-reads the deadline each poll, so a spawn
+    * that loses the lock race still extends the survivor's life. Liveness
+    * is verifiable post-mortem: every poll appends a heartbeat line to
+    * `/tmp/graft_artifact_watch.log` (spawn/exit/commit/skip events too).
+    *
+    * Detach hardening for the same verdict item: stdin is /dev/null and
+    * stdout/stderr append to the log file — the old /dev/null pipes hid
+    * whether the setsid loop survived the sbt JVM's exit at all; SIGHUP is
+    * ignored inside the loop.
+    *
+    * ADVICE r17 (medium), all three fixed here: the lock and deadline live
+    * under `.git/` (per-repo — a world-shared /tmp lock could be pre-owned
+    * or symlinked by another tenant); each poll records the branch before
+    * staging and SKIPS (unstaging its own adds) if HEAD moved mid-poll or
+    * a rebase/merge is in progress; and when `bench_last.json` reports
+    * errors the commit reuses the bench-FAILED marker message instead of
+    * the generic success line.
+    *
+    * The loop body is otherwise the exact shell mirror of [[commit]] —
+    * per-file check-ignore, pathspec-limited diff and commit — so it can
+    * never stage source edits. Strictly best-effort: any failure (no
+    * setsid/flock, no git) leaves the next real [[commit]] behaving as
+    * before. */
   def spawnDelayedWatcher(repoDir: String = "."): Unit = try {
     val dir = new java.io.File(repoDir).getCanonicalFile
     if (!new java.io.File(dir, ".git").exists()) return
+    // extend-or-set the deadline FIRST: even if this spawn loses the lock
+    // race and exits, the surviving watcher honors the new deadline
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, ".git/graft_artifact_watch_deadline").toPath,
+      (System.currentTimeMillis / 1000L + 2400L).toString)
     val script =
-      """exec 9>"/tmp/graft_artifact_watch.lock" || exit 0
-        |flock -n 9 || exit 0
-        |i=0
-        |while [ $i -lt 80 ]; do
-        |  i=$((i+1)); sleep 30
+      """exec </dev/null >>/tmp/graft_artifact_watch.log 2>&1
+        |exec 9>>".git/graft_artifact_watch.lock" || exit 0
+        |if ! flock -n 9; then
+        |  echo "$(date -u +%FT%TZ) spawn: watcher alive, deadline extended"
+        |  exit 0
+        |fi
+        |trap '' HUP
+        |echo "$(date -u +%FT%TZ) watcher start pid=$$"
+        |while :; do
+        |  dl=$(cat .git/graft_artifact_watch_deadline 2>/dev/null || echo 0)
+        |  now=$(date +%s)
+        |  if [ "$now" -ge "$dl" ]; then
+        |    echo "$(date -u +%FT%TZ) watcher exit (deadline reached)"
+        |    break
+        |  fi
+        |  echo "$(date -u +%FT%TZ) heartbeat"
+        |  sleep 30
+        |  if [ -e .git/rebase-merge ] || [ -e .git/rebase-apply ] \
+        |      || [ -e .git/MERGE_HEAD ]; then
+        |    echo "$(date -u +%FT%TZ) skip: rebase/merge in progress"
+        |    continue
+        |  fi
+        |  b1=$(git rev-parse --abbrev-ref HEAD 2>/dev/null) || continue
         |  files=""
         |  for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json bench_last.json; do
         |    [ -e "$f" ] || continue
@@ -108,14 +153,30 @@ object RoundArtifacts {
         |  done
         |  [ -n "$files" ] || continue
         |  git diff --cached --quiet -- $files 2>/dev/null && continue
-        |  git commit -m "Track round artifacts (bench/verify/leakcheck outputs)" -- $files >/dev/null 2>&1
+        |  b2=$(git rev-parse --abbrev-ref HEAD 2>/dev/null)
+        |  if [ "$b1" != "$b2" ]; then
+        |    echo "$(date -u +%FT%TZ) skip: HEAD moved ($b1 -> $b2) mid-poll"
+        |    git reset -q -- $files 2>/dev/null
+        |    continue
+        |  fi
+        |  msg="Track round artifacts (bench/verify/leakcheck outputs)"
+        |  if [ -e bench_last.json ] && ! grep -q "\"errors\":{}" bench_last.json; then
+        |    msg="Track round artifacts (bench FAILED - see bench_last.json errors)"
+        |  fi
+        |  if git commit -m "$msg" -- $files >/dev/null 2>&1; then
+        |    echo "$(date -u +%FT%TZ) committed:$files"
+        |  fi
         |done""".stripMargin
     val pb = new ProcessBuilder("setsid", "sh", "-c", script)
     pb.directory(dir)
-    pb.redirectOutput(new java.io.File("/dev/null"))
-    pb.redirectError(new java.io.File("/dev/null"))
+    pb.redirectInput(new java.io.File("/dev/null"))
+    pb.redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(
+      new java.io.File("/tmp/graft_artifact_watch.log")))
+    pb.redirectError(java.lang.ProcessBuilder.Redirect.appendTo(
+      new java.io.File("/tmp/graft_artifact_watch.log")))
     pb.start()
-    println("[artifacts] delayed watcher spawned (40 min, 30 s poll)")
+    println("[artifacts] delayed watcher spawned/extended (40 min deadline, " +
+      "30 s poll, heartbeats in /tmp/graft_artifact_watch.log)")
   } catch {
     case scala.util.control.NonFatal(e) =>
       System.err.println(s"[artifacts] watcher skipped: ${e.getMessage}")

@@ -4463,6 +4463,109 @@ class ExtSpec extends AnyFunSuite {
     assert(n1.getSeq[Any](n1.fieldIndex("loss_spans")).isEmpty)
   }
 
+  test("binPackBatches: exact FFD seats, capacity law, density vs bucketing (VERDICT r18 #4)") {
+    import graft.ext.Corpus
+    val rows = Seq((1L, 17), (2L, 15), (3L, 14), (4L, 13), (5L, 9),
+      (6L, 40), (7L, 8), (8L, 8), (9L, 1), (10L, 0))
+    val df = rows.toDF("doc_id", "n_tok")
+    val r = Corpus.binPackBatches(df, "doc_id", "n_tok", capacity = 32,
+        groupDocs = 4)
+      .collect().map(x => x.getLong(x.fieldIndex("doc_id")) ->
+        (x.getInt(x.fieldIndex("pack_group")),
+          x.getInt(x.fieldIndex("batch_in_group")))).toMap
+    // hand-replayed FFD over rank order (len desc, id), groups of 4:
+    // [40,17,15,14 | 13,9,8,8 | 1,0] — the oversize 40 opens batch 0 and
+    // isolates itself; 17+15 share; 14 opens the group's third batch
+    assert(r == Map(6L -> (0, 0), 1L -> (0, 1), 2L -> (0, 1), 3L -> (0, 2),
+      4L -> (1, 0), 5L -> (1, 0), 7L -> (1, 0), 8L -> (1, 1),
+      9L -> (2, 0), 10L -> (2, 0)))
+    // capacity law: each batch within budget, or a lone oversize document
+    val lens = rows.toMap
+    r.groupBy(_._2).foreach { case (batch, docs) =>
+      val tot = docs.keys.map(lens(_).toLong).sum
+      assert(tot <= 32 || docs.size == 1, s"batch $batch overfull: $tot")
+    }
+    // every doc seated exactly once
+    assert(r.keySet == rows.map(_._1).toSet)
+    // density law: one big group packs at least as densely as width-8
+    // bucketing on the same fixture (4 batches vs 5)
+    val ffdBatches = Corpus.binPackBatches(df, "doc_id", "n_tok",
+        capacity = 32, groupDocs = 100)
+      .select("pack_group", "batch_in_group").distinct().count()
+    val bucketed = Corpus.lengthBucketBatches(df, "doc_id", "n_tok",
+        bucketWidth = 8, capacity = 32)
+      .select("bucket", "batch_in_bucket").distinct().count()
+    assert(ffdBatches <= bucketed, s"FFD $ffdBatches > bucketing $bucketed")
+  }
+
+  test("preferencePairs: shared-prefix law, per-branch spans, prompt never spans (VERDICT r18 #1)") {
+    import graft.ext.Corpus
+    def turnify(c: String) = transform(col(c), t =>
+      struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+    val docs = Seq(
+      (1L, Seq(("system", "be terse"), ("user", "pick a db")),
+        Seq(("assistant", "postgres"), ("user", "why"),
+          ("assistant", "boring tech")),
+        Seq(("assistant", "mongo"))),
+      // an assistant turn in the PROMPT must contribute NO span — loss
+      // runs on the candidate responses only
+      (2L, Seq(("assistant", "leaky prompt"), ("user", "q")),
+        Seq(("assistant", "a")),
+        Seq(("assistant", ""))),
+      (3L, Seq(("user", "lonely")),
+        Seq.empty[(String, String)], Seq.empty[(String, String)])
+    ).toDF("doc_id", "p0", "c0", "r0")
+      .withColumn("p", turnify("p0")).withColumn("c", turnify("c0"))
+      .withColumn("r", turnify("r0")).drop("p0", "c0", "r0")
+    val rows = Corpus.preferencePairs(docs, "p", "c", "r")
+      .orderBy("doc_id").collect()
+    def spansOf(row: org.apache.spark.sql.Row, c: String, textC: String) =
+      row.getSeq[org.apache.spark.sql.Row](row.fieldIndex(c)).map { sp =>
+        val t = row.getString(row.fieldIndex(textC))
+        t.substring(sp.getLong(0).toInt, sp.getLong(0).toInt + sp.getLong(1).toInt)
+      }
+    rows.foreach { row =>
+      val prompt = row.getString(row.fieldIndex("prompt_text"))
+      val plen = row.getLong(row.fieldIndex("prefix_len")).toInt
+      val ct = row.getString(row.fieldIndex("chosen_text"))
+      val rt = row.getString(row.fieldIndex("rejected_text"))
+      // SHARED-PREFIX LAW: both branches start with the serialized prompt
+      assert(plen == prompt.length)
+      assert(ct.substring(0, plen) == prompt)
+      assert(rt.substring(0, plen) == prompt)
+      // spans sit entirely in the branch tail (off >= prefix_len)
+      Seq("chosen_spans", "rejected_spans").foreach { c =>
+        row.getSeq[org.apache.spark.sql.Row](row.fieldIndex(c))
+          .foreach(sp => assert(sp.getLong(0) >= plen))
+      }
+    }
+    val d1 = rows(0)
+    assert(spansOf(d1, "chosen_spans", "chosen_text") ==
+      Seq("postgres<|im_end|>", "boring tech<|im_end|>"))
+    assert(spansOf(d1, "rejected_spans", "rejected_text") ==
+      Seq("mongo<|im_end|>"))
+    val d2 = rows(1)
+    // prompt's assistant turn contributed nothing: exactly one span per branch
+    assert(spansOf(d2, "chosen_spans", "chosen_text") == Seq("a<|im_end|>"))
+    assert(spansOf(d2, "rejected_spans", "rejected_text") == Seq("<|im_end|>"))
+    val d3 = rows(2)
+    // empty branches: both sequences degrade to the bare prompt, no spans
+    assert(d3.getString(d3.fieldIndex("chosen_text")) ==
+      d3.getString(d3.fieldIndex("prompt_text")))
+    assert(d3.getString(d3.fieldIndex("rejected_text")) ==
+      d3.getString(d3.fieldIndex("prompt_text")))
+    assert(d3.getSeq[Any](d3.fieldIndex("chosen_spans")).isEmpty)
+    assert(d3.getSeq[Any](d3.fieldIndex("rejected_spans")).isEmpty)
+    // NULL branch arrays degrade like empties, not null-poison
+    val nulls = Seq(Tuple1(9L)).toDF("doc_id")
+      .withColumn("p", lit(null).cast("array<struct<role:string,content:string>>"))
+      .withColumn("c", lit(null).cast("array<struct<role:string,content:string>>"))
+      .withColumn("r", lit(null).cast("array<struct<role:string,content:string>>"))
+    val n1 = Corpus.preferencePairs(nulls, "p", "c", "r").collect()(0)
+    assert(n1.getString(n1.fieldIndex("chosen_text")) == "")
+    assert(n1.getLong(n1.fieldIndex("prefix_len")) == 0L)
+  }
+
   test("tokenLossMask: token-aligned mask covers exactly the span-overlapping tokens") {
     import graft.ext.Corpus
     val docs = Seq(
