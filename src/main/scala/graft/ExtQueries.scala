@@ -56,6 +56,31 @@ object ExtQueries {
             .as("content"))))
       .select(col("doc_id"), col("turns"))
 
+  /** q184 fixture: four shared "template" page bodies — 7 lines of exactly
+    * 8 words each ending '.', 56 words, stopword-bearing ('the'/'and'/
+    * 'that'/'with'/'have' as exact tokens) — engineered to pass every C4
+    * line rule (terminal punct, >= 5 words, no 'javascript'), the C4 page
+    * gates (>= 3 sentences, no lorem, no brace) and every Gopher gate
+    * (50+ words, mean word length in [3,10], all-alpha tokens, >= 2 stop
+    * hits). Docs with doc_id % 9 == 0 carry template (doc_id % 4) VERBATIM
+    * (exact-duplicate groups for the keep-best stage); % 9 == 1 docs carry
+    * it plus [[q184Variant]] (a near-dup at 4-shingle Jaccard ~ 0.87). */
+  private val q184Templates: Seq[String] = {
+    val subjects = Seq("alpha", "bravo", "charlie", "delta")
+    subjects.map { s =>
+      Seq(
+        s"the $s corpus begins with clean rows here.",
+        "every line holds eight plain words that count.",
+        "we keep the data neat and very tidy.",
+        "tables join rows and columns with care today.",
+        "scans read pages while filters prune them fast.",
+        s"the $s pipeline packs tokens into batches now.",
+        "that is all we have with the data."
+      ).mkString("\n")
+    }
+  }
+  private val q184Variant = "a small extra tail line follows here now."
+
   /** SF dir the q66 serve-only index was built for — rebuilt on change so
     * a run over a different SF can never serve a stale index. */
   private val serveIndexFor =
@@ -1910,6 +1935,102 @@ object ExtQueries {
           col("n_frames"), col("duration_ms"), col("avg_kbps"), col("vbr"))
         .presentBy(col("doc_id"))
     },
+    // PRETRAINING-PIPELINE CAPSTONE (VERDICT r18 #2): the FULL path raw
+    // docs → quality gates → quality-aware dedup → mixture → tokenize →
+    // pack → shard as ONE oracled terminal, one materialization per
+    // stage. Fixture: q138-style token-line bodies (lorem tail on
+    // doc_id % 13), q184Templates planted as exact-dup groups (% 9 == 0)
+    // and near-dup variants (% 9 == 1), page-identity URLs with the
+    // example3.com blocklist slice, embeddings joined by doc_id % embK.
+    // refinedWebFate runs ALL SEVEN stages; the capstone keeps every doc
+    // that REACHED the dedup stages (fate ∈ kept/exact/neardup/semantic
+    // — i.e. the gopher survivor set) and delegates dedup to the
+    // quality-aware dedupCorpusKeepBest (n_chars winners, not min-id),
+    // then temperature-mixes by lang, WordPiece-tokenizes, packs 512-token
+    // chunks and ships 8-chunk shards with a verified manifest. The
+    // oracle replays EVERY stage: URL keep-best + blocklist, C4 line/page
+    // rules, all seven Gopher gates, fingerprint + exact-Jaccard-closure
+    // keep-best dedup, the sqrt-weight mixture cut, the greedy WordPiece
+    // walk, the global pack rank, and the per-shard manifest counts —
+    // a drift anywhere in the chain fails the per-chunk hash.
+    "q184_pretrain_e2e" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = read(s, dir, "documents")
+      val emb = read(s, dir, "embeddings")
+      val nDocs = docs.count()
+      val np = math.max(2L * nDocs / 5L, 1L)
+      val embK = math.max(math.min(nDocs / 2L, emb.count()), 1L)
+      val toks = TextStats.tokens(coalesce(col("text"), lit("")))
+      val lines = TextStats.bound(toks) { t =>
+        transform(sequence(lit(0), greatest(ceil(size(t) / 8.0).cast("int"),
+            lit(1)) - 1),
+          i => concat(array_join(slice(t, i * 8 + 1, lit(8)), " "), lit(".")))
+      }
+      val ownBody = concat(array_join(lines, "\n"),
+        lit("\nthat is all we have with the data."),
+        when(col("doc_id") % 13 === 0, "\nlorem ipsum boilerplate tail.")
+          .otherwise(""))
+      val tmpl = element_at(array(q184Templates.map(lit): _*),
+        (col("doc_id") % 4).cast("int") + 1)
+      val body = when(col("doc_id") % 9 === 0, tmpl)
+        .when(col("doc_id") % 9 === 1, concat(tmpl, lit("\n" + q184Variant)))
+        .otherwise(ownBody)
+      val url = concat(lit("http://example"),
+        ((col("doc_id") % np) % 4).cast("string"),
+        lit(".com/page/"), (col("doc_id") % np).cast("string"))
+      val fixture = docs
+        .select(col("doc_id"), col("n_chars"), col("lang"), url.as("url"),
+          body.as("text2"))
+        .join(emb.filter(col("vec_id") < embK)
+          .select(col("vec_id"), col("embedding")),
+          col("doc_id") % embK === col("vec_id"))
+        .drop("vec_id")
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val fate = graft.ext.Crawl.refinedWebFate(fixture, "doc_id", "url",
+        "text2", "n_chars", "embedding", blockedDomains = Seq("example3.com"))
+      // stage 1 (clean): the quality gates from the fate report — every
+      // document that reached the dedup stages passed url+c4+gopher
+      val quality = fixture
+        .join(fate.filter(col("fate").isin("kept", "exact", "neardup",
+            "semantic")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text2"), col("n_chars"), col("lang"))
+        .localCheckpoint()
+      // stage 2 (dedup): quality-aware winners, NOT first-wins min-id
+      val dd = Dedup.dedupCorpusKeepBest(quality, "doc_id", "text2",
+        "n_chars").localCheckpoint()
+      // stage 3 (mixture): alpha-sample by language
+      val mixed = Corpus.temperatureMixture(dd, "doc_id", "lang", alpha = 0.5)
+        .localCheckpoint()
+      // stage 4 (tokenize) + stage 5 (pack)
+      val wp = TextStats.wordPieceStats(mixed, "text2", q172Vocab)
+        .select(col("doc_id"), col("wp_tokens"))
+      val packed = Corpus.packTokenArrays(wp, "doc_id", "wp_tokens",
+          capacity = 512)
+        .select(col("chunk"), col("n_ids"),
+          md5(array_join(col("ids"), "")).as("ids_hash"),
+          array_join(transform(col("doc_spans"), x =>
+            concat_ws(":", x.getField("doc"), x.getField("off"),
+              x.getField("len"))), " ").as("spans_str"))
+        .repartition(1).sortWithinPartitions(col("chunk"))
+        .localCheckpoint()
+      // stage 6 (shard): the q164 manifest discipline — single sorted
+      // writer makes shard membership chunk DIV 8, replayable in SQL
+      val path = Queries.scratchDir + "/q184_shards"
+      val manifest = graft.sources.IO.writeShards(packed, path, 8)
+      val back = s.read.parquet(path)
+        .select(col("chunk"),
+          element_at(split(input_file_name(), "/"), -1).as("file"))
+      val perFile = back.groupBy(col("file")).agg(count(lit(1)).as("rows_read"))
+      val withIdx = manifest.join(perFile, Seq("file"))
+        .withColumn("shard_idx",
+          (row_number().over(Window.orderBy(col("file"))) - 1).cast("long"))
+      packed.join(back, Seq("chunk")).join(withIdx, Seq("file"))
+        .select(col("chunk"), col("n_ids"), col("ids_hash"), col("spans_str"),
+          col("shard_idx"), col("rows").as("shard_rows"), col("rows_read"),
+          (col("bytes") > 0).as("bytes_pos"))
+        .presentBy(col("chunk"))
+    },
     // SEMANTIC DOCUMENT ORDERING for in-context pretraining (Shi et al.
     // 2023): IVF cells over the embeddings (16 smallest-id pivots, the
     // q42 assignment discipline), then a deterministic greedy
@@ -3263,21 +3384,25 @@ object ExtQueries {
     * cluster listing, the q50 deduped-corpus anti-join, and (over the
     * exact-representative sub-corpus) the q51 terminal, so the oracles
     * cannot silently diverge. */
-  private def jaccardClosureCtesOver(src: String): String =
-    s"""${shingleBaseOver(src)},
-       |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
-       |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-       |       FROM d a JOIN d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
-       |j AS (SELECT id1, id2 FROM (SELECT id1, id2,
+  /** Exact-Jaccard closure CTEs over `src` (doc_id, text). `p` prefixes
+    * every CTE name so the fragment can coexist in a WITH list whose other
+    * fragments (e.g. wpGreedySql's `e`) use the same short names; the
+    * default "" keeps every existing oracle byte-identical. */
+  private def jaccardClosureCtesOver(src: String, p: String = ""): String =
+    s"""${shingleCtesOver(src, 4, p)},
+       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}d GROUP BY 1),
+       |${p}co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |       FROM ${p}d a JOIN ${p}d b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
+       |${p}j AS (SELECT id1, id2 FROM (SELECT id1, id2,
        |        CAST(c AS DOUBLE)/(s1.n+s2.n-c) AS jaccard
-       |      FROM co JOIN sz s1 ON id1=s1.doc_id JOIN sz s2 ON id2=s2.doc_id)
+       |      FROM ${p}co JOIN ${p}sz s1 ON id1=s1.doc_id JOIN ${p}sz s2 ON id2=s2.doc_id)
        |      WHERE jaccard >= 0.8),
-       |e AS (SELECT id1, id2 FROM j UNION ALL SELECT id2, id1 FROM j),
-       |nodes AS (SELECT DISTINCT id1 AS id FROM e),
-       |reach(id, x) AS (
-       |  SELECT id, id FROM nodes
+       |${p}e AS (SELECT id1, id2 FROM ${p}j UNION ALL SELECT id2, id1 FROM ${p}j),
+       |${p}nodes AS (SELECT DISTINCT id1 AS id FROM ${p}e),
+       |${p}reach(id, x) AS (
+       |  SELECT id, id FROM ${p}nodes
        |  UNION
-       |  SELECT reach.id, e.id2 FROM reach JOIN e ON reach.x = e.id1)""".stripMargin
+       |  SELECT ${p}reach.id, ${p}e.id2 FROM ${p}reach JOIN ${p}e ON ${p}reach.x = ${p}e.id1)""".stripMargin
 
   private val jaccardClosureCtes: String = jaccardClosureCtesOver("documents")
 
@@ -3887,10 +4012,11 @@ object ExtQueries {
   private def wpGreedySql(vocabSql: String, tExpr: String,
                           extraCtes: String = "",
                           gateExpr: String = "TRUE",
-                          tailSql: Option[String] = None): String =
+                          tailSql: Option[String] = None,
+                          fromRel: String = "documents"): String =
     s"""WITH RECURSIVE ${extraCtes}base AS (SELECT doc_id,
        |    $tExpr AS t
-       |  FROM documents),
+       |  FROM $fromRel),
        |pt AS (SELECT doc_id,
        |    regexp_extract_all(t, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]') AS pts
        |  FROM base),
@@ -4061,6 +4187,170 @@ object ExtQueries {
        |  FROM o GROUP BY doc_id)
        |SELECT doc_id, n_turns, chat_text, spans_str FROM g
        |ORDER BY doc_id""".stripMargin
+
+  // q184: the ENTIRE pretraining pipeline replayed in one chain — fixture
+  // synthesis (token-line bodies, planted template dup groups, page URLs),
+  // URL keep-best + blocklist, C4 line/page rules, the seven Gopher gates
+  // (over the C4-CLEANED text, matching refinedWebFate's stage order),
+  // fingerprint + exact-Jaccard-closure KEEP-BEST dedup over the ORIGINAL
+  // fixture text (the stored text is what flows downstream; q138 pins the
+  // min-id variant), the sqrt-weight temperature cut by lang, the greedy
+  // WordPiece walk (wpGreedySql parameterized to read the mixture
+  // survivors), the global (doc_id, position) pack rank at capacity 512,
+  // and shard membership chunk // 8 with replayed manifest counts. The
+  // URLs are constructed canonical (no scheme/www/param/slash variants),
+  // so the canonicalization replay reduces to identity — q134/q138 pin
+  // the full rule chain. Multiply-read CTEs are MATERIALIZED (the q138
+  // lesson: DuckDB inlines plain CTEs per reference and recursive
+  // closures compound the re-execution).
+  private def pretrainE2eSql: String = {
+    val vocabSql = q172Vocab.map(v => s"'${v.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+    def tmplSql(t: String) =
+      t.split("\n").map(lit1).mkString(" || chr(10) || ")
+    val tmplCase = "CASE CAST(doc_id % 4 AS INT) " +
+      q184Templates.zipWithIndex.map { case (t, k) =>
+        if (k < 3) s"WHEN $k THEN ${tmplSql(t)}"
+        else s"ELSE ${tmplSql(t)} END"
+      }.mkString(" ")
+    val ctes =
+      s"""pr AS MATERIALIZED (SELECT greatest(count(*)*2//5, 1) AS np,
+         |    greatest(least(count(*)//2,
+         |      (SELECT count(*) FROM embeddings)), 1) AS ek FROM documents),
+         |tk0 AS (SELECT doc_id, $docToksC AS t FROM documents),
+         |ln0 AS (SELECT doc_id, t,
+         |    greatest(CAST(ceil(len(t)/8.0) AS INT), 1) AS n FROM tk0),
+         |li0 AS (SELECT doc_id, t, unnest(range(0, n)) AS i FROM ln0),
+         |bl0 AS (SELECT doc_id, i,
+         |    array_to_string(t[i*8+1 : i*8+8], ' ') || '.' AS line FROM li0),
+         |bd0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+         |  FROM bl0 GROUP BY 1),
+         |tm0 AS (SELECT doc_id, $tmplCase AS tmpl FROM documents),
+         |fx AS MATERIALIZED (SELECT d.doc_id, d.n_chars, d.lang,
+         |    CASE WHEN d.doc_id % 9 = 0 THEN tm0.tmpl
+         |         WHEN d.doc_id % 9 = 1 THEN tm0.tmpl || chr(10) ||
+         |           ${lit1(q184Variant)}
+         |         ELSE bd0.b || chr(10) ||
+         |           'that is all we have with the data.' ||
+         |           (CASE WHEN d.doc_id % 13 = 0 THEN chr(10) ||
+         |             'lorem ipsum boilerplate tail.' ELSE '' END)
+         |    END AS body,
+         |    'http://example' ||
+         |      CAST((d.doc_id % (SELECT np FROM pr)) % 4 AS VARCHAR) ||
+         |      '.com/page/' ||
+         |      CAST(d.doc_id % (SELECT np FROM pr) AS VARCHAR) AS url
+         |  FROM documents d JOIN bd0 USING (doc_id) JOIN tm0 USING (doc_id)),
+         |s1 AS (SELECT doc_id FROM fx
+         |  QUALIFY row_number() OVER (PARTITION BY url
+         |    ORDER BY n_chars DESC, doc_id) = 1),
+         |s2 AS (SELECT s1.doc_id FROM s1 JOIN fx USING (doc_id)
+         |  WHERE NOT contains(url, 'example3.com')),
+         |l0 AS (SELECT f.doc_id, f.body AS tx,
+         |    list_filter(string_split(f.body, chr(10)),
+         |      l -> len(trim(l)) > 0) AS lns
+         |  FROM fx f JOIN s2 USING (doc_id)),
+         |k0 AS (SELECT doc_id, tx, lns,
+         |    list_filter(lns, l -> regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+         |            w -> len(w) > 0)) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS keptl
+         |  FROM l0),
+         |c0 AS MATERIALIZED (SELECT doc_id, tx,
+         |    coalesce(array_to_string(keptl, chr(10)), '') AS ct FROM k0),
+         |s3 AS (SELECT doc_id FROM c0
+         |  WHERE len(regexp_extract_all(ct, '[.!?]')) >= 3
+         |    AND NOT contains(lower(tx), 'lorem ipsum')
+         |    AND NOT contains(tx, '{')),
+         |g0 AS (SELECT c0.doc_id, c0.ct AS tx,
+         |    string_split_regex(lower(trim(c0.ct)), '\\s+') AS gt
+         |  FROM c0 JOIN s3 USING (doc_id)),
+         |w0 AS (SELECT doc_id,
+         |    len(list_filter(gt, x -> len(x) > 0)) AS n_words,
+         |    list_sum(list_transform(gt, x -> CAST(len(x) AS BIGINT))) AS char_sum,
+         |    len(regexp_extract_all(tx, '#'))
+         |      + len(regexp_extract_all(tx, '\\.\\.\\.')) AS n_symbols,
+         |    list_filter(string_split_regex(tx, '\\n'),
+         |      l -> len(trim(l)) > 0) AS lns,
+         |    len(list_filter(gt, x -> regexp_matches(x, '\\p{L}'))) AS n_alpha,
+         |    len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      sw -> list_contains(gt, sw))) AS stop_hits
+         |  FROM g0),
+         |s4 AS (SELECT doc_id FROM w0
+         |  WHERE n_words BETWEEN 50 AND 100000
+         |    AND n_words > 0
+         |    AND CAST(char_sum AS DOUBLE)/n_words BETWEEN 3.0 AND 10.0
+         |    AND CAST(n_symbols AS DOUBLE)/n_words <= 0.1
+         |    AND len(lns) > 0 AND CAST(len(list_filter(lns,
+         |        l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+         |        AS DOUBLE)/len(lns) <= 0.9
+         |    AND CAST(len(list_filter(lns,
+         |        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+         |        AS DOUBLE)/len(lns) <= 0.3
+         |    AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8
+         |    AND stop_hits >= 2),
+         |fq AS MATERIALIZED (SELECT f.doc_id, f.n_chars, f.lang, f.body
+         |  FROM fx f JOIN s4 USING (doc_id)),
+         |f2 AS MATERIALIZED (SELECT doc_id, n_chars,
+         |    md5(regexp_replace(lower(trim(body)), '\\s+', ' ', 'g')) AS fp
+         |  FROM fq),
+         |reps AS (SELECT doc_id FROM f2
+         |  QUALIFY row_number() OVER (PARTITION BY fp
+         |    ORDER BY n_chars DESC, doc_id) = 1),
+         |rdocs AS MATERIALIZED (SELECT fq.doc_id, fq.body AS text
+         |  FROM fq JOIN reps USING (doc_id)),
+         |${jaccardClosureCtesOver("rdocs", "dk")},
+         |dkclusters AS (SELECT id, min(x) AS cluster FROM dkreach GROUP BY id),
+         |dkcs AS MATERIALIZED (SELECT c.id, c.cluster, f2.n_chars
+         |  FROM dkclusters c JOIN f2 ON c.id = f2.doc_id),
+         |dkwin AS (SELECT id AS wid FROM dkcs
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, id) = 1),
+         |ddq AS MATERIALIZED (SELECT doc_id FROM rdocs
+         |  WHERE doc_id NOT IN (SELECT id FROM dkcs
+         |    WHERE id NOT IN (SELECT wid FROM dkwin))),
+         |mc AS (SELECT f.lang, CAST(count(*) AS DOUBLE) AS n
+         |  FROM ddq JOIN fx f USING (doc_id)
+         |  WHERE f.lang IS NOT NULL GROUP BY 1),
+         |mw AS (SELECT lang, n, sqrt(n) AS wt FROM mc),
+         |mt AS (SELECT min(n / wt) AS t FROM mw),
+         |mcut AS (SELECT lang,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      (SELECT t FROM mt) * wt / n) * 10000.0 + 0.5) AS BIGINT) AS cut
+         |  FROM mw),
+         |mixdocs AS MATERIALIZED (SELECT f.doc_id, f.body
+         |  FROM ddq JOIN fx f USING (doc_id) JOIN mcut ON f.lang = mcut.lang
+         |  WHERE CAST(('0x' || substr(md5(f.doc_id || ':graft:temp'), 1, 8))
+         |    AS BIGINT) % 10000 < mcut.cut),
+         |""".stripMargin
+    val tail =
+      """,
+        |u AS (SELECT doc_id, unnest(toks) AS t,
+        |    unnest(range(1, len(toks)+1)) AS ti FROM f),
+        |g2 AS (SELECT doc_id, t,
+        |    row_number() OVER (ORDER BY doc_id, ti) - 1 AS rn FROM u),
+        |c2 AS (SELECT rn // 512 AS chunk, list(t ORDER BY rn) AS ids FROM g2
+        |  GROUP BY 1),
+        |sp2 AS (SELECT rn // 512 AS chunk, doc_id, min(rn) % 512 AS off,
+        |    count(*) AS len FROM g2 GROUP BY 1, 2),
+        |sps2 AS (SELECT chunk, array_to_string(list(
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' ||
+        |    CAST(len AS VARCHAR) ORDER BY off), ' ') AS spans_str
+        |  FROM sp2 GROUP BY 1),
+        |sh AS (SELECT chunk // 8 AS shard_idx,
+        |    CAST(count(*) AS BIGINT) AS shard_rows FROM c2 GROUP BY 1)
+        |SELECT CAST(c2.chunk AS BIGINT) AS chunk,
+        |  CAST(len(ids) AS INT) AS n_ids,
+        |  md5(array_to_string(ids, chr(31))) AS ids_hash,
+        |  sps2.spans_str,
+        |  CAST(c2.chunk // 8 AS BIGINT) AS shard_idx, sh.shard_rows,
+        |  sh.shard_rows AS rows_read, TRUE AS bytes_pos
+        |FROM c2 JOIN sps2 USING (chunk)
+        |  JOIN sh ON sh.shard_idx = c2.chunk // 8
+        |ORDER BY chunk""".stripMargin
+    wpGreedySql(vocabSql, "lower(coalesce(body, ''))", extraCtes = ctes,
+      tailSql = Some(tail), fromRel = "mixdocs")
+  }
 
   // q183: the semantic-order walk replayed — IVF assignment (cross join
   // against the 16 pivots, 6-dp cosine, (pcos DESC, pid) winner), then
@@ -4312,6 +4602,7 @@ object ExtQueries {
        |FROM b LEFT JOIN cor USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q184_pretrain_e2e" -> pretrainE2eSql,
     "q183_semantic_order" -> semanticOrderSql,
     "q182_ffd_binpack" -> ffdBinpackSql,
     "q181_preference_pairs" -> preferencePairsSql,
