@@ -333,6 +333,21 @@ object ScaleSlope {
       // window + reassembly groupBy + id join — token-stream-sized
       // shuffles partitioned by doc (the q174 discipline)
       "q180_sft_token_mask",
+      // r19: q181 = q177's serialization rail over three turn arrays
+      // (zero shuffle, pure HOF folds); q182 = two-phase (len desc, id)
+      // rank + bounded group-local FFD fold + one id join back —
+      // prefixSum's shape plus O(G²) per-group work at fixed G = 64
+      "q181_preference_pairs", "q182_ffd_binpack",
+      // r19: q183 = broadcast-pivot assignment + per-cell greedy chain;
+      // the chain is O(m²·dim) per cell, so even at the √n-cells scale
+      // configuration (custom runner below — the operator's documented
+      // balance) total chain work is O(n^1.5): expect slope ≈ √factor
+      // (≈3.2 at 10×) — the algorithm's law, not a shuffle pathology
+      "q183_semantic_order",
+      // r19: q184 = the full pretrain capstone (crawl fate + keep-best
+      // dedup + mixture + wordpiece + pack + shards) — q138's machinery
+      // plus survivor-bounded downstream stages; stage-heavy, median[min]
+      "q184_pretrain_e2e",
       // r16 (VERDICT r15 #3): the logistic-regression terminal joins the
       // sweep — per-iteration cost is ONE pass over the key-partitioned
       // feature checkpoint plus a ≤ buckets+1-row gradient collect, and
@@ -362,6 +377,15 @@ object ScaleSlope {
           graft.ext.Retrieval.bm25Serve(s, "graft_slope_bm25",
             d.filter(col("doc_id") % 41 === 0),
             "doc_id", "text", topK = 10, maxDfFrac = 0.5)
+        }),
+        // the operator's documented scale balance (≈√n cells of √n docs):
+        // the fixed-16-cell oracle fixture would make the per-cell O(m²)
+        // chain quadratic by construction, the q79 fixed-K caveat
+        "q183_semantic_order" -> ((s, dir) => {
+          val e = s.read.parquet(s"$dir/embeddings.parquet")
+          val n = e.count()
+          graft.ext.Similarity.semanticOrder(e, "vec_id", "embedding",
+            nCells = math.max(16, math.sqrt(n.toDouble).toInt))
         }))
     }
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))
@@ -385,7 +409,11 @@ object ScaleSlope {
       "q150_bottomk_resemblance", "q151_crossentropy_select",
       // r16: GD-loop terminal — driver-loop latency is constant in corpus
       // size but large relative to the per-pass work at sf0.1
-      "q111_quality_classifier")
+      "q111_quality_classifier",
+      // r19: the capstone stacks the crawl + dedup machineries (q138's
+      // median[min] reasoning) and the semantic chain's n^1.5 law needs
+      // the median to beat single-sample wobble
+      "q183_semantic_order", "q184_pretrain_e2e")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()

@@ -38,7 +38,10 @@ class PlansSpec extends AnyFunSuite {
     // shard ordinals over the MANIFEST (one row per written file —
     // shard-count-sized, never the corpus; the corpus-side counting is a
     // file-keyed groupBy)
-    "q164_write_shards"
+    "q164_write_shards",
+    // q184's terminal shard stage is q164's manifest discipline verbatim:
+    // the ordinal window runs over the written-file manifest only
+    "q184_pretrain_e2e"
   )
 
   test("no query plans a CartesianProduct") {
