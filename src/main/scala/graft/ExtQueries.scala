@@ -2094,6 +2094,62 @@ object ExtQueries {
           spansStr("rejected_spans").as("rejected_spans_str"))
         .presentBy(col("doc_id"))
     },
+    // BEST-OF-N rejection sampling to SFT: each document's first (up to)
+    // two turns are the prompt, 1 + doc_id % 3 candidate completions are
+    // cut from the token stream (doc_id % 5 == 0 docs repeat ONE
+    // candidate n times — the all-tie case), every candidate is
+    // serialized through the shared chat template (prompt prefix
+    // verbatim, the q181 law n-way), scored with a deterministic proxy
+    // (length mod 19 — engineered collisions), and the keep-best step
+    // selects max score with smallest-cand_id tie-break. The oracle
+    // replays prompt prefix-sums, every candidate serialization, the
+    // score, and the argmax with the same tie-break; one character or
+    // one tie broken the other way anywhere fails the hash.
+    "q185_best_of_n" -> { (s, dir) =>
+      val fix = docsPar(s, dir)
+        .select(col("doc_id"),
+          TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+        .withColumn("__nt", expr("CAST((size(toks) + 7) DIV 8 AS INT)"))
+        .withColumn("prompt",
+          transform(sequence(lit(0), least(col("__nt"), lit(2)) - 1),
+            w => struct(
+              when(w % 2 === 0, lit("user")).otherwise(lit("assistant"))
+                .as("role"),
+              array_join(slice(col("toks"), w * 8 + 1, lit(8)), " ")
+                .as("content"))))
+        .withColumn("cands",
+          transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
+            j => array_join(slice(col("toks"),
+              (when(col("doc_id") % 5 === 0, lit(0)).otherwise(j) * 4 + 17)
+                .cast("int"), lit(8)), " ")))
+        .select(col("doc_id"), col("prompt"), col("cands"))
+      val scored = Corpus.bestOfNCandidates(fix, "prompt", "cands")
+        .withColumn("score", (length(col("cand_text")) % 19).cast("int"))
+      Corpus.keepBestCandidate(scored, "doc_id", "score")
+        .select(col("doc_id"), col("n_cands"), col("cand_id"),
+          col("score"), col("cand_text"),
+          array_join(transform(col("cand_spans"), x =>
+            concat_ws(":", x.getField("off"), x.getField("len"))), " ")
+            .as("spans_str"))
+        .presentBy(col("doc_id"))
+    },
+    // SPAN-PRESERVING TRUNCATION: q177's serialized conversations cut to
+    // the last 200 code points (side=left, the chat convention), loss
+    // spans intersected with the kept window and re-based — a span
+    // straddling the cut keeps its surviving suffix, one fully outside
+    // drops. The oracle rebuilds text + spans via the q177 prefix-sum
+    // chain and replays the interval algebra per span; one boundary off
+    // by one anywhere fails the hash.
+    "q186_chat_truncate" -> { (s, dir) =>
+      val chat = Corpus.chatTemplate(sftTurns(s, dir), "turns")
+      Corpus.truncateChat(chat, "chat_text", "loss_spans", 200L, "left")
+        .select(col("doc_id"), col("orig_len"), col("kept_from"),
+          col("trunc_text"),
+          array_join(transform(col("trunc_spans"), x =>
+            concat_ws(":", x.getField("off"), x.getField("len"))), " ")
+            .as("spans_str"))
+        .presentBy(col("doc_id"))
+    },
     // INSTRUCTION-TUNING (SFT) CHAT-TEMPLATE serializer: each document's
     // whitespace tokens are cut into 8-token turns alternating
     // user/assistant, serialized through the ChatML-shaped template, and
@@ -4188,6 +4244,99 @@ object ExtQueries {
        |SELECT doc_id, n_turns, chat_text, spans_str FROM g
        |ORDER BY doc_id""".stripMargin
 
+  // q185: best-of-n replay — prompt prefix-sums over the FIRST least(nt,2)
+  // turns, 1 + doc_id % 3 candidates cut from the token stream (the
+  // doc_id % 5 = 0 branch repeats candidate 0's slice — the all-tie case),
+  // single-span arithmetic (off = prompt length + the 22-char assistant
+  // header, len = content + endTok), the length-mod-19 proxy score, and
+  // the argmax via row_number ORDER BY score DESC, cand_id — exactly the
+  // operator's max(struct(score, -cand_id)) tie-break. list_slice past the
+  // token list yields [] whose array_to_string is NULL (DuckDB), hence the
+  // coalesce the Spark side's array_join('') parity requires.
+  private val bestOfNSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, toks, unnest(range(0, least(nt, 2))) AS w
+       |  FROM n),
+       |p AS (SELECT doc_id, w,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |g AS (SELECT doc_id,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS ptext,
+       |    CAST(sum(12 + length(role) + 1 + length(content) + 10 + 1)
+       |      AS BIGINT) AS plen
+       |  FROM p GROUP BY doc_id),
+       |c AS (SELECT doc_id, toks, CAST(1 + doc_id % 3 AS INT) AS n_cands,
+       |    unnest(range(0, 1 + doc_id % 3)) AS j FROM n),
+       |cc AS (SELECT doc_id, n_cands, CAST(j AS INT) AS cand_id,
+       |    coalesce(array_to_string(list_slice(toks,
+       |      (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE j END)*4 + 17,
+       |      (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE j END)*4 + 24), ' '),
+       |      '') AS cand
+       |  FROM c),
+       |x AS (SELECT cc.doc_id, cc.n_cands, cc.cand_id,
+       |    g.ptext || '<|im_start|>assistant' || chr(10) || cc.cand ||
+       |      '<|im_end|>' || chr(10) AS cand_text,
+       |    (g.plen + 22) || ':' || (length(cc.cand) + 10) AS spans_str
+       |  FROM cc JOIN g USING (doc_id)),
+       |sc AS (SELECT x.*, CAST(length(cand_text) % 19 AS INT) AS score
+       |  FROM x)
+       |SELECT doc_id, n_cands, cand_id, score, cand_text, spans_str
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score DESC, cand_id) = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // q186: truncation replay — the q177 chain rebuilt (full turn set), the
+  // kept window [s, tl) at maxLen 200 / side left, and per-span interval
+  // algebra: a = max(off, s), b = min(off + len, tl), keep iff b > a,
+  // re-based to a - s. Docs with no assistant turns (nt = 1) or with every
+  // span cut away coalesce to '' exactly like the Spark side's filter +
+  // array_join. substring's literal 200 clamps at end-of-string, the same
+  // value the operator's e - s computes.
+  private val chatTruncateSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, toks, unnest(range(0, nt)) AS w FROM n),
+       |p AS (SELECT doc_id, w,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |q AS (SELECT doc_id, w, role, content,
+       |    12 + length(role) + 1 + length(content) + 10 + 1 AS plen FROM p),
+       |o AS (SELECT doc_id, w, role, content, plen,
+       |    coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+       |  FROM q),
+       |tot AS (SELECT doc_id, CAST(sum(plen) AS BIGINT) AS tl,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS chat_text
+       |  FROM o GROUP BY doc_id),
+       |sp AS (SELECT o.doc_id, o.w,
+       |    greatest(tot.tl - 200, 0) AS s,
+       |    greatest(o.poff + 12 + length(o.role) + 1,
+       |      greatest(tot.tl - 200, 0)) AS a,
+       |    least(o.poff + 12 + length(o.role) + 1 + length(o.content) + 10,
+       |      tot.tl) AS b
+       |  FROM o JOIN tot USING (doc_id) WHERE o.role = 'assistant'),
+       |agg AS (SELECT doc_id,
+       |    string_agg(CASE WHEN b > a THEN (a - s) || ':' || (b - a) END,
+       |      ' ' ORDER BY w) AS spans_str
+       |  FROM sp GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.tl AS orig_len,
+       |  CAST(greatest(tot.tl - 200, 0) AS BIGINT) AS kept_from,
+       |  substring(tot.chat_text, CAST(greatest(tot.tl - 200, 0) + 1
+       |    AS INT), 200) AS trunc_text,
+       |  coalesce(agg.spans_str, '') AS spans_str
+       |FROM tot LEFT JOIN agg USING (doc_id)
+       |ORDER BY tot.doc_id""".stripMargin
+
   // q184: the ENTIRE pretraining pipeline replayed in one chain — fixture
   // synthesis (token-line bodies, planted template dup groups, page URLs),
   // URL keep-best + blocklist, C4 line/page rules, the seven Gopher gates
@@ -4606,6 +4755,8 @@ object ExtQueries {
     "q183_semantic_order" -> semanticOrderSql,
     "q182_ffd_binpack" -> ffdBinpackSql,
     "q181_preference_pairs" -> preferencePairsSql,
+    "q185_best_of_n" -> bestOfNSql,
+    "q186_chat_truncate" -> chatTruncateSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,

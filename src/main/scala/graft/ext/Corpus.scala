@@ -1101,6 +1101,135 @@ object Corpus {
       .drop("__pp", "__pc", "__pr")
   }
 
+  /** BEST-OF-N candidate serialization — the reward-scoring batch behind
+    * rejection sampling / best-of-n RLHF (the n-way sibling of
+    * [[preferencePairs]]): a prompt turn array plus an `array<string>` of
+    * n sampled completions becomes ONE ROW PER CANDIDATE, each the full
+    * sequence a reward model scores:
+    *   - `cand_id`    — 0-based position in the candidates array (the
+    *     sampler's draw index; ties downstream break on it)
+    *   - `cand_text`  — serialized prompt + this candidate as a single
+    *     `candRole` turn through the same ChatML template
+    *   - `cand_spans` — the candidate's loss span (content + closing
+    *     endTok) when `candRole == lossRole`, else empty — so the
+    *     selected winner is SFT-ready without re-serialization
+    *   - `prompt_text` / `prefix_len` — every candidate of a document
+    *     shares the prompt prefix verbatim (the [[preferencePairs]] law,
+    *     n-way).
+    *
+    * The prompt serialization and prefix length are PROJECTED BEFORE the
+    * explode — generators rebuild their row per emitted element with no
+    * CSE, so folding the prompt HOF inside the generator would re-run it
+    * n times per document. Documents with a NULL or empty candidates
+    * array contribute no rows (there is nothing to score). Scale shape:
+    * one `posexplode` over the candidate array — the output stream
+    * itself — and codegen projections; no shuffle. */
+  def bestOfNCandidates(df: DataFrame, promptCol: String,
+                        candidatesCol: String,
+                        lossRole: String = "assistant",
+                        candRole: String = "assistant",
+                        startTok: String = "<|im_start|>",
+                        endTok: String = "<|im_end|>"): DataFrame = {
+    requireFresh(df, "bestOfNCandidates", "prompt_text", "prefix_len",
+      "cand_id", "cand_text", "cand_spans", "n_cands", "__pp", "__cands",
+      "__c")
+    val headerLen = cpLen(startTok) + cpLen(candRole) + 1L
+    val others = df.columns.filterNot(c => c == promptCol ||
+      c == candidatesCol).map(col).toSeq
+    df.withColumn("__pp", coalesce(col(promptCol),
+        expr(s"CAST(array() AS ${df.schema(promptCol).dataType.sql})")))
+      .withColumn("__cands", coalesce(col(candidatesCol),
+        array().cast("array<string>")))
+      .withColumn("prompt_text", turnsText(col("__pp"), startTok, endTok))
+      .withColumn("prefix_len",
+        turnsSpanFold(col("__pp"), lit(0L), lossRole, startTok, endTok)
+          .getField("len"))
+      .withColumn("n_cands", size(col("__cands")).cast("int"))
+      .select(others ++ Seq(col("prompt_text"), col("prefix_len"),
+        col("n_cands"),
+        posexplode(col("__cands")).as(Seq("cand_id", "__c"))): _*)
+      .withColumn("__c", coalesce(col("__c"), lit("")))
+      .withColumn("cand_text", concat(col("prompt_text"), lit(startTok),
+        lit(candRole), lit("\n"), col("__c"), lit(endTok), lit("\n")))
+      .withColumn("cand_spans",
+        if (candRole == lossRole)
+          array(struct(
+            (col("prefix_len") + lit(headerLen)).as("off"),
+            (length(col("__c")) + lit(cpLen(endTok))).cast("long")
+              .as("len")))
+        else array().cast("array<struct<off:bigint,len:bigint>>"))
+      .drop("__c")
+  }
+
+  /** KEEP-BEST candidate selection — the rejection-sampling (RFT) step
+    * after an external reward model scored [[bestOfNCandidates]]'s rows:
+    * per document, keep the candidate with the HIGHEST score, ties broken
+    * by the SMALLEST `cand_id` (the sampler's earliest draw — the
+    * deterministic convention, since a reward model emitting float scores
+    * can and does tie on identical candidate texts). The winner's
+    * `cand_text`/`cand_spans` are SFT-ready as emitted.
+    *
+    * One doc-keyed `max(struct(score, -cand_id, payload...))` aggregate —
+    * struct comparison is lexicographic and `(score, -cand_id)` is unique
+    * per document, so the payload never participates in the comparison
+    * and partial (map-side) aggregation applies; the only shuffle moves
+    * one candidate row per document per map partition. */
+  def keepBestCandidate(scored: DataFrame, idCol: String, scoreCol: String,
+                        candIdCol: String = "cand_id"): DataFrame = {
+    val payload = scored.columns.filterNot(c => c == idCol).toSeq
+    val key = struct(Seq(col(scoreCol).as("__s"),
+      (-col(candIdCol)).as("__nc")) ++ payload.map(col): _*)
+    val best = scored.groupBy(col(idCol)).agg(max(key).as("__best"))
+    payload.foldLeft(best)((d, c) =>
+      d.withColumn(c, col("__best").getField(c))).drop("__best")
+  }
+
+  /** SPAN-PRESERVING TRUNCATION — fit a serialized chat sequence into a
+    * context window WITHOUT losing the loss-mask bookkeeping:
+    * `side = "left"` keeps the LAST `maxLen` code points (the chat
+    * convention — recent turns matter, the oldest context is dropped),
+    * `side = "right"` the first `maxLen` (the document convention). Loss
+    * spans are intersected with the kept window `[s, e)` and re-based to
+    * the truncated text: a span fully outside drops, a span straddling
+    * the cut keeps its surviving suffix/prefix, and
+    * `substring(trunc_text, off+1, len)` still reassembles EXACTLY the
+    * surviving slice of the original span text (the [[chatTemplate]] law
+    * restated over the window). `maxLen >= length(text)` is the identity
+    * (text and spans unchanged). Output: `trunc_text`, `trunc_spans`,
+    * `orig_len`, `kept_from` (= s, so a caller can map truncated offsets
+    * back to the original). All code-point arithmetic, matching the span
+    * coordinates. Pure codegen projections + two HOFs per row — zero
+    * shuffle, rides any scan. */
+  def truncateChat(df: DataFrame, textCol: String, spansCol: String,
+                   maxLen: Long, side: String = "left"): DataFrame = {
+    require(maxLen >= 0L, s"maxLen must be >= 0, got $maxLen")
+    require(side == "left" || side == "right",
+      s"side must be left|right, got $side")
+    requireFresh(df, "truncateChat", "trunc_text", "trunc_spans",
+      "orig_len", "kept_from", "__s", "__e")
+    val txt = coalesce(col(textCol), lit(""))
+    val len = length(txt).cast("long")
+    val s0 = if (side == "left") greatest(lit(0L), len - maxLen) else lit(0L)
+    val e0 = if (side == "left") len else least(len, lit(maxLen))
+    df.withColumn("orig_len", len)
+      .withColumn("__s", s0)
+      .withColumn("__e", e0)
+      .withColumn("kept_from", col("__s"))
+      .withColumn("trunc_text",
+        txt.substr((col("__s") + 1L).cast("int"),
+          (col("__e") - col("__s")).cast("int")))
+      .withColumn("trunc_spans",
+        filter(
+          transform(coalesce(col(spansCol),
+            array().cast("array<struct<off:bigint,len:bigint>>")), sp => {
+            val a = greatest(sp.getField("off"), col("__s"))
+            val b = least(sp.getField("off") + sp.getField("len"), col("__e"))
+            struct((a - col("__s")).as("off"), (b - a).as("len"))
+          }),
+          sp => sp.getField("len") > 0L))
+      .drop("__s", "__e")
+  }
+
   /** TOKEN-ALIGNED LOSS MASK — the bridge from [[chatTemplate]]'s
     * character spans to what a trainer actually feeds the loss: tokenize
     * the serialized text and mark each token 1 iff its character range

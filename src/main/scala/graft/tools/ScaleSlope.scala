@@ -344,6 +344,11 @@ object ScaleSlope {
       // balance) total chain work is O(n^1.5): expect slope ≈ √factor
       // (≈3.2 at 10×) — the algorithm's law, not a shuffle pathology
       "q183_semantic_order",
+      // r19b: q185 = the q177 serialization rail exploded per candidate
+      // + ONE doc-keyed max(struct) aggregate (partial map-side combine —
+      // one row per doc per partition crosses the wire); q186 = pure
+      // interval-algebra projections + two HOFs per row, zero shuffle
+      "q185_best_of_n", "q186_chat_truncate",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

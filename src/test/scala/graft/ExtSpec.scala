@@ -4566,6 +4566,117 @@ class ExtSpec extends AnyFunSuite {
     assert(n1.getLong(n1.fieldIndex("prefix_len")) == 0L)
   }
 
+  test("bestOfNCandidates + keepBestCandidate: n-way shared prefix, reassembly, argmax tie-break") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, Seq(("user", "pick one")), Seq("alpha", "longer answer", "z")),
+      (2L, Seq(("user", "q"), ("assistant", "ctx")), Seq("dup", "dup")),
+      (3L, Seq(("user", "none")), Seq.empty[String]),
+      (4L, Seq(("user", "null cands")), null.asInstanceOf[Seq[String]])
+    ).toDF("doc_id", "p0", "cands")
+      .withColumn("prompt", transform(col("p0"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))))
+      .drop("p0")
+    val cands = Corpus.bestOfNCandidates(docs, "prompt", "cands")
+    val rows = cands.orderBy("doc_id", "cand_id").collect()
+    // docs 3 (empty) and 4 (NULL) contribute no scoring rows
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L, 2L, 2L))
+    rows.foreach { row =>
+      val prompt = row.getString(row.fieldIndex("prompt_text"))
+      val plen = row.getLong(row.fieldIndex("prefix_len")).toInt
+      val ct = row.getString(row.fieldIndex("cand_text"))
+      // n-way shared-prefix law
+      assert(plen == prompt.length && ct.startsWith(prompt))
+      // single-span reassembly law: content + endTok
+      val sps = row.getSeq[org.apache.spark.sql.Row](
+        row.fieldIndex("cand_spans"))
+      assert(sps.length == 1)
+      val (off, len) = (sps.head.getLong(0).toInt, sps.head.getLong(1).toInt)
+      assert(ct.substring(off, off + len).endsWith("<|im_end|>"))
+      assert(ct.substring(off, off + len).dropRight(10) ==
+        ct.substring(off, off + len - 10))
+    }
+    // a span reassembles the exact candidate content
+    val r0 = rows(1) // doc 1, cand 1 = "longer answer"
+    val sp0 = r0.getSeq[org.apache.spark.sql.Row](
+      r0.fieldIndex("cand_spans")).head
+    assert(r0.getString(r0.fieldIndex("cand_text"))
+      .substring(sp0.getLong(0).toInt,
+        sp0.getLong(0).toInt + sp0.getLong(1).toInt) ==
+      "longer answer<|im_end|>")
+    // candRole != lossRole -> no spans
+    val noLoss = Corpus.bestOfNCandidates(
+      docs.filter(col("doc_id") === 1L), "prompt", "cands",
+      lossRole = "assistant", candRole = "tool").collect()
+    assert(noLoss.forall(r =>
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("cand_spans")).isEmpty))
+    // keep-best: doc 1 scores (3, 1, 2) -> cand 1 wins; doc 2 is the
+    // all-tie case -> smallest cand_id (0) wins
+    val scored = cands.withColumn("score",
+      when(col("doc_id") === 1L,
+        element_at(array(lit(3), lit(1), lit(2)), col("cand_id") + 1)
+          .cast("double") * -1 + 4) // (1.0, 3.0, 2.0): cand 1 highest
+        .otherwise(lit(1.0)))
+    val best = Corpus.keepBestCandidate(scored, "doc_id", "score")
+      .orderBy("doc_id").collect()
+    assert(best.length == 2)
+    assert(best(0).getInt(best(0).fieldIndex("cand_id")) == 1)
+    assert(best(1).getInt(best(1).fieldIndex("cand_id")) == 0)
+    assert(best(1).getString(best(1).fieldIndex("cand_text"))
+      .contains("dup"))
+  }
+
+  test("truncateChat: window algebra, span re-basing, identity and degenerate laws") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, Seq(("user", "a longer user context here"),
+        ("assistant", "short"), ("user", "again more words"),
+        ("assistant", "the final answer arrives late"))),
+      (2L, Seq(("user", "tiny"), ("assistant", "ok")))
+    ).toDF("doc_id", "raw")
+      .withColumn("turns", transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content"))))
+      .drop("raw")
+    val chat = Corpus.chatTemplate(docs, "turns")
+    def spans(row: org.apache.spark.sql.Row, c: String) =
+      row.getSeq[org.apache.spark.sql.Row](row.fieldIndex(c))
+        .map(sp => (sp.getLong(0), sp.getLong(1)))
+    for (side <- Seq("left", "right"); maxLen <- Seq(0L, 40L, 10000L)) {
+      val out = Corpus.truncateChat(chat, "chat_text", "loss_spans",
+        maxLen, side).orderBy("doc_id").collect()
+      out.foreach { row =>
+        val text = row.getString(row.fieldIndex("chat_text"))
+        val tt = row.getString(row.fieldIndex("trunc_text"))
+        val s = row.getLong(row.fieldIndex("kept_from")).toInt
+        assert(tt.length <= maxLen)
+        // the window is the suffix (left) / prefix (right)
+        if (side == "left") assert(text.endsWith(tt) &&
+          s == math.max(0, text.length - maxLen.toInt))
+        else assert(text.startsWith(tt) && s == 0)
+        val orig = spans(row, "loss_spans")
+        val kept = spans(row, "trunc_spans")
+        // every kept span's text equals the original slice at the
+        // shifted coordinates (the reassembly law over the window)
+        kept.foreach { case (off, len) =>
+          assert(off >= 0 && off + len <= tt.length && len > 0)
+          assert(tt.substring(off.toInt, (off + len).toInt) ==
+            text.substring(s + off.toInt, s + (off + len).toInt))
+        }
+        // conservation: kept span chars == the window overlap of every
+        // original span
+        val e = s + tt.length
+        val expect = orig.map { case (o, l) =>
+          math.max(0L, math.min(o + l, e) - math.max(o, s)) }.sum
+        assert(kept.map(_._2).sum == expect)
+        // identity at maxLen >= len
+        if (maxLen >= text.length) {
+          assert(tt == text && kept == orig)
+        }
+        if (maxLen == 0L) assert(tt.isEmpty && kept.isEmpty)
+      }
+    }
+  }
+
   test("tokenLossMask: token-aligned mask covers exactly the span-overlapping tokens") {
     import graft.ext.Corpus
     val docs = Seq(
