@@ -1121,9 +1121,16 @@ object Corpus {
     * explode — generators rebuild their row per emitted element with no
     * CSE, so folding the prompt HOF inside the generator would re-run it
     * n times per document. Documents with a NULL or empty candidates
-    * array contribute no rows (there is nothing to score). Scale shape:
-    * one `posexplode` over the candidate array — the output stream
-    * itself — and codegen projections; no shuffle. */
+    * array contribute no rows (there is nothing to score) — via
+    * `posexplode_outer` + a filter on the EMITTED `cand_id`, not plain
+    * `posexplode`: the inner generator makes Catalyst synthesize a
+    * `size(candidates) > 0` guard and push it below any upstream
+    * exchange, re-running the full candidate construction per row in
+    * the pre-repartition task (the one-file documents.parquet pitfall);
+    * filtering the generator's own output costs one null check and
+    * pushes nothing. Scale shape: one generate over the candidate
+    * array — the output stream itself — and codegen projections; no
+    * shuffle. */
   def bestOfNCandidates(df: DataFrame, promptCol: String,
                         candidatesCol: String,
                         lossRole: String = "assistant",
@@ -1147,7 +1154,8 @@ object Corpus {
       .withColumn("n_cands", size(col("__cands")).cast("int"))
       .select(others ++ Seq(col("prompt_text"), col("prefix_len"),
         col("n_cands"),
-        posexplode(col("__cands")).as(Seq("cand_id", "__c"))): _*)
+        posexplode_outer(col("__cands")).as(Seq("cand_id", "__c"))): _*)
+      .filter(col("cand_id").isNotNull)
       .withColumn("__c", coalesce(col("__c"), lit("")))
       .withColumn("cand_text", concat(col("prompt_text"), lit(startTok),
         lit(candRole), lit("\n"), col("__c"), lit(endTok), lit("\n")))
