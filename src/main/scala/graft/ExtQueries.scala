@@ -56,6 +56,30 @@ object ExtQueries {
             .as("content"))))
       .select(col("doc_id"), col("turns"))
 
+  /** Shared q185/q187 fixture: first (up to) two turns of the q177
+    * conversation as the prompt, 1 + doc_id % 3 candidate completions cut
+    * from the token stream; the doc_id % 5 == 0 docs repeat ONE slice n
+    * times — the all-tie case both the keep-best tie-break (q185) and the
+    * zero-variance advantage convention (q187) exercise. */
+  private def bestOfNFixture(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir)
+      .select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .withColumn("__nt", expr("CAST((size(toks) + 7) DIV 8 AS INT)"))
+      .withColumn("prompt",
+        transform(sequence(lit(0), least(col("__nt"), lit(2)) - 1),
+          w => struct(
+            when(w % 2 === 0, lit("user")).otherwise(lit("assistant"))
+              .as("role"),
+            array_join(slice(col("toks"), w * 8 + 1, lit(8)), " ")
+              .as("content"))))
+      .withColumn("cands",
+        transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
+          j => array_join(slice(col("toks"),
+            (when(col("doc_id") % 5 === 0, lit(0)).otherwise(j) * 4 + 17)
+              .cast("int"), lit(8)), " ")))
+      .select(col("doc_id"), col("prompt"), col("cands"))
+
   /** q184 fixture: four shared "template" page bodies — 7 lines of exactly
     * 8 words each ending '.', 56 words, stopword-bearing ('the'/'and'/
     * 'that'/'with'/'have' as exact tokens) — engineered to pass every C4
@@ -2106,24 +2130,8 @@ object ExtQueries {
     // score, and the argmax with the same tie-break; one character or
     // one tie broken the other way anywhere fails the hash.
     "q185_best_of_n" -> { (s, dir) =>
-      val fix = docsPar(s, dir)
-        .select(col("doc_id"),
-          TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
-        .withColumn("__nt", expr("CAST((size(toks) + 7) DIV 8 AS INT)"))
-        .withColumn("prompt",
-          transform(sequence(lit(0), least(col("__nt"), lit(2)) - 1),
-            w => struct(
-              when(w % 2 === 0, lit("user")).otherwise(lit("assistant"))
-                .as("role"),
-              array_join(slice(col("toks"), w * 8 + 1, lit(8)), " ")
-                .as("content"))))
-        .withColumn("cands",
-          transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
-            j => array_join(slice(col("toks"),
-              (when(col("doc_id") % 5 === 0, lit(0)).otherwise(j) * 4 + 17)
-                .cast("int"), lit(8)), " ")))
-        .select(col("doc_id"), col("prompt"), col("cands"))
-      val scored = Corpus.bestOfNCandidates(fix, "prompt", "cands")
+      val scored = Corpus.bestOfNCandidates(bestOfNFixture(s, dir),
+          "prompt", "cands")
         .withColumn("score", (length(col("cand_text")) % 19).cast("int"))
       Corpus.keepBestCandidate(scored, "doc_id", "score")
         .select(col("doc_id"), col("n_cands"), col("cand_id"),
@@ -2149,6 +2157,50 @@ object ExtQueries {
             concat_ws(":", x.getField("off"), x.getField("len"))), " ")
             .as("spans_str"))
         .presentBy(col("doc_id"))
+    },
+    // GROUP-RELATIVE ADVANTAGE (GRPO): q185's scored candidate rows
+    // normalized per prompt group — advantage = (score - mean) / std,
+    // population std, zero-variance groups (the doc_id % 5 all-tie docs)
+    // emit 0. Every float is derived from DECIMAL-exact integer moments
+    // by a fixed expression over identical operands, so DuckDB replays
+    // it bit for bit — mean, std, and every advantage value hash-compared
+    // at full double precision.
+    "q187_grpo_advantage" -> { (s, dir) =>
+      val scored = Corpus.bestOfNCandidates(bestOfNFixture(s, dir),
+          "prompt", "cands")
+        .withColumn("score", (length(col("cand_text")) % 19).cast("int"))
+        .select(col("doc_id"), col("cand_id"), col("score"))
+      Corpus.groupAdvantage(scored, "doc_id", "score")
+        .select(col("doc_id"), col("cand_id"), col("score"),
+          col("group_n"), col("group_mean"), col("group_std"),
+          col("advantage"))
+        .presentBy(col("doc_id"), col("cand_id"))
+    },
+    // MASKED TOKEN PACKING: q180's (tokens, loss mask) streams packed
+    // into 256-token training chunks with doc_spans intact — the packed
+    // SFT input (tokens + aligned mask + the boundaries block-diagonal
+    // attention resets on). The oracle composes the q180 mask replay
+    // with the q174-style global pack rank: per-doc counts → global
+    // offsets → chunk = g DIV 256, tokens/mask re-aggregated in global
+    // order and every (doc, off, len) span re-derived; one token, mask
+    // bit, or span boundary wrong anywhere fails the hash.
+    "q188_sft_pack" -> { (s, dir) =>
+      val chat = Corpus.chatTemplate(sftTurns(s, dir), "turns")
+        .select(col("doc_id"), col("chat_text"), col("loss_spans"))
+      val tlm = Corpus.tokenLossMask(chat, "doc_id", "chat_text",
+          "loss_spans")
+        .select(col("doc_id"), col("mask_tokens"), col("loss_mask"))
+      Corpus.packMaskedTokens(tlm, "doc_id", "mask_tokens", "loss_mask",
+          256L)
+        .select(col("chunk"),
+          array_join(col("toks"), "\u001f").as("toks_str"),
+          array_join(transform(col("mask"), _.cast("string")), "")
+            .as("mask_str"),
+          col("n_toks"),
+          array_join(transform(col("doc_spans"), x =>
+            concat_ws(":", x.getField("doc"), x.getField("off"),
+              x.getField("len"))), " ").as("spans_str"))
+        .presentBy(col("chunk"))
     },
     // INSTRUCTION-TUNING (SFT) CHAT-TEMPLATE serializer: each document's
     // whitespace tokens are cut into 8-token turns alternating
@@ -4291,6 +4343,122 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q187: GRPO advantage replay — the q185 candidate/score chain, then
+  // the exact integer moments per group (count, sum, sum of squares) and
+  // the SAME fixed float expression the operator computes: mean = s1/n,
+  // std = sqrt(max(s2/n - mean^2, 0)), advantage = (score - mean)/std
+  // with the zero-variance -> 0 convention. Every operand is identical on
+  // both engines (integer-exact sums, then IEEE ops in the same order),
+  // so the doubles hash-compare at full precision.
+  private val grpoAdvantageSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, toks, unnest(range(0, least(nt, 2))) AS w
+       |  FROM n),
+       |p AS (SELECT doc_id, w,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |g AS (SELECT doc_id,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS ptext
+       |  FROM p GROUP BY doc_id),
+       |c AS (SELECT doc_id, toks,
+       |    unnest(range(0, 1 + doc_id % 3)) AS j FROM n),
+       |cc AS (SELECT doc_id, CAST(j AS INT) AS cand_id,
+       |    coalesce(array_to_string(list_slice(toks,
+       |      (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE j END)*4 + 17,
+       |      (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE j END)*4 + 24), ' '),
+       |      '') AS cand
+       |  FROM c),
+       |sc AS (SELECT cc.doc_id, cc.cand_id,
+       |    CAST(length(g.ptext || '<|im_start|>assistant' || chr(10) ||
+       |      cc.cand || '<|im_end|>' || chr(10)) % 19 AS INT) AS score
+       |  FROM cc JOIN g USING (doc_id)),
+       |st AS (SELECT doc_id, count(*) AS n, sum(score) AS s1,
+       |    sum(score * score) AS s2 FROM sc GROUP BY doc_id),
+       |st2 AS (SELECT doc_id, CAST(n AS BIGINT) AS group_n,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS gm,
+       |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+       |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+       |      CAST(0 AS DOUBLE))) AS gs
+       |  FROM st)
+       |SELECT sc.doc_id, sc.cand_id, sc.score, st2.group_n,
+       |  st2.gm AS group_mean, st2.gs AS group_std,
+       |  CASE WHEN st2.gs = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |       ELSE (CAST(sc.score AS DOUBLE) - st2.gm) / st2.gs
+       |  END AS advantage
+       |FROM sc JOIN st2 USING (doc_id)
+       |ORDER BY doc_id, cand_id""".stripMargin
+
+  // q188: masked packing replay — the q180 token/mask chain, then the
+  // pack rank: per-doc token counts -> global doc offsets (window
+  // prefix-sum over doc_id order), g = offset + ord - 1, chunk = g DIV
+  // 256, chunk streams re-aggregated in global order and every
+  // (doc, off, len) span re-derived from min(g)/count per (chunk, doc).
+  private val sftPackSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nt
+       |  FROM t),
+       |w AS (SELECT doc_id, toks, unnest(range(0, nt)) AS w FROM n),
+       |p AS (SELECT doc_id, w,
+       |    CASE WHEN w % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    array_to_string(list_slice(toks, w*8 + 1, (w+1)*8), ' ')
+       |      AS content
+       |  FROM w),
+       |q AS (SELECT doc_id, w, role, content,
+       |    12 + length(role) + 1 + length(content) + 10 + 1 AS plen FROM p),
+       |o AS (SELECT doc_id, w, role, content,
+       |    coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+       |  FROM q),
+       |g AS (SELECT doc_id,
+       |    string_agg('<|im_start|>' || role || chr(10) || content ||
+       |      '<|im_end|>' || chr(10), '' ORDER BY w) AS chat_text
+       |  FROM o GROUP BY doc_id),
+       |sp AS (SELECT doc_id, poff + 12 + length(role) + 1 AS soff,
+       |    length(content) + 10 AS slen FROM o WHERE role = 'assistant'),
+       |ts AS (SELECT doc_id,
+       |    string_split_regex(chat_text, '[\n ]') AS tl FROM g),
+       |tn AS (SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS ord
+       |  FROM ts),
+       |tok AS (SELECT doc_id, ord, tl[ord] AS tok FROM tn),
+       |off AS (SELECT doc_id, tok, ord,
+       |    coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id
+       |      ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+       |      PRECEDING), 0) AS toff
+       |  FROM tok),
+       |m AS (SELECT f.doc_id, f.ord, f.tok,
+       |    CASE WHEN EXISTS (SELECT 1 FROM sp
+       |        WHERE sp.doc_id = f.doc_id
+       |          AND f.toff < sp.soff + sp.slen
+       |          AND f.toff + length(f.tok) > sp.soff)
+       |      THEN 1 ELSE 0 END AS mk
+       |  FROM off f),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM m GROUP BY doc_id),
+       |doff AS (SELECT doc_id, coalesce(sum(c) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gd
+       |  FROM cnt),
+       |ck AS (SELECT m.doc_id, m.tok, m.mk, doff.gd + m.ord - 1 AS g,
+       |    CAST((doff.gd + m.ord - 1) // 256 AS BIGINT) AS chunk
+       |  FROM m JOIN doff USING (doc_id)),
+       |agg AS (SELECT chunk, CAST(count(*) AS INT) AS n_toks,
+       |    array_to_string(list(tok ORDER BY g), chr(31)) AS toks_str,
+       |    array_to_string(list(CAST(mk AS VARCHAR) ORDER BY g), '')
+       |      AS mask_str
+       |  FROM ck GROUP BY chunk),
+       |spn AS (SELECT chunk, doc_id, min(g) AS mg, count(*) AS sl
+       |  FROM ck GROUP BY chunk, doc_id),
+       |sstr AS (SELECT chunk, string_agg(doc_id || ':' ||
+       |    CAST(mg - chunk*256 AS VARCHAR) || ':' || sl, ' ' ORDER BY mg)
+       |    AS spans_str FROM spn GROUP BY chunk)
+       |SELECT agg.chunk, agg.toks_str, agg.mask_str, agg.n_toks,
+       |  sstr.spans_str
+       |FROM agg JOIN sstr USING (chunk) ORDER BY agg.chunk""".stripMargin
+
   // q186: truncation replay — the q177 chain rebuilt (full turn set), the
   // kept window [s, tl) at maxLen 200 / side left, and per-span interval
   // algebra: a = max(off, s), b = min(off + len, tl), keep iff b > a,
@@ -4757,6 +4925,8 @@ object ExtQueries {
     "q181_preference_pairs" -> preferencePairsSql,
     "q185_best_of_n" -> bestOfNSql,
     "q186_chat_truncate" -> chatTruncateSql,
+    "q187_grpo_advantage" -> grpoAdvantageSql,
+    "q188_sft_pack" -> sftPackSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,

@@ -1192,6 +1192,82 @@ object Corpus {
       d.withColumn(c, col("__best").getField(c))).drop("__best")
   }
 
+  /** GROUP-RELATIVE ADVANTAGE — the GRPO normalization (Shao et al.
+    * 2024, DeepSeekMath: group-relative policy optimization drops the
+    * value network and baselines each sampled candidate against its OWN
+    * prompt's group): per group (= prompt), `advantage =
+    * (score - mean(group)) / std(group)` with population std and the
+    * zero-variance group convention `advantage = 0` (every candidate
+    * tied — no gradient signal). The natural consumer of
+    * [[bestOfNCandidates]]'s scored rows.
+    *
+    * Bit-reproducible across partitionings AND engines, the q111
+    * discipline: the two cross-row moments are DECIMAL(38,18) sums
+    * (exact, order-free — a double sum would drift with the fold order),
+    * and every floating-point step after them is a fixed expression over
+    * identical operands — mean = s1/n, var = s2/n − mean², clamped at 0,
+    * std = sqrt — so any engine replays it bit for bit. Scores must be
+    * non-NULL (a NULL would skew count vs sum) and |score| < ~1e9 for
+    * the squared decimal cast. Scale shape: one group-keyed partial
+    * aggregate (3 narrow sums) + one equi-join back — group-count-sized
+    * state, the corpus never shuffles wider than its group key. */
+  def groupAdvantage(df: DataFrame, groupCol: String,
+                     scoreCol: String): DataFrame = {
+    requireFresh(df, "groupAdvantage", "group_n", "group_mean",
+      "group_std", "advantage", "__s1", "__s2")
+    val sc = col(scoreCol).cast("double")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("group_n"),
+      sum(sc.cast("decimal(38,18)")).as("__s1"),
+      sum((sc * sc).cast("decimal(38,18)")).as("__s2"))
+    df.join(stats, Seq(groupCol))
+      .withColumn("group_mean",
+        col("__s1").cast("double") / col("group_n").cast("double"))
+      .withColumn("group_std", sqrt(greatest(
+        col("__s2").cast("double") / col("group_n").cast("double") -
+          col("group_mean") * col("group_mean"), lit(0.0))))
+      .withColumn("advantage", when(col("group_std") === 0.0, lit(0.0))
+        .otherwise((sc - col("group_mean")) / col("group_std")))
+      .drop("__s1", "__s2")
+  }
+
+  /** MASKED TOKEN PACKING — the SFT analogue of [[packTokenArrays]]:
+    * pack per-document token streams AND their aligned
+    * [[tokenLossMask]]-style 0/1 loss masks into fixed-`capacity`
+    * training chunks, keeping the two streams aligned position by
+    * position and the `doc_spans` bookkeeping intact (a packed-SFT
+    * trainer needs all three: tokens, mask, and the document boundaries
+    * its block-diagonal attention resets on). Token and mask arrays must
+    * be equal-length per row — exactly what [[tokenLossMask]] emits.
+    *
+    * Implementation is [[packTokenArrays]] run over the `zip_with`'d
+    * struct stream and unzipped after — the packing arithmetic (strict
+    * prefix-sum offsets, chunk slicing, span reassembly) is shared, not
+    * re-derived, so every law q174 pins (chunk hashes, span coverage,
+    * crash-replay determinism via the checkpoint strategy) holds here by
+    * construction. Output: `chunk`, `toks`, `mask`, `n_toks`,
+    * `doc_spans`. Same scale shape as q174: tokenize-stream-sized
+    * prefix sum + ONE chunk-keyed reassembly shuffle. */
+  def packMaskedTokens(df: DataFrame, orderCol: String, toksCol: String,
+                       maskCol: String, capacity: Long,
+                       checkpoint: CheckpointStrategy =
+                         CheckpointStrategy.Local): DataFrame = {
+    // the consumed token/mask columns are dropped before packing, so
+    // their names (often literally "toks"/"mask") may coincide with the
+    // output's — freshness applies to the carried-through columns only
+    requireFresh(df.drop(toksCol, maskCol), "packMaskedTokens", "chunk",
+      "toks", "mask", "n_toks", "doc_spans", "__zip")
+    val zipped = df
+      .withColumn("__zip", zip_with(col(toksCol), col(maskCol),
+        (t, m) => struct(t.as("t"), m.as("m"))))
+      .drop(toksCol, maskCol)
+    packTokenArrays(zipped, orderCol, "__zip", capacity, checkpoint)
+      .select(col("chunk"),
+        transform(col("ids"), x => x.getField("t")).as("toks"),
+        transform(col("ids"), x => x.getField("m")).as("mask"),
+        col("n_ids").as("n_toks"), col("doc_spans"))
+  }
+
   /** SPAN-PRESERVING TRUNCATION — fit a serialized chat sequence into a
     * context window WITHOUT losing the loss-mask bookkeeping:
     * `side = "left"` keeps the LAST `maxLen` code points (the chat

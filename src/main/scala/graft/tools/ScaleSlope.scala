@@ -349,6 +349,11 @@ object ScaleSlope {
       // one row per doc per partition crosses the wire); q186 = pure
       // interval-algebra projections + two HOFs per row, zero shuffle
       "q185_best_of_n", "q186_chat_truncate",
+      // r19b: q187 = the q185 rail + one group-keyed 3-sum aggregate and
+      // an equi-join back (group-count-sized state); q188 = the q180
+      // token/mask rail + packTokenArrays' prefix-sum + ONE chunk-keyed
+      // reassembly shuffle (q174's shape over the zipped stream)
+      "q187_grpo_advantage", "q188_sft_pack",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

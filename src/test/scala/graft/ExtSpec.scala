@@ -4626,6 +4626,70 @@ class ExtSpec extends AnyFunSuite {
       .contains("dup"))
   }
 
+  test("groupAdvantage: exact moments, zero-variance convention, partitioning invariance") {
+    import graft.ext.Corpus
+    val rows = Seq(
+      (1L, 0, 1.0), (1L, 1, 2.0), (1L, 2, 3.0), // mean 2, var 2/3
+      (2L, 0, 5.0), (2L, 1, 5.0),               // all-tie -> std 0
+      (3L, 0, 7.0)                              // singleton -> std 0
+    ).toDF("doc_id", "cand_id", "score")
+    val out = Corpus.groupAdvantage(rows, "doc_id", "score")
+      .orderBy("doc_id", "cand_id").collect()
+    val mean = 6.0 / 3.0
+    val std = math.sqrt(math.max(14.0 / 3.0 - mean * mean, 0.0))
+    val g1 = out.filter(_.getLong(0) == 1L)
+    // the doubles are the SAME fixed expression — exact equality, not eps
+    assert(g1.map(_.getDouble(g1.head.fieldIndex("advantage"))).toSeq ==
+      Seq((1.0 - mean) / std, (2.0 - mean) / std, (3.0 - mean) / std))
+    assert(g1.head.getDouble(g1.head.fieldIndex("group_std")) == std)
+    assert(g1.head.getLong(g1.head.fieldIndex("group_n")) == 3L)
+    // zero-variance groups (tie and singleton) emit advantage 0, std 0
+    out.filter(_.getLong(0) != 1L).foreach { r =>
+      assert(r.getDouble(r.fieldIndex("group_std")) == 0.0)
+      assert(r.getDouble(r.fieldIndex("advantage")) == 0.0)
+    }
+    // partitioning invariance: DECIMAL sums are order-free
+    val rep = Corpus.groupAdvantage(rows.repartition(7), "doc_id", "score")
+      .orderBy("doc_id", "cand_id").collect()
+    assert(rep.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("packMaskedTokens: stream alignment, chunk layout, span reassembly") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, Seq("a", "bb", "c"), Seq(0, 1, 1)),
+      (2L, Seq("dd", "e", "f", "gg", "h"), Seq(1, 0, 1, 0, 1)),
+      (3L, Seq("ii"), Seq(0))
+    ).toDF("doc_id", "toks", "mask")
+    val out = Corpus.packMaskedTokens(docs, "doc_id", "toks", "mask", 4L)
+      .orderBy("chunk").collect()
+    val allToks = out.flatMap(_.getSeq[String](1))
+    val allMask = out.flatMap(_.getSeq[Int](2))
+    // global concatenation preserves both streams in doc order, aligned
+    assert(allToks.toSeq ==
+      Seq("a", "bb", "c", "dd", "e", "f", "gg", "h", "ii"))
+    assert(allMask.toSeq == Seq(0, 1, 1, 1, 0, 1, 0, 1, 0))
+    // chunk layout: capacity-4 chunks, last partial
+    assert(out.map(_.getSeq[String](1).size).toSeq == Seq(4, 4, 1))
+    out.foreach { r =>
+      assert(r.getSeq[String](1).size == r.getInt(r.fieldIndex("n_toks")))
+      assert(r.getSeq[String](1).size == r.getSeq[Int](2).size)
+      // doc_spans tile the chunk exactly and reassemble per-doc slices
+      val spans = r.getSeq[org.apache.spark.sql.Row](
+        r.fieldIndex("doc_spans"))
+      assert(spans.map(_.getLong(2)).sum == r.getInt(r.fieldIndex("n_toks")))
+      spans.foreach { sp =>
+        val (doc, off, len) =
+          (sp.getLong(0), sp.getLong(1).toInt, sp.getLong(2).toInt)
+        val chunkToks = r.getSeq[String](1).slice(off, off + len)
+        val docToks = docs.filter(col("doc_id") === doc)
+          .collect().head.getSeq[String](1)
+        // the span's tokens are a contiguous slice of the document
+        assert(docToks.containsSlice(chunkToks) && chunkToks.nonEmpty)
+      }
+    }
+  }
+
   test("truncateChat: window algebra, span re-basing, identity and degenerate laws") {
     import graft.ext.Corpus
     val docs = Seq(
