@@ -2158,6 +2158,21 @@ object ExtQueries {
             .as("spans_str"))
         .presentBy(col("doc_id"))
     },
+    // DDP BATCH SCHEDULE: every (doc, epoch) pair placed at (epoch, step,
+    // device_rank) — md5-shuffled per epoch (the q102 key convention),
+    // exactly worldSize=8 rows per step, each epoch's trailing n % 8 rows
+    // dropped (drop-last). The per-epoch rank is ONE two-phase prefix sum
+    // over (epoch, key, id) — no global window. The oracle replays the
+    // hash, the per-epoch row_number, the div/mod placement and the
+    // drop-last cut; one row misplaced anywhere fails the hash.
+    "q189_ddp_schedule" -> { (s, dir) =>
+      Corpus.batchSchedule(
+          read(s, dir, "documents").select(col("doc_id")),
+          "doc_id", worldSize = 8, epochs = 2)
+        .select(col("doc_id"), col("epoch"), col("step"),
+          col("device_rank"))
+        .presentBy(col("epoch"), col("step"), col("device_rank"))
+    },
     // GROUP-RELATIVE ADVANTAGE (GRPO): q185's scored candidate rows
     // normalized per prompt group — advantage = (score - mean) / std,
     // population std, zero-variance groups (the doc_id % 5 all-tie docs)
@@ -4343,6 +4358,25 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q189: DDP schedule replay — the epochShuffle md5 key (id:epoch:salt),
+  // per-epoch row_number over (key, id), step/rank as div/mod worldSize,
+  // drop-last via count // 8.
+  private val ddpScheduleSql: String =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM d),
+       |k AS (SELECT doc_id, epoch,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) ||
+       |      ':graft:shuffle') AS key
+       |  FROM e),
+       |r AS (SELECT doc_id, epoch,
+       |    row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) - 1
+       |      AS rk
+       |  FROM k)
+       |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       |  CAST(rk // 8 AS BIGINT) AS step, CAST(rk % 8 AS INT) AS device_rank
+       |FROM r WHERE rk // 8 < (SELECT count(*) // 8 FROM d)
+       |ORDER BY epoch, step, device_rank""".stripMargin
+
   // q187: GRPO advantage replay — the q185 candidate/score chain, then
   // the exact integer moments per group (count, sum, sum of squares) and
   // the SAME fixed float expression the operator computes: mean = s1/n,
@@ -4927,6 +4961,7 @@ object ExtQueries {
     "q186_chat_truncate" -> chatTruncateSql,
     "q187_grpo_advantage" -> grpoAdvantageSql,
     "q188_sft_pack" -> sftPackSql,
+    "q189_ddp_schedule" -> ddpScheduleSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,

@@ -1268,6 +1268,50 @@ object Corpus {
         col("n_ids").as("n_toks"), col("doc_spans"))
   }
 
+  /** DATA-PARALLEL BATCH SCHEDULE — the deterministic map from a packed
+    * corpus to WHO trains on WHAT and WHEN: every (row, epoch) pair gets
+    * `(epoch, step, device_rank)` such that each step holds exactly
+    * `worldSize` rows (one per device, the DDP contract), rows are
+    * pseudo-randomly shuffled per epoch with [[graft.ext.Audit.epochShuffle]]'s
+    * md5 key (`id:epoch:salt` — epochs decorrelate, no RNG state, the
+    * determinism-over-RNG trade), and each epoch's trailing `n %
+    * worldSize` rows are DROPPED (drop-last, the standard DDP semantic —
+    * a ragged final step would deadlock collective ops). Resume is a pure
+    * predicate: to restart at (E, S) filter `epoch > E OR (epoch = E AND
+    * step >= S)` — no sampler state to checkpoint.
+    *
+    * Scale shape: the per-epoch rank is ONE [[prefixSum]] over the
+    * composite (epoch, key, id) order — the two-phase range-repartition
+    * discipline, no global-order window; since every epoch has exactly
+    * `n` rows, the per-epoch rank is `global_rank − epoch·n` — one rank
+    * pass for ALL epochs. Driver state: the O(parallelism) offset table
+    * plus one `count()` (n — the schedule arithmetic needs it; for a
+    * chunk manifest this scan is chunk-count-sized). */
+  def batchSchedule(df: DataFrame, idCol: String, worldSize: Int,
+                    epochs: Int, salt: String = "graft:shuffle",
+                    checkpoint: CheckpointStrategy =
+                      CheckpointStrategy.Local): DataFrame = {
+    require(worldSize >= 1, s"worldSize must be >= 1, got $worldSize")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    requireFresh(df, "batchSchedule", "epoch", "step", "device_rank",
+      "__sk", "__so", "__s1", "__sc")
+    val n = df.count()
+    val stepsPerEpoch = n / worldSize
+    val exploded = df
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__sk", md5(concat(col(idCol).cast("string"), lit(":"),
+        col("epoch").cast("string"), lit(":" + salt))))
+      .withColumn("__so", struct(col("epoch"), col("__sk"), col(idCol)))
+      .withColumn("__s1", lit(1L))
+    prefixSum(exploded, "__so", "__s1", "__sc", checkpoint)
+      .withColumn("step",
+        expr(s"CAST((__sc - 1 - epoch * ${n}L) DIV ${worldSize}L AS BIGINT)"))
+      .withColumn("device_rank",
+        expr(s"CAST((__sc - 1 - epoch * ${n}L) % ${worldSize}L AS INT)"))
+      .filter(col("step") < lit(stepsPerEpoch))
+      .drop("__sk", "__so", "__s1", "__sc")
+  }
+
   /** SPAN-PRESERVING TRUNCATION — fit a serialized chat sequence into a
     * context window WITHOUT losing the loss-mask bookkeeping:
     * `side = "left"` keeps the LAST `maxLen` code points (the chat

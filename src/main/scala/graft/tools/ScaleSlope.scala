@@ -354,6 +354,10 @@ object ScaleSlope {
       // token/mask rail + packTokenArrays' prefix-sum + ONE chunk-keyed
       // reassembly shuffle (q174's shape over the zipped stream)
       "q187_grpo_advantage", "q188_sft_pack",
+      // r19b: q189 = epochs-explode + ONE two-phase prefix-sum rank over
+      // (epoch, md5 key, id) — range shuffle + O(parallelism) driver
+      // offsets, no global window; output = the schedule stream itself
+      "q189_ddp_schedule",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

@@ -4626,6 +4626,39 @@ class ExtSpec extends AnyFunSuite {
       .contains("dup"))
   }
 
+  test("batchSchedule: full steps, drop-last, epoch decorrelation, partitioning invariance") {
+    import graft.ext.Corpus
+    val ids = (1L to 43L).map(Tuple1(_)).toDF("id") // 43 % 4 = 3 dropped
+    val out = Corpus.batchSchedule(ids, "id", worldSize = 4, epochs = 3)
+      .collect()
+    // every epoch keeps exactly (43/4)*4 = 40 rows in 10 full steps
+    (0 until 3).foreach { e =>
+      val ep = out.filter(_.getInt(out.head.fieldIndex("epoch")) == e)
+      assert(ep.length == 40)
+      ep.groupBy(_.getLong(ep.head.fieldIndex("step"))).foreach {
+        case (st, rows) =>
+          assert(st >= 0 && st < 10)
+          // one row per device, ranks 0..3 exactly once
+          assert(rows.map(_.getInt(rows.head.fieldIndex("device_rank")))
+            .sorted.toSeq == Seq(0, 1, 2, 3))
+      }
+      // kept ids are distinct (a row trains once per epoch)
+      assert(ep.map(_.getLong(0)).distinct.length == 40)
+    }
+    // epochs decorrelate: the id at (step 0, rank 0) differs across epochs
+    val firsts = (0 until 3).map { e =>
+      out.filter(r => r.getInt(r.fieldIndex("epoch")) == e &&
+        r.getLong(r.fieldIndex("step")) == 0L &&
+        r.getInt(r.fieldIndex("device_rank")) == 0).head.getLong(0)
+    }
+    assert(firsts.distinct.length > 1)
+    // partitioning invariance: the two-phase rank must not depend on the
+    // input layout
+    val rep = Corpus.batchSchedule(ids.repartition(7), "id", 4, 3)
+      .collect()
+    assert(rep.map(_.toSeq).toSet == out.map(_.toSeq).toSet)
+  }
+
   test("groupAdvantage: exact moments, zero-variance convention, partitioning invariance") {
     import graft.ext.Corpus
     val rows = Seq(
