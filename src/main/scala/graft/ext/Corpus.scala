@@ -1210,17 +1210,24 @@ object Corpus {
     * non-NULL (a NULL would skew count vs sum) and |score| < ~1e9 for
     * the squared decimal cast. Scale shape: one group-keyed partial
     * aggregate (3 narrow sums) + one equi-join back — group-count-sized
-    * state, the corpus never shuffles wider than its group key. */
+    * state, the corpus never shuffles wider than its group key. The
+    * input feeds BOTH the aggregate and the join (a diamond), so it is
+    * materialized once via `checkpoint` — without it Catalyst re-derives
+    * the whole upstream chain (an exploded candidate serialization, say)
+    * on each branch. */
   def groupAdvantage(df: DataFrame, groupCol: String,
-                     scoreCol: String): DataFrame = {
+                     scoreCol: String,
+                     checkpoint: CheckpointStrategy =
+                       CheckpointStrategy.Local): DataFrame = {
     requireFresh(df, "groupAdvantage", "group_n", "group_mean",
       "group_std", "advantage", "__s1", "__s2")
+    val mat = CheckpointStrategy.materializer(checkpoint)(df)
     val sc = col(scoreCol).cast("double")
-    val stats = df.groupBy(col(groupCol)).agg(
+    val stats = mat.groupBy(col(groupCol)).agg(
       count(lit(1)).as("group_n"),
       sum(sc.cast("decimal(38,18)")).as("__s1"),
       sum((sc * sc).cast("decimal(38,18)")).as("__s2"))
-    df.join(stats, Seq(groupCol))
+    mat.join(stats, Seq(groupCol))
       .withColumn("group_mean",
         col("__s1").cast("double") / col("group_n").cast("double"))
       .withColumn("group_std", sqrt(greatest(
