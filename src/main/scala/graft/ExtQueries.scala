@@ -2158,6 +2158,25 @@ object ExtQueries {
             .as("spans_str"))
         .presentBy(col("doc_id"))
     },
+    // UNPACK ROUND-TRIP: q174's WordPiece stream packed at 512 and then
+    // REBUILT per document from the chunks' doc_spans alone — the
+    // delivery-integrity law unpack(pack(X)) == X, proven externally:
+    // the emitted md5 is of the RECONSTRUCTION, the oracle's md5 is of
+    // the ORIGINAL stream (re-derived by the greedy WordPiece walk), so
+    // one token lost, duplicated, or reordered anywhere in pack OR
+    // unpack fails the hash. Docs with empty token streams pack to
+    // nothing and are absent on both sides.
+    "q190_unpack_roundtrip" -> { (s, dir) =>
+      val toks = TextStats.wordPieceStats(docsPar(s, dir), "text",
+          q172Vocab)
+        .select(col("doc_id"), col("wp_tokens"))
+      val packed = Corpus.packTokenArrays(toks, "doc_id", "wp_tokens",
+        capacity = 512)
+      Corpus.unpackTokenChunks(packed)
+        .select(col("doc").as("doc_id"), col("n_ids"),
+          md5(array_join(col("ids"), "\u001f")).as("ids_md5"))
+        .presentBy(col("doc_id"))
+    },
     // DDP BATCH SCHEDULE: every (doc, epoch) pair placed at (epoch, step,
     // device_rank) — md5-shuffled per epoch (the q102 key convention),
     // exactly worldSize=8 rows per step, each epoch's trailing n % 8 rows
@@ -4358,6 +4377,21 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q190: round-trip replay — the oracle hashes the ORIGINAL WordPiece
+  // stream (the same greedy walk as q174's oracle); the Spark side hashes
+  // its pack-then-unpack reconstruction. Empty streams are absent on both
+  // sides (they pack to nothing).
+  private val unpackRoundtripSql: String = {
+    val vocabSql = q172Vocab.map(v => s"'${v.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    val tail =
+      """SELECT doc_id, CAST(len(toks) AS INT) AS n_ids,
+        |  md5(array_to_string(toks, chr(31))) AS ids_md5
+        |FROM f WHERE len(toks) > 0
+        |ORDER BY doc_id""".stripMargin
+    wpGreedySql(vocabSql, "lower(coalesce(text, ''))", tailSql = Some(tail))
+  }
+
   // q189: DDP schedule replay — the epochShuffle md5 key (id:epoch:salt),
   // per-epoch row_number over (key, id), step/rank as div/mod worldSize,
   // drop-last via count // 8.
@@ -4962,6 +4996,7 @@ object ExtQueries {
     "q187_grpo_advantage" -> grpoAdvantageSql,
     "q188_sft_pack" -> sftPackSql,
     "q189_ddp_schedule" -> ddpScheduleSql,
+    "q190_unpack_roundtrip" -> unpackRoundtripSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,

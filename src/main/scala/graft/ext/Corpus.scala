@@ -1319,6 +1319,38 @@ object Corpus {
       .drop("__sk", "__so", "__s1", "__sc")
   }
 
+  /** UNPACK — the INVERSE of [[packTokenArrays]]: rebuild every
+    * document's token stream from delivered chunks using the `doc_spans`
+    * bookkeeping. The recovery/audit path a training stack needs when all
+    * it has is the delivered shards — re-shard to a different capacity
+    * (unpack → re-pack), recover a corpus after the upstream is gone, or
+    * PROVE delivery integrity: `unpack(pack(X)) == X` for every document
+    * is the round-trip law q190 pins against an oracle that hashes the
+    * ORIGINAL stream (the reconstruction must match bytes it never saw).
+    *
+    * Each chunk's spans tile its ids exactly (the packer's law), so the
+    * rebuild is: explode spans → slice the chunk's ids at (off, len) →
+    * regroup by document, segments ordered by chunk id (a document's
+    * segments occupy CONSECUTIVE chunks, and it has at most one segment
+    * per chunk, so the (chunk, part) struct sort never reaches the later
+    * field). One doc-keyed reassembly shuffle moving the token stream
+    * itself — exactly the packer's cost, run backward. */
+  def unpackTokenChunks(packed: DataFrame, chunkCol: String = "chunk",
+                        idsCol: String = "ids",
+                        spansCol: String = "doc_spans"): DataFrame = {
+    val seg = packed
+      .select(col(chunkCol).as("__ck"), col(idsCol).as("__ids"),
+        explode(col(spansCol)).as("__sp"))
+      .select(col("__sp").getField("doc").as("doc"), col("__ck"),
+        slice(col("__ids"),
+          (col("__sp").getField("off") + 1L).cast("int"),
+          col("__sp").getField("len").cast("int")).as("__part"))
+    def sorted = array_sort(collect_list(struct(col("__ck"), col("__part"))))
+    seg.groupBy(col("doc"))
+      .agg(flatten(transform(sorted, x => x.getField("__part"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+  }
+
   /** SPAN-PRESERVING TRUNCATION — fit a serialized chat sequence into a
     * context window WITHOUT losing the loss-mask bookkeeping:
     * `side = "left"` keeps the LAST `maxLen` code points (the chat

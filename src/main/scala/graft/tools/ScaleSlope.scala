@@ -358,6 +358,10 @@ object ScaleSlope {
       // (epoch, md5 key, id) — range shuffle + O(parallelism) driver
       // offsets, no global window; output = the schedule stream itself
       "q189_ddp_schedule",
+      // r19b: q190 = q174's pack (prefix-sum + chunk shuffle) run FORWARD
+      // then BACKWARD (explode spans + slice + doc-keyed reassembly) —
+      // two token-stream shuffles, the round-trip integrity audit
+      "q190_unpack_roundtrip",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

@@ -4626,6 +4626,26 @@ class ExtSpec extends AnyFunSuite {
       .contains("dup"))
   }
 
+  test("unpackTokenChunks: round-trip identity, boundary-straddling docs, chunk-order reassembly") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d", "e", "f", "g", "h", "i", "j")), // straddles 2 chunks
+      (3L, Seq("k")),
+      (4L, Seq.empty[String]) // packs to nothing, absent after unpack
+    ).toDF("doc_id", "toks")
+    val packed = Corpus.packTokenArrays(docs, "doc_id", "toks", capacity = 4)
+    val back = Corpus.unpackTokenChunks(packed).orderBy("doc")
+      .collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val orig = docs.filter(size(col("toks")) > 0).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    back.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("ids")) == orig(r.getLong(0)))
+      assert(r.getInt(r.fieldIndex("n_ids")) == orig(r.getLong(0)).size)
+    }
+  }
+
   test("batchSchedule: full steps, drop-last, epoch decorrelation, partitioning invariance") {
     import graft.ext.Corpus
     val ids = (1L to 43L).map(Tuple1(_)).toDF("id") // 43 % 4 = 3 dropped
