@@ -2158,6 +2158,23 @@ object ExtQueries {
             .as("spans_str"))
         .presentBy(col("doc_id"))
     },
+    // SLIDING-WINDOW CHUNKING: each document's token stream split into
+    // 32-token views at 24-token steps (8-token overlap keeps boundary
+    // context in both views — the HF return_overflowing_tokens
+    // convention an embedding indexer consumes); the final window always
+    // reaches the last token and may be short. The oracle replays the
+    // window-count formula, every start offset, the clamped slice and
+    // its length; one token or boundary off anywhere fails the hash.
+    "q191_sliding_windows" -> { (s, dir) =>
+      val toks = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      Corpus.slidingWindows(toks, "doc_id", "toks", window = 32,
+          stride = 24)
+        .select(col("doc_id"), col("win_id"), col("win_start"),
+          col("n_win_toks"),
+          array_join(col("win_toks"), "\u001f").as("win_str"))
+        .presentBy(col("doc_id"), col("win_id"))
+    },
     // UNPACK ROUND-TRIP: q174's WordPiece stream packed at 512 and then
     // REBUILT per document from the chunks' doc_spans alone — the
     // delivery-integrity law unpack(pack(X)) == X, proven externally:
@@ -4377,6 +4394,25 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q191: sliding windows replayed — K = ceil((n-32)/24) via integer
+  // arithmetic, start = k*24, the slice clamps at the list end on both
+  // engines (list_slice inclusive-stop == Spark slice length clamp).
+  private val slidingWindowsSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+       |  WHERE len(toks) >= 1),
+       |k AS (SELECT doc_id, toks, n,
+       |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 24 - 1) // 24 END AS kk
+       |  FROM n),
+       |w AS (SELECT doc_id, toks, n, unnest(range(0, kk + 1)) AS win_id
+       |  FROM k)
+       |SELECT doc_id, CAST(win_id AS INT) AS win_id,
+       |  CAST(win_id * 24 AS BIGINT) AS win_start,
+       |  CAST(least(32, n - win_id*24) AS INT) AS n_win_toks,
+       |  array_to_string(toks[win_id*24 + 1 : win_id*24 + 32], chr(31))
+       |    AS win_str
+       |FROM w ORDER BY doc_id, win_id""".stripMargin
+
   // q190: round-trip replay — the oracle hashes the ORIGINAL WordPiece
   // stream (the same greedy walk as q174's oracle); the Spark side hashes
   // its pack-then-unpack reconstruction. Empty streams are absent on both
@@ -4997,6 +5033,7 @@ object ExtQueries {
     "q188_sft_pack" -> sftPackSql,
     "q189_ddp_schedule" -> ddpScheduleSql,
     "q190_unpack_roundtrip" -> unpackRoundtripSql,
+    "q191_sliding_windows" -> slidingWindowsSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,

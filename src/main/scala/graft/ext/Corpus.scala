@@ -1351,6 +1351,54 @@ object Corpus {
       .withColumn("n_ids", size(col("ids")))
   }
 
+  /** SLIDING-WINDOW CHUNKING — the retrieval-side counterpart of
+    * [[packTokenArrays]]: instead of CONCATENATING documents into fixed
+    * chunks, SPLIT each long document into overlapping `window`-token
+    * views at `stride`-token steps (the HF `return_overflowing_tokens`
+    * convention embedding models and long-doc indexers consume —
+    * overlap = window − stride keeps boundary context in both views).
+    * Window k starts at `k·stride` for k = 0 … K with
+    * `K = ceil((n − window)/stride)` when n > window else 0, so the
+    * final window always reaches the last token (it may be shorter than
+    * `window`; every token is covered; `stride = window` degenerates to
+    * an exact partition). Documents with an empty or NULL token array
+    * emit no windows. Output: input + `win_id` (0-based), `win_start`
+    * (0-based token offset — `win_id · stride`, carried so a consumer
+    * maps window hits back to document positions), `win_toks`,
+    * `n_win_toks`.
+    *
+    * Zero shuffle — the window starts are a per-row `sequence` and the
+    * explode IS the output stream; the generator guard follows the
+    * `posexplode_outer` + emitted-column filter discipline (an inner
+    * explode's synthesized size-guard would be pushed below upstream
+    * exchanges and re-run the tokenization in the pre-repartition
+    * task). */
+  def slidingWindows(df: DataFrame, idCol: String, toksCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    requireFresh(df, "slidingWindows", "win_id", "win_start", "win_toks",
+      "n_win_toks", "__wt", "__wk")
+    val toks = coalesce(col(toksCol),
+      expr(s"CAST(array() AS ${df.schema(toksCol).dataType.sql})"))
+    val others = df.columns.filterNot(_ == toksCol).map(col).toSeq
+    df.withColumn("__wt", toks)
+      .withColumn("__wk",
+        when(size(col("__wt")) < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), when(size(col("__wt")) <= window, 0)
+            .otherwise(expr(
+              s"CAST((size(__wt) - $window + $stride - 1) DIV $stride AS INT)")))))
+      .select(others ++ Seq(col("__wt"),
+        posexplode_outer(col("__wk")).as(Seq("win_id", "__k"))): _*)
+      .filter(col("win_id").isNotNull)
+      .withColumn("win_start", (col("__k") * stride).cast("long"))
+      .withColumn("win_toks",
+        slice(col("__wt"), (col("win_start") + 1L).cast("int"), lit(window)))
+      .withColumn("n_win_toks", size(col("win_toks")))
+      .drop("__wt", "__wk", "__k")
+  }
+
   /** SPAN-PRESERVING TRUNCATION — fit a serialized chat sequence into a
     * context window WITHOUT losing the loss-mask bookkeeping:
     * `side = "left"` keeps the LAST `maxLen` code points (the chat

@@ -362,6 +362,10 @@ object ScaleSlope {
       // then BACKWARD (explode spans + slice + doc-keyed reassembly) —
       // two token-stream shuffles, the round-trip integrity audit
       "q190_unpack_roundtrip",
+      // r19b: q191 = tokenize + per-row window sequence + the explode
+      // (the output stream itself) — zero shuffle, the outer-generator
+      // discipline keeps the size-guard above the repartition
+      "q191_sliding_windows",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

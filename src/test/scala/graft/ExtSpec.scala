@@ -4626,6 +4626,41 @@ class ExtSpec extends AnyFunSuite {
       .contains("dup"))
   }
 
+  test("slidingWindows: coverage, overlap, tail window, degenerate partitions") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, (0 until 25).map(i => s"t$i")), // 25 toks: windows at 0,6,12,18
+      (2L, (0 until 10).map(i => s"u$i")), // one full window (10 <= 10)
+      (3L, Seq("x")),                      // single short window
+      (4L, Seq.empty[String]),             // emits nothing
+      (5L, null.asInstanceOf[Seq[String]]) // emits nothing
+    ).toDF("doc_id", "toks")
+    val out = Corpus.slidingWindows(docs, "doc_id", "toks",
+      window = 10, stride = 6).orderBy("doc_id", "win_id").collect()
+    assert(!out.exists(r => r.getLong(0) == 4L || r.getLong(0) == 5L))
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // K = ceil((25-10)/6) = 3 -> 4 windows; last reaches the final token
+    assert(d1.map(_.getLong(d1.head.fieldIndex("win_start"))).toSeq ==
+      Seq(0L, 6L, 12L, 18L))
+    assert(d1.map(_.getInt(d1.head.fieldIndex("n_win_toks"))).toSeq ==
+      Seq(10, 10, 10, 7))
+    // every token index covered; consecutive full windows overlap by 4
+    val covered = d1.flatMap(r =>
+      r.getSeq[String](r.fieldIndex("win_toks"))).toSet
+    assert(covered == (0 until 25).map(i => s"t$i").toSet)
+    assert(d1(0).getSeq[String](d1(0).fieldIndex("win_toks")).takeRight(4)
+      == d1(1).getSeq[String](d1(1).fieldIndex("win_toks")).take(4))
+    // short docs: exactly one window, clamped
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(out.count(_.getLong(0) == 3L) == 1)
+    // stride == window -> exact partition, no overlap
+    val part = Corpus.slidingWindows(docs.filter(col("doc_id") === 1L),
+      "doc_id", "toks", window = 10, stride = 10).collect()
+    assert(part.map(_.getInt(part.head.fieldIndex("n_win_toks"))).sum == 25)
+    assert(part.flatMap(r =>
+      r.getSeq[String](r.fieldIndex("win_toks"))).length == 25)
+  }
+
   test("unpackTokenChunks: round-trip identity, boundary-straddling docs, chunk-order reassembly") {
     import graft.ext.Corpus
     val docs = Seq(
