@@ -2158,6 +2158,22 @@ object ExtQueries {
             .as("spans_str"))
         .presentBy(col("doc_id"))
     },
+    // UNCORRUPT ROUND-TRIP: q176's span-corruption pair inverted — every
+    // sentinel in `corrupted` spliced back with its masked span from
+    // `targets` — and the reconstruction hashed against an oracle that
+    // independently re-derives the ORIGINAL token stream (the q190
+    // external-law pattern for the denoising objective): one span
+    // misplaced, truncated, or swapped between windows anywhere fails
+    // the hash.
+    "q192_uncorrupt_roundtrip" -> { (s, dir) =>
+      val toks = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      val pair = Corpus.spanCorrupt(toks, "doc_id", "toks")
+      Corpus.uncorruptSpans(pair, "corrupted", "targets")
+        .select(col("doc_id"), col("n_rebuilt").as("n_toks"),
+          md5(array_join(col("rebuilt"), "\u001f")).as("toks_md5"))
+        .presentBy(col("doc_id"))
+    },
     // SLIDING-WINDOW CHUNKING: each document's token stream split into
     // 32-token views at 24-token steps (8-token overlap keeps boundary
     // context in both views — the HF return_overflowing_tokens
@@ -4394,6 +4410,15 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q192: uncorrupt round-trip — the oracle only re-derives and hashes
+  // the ORIGINAL token stream; the Spark side hashes its
+  // corrupt-then-uncorrupt reconstruction (the q190 external-law shape).
+  private val uncorruptRoundtripSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+       |  md5(array_to_string(toks, chr(31))) AS toks_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   // q191: sliding windows replayed — K = ceil((n-32)/24) via integer
   // arithmetic, start = k*24, the slice clamps at the list end on both
   // engines (list_slice inclusive-stop == Spark slice length clamp).
@@ -5034,6 +5059,7 @@ object ExtQueries {
     "q189_ddp_schedule" -> ddpScheduleSql,
     "q190_unpack_roundtrip" -> unpackRoundtripSql,
     "q191_sliding_windows" -> slidingWindowsSql,
+    "q192_uncorrupt_roundtrip" -> uncorruptRoundtripSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,
     "q178_length_buckets" -> lengthBucketsSql,

@@ -889,6 +889,54 @@ object Corpus {
       .withColumn("n_masked", (nw * spanLen).cast("int"))
   }
 
+  /** UNCORRUPT — the INVERSE of [[spanCorrupt]] (the q190 integrity-law
+    * pattern applied to the denoising objective): rebuild the original
+    * token stream from the `(corrupted, targets)` training pair by
+    * splicing each sentinel's masked span back in place. What a T5-style
+    * decoder is TRAINED to do, run as column algebra — the audit that
+    * proves the corruption pair still carries the whole document
+    * (`uncorrupt(corrupt(X)) == X`, q192's externally-hashed law), and
+    * the recovery path when all that survives of a corpus is its
+    * denoising pairs.
+    *
+    * Sentinels sit in `targets` as their own elements in ordinal order
+    * (`⟨extra_id_0⟩ span₀ ⟨extra_id_1⟩ span₁ … ⟨extra_id_nw⟩` — the
+    * final sentinel closes the last span), so span k is the slice
+    * between sentinel positions k and k+1; each `⟨extra_id_k⟩` element
+    * of `corrupted` expands to span k, every other element passes
+    * through. Assumes sentinel-shaped strings do not occur as corpus
+    * tokens (the q176 convention). Zero shuffle — two HOFs per row; the
+    * sentinel-position array is PINNED into its own projection before
+    * the expanding transform (HOF lambdas re-evaluate free subtrees per
+    * element, the documented no-CSE rule). */
+  def uncorruptSpans(df: DataFrame, corruptedCol: String,
+                     targetsCol: String,
+                     sentinelPrefix: String = "<extra_id_",
+                     sentinelSuffix: String = ">"): DataFrame = {
+    requireFresh(df, "uncorruptSpans", "rebuilt", "n_rebuilt", "__si")
+    val sentRe = "^" + java.util.regex.Pattern.quote(sentinelPrefix) +
+      "([0-9]+)" + java.util.regex.Pattern.quote(sentinelSuffix) + "$"
+    val tgt = col(targetsCol)
+    // sequence(0, n-1) DESCENDS when n = 0 (the Spark gotcha): an empty
+    // targets array (no full window masked) must short-circuit before
+    // element_at ever probes it
+    val pinned = df.withColumn("__si",
+      when(size(tgt) < 1, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(0), size(tgt) - 1),
+          i => element_at(tgt, i + 1).rlike(sentRe))))
+    val rebuilt = flatten(transform(col(corruptedCol), x => {
+      val k = regexp_extract(x, sentRe, 1)
+      val a = element_at(col("__si"), k.cast("int") + 1)
+      val b = element_at(col("__si"), k.cast("int") + 2)
+      when(x.rlike(sentRe),
+        slice(tgt, (a + 2).cast("int"), (b - a - 1).cast("int")))
+        .otherwise(array(x))
+    }))
+    pinned.withColumn("rebuilt", rebuilt)
+      .withColumn("n_rebuilt", size(col("rebuilt")))
+      .drop("__si")
+  }
+
   /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
     * code-model training prep): for a deterministic `fimFrac` share of
     * documents, pick two deterministic CHARACTER positions, split the

@@ -366,6 +366,9 @@ object ScaleSlope {
       // (the output stream itself) — zero shuffle, the outer-generator
       // discipline keeps the size-guard above the repartition
       "q191_sliding_windows",
+      // r19b: q192 = the q176 corruption rail forward then its HOF
+      // inverse — both pure per-row column algebra, zero shuffle
+      "q192_uncorrupt_roundtrip",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

@@ -4626,6 +4626,29 @@ class ExtSpec extends AnyFunSuite {
       .contains("dup"))
   }
 
+  test("uncorruptSpans: inverts spanCorrupt exactly, incl. no-window and multi-window docs") {
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, (0 until 45).map(i => s"t$i")), // 2 full windows + tail
+      (2L, (0 until 20).map(i => s"u$i")), // exactly 1 window
+      (3L, (0 until 7).map(i => s"v$i")),  // no full window: pair = identity
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "toks")
+    val pair = Corpus.spanCorrupt(docs, "doc_id", "toks")
+    // sanity: corruption really removed tokens on windowed docs
+    val c1 = pair.filter(col("doc_id") === 1L).collect().head
+    assert(c1.getSeq[String](c1.fieldIndex("corrupted")).length < 45)
+    val back = Corpus.uncorruptSpans(pair, "corrupted", "targets")
+      .orderBy("doc_id").collect()
+    val orig = docs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    back.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("rebuilt")) == orig(r.getLong(0)),
+        s"doc ${r.getLong(0)} did not round-trip")
+      assert(r.getInt(r.fieldIndex("n_rebuilt")) == orig(r.getLong(0)).size)
+    }
+  }
+
   test("slidingWindows: coverage, overlap, tail window, degenerate partitions") {
     import graft.ext.Corpus
     val docs = Seq(
