@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Corpus, Dedup, Multimodal, Quantize, Retrieval, Similarity, TextStats, Urls}
+import graft.ext.{Corpus, Dedup, Eval, Multimodal, Quantize, Retrieval, Serving, Similarity, TextStats, Urls}
 import graft.Tables.{read, PresentBy}
 
 /** Training-data-pipeline operator queries (dedup, similarity search, text
@@ -2172,6 +2172,68 @@ object ExtQueries {
       Corpus.uncorruptSpans(pair, "corrupted", "targets")
         .select(col("doc_id"), col("n_rebuilt").as("n_toks"),
           md5(array_join(col("rebuilt"), "\u001f")).as("toks_md5"))
+        .presentBy(col("doc_id"))
+    },
+    // MAJORITY VOTE: 4 deterministic synthetic answer samples per doc
+    // ((doc_id·7 + j·13) mod 5 mod 3, with every 17th (doc_id + j) a
+    // failed NULL extraction) collapsed to the modal answer — the
+    // pattern lands 2-1-1 majorities, 2-2 ties (the lexicographic
+    // tie-break, exercised corpus-wide) and unanimous docs. The oracle
+    // replays the vote synthesis, counts, and (count desc, answer) argmax.
+    "q195_majority_vote" -> { (s, dir) =>
+      val votes = docsPar(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(1), lit(4))).as("j"))
+        .withColumn("ans",
+          when(pmod(col("doc_id") + col("j"), lit(17)) === 0,
+            lit(null).cast("string"))
+            .otherwise(concat(lit("ans"),
+              pmod(pmod(col("doc_id") * 7 + col("j") * 13, lit(5)), lit(3))
+                .cast("string"))))
+        .select(col("doc_id"), col("ans"))
+      Eval.majorityVote(votes, "doc_id", "ans")
+        .presentBy(col("doc_id"))
+    },
+    // BLEU EVAL: each document scored against a deterministic corruption
+    // of itself — every 5th token replaced by 'x', every 11th dropped
+    // (original positions) — so the metric exercises partial clipped
+    // matches at all four orders AND a real brevity penalty (the drops
+    // make the candidate shorter). The oracle replays every gram count,
+    // the clipping, and the fixed 6-dp IEEE expression.
+    "q194_bleu_eval" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("ref"))
+      val withCand = d.withColumn("cand",
+        filter(transform(sequence(lit(1), size(col("ref"))),
+          i => when(i % 11 === 0, lit(null).cast("string"))
+            .when(i % 5 === 0, lit("x"))
+            .otherwise(element_at(col("ref"), i))), x => x.isNotNull))
+      Eval.bleuScore(withCand, "doc_id", "cand", "ref")
+        .select(col("doc_id"), col("c_len"), col("r_len"),
+          col("m1"), col("m2"), col("m3"), col("m4"),
+          col("t1"), col("t4"), col("bp"), col("bleu"))
+        .presentBy(col("doc_id"))
+    },
+    // PREFIX-CACHE GROUPING: a prompt corpus synthesized with the
+    // hierarchy a serving fleet actually sees — 16 system-preamble tokens
+    // shared per source (exactly block 1 at blockSize 16), 16 more per
+    // (source, lang) (block 2), then the document's own tokens — run
+    // through the vLLM-style chained block-hash analysis: which prompts
+    // hit a warm KV prefix, how deep (shared_blocks/reuse_toks), and
+    // which cache line they share (prefix_group, the routing key).
+    // Planted exact-duplicate documents surface as full-depth sharing.
+    "q193_prefix_cache" -> { (s, dir) =>
+      val toks = concat(
+        transform(sequence(lit(0), lit(15)),
+          i => concat(lit("p:"), coalesce(col("source"), lit("")), lit(":"),
+            i.cast("string"))),
+        transform(sequence(lit(0), lit(15)),
+          i => concat(lit("q:"), coalesce(col("source"), lit("")), lit(":"),
+            coalesce(col("lang"), lit("")), lit(":"), i.cast("string"))),
+        TextStats.tokens(coalesce(col("text"), lit(""))))
+      val prompts = docsPar(s, dir).select(col("doc_id"), toks.as("toks"))
+      Serving.prefixCacheGroups(prompts, "doc_id", "toks", 16)
+        .select(col("doc_id"), col("n_toks"), col("n_blocks"),
+          col("shared_blocks"), col("reuse_toks"), col("prefix_group"))
         .presentBy(col("doc_id"))
     },
     // SLIDING-WINDOW CHUNKING: each document's token stream split into
@@ -4410,6 +4472,114 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q195: majority vote replayed — the vote synthesis, per-answer
+  // counts, and the modal answer via a (count desc, answer) rank window
+  // (= Spark's min(struct(−count, answer)) argmax). vote_frac is an
+  // exact IEEE division of the two replayed integers.
+  private val majorityVoteSql: String =
+    s"""WITH v AS (SELECT doc_id, j,
+       |    CASE WHEN (doc_id + j) % 17 = 0 THEN NULL
+       |         ELSE 'ans' || CAST((doc_id * 7 + j * 13) % 5 % 3 AS VARCHAR) END AS ans
+       |  FROM (SELECT doc_id, unnest(range(1, 5)) AS j FROM documents) z),
+       |c AS (SELECT doc_id, ans, count(*) AS cnt FROM v
+       |  WHERE ans IS NOT NULL GROUP BY doc_id, ans),
+       |b AS (SELECT doc_id, ans, cnt FROM c
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ans) = 1),
+       |t AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN ans IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+       |    CAST(sum(CASE WHEN ans IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+       |  FROM v GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_votes, t.n_null, b.ans AS vote_answer,
+       |  CAST(b.cnt AS BIGINT) AS vote_count,
+       |  CAST(b.cnt AS DOUBLE) / CAST(t.n_votes AS DOUBLE) AS vote_frac
+       |FROM t LEFT JOIN b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // q194: BLEU replayed gram by gram — the deterministic candidate
+  // corruption, per-(doc, n, gram) counts on both sides, the clipped
+  // min, and the published formula as one fixed expression over the
+  // same integers (CASTs everywhere: DuckDB parses bare decimals as
+  // exact DECIMAL; ln/exp 6-dp rounded, the q90 libm discipline).
+  private val bleuEvalSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS ref FROM documents),
+       |w AS (SELECT doc_id, ref,
+       |    list_filter(list_transform(range(1, len(ref) + 1),
+       |      i -> CASE WHEN i % 11 = 0 THEN NULL WHEN i % 5 = 0 THEN 'x' ELSE ref[i] END),
+       |      x -> x IS NOT NULL) AS cand
+       |  FROM t),
+       |l AS (SELECT doc_id, CAST(len(cand) AS INT) AS c_len,
+       |    CAST(len(ref) AS INT) AS r_len, cand, ref FROM w),
+       |ca AS (SELECT doc_id, cand, unnest([1, 2, 3, 4]) AS n FROM l),
+       |cb AS (SELECT doc_id, n, unnest(range(1, len(cand) - n + 2)) AS i, cand FROM ca),
+       |cg AS (SELECT doc_id, n, array_to_string(list_slice(cand, i, i + n - 1), chr(31)) AS g,
+       |    count(*) AS cc FROM cb GROUP BY doc_id, n, g),
+       |ra AS (SELECT doc_id, ref, unnest([1, 2, 3, 4]) AS n FROM l),
+       |rb AS (SELECT doc_id, n, unnest(range(1, len(ref) - n + 2)) AS i, ref FROM ra),
+       |rg AS (SELECT doc_id, n, array_to_string(list_slice(ref, i, i + n - 1), chr(31)) AS g,
+       |    count(*) AS rc FROM rb GROUP BY doc_id, n, g),
+       |m AS (SELECT cg.doc_id, cg.n, sum(least(cg.cc, coalesce(rg.rc, 0))) AS mm
+       |  FROM cg LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+       |  GROUP BY cg.doc_id, cg.n),
+       |p AS (SELECT doc_id,
+       |    CAST(coalesce(sum(CASE WHEN n = 1 THEN mm END), 0) AS BIGINT) AS m1,
+       |    CAST(coalesce(sum(CASE WHEN n = 2 THEN mm END), 0) AS BIGINT) AS m2,
+       |    CAST(coalesce(sum(CASE WHEN n = 3 THEN mm END), 0) AS BIGINT) AS m3,
+       |    CAST(coalesce(sum(CASE WHEN n = 4 THEN mm END), 0) AS BIGINT) AS m4
+       |  FROM m GROUP BY doc_id),
+       |f AS (SELECT l.doc_id, l.c_len, l.r_len,
+       |    coalesce(p.m1, 0) AS m1, coalesce(p.m2, 0) AS m2,
+       |    coalesce(p.m3, 0) AS m3, coalesce(p.m4, 0) AS m4,
+       |    CAST(greatest(l.c_len, 0) AS BIGINT) AS t1,
+       |    CAST(greatest(l.c_len - 1, 0) AS BIGINT) AS t2,
+       |    CAST(greatest(l.c_len - 2, 0) AS BIGINT) AS t3,
+       |    CAST(greatest(l.c_len - 3, 0) AS BIGINT) AS t4,
+       |    CASE WHEN l.c_len >= l.r_len THEN CAST(1 AS DOUBLE)
+       |         ELSE exp(CAST(1 AS DOUBLE) - CAST(l.r_len AS DOUBLE) / CAST(l.c_len AS DOUBLE)) END AS bp_raw
+       |  FROM l LEFT JOIN p USING (doc_id))
+       |SELECT doc_id, c_len, r_len, m1, m2, m3, m4, t1, t4,
+       |  CASE WHEN c_len >= 4 AND r_len >= 1 THEN round(bp_raw, 6) END AS bp,
+       |  CASE WHEN NOT (c_len >= 4 AND r_len >= 1) THEN NULL
+       |       WHEN m1 = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(bp_raw * exp(CAST(0.25 AS DOUBLE) * (
+       |         ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)) +
+       |         ln(CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE)) +
+       |         ln(CAST(m3 + 1 AS DOUBLE) / CAST(t3 + 1 AS DOUBLE)) +
+       |         ln(CAST(m4 + 1 AS DOUBLE) / CAST(t4 + 1 AS DOUBLE)))), 6) END AS bleu
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // q193: the vLLM-style chained block-hash prefix analysis replayed
+  // independently — preamble synthesis, per-block md5 over chr(31)-joined
+  // tokens, the chained prefix keys (list_reduce seeded with '' = the
+  // Spark fold from chain_0 = ''), the ≥2-prompt sharing count, the
+  // deepest-shared depth and its cache line. One block hash, chain link,
+  // or depth off anywhere fails the hash.
+  private val prefixCacheSql: String =
+    s"""WITH t AS (SELECT doc_id, list_concat(list_concat(
+       |    list_transform(range(0, 16), i -> 'p:' || coalesce(source, '') || ':' || CAST(i AS VARCHAR)),
+       |    list_transform(range(0, 16), i -> 'q:' || coalesce(source, '') || ':' || coalesce(lang, '') || ':' || CAST(i AS VARCHAR))),
+       |    $docToksC) AS toks FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+       |    CAST(len(toks) // 16 AS INT) AS n_blocks,
+       |    list_transform(range(1, len(toks) // 16 + 1),
+       |      k -> md5(array_to_string(list_slice(toks, (k-1)*16+1, k*16), chr(31)))) AS bh
+       |  FROM t),
+       |c AS (SELECT doc_id, n_toks, n_blocks,
+       |    list_transform(range(1, n_blocks + 1),
+       |      k -> list_reduce(list_prepend('', list_slice(bh, 1, k)),
+       |        (a, x) -> md5(a || x))) AS chains
+       |  FROM b),
+       |e AS (SELECT doc_id, CAST(k AS INT) AS k, chains[k] AS chain
+       |  FROM (SELECT doc_id, unnest(range(1, n_blocks + 1)) AS k, chains FROM c) z),
+       |g AS (SELECT chain, count(*) AS cnt FROM e GROUP BY chain),
+       |sh AS (SELECT e.doc_id, max(CASE WHEN g.cnt >= 2 THEN e.k END) AS mk
+       |  FROM e JOIN g USING (chain) GROUP BY e.doc_id)
+       |SELECT c.doc_id, c.n_toks, c.n_blocks,
+       |  CAST(coalesce(sh.mk, 0) AS INT) AS shared_blocks,
+       |  CAST(coalesce(sh.mk, 0) * 16 AS INT) AS reuse_toks,
+       |  CASE WHEN sh.mk IS NOT NULL THEN c.chains[sh.mk] END AS prefix_group
+       |FROM c LEFT JOIN sh USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // q192: uncorrupt round-trip — the oracle only re-derives and hashes
   // the ORIGINAL token stream; the Spark side hashes its
   // corrupt-then-uncorrupt reconstruction (the q190 external-law shape).
@@ -5059,6 +5229,9 @@ object ExtQueries {
     "q189_ddp_schedule" -> ddpScheduleSql,
     "q190_unpack_roundtrip" -> unpackRoundtripSql,
     "q191_sliding_windows" -> slidingWindowsSql,
+    "q195_majority_vote" -> majorityVoteSql,
+    "q194_bleu_eval" -> bleuEvalSql,
+    "q193_prefix_cache" -> prefixCacheSql,
     "q192_uncorrupt_roundtrip" -> uncorruptRoundtripSql,
     "q180_sft_token_mask" -> sftTokenMaskSql,
     "q179_mp3_meta" -> mp3MetaSql,

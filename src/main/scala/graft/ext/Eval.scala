@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-based text evaluation metrics — the scoring half of a
+  * generation pipeline (rejection sampling keeps candidates NEAR a
+  * reference; distillation audits a student against teacher outputs;
+  * regression suites compare model versions on a frozen set). First
+  * resident: BLEU (Papineni et al. 2002) with Lin & Och 2004 add-one
+  * smoothing for the higher orders — modified (clipped) n-gram precision,
+  * brevity penalty, geometric mean — computed exactly from integer match
+  * counts so the oracle replays every count and the final score is one
+  * fixed IEEE expression over identical operands (rounded to 6 dp: `ln`/
+  * `exp` are libm calls, the one place engines may differ in the last
+  * ulp — the q90 discipline).
+  *
+  * Reference behavior: flatbread has no eval layer; the metric follows
+  * the published BLEU definition (single reference; clipping =
+  * `min(cand_count, ref_count)` per distinct gram).
+  */
+object Eval {
+
+  private def requireFresh(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op reserves column name(s) ${clash.mkString(", ")} (would overwrite " +
+        s"or drop the existing column); rename the input column(s) first")
+  }
+
+  /** BLEU-4 per (candidate, reference) row. Input: token arrays in
+    * `candCol` / `refCol`. Output adds, per row:
+    *  - `c_len`, `r_len`: token counts;
+    *  - `m1..m4`: CLIPPED n-gram matches (Σ over distinct cand grams of
+    *    `min(cand_count, ref_count)`) — exact integers;
+    *  - `t1..t4`: candidate n-gram totals (`max(c_len − n + 1, 0)` —
+    *    pure arithmetic, never counted from the stream);
+    *  - `bp`: brevity penalty `min(1, exp(1 − r_len/c_len))`, 6 dp;
+    *  - `bleu`: `bp · exp(¼·Σₙ ln pₙ)` with `p1 = m1/t1` unsmoothed and
+    *    `pₙ = (mₙ+1)/(tₙ+1)` for n ≥ 2 (Lin & Och add-one — a zero at a
+    *    higher order dents the score instead of zeroing it), 6 dp.
+    * Conventions (documented, asserted by spec): `bleu`/`bp` are NULL
+    * when the candidate is empty, the reference is empty, or the
+    * candidate is shorter than 4 tokens (t4 = 0 — the order-4 precision
+    * is undefined); `bleu = 0` when m1 = 0 (no unigram overlap — the
+    * limit of the formula, written explicitly because `ln(0)` is NULL in
+    * Spark and −inf in DuckDB). Corpus BLEU is one aggregate away: sum
+    * the integer columns, apply the same expression.
+    *
+    * Scale shape: one tagged-gram explode per side (4·tokens rows, the
+    * gram stream), two (id, n, gram) counting aggregates, one equi-join
+    * between them (clipping needs only grams the CANDIDATE has — left
+    * join, absent ref count = 0), one per-(id, n) sum and one per-id
+    * pivot — every shuffle is gram-stream-sized or smaller, nothing
+    * corpus-global. The gram arrays are built in their own projection
+    * before the explode (generators rebuild their array per emitted row
+    * — the no-CSE rule). */
+  /** SELF-CONSISTENCY MAJORITY VOTE (Wang et al. 2022): collapse sampled
+    * candidate answers per prompt to the modal answer. One row per
+    * distinct `idCol`: `n_votes` (non-null answers — a failed extraction
+    * is not a vote), `n_null`, `vote_answer` (most frequent; ties break
+    * to the LEXICOGRAPHICALLY SMALLEST answer — deterministic, no sample
+    * order dependence), `vote_count`, and `vote_frac`
+    * (= vote_count / n_votes, an exact IEEE division of the two integers
+    * — the agreement score RLHF-style filtering thresholds on). All
+    * answers null → null vote columns.
+    *
+    * Scale shape: one (id, answer) count, one per-id argmax via
+    * `min(struct(−count, answer))` — the comparison IS the tie-break, no
+    * payload, partial map-side combine — and one per-id totals aggregate
+    * joined back. Everything is keyed by id; nothing corpus-global. */
+  def majorityVote(df: DataFrame, idCol: String,
+                   answerCol: String): DataFrame = {
+    requireFresh(df, "majorityVote", "n_votes", "n_null", "vote_answer",
+      "vote_count", "vote_frac", "__cnt", "__mx")
+    val votes = df.filter(col(answerCol).isNotNull)
+      .groupBy(col(idCol), col(answerCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__cnt")).as("nc"),
+        col(answerCol).as("a"))).as("__mx"))
+    df.groupBy(col(idCol))
+      .agg(sum(when(col(answerCol).isNotNull, 1L).otherwise(0L)).as("n_votes"),
+        sum(when(col(answerCol).isNull, 1L).otherwise(0L)).as("n_null"))
+      .join(votes, Seq(idCol), "left")
+      .withColumn("vote_answer", col("__mx").getField("a"))
+      .withColumn("vote_count", (-col("__mx").getField("nc")).cast("long"))
+      .withColumn("vote_frac",
+        col("vote_count").cast("double") / col("n_votes").cast("double"))
+      .drop("__mx")
+  }
+
+  def bleuScore(df: DataFrame, idCol: String, candCol: String,
+                refCol: String): DataFrame = {
+    requireFresh(df, "bleuScore", "c_len", "r_len",
+      "m1", "m2", "m3", "m4", "t1", "t2", "t3", "t4", "bp", "bleu",
+      "__cg", "__rg", "__n", "__g", "__cc", "__rc", "__m")
+
+    def toksOf(c: String): Column = coalesce(col(c),
+      expr(s"CAST(array() AS ${df.schema(c).dataType.sql})"))
+
+    // all grams n = 1..4 of one token array, tagged (n, gram) — one
+    // array build per row, one explode for all four orders
+    def tagged(toks: Column): Column =
+      flatten(transform(sequence(lit(1), lit(4)), n =>
+        when(size(toks) - n + 1 < 1,
+          array().cast("array<struct<n:int,g:string>>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => struct(n.cast("int").as("n"),
+              concat_ws("\u001f", slice(toks, i + 1, n)).as("g"))))))
+
+    // explode_outer + null-filter on the OUTPUT: an inner explode's
+    // synthesized size(arr) > 0 guard is pushable below upstream
+    // exchanges and would re-run the gram build in the scan task
+    def gramCounts(c: String, cntName: String): DataFrame =
+      df.select(col(idCol), tagged(toksOf(c)).as("__tg"))
+        .select(col(idCol), explode_outer(col("__tg")).as("__e"))
+        .filter(col("__e").isNotNull)
+        .select(col(idCol), col("__e").getField("n").as("__n"),
+          col("__e").getField("g").as("__g"))
+        .groupBy(col(idCol), col("__n"), col("__g"))
+        .agg(count(lit(1)).as(cntName))
+
+    // clipped matches: only grams the candidate has can match
+    val matches = gramCounts(candCol, "__cc")
+      .join(gramCounts(refCol, "__rc"), Seq(idCol, "__n", "__g"), "left")
+      .withColumn("__m", least(col("__cc"), coalesce(col("__rc"), lit(0L))))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__n") === 1, col("__m")).otherwise(0L)).as("m1"),
+        sum(when(col("__n") === 2, col("__m")).otherwise(0L)).as("m2"),
+        sum(when(col("__n") === 3, col("__m")).otherwise(0L)).as("m3"),
+        sum(when(col("__n") === 4, col("__m")).otherwise(0L)).as("m4"))
+
+    val cl = size(toksOf(candCol))
+    val rl = size(toksOf(refCol))
+    val base = df
+      .withColumn("c_len", cl)
+      .withColumn("r_len", rl)
+      .join(matches, Seq(idCol), "left")
+    val withInts = (1 to 4).foldLeft(base) { (d, n) =>
+      d.withColumn(s"m$n", coalesce(col(s"m$n"), lit(0L)))
+        .withColumn(s"t$n", greatest(col("c_len") - n + 1, lit(0)).cast("long"))
+    }
+
+    val c = col("c_len").cast("double")
+    val r = col("r_len").cast("double")
+    val bpRaw = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - r / c))
+    def p(n: Int): Column =
+      if (n == 1) col("m1").cast("double") / col("t1").cast("double")
+      else (col(s"m$n") + 1L).cast("double") / (col(s"t$n") + 1L).cast("double")
+    val logSum = log(p(1)) + log(p(2)) + log(p(3)) + log(p(4))
+    val defined = col("c_len") >= 4 && col("r_len") >= 1
+    withInts
+      .withColumn("bp", when(defined, round(bpRaw, 6)))
+      .withColumn("bleu", when(!defined, lit(null).cast("double"))
+        .when(col("m1") === 0L, lit(0.0))
+        .otherwise(round(bpRaw * exp(lit(0.25) * logSum), 6)))
+  }
+}

@@ -369,6 +369,17 @@ object ScaleSlope {
       // r19b: q192 = the q176 corruption rail forward then its HOF
       // inverse — both pure per-row column algebra, zero shuffle
       "q192_uncorrupt_roundtrip",
+      // r19c: q193 = per-row chained block hashes, then chain-keyed
+      // count + join + doc-keyed deepest-shared argmax — every shuffle
+      // is the (id, k, chain) stream, tokens/blockSize-sized
+      "q193_prefix_cache",
+      // r19c: q194 = tagged-gram explodes both sides + (id, n, gram)
+      // counting aggregates + the clipping join — gram-stream-sized
+      // (4x tokens) shuffles, the heaviest of the eval trio
+      "q194_bleu_eval",
+      // r19c: q195 = vote synthesis explode + two id-keyed aggregates
+      // + the struct-argmax — candidate-stream-sized, near-flat
+      "q195_majority_vote",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

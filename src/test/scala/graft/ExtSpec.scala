@@ -4649,6 +4649,89 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("majorityVote: modal answer, lexicographic tie-break, null conventions") {
+    import graft.ext.Eval
+    val votes = Seq(
+      (1L, Some("b")), (1L, Some("a")), (1L, Some("b")), (1L, Some("c")),
+      (2L, Some("b")), (2L, Some("a")), (2L, Some("a")), (2L, Some("b")),
+      (3L, None), (3L, None),
+      (4L, Some("z")), (4L, None), (4L, Some("z"))
+    ).toDF("id", "ans")
+    val r = Eval.majorityVote(votes, "id", "ans").orderBy("id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[String]("vote_answer") == "b" &&
+      byId(1L).getAs[Long]("vote_count") == 2L)
+    // a 2-2 tie breaks to the lexicographically smallest answer
+    assert(byId(2L).getAs[String]("vote_answer") == "a" &&
+      byId(2L).getAs[Double]("vote_frac") == 0.5)
+    // all-null: zero votes, null verdict — a failed extraction never votes
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("vote_answer")) &&
+      byId(3L).getAs[Long]("n_null") == 2L && byId(3L).getAs[Long]("n_votes") == 0L)
+    assert(byId(4L).getAs[Long]("n_votes") == 2L &&
+      byId(4L).getAs[Long]("n_null") == 1L &&
+      byId(4L).getAs[Double]("vote_frac") == 1.0)
+  }
+
+  test("bleuScore: clipping, smoothing, brevity penalty, degenerate conventions") {
+    import graft.ext.Eval
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d", "e"), Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("the", "the", "the", "the", "the", "the", "the"),
+        Seq("the", "cat", "is", "on", "the", "mat")),
+      (3L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d", "e")),
+      (4L, Seq("x", "y", "z", "w"), Seq("a", "b", "c", "d")),
+      (5L, Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (6L, null, Seq("a", "b", "c", "d"))
+    ).toDF("id", "cand", "ref")
+    val r = Eval.bleuScore(rows, "id", "cand", "ref").orderBy("id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    def d(id: Long, c: String): Double = byId(id).getAs[Double](c)
+    def l(id: Long, c: String): Long = byId(id).getAs[Long](c)
+    // identical sequences: every precision 1, bp 1, bleu exactly 1
+    assert(d(1L, "bleu") == 1.0 && d(1L, "bp") == 1.0)
+    // the classic clipping example: 'the'x7 vs 2 refs of 'the' -> m1 = 2,
+    // no matching bigram; smoothed orders keep the score positive
+    assert(l(2L, "m1") == 2 && l(2L, "m2") == 0)
+    assert(math.abs(d(2L, "bleu") - 0.192056) < 2e-6)
+    // all-matching prefix, shorter candidate: bleu = bp = exp(1 - 5/4)
+    assert(math.abs(d(3L, "bleu") - 0.778801) < 2e-6 && l(3L, "m4") == 1)
+    // zero unigram overlap is the documented 0, not null
+    assert(d(4L, "bleu") == 0.0 && l(4L, "m1") == 0)
+    // candidate shorter than order 4 / null candidate: undefined
+    assert(byId(5L).isNullAt(byId(5L).fieldIndex("bleu")))
+    assert(byId(6L).isNullAt(byId(6L).fieldIndex("bleu")) &&
+      byId(6L).getAs[Int]("c_len") == 0)
+  }
+
+  test("prefixCacheGroups: chained block keys, deepest shared depth, routing group") {
+    import graft.ext.Serving
+    val a = (0 until 8).map(i => s"a$i")
+    val p1 = a ++ Seq("x1", "x2", "x3", "x4")          // 12 toks, 3 full blocks
+    val p2 = a ++ Seq("y1")                            // shares blocks 1-2 only
+    val p3 = a.take(4) ++ Seq("b4", "b5", "b6", "b7")  // shares block 1 only
+    val p4 = Seq("c1", "c2", "c3")                     // shorter than one block
+    val docs = Seq(
+      (1L, Some(p1)), (2L, Some(p2)), (3L, Some(p3)),
+      (4L, Some(p4)), (5L, None), (6L, Some(p1))       // 6 = exact duplicate of 1
+    ).toDF("doc_id", "toks")
+    val r = Serving.prefixCacheGroups(docs, "doc_id", "toks", 4)
+      .orderBy("doc_id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    def shared(id: Long) = byId(id).getInt(byId(id).fieldIndex("shared_blocks"))
+    def group(id: Long) = byId(id).getAs[String]("prefix_group")
+    // exact duplicates share every full block (the trailing partial never keys)
+    assert(shared(1) == 3 && shared(6) == 3)
+    assert(shared(2) == 2 && shared(3) == 1)
+    assert(shared(4) == 0 && shared(5) == 0)
+    // the routing key is the chain AT the deepest shared depth: the dup pair
+    // groups at depth 3, p2 at depth 2 — distinct cache lines
+    assert(group(1) == group(6) && group(1) != group(2))
+    assert(group(2) != null && group(3) != null && group(4) == null && group(5) == null)
+    assert(byId(2L).getAs[Int]("reuse_toks") == 8)
+    assert(byId(1L).getAs[Int]("n_blocks") == 3 && byId(4L).getAs[Int]("n_blocks") == 0)
+    assert(byId(5L).getAs[Int]("n_toks") == 0)
+  }
+
   test("slidingWindows: coverage, overlap, tail window, degenerate partitions") {
     import graft.ext.Corpus
     val docs = Seq(
