@@ -2174,6 +2174,21 @@ object ExtQueries {
           md5(array_join(col("rebuilt"), "\u001f")).as("toks_md5"))
         .presentBy(col("doc_id"))
     },
+    // CONTRASTIVE TRIPLETS: the q79 planted corpus (every seed vector
+    // gets a ~0.99-cosine jittered twin) mined for embedding-training
+    // triplets over the SAME 16 first-id cells — the planted twin is the
+    // positive, the most-similar in-cell vector below 0.5 the hard
+    // negative, a deterministic other-cell representative the easy
+    // negative. The oracle replays assignment, every in-cell cosine,
+    // both band argmaxes with their tie-breaks, and the partner-cell
+    // modular arithmetic.
+    "q196_contrastive_triplets" -> { (s, dir) =>
+      val corpus = Similarity.plantNearDups(read(s, dir, "embeddings"),
+        "vec_id", "embedding", offset = 1000000L, scale = 0.01)
+      Similarity.contrastiveTriplets(corpus, "vec_id", "embedding",
+          posMin = 0.95, negMax = 0.5, nCells = 16)
+        .presentBy(col("anchor_id"))
+    },
     // MAJORITY VOTE: 4 deterministic synthetic answer samples per doc
     // ((doc_id·7 + j·13) mod 5 mod 3, with every 17th (doc_id + j) a
     // failed NULL extraction) collapsed to the modal answer — the
@@ -4472,6 +4487,60 @@ object ExtQueries {
        |  ORDER BY score DESC, cand_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // q196: contrastive triplet mining replayed — the q79 assignment
+  // prefix (planted twins, first-16-id pivots, rounded-cosine argmax
+  // cells), then every directed in-cell cosine, the positive and
+  // hard-negative band argmaxes as (cos DESC, partner) rank windows
+  // (= Spark's max(struct(cos, −id))), the K-row cell-ordinal table and
+  // the partner-cell modular pick. Anchors without a positive are
+  // absent on both sides.
+  private val contrastiveTripletsSql: String =
+    """WITH pb AS (SELECT vec_id AS oid, embedding AS emb FROM embeddings),
+      |pl AS (SELECT oid + 1000000 AS vec_id,
+      |  list_transform(range(0, 64), d -> CAST(CAST(emb[d+1] AS DOUBLE) +
+      |    CAST(0.01 AS DOUBLE) * CAST((oid*131 + d*7919) % 1000003
+      |      * 2654435761 % 2000003 - 1000001 AS DOUBLE)
+      |    / CAST(1000001.0 AS DOUBLE) AS REAL)) AS embedding
+      |  FROM pb),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings
+      |           UNION ALL SELECT vec_id, embedding FROM pl),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM corpus),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |      FROM e),
+      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |piv AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM nz
+      |        ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT c.vec_id AS id, c.v, c.nrm, pid,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |      round(list_sum(list_transform(range(1, 65),
+      |        k -> c.v[k]*pv[k])) / (c.nrm*pnrm), 6) DESC, pid) AS rn
+      |  FROM nz c CROSS JOIN piv),
+      |cells AS (SELECT id, v, nrm, pid AS cell FROM asg WHERE rn = 1),
+      |j AS (SELECT a.id AS a, b.id AS b,
+      |    round(list_sum(list_transform(range(1, 65),
+      |      k -> a.v[k]*b.v[k])) / (a.nrm*b.nrm), 6) AS cos
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id <> b.id),
+      |pos AS (SELECT a, b AS pos_id, cos AS pos_cos FROM j WHERE cos >= 0.95
+      |  QUALIFY row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) = 1),
+      |hard AS (SELECT a, b AS hard_id, cos AS hard_cos FROM j WHERE cos < 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) = 1),
+      |co AS (SELECT cell, min(id) AS rep_id FROM cells GROUP BY cell),
+      |cord AS (SELECT cell, rep_id,
+      |    row_number() OVER (ORDER BY cell) - 1 AS ord FROM co),
+      |kk AS (SELECT count(*) AS kc FROM cord),
+      |an AS (SELECT c.id AS anchor_id,
+      |    CASE WHEN kk.kc > 1
+      |         THEN (cord.ord + 1 + c.id % (kk.kc - 1)) % kk.kc END AS pord
+      |  FROM cells c JOIN cord ON c.cell = cord.cell CROSS JOIN kk)
+      |SELECT p.a AS anchor_id, p.pos_id, p.pos_cos,
+      |  h.hard_id, h.hard_cos, c2.rep_id AS easy_id
+      |FROM pos p
+      |LEFT JOIN hard h ON p.a = h.a
+      |JOIN an ON p.a = an.anchor_id
+      |LEFT JOIN cord c2 ON an.pord = c2.ord
+      |ORDER BY anchor_id""".stripMargin
+
   // q195: majority vote replayed — the vote synthesis, per-answer
   // counts, and the modal answer via a (count desc, answer) rank window
   // (= Spark's min(struct(−count, answer)) argmax). vote_frac is an
@@ -5229,6 +5298,7 @@ object ExtQueries {
     "q189_ddp_schedule" -> ddpScheduleSql,
     "q190_unpack_roundtrip" -> unpackRoundtripSql,
     "q191_sliding_windows" -> slidingWindowsSql,
+    "q196_contrastive_triplets" -> contrastiveTripletsSql,
     "q195_majority_vote" -> majorityVoteSql,
     "q194_bleu_eval" -> bleuEvalSql,
     "q193_prefix_cache" -> prefixCacheSql,

@@ -1006,6 +1006,84 @@ object Similarity {
     semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
 
+  /** CONTRASTIVE TRIPLET MINING — the data-preparation side of an
+    * embedding-model training recipe (E5/GTE-style contrastive fine-tuning
+    * consumes (anchor, positive, hard negative) triplets; in-batch easy
+    * negatives come from elsewhere in the batch): for every anchor whose
+    * semantic cell contains a near-duplicate positive
+    * (6-dp cosine ≥ `posMin`), emit one triplet row with
+    *  - `pos_id`/`pos_cos`: the MOST similar in-cell vector at or above
+    *    `posMin` (the mined pseudo-positive — on a crawl corpus these are
+    *    the near-dup pairs dedup would collapse, repurposed as training
+    *    signal);
+    *  - `hard_id`/`hard_cos`: the most similar in-cell vector still BELOW
+    *    `negMax` — same cell means topically close, the sub-threshold
+    *    cosine means genuinely different: the gradient-rich negative
+    *    (null when the cell offers none);
+    *  - `easy_id`: a deterministic other-cell representative (the min-id
+    *    member of cell `(ord + 1 + anchor_id mod (K−1)) mod K` — the
+    *    offset never lands on the anchor's own cell; null when K = 1).
+    * Anchors WITHOUT a qualifying positive emit nothing — there is no
+    * pair to train on. Both argmaxes tie-break to the smallest partner id
+    * via `max(struct(cos, −id))` (the comparison is the tie-break — no
+    * payload field is ever compared). Requires a numeric id (the negation
+    * trick), like [[Corpus.keepBestCandidate]]. Zero-norm vectors are
+    * excluded up front (cosine undefined — the q114 hygiene rule).
+    *
+    * Scale shape: one pivot broadcast + linear assignment
+    * ([[assignCells]], first-id pivots — deterministic and
+    * SQL-replayable), in-cell pairs through [[pairsWithinCells]]'s
+    * grid-blocked equi-join (√n cells of ~√n members at auto-K ⇒ O(n^1.5)
+    * candidate pairs, the [[semanticPairs]] bound; each unordered pair's
+    * cosine is computed once, then mirrored into both directions), two
+    * map-side-combinable argmax aggregates keyed by anchor, and
+    * broadcast joins against the K-row cell-ordinal table (its
+    * row_number window runs over those K rows only — the q164
+    * tiny-manifest discipline, never the corpus). */
+  def contrastiveTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+                          posMin: Double, negMax: Double,
+                          nCells: Int = 0, blocks: Int = 4): DataFrame = {
+    require(posMin > negMax,
+      s"posMin ($posMin) must exceed negMax ($negMax) — the bands may not overlap")
+    val c0 = prepared(corpus, idCol, vecCol).filter(col("nrm") > 0)
+    val c = if (nCells <= 0) c0.localCheckpoint() else c0
+    val k = if (nCells > 0) nCells else autoNCells(c.count())
+    val assigned = assignCells(c, firstIdPivots(c, k))
+    // all in-cell pairs: the band filters cannot prune the pair join (the
+    // hard negative is an argmax over the LOW band), so minCos admits all
+    val directed = pairsWithinCells(assigned, -1.01, blocks)
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b"), col("cos_sim").as("cos")),
+        struct(col("id2").as("a"), col("id1").as("b"), col("cos_sim").as("cos")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.cos").as("cos"))
+    val mined = directed.groupBy(col("a")).agg(
+      max(when(col("cos") >= posMin,
+        struct(col("cos").as("c"), (-col("b")).as("nb")))).as("__p"),
+      max(when(col("cos") < negMax,
+        struct(col("cos").as("c"), (-col("b")).as("nb")))).as("__h"))
+    val cellOrd = assigned.groupBy(col("cell")).agg(min(col("id")).as("rep_id"))
+      .withColumn("__ord",
+        row_number().over(Window.orderBy(col("cell"))) - 1)
+    val kTot = cellOrd.agg(count(lit(1)).as("__k"))
+    assigned.select(col("id").as("anchor_id"), col("cell"))
+      .join(broadcast(cellOrd.select(col("cell"), col("__ord"))), Seq("cell"))
+      .crossJoin(broadcast(kTot))
+      .withColumn("__pord",
+        when(col("__k") > 1,
+          pmod(col("__ord") + 1 + pmod(col("anchor_id"), col("__k") - 1),
+            col("__k"))))
+      .join(broadcast(cellOrd.select(col("__ord").as("__pord"),
+        col("rep_id").as("easy_id"))), Seq("__pord"), "left")
+      .join(mined, col("anchor_id") === col("a"))
+      .filter(col("__p").isNotNull)
+      .select(col("anchor_id"),
+        (-col("__p").getField("nb")).as("pos_id"),
+        col("__p").getField("c").as("pos_cos"),
+        (-col("__h").getField("nb")).as("hard_id"),
+        col("__h").getField("c").as("hard_cos"),
+        col("easy_id"))
+  }
+
   /** Prototypicality pruning in the spirit of D4 (Tirumala et al. 2023,
     * "D4: Improving LLM Pretraining via Document De-Duplication and
     * Diversification"): within each semantic cell, the vectors MOST similar

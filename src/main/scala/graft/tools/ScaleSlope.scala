@@ -380,6 +380,10 @@ object ScaleSlope {
       // r19c: q195 = vote synthesis explode + two id-keyed aggregates
       // + the struct-argmax — candidate-stream-sized, near-flat
       "q195_majority_vote",
+      // r19c: q196 = pivot-broadcast assignment + grid-blocked in-cell
+      // pairs (fixed 16 cells here, so the pair term grows n²/16 — the
+      // auto-√n sizing is the scale path) + two anchor-keyed argmaxes
+      "q196_contrastive_triplets",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]
@@ -422,6 +426,17 @@ object ScaleSlope {
           val n = e.count()
           graft.ext.Similarity.semanticOrder(e, "vec_id", "embedding",
             nCells = math.max(16, math.sqrt(n.toDouble).toInt))
+        }),
+        // same √n-cell override as q183: the fixed-16-cell oracle
+        // fixture makes the in-cell pair join grow n²/16 by
+        // construction; the operator's documented scale path
+        // (nCells = 0) auto-sizes to √n cells of √n members
+        "q196_contrastive_triplets" -> ((s, dir) => {
+          val e = s.read.parquet(s"$dir/embeddings.parquet")
+          graft.ext.Similarity.contrastiveTriplets(
+            graft.ext.Similarity.plantNearDups(e, "vec_id", "embedding",
+              offset = 1000000L, scale = 0.01),
+            "vec_id", "embedding", posMin = 0.95, negMax = 0.5, nCells = 0)
         }))
     }
     val names = allNames.filter(n => only.forall(_.exists(n.contains)))

@@ -4649,6 +4649,36 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastiveTriplets: planted positives, band argmaxes, tie-breaks, easy negatives") {
+    import graft.ext.Similarity
+    // nCells = 2 -> pivots are ids 1 (x-axis) and 2 (y-axis); 3 and 9 are
+    // identical near-copies of 1; 5 mirrors 2; 8 sits in cell 1 at
+    // cos ~0.45 to the x-family (the hard-negative band); 4/6 are
+    // mid-angle vectors with no positive anywhere; 10 is zero-norm
+    val rows = Seq(
+      1L -> Array(1f, 0f), 2L -> Array(0f, 1f), 3L -> Array(1f, 0.01f),
+      4L -> Array(0.6f, 0.8f), 5L -> Array(0.01f, 1f), 6L -> Array(0.8f, 0.6f),
+      8L -> Array(0.45f, -0.893f), 9L -> Array(1f, 0.01f), 10L -> Array(0f, 0f)
+    ).toDF("vec_id", "emb")
+    val r = Similarity.contrastiveTriplets(rows, "vec_id", "emb",
+      posMin = 0.95, negMax = 0.5, nCells = 2).orderBy("anchor_id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    // only anchors WITH a qualifying positive emit
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L, 9L))
+    def pos(id: Long) = byId(id).getLong(byId(id).fieldIndex("pos_id"))
+    assert(pos(1L) == 3L) // 3 and 9 tie at the same rounded cosine -> smaller id
+    assert(pos(3L) == 9L && pos(9L) == 3L) // exact duplicates prefer each other
+    assert(pos(2L) == 5L && pos(5L) == 2L)
+    assert(byId(1L).getLong(byId(1L).fieldIndex("hard_id")) == 8L)
+    assert(byId(1L).getDouble(byId(1L).fieldIndex("hard_cos")) < 0.5)
+    // cell 2 offers no sub-band vector: hard negative is null, never faked
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("hard_id")))
+    // easy negative = the other cell's min-id representative
+    assert(byId(1L).getLong(byId(1L).fieldIndex("easy_id")) == 2L)
+    assert(byId(2L).getLong(byId(2L).fieldIndex("easy_id")) == 1L)
+    assert(byId(9L).getLong(byId(9L).fieldIndex("easy_id")) == 2L)
+  }
+
   test("majorityVote: modal answer, lexicographic tie-break, null conventions") {
     import graft.ext.Eval
     val votes = Seq(

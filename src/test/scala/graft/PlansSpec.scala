@@ -41,7 +41,12 @@ class PlansSpec extends AnyFunSuite {
     "q164_write_shards",
     // q184's terminal shard stage is q164's manifest discipline verbatim:
     // the ordinal window runs over the written-file manifest only
-    "q184_pretrain_e2e"
+    "q184_pretrain_e2e",
+    // cell-ordinal window over the K-row cell table (K <= nCells <= 65536,
+    // the broadcast-pivot bound — one row per CELL, never the corpus);
+    // it appears twice in the plan because the ordinal table feeds two
+    // broadcast joins (anchor ordinal + partner lookup)
+    "q196_contrastive_triplets"
   )
 
   test("no query plans a CartesianProduct") {
