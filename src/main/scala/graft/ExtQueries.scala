@@ -1959,6 +1959,25 @@ object ExtQueries {
           col("n_frames"), col("duration_ms"), col("avg_kbps"), col("vbr"))
         .presentBy(col("doc_id"))
     },
+    // JPEG METADATA over the marker walker: one synthetic JPEG per
+    // document — width/height/component-count/progressive are all
+    // id-arithmetic while DQT/DHT/entropy payloads are noise, so DuckDB
+    // replays every header field with no codec on its side (the q179
+    // posture for images). Even ids are baseline SOF0, odd progressive
+    // SOF2; the marker structure is the fixed 5 length-carrying
+    // segments. Parse runs per row on the executors — the stub path's
+    // shape with a real marker walk in the decode slot.
+    "q200_jpeg_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = docsPar(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRow(id,
+          Multimodal.syntheticJpeg(id))))
+      Multimodal.jpegMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("precision"), col("n_components"), col("progressive"),
+          col("n_segments"))
+        .presentBy(col("doc_id"))
+    },
     // PRETRAINING-PIPELINE CAPSTONE (VERDICT r18 #2): the FULL path raw
     // docs → quality gates → quality-aware dedup → mixture → tokenize →
     // pack → shard as ONE oracled terminal, one materialization per
@@ -2117,6 +2136,65 @@ object ExtQueries {
           spansStr("chosen_spans").as("chosen_spans_str"),
           spansStr("rejected_spans").as("rejected_spans_str"))
         .presentBy(col("doc_id"))
+    },
+    // GAE ADVANTAGE: synthetic PPO trajectories — doc_id is the episode,
+    // 1 + doc_id % 7 steps, rewards/values from exact integer mod grids
+    // divided ONCE (single-IEEE-op doubles both engines replay) — run
+    // through the backward δ + γλ·A recursion. The oracle re-derives the
+    // trajectories and descends the SAME multiply-add chain with a
+    // recursive CTE from the terminal step, so every advantage matches
+    // bit for bit — no power-series reformulation, no rounding.
+    "q198_gae_advantage" -> { (s, dir) =>
+      val steps = read(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(1L),
+          lit(1L) + pmod(col("doc_id"), lit(7L)))).as("stp"))
+        .withColumn("rwd",
+          (pmod(col("doc_id") * 3 + col("stp") * 5, lit(13)) - 6)
+            .cast("double") / 4.0)
+        .withColumn("vl",
+          (pmod(col("doc_id") + col("stp") * 7, lit(11)) - 5)
+            .cast("double") / 3.0)
+      Corpus.gaeAdvantage(steps, "doc_id", "stp", "rwd", "vl")
+        .select(col("doc_id"), col("step"), col("reward"), col("value"),
+          col("delta"), col("advantage"), col("ret"))
+        .presentBy(col("doc_id"), col("step"))
+    },
+    // ROUGE-2: q194's deterministic candidate corruption (every 5th token
+    // 'x', every 11th dropped) scored recall-side — clipped bigram
+    // overlap, both gram totals, P/R as one-division doubles and the
+    // fixed 2PR/(P+R) expression. No libm anywhere, so nothing rounds:
+    // the oracle replays every bigram count and the exact IEEE divisions.
+    "q199_rouge_eval" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("ref"))
+      val withCand = d.withColumn("cand",
+        filter(transform(sequence(lit(1), size(col("ref"))),
+          i => when(i % 11 === 0, lit(null).cast("string"))
+            .when(i % 5 === 0, lit("x"))
+            .otherwise(element_at(col("ref"), i))), x => x.isNotNull))
+      Eval.rougeN(withCand, "doc_id", "cand", "ref", n = 2)
+        .select(col("doc_id"), col("overlap"), col("c_grams"),
+          col("r_grams"), col("rouge_p"), col("rouge_r"), col("rouge_f"))
+        .presentBy(col("doc_id"))
+    },
+    // EPOCH WATER-FILL: the budgeted mixture plan over the corpus's 20
+    // sources — weight shares 1..5 from the source ordinal (src<k> gets
+    // 1 + k%5), budget = 1.8× total chars (exact integer DIV), repeat cap
+    // 2.5 epochs. The parameters are engineered so the saturated set is a
+    // strict non-empty prefix (high-share/low-supply sources fill up, the
+    // rest sit at the water level). The oracle replays the entire closed
+    // form — the price sort, both running integer sums, the
+    // cross-multiplied saturation test, the max-over-prefix saturated
+    // totals, and the one-op-at-a-time IEEE level/alloc divisions — so one
+    // source flipped across the water line anywhere fails the hash.
+    "q197_epoch_waterfill" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val total = docs.filter(col("source").isNotNull)
+        .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+      val weights = (0 until 20).map(i => s"src$i" -> (1L + i % 5)).toMap
+      Corpus.epochWaterfill(docs, "source", "n_chars", weights,
+          budgetTokens = total * 18L / 10L, maxEpochs = 2.5)
+        .presentBy(col("source"))
     },
     // BEST-OF-N rejection sampling to SFT: each document's first (up to)
     // two turns are the prompt, 1 + doc_id % 3 candidate completions are
@@ -4408,6 +4486,21 @@ object ExtQueries {
        |  CAST(sk AS DOUBLE) / nf AS avg_kbps, nd > 1 AS vbr
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // q200: JPEG metadata replayed arithmetically — the synthetic image's
+  // header fields are all id-derived (width 16 + 7id % 240, height
+  // 16 + 13id % 240, 1 + id%3 components, SOF2 iff odd id) and the
+  // marker layout is the fixed APP0/DQT/SOF/DHT/SOS structure, so the
+  // oracle recomputes exactly what the marker walker reads.
+  private val jpegMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(16 + (doc_id * 7) % 240 AS INT) AS width,
+      |  CAST(16 + (doc_id * 13) % 240 AS INT) AS height,
+      |  CAST(8 AS INT) AS precision,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_components,
+      |  doc_id % 2 = 1 AS progressive,
+      |  CAST(5 AS INT) AS n_segments
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // q177: the chat template replayed — per-turn piece length is fully
   // determined by role/content lengths (12 = len('<|im_start|>'), 10 =
   // len('<|im_end|>'), +1s are the newlines), so span offsets are window
@@ -4439,6 +4532,67 @@ object ExtQueries {
        |  FROM o GROUP BY doc_id)
        |SELECT doc_id, n_turns, chat_text, spans_str FROM g
        |ORDER BY doc_id""".stripMargin
+
+  // q197: the water-fill closed form replayed step for step — per-source
+  // char totals, the 1 + k%5 weight shares, supplies in exact integer
+  // milli-epochs (×2500), the (price, source) sort with integer running
+  // sums, the cross-multiplied saturation test (each side ONE double
+  // multiply of exactly-represented longs), saturated totals as MAX over
+  // the running sums (the saturated set is a prefix, so the last
+  // saturated row's cumulative sums ARE the totals — and max is
+  // summation-order-independent), then the level and allocation as the
+  // same one-IEEE-op-at-a-time division chain the operator emits.
+  private val epochWaterfillSql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+      |         1 + (CAST(substr(source, 4) AS BIGINT) % 5) AS weight
+      |  FROM documents WHERE source IS NOT NULL
+      |  GROUP BY source HAVING SUM(n_chars) > 0),
+      |b AS (
+      |  SELECT (CAST(SUM(n_chars) AS BIGINT) * 18) // 10 * 1000 AS bm
+      |  FROM documents WHERE source IS NOT NULL),
+      |p AS (
+      |  SELECT source, n_tokens, weight, n_tokens * 2500 AS supply_m,
+      |         CAST(n_tokens * 2500 AS DOUBLE) / CAST(weight AS DOUBLE)
+      |           AS price
+      |  FROM c),
+      |w AS (
+      |  SELECT p.*, b.bm,
+      |    COALESCE(SUM(supply_m) OVER (ORDER BY price, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+      |    COALESCE(SUM(weight) OVER (ORDER BY price, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_prev,
+      |    SUM(weight) OVER () AS w_tot,
+      |    SUM(supply_m) OVER (ORDER BY price, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run,
+      |    SUM(weight) OVER (ORDER BY price, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_run
+      |  FROM p, b),
+      |f AS (
+      |  SELECT *,
+      |    CAST(supply_m AS DOUBLE) * CAST(w_tot - w_prev AS DOUBLE)
+      |      <= CAST(weight AS DOUBLE) * CAST(bm - s_prev AS DOUBLE)
+      |      AS saturated
+      |  FROM w),
+      |g AS (
+      |  SELECT *,
+      |    COALESCE(MAX(CASE WHEN saturated THEN s_run END) OVER (), 0)
+      |      AS s_cap,
+      |    COALESCE(MAX(CASE WHEN saturated THEN w_run END) OVER (), 0)
+      |      AS w_cap
+      |  FROM f),
+      |h AS (
+      |  SELECT *,
+      |    (CASE WHEN saturated THEN CAST(supply_m AS DOUBLE)
+      |          ELSE CAST(weight AS DOUBLE) *
+      |            (CASE WHEN w_tot - w_cap > 0
+      |                  THEN CAST(bm - s_cap AS DOUBLE) /
+      |                       CAST(w_tot - w_cap AS DOUBLE) END)
+      |     END) / 1000.0 AS alloc_tokens
+      |  FROM g)
+      |SELECT source, n_tokens, weight, saturated, alloc_tokens,
+      |       alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs
+      |FROM h ORDER BY source""".stripMargin
 
   // q185: best-of-n replay — prompt prefix-sums over the FIRST least(nt,2)
   // turns, 1 + doc_id % 3 candidates cut from the token stream (the
@@ -4563,6 +4717,86 @@ object ExtQueries {
        |  CAST(b.cnt AS DOUBLE) / CAST(t.n_votes AS DOUBLE) AS vote_frac
        |FROM t LEFT JOIN b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // q198: GAE replayed with a recursive CTE descending from each
+  // trajectory's terminal step — the SAME multiply-add chain as the
+  // operator's reverse fold (delta + (γ·λ)·A_next, every constant CAST
+  // to DOUBLE first: DuckDB parses bare decimals as exact DECIMAL and a
+  // decimal 0.99·0.95 would round differently from the two-double IEEE
+  // product Spark constant-folds). The recursive WITH list holds only
+  // the small per-step CTEs (the q49 materialization lesson).
+  private val gaeAdvantageSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, unnest(range(1, 2 + doc_id % 7)) AS step
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, step,
+      |    CAST((doc_id * 3 + step * 5) % 13 - 6 AS DOUBLE)
+      |      / CAST(4.0 AS DOUBLE) AS reward,
+      |    CAST((doc_id + step * 7) % 11 - 5 AS DOUBLE)
+      |      / CAST(3.0 AS DOUBLE) AS value,
+      |    1 + doc_id % 7 AS ms
+      |  FROM s),
+      |d AS (
+      |  SELECT doc_id, step, reward, value, ms,
+      |    reward + CAST(0.99 AS DOUBLE) *
+      |      COALESCE(LEAD(value) OVER (PARTITION BY doc_id ORDER BY step),
+      |               CAST(0.0 AS DOUBLE)) - value AS delta
+      |  FROM v),
+      |a AS (
+      |  SELECT doc_id, step, reward, value, delta,
+      |    delta + (CAST(0.99 AS DOUBLE) * CAST(0.95 AS DOUBLE))
+      |      * CAST(0.0 AS DOUBLE) AS advantage
+      |  FROM d WHERE step = ms
+      |  UNION ALL
+      |  SELECT d.doc_id, d.step, d.reward, d.value, d.delta,
+      |    d.delta + (CAST(0.99 AS DOUBLE) * CAST(0.95 AS DOUBLE))
+      |      * a.advantage
+      |  FROM d JOIN a ON d.doc_id = a.doc_id AND d.step = a.step - 1)
+      |SELECT doc_id, step, reward, value, delta, advantage,
+      |  advantage + value AS ret
+      |FROM a ORDER BY doc_id, step""".stripMargin
+
+  // q199: ROUGE-2 replayed — q194's candidate corruption verbatim, then
+  // per-(doc, bigram) counts on both sides, the clipped min through an
+  // INNER join (only grams both sides have contribute), arithmetic gram
+  // totals, and the exact division/F1 expression (every constant CAST to
+  // DOUBLE; NULL when a side has no bigrams, 0 when P + R = 0).
+  private val rougeEvalSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS ref FROM documents),
+       |w AS (SELECT doc_id, ref,
+       |    list_filter(list_transform(range(1, len(ref) + 1),
+       |      i -> CASE WHEN i % 11 = 0 THEN NULL WHEN i % 5 = 0 THEN 'x' ELSE ref[i] END),
+       |      x -> x IS NOT NULL) AS cand
+       |  FROM t),
+       |cg AS (SELECT doc_id, array_to_string(list_slice(cand, i, i + 1), chr(31)) AS g,
+       |    count(*) AS cc
+       |  FROM (SELECT doc_id, cand, unnest(range(1, len(cand))) AS i FROM w) z
+       |  GROUP BY doc_id, g),
+       |rg AS (SELECT doc_id, array_to_string(list_slice(ref, i, i + 1), chr(31)) AS g,
+       |    count(*) AS rc
+       |  FROM (SELECT doc_id, ref, unnest(range(1, len(ref))) AS i FROM w) z
+       |  GROUP BY doc_id, g),
+       |m AS (SELECT cg.doc_id, CAST(sum(least(cg.cc, rg.rc)) AS BIGINT) AS overlap
+       |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+       |  GROUP BY cg.doc_id),
+       |f AS (SELECT w.doc_id,
+       |    CAST(coalesce(m.overlap, 0) AS BIGINT) AS overlap,
+       |    CAST(greatest(len(cand) - 1, 0) AS BIGINT) AS c_grams,
+       |    CAST(greatest(len(ref) - 1, 0) AS BIGINT) AS r_grams
+       |  FROM w LEFT JOIN m USING (doc_id)),
+       |g AS (SELECT doc_id, overlap, c_grams, r_grams,
+       |    CASE WHEN c_grams > 0
+       |         THEN CAST(overlap AS DOUBLE) / CAST(c_grams AS DOUBLE) END AS rouge_p,
+       |    CASE WHEN r_grams > 0
+       |         THEN CAST(overlap AS DOUBLE) / CAST(r_grams AS DOUBLE) END AS rouge_r
+       |  FROM f)
+       |SELECT doc_id, overlap, c_grams, r_grams, rouge_p, rouge_r,
+       |  CASE WHEN rouge_p IS NOT NULL AND rouge_r IS NOT NULL THEN
+       |    CASE WHEN rouge_p + rouge_r > CAST(0.0 AS DOUBLE)
+       |         THEN CAST(2.0 AS DOUBLE) * rouge_p * rouge_r / (rouge_p + rouge_r)
+       |         ELSE CAST(0.0 AS DOUBLE) END END AS rouge_f
+       |FROM g ORDER BY doc_id""".stripMargin
 
   // q194: BLEU replayed gram by gram — the deterministic candidate
   // corruption, per-(doc, n, gram) counts on both sides, the clipped
@@ -5291,6 +5525,10 @@ object ExtQueries {
     "q183_semantic_order" -> semanticOrderSql,
     "q182_ffd_binpack" -> ffdBinpackSql,
     "q181_preference_pairs" -> preferencePairsSql,
+    "q197_epoch_waterfill" -> epochWaterfillSql,
+    "q198_gae_advantage" -> gaeAdvantageSql,
+    "q199_rouge_eval" -> rougeEvalSql,
+    "q200_jpeg_meta" -> jpegMetaSql,
     "q185_best_of_n" -> bestOfNSql,
     "q186_chat_truncate" -> chatTruncateSql,
     "q187_grpo_advantage" -> grpoAdvantageSql,

@@ -361,6 +361,113 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** Epoch WATER-FILLING — the budgeted mixture planner that sits above
+    * [[temperatureMixture]]/[[repeatMixture]]: given per-source token
+    * supplies, target mixture WEIGHTS, a total token BUDGET, and a
+    * per-source repeat cap `maxEpochs`, allocate the budget so realized
+    * tokens are proportional to the weights wherever possible, while no
+    * source repeats beyond its cap — the allocation rule behind the
+    * published LLM data recipes ("weights are targets; small sources
+    * saturate at N epochs and the excess redistributes"). Formally it
+    * solves  Σ_s min(w_s·λ, supply_s) = B  for the water level λ (with
+    * `supply_s = n_s · maxEpochs`): sources whose saturation price
+    * `supply_s / w_s` sits below λ are used WHOLE (they "fill up"), and
+    * everyone else gets exactly `w_s·λ` tokens.
+    *
+    * Closed form, no iteration: sort sources by price ascending — the
+    * saturated set is always a PREFIX of that order — and test each row
+    * with running sums: source k saturates iff
+    * `supply_k·(W − w_prev) ≤ w_k·(B_m − s_prev)` (the cross-multiplied
+    * `price_k ≤ level-if-everything-cheaper-already-saturated`). The final
+    * level then reads off the saturated totals, which are recovered
+    * order-independently as `max` over the running sums — so the whole
+    * computation is integer prefix sums plus one-IEEE-op-at-a-time double
+    * arithmetic, and the DuckDB oracle (q197) replays it bit-for-bit.
+    *
+    * Exactness: token counts and weights are LONGs; `maxEpochs` is held as
+    * round(maxEpochs·1000) milli-epochs so supplies and prefix sums stay
+    * integer (exact under any summation tree). Only the ORDER key (price)
+    * and the final level/allocation divisions are doubles — each a single
+    * correctly-rounded IEEE op on identical integer inputs, reproducible
+    * across engines. Overflow bound: `n_s·(1000·maxEpochs)` and
+    * `budget·1000` must fit in int64 — ~9·10¹⁵ tokens per source / budget
+    * at the default cap, beyond which the arithmetic moves to DECIMAL(38)
+    * (not needed below ~quadrillion-token corpora).
+    *
+    * Scale shape: ONE count aggregate over the corpus (bounded state, one
+    * row per source), then a single-partition window over the K-row
+    * source table — K = #sources, never O(corpus) (PlansSpec allowlists
+    * the presentation-sized window). Sources absent from `weights` are
+    * excluded from the plan (no silent default share); weighted sources
+    * absent from the corpus contribute nothing. If the budget exceeds
+    * total supply, everything saturates and `level` is exhausted — the
+    * caller reads `alloc_tokens < budget` as "corpus too small".
+    * Output: one row per source — `source, n_tokens, weight, saturated,
+    * alloc_tokens, epochs` (epochs = alloc/n, ≤ maxEpochs by
+    * construction). Feed `epochs` into [[repeatMixture]] to realize the
+    * plan row-level. */
+  def epochWaterfill(df: DataFrame, sourceCol: String, tokensCol: String,
+                     weights: Map[String, Long], budgetTokens: Long,
+                     maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs > 0.0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(weights.nonEmpty, "epochWaterfill needs at least one weight")
+    require(weights.values.forall(_ > 0L),
+      s"weights must be positive shares, got $weights")
+    val emilli = math.round(maxEpochs * 1000.0)
+    require(emilli > 0L, s"maxEpochs rounds to 0 milli-epochs: $maxEpochs")
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+    // weight lookup as a when-chain (K literals — no join, no broadcast);
+    // foldRight over the sorted entries keeps the chain deterministic
+    val wcol = weights.toSeq.sortBy(_._1).foldRight(lit(null).cast("long")) {
+      case ((s, w), rest) => when(col("source") === s, lit(w)).otherwise(rest)
+    }
+    val base = counts.withColumn("weight", wcol)
+      .filter(col("weight").isNotNull && col("n_tokens") > 0L)
+      .withColumn("supply_m", col("n_tokens") * lit(emilli))
+      .withColumn("price",
+        col("supply_m").cast("double") / col("weight").cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows over the K-row source table (K = #sources)
+    val ord = Window.orderBy(col("price"), col("source"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val bm = math.multiplyExact(budgetTokens, 1000L) // budget, milli units
+    val staged = base
+      .withColumn("s_prev", coalesce(sum(col("supply_m")).over(prev), lit(0L)))
+      .withColumn("w_prev", coalesce(sum(col("weight")).over(prev), lit(0L)))
+      .withColumn("w_tot", sum(col("weight")).over(all))
+      // cross-multiplied saturation test: each side is ONE double multiply
+      // of exactly-represented longs — no accumulation, engine-identical
+      .withColumn("saturated",
+        col("supply_m").cast("double") *
+          (col("w_tot") - col("w_prev")).cast("double") <=
+          col("weight").cast("double") * (lit(bm) - col("s_prev")).cast("double"))
+      .withColumn("s_run", sum(col("supply_m")).over(run))
+      .withColumn("w_run", sum(col("weight")).over(run))
+      // saturated totals = the LAST saturated row's running sums (the set is
+      // a prefix); max over longs is order-independent
+      .withColumn("s_cap",
+        coalesce(max(when(col("saturated"), col("s_run"))).over(all), lit(0L)))
+      .withColumn("w_cap",
+        coalesce(max(when(col("saturated"), col("w_run"))).over(all), lit(0L)))
+    val denom = col("w_tot") - col("w_cap")
+    val level = when(denom > 0L,
+      (lit(bm) - col("s_cap")).cast("double") / denom.cast("double"))
+    val allocM = when(col("saturated"), col("supply_m").cast("double"))
+      .otherwise(col("weight").cast("double") * level)
+    staged
+      .withColumn("alloc_tokens", allocM / lit(1000.0))
+      .withColumn("epochs",
+        col("alloc_tokens") / col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"), col("weight"), col("saturated"),
+        col("alloc_tokens"), col("epochs"))
+  }
+
   /** Sliding-window document chunking: one output row per (document,
     * chunk), where chunk `i` is the `chunkTokens`-token window starting at
     * token `i · stride` — `stride = chunkTokens` (default) tiles the
@@ -1284,6 +1391,78 @@ object Corpus {
       .withColumn("advantage", when(col("group_std") === 0.0, lit(0.0))
         .otherwise((sc - col("group_mean")) / col("group_std")))
       .drop("__s1", "__s2")
+  }
+
+  /** GENERALIZED ADVANTAGE ESTIMATION (Schulman et al. 2016) — the PPO
+    * prep that [[groupAdvantage]]'s value-free GRPO replaces when a value
+    * network IS trained: per trajectory ordered by step, TD residual
+    * `δ_t = r_t + γ·V_{t+1} − V_t` (bootstrap `V_{T+1} = 0` — the
+    * episode-terminal convention; pad a final zero-reward step carrying
+    * the bootstrap value to use a non-zero one), then the exponentially
+    * weighted backward recursion `A_t = δ_t + γλ·A_{t+1}` and returns
+    * `R_t = A_t + V_t` (the value-function regression target).
+    *
+    * The recursion is computed EXACTLY as written — a reverse fold whose
+    * every step is one multiply-add on the previous accumulator — so the
+    * q198 oracle replays it bit for bit with a recursive CTE descending
+    * from the terminal step (same operand order, no power-series
+    * reformulation: `Σ (γλ)^k δ` associates differently and `pow` is not
+    * cross-engine-reproducible; the fold is). γ and γλ appear only as
+    * single IEEE products of the literal parameters.
+    *
+    * Scale shape: one trajectory-keyed `collect_list` shuffle (the
+    * trajectory is the parallelism unit — state per task is one episode),
+    * then per-row HOF folds and one posexplode back to steps. The fold
+    * appends each advantage to its accumulator array, O(T²) element
+    * copies per trajectory in the limit — fine to episode lengths in the
+    * thousands; split longer trajectories upstream ([[chunkDocuments]]'s
+    * discipline). Steps must be unique per trajectory (the sort key) and
+    * rewards/values non-NULL (a NULL would contaminate the whole fold —
+    * the [[chatTemplate]] coalesce convention does not apply to
+    * numerics). Output: one row per input step — `(trajCol, step,
+    * reward, value, delta, advantage, ret)`. */
+  def gaeAdvantage(df: DataFrame, trajCol: String, stepCol: String,
+                   rewardCol: String, valueCol: String,
+                   gamma: Double = 0.99, lam: Double = 0.95): DataFrame = {
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1]: $gamma")
+    require(lam >= 0.0 && lam <= 1.0, s"lambda must be in [0,1]: $lam")
+    requireFresh(df, "gaeAdvantage", "step", "reward", "value", "delta",
+      "advantage", "ret", "__st", "__d", "__a", "__i", "__x")
+    val gl = lit(gamma) * lit(lam) // constant-folded: ONE IEEE multiply
+    val packed = df.groupBy(col(trajCol)).agg(
+      sort_array(collect_list(struct(col(stepCol).cast("long").as("s"),
+        col(rewardCol).cast("double").as("r"),
+        col(valueCol).cast("double").as("v")))).as("__st"))
+    val st = col("__st")
+    val n = size(st)
+    // δ_i = r_i + γ·v_{i+1} − v_i with v_n = 0 (element_at is 1-based)
+    val deltas = transform(st, (x, i) =>
+      x.getField("r") + lit(gamma) * when(i < n - 1,
+        element_at(st, i + 2).getField("v")).otherwise(lit(0.0)) -
+        x.getField("v"))
+    // reverse fold A = δ + γλ·A_next, accumulating the advantage list
+    // (appended in reverse, un-reversed after); acc starts at 0.0 so the
+    // terminal step computes δ + γλ·0 — the same multiply-add shape as
+    // every other step, which the oracle's recursion base mirrors
+    val foldT = "struct<a:double,l:array<double>>"
+    val aList = reverse(aggregate(reverse(col("__d")),
+      expr(s"CAST(struct(0.0D, array()) AS $foldT)"),
+      (acc, x) => {
+        val aN = x + gl * acc.getField("a")
+        struct(aN.as("a"), concat(acc.getField("l"), array(aN)).as("l"))
+      }).getField("l"))
+    packed
+      .withColumn("__d", deltas)
+      .withColumn("__a", aList)
+      .select(col(trajCol), col("__d"), col("__a"),
+        posexplode(col("__st")).as(Seq("__i", "__x")))
+      .withColumn("step", col("__x").getField("s"))
+      .withColumn("reward", col("__x").getField("r"))
+      .withColumn("value", col("__x").getField("v"))
+      .withColumn("delta", element_at(col("__d"), col("__i") + 1))
+      .withColumn("advantage", element_at(col("__a"), col("__i") + 1))
+      .withColumn("ret", col("advantage") + col("value"))
+      .drop("__d", "__a", "__i", "__x")
   }
 
   /** MASKED TOKEN PACKING — the SFT analogue of [[packTokenArrays]]:

@@ -158,4 +158,70 @@ object Eval {
         .when(col("m1") === 0L, lit(0.0))
         .otherwise(round(bpRaw * exp(lit(0.25) * logSum), 6)))
   }
+
+  /** ROUGE-N (Lin 2004) per (candidate, reference) row — the RECALL-side
+    * complement to [[bleuScore]]'s precision (summarization eval weights
+    * "did the candidate cover the reference", not the reverse). Single
+    * order `n` (ROUGE-1 / ROUGE-2 are the published workhorses):
+    *  - `overlap`: clipped n-gram matches, Σ over distinct grams of
+    *    `min(cand_count, ref_count)` — exact integers;
+    *  - `c_grams` / `r_grams`: candidate / reference n-gram totals
+    *    (`max(len − n + 1, 0)`, pure arithmetic);
+    *  - `rouge_p` = overlap/c_grams, `rouge_r` = overlap/r_grams — each
+    *    ONE IEEE division of exact integers (NULL when the denominator is
+    *    0: the side has no n-grams, the metric is undefined);
+    *  - `rouge_f` = 2·P·R/(P+R), the fixed left-associated expression the
+    *    oracle mirrors; 0 when P+R = 0, NULL when either side is
+    *    undefined.
+    * No `ln`/`exp`/`pow` anywhere, so nothing needs the 6-dp rounding
+    * BLEU's libm calls do — every output is exact or one-division-exact.
+    *
+    * Scale shape: one gram projection + explode per side (gram-stream
+    * rows), two (id, gram) counting aggregates with map-side combine, one
+    * equi-join (inner — only grams BOTH sides have contribute to the
+    * clipped overlap), one per-id sum, one join back to the input. All
+    * shuffles are gram-stream-sized or smaller; nothing corpus-global. */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+             refCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    requireFresh(df, "rougeN", "overlap", "c_grams", "r_grams",
+      "rouge_p", "rouge_r", "rouge_f", "__g", "__cc", "__rc")
+
+    def toksOf(c: String): Column = coalesce(col(c),
+      expr(s"CAST(array() AS ${df.schema(c).dataType.sql})"))
+
+    def grams(toks: Column): Column =
+      when(size(toks) - n + 1 < 1, expr("CAST(array() AS array<string>)"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws("\u001f", slice(toks, i + 1, lit(n)))))
+
+    // gram arrays materialize in their own projection before the explode
+    // (generators re-derive their input per output row — the no-CSE rule)
+    def gramCounts(c: String, cntName: String): DataFrame =
+      df.select(col(idCol), grams(toksOf(c)).as("__ga"))
+        .select(col(idCol), explode_outer(col("__ga")).as("__g"))
+        .filter(col("__g").isNotNull)
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as(cntName))
+
+    val overlap = gramCounts(candCol, "__cc")
+      .join(gramCounts(refCol, "__rc"), Seq(idCol, "__g"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("__cc"), col("__rc"))).as("overlap"))
+
+    val tc = greatest(size(toksOf(candCol)) - n + 1, lit(0)).cast("long")
+    val tr = greatest(size(toksOf(refCol)) - n + 1, lit(0)).cast("long")
+    val p = col("rouge_p")
+    val r = col("rouge_r")
+    df.join(overlap, Seq(idCol), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("c_grams", tc)
+      .withColumn("r_grams", tr)
+      .withColumn("rouge_p", when(col("c_grams") > 0L,
+        col("overlap").cast("double") / col("c_grams").cast("double")))
+      .withColumn("rouge_r", when(col("r_grams") > 0L,
+        col("overlap").cast("double") / col("r_grams").cast("double")))
+      .withColumn("rouge_f", when(p.isNotNull && r.isNotNull,
+        when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))))
+  }
 }

@@ -1325,6 +1325,172 @@ object Multimodal {
     out
   }
 
+  // ---- JPEG marker walker (pure JDK — no entropy decode) -----------------
+
+  case class JpegMetaRow(id: Long, width: Int, height: Int, precision: Int,
+                         n_components: Int, progressive: Boolean,
+                         n_segments: Int)
+
+  /** Minimal JPEG (ITU T.81) METADATA parser — marker segment walk only,
+    * no entropy decode (the image sibling of [[parseMp3Meta]]: dimensions,
+    * component count, and baseline-vs-progressive need no IDCT, and the
+    * JDK's ImageIO would drag the full decoder plus its global registry
+    * lock into the hot path for header fields a 20-line walk reads
+    * directly). Structure enforced strictly:
+    *  - must open with SOI (`FFD8`) and close with EOI (`FFD9`) at
+    *    exactly the last two bytes — trailing junk fails the parse (the
+    *    ADVICE-r18 MP3-tail lesson applied from the start);
+    *  - every segment is `FF marker len_hi len_lo payload` with
+    *    `len >= 2` and in-bounds; standalone markers (TEM, RST0–7) carry
+    *    no length; fill bytes (`FF FF ...`) before a marker are legal;
+    *  - exactly ONE frame header (SOF0 baseline or SOF2 progressive —
+    *    the two that cover virtually every JPEG in a web corpus; other
+    *    SOFn codes fail as unsupported), carrying precision, height,
+    *    width, component count (1–4, each with a 3-byte spec the length
+    *    must cover); zero-sized dimensions fail;
+    *  - SOS requires a prior SOF; its entropy-coded data is skipped by
+    *    scanning for the next real marker (`FF` + non-`00` stuffing,
+    *    non-RST restart) — multiple scans are legal (progressive);
+    *  - EOI before any SOF, a second SOF, or running off the end
+    *    mid-segment all return None.
+    * All offsets are LONG ([[parseWavPcm16]]'s overflow lesson). Returns
+    * (width, height, precision, nComponents, progressive, nSegments)
+    * where `n_segments` counts length-carrying marker segments (APPn,
+    * DQT, DHT, SOF, SOS, COM, ...) — the structural fingerprint a corpus
+    * audit buckets on. */
+  private[graft] def parseJpegMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Boolean, Int)] = try {
+    val n = bytes.length.toLong
+    def u(i: Long): Int = bytes(i.toInt) & 0xFF
+    if (n < 4 || u(0) != 0xFF || u(1) != 0xD8) return None
+    var o = 2L
+    var width = -1; var height = -1; var precision = -1; var ncomp = -1
+    var progressive = false
+    var segs = 0
+    var done = false
+    var bad = false
+    while (!bad && !done) {
+      // fill bytes: any number of 0xFF may pad before a marker code
+      if (o + 2 > n) { bad = true }
+      else if (u(o) != 0xFF) { bad = true }
+      else {
+        var m = o + 1
+        while (m < n && u(m) == 0xFF) m += 1
+        if (m >= n) { bad = true }
+        else {
+          val marker = u(m)
+          o = m + 1
+          marker match {
+            case 0xD9 => // EOI: must sit at exactly the end, after a frame
+              if (o != n || width < 0) bad = true else done = true
+            case 0x01 => // TEM — standalone, no length
+            case x if x >= 0xD0 && x <= 0xD7 => // RSTn outside a scan
+            case x =>
+              if (o + 2 > n) bad = true
+              else {
+                val len = (u(o) << 8) | u(o + 1)
+                if (len < 2 || o + len > n) bad = true
+                else {
+                  val p = o + 2 // payload start
+                  segs += 1
+                  if (x == 0xC0 || x == 0xC2) { // SOF0 / SOF2
+                    if (width >= 0 || len < 8) bad = true
+                    else {
+                      precision = u(p)
+                      height = (u(p + 1) << 8) | u(p + 2)
+                      width = (u(p + 3) << 8) | u(p + 4)
+                      ncomp = u(p + 5)
+                      progressive = x == 0xC2
+                      if (width == 0 || height == 0 || ncomp < 1 ||
+                        ncomp > 4 || len != 8 + 3 * ncomp) bad = true
+                    }
+                  } else if ((x >= 0xC1 && x <= 0xCF) && x != 0xC4 &&
+                    x != 0xC8 && x != 0xCC) {
+                    bad = true // unsupported SOFn (extended/arithmetic/...)
+                  }
+                  o += len
+                  if (!bad && x == 0xDA) { // SOS: skip entropy-coded data
+                    if (width < 0) bad = true
+                    else {
+                      var e = o
+                      var found = false
+                      while (!found && e + 2 <= n) {
+                        if (u(e) == 0xFF && u(e + 1) != 0x00 &&
+                          !(u(e + 1) >= 0xD0 && u(e + 1) <= 0xD7)) found = true
+                        else e += 1
+                      }
+                      if (!found) bad = true else o = e
+                    }
+                  }
+                }
+              }
+          }
+        }
+      }
+    }
+    if (bad || width < 0) None
+    else Some((width, height, precision, ncomp, progressive, segs))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed JPEG metadata: one [[parseJpegMeta]] per image;
+    * unparseable rows are dropped (the [[decodeImage]] contract). */
+  def jpegMeta(media: Dataset[MediaRow]): Dataset[JpegMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseJpegMeta(r.media).map { case (w, h, prec, nc, prog, segs) =>
+        JpegMetaRow(r.id, w, h, prec, nc, prog, segs)
+      }
+    })
+  }
+
+  /** Deterministic structurally-valid synthetic JPEG: SOI, a JFIF APP0, a
+    * noise DQT, SOF0 (even ids) or SOF2 (odd ids — the progressive half)
+    * with `width = 16 + (id·7) % 240`, `height = 16 + (id·13) % 240`,
+    * `ncomp = 1 + id % 3`, a noise DHT, one SOS whose entropy payload is
+    * `32 + id % 64` bytes of `(id·31 + j·7) % 255` (mod 255 — never a
+    * `0xFF`, so no stuffing ambiguity), then EOI. Marker structure and
+    * the SOF field layout are spec-exact — any JPEG header walker reads
+    * the same dimensions — while DQT/DHT/entropy payloads are noise (a
+    * METADATA parser must not care, exactly [[syntheticMp3]]'s posture). */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val w = (16 + (id * 7) % 240).toInt
+    val h = (16 + (id * 13) % 240).toInt
+    val nc = (1 + id % 3).toInt
+    val entropy = (32 + id % 64).toInt
+    val buf = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      buf.write(0xFF); buf.write(marker)
+      val len = payload.length + 2
+      buf.write((len >> 8) & 0xFF); buf.write(len & 0xFF)
+      buf.write(payload, 0, payload.length)
+    }
+    buf.write(0xFF); buf.write(0xD8) // SOI
+    seg(0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xDB, (0 until 65).map(j => ((id * 13 + j * 3) % 255).toByte).toArray)
+    val sof = new Array[Byte](6 + 3 * nc)
+    sof(0) = 8 // precision
+    sof(1) = ((h >> 8) & 0xFF).toByte; sof(2) = (h & 0xFF).toByte
+    sof(3) = ((w >> 8) & 0xFF).toByte; sof(4) = (w & 0xFF).toByte
+    sof(5) = nc.toByte
+    for (c <- 0 until nc) {
+      sof(6 + 3 * c) = (c + 1).toByte // component id
+      sof(7 + 3 * c) = 0x11           // 1x1 sampling
+      sof(8 + 3 * c) = 0              // quant table 0
+    }
+    seg(if (id % 2 == 0) 0xC0 else 0xC2, sof)
+    seg(0xC4, (0 until 29).map(j => ((id * 17 + j * 11) % 255).toByte).toArray)
+    val sos = new Array[Byte](1 + 2 * nc + 3)
+    sos(0) = nc.toByte
+    for (c <- 0 until nc) {
+      sos(1 + 2 * c) = (c + 1).toByte; sos(2 + 2 * c) = 0
+    }
+    sos(1 + 2 * nc) = 0; sos(2 + 2 * nc) = 63; sos(3 + 2 * nc) = 0
+    seg(0xDA, sos)
+    for (j <- 0 until entropy)
+      buf.write(((id * 31 + j.toLong * 7) % 255).toInt)
+    buf.write(0xFF); buf.write(0xD9) // EOI
+    buf.toByteArray
+  }
+
   /** Deterministic synthetic mono 16-bit PCM WAV: sample i of clip `id` is
     * ((id·7 + i·31) % 65536) − 32768 — full-range, analytic, and LOSSLESS
     * through the WAV container, so the q62 oracle recomputes any

@@ -2292,6 +2292,74 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("epochWaterfill: closed form matches an iterative reference; saturation laws hold") {
+    // iterative reference: repeatedly cap every source whose saturation
+    // price sits at-or-below the current uncapped water level (the <=
+    // matches the operator's boundary), recompute, until stable
+    def reference(rows: Seq[(String, Long, Long)], budget: Long,
+                  emilli: Long): Map[String, Double] = {
+      val bm = budget * 1000L
+      var capped = Set.empty[String]
+      var stable = false
+      while (!stable) {
+        val sCap = rows.filter(r => capped(r._1)).map(_._2 * emilli).sum
+        val wUn = rows.filterNot(r => capped(r._1)).map(_._3).sum
+        val newly = rows.filterNot(r => capped(r._1)).filter { case (_, n, w) =>
+          wUn > 0L &&
+            (n * emilli).toDouble * wUn.toDouble <= w.toDouble * (bm - sCap).toDouble
+        }.map(_._1)
+        if (newly.isEmpty) stable = true else capped ++= newly
+      }
+      val sCap = rows.filter(r => capped(r._1)).map(_._2 * emilli).sum
+      val wUn = rows.filterNot(r => capped(r._1)).map(_._3).sum
+      val level = if (wUn > 0L) (bm - sCap).toDouble / wUn.toDouble else 0.0
+      rows.map { case (s, n, w) =>
+        s -> (if (capped(s)) (n * emilli).toDouble / 1000.0
+              else w.toDouble * level / 1000.0)
+      }.toMap
+    }
+    // three regimes: mixed saturation, nothing saturated (huge cap),
+    // everything saturated (budget > total supply)
+    val rows = Seq(("a", 1000L, 1L), ("b", 5000L, 4L), ("c", 200L, 3L),
+      ("d", 3000L, 2L), ("e", 40L, 5L))
+    val df = rows.flatMap { case (s, n, w) => Seq((s, n)) }
+      .toDF("source", "n_toks")
+    val weights = rows.map(r => r._1 -> r._3).toMap
+    for ((budget, maxE) <- Seq((6000L, 2.5), (8000L, 100.0), (50000L, 2.0))) {
+      val emilli = math.round(maxE * 1000.0)
+      val want = reference(rows, budget, emilli)
+      val got = Corpus.epochWaterfill(df, "source", "n_toks", weights,
+          budget, maxE)
+        .select("source", "n_tokens", "saturated", "alloc_tokens", "epochs")
+        .as[(String, Long, Boolean, Double, Double)].collect()
+      assert(got.length == rows.length)
+      got.foreach { case (s, n, sat, alloc, epochs) =>
+        val supply = n.toDouble * maxE
+        assert(math.abs(alloc - want(s)) < 1e-6,
+          s"budget=$budget $s: got $alloc want ${want(s)}")
+        assert(alloc <= supply + 1e-6, s"$s over-allocated: $alloc > $supply")
+        assert(sat == (math.abs(alloc - supply) < 1e-6),
+          s"$s saturated flag inconsistent: sat=$sat alloc=$alloc supply=$supply")
+        assert(epochs <= maxE + 1e-9 && math.abs(epochs - alloc / n) < 1e-12)
+      }
+      // budget conservation: allocations sum to min(budget, total supply)
+      val totalAlloc = got.map(_._4).sum
+      val totalSupply = rows.map(_._2).sum.toDouble * maxE
+      assert(math.abs(totalAlloc - math.min(budget.toDouble, totalSupply)) < 1e-5,
+        s"budget=$budget: sum(alloc)=$totalAlloc")
+    }
+    // sources without a weight are excluded; unknown weights contribute 0
+    val extra = (rows.map(r => (r._1, r._2)) :+ (("z", 999L))).toDF("source", "n_toks")
+    val out = Corpus.epochWaterfill(extra, "source", "n_toks", weights, 6000L, 2.5)
+    assert(!out.select("source").as[String].collect().contains("z"))
+    intercept[IllegalArgumentException] {
+      Corpus.epochWaterfill(df, "source", "n_toks", weights, -1L, 2.5)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.epochWaterfill(df, "source", "n_toks", Map("a" -> 0L), 10L, 2.5)
+    }
+  }
+
   test("prototypicalityPrune: drops the floor((1-keep)*cnt) most-pivot-similar per cell, sparse ids included") {
     def corpus(off: Long) = Seq(
       (off + 0L, Array(1f, 0f, 0f, 0f)),     // pivot 0 (proto 1.0)
@@ -4733,6 +4801,80 @@ class ExtSpec extends AnyFunSuite {
       byId(6L).getAs[Int]("c_len") == 0)
   }
 
+  test("rougeN: clipped overlap, P/R/F laws, empty-side NULL conventions") {
+    import graft.ext.Eval
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "b", "x", "c", "d")),
+      (2L, Seq("a"), Seq("a")),                 // no bigrams either side
+      (3L, Seq.empty[String], Seq("a", "b")),   // empty candidate
+      (4L, Seq("a", "a", "a"), Seq("a", "a"))   // clipping: cand has 'a a'×2
+    ).toDF("id", "cand", "ref")
+    val r = Eval.rougeN(rows, "id", "cand", "ref", n = 2).orderBy("id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    def d(id: Long, c: String): Double = byId(id).getAs[Double](c)
+    def nul(id: Long, c: String): Boolean =
+      byId(id).isNullAt(byId(id).fieldIndex(c))
+    // cand bigrams {ab,bc,cd}, ref {ab,bx,xc,cd}: overlap 2 of 3 vs 4
+    assert(byId(1L).getAs[Long]("overlap") == 2)
+    assert(d(1L, "rouge_p") == 2.0 / 3.0 && d(1L, "rouge_r") == 2.0 / 4.0)
+    assert(math.abs(d(1L, "rouge_f") - 4.0 / 7.0) < 1e-15)
+    // single tokens: zero bigrams on both sides -> all three undefined
+    assert(nul(2L, "rouge_p") && nul(2L, "rouge_r") && nul(2L, "rouge_f"))
+    // empty candidate: precision undefined, recall 0, F undefined
+    assert(nul(3L, "rouge_p") && d(3L, "rouge_r") == 0.0 && nul(3L, "rouge_f"))
+    // clipping: min(2, 1) = 1, not 2
+    assert(byId(4L).getAs[Long]("overlap") == 1)
+    assert(d(4L, "rouge_p") == 0.5 && d(4L, "rouge_r") == 1.0)
+    assert(math.abs(d(4L, "rouge_f") - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("gaeAdvantage: reverse fold matches the textbook recursion exactly") {
+    val df = Seq(
+      (1L, 1L, 1.0, 0.5), (1L, 2L, -0.25, 0.75), (1L, 3L, 2.0, -1.0),
+      (2L, 1L, 0.0, 0.0),
+      (3L, 2L, 0.5, 0.25), (3L, 1L, -1.0, 1.5) // out-of-order input rows
+    ).toDF("ep", "t", "r", "v")
+    val g = 0.9; val l = 0.8
+    val out = Corpus.gaeAdvantage(df, "ep", "t", "r", "v", g, l)
+      .orderBy("ep", "step").collect()
+      .map(x => (x.getLong(0), x.getLong(x.fieldIndex("step")),
+        x.getDouble(x.fieldIndex("delta")),
+        x.getDouble(x.fieldIndex("advantage")),
+        x.getDouble(x.fieldIndex("ret")),
+        x.getDouble(x.fieldIndex("value"))))
+    // driver-side reference: the same backward recursion
+    def ref(rs: Seq[Double], vs: Seq[Double]): (Seq[Double], Seq[Double]) = {
+      val n = rs.length
+      val ds = (0 until n).map(i =>
+        rs(i) + g * (if (i < n - 1) vs(i + 1) else 0.0) - vs(i))
+      val adv = new Array[Double](n)
+      var a = 0.0
+      for (i <- n - 1 to 0 by -1) { a = ds(i) + g * l * a; adv(i) = a }
+      (ds, adv.toSeq)
+    }
+    val (d1, a1) = ref(Seq(1.0, -0.25, 2.0), Seq(0.5, 0.75, -1.0))
+    val ep1 = out.filter(_._1 == 1L)
+    assert(ep1.map(_._3).sameElements(d1) && ep1.map(_._4).sameElements(a1),
+      ep1.mkString(", "))
+    // single-step episode: delta = r - v (bootstrap 0), A = delta
+    val ep2 = out.filter(_._1 == 2L).head
+    assert(ep2._3 == 0.0 && ep2._4 == 0.0 && ep2._5 == 0.0)
+    // rows arrive unsorted; the operator sorts by step inside the episode
+    val (d3, a3) = ref(Seq(-1.0, 0.5), Seq(1.5, 0.25))
+    val ep3 = out.filter(_._1 == 3L)
+    assert(ep3.map(_._2).sameElements(Seq(1L, 2L)))
+    assert(ep3.map(_._3).sameElements(d3) && ep3.map(_._4).sameElements(a3))
+    // identities: ret = A + v exactly; A_t = δ_t + γλ·A_{t+1} bit-exact
+    out.foreach { case (_, _, _, a, r2, v) => assert(r2 == a + v) }
+    ep1.sliding(2).foreach { case Array(cur, nxt) =>
+      assert(cur._4 == cur._3 + g * l * nxt._4)
+    case _ => ()
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.gaeAdvantage(df, "ep", "t", "r", "v", gamma = 1.5)
+    }
+  }
+
   test("prefixCacheGroups: chained block keys, deepest shared depth, routing group") {
     import graft.ext.Serving
     val a = (0 until 8).map(i => s"a$i")
@@ -5104,6 +5246,55 @@ class ExtSpec extends AnyFunSuite {
     val metas = Multimodal.mp3Meta(media).collect()
     assert(metas.length == 1 && metas(0).id == 7L &&
       metas(0).duration_ms == 130L && metas(0).vbr)
+  }
+
+  test("parseJpegMeta: external real-encoder fixture, generator agreement, strictness") {
+    import graft.ext.Multimodal
+    // the committed fixture is a REAL encoder's output (CPython's
+    // test-suite python.jpg — an independent pin, not this repo's own
+    // generator): 16×16 baseline, 3 components, 9 marker segments
+    val fixture = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/tiny.jpg").toURI))
+    val Some((w, h, prec, nc, prog, segs)) = Multimodal.parseJpegMeta(fixture)
+    assert(w == 16 && h == 16 && prec == 8 && nc == 3 && !prog && segs == 9)
+    // generator round trip across both SOF variants and all ncomp values
+    for (id <- 0L to 6L) {
+      val Some((gw, gh, gp, gn, gprog, gsegs)) =
+        Multimodal.parseJpegMeta(Multimodal.syntheticJpeg(id))
+      assert(gw == 16 + (id * 7) % 240 && gh == 16 + (id * 13) % 240)
+      assert(gp == 8 && gn == 1 + id % 3 && gprog == (id % 2 == 1) && gsegs == 5)
+    }
+    // strictness: garbage, missing EOI, trailing junk, truncated segment,
+    // EOI before any frame, a second SOF, and unsupported SOFn all fail
+    val good = Multimodal.syntheticJpeg(4L)
+    assert(Multimodal.parseJpegMeta("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.parseJpegMeta(good.dropRight(2)).isEmpty)
+    assert(Multimodal.parseJpegMeta(good ++ Array[Byte](0)).isEmpty)
+    assert(Multimodal.parseJpegMeta(good.take(8)).isEmpty)
+    assert(Multimodal.parseJpegMeta(
+      Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    val sofAt = {
+      // locate the SOF0 marker in the synthetic layout to corrupt it
+      var i = 2; var at = -1
+      while (at < 0 && i + 1 < good.length) {
+        if ((good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0) at = i
+        i += 1
+      }
+      at
+    }
+    assert(sofAt > 0)
+    val twoSof = good.take(sofAt) ++ good.slice(sofAt,
+      sofAt + 2 + (((good(sofAt + 2) & 0xFF) << 8) | (good(sofAt + 3) & 0xFF))) ++
+      good.drop(sofAt)
+    assert(Multimodal.parseJpegMeta(twoSof).isEmpty)
+    val arith = good.clone(); arith(sofAt + 1) = 0xC9.toByte // SOF9 arithmetic
+    assert(Multimodal.parseJpegMeta(arith).isEmpty)
+    // dataset path: unparseable rows drop
+    val media = Seq(
+      Multimodal.MediaRow(4L, good),
+      Multimodal.MediaRow(5L, "junk".getBytes)).toDS()
+    val metas = Multimodal.jpegMeta(media).collect()
+    assert(metas.length == 1 && metas(0).id == 4L && metas(0).width == 44)
   }
 
   test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {

@@ -46,7 +46,11 @@ class PlansSpec extends AnyFunSuite {
     // the broadcast-pivot bound — one row per CELL, never the corpus);
     // it appears twice in the plan because the ordinal table feeds two
     // broadcast joins (anchor ordinal + partner lookup)
-    "q196_contrastive_triplets"
+    "q196_contrastive_triplets",
+    // water-fill windows run over the per-source AGGREGATE (one row per
+    // source — K rows, never the corpus); the corpus-sized stage is the
+    // count groupBy that precedes them
+    "q197_epoch_waterfill"
   )
 
   test("no query plans a CartesianProduct") {
