@@ -384,6 +384,18 @@ object ScaleSlope {
       // pairs (fixed 16 cells here, so the pair term grows n²/16 — the
       // auto-√n sizing is the scale path) + two anchor-keyed argmaxes
       "q196_contrastive_triplets",
+      // r19d: q197 = ONE per-source count aggregate (bounded state) +
+      // K-row windows — the slope prices the corpus scan alone
+      "q197_epoch_waterfill",
+      // r19d: q198 = trajectory-keyed collect_list shuffle + per-row HOF
+      // folds + posexplode — episode-stream-sized, nothing global
+      "q198_gae_advantage",
+      // r19d: q199 = bigram explodes both sides + (id, gram) counts +
+      // the clipping join — q194's shape at one order instead of four
+      "q199_rouge_eval",
+      // r19d: q200 = per-row synthetic-JPEG encode + marker walk (the
+      // q179 codec rail for images — no shuffle)
+      "q200_jpeg_meta",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]
@@ -464,7 +476,12 @@ object ScaleSlope {
       // r19: the capstone stacks the crawl + dedup machineries (q138's
       // median[min] reasoning) and the semantic chain's n^1.5 law needs
       // the median to beat single-sample wobble
-      "q183_semantic_order", "q184_pretrain_e2e")
+      "q183_semantic_order", "q184_pretrain_e2e",
+      // r19d: the gram-join eval pair is SPILL-sensitive (the (id, gram)
+      // string stream sorts through the join at 10×): back-to-back
+      // single samples swung 0.07 ↔ 1.37 on the SAME binary depending on
+      // JVM/page-cache state — only the median is meaningful
+      "q194_bleu_eval", "q199_rouge_eval")
     def run1(dir: String, name: String): (Double, Long) = {
       System.gc()
       val t0 = System.nanoTime()
