@@ -2137,6 +2137,54 @@ object ExtQueries {
           spansStr("rejected_spans").as("rejected_spans_str"))
         .presentBy(col("doc_id"))
     },
+    // FLAC METADATA over the STREAMINFO walker: one synthetic FLAC per
+    // document — rate/channels/total-samples/MD5 are all id-arithmetic
+    // (the q179/q200 posture), so the oracle recomputes every unpacked
+    // bit field including the hex-encoded embedded MD5 with no codec on
+    // its side. The PADDING block + frame-sync tail pin the block walk
+    // and the strict-tail rule.
+    "q201_flac_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = docsPar(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRow(id,
+          Multimodal.syntheticFlac(id))))
+      Multimodal.flacMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("total_samples"), col("duration_ms"),
+          col("n_blocks"), col("md5_hex"))
+        .presentBy(col("doc_id"))
+    },
+    // SPECULATIVE-DECODING ACCEPTANCE: target = the document's tokens,
+    // draft = the same stream with every k-th token (k = 3 + id%5)
+    // replaced by 'x' — so acceptance is the exact prefix up to the
+    // first REAL mismatch (a document whose k-th token IS 'x' accepts
+    // further; the oracle replays the comparison, not the corruption
+    // schedule). Every output field is integer arithmetic plus one IEEE
+    // division.
+    "q202_spec_accept" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("target"))
+      val withDraft = d.withColumn("draft",
+        transform(col("target"), (t, i) =>
+          when((i + 1) % (lit(3) + pmod(col("doc_id"), lit(5))) === 0,
+            lit("x")).otherwise(t)))
+      Serving.specAcceptance(withDraft, "doc_id", "draft", "target")
+        .select(col("doc_id"), col("n_draft"), col("n_target"),
+          col("n_accept"), col("accept_rate"), col("toks_per_step"))
+        .presentBy(col("doc_id"))
+    },
+    // NEEDLE-IN-A-HAYSTACK PREP: each document spliced with a fixed
+    // 5-token needle at the 0/25/50/75/100% depth grid — the oracle
+    // replays every insertion offset (integer DIV) and the spliced
+    // stream's hash, so one token out of place at any depth in any
+    // document fails.
+    "q203_needle_prep" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      Eval.needleInsert(d, "doc_id", "toks",
+          Seq("the", "magic", "number", "is", "42"))
+        .presentBy(col("doc_id"), col("depth_pct"))
+    },
     // GAE ADVANTAGE: synthetic PPO trajectories — doc_id is the episode,
     // 1 + doc_id % 7 steps, rewards/values from exact integer mod grids
     // divided ONCE (single-IEEE-op doubles both engines replay) — run
@@ -4718,6 +4766,69 @@ object ExtQueries {
        |FROM t LEFT JOIN b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // q201: FLAC metadata replayed arithmetically — every STREAMINFO bit
+  // field (rate by id%4, channels, the 36-bit total-samples, integer-ms
+  // duration) and the embedded MD5's lower-hex encoding recomputed from
+  // doc_id; n_blocks is the fixed STREAMINFO + PADDING pair.
+  private val flacMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |       WHEN 2 THEN 32000 ELSE 22050 END AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits_per_sample,
+      |  CAST(1000 + (doc_id * 37) % 5000 AS BIGINT) AS total_samples,
+      |  CAST((1000 + (doc_id * 37) % 5000) * 1000 //
+      |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |     WHEN 2 THEN 32000 ELSE 22050 END) AS BIGINT) AS duration_ms,
+      |  CAST(2 AS INT) AS n_blocks,
+      |  array_to_string(list_transform(range(0, 16),
+      |    j -> lower(lpad(to_hex((doc_id * 31 + j) % 256), 2, '0'))), '')
+      |    AS md5_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q202: acceptance replayed — the draft corruption (every k-th token
+  // 'x'), the first-mismatch scan over the zipped streams, and the exact
+  // integer/one-division outputs. IS-the-same comparison semantics match
+  // the operator's === (no NULL tokens exist post-split).
+  private val specAcceptSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS tg FROM documents),
+       |k AS (SELECT doc_id, tg, 3 + doc_id % 5 AS kk FROM t),
+       |w AS (SELECT doc_id, tg, list_transform(range(1, len(tg) + 1),
+       |    i -> CASE WHEN i % kk = 0 THEN 'x' ELSE tg[i] END) AS dr FROM k),
+       |m AS (SELECT doc_id, tg, dr,
+       |    list_min(list_filter(list_transform(
+       |      range(1, least(len(tg), len(dr)) + 1),
+       |      i -> CASE WHEN dr[i] <> tg[i] THEN i END),
+       |      x -> x IS NOT NULL)) AS mi
+       |  FROM w),
+       |f AS (SELECT doc_id, dr, tg,
+       |    CAST(coalesce(mi - 1, least(len(dr), len(tg))) AS INT) AS na
+       |  FROM m)
+       |SELECT doc_id, CAST(len(dr) AS INT) AS n_draft,
+       |  CAST(len(tg) AS INT) AS n_target, na AS n_accept,
+       |  CASE WHEN len(dr) > 0
+       |       THEN CAST(na AS DOUBLE) / CAST(len(dr) AS DOUBLE) END
+       |    AS accept_rate,
+       |  CAST(least(na + 1, len(tg)) AS INT) AS toks_per_step
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // q203: the needle splice replayed — per-depth integer insertion
+  // offset, the three-way list concat, and the chr(31)-joined hash.
+  private val needlePrepSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |d AS (SELECT doc_id, toks,
+       |    unnest([0, 25, 50, 75, 100]) AS depth_pct FROM t),
+       |p AS (SELECT doc_id, depth_pct, toks,
+       |    CAST(len(toks) AS BIGINT) * depth_pct // 100 AS pos FROM d)
+       |SELECT doc_id, CAST(depth_pct AS INT) AS depth_pct,
+       |  CAST(pos AS INT) AS needle_pos,
+       |  CAST(len(toks) + 5 AS INT) AS n_toks,
+       |  md5(array_to_string(list_concat(list_concat(
+       |    list_slice(toks, 1, pos),
+       |    ['the', 'magic', 'number', 'is', '42']),
+       |    list_slice(toks, pos + 1, len(toks))), chr(31))) AS ctx_md5
+       |FROM p ORDER BY doc_id, depth_pct""".stripMargin
+
   // q198: GAE replayed with a recursive CTE descending from each
   // trajectory's terminal step — the SAME multiply-add chain as the
   // operator's reverse fold (delta + (γ·λ)·A_next, every constant CAST
@@ -5529,6 +5640,9 @@ object ExtQueries {
     "q198_gae_advantage" -> gaeAdvantageSql,
     "q199_rouge_eval" -> rougeEvalSql,
     "q200_jpeg_meta" -> jpegMetaSql,
+    "q201_flac_meta" -> flacMetaSql,
+    "q202_spec_accept" -> specAcceptSql,
+    "q203_needle_prep" -> needlePrepSql,
     "q185_best_of_n" -> bestOfNSql,
     "q186_chat_truncate" -> chatTruncateSql,
     "q187_grpo_advantage" -> grpoAdvantageSql,

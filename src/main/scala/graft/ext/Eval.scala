@@ -224,4 +224,50 @@ object Eval {
       .withColumn("rouge_f", when(p.isNotNull && r.isNotNull,
         when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))))
   }
+
+  /** NEEDLE-IN-A-HAYSTACK context synthesis — the long-context eval prep
+    * popularized by the 2023 "needle" retrieval tests: splice a known
+    * NEEDLE token sequence into each document at a grid of DEPTH
+    * fractions, emitting one evaluation context per (document, depth) so
+    * the harness can measure retrieval accuracy as a function of where
+    * in the context the fact sits. Insertion position is the exact
+    * integer `pos = n_orig · depth_pct DIV 100` (0-based token index the
+    * needle starts at — depth 0 prepends, depth 100 appends), so the
+    * q203 oracle replays every slice boundary; `ctx_md5` hashes the
+    * spliced stream (US-joined) for integrity without shipping it, and
+    * the harness reconstructs the context from (doc, needle, pos) alone.
+    * Output per row: `depth_pct`, `needle_pos`, `n_toks`
+    * (= n_orig + needle length), `ctx_md5`.
+    *
+    * Scale shape: zero shuffle — the token array materializes once in
+    * its own projection (the no-CSE rule), the depth explode multiplies
+    * rows by the fixed grid size, and each output row's splice is two
+    * slices + a concat. NULL token arrays count as empty. */
+  def needleInsert(df: DataFrame, idCol: String, toksCol: String,
+                   needle: Seq[String],
+                   depthsPct: Seq[Int] = Seq(0, 25, 50, 75, 100)): DataFrame = {
+    require(needle.nonEmpty, "needleInsert needs a non-empty needle")
+    require(depthsPct.nonEmpty && depthsPct.forall(d => d >= 0 && d <= 100),
+      s"depths must be percentages in [0,100]: $depthsPct")
+    requireFresh(df, "needleInsert", "depth_pct", "needle_pos", "n_toks",
+      "ctx_md5", "__t", "__pos")
+    val needleArr = array(needle.map(lit): _*)
+    val withT = df.select(col(idCol),
+      coalesce(col(toksCol),
+        expr(s"CAST(array() AS ${df.schema(toksCol).dataType.sql})")).as("__t"))
+    withT
+      .select(col(idCol), col("__t"),
+        explode(array(depthsPct.map(d => lit(d)): _*)).as("depth_pct"))
+      .withColumn("__pos",
+        expr("CAST(size(__t) AS BIGINT) * depth_pct DIV 100"))
+      .select(col(idCol), col("depth_pct"),
+        col("__pos").cast("int").as("needle_pos"),
+        (size(col("__t")) + needle.length).as("n_toks"),
+        md5(concat_ws("\u001f",
+          concat(slice(col("__t"), lit(1), col("__pos").cast("int")),
+            needleArr,
+            slice(col("__t"), (col("__pos") + 1).cast("int"),
+              size(col("__t")) - col("__pos").cast("int")))))
+          .as("ctx_md5"))
+  }
 }

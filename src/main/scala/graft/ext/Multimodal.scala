@@ -1491,6 +1491,122 @@ object Multimodal {
     buf.toByteArray
   }
 
+  // ---- FLAC STREAMINFO walker (pure JDK — no frame decode) ---------------
+
+  case class FlacMetaRow(id: Long, sample_rate: Int, channels: Int,
+                         bits_per_sample: Int, total_samples: Long,
+                         duration_ms: Long, n_blocks: Int, md5_hex: String)
+
+  /** Minimal FLAC METADATA parser — `fLaC` magic + metadata-block walk
+    * only, no subframe decode (the lossless-audio sibling of
+    * [[parseMp3Meta]]/[[parseJpegMeta]]: sample rate, channel count, bit
+    * depth, total samples and the embedded raw-PCM MD5 all live in the
+    * mandatory STREAMINFO block). Structure enforced strictly:
+    *  - magic, then blocks of `1-byte header (bit 7 = last, bits 0–6 =
+    *    type) + 3-byte big-endian length + payload`, all in-bounds;
+    *  - the FIRST block must be STREAMINFO (type 0, length exactly 34 —
+    *    the spec's mandatory-first rule), and only one may appear;
+    *  - type 127 is invalid per spec; sample rate 0 is invalid;
+    *  - after the block marked last, either EOF (a metadata-only
+    *    sidecar) or the first audio frame's 14-bit sync `0xFFF8/0xFFF9`
+    *    — anything else is trailing junk and fails (the ADVICE-r18
+    *    MP3-tail lesson).
+    * Bit unpacking: STREAMINFO packs `rate:20 | (channels−1):3 |
+    * (bps−1):5 | total_samples:36` starting at payload byte 10. Returns
+    * (rate, channels, bps, totalSamples, durationMs, nBlocks, md5Hex)
+    * with duration in integer ms and the 16-byte MD5 lower-hex encoded. */
+  private[graft] def parseFlacMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long, Int, String)] = try {
+    val n = bytes.length.toLong
+    def u(i: Long): Int = bytes(i.toInt) & 0xFF
+    if (n < 4 + 4 + 34 || u(0) != 'f' || u(1) != 'L' || u(2) != 'a' ||
+      u(3) != 'C') return None
+    var o = 4L
+    var last = false
+    var blocks = 0
+    var rate = -1; var chans = -1; var bps = -1
+    var total = -1L; var md5Hex = ""
+    var bad = false
+    while (!bad && !last) {
+      if (o + 4 > n) bad = true
+      else {
+        val hdr = u(o)
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7F
+        val len = (u(o + 1).toLong << 16) | (u(o + 2).toLong << 8) | u(o + 3)
+        val p = o + 4
+        if (typ == 127 || p + len > n) bad = true
+        else {
+          if (blocks == 0) {
+            // mandatory-first STREAMINFO
+            if (typ != 0 || len != 34L) bad = true
+            else {
+              rate = (u(p + 10) << 12) | (u(p + 11) << 4) | (u(p + 12) >> 4)
+              chans = ((u(p + 12) >> 1) & 7) + 1
+              bps = (((u(p + 12) & 1) << 4) | (u(p + 13) >> 4)) + 1
+              total = ((u(p + 13) & 0xF).toLong << 32) |
+                (u(p + 14).toLong << 24) | (u(p + 15).toLong << 16) |
+                (u(p + 16).toLong << 8) | u(p + 17).toLong
+              md5Hex = (18 until 34).map(j => f"${u(p + j)}%02x").mkString
+              if (rate == 0) bad = true
+            }
+          } else if (typ == 0) bad = true // a second STREAMINFO
+          if (!bad) { blocks += 1; o = p + len }
+        }
+      }
+    }
+    // tail: EOF, or the first frame's sync code — nothing else
+    if (!bad && o < n &&
+      !(o + 2 <= n && u(o) == 0xFF && (u(o + 1) & 0xFE) == 0xF8)) bad = true
+    if (bad || rate <= 0) None
+    else Some((rate, chans, bps, total, total * 1000L / rate, blocks, md5Hex))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed FLAC metadata: one [[parseFlacMeta]] per clip;
+    * unparseable rows are dropped (the [[decodeImage]] contract). */
+  def flacMeta(media: Dataset[MediaRow]): Dataset[FlacMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseFlacMeta(r.media).map { case (sr, ch, b, ts, ms, nb, md5) =>
+        FlacMetaRow(r.id, sr, ch, b, ts, ms, nb, md5)
+      }
+    })
+  }
+
+  /** Deterministic structurally-valid synthetic FLAC: magic, a spec-exact
+    * STREAMINFO (`rate` cycling 44100/48000/32000/22050 by id%4,
+    * `channels = 1 + id%2`, 16-bit, `total_samples = 1000 + (id·37)%5000`,
+    * MD5 byte j = `(id·31 + j) % 256`), a PADDING block of `id % 32` zero
+    * bytes marked last, then the first frame's sync bytes over a noise
+    * tail (no valid subframe data — exactly what a METADATA parser must
+    * not care about, [[syntheticMp3]]'s posture). */
+  def syntheticFlac(id: Long): Array[Byte] = {
+    val rates = Array(44100, 48000, 32000, 22050)
+    val rate = rates((id % 4).toInt)
+    val chans = (1 + id % 2).toInt
+    val total = 1000L + (id * 37) % 5000
+    val pad = (id % 32).toInt
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write('f'); buf.write('L'); buf.write('a'); buf.write('C')
+    // STREAMINFO, not last
+    buf.write(0x00); buf.write(0); buf.write(0); buf.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(1) = 0x00 // min blocksize 4096
+    si(2) = 0x10; si(3) = 0x00 // max blocksize
+    // min/max framesize (24-bit each) — noise is legal (0 = unknown)
+    val packed = (rate.toLong << 44) | ((chans - 1).toLong << 41) |
+      (15L << 36) | total // bps−1 = 15 → 16-bit
+    for (j <- 0 until 8) si(10 + j) = ((packed >> (56 - 8 * j)) & 0xFF).toByte
+    for (j <- 0 until 16) si(18 + j) = (((id * 31 + j) % 256) & 0xFF).toByte
+    buf.write(si, 0, 34)
+    // PADDING, last
+    buf.write(0x81); buf.write(0); buf.write(0); buf.write(pad)
+    for (_ <- 0 until pad) buf.write(0)
+    // first frame sync + noise tail
+    buf.write(0xFF); buf.write(0xF8)
+    for (j <- 0 until 16) buf.write(((id * 7 + j * 13) % 255).toInt)
+    buf.toByteArray
+  }
+
   /** Deterministic synthetic mono 16-bit PCM WAV: sample i of clip `id` is
     * ((id·7 + i·31) % 65536) − 32768 — full-range, analytic, and LOSSLESS
     * through the WAV container, so the q62 oracle recomputes any

@@ -129,4 +129,49 @@ object Serving {
       .withColumn("prefix_group", col("__mx").getField("g"))
       .drop("__mx")
   }
+
+  /** SPECULATIVE-DECODING ACCEPTANCE audit (Leviathan et al. 2023 /
+    * Chen et al. 2023): given per-request DRAFT tokens (the cheap model's
+    * proposal) and TARGET tokens (what the big model actually emits —
+    * greedy, so acceptance is exact prefix agreement), compute the
+    * quantities a serving fleet sizes speculative decoding with:
+    *  - `n_draft`, `n_target`: proposal / reference lengths;
+    *  - `n_accept`: the longest common PREFIX length — the draft tokens
+    *    the target model verifies and keeps in one step;
+    *  - `accept_rate` = n_accept / n_draft (one IEEE division; NULL when
+    *    the draft is empty) — the published per-token acceptance α;
+    *  - `toks_per_step` = min(n_accept + 1, n_target): tokens emitted
+    *    per target-model forward pass (the accepted run plus the free
+    *    correction token, capped by the reference running out) — the
+    *    speedup numerator in the paper's expected-tokens formula.
+    * NULL arrays count as empty. Zero shuffle — the prefix scan is
+    * `array_position` over the zipped equality stream, pure per-row
+    * column algebra; aggregate corpus-level α is one mean away. */
+  def specAcceptance(df: DataFrame, idCol: String, draftCol: String,
+                     targetCol: String): DataFrame = {
+    requireFresh(df, "specAcceptance", "n_draft", "n_target", "n_accept",
+      "accept_rate", "toks_per_step", "__mis")
+    def toksOf(c: String): Column = coalesce(col(c),
+      expr(s"CAST(array() AS ${df.schema(c).dataType.sql})"))
+    val d = toksOf(draftCol)
+    val t = toksOf(targetCol)
+    // equality stream over the common length; first mismatch position is
+    // 1-based (0 = no mismatch → the whole common length is accepted)
+    val mis = array_position(
+      zip_with(slice(d, lit(1), least(size(d), size(t))),
+        slice(t, lit(1), least(size(d), size(t))), (a, b) => a === b),
+      false)
+    df.withColumn("n_draft", size(d))
+      .withColumn("n_target", size(t))
+      .withColumn("__mis", mis)
+      .withColumn("n_accept",
+        when(col("__mis") > 0, col("__mis") - 1)
+          .otherwise(least(col("n_draft"), col("n_target")).cast("long"))
+          .cast("int"))
+      .withColumn("accept_rate", when(col("n_draft") > 0,
+        col("n_accept").cast("double") / col("n_draft").cast("double")))
+      .withColumn("toks_per_step",
+        least(col("n_accept") + 1, col("n_target")).cast("int"))
+      .drop("__mis")
+  }
 }

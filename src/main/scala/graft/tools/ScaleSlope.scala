@@ -396,6 +396,15 @@ object ScaleSlope {
       // r19d: q200 = per-row synthetic-JPEG encode + marker walk (the
       // q179 codec rail for images — no shuffle)
       "q200_jpeg_meta",
+      // r19d: q201 = per-row synthetic-FLAC encode + STREAMINFO bit
+      // unpack (codec rail — no shuffle)
+      "q201_flac_meta",
+      // r19d: q202 = tokenize + one zip_with prefix scan per row — pure
+      // column algebra, zero shuffle
+      "q202_spec_accept",
+      // r19d: q203 = tokenize + fixed-grid depth explode + two slices and
+      // a hash per output row — the explode IS the output stream
+      "q203_needle_prep",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

@@ -5297,6 +5297,94 @@ class ExtSpec extends AnyFunSuite {
     assert(metas.length == 1 && metas(0).id == 4L && metas(0).width == 44)
   }
 
+  test("parseFlacMeta: bit fields, block walk, strict tail") {
+    import graft.ext.Multimodal
+    for (id <- 0L to 5L) {
+      val Some((rate, ch, bps, total, ms, blocks, md5)) =
+        Multimodal.parseFlacMeta(Multimodal.syntheticFlac(id))
+      val wantRate = Array(44100, 48000, 32000, 22050)((id % 4).toInt)
+      assert(rate == wantRate && ch == 1 + id % 2 && bps == 16)
+      assert(total == 1000L + (id * 37) % 5000 && ms == total * 1000L / rate)
+      assert(blocks == 2)
+      assert(md5 == (0 until 16).map(j => f"${(id * 31 + j) % 256}%02x").mkString)
+    }
+    val good = Multimodal.syntheticFlac(3L)
+    // strictness: bad magic, truncated STREAMINFO, trailing junk after
+    // the last block that is not a frame sync, and STREAMINFO-not-first
+    assert(Multimodal.parseFlacMeta("not flac".getBytes).isEmpty)
+    assert(Multimodal.parseFlacMeta(good.take(20)).isEmpty)
+    val junkTail = good.clone()
+    junkTail(good.length - 18) = 0x00 // overwrite the frame sync byte
+    assert(Multimodal.parseFlacMeta(junkTail).isEmpty)
+    val padFirst = good.clone()
+    padFirst(4) = 0x01 // first block claims PADDING, not STREAMINFO
+    assert(Multimodal.parseFlacMeta(padFirst).isEmpty)
+    // metadata-only sidecar (EOF right after the last block) is legal
+    val pad = (3L % 32).toInt
+    val sidecar = good.take(4 + 4 + 34 + 4 + pad)
+    assert(Multimodal.parseFlacMeta(sidecar).exists(_._6 == 2))
+    // dataset path: undecodable rows drop
+    val media = Seq(
+      Multimodal.MediaRow(3L, good),
+      Multimodal.MediaRow(4L, "junk".getBytes)).toDS()
+    val metas = Multimodal.flacMeta(media).collect()
+    assert(metas.length == 1 && metas(0).id == 3L &&
+      metas(0).sample_rate == 22050)
+  }
+
+  test("specAcceptance: prefix agreement, free token, degenerate lengths") {
+    import graft.ext.Serving
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")), // all accept
+      (2L, Seq("a", "x", "c"), Seq("a", "b", "c")),           // mismatch at 2
+      (3L, Seq("z", "b"), Seq("a", "b")),                     // mismatch at 1
+      (4L, Seq("a", "b"), Seq("a", "b", "c", "d")),           // short draft
+      (5L, Seq("a", "b", "c"), Seq("a")),                     // short target
+      (6L, Seq.empty[String], Seq("a", "b")),                 // empty draft
+      (7L, Seq("a"), Seq.empty[String])                       // empty target
+    ).toDF("id", "draft", "target")
+    val r = Serving.specAcceptance(rows, "id", "draft", "target")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getInt(x.fieldIndex("n_accept")),
+        Option(x.get(x.fieldIndex("accept_rate"))).map(_.asInstanceOf[Double]),
+        x.getInt(x.fieldIndex("toks_per_step")))).toSeq
+    assert(r(0) == ((1L, 4, Some(1.0), 4)))       // capped by target length
+    assert(r(1) == ((2L, 1, Some(1.0 / 3.0), 2)))
+    assert(r(2) == ((3L, 0, Some(0.0), 1)))
+    assert(r(3) == ((4L, 2, Some(1.0), 3)))       // full draft accepted + free
+    assert(r(4) == ((5L, 1, Some(1.0 / 3.0), 1))) // target exhausted
+    assert(r(5) == ((6L, 0, None, 1)))            // empty draft: rate null
+    assert(r(6) == ((7L, 0, Some(0.0), 0)))
+  }
+
+  test("needleInsert: splice boundaries at every depth, hash integrity") {
+    import graft.ext.Eval
+    val df = Seq((1L, Seq("t0", "t1", "t2", "t3")), (2L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val needle = Seq("N1", "N2")
+    val r = Eval.needleInsert(df, "id", "toks", needle,
+        depthsPct = Seq(0, 50, 100))
+      .orderBy("id", "depth_pct").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+        x.getString(4)))
+    def h(toks: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(toks.mkString("\u001f").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    val base = Seq("t0", "t1", "t2", "t3")
+    assert(r(0) == ((1L, 0, 0, 6, h(needle ++ base))))
+    assert(r(1) == ((1L, 50, 2, 6,
+      h(base.take(2) ++ needle ++ base.drop(2)))))
+    assert(r(2) == ((1L, 100, 4, 6, h(base ++ needle))))
+    // empty document: every depth prepends at 0
+    assert(r.drop(3).forall { case (_, _, pos, n, md5) =>
+      pos == 0 && n == 2 && md5 == h(needle) })
+    intercept[IllegalArgumentException] {
+      Eval.needleInsert(df, "id", "toks", Seq.empty)
+    }
+  }
+
   test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {
     // the SentencePiece-shaped plain-text (piece, score) pair completes
     // the tokenizer triad's artifact story (BPE: merges.txt/vocab.json;
