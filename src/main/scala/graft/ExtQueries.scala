@@ -2137,6 +2137,52 @@ object ExtQueries {
           spansStr("rejected_spans").as("rejected_spans_str"))
         .presentBy(col("doc_id"))
     },
+    // pass@k: 8 synthetic samples per problem with an id-arithmetic
+    // correctness grid (modulus 1 + id%4 spreads c over 2..8; every 7th
+    // problem fails everything — the pass@k = 0 branch) evaluated at
+    // k ∈ {1, 4, 8, 10} — k = 10 > n pins the NULL convention. The
+    // oracle replays the counts, both falling-factorial integer
+    // products, and the single division.
+    "q204_pass_at_k" -> { (s, dir) =>
+      val samples = read(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(1L), lit(8L))).as("j"))
+        .withColumn("ok", pmod(col("doc_id"), lit(7)) =!= 0 &&
+          pmod(col("doc_id") + col("j"),
+            lit(1) + pmod(col("doc_id"), lit(4))) === 0)
+      Eval.passAtK(samples, "doc_id", "ok", ks = Seq(1, 4, 8, 10))
+        .presentBy(col("doc_id"), col("k"))
+    },
+    // BRADLEY-TERRY ARENA: one synthetic battle per document between its
+    // source and an id-arithmetic opponent, winner biased toward the
+    // higher source ordinal — then 8 quantized MM iterations. The oracle
+    // replays the battle synthesis, the undirected pair counts, and all
+    // 8 iterations as unrolled CTEs whose only cross-row sums are
+    // INTEGER (the nano-unit quantization makes the fixed point
+    // engine-exact); one strength off by one nano anywhere fails.
+    "q205_bt_arena" -> { (s, dir) =>
+      val d = read(s, dir, "documents").filter(col("source").isNotNull)
+        .withColumn("ia", expr("CAST(substr(source, 4) AS BIGINT)"))
+        .withColumn("ib",
+          pmod(col("ia") + 1 + pmod(col("doc_id"), lit(19)), lit(20)))
+        .withColumn("ma", col("source"))
+        .withColumn("mb", concat(lit("src"), col("ib").cast("string")))
+        .withColumn("win",
+          when(pmod(col("doc_id") * 31, col("ia") + col("ib") + 2)
+            <= col("ia"), col("ma")).otherwise(col("mb")))
+      Eval.btRatings(d, "ma", "mb", "win", iters = 8)
+        .presentBy(col("model"))
+    },
+    // DISTINCT-N diversity: bigram uniqueness share over each document's
+    // token stream — the oracle replays the gram build, the per-row
+    // distinct count, and the single division.
+    "q206_distinct_ngrams" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"),
+        TextStats.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      Eval.distinctN(d, "toks", n = 2)
+        .select(col("doc_id"), col("grams_n"), col("uniq_n"),
+          col("distinct_n"))
+        .presentBy(col("doc_id"))
+    },
     // FLAC METADATA over the STREAMINFO walker: one synthetic FLAC per
     // document — rate/channels/total-samples/MD5 are all id-arithmetic
     // (the q179/q200 posture), so the oracle recomputes every unpacked
@@ -4766,6 +4812,110 @@ object ExtQueries {
        |FROM t LEFT JOIN b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // q204: pass@k replayed — the correctness grid, per-problem counts,
+  // both falling-factorial products as exact integer list_products, and
+  // the one-division estimator with the k > n NULL and the n-c < k
+  // short-circuit.
+  private val passAtKSql: String =
+    """WITH v AS (SELECT doc_id, unnest(range(1, 9)) AS j FROM documents),
+      |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |    CAST(sum(CASE WHEN doc_id % 7 <> 0
+      |      AND (doc_id + j) % (1 + doc_id % 4) = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_correct
+      |  FROM v GROUP BY doc_id),
+      |k AS (SELECT doc_id, n_samples, n_correct,
+      |    unnest([1, 4, 8, 10]) AS k FROM c),
+      |f AS (SELECT doc_id, n_samples, n_correct, CAST(k AS INT) AS k,
+      |    CASE WHEN n_samples - n_correct >= k
+      |         THEN CAST(list_product(list_transform(range(0, k),
+      |           i -> n_samples - n_correct - i)) AS BIGINT)
+      |         ELSE 0 END AS num,
+      |    CASE WHEN k <= n_samples
+      |         THEN CAST(list_product(list_transform(range(0, k),
+      |           i -> n_samples - i)) AS BIGINT)
+      |         ELSE 0 END AS den
+      |  FROM k)
+      |SELECT doc_id, n_samples, n_correct, k,
+      |  CASE WHEN k > n_samples THEN NULL
+      |       ELSE CAST(1.0 AS DOUBLE) -
+      |            CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS pass_at_k
+      |FROM f ORDER BY doc_id, k""".stripMargin
+
+  // q205: the arena replayed end to end — battle synthesis, undirected
+  // pair counts, then the 8 quantized MM iterations UNROLLED as chained
+  // CTEs. Every per-pair term is the operator's exact double expression
+  // floored back to integer nano-units, and every cross-row SUM is over
+  // those integers — order-free under any aggregation tree, so the
+  // fixed point is bit-identical to the driver-side loop.
+  private val btArenaSql: String = {
+    def sumTerms(prev: String): String =
+      s"""SELECT n.a AS model,
+         |      CAST(SUM(CAST(floor(CAST(n.n AS DOUBLE) * 1e9 /
+         |        ((CAST(pa.p AS DOUBLE) + CAST(pb.p AS DOUBLE)) / 1e9)
+         |        + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |    FROM nmat n
+         |    JOIN $prev pa ON n.a = pa.model
+         |    JOIN $prev pb ON n.b = pb.model
+         |    GROUP BY n.a""".stripMargin
+    def iterCte(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT i.model,
+         |    CASE WHEN COALESCE(s.s, 0) = 0 THEN i.p
+         |         ELSE GREATEST(1000, CAST(floor(LEAST(
+         |           CAST(w.wins AS DOUBLE) * 1e18 / CAST(s.s AS DOUBLE),
+         |           1e15) + 0.5) AS BIGINT)) END AS p
+         |  FROM $prev i
+         |  LEFT JOIN (${sumTerms(prev)}) s ON i.model = s.model
+         |  JOIN wstat w ON i.model = w.model)""".stripMargin
+    val iters = (1 to 8).map(t =>
+      iterCte(if (t == 1) "p0" else s"it${t - 1}", s"it$t")).mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT doc_id, source AS ma,
+       |    CAST(substr(source, 4) AS BIGINT) AS ia,
+       |    (CAST(substr(source, 4) AS BIGINT) + 1 + doc_id % 19) % 20 AS ib
+       |  FROM documents WHERE source IS NOT NULL),
+       |gm AS (
+       |  SELECT ma, 'src' || CAST(ib AS VARCHAR) AS mb,
+       |    CASE WHEN (doc_id * 31) % (ia + ib + 2) <= ia THEN ma
+       |         ELSE 'src' || CAST(ib AS VARCHAR) END AS w
+       |  FROM base),
+       |dirn AS (SELECT least(ma, mb) AS lo, greatest(ma, mb) AS hi,
+       |    CASE WHEN w = least(ma, mb) THEN 1 ELSE 0 END AS wlo
+       |  FROM gm WHERE ma <> mb AND (w = ma OR w = mb)),
+       |pc AS MATERIALIZED (SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(wlo) AS BIGINT) AS wlo FROM dirn GROUP BY lo, hi),
+       |nmat AS MATERIALIZED (SELECT lo AS a, hi AS b, n FROM pc
+       |  UNION ALL SELECT hi AS a, lo AS b, n FROM pc),
+       |wstat AS MATERIALIZED (SELECT a AS model, CAST(SUM(wv) AS BIGINT) AS wins,
+       |    CAST(SUM(n) AS BIGINT) AS games FROM (
+       |    SELECT lo AS a, wlo AS wv, n FROM pc
+       |    UNION ALL SELECT hi AS a, n - wlo AS wv, n FROM pc) z
+       |  GROUP BY a),
+       |p0 AS MATERIALIZED (SELECT model, CAST(1000000000 AS BIGINT) AS p FROM wstat),
+       |$iters
+       |SELECT w.model, w.games AS n_games, w.wins AS n_wins,
+       |  i.p AS bt_nano,
+       |  CAST(w.wins AS DOUBLE) / CAST(w.games AS DOUBLE) AS win_rate
+       |FROM wstat w JOIN it8 i USING (model) ORDER BY w.model""".stripMargin
+  }
+
+  // q206: distinct-n replayed — the bigram build, per-row distinct
+  // count, and the single division.
+  private val distinctNgramsSql: String =
+    s"""WITH t AS (SELECT doc_id, $docToksC AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 2
+       |         THEN list_transform(range(1, len(toks)),
+       |           i -> array_to_string(list_slice(toks, i, i + 1), chr(31)))
+       |         ELSE [] END AS ga
+       |  FROM t)
+       |SELECT doc_id, CAST(len(ga) AS BIGINT) AS grams_n,
+       |  CAST(len(list_distinct(ga)) AS BIGINT) AS uniq_n,
+       |  CASE WHEN len(ga) > 0
+       |       THEN CAST(len(list_distinct(ga)) AS DOUBLE) /
+       |            CAST(len(ga) AS DOUBLE) END AS distinct_n
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // q201: FLAC metadata replayed arithmetically — every STREAMINFO bit
   // field (rate by id%4, channels, the 36-bit total-samples, integer-ms
   // duration) and the embedded MD5's lower-hex encoding recomputed from
@@ -5643,6 +5793,9 @@ object ExtQueries {
     "q201_flac_meta" -> flacMetaSql,
     "q202_spec_accept" -> specAcceptSql,
     "q203_needle_prep" -> needlePrepSql,
+    "q204_pass_at_k" -> passAtKSql,
+    "q205_bt_arena" -> btArenaSql,
+    "q206_distinct_ngrams" -> distinctNgramsSql,
     "q185_best_of_n" -> bestOfNSql,
     "q186_chat_truncate" -> chatTruncateSql,
     "q187_grpo_advantage" -> grpoAdvantageSql,

@@ -270,4 +270,164 @@ object Eval {
               size(col("__t")) - col("__pos").cast("int")))))
           .as("ctx_md5"))
   }
+
+  /** pass@k (Chen et al. 2021, the Codex estimator) — the unbiased
+    * probability that at least one of k draws from a problem's n samples
+    * is correct: `pass@k = 1 − C(n−c, k)/C(n, k)` with c = correct
+    * samples. Computed EXACTLY: both binomials cancel to falling
+    * factorials `Π_{j<k}(n−c−j)` / `Π_{j<k}(n−j)` — integer products
+    * (order-free, overflow-safe while n^k < 2⁶³; at the conventional
+    * n ≤ 100, k ≤ 10 the products stay under 10²⁰… so the guard requires
+    * n ≤ 45 for k = 10; larger panels use smaller k or the float form) —
+    * then ONE double division and ONE subtraction, so the q204 oracle
+    * replays it bit for bit. `n − c < k` short-circuits to the exact 1
+    * (every k-subset contains a correct sample); `k > n` yields NULL
+    * (undefined — you cannot draw k from n).
+    *
+    * Input: one row per (problem, sample) with a boolean/int
+    * correctness column. Output: one row per (problem, k) —
+    * `n_samples, n_correct, k, pass_at_k`. Scale shape: ONE
+    * problem-keyed count aggregate (map-side combine), then a fixed-grid
+    * k explode and per-row integer folds — nothing corpus-global. */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+              ks: Seq[Int] = Seq(1, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    requireFresh(df, "passAtK", "n_samples", "n_correct", "k", "pass_at_k",
+      "__num", "__den")
+    val agg = df.groupBy(col(problemCol)).agg(
+      count(lit(1)).as("n_samples"),
+      sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+        .as("n_correct"))
+    val n = col("n_samples")
+    val c = col("n_correct")
+    def falling(from: Column): Column =
+      aggregate(sequence(lit(0L), col("k").cast("long") - 1L),
+        lit(1L), (acc, j) => acc * (from - j))
+    agg
+      .select(col(problemCol), n, c,
+        explode(array(ks.map(k => lit(k)): _*)).as("k"))
+      .withColumn("__num",
+        when(n - c < col("k"), lit(0L)).otherwise(falling(n - c)))
+      .withColumn("__den", falling(n))
+      .withColumn("pass_at_k", when(col("k") > n, lit(null).cast("double"))
+        .otherwise(lit(1.0) -
+          col("__num").cast("double") / col("__den").cast("double")))
+      .drop("__num", "__den")
+  }
+
+  /** BRADLEY–TERRY arena ratings (the Chatbot-Arena aggregation:
+    * pairwise model battles → a strength score per model) via Hunter
+    * 2004's MM iteration `p_i ← W_i / Σ_{j≠i} n_ij/(p_i + p_j)`, run a
+    * FIXED `iters` rounds from p = 1 — deterministic, no convergence
+    * test, no RNG.
+    *
+    * QUANTIZED for cross-engine bit-reproducibility: strengths live as
+    * integer NANO-units (`bt_nano`, 1.0 = 10⁹), each pair term is ONE
+    * double expression `floor(n_ij·10⁹ / ((p_i+p_j)/10⁹) + 0.5)`
+    * rounded back to an integer, and the per-model denominator is an
+    * INTEGER sum — order-free under any aggregation tree, so the q205
+    * oracle replays every iteration with unrolled CTEs and unordered
+    * SUMs. Clamps make the fixed-point walk total: strengths floor at
+    * 10³ nano (10⁻⁶) and cap at 10¹⁵ nano (10⁶) — a model that never
+    * wins sits at the floor, an unbeaten one walks to the cap instead
+    * of overflowing — and a zero denominator (every term floored to 0
+    * against far-stronger opponents) keeps the previous strength.
+    * Overflow bound: `t_ij ≤ n_ij·10⁹/(2·10⁻⁶)`, so pair game counts up
+    * to ~10⁴ and thousands of opponents stay inside int64. Ratings are
+    * UNNORMALIZED (BT is scale-invariant; consumers compare ratios or
+    * ln-differences).
+    *
+    * Input: one row per game — two model columns + the winner column
+    * (rows whose winner is neither player, or where a model plays
+    * itself, are dropped). Output: one row per model — `model, n_games,
+    * n_wins, bt_nano, win_rate`. Scale shape: ONE undirected-pair count
+    * aggregate over the game stream (map-side combine), then the MM
+    * loop on the collected K²-pair table — driver state is O(models²),
+    * the [[graft.ext.Corpus.epochWaterfill]] bounded-collect posture
+    * (models number in the dozens-to-thousands; the games stream never
+    * leaves the cluster unaggregated). */
+  def btRatings(games: DataFrame, modelACol: String, modelBCol: String,
+                winnerCol: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val spark = games.sparkSession
+    val g = games
+      .select(col(modelACol).cast("string").as("a"),
+        col(modelBCol).cast("string").as("b"),
+        col(winnerCol).cast("string").as("w"))
+      .filter(col("a") =!= col("b") &&
+        (col("w") === col("a") || col("w") === col("b")))
+    val rows = g
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"),
+        when(col("w") === least(col("a"), col("b")), 1L).otherwise(0L)
+          .as("wlo"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n"), sum("wlo").as("wlo"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nPair = scala.collection.mutable.Map.empty[(String, String), Long]
+    val wins = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val tot = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    rows.foreach { case (lo, hi, n, wlo) =>
+      nPair((lo, hi)) = n
+      wins(lo) += wlo; wins(hi) += n - wlo
+      tot(lo) += n; tot(hi) += n
+    }
+    val models = tot.keys.toSeq.sorted
+    def nOf(i: String, j: String): Long =
+      nPair.getOrElse(if (i < j) (i, j) else (j, i), 0L)
+    var p = models.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      p = models.map { i =>
+        // integer denominator: each term is one double expression floored
+        // back to nano-units — the SQL oracle computes the identical ops
+        val s = models.iterator.filter(j => j != i && nOf(i, j) > 0L)
+          .map { j =>
+            math.floor(nOf(i, j).toDouble * 1.0e9 /
+              ((p(i).toDouble + p(j).toDouble) / 1.0e9) + 0.5).toLong
+          }.sum
+        val pn = if (s == 0L) p(i)
+        else math.max(1000L, math.floor(
+          math.min(wins(i).toDouble * 1.0e18 / s.toDouble, 1.0e15) + 0.5)
+          .toLong)
+        i -> pn
+      }.toMap
+    }
+    import spark.implicits._
+    models.map { m =>
+      (m, tot(m), wins(m), p(m), wins(m).toDouble / tot(m).toDouble)
+    }.toDF("model", "n_games", "n_wins", "bt_nano", "win_rate")
+  }
+
+  /** DISTINCT-N generation diversity (Li et al. 2016): the share of a
+    * token stream's n-grams that are unique — the standard repetition /
+    * mode-collapse diagnostic for sampled generations (distinct-1 and
+    * distinct-2 are the published pair). Per row: `grams_n` (total
+    * n-grams, arithmetic), `uniq_n` (distinct — counted inside the row
+    * with `array_distinct`, no shuffle), and `distinct_n` = uniq/total
+    * (one IEEE division; NULL when the row has no n-grams). Corpus-level
+    * distinct-n (unique grams across ALL rows / total) is the one
+    * (gram)-keyed aggregate away — deliberately not fused here, since
+    * the per-row metric is the filterable quantity.
+    *
+    * Zero shuffle: gram array built in its own projection (the no-CSE
+    * rule), dedup + counts are per-row array ops. */
+  def distinctN(df: DataFrame, toksCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    requireFresh(df, "distinctN", "grams_n", "uniq_n", "distinct_n", "__ga")
+    val toks = coalesce(col(toksCol),
+      expr(s"CAST(array() AS ${df.schema(toksCol).dataType.sql})"))
+    val grams =
+      when(size(toks) - n + 1 < 1, expr("CAST(array() AS array<string>)"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws("\u001f", slice(toks, i + 1, lit(n)))))
+    df.withColumn("__ga", grams)
+      .withColumn("grams_n", size(col("__ga")).cast("long"))
+      .withColumn("uniq_n", size(array_distinct(col("__ga"))).cast("long"))
+      .withColumn("distinct_n", when(col("grams_n") > 0L,
+        col("uniq_n").cast("double") / col("grams_n").cast("double")))
+      .drop("__ga")
+  }
 }

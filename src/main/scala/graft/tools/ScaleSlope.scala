@@ -405,6 +405,14 @@ object ScaleSlope {
       // r19d: q203 = tokenize + fixed-grid depth explode + two slices and
       // a hash per output row — the explode IS the output stream
       "q203_needle_prep",
+      // r19e: q204 = samples explode + ONE problem-keyed count aggregate
+      // + fixed-grid k explode with per-row integer folds
+      "q204_pass_at_k",
+      // r19e: q205 = ONE undirected-pair count aggregate (map-side
+      // combine) + the K²-bounded driver MM loop — the q197 posture
+      "q205_bt_arena",
+      // r19e: q206 = per-row gram build + array_distinct — zero shuffle
+      "q206_distinct_ngrams",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

@@ -5385,6 +5385,92 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("passAtK: exact combinatorics, short-circuits, k > n NULL") {
+    import graft.ext.Eval
+    // problem 1: n = 5, c = 2; problem 2: n = 4, c = 0; problem 3: all correct
+    val samples =
+      ((1 to 5).map(j => (1L, j <= 2)) ++ (1 to 4).map(_ => (2L, false)) ++
+        (1 to 3).map(_ => (3L, true))).toDF("pid", "ok")
+    val r = Eval.passAtK(samples, "pid", "ok", ks = Seq(1, 2, 5, 6))
+      .orderBy("pid", "k").collect()
+      .map(x => ((x.getLong(0), x.getInt(x.fieldIndex("k"))) ->
+        Option(x.get(x.fieldIndex("pass_at_k"))).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(r((1L, 1)) == Some(1.0 - 3.0 / 5.0))
+    assert(r((1L, 2)) == Some(1.0 - 3.0 / 10.0))
+    assert(r((1L, 5)) == Some(1.0)) // n - c < k: some draw must hit
+    assert(r((1L, 6)) == None)      // cannot draw 6 from 5
+    assert(r((2L, 1)) == Some(0.0) && r((2L, 2)) == Some(0.0))
+    assert(r((3L, 1)) == Some(1.0) && r((3L, 2)) == Some(1.0))
+  }
+
+  test("btRatings: quantized MM tracks the real fixed point; stronger models rate higher") {
+    import graft.ext.Eval
+    // round-robin among three models: A beats B 8/10, B beats C 8/10,
+    // A beats C 9/10 — a clean strength order A > B > C
+    def games(a: String, b: String, n: Int, aw: Int) =
+      (1 to n).map(i => (a, b, if (i <= aw) a else b))
+    val g = (games("A", "B", 10, 8) ++ games("B", "C", 10, 8) ++
+      games("A", "C", 10, 9) ++
+      Seq(("A", "A", "A"), ("A", "B", "Z"))) // dropped: self-game, bad winner
+      .toDF("ma", "mb", "win")
+    val out = Eval.btRatings(g, "ma", "mb", "win", iters = 16)
+      .orderBy("model").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4))).toMap
+    assert(out.keySet == Set("A", "B", "C"))
+    assert(out("A")._1 == 20 && out("A")._2 == 17) // 8 + 9 wins
+    assert(out("B")._1 == 20 && out("B")._2 == 10) // 2 + 8
+    assert(out("C")._1 == 20 && out("C")._2 == 3)
+    assert(out("A")._4 == 17.0 / 20.0)
+    val pA = out("A")._3; val pB = out("B")._3; val pC = out("C")._3
+    assert(pA > pB && pB > pC, s"order violated: $pA $pB $pC")
+    // unquantized MM reference (double arithmetic, same iterations):
+    // the nano-quantized walk must land within ~1e-6 relative
+    val models = Seq("A", "B", "C")
+    val n = Map(("A", "B") -> 10.0, ("B", "C") -> 10.0, ("A", "C") -> 10.0)
+      .withDefaultValue(0.0)
+    def nOf(i: String, j: String) = if (i < j) n((i, j)) else n((j, i))
+    val w = Map("A" -> 17.0, "B" -> 10.0, "C" -> 3.0)
+    var p = models.map(_ -> 1.0).toMap
+    for (_ <- 1 to 16) {
+      p = models.map { i =>
+        val s = models.filter(j => j != i && nOf(i, j) > 0)
+          .map(j => nOf(i, j) / (p(i) + p(j))).sum
+        i -> w(i) / s
+      }.toMap
+    }
+    models.foreach { m =>
+      val got = out(m)._3.toDouble / 1e9
+      assert(math.abs(got - p(m)) / p(m) < 1e-5,
+        s"$m: quantized $got vs reference ${p(m)}")
+    }
+    // a model that never wins sits at (or near) the strength floor
+    val shutout = (games("X", "Y", 10, 10)).toDF("ma", "mb", "win")
+    val so = Eval.btRatings(shutout, "ma", "mb", "win", iters = 8)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(so("Y") == 1000L && so("X") >= so("Y"))
+  }
+
+  test("distinctN: uniqueness share, degenerate lengths") {
+    import graft.ext.Eval
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // bigrams ab,ba,ab,ba -> 2 of 4
+      (2L, Seq("x", "y", "z")),           // all distinct
+      (3L, Seq("solo")),                  // no bigrams
+      (4L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val r = Eval.distinctN(df, "toks", n = 2).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(x.fieldIndex("grams_n")),
+        x.getLong(x.fieldIndex("uniq_n")),
+        Option(x.get(x.fieldIndex("distinct_n")))
+          .map(_.asInstanceOf[Double])))
+    assert(r(0) == ((1L, 4L, 2L, Some(0.5))))
+    assert(r(1) == ((2L, 2L, 2L, Some(1.0))))
+    assert(r(2) == ((3L, 0L, 0L, None)))
+    assert(r(3) == ((4L, 0L, 0L, None)))
+  }
+
   test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {
     // the SentencePiece-shaped plain-text (piece, score) pair completes
     // the tokenizer triad's artifact story (BPE: merges.txt/vocab.json;
