@@ -2137,6 +2137,37 @@ object ExtQueries {
           spansStr("rejected_spans").as("rejected_spans_str"))
         .presentBy(col("doc_id"))
     },
+    // QUALITY-ANNEALED CURRICULUM: n_chars as the quality proxy, anneal
+    // fraction 0.2 — the top fifth by (chars desc, id) forms the
+    // shuffled tail of the training order, the rest the shuffled main
+    // phase. The oracle replays the count, the floor(n·0.2) cut, both
+    // md5 shuffle keys, and every rank; one row on the wrong side of
+    // either boundary anywhere fails the hash.
+    "q207_anneal_order" -> { (s, dir) =>
+      val d = read(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      Corpus.annealOrder(d, "doc_id", "n_chars", annealFrac = 0.2)
+        .select(col("doc_id"), col("phase"), col("quality_rank"),
+          col("train_order"))
+        .presentBy(col("doc_id"))
+    },
+    // DETOKENIZER ROUND-TRIP: byte-level BPE encode → vocab-free token
+    // decode must reproduce the normalized input EXACTLY, corpus-wide —
+    // the q190 external-law shape: the Spark side hashes its
+    // encode-then-decode reconstruction, the oracle hashes the
+    // normalized ORIGINAL text it re-derives independently (bytes the
+    // reconstruction never saw). Any pre-tokenizer drop, merge-table
+    // corruption, or stand-in-alphabet mapping error anywhere fails.
+    "q208_detok_roundtrip" -> { (s, dir) =>
+      val norm = docsPar(s, dir).select(col("doc_id"),
+        regexp_replace(coalesce(col("text"), lit("")),
+          NonRe2WhitespaceJava, " ").as("text2"))
+      TextStats.bpeStats(norm, "text2",
+          q170Merges.map { case (a, b) => s"$a $b" }, byteLevel = true)
+        .select(col("doc_id"), length(col("text2")).as("n_chars_norm"),
+          md5(graft.funcs.BpeFunctions.bpeDetok(col("bpe_tokens"),
+            byteLevel = true)).as("detok_md5"))
+        .presentBy(col("doc_id"))
+    },
     // pass@k: 8 synthetic samples per problem with an id-arithmetic
     // correctness grid (modulus 1 + id%4 spreads c over 2..8; every 7th
     // problem fails everything — the pass@k = 0 branch) evaluated at
@@ -4812,6 +4843,41 @@ object ExtQueries {
        |FROM t LEFT JOIN b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // q207: the annealed curriculum replayed — the count, the floor(n·0.2)
+  // cut, the (chars desc, id) quality rank, and the (phase, md5, id)
+  // train order, all as window ranks over the same keys the two-phase
+  // prefix sums realize distributedly.
+  private val annealOrderSql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      |q AS (SELECT doc_id, n_chars,
+      |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+      |      AS quality_rank
+      |  FROM d),
+      |f AS (SELECT q.doc_id, q.quality_rank,
+      |    CASE WHEN q.quality_rank <=
+      |      CAST(floor(CAST(t.n AS DOUBLE) * CAST(0.2 AS DOUBLE)) AS BIGINT)
+      |      THEN 'anneal' ELSE 'main' END AS phase
+      |  FROM q, t)
+      |SELECT doc_id, phase, quality_rank,
+      |  CAST(row_number() OVER (ORDER BY
+      |    CASE WHEN phase = 'anneal' THEN 1 ELSE 0 END,
+      |    md5(CAST(doc_id AS VARCHAR) || ':graft:anneal'), doc_id) - 1
+      |    AS BIGINT) AS train_order
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // q208: the round-trip's EXTERNAL law — the oracle never sees the
+  // tokenizer at all; it hashes the normalized original text, which the
+  // Spark side's encode→detok reconstruction must reproduce byte for
+  // byte (the q190 pattern applied to the tokenizer codec).
+  private val detokRoundtripSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_replace(coalesce(text, ''),
+       |    '$NonRe2WhitespaceRe2', ' ', 'g')) AS INT) AS n_chars_norm,
+       |  md5(regexp_replace(coalesce(text, ''),
+       |    '$NonRe2WhitespaceRe2', ' ', 'g')) AS detok_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // q204: pass@k replayed — the correctness grid, per-problem counts,
   // both falling-factorial products as exact integer list_products, and
   // the one-division estimator with the k > n NULL and the n-c < k
@@ -5796,6 +5862,8 @@ object ExtQueries {
     "q204_pass_at_k" -> passAtKSql,
     "q205_bt_arena" -> btArenaSql,
     "q206_distinct_ngrams" -> distinctNgramsSql,
+    "q207_anneal_order" -> annealOrderSql,
+    "q208_detok_roundtrip" -> detokRoundtripSql,
     "q185_best_of_n" -> bestOfNSql,
     "q186_chat_truncate" -> chatTruncateSql,
     "q187_grpo_advantage" -> grpoAdvantageSql,

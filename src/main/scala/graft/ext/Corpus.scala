@@ -1546,6 +1546,53 @@ object Corpus {
       .drop("__sk", "__so", "__s1", "__sc")
   }
 
+  /** QUALITY-ANNEALED curriculum order (the published end-of-training
+    * annealing recipe: train the bulk of steps on the full shuffled mix,
+    * then finish on the highest-quality slice — MiniCPM's two-phase
+    * schedule, OLMo's late-stage re-weighting, Llama 3's annealing data):
+    * emit a deterministic `train_order` where the TOP `annealFrac` of the
+    * corpus by `scoreCol` (ties to the smaller id) forms the shuffled
+    * TAIL of the order and everything else the shuffled main phase.
+    * `phase` ('main'/'anneal') and `quality_rank` (1 = best) come along
+    * so a resume predicate or a phase-specific LR schedule can key on
+    * them. Shuffles are [[graft.ext.Audit.epochShuffle]]'s md5 keys —
+    * deterministic, RNG-free, decorrelated from the quality sort.
+    *
+    * Scale shape: two [[prefixSum]] passes (quality rank over
+    * (−score, id), then order rank over (phase, md5 key, id)) — the
+    * two-phase range-repartition discipline both times, no global-order
+    * window, driver state O(parallelism) per pass plus one `count()`.
+    * Scores must be non-NULL (they are a sort key). The anneal size is
+    * `floor(n · annealFrac)` — one double multiply + floor, which the
+    * q207 oracle replays exactly. */
+  def annealOrder(df: DataFrame, idCol: String, scoreCol: String,
+                  annealFrac: Double, salt: String = "graft:anneal",
+                  checkpoint: CheckpointStrategy =
+                    CheckpointStrategy.Local): DataFrame = {
+    require(annealFrac >= 0.0 && annealFrac <= 1.0,
+      s"annealFrac must be in [0,1], got $annealFrac")
+    requireFresh(df, "annealOrder", "phase", "quality_rank", "train_order",
+      "__qo", "__sk", "__one", "__to")
+    val n = df.count()
+    val nAnneal = math.floor(n.toDouble * annealFrac).toLong
+    val ranked = prefixSum(
+      df.withColumn("__qo",
+          struct((col(scoreCol) * -1).as("s"), col(idCol).as("i")))
+        .withColumn("__one", lit(1L)),
+      "__qo", "__one", "quality_rank", checkpoint)
+    val flagged = ranked
+      .withColumn("phase", when(col("quality_rank") <= nAnneal,
+        lit("anneal")).otherwise(lit("main")))
+      .withColumn("__sk", md5(concat(col(idCol).cast("string"),
+        lit(":" + salt))))
+      .withColumn("__to", struct(
+        when(col("phase") === "anneal", 1).otherwise(0).as("ph"),
+        col("__sk").as("k"), col(idCol).as("i")))
+    prefixSum(flagged, "__to", "__one", "train_order", checkpoint)
+      .withColumn("train_order", col("train_order") - 1L)
+      .drop("__qo", "__sk", "__one", "__to")
+  }
+
   /** UNPACK — the INVERSE of [[packTokenArrays]]: rebuild every
     * document's token stream from delivered chunks using the `doc_spans`
     * bookkeeping. The recovery/audit path a training stack needs when all

@@ -187,6 +187,27 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String],
       if (byteLevel) BpeCodec.byteLevelDecode(s) else s)
   }
 
+  /** Decode TOKEN STRINGS back to text — the vocab-free inverse of
+    * [[encodeToArrayData]]: BPE tokens concatenate directly (pre-tokens
+    * carry their own leading spaces), and in byte-level mode the stand-in
+    * alphabet maps back to UTF-8 bytes. Unlike [[decodeIds]] this cannot
+    * lose unknown tokens (there is no vocabulary lookup to miss), so
+    * `detok(encode(text)) == text` holds for EVERY byte-level input —
+    * the exact round-trip law q208 pins corpus-wide. NULL elements
+    * contribute nothing (same placement as decodeIds' invalid-id rule). */
+  def decodeTokens(toks: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (!toks.isNullAt(i)) sb.append(toks.getUTF8String(i).toString)
+      i += 1
+    }
+    val s = sb.toString
+    UTF8String.fromString(
+      if (byteLevel) BpeCodec.byteLevelDecode(s) else s)
+  }
+
   /** Codegen entry: vocabulary ids (index into `vocab`; unknown → -1). */
   def encodeIdsToArrayData(text: UTF8String): ArrayData = {
     val toks = encode(text.toString)
@@ -342,11 +363,31 @@ case class BpeDecodeIds(child: Expression, codec: BpeCodec)
     copy(child = newChild)
 }
 
+/** Text back from BPE token strings: `string` — the vocab-free decode
+  * (see [[BpeCodec.decodeTokens]] for the exact-round-trip law). */
+case class BpeDecodeTokens(child: Expression, codec: BpeCodec)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    codec.decodeTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.decodeTokens($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeTokens =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
 
   private val EncodeName = "graft_bpe_encode"
   private val IdsName = "graft_bpe_ids"
   private val DecodeName = "graft_bpe_decode"
+  private val DetokName = "graft_bpe_detok"
 
   private def stringArrayLit(e: Expression, what: String): Array[String] =
     e match {
@@ -376,7 +417,10 @@ object BpeFunctions {
         exprs.length > 3 && boolLit(exprs(3), "byteLevel")))),
     DecodeName -> ((exprs: Seq[Expression]) => BpeDecodeIds(exprs.head,
       new BpeCodec(Array.empty, stringArrayLit(exprs(1), "vocab"),
-        exprs.length > 2 && boolLit(exprs(2), "byteLevel")))))
+        exprs.length > 2 && boolLit(exprs(2), "byteLevel")))),
+    DetokName -> ((exprs: Seq[Expression]) => BpeDecodeTokens(exprs.head,
+      new BpeCodec(Array.empty, Array.empty,
+        exprs.length > 1 && boolLit(exprs(1), "byteLevel")))))
 
   /** Register the BPE expressions (idempotent); merges/vocab arrive as
     * array<string> LITERALS and are folded into the expression's codec at
@@ -422,6 +466,13 @@ object BpeFunctions {
                 byteLevel: Boolean = false): Column =
     org.apache.spark.sql.functions.call_function(DecodeName, ids,
       org.apache.spark.sql.functions.lit(vocab.toArray),
+      org.apache.spark.sql.functions.lit(byteLevel))
+
+  /** Column API: text back from an `array<string>` of BPE tokens — the
+    * vocab-free decode; exact for every byte-level stream (no unknown-id
+    * loss, see [[BpeCodec.decodeTokens]]). */
+  def bpeDetok(tokens: Column, byteLevel: Boolean = false): Column =
+    org.apache.spark.sql.functions.call_function(DetokName, tokens,
       org.apache.spark.sql.functions.lit(byteLevel))
 }
 

@@ -413,6 +413,12 @@ object ScaleSlope {
       "q205_bt_arena",
       // r19e: q206 = per-row gram build + array_distinct — zero shuffle
       "q206_distinct_ngrams",
+      // r19e: q207 = TWO prefixSum passes (quality rank, then the
+      // phase-keyed order) — batchSchedule's two-phase discipline twice
+      "q207_anneal_order",
+      // r19e: q208 = byte-BPE encode + the vocab-free detok per row —
+      // a codegen rail both directions, zero shuffle
+      "q208_detok_roundtrip",
       // r19: q184 = the full pretrain capstone (crawl fate + keep-best
       // dedup + mixture + wordpiece + pack + shards) — q138's machinery
       // plus survivor-bounded downstream stages; stage-heavy, median[min]

@@ -5471,6 +5471,60 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3) == ((4L, 0L, 0L, None)))
   }
 
+  test("annealOrder: anneal tail is the top slice, orders are dense and partition-invariant") {
+    val df = (0L until 40L).map(i => (i, 100L + (i * 37) % 83))
+      .toDF("id", "score")
+    val r = Corpus.annealOrder(df, "id", "score", annealFrac = 0.25)
+      .collect().map(x => (x.getLong(x.fieldIndex("id")),
+        x.getString(x.fieldIndex("phase")),
+        x.getLong(x.fieldIndex("quality_rank")),
+        x.getLong(x.fieldIndex("train_order"))))
+    assert(r.length == 40)
+    // floor(40 * 0.25) = 10 anneal rows, exactly the top-10 quality ranks
+    val anneal = r.filter(_._2 == "anneal")
+    assert(anneal.length == 10 && anneal.forall(_._3 <= 10))
+    assert(r.filter(_._2 == "main").forall(_._3 > 10))
+    // train_order is a dense 0..39 permutation with the anneal rows LAST
+    assert(r.map(_._4).sorted.sameElements(0L until 40L))
+    val mainMax = r.filter(_._2 == "main").map(_._4).max
+    assert(anneal.forall(_._4 > mainMax))
+    // quality rank: scores descending, ties (none here) by id
+    val byRank = r.sortBy(_._3).map(_._1)
+    val want = (0L until 40L).sortBy(i => (-(100L + (i * 37) % 83), i))
+    assert(byRank.sameElements(want))
+    // partitioning must not change a single assignment
+    val one = Corpus.annealOrder(df.coalesce(1), "id", "score", 0.25)
+      .collect().map(x => (x.getLong(x.fieldIndex("id")),
+        x.getLong(x.fieldIndex("train_order")))).sortBy(_._1)
+    assert(one.toSeq == r.map(x => (x._1, x._4)).sortBy(_._1).toSeq)
+  }
+
+  test("bpeDetok: byte-level encode-decode is exact on every input shape") {
+    import graft.funcs.{BpeFunctions, BpeCodec}
+    BpeFunctions.register(spark)
+    val merges = Seq("Ġ t", "h e", "Ġt he")
+    val texts = Seq(
+      "The résumé, it's here   and\nthe end",
+      "tabs\tand  runs   nbsp",
+      "emoji 😀 beyond the BMP",
+      "", "   ", "\n\n")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = TextStats.bpeStats(df, "text", merges, byteLevel = true)
+      .withColumn("detok",
+        BpeFunctions.bpeDetok(col("bpe_tokens"), byteLevel = true))
+      .select("id", "text", "detok").collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"round trip broke: ${r.getString(1)} -> ${r.getString(2)}")
+    }
+    // codec-level: the law holds directly too, including for raw bytes
+    val codec = new BpeCodec(Array("Ġ t"), Array.empty, true)
+    texts.foreach { t =>
+      assert(BpeCodec.byteLevelDecode(codec.encode(t).mkString("")) == t)
+    }
+  }
+
   test("unigram model artifact: write/load round trip; encode under the loaded model is bit-identical (VERDICT r16 #8)") {
     // the SentencePiece-shaped plain-text (piece, score) pair completes
     // the tokenizer triad's artifact story (BPE: merges.txt/vocab.json;
