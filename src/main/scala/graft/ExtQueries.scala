@@ -2292,11 +2292,15 @@ object ExtQueries {
     "q199_rouge_eval" -> { (s, dir) =>
       val d = docsPar(s, dir).select(col("doc_id"),
         TextStats.tokens(coalesce(col("text"), lit(""))).as("ref"))
+      // OPT r19: rougeN consumes its input three times (both gram-count
+      // sides + the base join) — materialize the tokenized fixture once
+      // (3 corpus passes → 1, the q194 posture).
       val withCand = d.withColumn("cand",
         filter(transform(sequence(lit(1), size(col("ref"))),
           i => when(i % 11 === 0, lit(null).cast("string"))
             .when(i % 5 === 0, lit("x"))
             .otherwise(element_at(col("ref"), i))), x => x.isNotNull))
+        .localCheckpoint()
       Eval.rougeN(withCand, "doc_id", "cand", "ref", n = 2)
         .select(col("doc_id"), col("overlap"), col("c_grams"),
           col("r_grams"), col("rouge_p"), col("rouge_r"), col("rouge_f"))
@@ -2420,11 +2424,16 @@ object ExtQueries {
     "q194_bleu_eval" -> { (s, dir) =>
       val d = docsPar(s, dir).select(col("doc_id"),
         TextStats.tokens(coalesce(col("text"), lit(""))).as("ref"))
+      // OPT r19: bleuScore consumes its input three times (candidate-gram
+      // counts, reference-gram counts, base row join) — materialize the
+      // tokenized fixture once instead of re-running tokenize + the
+      // corruption transform per consumer (3 corpus passes → 1).
       val withCand = d.withColumn("cand",
         filter(transform(sequence(lit(1), size(col("ref"))),
           i => when(i % 11 === 0, lit(null).cast("string"))
             .when(i % 5 === 0, lit("x"))
             .otherwise(element_at(col("ref"), i))), x => x.isNotNull))
+        .localCheckpoint()
       Eval.bleuScore(withCand, "doc_id", "cand", "ref")
         .select(col("doc_id"), col("c_len"), col("r_len"),
           col("m1"), col("m2"), col("m3"), col("m4"),

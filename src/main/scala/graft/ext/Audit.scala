@@ -230,8 +230,14 @@ object Audit {
         TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
       .select(col("id"), explode(col("__g")).as("g"))
       .distinct()
-    val freq = postings.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    postings.join(freq, Seq("g"))
+    // OPT r19: gram doc-frequency as ONE windowed count over g instead of
+    // a groupBy + equi-join back — the join formulation re-ran the whole
+    // postings pipeline for the frequency side and shuffled the postings
+    // by g anyway; the window shuffles the same bytes once (same skew
+    // exposure on hot grams as the join had — all rows of a gram landed
+    // on one task either way).
+    postings.withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("novel_grams"))
@@ -255,6 +261,11 @@ object Audit {
   def sourceOverlapMatrix(df: DataFrame, textCol: String, sourceCol: String,
                           k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // OPT r19: the distinct (source, gram) posting table feeds three
+    // consumers (sizes + both self-join sides) that each re-ran the
+    // tokenize+shingle+distinct pipeline; it is vocabulary-bounded (one
+    // row per distinct gram per source), so one materialization replaces
+    // two full corpus passes.
     val d = df
       .select(col(sourceCol).as("source"),
         TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
@@ -262,6 +273,7 @@ object Audit {
         TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
       .select(col("source"), explode(col("__g")).as("g"))
       .distinct()
+      .localCheckpoint()
     val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
     d.as("a").join(d.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))

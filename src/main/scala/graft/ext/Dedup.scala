@@ -437,12 +437,25 @@ object Dedup {
                         minJaccard: Double = 0.8, k: Int = 4,
                         maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val post0 = postings(df, idCol, textCol, k)
-    val post = maxDocFreq match {
+    // doc-freq cap as ONE windowed count over the gram key (the capBuckets
+    // shape) instead of a groupBy + self-equi-join: the join formulation
+    // scanned the tokenize→shingle→distinct pipeline twice and shuffled the
+    // posting list by g anyway — the window shuffles the same bytes once.
+    val capped = maxDocFreq match {
       case Some(m) =>
-        val freq = post0.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= m)
-        post0.join(freq.select("g"), "g")
+        post0.withColumn("__df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+          .filter(col("__df") <= m).drop("__df")
       case None => post0
     }
+    // OPT r19: the posting list feeds THREE consumers (the per-doc sizes
+    // aggregate and both sides of the co-occurrence self-join), and each
+    // consumer used to re-run the whole tokenize+shingle+distinct pipeline
+    // — the q35 plan audit showed no exchange reuse across the differently
+    // keyed parents. One materialization of the skinny (id, gram) rows
+    // replaces 3 corpus passes (guide §2.4/§5: cache only what is reused
+    // AND expensive to recompute — this is both).
+    val post = capped.localCheckpoint()
     val sizes = post.groupBy("id").agg(count(lit(1)).as("n"))
     val co = post.as("a").join(post.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -1102,7 +1115,14 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, numPerm: Int = 128,
                     bands: Int = 32,
                     maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+    // OPT r19: materialize the capped (id, bk) band rows once — the q35
+    // plan audit showed BOTH self-join sides re-running the full
+    // minhash-signature pipeline (tokenize → shingle → 128 permutations)
+    // from the parquet scan up, with no exchange reuse. The band rows are
+    // skinny key/metadata pairs (guide §8: shuffle keys, not payloads), so
+    // one materialization is far cheaper than a second signature pass.
     val buckets = capBuckets(bandedSignatures(sigs, numPerm, bands), maxBucketSize)
+      .localCheckpoint()
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
@@ -1126,8 +1146,13 @@ object Dedup {
                         minJaccard: Double = 0.8, numPerm: Int = 128,
                         bands: Int = 32, k: Int = 4,
                         maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+    // OPT r19: the candidate pair list feeds the id-collection AND the
+    // final confirm join; un-materialized, each consumer re-ran the whole
+    // banded self-join (and its signature pipeline) from scratch.
+    // Candidates are a tiny fraction of all pairs by construction — one
+    // cheap materialization halves the LSH work.
     val cands = lshCandidates(minhashSignatures(df, idCol, textCol, numPerm, k),
-      numPerm, bands, maxBucketSize)
+      numPerm, bands, maxBucketSize).localCheckpoint()
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
     // the candidate-id semi-join is left to AQE: at real dup rates candidate

@@ -893,8 +893,14 @@ object Similarity {
                     minCos: Double, nCells: Int = 0,
                     blocks: Int = 4,
                     kmeansIters: Option[Int] = None): DataFrame =
+    // OPT r19: both sides of the intra-cell self-join consume the assigned
+    // table, and their sub-cell explodes differ, so no exchange is reused
+    // — un-materialized, the corpus prep + pivot assignment ran twice.
+    // (The indexed path, semanticPairsIndexed, reads a persisted table and
+    // deliberately does NOT checkpoint — a table scan is already cheap.)
     pairsWithinCells(
-      semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters),
+      semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters)
+        .localCheckpoint(),
       minCos, blocks)
 
   /** The intra-cell pair half of [[semanticPairs]] over an already-assigned
@@ -1048,7 +1054,13 @@ object Similarity {
     val c0 = prepared(corpus, idCol, vecCol).filter(col("nrm") > 0)
     val c = if (nCells <= 0) c0.localCheckpoint() else c0
     val k = if (nCells > 0) nCells else autoNCells(c.count())
-    val assigned = assignCells(c, firstIdPivots(c, k))
+    // OPT r19: the assignment feeds FOUR consumers (both self-join sides,
+    // the cell-ordinal table, and the anchor/easy-negative chain); with an
+    // explicit nCells nothing upstream was materialized, so each consumer
+    // re-ran the corpus prep + pivot assignment from the scan up — the
+    // q196 plan audit counted 24 parquet scans. One materialization of
+    // (id, v, nrm, cell) replaces them all.
+    val assigned = assignCells(c, firstIdPivots(c, k)).localCheckpoint()
     // all in-cell pairs: the band filters cannot prune the pair join (the
     // hard negative is an argmax over the LOW band), so minCos admits all
     val directed = pairsWithinCells(assigned, -1.01, blocks)

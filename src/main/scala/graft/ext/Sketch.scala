@@ -531,8 +531,15 @@ object Sketch {
         TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit(""))))
           .as("__t"))
       .select(col(groupCol), explode(col("__t")).as("tok"))
+    // OPT r19: the bottom-k sketch is k·|sources| rows, but un-materialized
+    // it is recomputed by every one of [[bottomKResemblance]]'s three
+    // consumers (group list + both pair-scoped sides) — and EACH recompute
+    // re-runs both corpus tokenize passes (HLL guard + survivor rank). The
+    // q150 plan audit showed 12 parquet scans; checkpointing the tiny
+    // sketch cuts the corpus passes from 6 to 2.
     bottomKResemblance(
-      bottomKSketch(toks, Seq(groupCol), col("tok"), k, salt), groupCol, k)
+      bottomKSketch(toks, Seq(groupCol), col("tok"), k, salt).localCheckpoint(),
+      groupCol, k)
   }
 
   // ---------------------------------------------------------------------
