@@ -56,16 +56,40 @@ object Crawl {
                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local)
       : DataFrame = {
     val cp = CheckpointStrategy.materializer(checkpoint)
-    val cols = Seq("id", "url", "text", "score", "emb")
     val base = cp(docs.select(col(idCol).as("id"), col(urlCol).as("url"),
       col(textCol).as("text"), col(scoreCol).as("score"),
       col(embCol).as("emb")))
-    val s1 = cp(Urls.dedupByUrl(base, "id", "url", "score")
-      .select(cols.map(col): _*))
-    val s2 = cp(Urls.filterUrls(s1, "url", blockedDomains, maxUrlLen,
-      maxDigitFrac))
-    val s3 = cp(TextStats.c4Filter(s2, "text"))
-    val s4 = cp(TextStats.gopherFilter(s3, "text"))
+    // OPT r19 — two restructurings, same fates (oracle-verified):
+    //  1. Stages 2–4 (URL rules, C4, Gopher) are ROW-LOCAL rule flags
+    //     ([[Urls.urlStats]]/[[TextStats.c4Stats]]/[[TextStats.gopherStats]]
+    //     emit per-rule verdict columns), so one fused projection pass
+    //     replaces three full stage materializations AND three of the
+    //     seven fate-labeling joins — the per-stage filters composed
+    //     exactly this conjunction, just with a barrier per rule set.
+    //  2. The heavy `emb` payload no longer rides the stage chain: only
+    //     the semantic stage reads it, so the chain materializes skinny
+    //     (id, text[, flags]) rows and the survivor ids re-attach the
+    //     vectors with ONE id equi-join against the base checkpoint
+    //     (guide §8: decide on lightweight proxies, move heavy bytes
+    //     once).
+    val s1 = Urls.dedupByUrl(
+      base.select(col("id"), col("url"), col("text"), col("score")),
+      "id", "url", "score")
+    val withUrl = Urls.urlStats(
+      s1.select(col("id"), col("url"), col("text")),
+      "url", blockedDomains, maxUrlLen, maxDigitFrac)
+    val withC4 = TextStats.c4Stats(withUrl, "text")
+    val withGopher = TextStats.gopherStats(
+      withC4.withColumn("__gt", col("clean_text")), "__gt")
+    // gopher flags are computed for EVERY url-dedup survivor (row-local,
+    // don't-care for rows an earlier rule already dropped — the fate
+    // precedence below shadows them); `text` becomes C4's cleaned text,
+    // exactly what the old per-stage substitution produced for survivors
+    val flags = cp(withGopher.select(col("id"), col("url_ok"),
+      col("c4_keep"), col("gopher_pass"), col("clean_text").as("text")))
+    val s4 = flags
+      .filter(col("url_ok") && col("c4_keep") && col("gopher_pass"))
+      .select(col("id"), col("text"))
     val s5 = cp(s4.join(Dedup.exact(s4, "id", "text").select(col("id")),
       Seq("id"), "left_semi"))
     val ndDrops = Dedup.nearDupClusters(
@@ -73,17 +97,27 @@ object Crawl {
         checkpoint = checkpoint)
       .filter(col("id") =!= col("cluster")).select(col("id"))
     val s6 = cp(s5.join(ndDrops, Seq("id"), "left_anti"))
-    val s7 = Similarity.semanticDedup(s6, "id", "emb", minCos, nCells,
+    val s6e = s6.select(col("id"))
+      .join(base.select(col("id"), col("emb")), Seq("id"))
+    val s7 = Similarity.semanticDedup(s6e, "id", "emb", minCos, nCells,
       checkpoint = checkpoint).select(col("id"))
-    val survivors = Stages.zip(Seq(s1, s2, s3, s4, s5, s6, s7))
-    val marked = survivors.foldLeft(base.select(col("id"))) {
-      case (acc, (name, s)) =>
-        acc.join(s.select(col("id")).withColumn(s"__s_$name", lit(1)),
-          Seq("id"), "left")
-    }
-    val fate = Stages.foldRight(lit("kept"): Column) { case (name, after) =>
-      when(col(s"__s_$name").isNull, lit(name)).otherwise(after)
-    }
+    val marked = base.select(col("id"))
+      .join(flags.select(col("id"), col("url_ok"), col("c4_keep"),
+        col("gopher_pass")).withColumn("__s1", lit(1)), Seq("id"), "left")
+      .join(s5.select(col("id")).withColumn("__s5", lit(1)), Seq("id"), "left")
+      .join(s6.select(col("id")).withColumn("__s6", lit(1)), Seq("id"), "left")
+      .join(s7.withColumn("__s7", lit(1)), Seq("id"), "left")
+    // coalesce: a NULL rule verdict (e.g. url_ok over a null URL) dropped
+    // the row in the old filter formulation — `filter(null)` is false —
+    // so the fate must charge the same stage, not fall through
+    val fate = when(col("__s1").isNull, lit("url_dedup"))
+      .when(!coalesce(col("url_ok"), lit(false)), lit("url_rules"))
+      .when(!coalesce(col("c4_keep"), lit(false)), lit("c4"))
+      .when(!coalesce(col("gopher_pass"), lit(false)), lit("gopher"))
+      .when(col("__s5").isNull, lit("exact"))
+      .when(col("__s6").isNull, lit("neardup"))
+      .when(col("__s7").isNull, lit("semantic"))
+      .otherwise(lit("kept"))
     marked.select(col("id").as(idCol), fate.as("fate"))
   }
 }

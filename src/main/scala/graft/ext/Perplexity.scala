@@ -352,14 +352,65 @@ object Perplexity {
                                       textCol: String, inModel: BigramModel,
                                       genModel: BigramModel,
                                       tokenizer: Column => Column = TextStats.tokens): DataFrame = {
-    val in = perplexityScoreWithModel(df, idCol, textCol, inModel, tokenizer)
-      .withColumnRenamed("nll_mean", "nll_in")
-      .withColumnRenamed("lm_oov", "oov_in")
-      .drop("lm_grams")
-    perplexityScoreWithModel(in, idCol, textCol, genModel, tokenizer)
-      .withColumnRenamed("nll_mean", "nll_gen")
-      .withColumnRenamed("lm_oov", "oov_gen")
-      .withColumnRenamed("lm_grams", "ml_grams")
+    // OPT r19: ONE exploded gram stream scored under BOTH frozen models.
+    // The previous formulation chained two perplexityScoreWithModel passes,
+    // and because pass 1's output fed BOTH pass 2's explode and pass 2's
+    // final corpus join un-materialized, the whole pass-1 pipeline executed
+    // twice — the q151 profile showed the double-scoring dominating. Both
+    // models' count tables broadcast onto the same stream; the per-model
+    // NLL folds walk the SAME pos-sorted list the sequential passes walked,
+    // so every rounded output is bit-identical (spec + oracle re-verified).
+    require(inModel.n == genModel.n,
+      s"both models must share the n-gram order, got ${inModel.n} vs ${genModel.n}")
+    val n = inModel.n
+    val toks = tokenizer(coalesce(col(textCol), lit("")))
+    val grams = TextStats.ngramsOfTokens(toks, n)
+    val ctxs = if (n > 1) TextStats.ngramsOfTokens(toks, n - 1) else lit(null)
+    val exploded = df
+      .select(col(idCol).as("__id"), TextStats.pinnedCol(grams).as("__g"),
+        (if (n > 1) TextStats.pinnedCol(ctxs) else lit(null).cast("string")).as("__cx"))
+      .select(col("__id"), col("__cx"),
+        posexplode(col("__g")).as(Seq("pos", "gram")))
+      .select(col("__id"), col("pos"), col("gram"),
+        (if (n > 1) element_at(col("__cx"), col("pos") + 1)
+         else lit("")).as("ctx"))
+    def withModel(base: DataFrame, m: BigramModel, suf: String): DataFrame = {
+      val joined = base.join(
+        broadcast(m.gramC.withColumnRenamed("c", s"__cg$suf")), Seq("gram"), "left")
+      if (n > 1)
+        joined.join(broadcast(m.ctxC.select(col("gram").as("ctx"),
+          col("c").as(s"__cc$suf"))), Seq("ctx"), "left")
+      else joined.withColumn(s"__cc$suf", lit(m.nTotal))
+    }
+    val scored = withModel(withModel(exploded, inModel, "_in"), genModel, "_gen")
+    def nllOf(m: BigramModel, suf: String): Column = -log(
+      (coalesce(col(s"__cg$suf"), lit(0L)) + lit(m.k)).cast("double") /
+        (coalesce(col(s"__cc$suf"), lit(0L)) + lit(m.k) * lit(m.vocab)).cast("double"))
+    // identical aggregate expressions share one buffer (Spark dedupes
+    // semantically-equal aggregate functions), so the pos-sorted struct
+    // list is collected once and folded twice — each fold in the same
+    // document order the sequential passes used
+    def sortedNll = array_sort(collect_list(struct(col("pos"),
+      nllOf(inModel, "_in").as("ni"), nllOf(genModel, "_gen").as("ng"))))
+    val agg = scored
+      .groupBy(col("__id"))
+      .agg(
+        count(col("gram")).as("ml_grams"),
+        sum(when(col("__cg_in").isNull, 1L).otherwise(0L)).cast("long").as("oov_in"),
+        sum(when(col("__cg_gen").isNull, 1L).otherwise(0L)).cast("long").as("oov_gen"),
+        aggregate(transform(sortedNll, s => s("ni")), lit(0.0), (a, x) => a + x).as("__si"),
+        aggregate(transform(sortedNll, s => s("ng")), lit(0.0), (a, x) => a + x).as("__sg"))
+      .select(col("__id"), col("ml_grams"), col("oov_in"), col("oov_gen"),
+        round(col("__si") / col("ml_grams"), 6).as("nll_in"),
+        round(col("__sg") / col("ml_grams"), 6).as("nll_gen"))
+    df.join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("ml_grams", coalesce(col("ml_grams"), lit(0L)))
+      .withColumn("oov_in", coalesce(col("oov_in"), lit(0L)))
+      .withColumn("oov_gen", coalesce(col("oov_gen"), lit(0L)))
+      // column order matches the old two-pass output (df ++ oov_in, nll_in,
+      // ml_grams, oov_gen, nll_gen, ml_score) for schema compatibility
+      .select(df.columns.map(col) ++ Seq(col("oov_in"), col("nll_in"),
+        col("ml_grams"), col("oov_gen"), col("nll_gen")): _*)
       .withColumn("ml_score", round(col("nll_in") - col("nll_gen"), 6))
   }
 
