@@ -606,6 +606,10 @@ object Dedup {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (the SymSpell regime), got $maxDist")
     val post0 = deleteVariantPostings(df, idCol, strCol, maxDist)
+    // OPT r19 note: measured BOTH ways at sf0.1 — materializing the capped
+    // variant postings for the two self-join sides LOST ~20% (the explode
+    // is cheap codegen'd string slicing; writing ~(len+1)× corpus skinny
+    // rows costs more than recomputing them), so this stays lazy.
     val post = capVariantKeys(post0, maxKeyFreq.map(_.toLong), observation)
     val a = post.select(col("__k"), col("__id").as("id1"), col("__s").as("__s1"))
     val b = post.select(col("__k"), col("__id").as("id2"), col("__s").as("__s2"))
@@ -1230,9 +1234,12 @@ object Dedup {
       minhashSignatures(newDf, idCol, textCol, numPerm, k), numPerm, bands))
     val probed = newBk.filter(
       graft.funcs.VectorFunctions.bloomMightContain(bandKey, bytes))
-    val pairs = probed.as("p")
+    // OPT r19: the candidate pair list feeds THREE consumers (both
+    // id-collection semi-joins and the confirm join) — materialized once
+    // so the probe join + distinct run once, not three times
+    val pairs = m(probed.as("p")
       .join(seenBk.as("s"), col("p.bk") === col("s.bk"))
-      .select(col("p.id").as("id"), col("s.sid").as("sid")).distinct()
+      .select(col("p.id").as("id"), col("s.sid").as("sid")).distinct())
     // exact confirm on candidate pairs only; candidate-id semi-joins are
     // left to AQE (same no-forced-broadcast posture as minhashDedupPairs)
     def sets(df: DataFrame, idc: String, out: String, gout: String) = df
@@ -1399,10 +1406,14 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 4,
       "blocking scheme assumes 0 <= maxDist <= 3 (4 blocks)")
+    // OPT r19: both self-join sides re-executed the caller's signature
+    // lineage (SimHash over text, or a full image/audio/video DECODE for
+    // the media callers) — materialize the skinny (id, sig) rows once
+    val sigsM = sigs.localCheckpoint()
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v")))
-    val keyed = sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk"))
+    val keyed = sigsM.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk"))
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

@@ -75,6 +75,10 @@ object Similarity {
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                          minCos: Double, blocks: Int = 16): DataFrame = {
     val b = blocks
+    // OPT r19 note: measured BOTH ways at sf0.1 — materializing the
+    // prepared projection for the two grid roles lost ~10% (a columnar
+    // parquet scan + one norm fold is cheaper to re-run than the row
+    // materialization it saves), so this stays lazy.
     val p = prepared(df, idCol, vecCol)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
     // role L: row with block i joins cells (i, j) for j >= i
@@ -758,8 +762,15 @@ object Similarity {
                      center: Boolean = false,
                      maxBucketSize: Option[Int] = Some(DefaultMaxBucketSize),
                      checkpoint: Option[CheckpointStrategy] = None): DataFrame = {
-    val p = checkpoint.map(CheckpointStrategy.materializer)
-      .foldLeft(prepared(df, idCol, vecCol))((d, cp) => cp(d))
+    // OPT r19: the prepared projection feeds up to four consumers (the
+    // auto-bits count, the banding pass, and both exact-confirm sides) —
+    // materialize it unconditionally; an explicit `checkpoint` strategy
+    // upgrades the materialization to a reliable one on a cluster
+    val p = checkpoint match {
+      case Some(cs) =>
+        CheckpointStrategy.materializer(cs)(prepared(df, idCol, vecCol))
+      case None => prepared(df, idCol, vecCol).localCheckpoint()
+    }
     // bits <= 0 → AUTO: size the signature from the measured corpus count
     // so the n²·b·2⁻ʳ random-collision term is bounded by the engine, not
     // by operator knowledge (costs one count job over the prepared
@@ -774,7 +785,9 @@ object Similarity {
     // < 1e-7). Any multi-word signature therefore uses the splitmix64 family.
     val mix = center || useBits > 64
     val banded = bandedIds(p, "id", "v", useBits, bands, mix, thresholds)
-    val guarded = Dedup.capBuckets(banded, maxBucketSize)
+    // OPT r19: both candidate self-join sides consume the capped band rows
+    // — skinny (id, bk) keys, materialized once (the lshCandidates posture)
+    val guarded = Dedup.capBuckets(banded, maxBucketSize).localCheckpoint()
     val cands = guarded.as("a").join(guarded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
@@ -832,7 +845,11 @@ object Similarity {
                         vecCol: String, minCos: Double, bits: Int = 64,
                         bands: Int = 8, expectedSeen: Option[Long] = None,
                         fpp: Double = 0.01): DataFrame = {
+    // OPT r19: the seen-side band keys feed the Bloom build (plus its
+    // sizing count when expectedSeen is absent) AND the confirm join —
+    // materialized once, the incrementalMinhash seenBk posture
     val seenKeys = vectorBandKeys(seenDf, vecCol, bits, bands)
+      .localCheckpoint()
     val bytes = Dedup.serializedBloom(Dedup.buildLongBloom(
       seenKeys.select(col("__fp")), "__fp",
       expectedSeen.map(_ * bands), fpp))

@@ -481,9 +481,13 @@ class ExtSpec extends AnyFunSuite {
     // evaluates it 32x per row (generators have no CSE). The optimized plan
     // must contain exactly nWords occurrences per plan branch that computes
     // signatures — NOT bands-many.
+    // target annLshTopK: same banding machinery as cosineLshPairs, but its
+    // plan is end-to-end lazy — the pair terminal now materializes its
+    // banded rows (OPT r19), which hides the signature expressions from a
+    // post-hoc plan scrape without weakening the property this test guards
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
-    val df = Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.99,
-      bits = 512, bands = 32, center = true)
+    val df = Similarity.annLshTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", topK = 3, bits = 512, bands = 32, center = true)
     val plan = df.queryExecution.optimizedPlan.toString
     val sigCount = "lshsignaturefloat".r.findAllIn(plan.toLowerCase).length
     // 8 words x 2 self-join sides = 16 today; an UPPER bound (not exact
