@@ -554,9 +554,12 @@ object Quantize {
         kmeansIters, residual)
     Seq(s"${name}_pq_centroids", s"${name}_pq_codebooks", s"${name}_pq_meta")
       .foreach(graft.sources.IO.dropOrphanedLocation(spark, _))
-    piv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // OPT r19: pivots and codebooks are model-sized (nCells and m·ksub
+    // rows) — write one file each instead of a shuffle.partitions-wide
+    // spray of near-empty files (guide §6)
+    piv.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_pq_centroids")
-    cbs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    cbs.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_pq_codebooks")
     Seq((residual, m, ksub)).toDF("residual", "m", "ksub")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -371,7 +371,8 @@ object Similarity {
     // old assignments. Rebuild under a NEW name and repoint consumers, or
     // pause serving across the rebuild.
     graft.sources.IO.dropOrphanedLocation(spark, s"${name}_centroids")
-    pv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // OPT r19: nCells rows — one file, not a shuffle-wide spray (guide §6)
+    pv.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_centroids")
     graft.sources.IO.writeBucketed(assignCells(c, pv), s"${name}_vectors",
       bucketCols = Seq("cell"), buckets = buckets, sortCols = Seq("cell"))

@@ -573,7 +573,12 @@ object Sketch {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_meta")
-    sketch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // OPT r19: sketch tables are model-sized by construction (groups·m or
+    // d·w rows) but inherited the session's shuffle partitioning — each
+    // write committed ~32 near-empty files (guide §6 small-files). One
+    // file per store; repartition (not coalesce) so the upstream sketch
+    // aggregate keeps its parallelism.
+    sketch.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_sketch")
   }
 
