@@ -2030,8 +2030,12 @@ object ExtQueries {
         .drop("vec_id")
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint()
+      // OPT r20: the fixture is already localCheckpointed two lines up —
+      // materializeInput = false spares refinedWebFate's second full
+      // corpus+embedding copy (its stage chain reads the fixture blocks)
       val fate = graft.ext.Crawl.refinedWebFate(fixture, "doc_id", "url",
-        "text2", "n_chars", "embedding", blockedDomains = Seq("example3.com"))
+        "text2", "n_chars", "embedding", blockedDomains = Seq("example3.com"),
+        materializeInput = false)
       // stage 1 (clean): the quality gates from the fate report — every
       // document that reached the dedup stages passed url+c4+gopher
       val quality = fixture
@@ -2042,9 +2046,12 @@ object ExtQueries {
       // stage 2 (dedup): quality-aware winners, NOT first-wins min-id
       val dd = Dedup.dedupCorpusKeepBest(quality, "doc_id", "text2",
         "n_chars").localCheckpoint()
-      // stage 3 (mixture): alpha-sample by language
+      // stage 3 (mixture): alpha-sample by language. OPT r20: no barrier —
+      // the mixture is a single-consumer codegen filter (its count
+      // aggregate collected inside temperatureMixture already ran), and
+      // packTokenArrays materializes its own ranged input two operators
+      // downstream, so the old localCheckpoint here was a pure extra pass.
       val mixed = Corpus.temperatureMixture(dd, "doc_id", "lang", alpha = 0.5)
-        .localCheckpoint()
       // stage 4 (tokenize) + stage 5 (pack)
       val wp = TextStats.wordPieceStats(mixed, "text2", q172Vocab)
         .select(col("doc_id"), col("wp_tokens"))

@@ -217,30 +217,38 @@ object Audit {
     * the gram → per-doc rollup. Documents shorter than `k` tokens
     * contribute their whole text as one shingle. */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 8): DataFrame = {
+                   k: Int = 8,
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // token array materialized first (HOF-no-CSE: the shingle transform's
     // element_at calls would each re-run the split), then the shingle
     // array pinned before the explode (topNgrams' InferFiltersFromGenerate
     // note)
-    val postings = df
+    val postings = CheckpointStrategy.materializer(checkpoint)(df
       .select(col(idCol).as("id"),
         TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col("id"),
         TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
       .select(col("id"), explode(col("__g")).as("g"))
-      .distinct()
-    // OPT r19: gram doc-frequency as ONE windowed count over g instead of
-    // a groupBy + equi-join back — the join formulation re-ran the whole
-    // postings pipeline for the frequency side and shuffled the postings
-    // by g anyway; the window shuffles the same bytes once (same skew
-    // exposure on hot grams as the join had — all rows of a gram landed
-    // on one task either way).
-    postings.withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("novel_grams"))
+      .distinct())
+    // OPT r20 (guide §2.5, VERDICT r19 #4): the r19 windowed doc-freq count
+    // put every posting row of a hot gram on ONE window task. Replaced by
+    // two map-side-combinable aggregates: a per-gram (count, min-id) — a
+    // df-1 gram's single posting row IS its owning document, so min(id)
+    // recovers the owner without ever colocating a hot gram's rows — and a
+    // per-doc gram count. Both partial-aggregate (the two-level salted
+    // count with the map task as the salt), so no single task ever holds a
+    // hot gram's full posting list; the per-doc join is doc-keyed and
+    // skew-free. The postings pipeline now has two consumers, hence the
+    // materialization above (strategy-governed).
+    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val novel = postings.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"), min(col("id")).as("id"))
+      .filter(col("__df") === 1L)
+      .groupBy(col("id")).agg(count(lit(1)).as("novel_grams"))
+    sizes.join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
       .withColumn("novelty",
         col("novel_grams").cast("double") / col("n_grams").cast("double"))
       .withColumnRenamed("id", idCol)
@@ -259,21 +267,21 @@ object Audit {
     * partial-combines to source² rows per task before the final tiny
     * shuffle. Two corpus-sized shuffles total (the join's two sides). */
   def sourceOverlapMatrix(df: DataFrame, textCol: String, sourceCol: String,
-                          k: Int = 8): DataFrame = {
+                          k: Int = 8,
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // OPT r19: the distinct (source, gram) posting table feeds three
     // consumers (sizes + both self-join sides) that each re-ran the
     // tokenize+shingle+distinct pipeline; it is vocabulary-bounded (one
     // row per distinct gram per source), so one materialization replaces
-    // two full corpus passes.
-    val d = df
+    // two full corpus passes. r20: honors `checkpoint`.
+    val d = CheckpointStrategy.materializer(checkpoint)(df
       .select(col(sourceCol).as("source"),
         TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col("source"),
         TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
       .select(col("source"), explode(col("__g")).as("g"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
     d.as("a").join(d.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))

@@ -53,12 +53,21 @@ object Crawl {
                      maxUrlLen: Int = 2048, maxDigitFrac: Double = 0.5,
                      minJaccard: Double = 0.8, minCos: Double = 0.95,
                      nCells: Int = 16,
-                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local)
+                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                     materializeInput: Boolean = true)
       : DataFrame = {
     val cp = CheckpointStrategy.materializer(checkpoint)
-    val base = cp(docs.select(col(idCol).as("id"), col(urlCol).as("url"),
+    // OPT r20: `base` fans out to three consumers (url stage, the emb
+    // re-attach, the fate labeling) and CARRIES the embedding payload, so
+    // it is the pipeline's heaviest materialization. A caller whose input
+    // is ALREADY materialized (q184 checkpoints its fixture) passes
+    // materializeInput = false and the three consumers re-read the
+    // caller's blocks through a free projection instead of paying a second
+    // full corpus+embedding copy.
+    val baseProj = docs.select(col(idCol).as("id"), col(urlCol).as("url"),
       col(textCol).as("text"), col(scoreCol).as("score"),
-      col(embCol).as("emb")))
+      col(embCol).as("emb"))
+    val base = if (materializeInput) cp(baseProj) else baseProj
     // OPT r19 — two restructurings, same fates (oracle-verified):
     //  1. Stages 2–4 (URL rules, C4, Gopher) are ROW-LOCAL rule flags
     //     ([[Urls.urlStats]]/[[TextStats.c4Stats]]/[[TextStats.gopherStats]]
@@ -87,13 +96,19 @@ object Crawl {
     // exactly what the old per-stage substitution produced for survivors
     val flags = cp(withGopher.select(col("id"), col("url_ok"),
       col("c4_keep"), col("gopher_pass"), col("clean_text").as("text")))
-    val s4 = flags
-      .filter(col("url_ok") && col("c4_keep") && col("gopher_pass"))
+    // pinnedFilter (ADVICE r19): under CheckpointStrategy.Passthrough the
+    // flags projection is NOT materialized, and a plain .filter would let
+    // PushDownPredicates inline the HOF verdict lineage below the filter
+    // (the documented q89 17× trap); the pin keeps the fused path safe
+    // under every strategy (no-op semantics, same rows).
+    val s4 = TextStats.pinnedFilter(flags,
+        col("url_ok") && col("c4_keep") && col("gopher_pass"))
       .select(col("id"), col("text"))
     val s5 = cp(s4.join(Dedup.exact(s4, "id", "text").select(col("id")),
       Seq("id"), "left_semi"))
     val ndDrops = Dedup.nearDupClusters(
-        Dedup.minhashDedupPairs(s5, "id", "text", minJaccard),
+        Dedup.minhashDedupPairs(s5, "id", "text", minJaccard,
+          checkpoint = checkpoint),
         checkpoint = checkpoint)
       .filter(col("id") =!= col("cluster")).select(col("id"))
     val s6 = cp(s5.join(ndDrops, Seq("id"), "left_anti"))

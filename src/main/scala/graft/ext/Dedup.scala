@@ -432,22 +432,17 @@ object Dedup {
     * J is computed over the filtered shingle space (standard practice;
     * equivalent to Jaccard over discriminative shingles only). Pass `None`
     * to disable.
+    *
+    * `checkpoint` governs the posting-list materialization (default
+    * [[CheckpointStrategy.Local]]; pass [[CheckpointStrategy.Reliable]] on
+    * a real cluster — the postings are the operator's working set, and a
+    * local-only block is lost on executor failure).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double = 0.8, k: Int = 4,
-                        maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+                        maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq),
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val post0 = postings(df, idCol, textCol, k)
-    // doc-freq cap as ONE windowed count over the gram key (the capBuckets
-    // shape) instead of a groupBy + self-equi-join: the join formulation
-    // scanned the tokenize→shingle→distinct pipeline twice and shuffled the
-    // posting list by g anyway — the window shuffles the same bytes once.
-    val capped = maxDocFreq match {
-      case Some(m) =>
-        post0.withColumn("__df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-          .filter(col("__df") <= m).drop("__df")
-      case None => post0
-    }
     // OPT r19: the posting list feeds THREE consumers (the per-doc sizes
     // aggregate and both sides of the co-occurrence self-join), and each
     // consumer used to re-run the whole tokenize+shingle+distinct pipeline
@@ -455,7 +450,29 @@ object Dedup {
     // keyed parents. One materialization of the skinny (id, gram) rows
     // replaces 3 corpus passes (guide §2.4/§5: cache only what is reused
     // AND expensive to recompute — this is both).
-    val post = capped.localCheckpoint()
+    val all = CheckpointStrategy.materializer(checkpoint)(post0)
+    // OPT r20 (guide §2.5, VERDICT r19 #4): the doc-freq cap was a windowed
+    // count over `g`, which lands EVERY posting row of a hot gram on one
+    // window task — the straggler the cap exists to prevent. Now a partial-
+    // aggregated count (map-side combine compresses a hot gram to one row
+    // per map task — the two-level (g, salt)→g count with the map task as
+    // the salt) filtered to the OVER-cap grams, anti-joined back. The hot
+    // table is tiny by construction (≤ |postings| / maxDocFreq rows), so
+    // AQE turns the anti-join into a broadcast probe — the postings are
+    // never shuffled by `g` for the cap at all; if the hot set ever
+    // outgrows the broadcast threshold, AQE keeps a sort-merge anti join
+    // WITH skew-split, which the window shape could never have.
+    val post = maxDocFreq match {
+      case Some(mx) =>
+        // hot is materialized (one cheap scan+agg job) so the three
+        // consumers of `post` probe a built table instead of each
+        // re-running the frequency aggregate
+        val hot = CheckpointStrategy.materializer(checkpoint)(
+          all.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > mx).select(col("g")))
+        all.join(hot, Seq("g"), "left_anti")
+      case None => all
+    }
     val sizes = post.groupBy("id").agg(count(lit(1)).as("n"))
     val co = post.as("a").join(post.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -1118,15 +1135,19 @@ object Dedup {
     * EVERY band it collides in is oversized. Pass `None` to disable. */
   def lshCandidates(sigs: DataFrame, numPerm: Int = 128,
                     bands: Int = 32,
-                    maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+                    maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // OPT r19: materialize the capped (id, bk) band rows once — the q35
     // plan audit showed BOTH self-join sides re-running the full
     // minhash-signature pipeline (tokenize → shingle → 128 permutations)
     // from the parquet scan up, with no exchange reuse. The band rows are
     // skinny key/metadata pairs (guide §8: shuffle keys, not payloads), so
     // one materialization is far cheaper than a second signature pass.
-    val buckets = capBuckets(bandedSignatures(sigs, numPerm, bands), maxBucketSize)
-      .localCheckpoint()
+    // `checkpoint` upgrades the materialization on a cluster (r20: the
+    // band rows are the operator's working set — Reliable survives
+    // executor loss where a local block does not).
+    val buckets = CheckpointStrategy.materializer(checkpoint)(
+      capBuckets(bandedSignatures(sigs, numPerm, bands), maxBucketSize))
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
@@ -1149,14 +1170,17 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double = 0.8, numPerm: Int = 128,
                         bands: Int = 32, k: Int = 4,
-                        maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+                        maxBucketSize: Option[Int] = Some(DefaultMaxBandBucket),
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // OPT r19: the candidate pair list feeds the id-collection AND the
     // final confirm join; un-materialized, each consumer re-ran the whole
     // banded self-join (and its signature pipeline) from scratch.
     // Candidates are a tiny fraction of all pairs by construction — one
-    // cheap materialization halves the LSH work.
-    val cands = lshCandidates(minhashSignatures(df, idCol, textCol, numPerm, k),
-      numPerm, bands, maxBucketSize).localCheckpoint()
+    // cheap materialization halves the LSH work. `checkpoint` threads to
+    // the band-row materialization too (r20).
+    val cands = CheckpointStrategy.materializer(checkpoint)(
+      lshCandidates(minhashSignatures(df, idCol, textCol, numPerm, k),
+        numPerm, bands, maxBucketSize, checkpoint))
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
     // the candidate-id semi-join is left to AQE: at real dup rates candidate
@@ -1312,7 +1336,7 @@ object Dedup {
     val repDocs = CheckpointStrategy.materializer(checkpoint)(
       df.join(reps, Seq(idCol), "left_semi"))
     val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
-      numPerm, bands, k, maxBucketSize)
+      numPerm, bands, k, maxBucketSize, checkpoint)
     val clusters = nearDupClusters(pairs, maxIters, checkpoint)
     val members = clusters.join(
       repDocs.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
@@ -1361,7 +1385,7 @@ object Dedup {
         maxBucketSize, numPerm, bands))
       else None
     val pairs = minhashDedupPairs(repDocs, idCol, textCol, minJaccard,
-      numPerm, bands, k, maxBucketSize)
+      numPerm, bands, k, maxBucketSize, checkpoint)
     (removeNearDups(repDocs, idCol, pairs, maxIters, checkpoint), report)
   }
 

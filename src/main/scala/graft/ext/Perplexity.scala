@@ -347,7 +347,14 @@ object Perplexity {
     * serving / streaming form: both models train once on static slices
     * and every arriving micro-batch scores under the same counts
     * (scoring is per-document, so per-batch results equal the batch
-    * operator's on the same rows — spec-pinned). */
+    * operator's on the same rows — spec-pinned).
+    *
+    * Both models must share the same n-gram order (`inModel.n ==
+    * genModel.n`, enforced below): the fused single-stream formulation
+    * explodes ONE gram stream and scores it under both count tables, so a
+    * mixed-order pair has no shared stream to score. (The pre-r19 two-pass
+    * formulation happened to accept mixed orders; no caller used that, and
+    * the Moore-Lewis recipe is defined over a common order.) */
   def crossEntropyDiffScoreWithModels(df: DataFrame, idCol: String,
                                       textCol: String, inModel: BigramModel,
                                       genModel: BigramModel,

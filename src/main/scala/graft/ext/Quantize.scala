@@ -251,9 +251,39 @@ object Quantize {
     TextStats.bound(Similarity.toDouble(vec)) { v =>
       array(perm.map(i => element_at(v, i + 1)): _*) }
 
+  /** Codebooks collected to the driver as `cb(sub)(code) = cent` — the
+    * payload of the codegen'd [[graft.funcs.PqEncodeCodes]] expression.
+    * Model-sized by construction (m·ksub rows — the same bound that lets
+    * the Lloyd trainer hold them in a driver map), so the collect is the
+    * same order of driver state the family already carries. */
+  private def collectCodebooks(cb: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cb
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cent"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "empty PQ codebooks")
+    val out = new Array[Array[Array[Double]]](rows.map(_._1).max + 1)
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      // codes are contiguous 0..k−1 by construction (row_number − 1)
+      out(s) = rs.sortBy(_._2).map(_._3)
+    }
+    out
+  }
+
+  /** The vector column in the element type the codegen'd expressions read
+    * (float/double pass through; anything else casts once — Cast over
+    * arrays is codegen'd, unlike the per-element `transform` cast). */
+  private def vecExpr(df: DataFrame, vecCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => col(vecCol)
+      case _ => col(vecCol).cast("array<double>")
+    }
+  }
+
   /** Codebooks packed to ONE broadcastable row: `cb[sub][code] = cent`
-    * (sub- and code-ordered nested arrays) — the shape the per-row encode
-    * and ADC lambdas index into. */
+    * (sub- and code-ordered nested arrays) — the shape the query-side ADC
+    * table lambda indexes into. */
   private def packCodebooks(cb: DataFrame): DataFrame =
     cb.groupBy(col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("code"), col("cent")))),
@@ -272,7 +302,7 @@ object Quantize {
     * distance collapses to m array lookups instead of m·dsub
     * multiply-adds (at the suite's m=8/dsub=8 an 8× cut in the scan's
     * inner loop). Entries are the exact same in-order [[d2]] folds the
-    * direct formulation computes and [[adcDistance]] sums them in the same
+    * direct formulation computes and [[graft.funcs.AdcLookupSum]] sums them in the same
     * subspace order, so results are BIT-IDENTICAL — the oracles never see
     * the difference. */
   private def adcQueryTable(qv: Column, cb: Column): Column =
@@ -282,37 +312,27 @@ object Quantize {
       transform(cents, c => d2(slice(qv, s * dsub + 1, dsub), c))
     })
 
-  /** Subspace-ordered ADC sum over a precomputed [[adcQueryTable]]. */
-  private def adcDistance(qtab: Column, codes: Column): Column =
-    aggregate(sequence(lit(0), size(codes) - 1), lit(0.0),
-      (acc, s) => acc + element_at(element_at(qtab, s + 1),
-        element_at(codes, s + 1) + 1))
+  // (the interpreted adcDistance fold was replaced by the codegen'd
+  // graft.funcs.AdcLookupSum — OPT r20; same subspace-ordered sum)
 
   /** PQ encode: each vector becomes `m` small codes — with `ksub` ≤ 256
     * that is m bytes instead of 4·dim, the 32× storage cut that makes
     * exhaustive ADC scans affordable at corpus scale. Zero shuffle: the
-    * packed codebook rides a broadcast cross join and the argmin (rounded
-    * 6 dp subspace distance, lowest code on ties) is a per-row fold.
+    * codebooks ride inside the codegen'd [[graft.funcs.PqEncodeCodes]]
+    * expression and the argmin (rounded 6 dp subspace distance, lowest
+    * code on ties) is one tight primitive loop per row — OPT r20: the
+    * previous higher-order-function fold was CodegenFallback, interpreting
+    * m·ksub lambdas and allocating m·ksub zipped arrays per corpus row.
+    * Bit-identical outputs (same in-order d2 sums, same HALF_UP 6-dp
+    * rounding, same strict-less/lowest-code tie-break; spec-pinned).
     * Returns (id, codes: array<int>). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: DataFrame): DataFrame = {
-    val packed = packCodebooks(codebooks)
-    corpus
-      .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("__v"))
-      .crossJoin(broadcast(packed))
-      .select(col("id"), transform(sequence(lit(0), size(col("cb")) - 1), s => {
-        val cents = element_at(col("cb"), s + 1)
-        val dsub = size(element_at(cents, 1))
-        val sv = slice(col("__v"), s * dsub + 1, dsub)
-        aggregate(sequence(lit(0), size(cents) - 1),
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-          (acc, ci) =>
-            when(round(d2(sv, element_at(cents, ci + 1)), 6) < acc("d"),
-              struct(round(d2(sv, element_at(cents, ci + 1)), 6).as("d"),
-                ci.as("c")))
-              .otherwise(acc))
-          .getField("c")
-      }).as("codes"))
+    graft.funcs.VectorFunctions.register(corpus.sparkSession)
+    val cb = collectCodebooks(codebooks)
+    corpus.select(col(idCol).as("id"),
+      graft.funcs.VectorFunctions.pqEncodeCodes(vecExpr(corpus, vecCol), cb)
+        .as("codes"))
   }
 
   /** PQ asymmetric-distance top-k (the paper's ADC): the corpus is scanned
@@ -358,7 +378,8 @@ object Quantize {
     enc.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        round(adcDistance(col("qtab"), col("codes")), 6).as("adc_dist"))
+        round(graft.funcs.VectorFunctions.adcSum(col("qtab"), col("codes")),
+          6).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
@@ -415,30 +436,63 @@ object Quantize {
   }
 
   /** Nearest `keep` coarse cells by rounded L2 (pid tiebreak) — the shared
-    * IVF routing step of the PQ family. Input/output carry (id, v[, pv]). */
-  private def nearestCellsPq(df: DataFrame, piv: DataFrame,
-                             keep: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(piv))
-      .select(col("id"), col("v"), col("pid"),
-        round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
-    if (keep == 1)
-      // corpus-side coarse assignment: min_by with map-side partial
-      // combine shuffles n winner rows instead of the window's full n·K
-      // cross-product (see Similarity.assignCellsProto) — ordering key
-      // (__dd, pid) IS the window's (__dd ASC, pid ASC) tie-break
-      scored.groupBy(col("id"))
-        .agg(min_by(struct(col("v"), col("pid"), col("pv")),
-          struct(col("__dd"), col("pid"))).as("__w"))
-        .select(col("id"), col("__w.v").as("v"), col("__w.pid").as("cell"),
-          col("__w.pv").as("pv"))
-    else {
-      // query-side probing keeps several cells — stays a rank window over
-      // the (small) query batch
-      val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
-      scored
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
+    * IVF routing step of the PQ family. Input/output carry (id, v[, pv]).
+    *
+    * OPT r20, corpus side (keep = 1, integral pid): a codegen'd per-row
+    * argmin over the collected (model-sized) pivot table
+    * ([[graft.funcs.NearestPivotIdx]]) — assignment is row-local, so the
+    * old crossJoin + min_by shape paid an n·K intermediate AND a full
+    * corpus shuffle through the winner aggregate for a pure projection's
+    * worth of work (guide §2.4: remove shuffles outright). Ascending-pid
+    * iteration with strict-less replacement reproduces the min_by
+    * struct(__dd, pid) tie-break exactly; same 6-dp HALF_UP rounding.
+    * Non-integral pid types (no in-repo caller) keep the aggregate path —
+    * driver-side sorting would have to reproduce the engine's collation. */
+  private[graft] def nearestCellsPq(df: DataFrame, piv: DataFrame,
+                                    keep: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pidIntegral = piv.schema("pid").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (keep == 1 && pidIntegral) {
+      graft.funcs.VectorFunctions.register(df.sparkSession)
+      val rows = piv.select(col("pid"), col("pv")).collect()
+        .sortBy(r => r.get(0) match { case n: java.lang.Number => n.longValue })
+      val pvs = rows.map(_.getSeq[Double](1).toArray)
+      val pidArr = array(rows.map(r => lit(r.get(0))): _*)
+      val pvArr = array(pvs.map(a => lit(a)): _*)
+      // the index lands in its own projection so the two element_at
+      // consumers below share ONE argmin evaluation (CollapseProject does
+      // not inline non-cheap expressions into multiple uses)
+      df.withColumn("__ci",
+          graft.funcs.VectorFunctions.nearestPivot(col("v"), pvs))
+        .select(col("id"), col("v"),
+          element_at(pidArr, col("__ci") + 1).as("cell"),
+          element_at(pvArr, col("__ci") + 1).as("pv"))
+    } else {
+      val scored = df.crossJoin(broadcast(piv))
+        .select(col("id"), col("v"), col("pid"),
+          round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
+      if (keep == 1)
+        // corpus-side coarse assignment: min_by with map-side partial
+        // combine shuffles n winner rows instead of the window's full n·K
+        // cross-product (see Similarity.assignCellsProto) — ordering key
+        // (__dd, pid) IS the window's (__dd ASC, pid ASC) tie-break
+        scored.groupBy(col("id"))
+          .agg(min_by(struct(col("v"), col("pid"), col("pv")),
+            struct(col("__dd"), col("pid"))).as("__w"))
+          .select(col("id"), col("__w.v").as("v"), col("__w.pid").as("cell"),
+            col("__w.pv").as("pv"))
+      else {
+        // query-side probing keeps several cells — stays a rank window over
+        // the (small) query batch
+        val w = Window.partitionBy(col("id")).orderBy(col("__dd"), col("pid"))
+        scored
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= keep)
+          .select(col("id"), col("v"), col("pid").as("cell"), col("pv"))
+      }
     }
   }
 
@@ -473,25 +527,29 @@ object Quantize {
       else pqCodebooksKmeans(trainDf, idCol, vecCol, m, ksub, kmeansIters))
       .localCheckpoint()
     val cAssigned = nearestCellsPq(c, piv, 1)
-    val assigned = encodeAssigned(cAssigned, corpus, idCol, vecCol, cbs, residual)
+    val assigned = encodeAssigned(cAssigned, cbs, residual)
     (piv, cbs, assigned)
   }
 
-  /** (id, cell[, pv]) + raw vectors → (id, cell, codes) under the given
-    * (frozen) codebooks, flat or residual — the encode step both the build
-    * and the append run. */
-  private def encodeAssigned(cAssigned: DataFrame, raw: DataFrame,
-                             idCol: String, vecCol: String, cbs: DataFrame,
-                             residual: Boolean): DataFrame =
-    if (residual) {
-      val withR = residualOf(cAssigned, "rv")
-        .select(col("id"), col("cell"), col("rv"))
-      withR.select(col("id"), col("cell"))
-        .join(pqEncode(withR, "id", "rv", cbs), Seq("id"))
-        .select(col("id"), col("cell"), col("codes"))
-    } else cAssigned.select(col("id"), col("cell"))
-      .join(pqEncode(raw, idCol, vecCol, cbs), Seq("id"))
-      .select(col("id"), col("cell"), col("codes"))
+  /** (id, v, cell[, pv]) → (id, cell, codes) under the given (frozen)
+    * codebooks, flat or residual — the encode step both the build and the
+    * append run. OPT r20: the encode is INLINE on the assignment's carried
+    * vector — the old formulation joined the assignment to
+    * `pqEncode(corpus)` BY ID, a full corpus self-join (two corpus-wide
+    * shuffles) for a value computable in the same projection (guide §2.4:
+    * remove shuffles outright). Same codes: `v` IS toDouble(vecCol), the
+    * exact input the old id-joined encode read. */
+  private def encodeAssigned(cAssigned: DataFrame, cbs: DataFrame,
+                             residual: Boolean): DataFrame = {
+    graft.funcs.VectorFunctions.register(cAssigned.sparkSession)
+    val cb = collectCodebooks(cbs)
+    val src =
+      if (residual) residualOf(cAssigned, "rv")
+        .select(col("id"), col("cell"), col("rv").as("__ev"))
+      else cAssigned.select(col("id"), col("cell"), col("v").as("__ev"))
+    src.select(col("id"), col("cell"),
+      graft.funcs.VectorFunctions.pqEncodeCodes(col("__ev"), cb).as("codes"))
+  }
 
   /** Probe-and-rank core shared by [[ivfPqTopK]] and [[ivfPqTopKIndexed]]:
     * route each query to `nProbe` cells, precompute its ADC table
@@ -501,6 +559,7 @@ object Quantize {
                              idCol: String, vecCol: String, piv: DataFrame,
                              cbs: DataFrame, topK: Int, nProbe: Int,
                              residual: Boolean): DataFrame = {
+    graft.funcs.VectorFunctions.register(queries.sparkSession)
     val probes0 = nearestCellsPq(
       queries.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v")),
       piv, nProbe)
@@ -524,7 +583,8 @@ object Quantize {
     assigned.join(probes, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        round(adcDistance(col("qtab"), col("codes")), 6).as("adc_dist"))
+        round(graft.funcs.VectorFunctions.adcSum(col("qtab"), col("codes")),
+          6).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
@@ -593,8 +653,7 @@ object Quantize {
     val residual = meta.getBoolean(meta.fieldIndex("residual"))
     val nv = newVectors.select(col(idCol).as("id"),
       Similarity.toDouble(col(vecCol)).as("v"))
-    val assigned = encodeAssigned(nearestCellsPq(nv, piv, 1), newVectors,
-      idCol, vecCol, cbs, residual)
+    val assigned = encodeAssigned(nearestCellsPq(nv, piv, 1), cbs, residual)
     graft.sources.IO.writeBucketed(assigned, s"${name}_pq_codes",
       bucketCols = spec.bucketColumnNames, buckets = spec.numBuckets,
       sortCols = spec.sortColumnNames,

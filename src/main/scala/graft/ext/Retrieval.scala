@@ -134,7 +134,16 @@ object Retrieval {
 
   /** End-to-end BM25 top-k: build postings + statistics from `corpus`,
     * then probe with `queries`. For repeated probes over a frozen corpus
-    * use the postings store ([[buildPostingsStore]]/[[bm25Serve]]). */
+    * use the postings store ([[buildPostingsStore]]/[[bm25Serve]]).
+    *
+    * OPT r20 (guide §1.2, VERDICT r19 #5): postings and the two corpus
+    * statistics come out of ONE tokenize pass instead of two. The exploded
+    * aggregate uses `explode_outer`, so a zero-token document still yields
+    * one (id, len=0, null-term) row — (nDocs, sumLen) read off the
+    * materialized table exactly as [[corpusStats]] measured them (the
+    * zero-token-doc case that made deriving stats from plain postings a
+    * semantics change), and the null-term rows are filtered before scoring,
+    * leaving the postings row set identical to [[postings]]'. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, qidCol: String, qtextCol: String,
                topK: Int, k1: Double = 1.2, b: Double = 0.75,
@@ -142,10 +151,35 @@ object Retrieval {
                tokenizer: Column => Column = TextStats.tokens,
                checkpoint: CheckpointStrategy =
                  CheckpointStrategy.Local): DataFrame = {
-    val (n, sl) = corpusStats(corpus, textCol, tokenizer)
-    bm25FromPostings(postings(corpus, idCol, textCol, tokenizer), n, sl,
+    val (post, n, sl) = postingsWithStats(corpus, idCol, textCol, tokenizer,
+      CheckpointStrategy.materializer(checkpoint))
+    bm25FromPostings(post, n, sl,
       queries, qidCol, qtextCol, topK, k1, b, maxDfFrac, tokenizer,
       checkpoint)
+  }
+
+  /** The one-pass core shared by [[bm25TopK]] / [[buildPostingsStore]] /
+    * [[appendToPostingsStore]]: the exploded (id, len, term, tf) aggregate
+    * with one null-term sentinel row per zero-token document, materialized
+    * once; (nDocs, sumLen) read off the materialized rows with one cheap
+    * aggregate; the returned postings have the sentinels filtered out, so
+    * their row set is exactly [[postings]]'. */
+  private def postingsWithStats(corpus: DataFrame, idCol: String,
+                                textCol: String,
+                                tokenizer: Column => Column,
+                                cp: DataFrame => DataFrame): (DataFrame, Long, Long) = {
+    val withSentinels = cp(corpus
+      .select(col(idCol).as("id"),
+        TextStats.pinnedCol(tokenizer(coalesce(col(textCol), lit("")))).as("__t"))
+      .select(col("id"), size(col("__t")).cast("long").as("len"),
+        explode_outer(col("__t")).as("term"))
+      .groupBy(col("id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val r = withSentinels.select(col("id"), col("len")).distinct()
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("len")), lit(0L)).as("sl"))
+      .head()
+    (withSentinels.filter(col("term").isNotNull), r.getLong(0), r.getLong(1))
   }
 
   // ---------------------------------------------------------------------
@@ -180,12 +214,18 @@ object Retrieval {
     * token spaces (the sketch store's frozen-params rule). */
   def buildPostingsStore(corpus: DataFrame, idCol: String, textCol: String,
                          name: String, analyzer: String = "ws-lower",
-                         tokenizer: Column => Column = TextStats.tokens): Unit = {
+                         tokenizer: Column => Column = TextStats.tokens,
+                         checkpoint: CheckpointStrategy =
+                           CheckpointStrategy.Local): Unit = {
     val spark = corpus.sparkSession
-    val (n, sl) = corpusStats(corpus, textCol, tokenizer)
+    // OPT r20: one tokenize pass feeds both the stored postings and the
+    // frozen statistics (see postingsWithStats) — the separate corpusStats
+    // pass tokenized the whole corpus a second time
+    val (post, n, sl) = postingsWithStats(corpus, idCol, textCol, tokenizer,
+      CheckpointStrategy.materializer(checkpoint))
     graft.sources.IO.dropOrphanedLocation(spark, s"${name}_meta")
     graft.sources.IO.dropOrphanedLocation(spark, s"${name}_postings")
-    postings(corpus, idCol, textCol, tokenizer)
+    post
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_postings")
     writePostingsMeta(spark, name, analyzer, n, sl)
@@ -226,8 +266,10 @@ object Retrieval {
       s"shard analyzer '$analyzer' != frozen store analyzer " +
         s"'${meta("analyzer")}' for '$name' — postings built with a " +
         "different tokenizer cannot share a term space")
-    val (n2, sl2) = corpusStats(shard, textCol, tokenizer)
-    postings(shard, idCol, textCol, tokenizer)
+    // OPT r20: one tokenize pass over the shard (see postingsWithStats)
+    val (post, n2, sl2) = postingsWithStats(shard, idCol, textCol, tokenizer,
+      CheckpointStrategy.materializer(CheckpointStrategy.Local))
+    post
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_postings")
     writePostingsMeta(spark, name, meta("analyzer"),

@@ -766,12 +766,15 @@ object Similarity {
     // OPT r19: the prepared projection feeds up to four consumers (the
     // auto-bits count, the banding pass, and both exact-confirm sides) —
     // materialize it unconditionally; an explicit `checkpoint` strategy
-    // upgrades the materialization to a reliable one on a cluster
-    val p = checkpoint match {
-      case Some(cs) =>
-        CheckpointStrategy.materializer(cs)(prepared(df, idCol, vecCol))
-      case None => prepared(df, idCol, vecCol).localCheckpoint()
+    // upgrades the materialization to a reliable one on a cluster.
+    // r20 (ADVICE r19): ONE materializer for every site in this operator —
+    // the band rows below used to hard-code localCheckpoint, silently
+    // weakening a caller's Reliable contract mid-function.
+    val m: DataFrame => DataFrame = checkpoint match {
+      case Some(cs) => CheckpointStrategy.materializer(cs)
+      case None => _.localCheckpoint()
     }
+    val p = m(prepared(df, idCol, vecCol))
     // bits <= 0 → AUTO: size the signature from the measured corpus count
     // so the n²·b·2⁻ʳ random-collision term is bounded by the engine, not
     // by operator knowledge (costs one count job over the prepared
@@ -788,7 +791,7 @@ object Similarity {
     val banded = bandedIds(p, "id", "v", useBits, bands, mix, thresholds)
     // OPT r19: both candidate self-join sides consume the capped band rows
     // — skinny (id, bk) keys, materialized once (the lshCandidates posture)
-    val guarded = Dedup.capBuckets(banded, maxBucketSize).localCheckpoint()
+    val guarded = m(Dedup.capBuckets(banded, maxBucketSize))
     val cands = guarded.as("a").join(guarded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
@@ -845,12 +848,14 @@ object Similarity {
   def incrementalCosine(newDf: DataFrame, seenDf: DataFrame, idCol: String,
                         vecCol: String, minCos: Double, bits: Int = 64,
                         bands: Int = 8, expectedSeen: Option[Long] = None,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01,
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // OPT r19: the seen-side band keys feed the Bloom build (plus its
     // sizing count when expectedSeen is absent) AND the confirm join —
-    // materialized once, the incrementalMinhash seenBk posture
-    val seenKeys = vectorBandKeys(seenDf, vecCol, bits, bands)
-      .localCheckpoint()
+    // materialized once, the incrementalMinhash seenBk posture; r20: the
+    // materialization honors `checkpoint` (Reliable on a cluster)
+    val seenKeys = CheckpointStrategy.materializer(checkpoint)(
+      vectorBandKeys(seenDf, vecCol, bits, bands))
     val bytes = Dedup.serializedBloom(Dedup.buildLongBloom(
       seenKeys.select(col("__fp")), "__fp",
       expectedSeen.map(_ * bands), fpp))
@@ -910,15 +915,18 @@ object Similarity {
   def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
                     minCos: Double, nCells: Int = 0,
                     blocks: Int = 4,
-                    kmeansIters: Option[Int] = None): DataFrame =
+                    kmeansIters: Option[Int] = None,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
     // OPT r19: both sides of the intra-cell self-join consume the assigned
     // table, and their sub-cell explodes differ, so no exchange is reused
     // — un-materialized, the corpus prep + pivot assignment ran twice.
     // (The indexed path, semanticPairsIndexed, reads a persisted table and
     // deliberately does NOT checkpoint — a table scan is already cheap.)
+    // r20: the materialization honors `checkpoint` (Reliable on a cluster).
     pairsWithinCells(
-      semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters)
-        .localCheckpoint(),
+      CheckpointStrategy.materializer(checkpoint)(
+        semanticAssigned(corpus, idCol, vecCol, nCells, kmeansIters,
+          checkpoint)),
       minCos, blocks)
 
   /** The intra-cell pair half of [[semanticPairs]] over an already-assigned
@@ -984,13 +992,16 @@ object Similarity {
     * same posture as [[cosineLshPairs]]'s auto signature width). */
   private def semanticAssigned(corpus: DataFrame, idCol: String,
                                vecCol: String, nCells: Int,
-                               kmeansIters: Option[Int]): DataFrame = {
+                               kmeansIters: Option[Int],
+                               checkpoint: CheckpointStrategy =
+                                 CheckpointStrategy.Local): DataFrame = {
     val c0 = prepared(corpus, idCol, vecCol)
     // k-means iterates over the prepared projection, and the auto-sizing
     // count would otherwise be a second full upstream pass before the
     // assignment scan: materialize it once for either multi-pass consumer
     // (same reasoning as annIvfKMeansTopK's checkpoint)
-    val c = if (kmeansIters.isDefined || nCells <= 0) c0.localCheckpoint() else c0
+    val c = if (kmeansIters.isDefined || nCells <= 0)
+      CheckpointStrategy.materializer(checkpoint)(c0) else c0
     val k = if (nCells > 0) nCells else autoNCells(c.count())
     val pv = kmeansIters match {
       case Some(it) =>
@@ -1066,19 +1077,21 @@ object Similarity {
     * tiny-manifest discipline, never the corpus). */
   def contrastiveTriplets(corpus: DataFrame, idCol: String, vecCol: String,
                           posMin: Double, negMax: Double,
-                          nCells: Int = 0, blocks: Int = 4): DataFrame = {
+                          nCells: Int = 0, blocks: Int = 4,
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(posMin > negMax,
       s"posMin ($posMin) must exceed negMax ($negMax) — the bands may not overlap")
+    val m = CheckpointStrategy.materializer(checkpoint)
     val c0 = prepared(corpus, idCol, vecCol).filter(col("nrm") > 0)
-    val c = if (nCells <= 0) c0.localCheckpoint() else c0
+    val c = if (nCells <= 0) m(c0) else c0
     val k = if (nCells > 0) nCells else autoNCells(c.count())
     // OPT r19: the assignment feeds FOUR consumers (both self-join sides,
     // the cell-ordinal table, and the anchor/easy-negative chain); with an
     // explicit nCells nothing upstream was materialized, so each consumer
     // re-ran the corpus prep + pivot assignment from the scan up — the
     // q196 plan audit counted 24 parquet scans. One materialization of
-    // (id, v, nrm, cell) replaces them all.
-    val assigned = assignCells(c, firstIdPivots(c, k)).localCheckpoint()
+    // (id, v, nrm, cell) replaces them all; r20: it honors `checkpoint`.
+    val assigned = m(assignCells(c, firstIdPivots(c, k)))
     // all in-cell pairs: the band filters cannot prune the pair join (the
     // hard negative is an argmax over the LOW band), so minCos admits all
     val directed = pairsWithinCells(assigned, -1.01, blocks)
@@ -1192,7 +1205,7 @@ object Similarity {
                     kmeansIters: Option[Int] = None,
                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val pairs = semanticPairs(corpus, idCol, vecCol, minCos, nCells, blocks,
-      kmeansIters)
+      kmeansIters, checkpoint)
     val drops = Dedup.nearDupClusters(pairs, checkpoint = checkpoint)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

@@ -526,7 +526,8 @@ object Sketch {
     * inclusion-exclusion (which estimates |A∩B|) with the resemblance
     * ratio LSH-style dedup scoping actually thresholds on. */
   def tokenResemblance(df: DataFrame, textCol: String, groupCol: String,
-                       k: Int = 256, salt: String = "graft:bk"): DataFrame = {
+                       k: Int = 256, salt: String = "graft:bk",
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val toks = df.select(col(groupCol),
         TextStats.pinnedCol(TextStats.tokens(coalesce(col(textCol), lit(""))))
           .as("__t"))
@@ -536,9 +537,10 @@ object Sketch {
     // consumers (group list + both pair-scoped sides) — and EACH recompute
     // re-runs both corpus tokenize passes (HLL guard + survivor rank). The
     // q150 plan audit showed 12 parquet scans; checkpointing the tiny
-    // sketch cuts the corpus passes from 6 to 2.
+    // sketch cuts the corpus passes from 6 to 2. r20: honors `checkpoint`.
     bottomKResemblance(
-      bottomKSketch(toks, Seq(groupCol), col("tok"), k, salt).localCheckpoint(),
+      CheckpointStrategy.materializer(checkpoint)(
+        bottomKSketch(toks, Seq(groupCol), col("tok"), k, salt)),
       groupCol, k)
   }
 

@@ -509,6 +509,229 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Shared 6-dp HALF_UP rounding, bit-identical to Spark's `round(_, 6)` on
+  * DoubleType (same BigDecimal.valueOf → setScale → doubleValue chain, same
+  * NaN/Infinity passthrough) — the PQ expressions below must make exactly
+  * the threshold decisions the `round(d2(...), 6)` formulations they
+  * replace made. */
+private[funcs] object Round6 {
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
+/** Codegen'd PQ encode (OPT r20, guide §1.2 "per-task work"): for each of
+  * the `cb.length` subspaces, the argmin over that subspace's centroids of
+  * the 6-dp-rounded in-order squared L2 — strictly-smaller replaces, so the
+  * LOWEST code wins rounded ties, exactly the
+  * `aggregate(struct(d, c)) fold` it replaces. The higher-order-function
+  * formulation interpreted m·ksub lambda folds and allocated m·ksub zipped
+  * arrays PER ROW (HOFs are CodegenFallback — the [[DotProductFloat]]
+  * lesson); this is one tight primitive loop. Bit-identical: subspace
+  * distances accumulate in dimension order and round through [[Round6]]
+  * (Spark's own round(_, 6) double path).
+  *
+  * `cb(sub)(code) = centroid` — sub- and code-ordered, the packed-codebook
+  * layout. Input element type float or double (decided at bind time). */
+case class PqEncodeCodes(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemType == FloatType || elemType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode requires array<float> or array<double>, got " +
+          child.dataType.catalogString)
+
+  // deep content equality: an Array field compares by reference, which
+  // breaks expression canonicalization (the BloomMightContain lesson)
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncodeCodes =>
+      child == p.child && java.util.Arrays.deepEquals(
+        cb.asInstanceOf[Array[AnyRef]], p.cb.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cb.asInstanceOf[Array[AnyRef]])
+
+  def encode(input: ArrayData): ArrayData = {
+    val isFloat = elemType == FloatType
+    val m = cb.length
+    val codes = new Array[Int](m)
+    var base = 0
+    var s = 0
+    while (s < m) {
+      val cents = cb(s)
+      val dsub = cents(0).length
+      var best = Double.MaxValue
+      var bc = -1
+      var ci = 0
+      while (ci < cents.length) {
+        val cent = cents(ci)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = (if (isFloat) input.getFloat(base + j).toDouble
+                   else input.getDouble(base + j)) - cent(j)
+          d += x * x
+          j += 1
+        }
+        val rd = Round6.round6(d)
+        if (rd < best) { best = rd; bc = ci }
+        ci += 1
+      }
+      codes(s) = bc
+      base += dsub
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeExpr", this,
+      classOf[PqEncodeCodes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/** Codegen'd subspace-ordered ADC sum (OPT r20): `Σ_s qtab[s][codes[s]]` —
+  * the `aggregate(sequence(...))` fold it replaces interpreted three
+  * element_at lambdas per subspace per PAIR in the hottest loop of the PQ
+  * search family. Additions run in subspace order: bit-identical. */
+case class AdcLookupSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_adc_sum requires (array<array<double>>, array<int>), got " +
+            s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qtab = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0
+    var sum = 0.0
+    while (s < m) {
+      sum += qtab.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $b.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $a.getArray($s).getDouble($b.getInt($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): AdcLookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd coarse-cell assignment (OPT r20): the 0-based INDEX of the
+  * nearest pivot by 6-dp-rounded in-order squared L2, strictly-smaller
+  * replaces — with `pvs` in ascending-pid order this is exactly the
+  * `min_by(struct(__dd, pid))` / rank-window tie-break of the
+  * crossJoin-then-aggregate formulation it replaces, without materializing
+  * the n·K cross product or shuffling the corpus through the winner
+  * aggregate. Same [[Round6]] rounding as the original `round(d2(v, pv), 6)`. */
+case class NearestPivotIdx(child: Expression, pvs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemType == FloatType || elemType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_pivot requires array<float> or array<double>, got " +
+          child.dataType.catalogString)
+
+  override def equals(other: Any): Boolean = other match {
+    case p: NearestPivotIdx =>
+      child == p.child && java.util.Arrays.deepEquals(
+        pvs.asInstanceOf[Array[AnyRef]], p.pvs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(pvs.asInstanceOf[Array[AnyRef]])
+
+  def nearest(input: ArrayData): Int = {
+    val isFloat = elemType == FloatType
+    var best = Double.MaxValue
+    var bi = -1
+    var i = 0
+    while (i < pvs.length) {
+      val pv = pvs(i)
+      var d = 0.0
+      var j = 0
+      while (j < pv.length) {
+        val x = (if (isFloat) input.getFloat(j).toDouble
+                 else input.getDouble(j)) - pv(j)
+        d += x * x
+        j += 1
+      }
+      val rd = Round6.round6(d)
+      if (rd < best) { best = rd; bi = i }
+      i += 1
+    }
+    bi
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestPivotExpr", this,
+      classOf[NearestPivotIdx].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.nearest($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestPivotIdx =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   private val Name = "graft_dot_f"
@@ -517,11 +740,38 @@ object VectorFunctions {
   private val SimHashName = "graft_simhash_sig"
   private val RollName = "graft_rolling_hash"
   private val BloomName = "graft_bloom_might_contain"
+  private val PqEncodeName = "graft_pq_encode"
+  private val AdcSumName = "graft_adc_sum"
+  private val NearestPivotName = "graft_nearest_pivot"
 
   /** (name, builder) for every graft vector expression — ONE builder list
     * shared by the per-session [[register]] and the session-extensions
     * route ([[graft.GraftExtensions]] / [[injectInto]]), so the two ways
     * of wiring the functions can never drift. */
+  /** array<array<double>> literal → Array[Array[Double]] (for the packed
+    * pivot/codebook payloads of the PQ expressions). */
+  private def doubleMatrixLit(e: Expression): Array[Array[Double]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData,
+        ArrayType(ArrayType(DoubleType, _), _)) =>
+      Array.tabulate(d.numElements())(i => d.getArray(i).toDoubleArray())
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected an array<array<double>> literal, got $other")
+  }
+
+  /** array<array<array<double>>> literal → Array[Array[Array[Double]]]. */
+  private def tripleDoubleLit(e: Expression): Array[Array[Array[Double]]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData,
+        ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+      Array.tabulate(d.numElements()) { i =>
+        val inner = d.getArray(i)
+        Array.tabulate(inner.numElements())(j => inner.getArray(j).toDoubleArray())
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected an array<array<array<double>>> literal, got $other")
+  }
+
   private[funcs] def builders: Seq[(String, Seq[Expression] => Expression)] = {
     def longArrayLit(e: Expression): Seq[Long] = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(d: ArrayData, ArrayType(LongType, _)) =>
@@ -556,6 +806,12 @@ object VectorFunctions {
           throw new IllegalArgumentException(s"useMd5 must be a boolean literal, got $other")
       }),
       RollName -> ((exprs: Seq[Expression]) => RollingHash(exprs.head)),
+      PqEncodeName -> ((exprs: Seq[Expression]) =>
+        PqEncodeCodes(exprs.head, tripleDoubleLit(exprs(1)))),
+      AdcSumName -> ((exprs: Seq[Expression]) =>
+        AdcLookupSum(exprs.head, exprs(1))),
+      NearestPivotName -> ((exprs: Seq[Expression]) =>
+        NearestPivotIdx(exprs.head, doubleMatrixLit(exprs(1)))),
       BloomName -> ((exprs: Seq[Expression]) => {
         if (exprs.size != 2)
           throw new IllegalArgumentException(
@@ -634,4 +890,21 @@ object VectorFunctions {
   def bloomMightContain(h: Column, filter: Array[Byte]): Column =
     org.apache.spark.sql.functions.call_function(BloomName, h,
       org.apache.spark.sql.functions.lit(filter))
+
+  /** Column API for the codegen'd PQ encode; `cb(sub)(code) = centroid`
+    * (sub- and code-ordered). Requires [[register]]. */
+  def pqEncodeCodes(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.functions.call_function(PqEncodeName, v,
+      org.apache.spark.sql.functions.typedlit(
+        cb.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** Column API for the codegen'd subspace-ordered ADC sum. */
+  def adcSum(qtab: Column, codes: Column): Column =
+    org.apache.spark.sql.functions.call_function(AdcSumName, qtab, codes)
+
+  /** Column API for the codegen'd nearest-pivot index (0-based into `pvs`,
+    * which must be in ascending-pid order for the documented tie-break). */
+  def nearestPivot(v: Column, pvs: Array[Array[Double]]): Column =
+    org.apache.spark.sql.functions.call_function(NearestPivotName, v,
+      org.apache.spark.sql.functions.typedlit(pvs.map(_.toSeq).toSeq))
 }

@@ -2986,6 +2986,76 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("OPT r20: codegen'd pqEncode matches a driver-side argmin replay (rounding + ties)") {
+    // fixture engineered to include EXACT rounded-distance ties: duplicate
+    // centroids exist because ksub exceeds the distinct-subvector count in
+    // one subspace — the strict-less fold must keep the LOWEST code
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 3) % 5) * 0.1f +
+        (if (i % 2 == 0) 1f else 0f))))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cbs = Quantize.pqCodebooks(df, "vec_id", "embedding", m = 4, ksub = 8)
+    val cb = cbs.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def round6(d: Double): Double =
+      if (d.isNaN || d.isInfinite) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // independent reimplementation of the documented contract: in-order
+    // squared-L2 per subspace, 6-dp HALF_UP round, strict-less argmin
+    def expected(v: Array[Float]): Seq[Int] = {
+      val m = cb.size; val dsub = v.length / m
+      (0 until m).map { s =>
+        var best = Double.MaxValue; var bc = -1
+        val cents = cb(s)
+        for (ci <- cents.indices) {
+          var d = 0.0
+          for (j <- 0 until dsub) {
+            val x = v(s * dsub + j).toDouble - cents(ci)(j); d += x * x
+          }
+          val rd = round6(d)
+          if (rd < best) { best = rd; bc = ci }
+        }
+        bc
+      }
+    }
+    val got = Quantize.pqEncode(df, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == expected(v), s"codes diverge for vec $id")
+    }
+  }
+
+  test("OPT r20: nearestCellsPq codegen fast path equals the crossJoin+min_by formulation") {
+    // includes an exact tie: vec 100 sits equidistant from pivots 0 and 1
+    // — both formulations must keep the SMALLER pid
+    val vecs = ((0 until 20).map { i =>
+      (100L + i, Array.tabulate(4)(d => ((i * 5 + d * 3) % 7).toDouble))
+    } :+ (100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val piv = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(2.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 5.0, 0.0, 0.0)),
+      (7L, Array(4.0, 4.0, 4.0, 4.0))).toDF("pid", "pv")
+    val fast = Quantize.nearestCellsPq(vecs, piv, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // the legacy formulation, verbatim
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val legacy = vecs.crossJoin(broadcast(piv))
+      .select(col("id"), col("v"), col("pid"),
+        round(d2(col("v"), col("pv")), 6).as("__dd"), col("pv"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("v"), col("pid"), col("pv")),
+        struct(col("__dd"), col("pid"))).as("__w"))
+      .select(col("id"), col("__w.pid").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == legacy)
+    assert(fast(100L) == 0L, "rounded-distance tie must keep the smaller pid")
+  }
+
   test("ivfPqTopK: full probe equals flat PQ; partial probe keeps cluster recall") {
     // clusters INTERLEAVED by id (even = A, odd = B): the smallest-id
     // pivot set must cover both clusters or a partial probe cannot route
