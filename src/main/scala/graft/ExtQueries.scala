@@ -1427,11 +1427,16 @@ object ExtQueries {
       val docs = docsPar(s, dir)
       val existing = docs.filter(col("source") =!= "src19")
       val incoming = docs.filter(col("source") === "src19")
-      val toks = existing.select(col("source"),
+      // OPT r20: ONE tokenize pass feeds ALL THREE store builds — the
+      // per-doc token ARRAYS are materialized (not the exploded tokens),
+      // so the log-histogram store reads size(__t) off the same blocks
+      // instead of re-tokenizing the whole existing corpus a second time;
+      // hll/bottom-k explode lazily from the checkpoint.
+      val docToks = existing.select(col("source"),
           graft.ext.TextStats.pinnedCol(graft.ext.TextStats.tokens(
             coalesce(col("text"), lit("")))).as("__t"))
-        .select(col("source"), explode(col("__t")).as("tok"))
-        .localCheckpoint() // feeds three store builds
+        .localCheckpoint()
+      val toks = docToks.select(col("source"), explode(col("__t")).as("tok"))
       graft.ext.Sketch.writeSketchStore(
         graft.ext.Sketch.hllSketch(toks, Seq("source"), col("tok")),
         "fb_onboard_hll", "hll",
@@ -1441,9 +1446,8 @@ object ExtQueries {
         "fb_onboard_bk", "bottomk",
         Map("k" -> "256", "salt" -> "graft:bk"), Seq("source"))
       graft.ext.Sketch.writeSketchStore(
-        graft.ext.Sketch.logHistSketch(existing, Seq("source"),
-          size(graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))),
-          subBits = 5),
+        graft.ext.Sketch.logHistSketch(docToks, Seq("source"),
+          size(col("__t")), subBits = 5),
         "fb_onboard_lh", "loghist", Map("subBits" -> "5"), Seq("source"))
       graft.ext.Sketch.onboardingReport(s, "fb_onboard_hll", "fb_onboard_bk",
           "fb_onboard_lh", incoming, "text")

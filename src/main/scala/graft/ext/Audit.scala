@@ -211,43 +211,49 @@ object Audit {
     * (distinct shingles), `novel_grams` (corpus doc-freq 1), `novelty` =
     * novel/n (a ratio of the same exact integers).
     *
-    * Scale shape: the inverted-index formulation (ngramJaccard's posting
-    * shape, without the pair join): distinct (doc, gram) postings →
-    * gram doc-frequency aggregate → one postings⋈frequency equi-join on
-    * the gram → per-doc rollup. Documents shorter than `k` tokens
-    * contribute their whole text as one shingle. */
+    * Scale shape (r20): one tokenize pass materializes per-doc distinct
+    * shingle arrays; `n_grams` is a projection off them; novelty comes
+    * from a map-side-combined per-gram (count, owning-doc) aggregate whose
+    * df-1 rows roll up per doc — no gram-keyed window or postings
+    * re-shuffle, so a hot boilerplate gram never lands on one task.
+    * Documents shorter than `k` tokens contribute their whole text as one
+    * shingle. `idCol` must identify documents uniquely (the operator's
+    * one-row-per-document contract). */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8,
                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // token array materialized first (HOF-no-CSE: the shingle transform's
-    // element_at calls would each re-run the split), then the shingle
-    // array pinned before the explode (topNgrams' InferFiltersFromGenerate
-    // note)
-    val postings = CheckpointStrategy.materializer(checkpoint)(df
+    // element_at calls would each re-run the split). OPT r20: ONE corpus
+    // tokenize pass materializes the per-doc DISTINCT shingle arrays
+    // (doc-sized rows — fewer bytes than the exploded postings), from which
+    // `n_grams` is a FREE projection (the array is distinct by
+    // construction) and the postings a plain explode. The old per-posting
+    // `.distinct()` shuffle was a no-op for unique document ids — which
+    // `idCol` must be (one novelty row per document is the contract; a
+    // duplicated id would double-count its own shingles as corpus-shared).
+    val docGrams = CheckpointStrategy.materializer(checkpoint)(df
       .select(col(idCol).as("id"),
         TextStats.tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col("id"),
-        TextStats.pinnedCol(Dedup.shinglesOfTokens(col("__t"), k)).as("__g"))
-      .select(col("id"), explode(col("__g")).as("g"))
-      .distinct())
+        Dedup.shinglesOfTokens(col("__t"), k).as("__g")))
     // OPT r20 (guide §2.5, VERDICT r19 #4): the r19 windowed doc-freq count
     // put every posting row of a hot gram on ONE window task. Replaced by
-    // two map-side-combinable aggregates: a per-gram (count, min-id) — a
-    // df-1 gram's single posting row IS its owning document, so min(id)
-    // recovers the owner without ever colocating a hot gram's rows — and a
-    // per-doc gram count. Both partial-aggregate (the two-level salted
-    // count with the map task as the salt), so no single task ever holds a
-    // hot gram's full posting list; the per-doc join is doc-keyed and
-    // skew-free. The postings pipeline now has two consumers, hence the
-    // materialization above (strategy-governed).
-    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val novel = postings.groupBy(col("g"))
+    // map-side-combinable aggregates: a per-gram (count, min-id) — a df-1
+    // gram's single posting row IS its owning document, so min(id) recovers
+    // the owner without ever colocating a hot gram's rows — then a per-doc
+    // rollup of the df-1 winners. Both partial-aggregate (the two-level
+    // salted count with the map task as the salt), so no single task ever
+    // holds a hot gram's full posting list; the final join is doc-keyed
+    // and skew-free.
+    val sizes = docGrams.select(col("id"), size(col("__g")).as("n_grams"))
+    val novel = docGrams.select(col("id"), explode(col("__g")).as("g"))
+      .groupBy(col("g"))
       .agg(count(lit(1)).as("__df"), min(col("id")).as("id"))
       .filter(col("__df") === 1L)
       .groupBy(col("id")).agg(count(lit(1)).as("novel_grams"))
     sizes.join(novel, Seq("id"), "left")
-      .select(col("id"), col("n_grams"),
+      .select(col("id"), col("n_grams").cast("long").as("n_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
       .withColumn("novelty",
         col("novel_grams").cast("double") / col("n_grams").cast("double"))

@@ -1,8 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.DecimalType
 
 /** Trainable model-based quality classifier — the fastText-recipe linear
   * model (Joulin et al. 2016, "Bag of Tricks for Efficient Text
@@ -87,7 +87,6 @@ object Classifier {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0.0, s"lr must be positive, got $lr")
-    val spark = pos.sparkSession
     // the feature table feeds every iteration twice — materialize once,
     // HASH-PARTITIONED BY __key: the per-iteration margin groupBy(__key)
     // and the err⋈feats equi-join on __key then both reuse the checkpoint's
@@ -104,22 +103,26 @@ object Classifier {
     val n = feats.select(countDistinct(col("__key"))).head().getLong(0)
     require(n > 0, "training slices produced no feature rows")
 
-    val wSchema = StructType(Seq(StructField("bucket", IntegerType),
-      StructField("__w", DoubleType)))
     // index 0 is the bias (feature bucket −1); coefficients shift by one
     var w = new Array[Double](buckets + 1)
     for (it <- 1 to iters) {
       // linearly decaying rate (the fastText schedule): high early progress,
       // damped endgame so a large base rate cannot oscillate forever
       val lrT = lr * (1.0 - (it - 1).toDouble / iters)
-      val wDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          w.indices.map(b => Row(b - 1, w(b))), 1), wSchema)
+      // OPT r20: the weights are DRIVER state — ship them as one array
+      // literal and look up per row (element_at is codegen'd), instead of
+      // parallelize-ing a (B+1)-row DataFrame and broadcast-joining it
+      // EVERY iteration (one RDD job + one broadcast build per iteration,
+      // pure fixed overhead on the GD loop). Same doubles, same multiply,
+      // bit-identical margins. bucket ∈ [−1, B−1] always resolves (index
+      // = bucket + 2, 1-based).
+      val wLit = lit(w)
       // margins (bias rides as bucket −1): one (doc)-keyed exact aggregate;
       // σ and the residual are per-row math on the exact sum
-      val err = feats.join(broadcast(wDf), Seq("bucket"), "left")
+      val err = feats
         .groupBy(col("__key"), col("__y"))
-        .agg(sum((col("__x") * coalesce(col("__w"), lit(0.0))).cast(Dec)).as("__m"))
+        .agg(sum((col("__x") *
+          element_at(wLit, col("bucket") + 2)).cast(Dec)).as("__m"))
         .select(col("__key"),
           (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double")))
             - col("__y")).as("__e"))
@@ -143,12 +146,13 @@ object Classifier {
     * join + one id-keyed exact fold; corpus-scale safe. */
   def score(df: DataFrame, idCol: String, textCol: String, model: LinearModel,
             threshold: Double = 0.5): DataFrame = {
-    val spark = df.sparkSession
-    val wSchema = StructType(Seq(StructField("bucket", IntegerType),
-      StructField("__w", DoubleType)))
-    val wDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        model.weights.indices.map(b => Row(b, model.weights(b))), 1), wSchema)
+    // OPT r20: the weight table is model state — an array literal +
+    // codegen'd element_at replaces the parallelize + broadcast join (the
+    // train-loop change, applied to the corpus-scale scoring pass: the
+    // per-(doc, bucket) rows never join at all now). Same doubles, same
+    // multiply — bit-identical probabilities. bucket ∈ [0, B−1] always
+    // resolves (index = bucket + 1).
+    val wLit = lit(model.weights)
     val feats = df.select(col(idCol).as("__id"),
         TextStats.pinnedCol(Dsir.hashedGramBuckets(
           col(textCol), model.buckets, model.salt)).as("__b"))
@@ -157,9 +161,10 @@ object Classifier {
       .agg(count(lit(1)).as("__c"))
       .select(col("__id"), col("bucket"),
         (col("__c").cast("double") / col("__n").cast("double")).as("__x"))
-    val scored = feats.join(broadcast(wDf), Seq("bucket"), "left")
+    val scored = feats
       .groupBy(col("__id"))
-      .agg(sum((col("__x") * coalesce(col("__w"), lit(0.0))).cast(Dec)).as("__m"))
+      .agg(sum((col("__x") *
+        element_at(wLit, col("bucket") + 1)).cast(Dec)).as("__m"))
       .select(col("__id"),
         round(lit(1.0) / (lit(1.0) +
           exp(-(col("__m").cast("double") + lit(model.bias)))), 6).as("clf_prob"))
