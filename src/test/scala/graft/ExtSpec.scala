@@ -498,6 +498,23 @@ class ExtSpec extends AnyFunSuite {
       s"expected 1..16 signature evaluations in plan (64 = per-band regression), found $sigCount")
   }
 
+  test("plan shape: cosineLshPairs itself keeps the once-per-side signature projection (Passthrough)") {
+    // ADVICE r19 (low): the r19 checkpoint hid cosineLshPairs's banded rows
+    // from a post-hoc plan scrape, leaving the original surface without
+    // direct coverage. Under CheckpointStrategy.Passthrough NOTHING
+    // materializes, so the operator's full lazy plan is scrapeable again —
+    // same 1..16 bound as the annLshTopK guard (8 words x 2 self-join
+    // sides; 64 would be the per-band re-evaluation regression).
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = Similarity.cosineLshPairs(e, "vec_id", "embedding", 0.95,
+      bits = 512, bands = 32, center = true,
+      checkpoint = Some(CheckpointStrategy.Passthrough))
+    val plan = df.queryExecution.optimizedPlan.toString
+    val sigCount = "lshsignaturefloat".r.findAllIn(plan.toLowerCase).length
+    assert(sigCount > 0 && sigCount <= 16,
+      s"expected 1..16 signature evaluations in cosineLshPairs's lazy plan, found $sigCount")
+  }
+
   test("single-word band layouts need no 64-alignment (bits=48, bands=4 -> rows=12)") {
     // regression guard: the multi-word alignment constraint (64 % rows == 0)
     // must not reject single-word layouts the original top-k path accepted
